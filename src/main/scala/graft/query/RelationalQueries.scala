@@ -1,0 +1,280 @@
+package graft.query
+
+import graft.{QuerySpec, Tables}
+import graft.etl.CleanExprs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The standard relational surface: the star joins the reference
+  * implies but never executes (SURVEY.md §2.3 — the checked-in
+  * denormalized CSV is the golden shape), plus sorts/limits, windows,
+  * rollup, set ops, and distinct counts (SURVEY.md §7 step 6).
+  *
+  * Scale notes (100 TB): only the FIXED-size dims (`nation`,
+  * `region`) are broadcast explicitly. `customer`/`part`/`supplier`
+  * grow with SF, so their joins are left to Catalyst/AQE, which
+  * broadcasts when the runtime size is under the threshold and falls
+  * back to shuffled joins when not — the right behavior at both sf0.01
+  * and 100 TB. Fact-to-fact (`lineitem⋈orders`) is a shuffled join on
+  * the join key by construction.
+  */
+object RelationalQueries {
+
+  /** Exact cents as BIGINT — the window/rollup-safe money
+    * representation (window SUM over doubles is frame-order-dependent;
+    * over longs it is exact).
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast(DecimalType(18, 2)) * 100).cast("long")
+
+  private def centsSql(x: String) =
+    s"CAST(CAST($x AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** q20 — the denormalized star join (reference §2.3: fact LEFT-joins
+    * every dim; empty FKs keep blank dim columns). Seven tables:
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region + part + supplier.
+    */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"), "left")
+      .join(c, o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .join(p, l("l_partkey") === p("p_partkey"), "left")
+      .join(s, l("l_suppkey") === s("s_suppkey"), "left")
+      .select(
+        l("l_orderkey"), l("l_linenumber"), l("l_quantity"), l("l_extendedprice"),
+        o("o_orderdate"), o("o_orderpriority"),
+        c("c_name"), c("c_mktsegment"),
+        n("n_name"), r("r_name"),
+        p("p_name"), p("p_brand"),
+        s("s_name"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q20Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |       o_orderdate, o_orderpriority, c_name, c_mktsegment,
+      |       n_name, r_name, p_name, p_brand, s_name
+      |FROM lineitem
+      |LEFT JOIN orders   ON l_orderkey = o_orderkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation   ON c_nationkey = n_nationkey
+      |LEFT JOIN region   ON n_regionkey = r_regionkey
+      |LEFT JOIN part     ON l_partkey = p_partkey
+      |LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q21 — TPC-H-Q1-shaped pricing summary: the full aggregate set the
+    * reference lacks (SURVEY.md §2.4 "no sum/avg exist" → §7 step 6).
+    */
+  private def q21(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q21Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${moneySumSql("l_quantity")} AS sum_qty,
+       |       ${moneySumSql("l_extendedprice")} AS sum_base_price,
+       |       ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |       ${moneyAvgSql("l_quantity")} AS avg_qty,
+       |       ${moneyAvgSql("l_discount")} AS avg_disc,
+       |       COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q22 — top-k by revenue: join + group + exact money sum + sort +
+    * limit, ties broken by key so the limit is deterministic.
+    */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(50)
+  }
+
+  private val q22Sql =
+    s"""SELECT c_custkey, c_name, ${moneySumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 50""".stripMargin
+
+  /** q23 — window rank: suppliers ranked by account balance within
+    * nation (SURVEY.md §7 step 6, "rank of drivers by revenue").
+    */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("s_nationkey"), col("rn"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_nationkey", "rn")
+  }
+
+  private val q23Sql =
+    """SELECT s_nationkey, rn, s_suppkey, s_name, s_acctbal FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+      |                 ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS rn
+      |  FROM supplier) t
+      |WHERE rn <= 3 ORDER BY s_nationkey, rn""".stripMargin
+
+  /** q24 — moving average of quarterly revenue per priority (SURVEY.md
+    * §7 step 6 "moving averages over quarters"). Window math stays in
+    * exact cents (BIGINT) — a sliding SUM over doubles would be
+    * accumulation-order-dependent across engines.
+    */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val qtr = o.groupBy(
+        col("o_orderpriority").as("mode"),
+        quarterKey(col("o_orderdate")).as("quarter"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    val w = Window.partitionBy(col("mode")).orderBy(col("quarter")).rowsBetween(-3, 0)
+    qtr
+      .withColumn("mov_avg",
+        sum(col("rev_cents")).over(w) / (lit(100.0) * count(lit(1)).over(w)))
+      .orderBy("mode", "quarter")
+  }
+
+  private val q24Sql =
+    s"""WITH qtr AS (
+       |  SELECT o_orderpriority AS mode,
+       |         (CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+       |         CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT mode, quarter, rev_cents,
+       |       SUM(rev_cents) OVER w / (100.0 * COUNT(*) OVER w) AS mov_avg
+       |FROM qtr
+       |WINDOW w AS (PARTITION BY mode ORDER BY quarter ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |ORDER BY mode, quarter""".stripMargin
+
+  /** q25 — ROLLUP over quarter × priority (SURVEY.md §7 step 6).
+    * NULLS FIRST is pinned in both engines (Spark defaults nulls
+    * first ascending, DuckDB nulls last).
+    */
+  private def q25(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(quarterKey(col("o_orderdate")).as("quarter"), col("o_orderpriority").as("mode"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .orderBy(col("quarter").asc_nulls_first, col("mode").asc_nulls_first)
+
+  private val q25Sql =
+    s"""SELECT (CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+       |       o_orderpriority AS mode,
+       |       COUNT(*) AS n, CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+       |FROM orders GROUP BY ROLLUP(1, 2)
+       |ORDER BY quarter ASC NULLS FIRST, mode ASC NULLS FIRST""".stripMargin
+
+  /** q26 — set ops: customers active in 1995 vs 1996 classified via
+    * INTERSECT / EXCEPT, reassembled with UNION ALL.
+    */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    def buyers(year: Int) =
+      o.filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+               col("o_orderdate") <  lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+    val a = buyers(1995); val b = buyers(1996)
+    a.intersect(b).select(lit("both").as("tag"), col("o_custkey"))
+      .unionAll(a.except(b).select(lit("only_1995").as("tag"), col("o_custkey")))
+      .unionAll(b.except(a).select(lit("only_1996").as("tag"), col("o_custkey")))
+      .orderBy("tag", "o_custkey")
+  }
+
+  private val q26Sql =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL SELECT 'only_1995', o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL SELECT 'only_1996', o_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  /** q27 — exact distinct counts per quarter (approx variant is
+    * registered separately without an oracle — HLL sketches are not
+    * cross-engine comparable).
+    */
+  private def q27(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(quarterKey(col("o_orderdate")).as("quarter"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("quarter")
+
+  private val q27Sql =
+    """SELECT (CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+      |       COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY quarter""".stripMargin
+
+  /** q27b — approximate distinct (HLL++): the 100 TB-scale variant of
+    * q27. No oracle (sketch internals are engine-specific); the driver
+    * records a rows-only check, and the ScalaTest spec asserts the
+    * estimate is within rsd of the exact count.
+    */
+  private def q27b(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(quarterKey(col("o_orderdate")).as("quarter"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"))
+      .orderBy("quarter")
+
+  /** q28 — semi/anti joins: customers with vs without 1995 orders. */
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o95 = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.join(o95, c("c_custkey") === o95("o_custkey"), "left_semi")
+      .select(lit("active").as("tag"), col("c_custkey"))
+      .unionAll(
+        c.join(o95, c("c_custkey") === o95("o_custkey"), "left_anti")
+          .select(lit("inactive").as("tag"), col("c_custkey")))
+      .orderBy("tag", "c_custkey")
+  }
+
+  private val q28Sql =
+    """WITH o95 AS (SELECT o_custkey FROM orders
+      |             WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+      |SELECT 'active' AS tag, c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o95)
+      |UNION ALL
+      |SELECT 'inactive' AS tag, c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o95)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
+    QuerySpec("q21_pricing_summary",  q21, Some(q21Sql), headline = true),
+    QuerySpec("q22_top_customers",    q22, Some(q22Sql), headline = true),
+    QuerySpec("q23_supplier_rank",    q23, Some(q23Sql)),
+    QuerySpec("q24_quarter_moving_avg", q24, Some(q24Sql), headline = true),
+    QuerySpec("q25_rollup",           q25, Some(q25Sql)),
+    QuerySpec("q26_setops",           q26, Some(q26Sql)),
+    QuerySpec("q27_distinct_counts",  q27, Some(q27Sql)),
+    QuerySpec("q27b_approx_distinct", q27b, None),
+    QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
+  )
+}
