@@ -11,7 +11,12 @@ object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
     graft.query.ParityQueries.specs ++
-      graft.query.RelationalQueries.specs
+      graft.query.RelationalQueries.specs ++
+      graft.ext.TextStats.specs ++
+      graft.ext.Dedup.specs ++
+      graft.ext.Similarity.specs ++
+      graft.ext.Multimodal.specs ++
+      graft.streaming.StreamingQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

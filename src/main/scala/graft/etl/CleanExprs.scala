@@ -77,7 +77,7 @@ object CleanExprs {
     val fallback = when(sep > 0, substring(clean, lit(1), sep - 1)).otherwise(clean)
     when(size(parts) === 2, parts.getItem(0))
       .otherwise(fallback)
-      .cast("double")
+      .try_cast("double") // total on garbage: null, not an ANSI cast error
   }
 
   /** F8 — `get_lng` (reference `transformer.py:45-54`, applied
@@ -90,7 +90,7 @@ object CleanExprs {
     */
   def lngOf(c: Column): Column =
     get(split(split(split(c, "\\t{31}").getItem(0), " ").getItem(0), ","), lit(1))
-      .cast("double")
+      .try_cast("double")
 
   /** F9 — duration in whole minutes (reference `server.py:88-90`):
     * `(end - start).total_seconds() / 60`, truncated to int.

@@ -1,0 +1,106 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's EP1 ETL (reference `server.py:17-130`) as ONE lazy
+  * DataFrame DAG: raw stringly-typed fact rows → cleaned/typed/derived
+  * fact → (optionally) a quarter/mode-partitioned parquet store.
+  *
+  * Where the reference mutates a pandas frame statement-by-statement
+  * (eager, row-UDFs, double parsing work for lat/lng), this is a
+  * single projection Catalyst can pipeline into one codegen stage —
+  * and the partitioned write replaces the dict-of-DataFrames +
+  * SQLite-table-family materialization (`server.py:101-130`).
+  */
+object ReferencePipeline {
+
+  /** Raw fact schema: every column TEXT, exactly as the reference's
+    * SQLite source delivers it (`server.py:53-56`, FIXTURES.md A1).
+    */
+  val rawFactColumns: Seq[String] = Seq(
+    "id", "date_process", "mode", "from_alamat", "from_kelurahanid",
+    "transaction_from_latlng", "to_alamat", "to_kelurahanid",
+    "transaction_to_latlng", "distance", "amount_delivery",
+    "amount_merchant", "transaction_amount_total", "customer_id",
+    "driver_id", "merchant_id")
+
+  import CleanExprs._
+
+  /** The full cleaning/derivation projection (reference
+    * `server.py:59-98`): date split (F4/F5/F10), kelurahan id repair
+    * (F1), lat/lng repair (F7/F8 — note the reference parses each
+    * string twice; here it is one projection), distance truncation
+    * (F6), duration (F9), quarter key (F11), typed amounts; raw
+    * intermediate columns dropped at the end like `server.py:96-98`.
+    */
+  def cleanFact(raw: DataFrame): DataFrame = {
+    val dp = col("date_process")
+    raw
+      .withColumn("id", removeAfterDot(col("id")).cast("long"))
+      .withColumn("date_start", dateProcessStart(dp))
+      .withColumn("date_end", dateProcessEnd(dp))
+      .withColumn("from_kelurahanid", sciNotationIdToLong(col("from_kelurahanid")))
+      .withColumn("to_kelurahanid", sciNotationIdToLong(col("to_kelurahanid")))
+      .withColumn("transaction_from_lat", latOf(col("transaction_from_latlng")))
+      .withColumn("transaction_from_lng", lngOf(col("transaction_from_latlng")))
+      .withColumn("transaction_to_lat", latOf(col("transaction_to_latlng")))
+      .withColumn("transaction_to_lng", lngOf(col("transaction_to_latlng")))
+      .withColumn("distance", col("distance").cast("double"))
+      .withColumn("distance_rounded", roundedDist(col("distance")))
+      .withColumn("duration", durationMinutes(col("date_start"), col("date_end")))
+      .withColumn("amount_delivery", col("amount_delivery").cast("double"))
+      .withColumn("amount_merchant", col("amount_merchant").cast("double"))
+      .withColumn("transaction_amount_total", col("transaction_amount_total").cast("double"))
+      .withColumn("merchant_id",
+        when(col("merchant_id") === "", lit(null))
+          .otherwise(removeAfterDot(col("merchant_id"))).cast("long"))
+      .withColumn("customer_id", removeAfterDot(col("customer_id")).cast("long"))
+      .withColumn("driver_id", removeAfterDot(col("driver_id")).cast("long"))
+      .withColumn("quarter", quarterKey(col("date_start")))
+      .drop("date_process", "transaction_from_latlng", "transaction_to_latlng")
+  }
+
+  /** The reference's two partition layouts (`server.py:101-112`) as
+    * partitioned parquet writes — `QUART_*`/`MODE_*` SQLite tables
+    * become partition directories, and reads with a quarter/mode
+    * filter prune to one directory (Catalyst
+    * `PruneFileSourcePartitions`, replacing the manual dict lookup).
+    */
+  def writeStore(fact: DataFrame, path: String): Unit = {
+    fact.write.mode("overwrite").partitionBy("quarter").parquet(s"$path/by_quarter")
+    fact.write.mode("overwrite").partitionBy("mode").parquet(s"$path/by_mode")
+  }
+
+  /** EP2/EP3's per-partition dashboard aggregates (reference
+    * `server.py:152-299`) against the partitioned store: partition
+    * prune → per-chart aggregates. Returns the chart name → DataFrame
+    * map; each histogram ships ≤11 rows to the caller instead of the
+    * reference's full-column `to_list()` collect.
+    */
+  def quarterlyDashboard(store: DataFrame, quarter: String): Map[String, DataFrame] = {
+    val part = store.filter(col("quarter") === quarter)
+    Map(
+      "amount_delivery_hist" -> numericHistogram(part, col("amount_delivery")),
+      "mode_freq"            -> part.groupBy(col("mode")).agg(count(lit(1)).as("n")).orderBy("mode"),
+      "distance_hist"        -> part.groupBy(col("distance_rounded")).agg(count(lit(1)).as("n")).orderBy("distance_rounded"),
+      "duration_hist"        -> numericHistogram(part, col("duration")),
+      "geo_from"             -> part.select(col("transaction_from_lat"), col("transaction_from_lng"), col("mode")),
+      "table"                -> part,
+    )
+  }
+
+  /** matplotlib-parity 10-bin histogram (SURVEY.md §2 A2/A3): edges =
+    * linspace(min, max, 11), right-closed last bin; the min/max pass
+    * is a 1-row broadcast cross join, not a driver collect.
+    */
+  def numericHistogram(df: DataFrame, c: Column, bins: Int = 10): DataFrame = {
+    val mm = df.agg(min(c).as("mn"), max(c).as("mx"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((c - col("mn")) * bins / (col("mx") - col("mn"))), lit(bins - 1L)))
+          .cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n")).orderBy("bin")
+  }
+}

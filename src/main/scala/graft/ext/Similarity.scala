@@ -1,0 +1,144 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors). Two tiers:
+  *
+  *   - q48: brute-force cosine top-k — the exactness baseline. The
+  *     query set is broadcast; each candidate partition scores
+  *     locally; per-query top-k via window rank. O(Q·N) but fully
+  *     data-parallel — with a small query set this is a single map
+  *     stage over the candidate table even at 100 TB.
+  *   - q49: LSH-bucketed variant — random-hyperplane signs give a
+  *     16-bit bucket key; candidates are scored only within the
+  *     query's bucket. The scale path: shuffle by bucket, never the
+  *     full cross product.
+  *
+  * Dot products fold left-to-right in double precision (Spark
+  * `aggregate` ≙ DuckDB `list_dot_product` loop), so scores agree
+  * across engines to the last ulp; the oracle output is rank-only
+  * regardless, with vec_id tie-breaks.
+  */
+object Similarity {
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private val K = 10
+  private val NumQueries = 5
+
+  /** q48 — brute-force cosine top-k (oracle: rank lists). */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+    val c = e.select(col("vec_id"), toDouble(col("embedding")).as("ce"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("vec_id"))
+      .orderBy("qid", "rn")
+  }
+
+  private val q48Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+       |s AS (SELECT qid, vec_id,
+       |             list_dot_product(qe, ce) /
+       |               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+       |      FROM q, c WHERE vec_id <> qid),
+       |r AS (SELECT qid, vec_id,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rn
+       |      FROM s)
+       |SELECT qid, rn, vec_id FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  /** Random-hyperplane LSH, multi-table (OR-amplified): `NumTables`
+    * independent tables of `PlanesPerTable` sign bits each. A pair is
+    * a candidate if it collides in ANY table — the standard
+    * recall-vs-cost knob. Hyperplane component h[t][p][d] derives from
+    * murmur3 of the (table, plane, dim) index — deterministic, no RNG
+    * state, reproducible across executors.
+    */
+  private val NumTables = 4
+  private val PlanesPerTable = 6
+
+  /** Array of `NumTables` bucket keys for one vector. */
+  private def lshBuckets(vec: Column): Column =
+    transform(sequence(lit(0), lit(NumTables - 1)), t =>
+      aggregate(
+        transform(sequence(lit(0), lit(PlanesPerTable - 1)), p => {
+          val proj = aggregate(
+            zip_with(vec, sequence(lit(0), lit(63)), (x, d) =>
+              x * ((pmod(hash(t * 65536 + p * 1024 + d), lit(1000)).cast("double") / 1000.0) - 0.5)),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj >= 0, pow(lit(2.0), p).cast("int")).otherwise(lit(0))
+        }),
+        lit(0), (acc, v) => acc + v))
+
+  /** q49 — LSH-bucketed ANN (rows-only): candidates collide with the
+    * query in ≥1 of the hash tables; only those are scored. The
+    * shuffle key is (table, bucket) — the full cross product is never
+    * touched, which is the 100 TB path. AnnSpec measures recall
+    * against q48's exact top-k.
+    */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
+      .withColumn("bks", lshBuckets(col("ve")))
+    val tableIdx = sequence(lit(0), lit(NumTables - 1))
+    def explodeBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("ve").as(vecCol),
+          explode(zip_with(col("bks"), tableIdx, (b, t) => struct(t.as("t"), b.as("b")))).as("tb"))
+        .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cands = explodeBuckets(e, "vec_id", "ce")
+    val qs    = explodeBuckets(e.filter(col("vec_id") < NumQueries), "qid", "qe")
+    val scored = cands.join(qs, Seq("t", "b"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("qe"), col("ce"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cos_rounded"))
+      .orderBy("qid", "rn")
+  }
+
+  /** q48b — embedding norms + global stats (oracle-checked; exercises
+    * array math end-to-end with exact aggregation).
+    */
+  private def q48b(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(col("vec_id"), col("label"), norm(toDouble(col("embedding"))).as("l2norm"))
+      .orderBy("vec_id")
+  }
+
+  private val q48bSql =
+    """SELECT vec_id, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                            CAST(embedding AS DOUBLE[]))) AS l2norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
+    QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
+    QuerySpec("q49_ann_lsh",        q49, None,         headline = true),
+  )
+}

@@ -1,0 +1,178 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (BASELINE.json north star): token counting, quality scoring,
+  * language ID, and document fingerprinting over the `documents`
+  * table. Everything is built-in column expressions — per-row,
+  * shuffle-free, codegen-friendly, so the same plan is a pure map
+  * stage at 100 TB.
+  */
+object TextStats {
+
+  /** q40 — token counting: whitespace tokens + a BPE-ish alnum-run
+    * tokenizer via `regexp_extract_all` (identical RE2/Java semantics
+    * for this class-only pattern).
+    */
+  private def q40(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).as("n_tokens_ws"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).as("n_tokens_alnum"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  private val q40Sql =
+    """SELECT doc_id,
+      |       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens_ws,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens_alnum,
+      |       n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stopword list shared between the Spark expression and the oracle
+    * SQL (single source of truth → byte-identical semantics).
+    */
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+
+  /** q41 — quality scoring: length/repetition/stopword signals
+    * combined into a [0,1]-ish score. All ratios are int/int double
+    * divisions — bit-identical across engines.
+    */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    val d       = Tables.documents(spark, dir)
+    val words   = split(col("text"), " ")
+    val nWords  = size(words)
+    val nUniq   = size(array_distinct(words))
+    val stops   = size(filter(words, w => w.isin(Stopwords: _*)))
+    val nAlpha  = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    d.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nUniq.as("n_uniq"),
+        stops.as("n_stop"),
+        (nUniq.cast("long") / nWords).as("uniq_ratio"),
+        (stops.cast("long") / nWords).as("stop_ratio"),
+        (nAlpha.cast("long") / col("n_chars")).as("alpha_ratio"))
+      .withColumn("quality",
+        col("uniq_ratio") * 0.5 + col("alpha_ratio") * 0.3 + col("stop_ratio") * 0.2)
+      .orderBy("doc_id")
+  }
+
+  private val q41Sql = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS INT) AS n_stop,
+       |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |         n_chars
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_uniq, n_stop,
+       |       CAST(n_uniq AS BIGINT) / n_words AS uniq_ratio,
+       |       CAST(n_stop AS BIGINT) / n_words AS stop_ratio,
+       |       n_alpha / n_chars AS alpha_ratio,
+       |       (CAST(n_uniq AS BIGINT) / n_words) * 0.5
+       |         + (n_alpha / n_chars) * 0.3
+       |         + (CAST(n_stop AS BIGINT) / n_words) * 0.2 AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-language marker words for the n-gram-free language-ID
+    * heuristic. Single source of truth for Spark + SQL.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "y", "las"),
+    "zh" -> Seq("的", "了", "是", "我", "不"),
+  )
+
+  /** q42 — language ID: count marker-word occurrences per language,
+    * argmax with a fixed priority order for ties (the CASE chain is
+    * identical in both engines, so tie-breaking is deterministic).
+    */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val d     = Tables.documents(spark, dir)
+    val words = split(col("text"), " ")
+    def score(markers: Seq[String]): Column =
+      size(filter(words, w => w.isin(markers: _*)))
+    val scored = d.select(
+      (Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        LangMarkers.map { case (l, ms) => score(ms).as(s"s_$l") }): _*)
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+  }
+
+  private val q42Sql = {
+    def scoreSql(ms: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT)"
+    val scoreCols = LangMarkers
+      .map { case (l, ms) => s"${scoreSql(ms)} AS s_$l" }
+      .mkString(",\n       ")
+    val langs = LangMarkers.map(_._1)
+    val cases = langs.init.map { l =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n       ")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |       $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es, s_zh,
+       |       CASE $cases
+       |       ELSE '${langs.last}' END AS pred_lang
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** q43 — document fingerprinting: md5 of the case/punct-normalized
+    * text (the exact-dedup key at scale; the rolling-hash 64-bit
+    * variant is the custom-Expression query q43b, rows-only).
+    */
+  private def q43(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(to_binary(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), lit("utf-8")))
+          .as("fingerprint"),
+        length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+
+  private val q43Sql =
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+      |       CAST(len(text) AS INT) AS text_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q43b — 64-bit rolling polynomial fingerprint via the custom
+    * codegen Catalyst expression [[graft.functions.RollingHash64]].
+    * Not SQL-expressible in DuckDB (BIGINT multiply overflow is an
+    * error there, wrapping here) → rows-only check + ScalaTest.
+    */
+  private def q43b(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.rolling_hash64(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+          .as("fingerprint64"))
+      .orderBy("doc_id")
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
+    QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
+    QuerySpec("q42_lang_id",       q42, Some(q42Sql), headline = true),
+    QuerySpec("q43_fingerprint",   q43, Some(q43Sql)),
+    QuerySpec("q43b_rolling_hash", q43b, None),
+  )
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Behavior checks for the rows-only (non-oracle) extension queries,
+  * run over sf0.001 where the planted near-dup structure is known
+  * (28 pairs with 3-shingle Jaccard ≥ 0.5, incl. (120,360) and
+  * (328,428)).
+  */
+class ExtSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q46 MinHash+LSH finds the planted near-dup pairs") {
+    val pairs = run("q46_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((120L, 360L)))
+    assert(pairs.contains((328L, 428L)))
+    // estimates stay in [0,1]
+    val ests = run("q46_minhash_lsh").collect().map(_.getAs[Double]("est_jaccard"))
+    assert(ests.forall(e => e >= 0.0 && e <= 1.0))
+  }
+
+  test("q46 MinHash agrees with exact q45 on high-similarity pairs") {
+    val exact = run("q45_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val est = run("q46_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // every exact near-dup pair is recalled by the LSH pipeline
+    assert(exact.subsetOf(est), s"missed: ${exact -- est}")
+  }
+
+  test("q47 SimHash: planted near-dups have small hamming distance") {
+    val sims = run("q47_simhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(120L), sims(360L)) <= 12)
+    assert(hamming(sims(328L), sims(428L)) <= 12)
+    // a random unrelated pair should be far
+    assert(hamming(sims(1L), sims(2L)) >= 10)
+  }
+
+  test("q43b rolling hash: deterministic, collision-free on distinct docs") {
+    val a = run("q43b_rolling_hash").collect().map(_.getAs[Long]("fingerprint64"))
+    val b = run("q43b_rolling_hash").collect().map(_.getAs[Long]("fingerprint64"))
+    assert(a.sameElements(b))
+    assert(a.distinct.length == a.length)
+  }
+
+  test("q49 LSH ANN: produces ranked candidates with valid cosines") {
+    val rows = run("q49_ann_lsh").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("cos_rounded")).forall(c => c >= -1.0001 && c <= 1.0001))
+    // per query, ranks are 1..n without gaps
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rn")).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq)
+    }
+  }
+
+  test("q50b decode stub: full coverage, fixed feature width, deterministic") {
+    def feats(rs: Array[org.apache.spark.sql.Row]): Seq[List[Float]] =
+      rs.map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq
+    val rows = run("q50b_decode_features").collect()
+    assert(rows.length == 500)
+    val f1 = feats(rows)
+    assert(f1.forall(_.length == 8))
+    assert(f1 == feats(run("q50b_decode_features").collect()))
+  }
+
+  test("q27b approx distinct is within rsd of exact") {
+    val approx = run("q27b_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_custs")).toMap
+    val exact = run("q27_distinct_counts").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_custs")).toMap
+    exact.foreach { case (q, n) =>
+      assert(math.abs(approx(q) - n) <= math.max(2.0, n * 0.05), s"$q: $n vs ${approx(q)}")
+    }
+  }
+}
