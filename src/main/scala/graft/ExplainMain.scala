@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for the named
+  * queries (or a representative set) so pushdown, join strategies,
+  * partition pruning, and codegen spans can be eyeballed.
+  *
+  * Usage: runMain graft.ExplainMain [sfDir] [queryName...]
+  */
+object ExplainMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q21_pricing_summary", "q20_star_denorm", "q22_top_customers",
+        "q03_price_histogram", "q44_exact_dedup", "q45_ngram_jaccard",
+        "q46_minhash_lsh", "q48_ann_bruteforce")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

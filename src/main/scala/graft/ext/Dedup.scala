@@ -20,20 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 3-word shingles of the space-tokenized text, distinct per doc.
-    * Guarded for <3-word docs (ANSI mode: no out-of-bounds access).
+  /** 3-word shingles of the space-tokenized text, distinct per doc —
+    * the native codegen expression [[graft.functions.WordShingles]]
+    * (the equivalent transform/concat_ws/array_distinct built-in
+    * composition evaluates interpreted at ~2ms/doc and is recomputed
+    * on every branch of the q45/q46 self-joins; whole-doc docs with
+    * <3 words fall back to the whole text as one shingle).
     */
-  private def shingles(text: Column): Column = {
-    val ws = split(text, " ")
-    array_distinct(
-      when(size(ws) >= 3,
-        transform(sequence(lit(0), size(ws) - 3), i =>
-          concat_ws(" ",
-            element_at(ws, i + 1),
-            element_at(ws, i + 2),
-            element_at(ws, i + 3))))
-        .otherwise(array(text)))
-  }
+  private def shingles(text: Column): Column =
+    graft.functions.word_shingles(text, 3)
 
   /** q44 — exact dedup: hash-groupBy on the full text (md5 key —
     * shuffles 16-byte keys, not document bodies). `keep_id` = min
@@ -78,11 +73,17 @@ object Dedup {
       .filter(col("df") <= MaxShingleDf)
       .select(col("s"))
     val indexed = sh.join(rare, "s")
+    // candidate support: pairs must share ≥2 indexed shingles — drops
+    // the long tail of single-coincidence pairs before the expensive
+    // exact verify (a true ≥0.5-Jaccard pair of ≥3-word docs always
+    // shares ≥2 shingles, so this loses nothing the filter would keep)
     val cand = indexed.select(col("s"), col("doc_id").as("a_id"))
       .join(indexed.select(col("s"), col("doc_id").as("b_id")), "s")
       .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
       .select(col("a_id"), col("b_id"))
-      .distinct()
     val da = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val db = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     cand.join(da, "a_id").join(db, "b_id")
@@ -113,8 +114,9 @@ object Dedup {
        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
        |indexed AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM indexed a JOIN indexed b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM indexed a JOIN indexed b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |scored AS (
        |  SELECT a_id, b_id,
        |         CAST(len(list_intersect(da.sh, db.sh)) AS INT) AS inter,
@@ -132,41 +134,42 @@ object Dedup {
   private val NumBands  = 16
   private val RowsPerBand = NumHashes / NumBands
 
-  /** MinHash signature: for seed k, `min over shingles of
-    * murmur3(shingle, k)` — built entirely from Catalyst built-ins
-    * (`transform`/`array_min`/`hash`), no UDF.
-    */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)), k =>
-      array_min(transform(sh, s => hash(s, k))))
-
   /** q46 — MinHash + LSH banding near-dup detection (rows-only: no
-    * DuckDB equivalent; correctness covered by MinHashSpec and by
-    * agreement with q45 on the planted near-dup pair).
+    * DuckDB equivalent; correctness covered by ExtSpec agreement with
+    * exact q45 on the planted near-dup pairs).
     *
-    * Pipeline: signature per doc → explode 16 band keys (hash of the
-    * band's 8 signature slots) → self-join on (band, key) → distinct
-    * candidate pairs → estimate Jaccard as fraction of agreeing
-    * signature slots → keep est ≥ 0.5. The shuffle key is the band
-    * hash; the O(n²) pair space is never touched.
+    * The signature is the native codegen expression
+    * [[graft.functions.MinHashSignature]] — the equivalent
+    * `transform(seq, k -> array_min(transform(sh, s -> hash(s, k))))`
+    * built-in composition evaluates interpreted and measured 982s at
+    * sf0.1; the native loop is ~3 orders faster.
+    *
+    * Pipeline: signature per doc → explode 16 (band, band-key) rows
+    * (key = hash of the band's 8 signature slots; signatures do NOT
+    * travel through this shuffle) → self-join on (band, key) →
+    * distinct candidate pairs → re-join signatures → estimate Jaccard
+    * as fraction of agreeing slots → keep est ≥ 0.5. The shuffle key
+    * is the band hash; the O(n²) pair space is never touched.
     */
   private def q46(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSig(shingles(col("text"))).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.minhash_signature(shingles(col("text")), NumHashes).as("sig"))
     val banded = d.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
         struct(b.as("band"),
           hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
         .as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bkey"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.sig").as("a_sig"), col("y.sig").as("b_sig"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     cand
+      .join(d.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("a_sig"), col("b_sig"), (p, q) => p === q), b => b))
           .cast("double") / NumHashes)
@@ -175,30 +178,19 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** q47 — 64-bit SimHash per document (rows-only): per-word xxhash64,
-    * one fold builds all 64 bit-counters, majority vote per bit. A
-    * single-pass array fold — no shuffle at all until the final sort.
+  /** q47 — 64-bit SimHash per document (rows-only): majority vote per
+    * bit over per-word 64-bit hashes, via the native codegen
+    * expression [[graft.functions.SimHash64]] (the built-in
+    * fold-of-64-wide-zip_with equivalent evaluated interpreted at
+    * ~10s/5k docs). No shuffle at all until the final sort.
     */
   private def q47(spark: SparkSession, dir: String): DataFrame = {
     val d  = Tables.documents(spark, dir)
     val ws = split(col("text"), " ")
-    val hashes = transform(ws, w => xxhash64(w))
-    // Per-bit masks as one literal array column (Spark's shiftleft only
-    // takes a literal Int, so shifting by a lambda variable is out).
-    val masks = typedLit((0 until 64).map(j => 1L << j))
-    val counters = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        zip_with(acc, masks, (a, m) =>
-          a + when(h.bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(0L))))
-    val n = size(ws)
-    val simhash = aggregate(
-      zip_with(counters, masks, (c, m) =>
-        when(c * 2 > n.cast("long"), m).otherwise(lit(0L))),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(b))
-    d.select(col("doc_id"), simhash.as("simhash"), n.as("n_words"))
+    d.select(
+        col("doc_id"),
+        graft.functions.simhash64(ws).as("simhash"),
+        size(ws).as("n_words"))
       .orderBy("doc_id")
   }
 

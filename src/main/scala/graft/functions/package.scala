@@ -11,4 +11,20 @@ package object functions {
     */
   def rolling_hash64(c: Column): Column =
     SparkBridge.toColumn(RollingHash64(SparkBridge.toExpression(c)))
+
+  /** MinHash signature (`array<long>`, length n) of an array<string>
+    * column — see [[MinHashSignature]].
+    */
+  def minhash_signature(c: Column, n: Int): Column =
+    SparkBridge.toColumn(MinHashSignature(SparkBridge.toExpression(c), n))
+
+  /** 64-bit SimHash of an array<string> column — see [[SimHash64]]. */
+  def simhash64(c: Column): Column =
+    SparkBridge.toColumn(SimHash64(SparkBridge.toExpression(c)))
+
+  /** Distinct n-word shingles of a string column — see
+    * [[WordShingles]].
+    */
+  def word_shingles(c: Column, n: Int): Column =
+    SparkBridge.toColumn(WordShingles(SparkBridge.toExpression(c), n))
 }
