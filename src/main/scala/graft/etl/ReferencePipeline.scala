@@ -90,6 +90,24 @@ object ReferencePipeline {
     )
   }
 
+  /** EP3 — the per-mode dashboard (reference `server.py:223-299`):
+    * same shape as EP2 keyed on mode, with the mode-frequency chart
+    * swapped for start/end hour-of-day histograms (F12,
+    * `server.py:253,261`).
+    */
+  def modeDashboard(store: DataFrame, mode: String): Map[String, DataFrame] = {
+    val part = store.filter(col("mode") === mode)
+    Map(
+      "amount_delivery_hist" -> numericHistogram(part, col("amount_delivery")),
+      "start_hour_hist"      -> part.groupBy(hour(col("date_start")).as("h")).agg(count(lit(1)).as("n")).orderBy("h"),
+      "end_hour_hist"        -> part.groupBy(hour(col("date_end")).as("h")).agg(count(lit(1)).as("n")).orderBy("h"),
+      "distance_hist"        -> part.groupBy(col("distance_rounded")).agg(count(lit(1)).as("n")).orderBy("distance_rounded"),
+      "duration_hist"        -> numericHistogram(part, col("duration")),
+      "geo_from"             -> part.select(col("transaction_from_lat"), col("transaction_from_lng"), col("quarter")),
+      "table"                -> part,
+    )
+  }
+
   /** matplotlib-parity 10-bin histogram (SURVEY.md §2 A2/A3): edges =
     * linspace(min, max, 11), right-closed last bin; the min/max pass
     * is a 1-row broadcast cross join, not a driver collect.

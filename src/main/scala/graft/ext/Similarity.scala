@@ -136,9 +136,43 @@ object Similarity {
       |                                            CAST(embedding AS DOUBLE[]))) AS l2norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Cosine threshold for "near-duplicate" embedding pairs. The
+    * testdata has no true near-dup vectors (max pairwise cosine
+    * ≈0.48), so the demo threshold is set where the operator produces
+    * output; a production dedup would use ≈0.95. Exactness across
+    * engines holds because both compute the identical sequential
+    * double fold (verified bit-exact by q48b).
+    */
+  private val NearDupCos = 0.4
+
+  /** q51 — embedding-cosine near-dup pairs, all-pairs exact (the
+    * correctness baseline; q49's LSH buckets are the scale path —
+    * at 100 TB the all-pairs form only runs within blocking buckets).
+    */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
+    val a = e.select(col("vec_id").as("a_id"), col("ve").as("a_ve"))
+    val b = e.select(col("vec_id").as("b_id"), col("ve").as("b_ve"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("a_ve"), col("b_ve")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val q51Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.ve, b.ve) /
+       |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= $NearDupCos
+       |ORDER BY a_id, b_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
     QuerySpec("q49_ann_lsh",        q49, None,         headline = true),
+    QuerySpec("q51_embedding_neardup", q51, Some(q51Sql), headline = true),
   )
 }

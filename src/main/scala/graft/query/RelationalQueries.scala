@@ -265,8 +265,25 @@ object RelationalQueries {
       |SELECT 'inactive' AS tag, c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o95)
       |ORDER BY tag, c_custkey""".stripMargin
 
+  /** q29 — CUBE over quarter × priority (all four grouping sets;
+    * rollup's missing sibling from SURVEY.md §7 step 6).
+    */
+  private def q29(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(quarterKey(col("o_orderdate")).as("quarter"), col("o_orderpriority").as("mode"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .orderBy(col("quarter").asc_nulls_first, col("mode").asc_nulls_first)
+
+  private val q29Sql =
+    s"""SELECT (CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+       |       o_orderpriority AS mode,
+       |       COUNT(*) AS n, CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+       |FROM orders GROUP BY CUBE(1, 2)
+       |ORDER BY quarter ASC NULLS FIRST, mode ASC NULLS FIRST""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
+    QuerySpec("q29_cube",             q29, Some(q29Sql)),
     QuerySpec("q21_pricing_summary",  q21, Some(q21Sql), headline = true),
     QuerySpec("q22_top_customers",    q22, Some(q22Sql), headline = true),
     QuerySpec("q23_supplier_rank",    q23, Some(q23Sql)),

@@ -103,8 +103,59 @@ object StreamingQueries {
       |SELECT win_start, event_type, COUNT(*) AS n
       |FROM valid GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** q62 — streaming stateful dedup: `dropDuplicates` on
+    * (user_id, event_type, day) with a watermark bounding the dedup
+    * state — the streaming form of exact dedup for an event firehose.
+    * Append mode: each key emits exactly once.
+    */
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("day", "1 day")
+      .dropDuplicates("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+    drain(spark, deduped, "append")
+      .orderBy("user_id", "event_type", "day")
+  }
+
+  private val q62Sql =
+    """SELECT DISTINCT user_id, event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |FROM events ORDER BY user_id, event_type, day""".stripMargin
+
+  /** q63 — event-time sessionization: `session_window` with a 1-day
+    * inactivity gap per user (batch evaluation of the streaming
+    * operator; the oracle re-derives sessions relationally via the
+    * islands-and-gaps LAG pattern). Boundary semantics: an event
+    * exactly `gap` after the previous one starts a NEW session
+    * (Spark's window end is exclusive), hence `>=` in the oracle.
+    */
+  private def q63(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val q63Sql =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN LAG(ts) OVER w IS NULL
+      |                OR ts - LAG(ts) OVER w >= INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
+    QuerySpec("q62_stream_dedup",   q62, Some(q62Sql)),
+    QuerySpec("q63_session_window", q63, Some(q63Sql), headline = true),
   )
 }

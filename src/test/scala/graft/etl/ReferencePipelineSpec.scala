@@ -55,6 +55,16 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(hist.map(_.getLong(1)).sum == 2)
   }
 
+  test("mode dashboard (EP3): hour histograms over one pruned mode partition") {
+    val dir = Files.createTempDirectory("graft_store3").toString
+    ReferencePipeline.writeStore(ReferencePipeline.cleanFact(raw), dir)
+    val store = spark.read.parquet(s"$dir/by_mode")
+    val charts = ReferencePipeline.modeDashboard(store, "BIKE")
+    assert(charts("table").count() == 2)
+    assert(charts("start_hour_hist").collect().map(_.getLong(1)).sum == 2)
+    assert(charts("end_hour_hist").collect().map(_.getLong(1)).sum == 2)
+  }
+
   test("histogram: bin counts sum to row count, last bin right-closed") {
     val df = spark.range(0, 100).select($"id".cast("double").as("v"))
     val hist = ReferencePipeline.numericHistogram(df, $"v").collect()
