@@ -26,9 +26,13 @@ object Similarity {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product — the native codegen expression
+    * [[graft.functions.DotProduct]] (bit-identical to the
+    * zip_with/aggregate fold and to DuckDB's list_dot_product loop,
+    * ~100× faster than the interpreted lambdas).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.dot_product(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -150,12 +154,15 @@ object Similarity {
     * at 100 TB the all-pairs form only runs within blocking buckets).
     */
   private def q51(spark: SparkSession, dir: String): DataFrame = {
+    // norms hoisted out of the O(n²) pair loop — same double values
+    // (sqrt(dot(v,v)) per row), computed n instead of n² times
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
-    val a = e.select(col("vec_id").as("a_id"), col("ve").as("a_ve"))
-    val b = e.select(col("vec_id").as("b_id"), col("ve").as("b_ve"))
+      .withColumn("nrm", norm(col("ve")))
+    val a = e.select(col("vec_id").as("a_id"), col("ve").as("a_ve"), col("nrm").as("a_n"))
+    val b = e.select(col("vec_id").as("b_id"), col("ve").as("b_ve"), col("nrm").as("b_n"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("a_ve"), col("b_ve")))
+      .withColumn("cos", dot(col("a_ve"), col("b_ve")) / (col("a_n") * col("b_n")))
       .filter(col("cos") >= NearDupCos)
       .select(col("a_id"), col("b_id"))
       .orderBy("a_id", "b_id")

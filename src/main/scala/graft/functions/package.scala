@@ -27,4 +27,10 @@ package object functions {
     */
   def word_shingles(c: Column, n: Int): Column =
     SparkBridge.toColumn(WordShingles(SparkBridge.toExpression(c), n))
+
+  /** Sequential-fold dot product of two array<double> columns — see
+    * [[DotProduct]].
+    */
+  def dot_product(a: Column, b: Column): Column =
+    SparkBridge.toColumn(DotProduct(SparkBridge.toExpression(a), SparkBridge.toExpression(b)))
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions are reachable from plain SQL when the
+  * library is deployed via spark.sql.extensions.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate may return another suite's session (builder-time
+  // extensions would be silently ignored), so register directly — the
+  // same tuples the spark.sql.extensions path injects.
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("custom expressions callable from SQL") {
+    val r = spark.sql(
+      """SELECT rolling_hash64('abc') AS rh,
+        |       simhash64(array('a', 'b')) AS sh,
+        |       size(minhash_signature(array('x', 'y'), 16)) AS mh_len,
+        |       word_shingles('a b c d', 3) AS ws,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("rh") == graft.functions.RollingHash64.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    assert(r.getAs[Int]("mh_len") == 16)
+    assert(r.getSeq[String](r.fieldIndex("ws")) == Seq("a b c", "b c d"))
+    assert(r.getAs[Double]("dp") == 11.0)
+  }
+
+  test("SQL and Column-API forms agree") {
+    import org.apache.spark.sql.functions.{col, split}
+    val df = spark.createDataFrame(Seq(Tuple1("the quick brown fox jumps"))).toDF("text")
+    val viaCol = df.select(graft.functions.simhash64(split(col("text"), " "))).collect()(0).getLong(0)
+    df.createOrReplaceTempView("t")
+    val viaSql = spark.sql("SELECT simhash64(split(text, ' ')) FROM t").collect()(0).getLong(0)
+    assert(viaCol == viaSql)
+  }
+}
