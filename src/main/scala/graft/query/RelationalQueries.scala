@@ -281,9 +281,32 @@ object RelationalQueries {
        |FROM orders GROUP BY CUBE(1, 2)
        |ORDER BY quarter ASC NULLS FIRST, mode ASC NULLS FIRST""".stripMargin
 
+  /** q30 — hot-key-safe aggregation via two-phase salting
+    * ([[graft.scale.Skew.saltedAgg]]): same result as a plain GROUP
+    * BY (the oracle IS the plain GROUP BY), but a single hot quarter
+    * spreads across 16 reducers in the first shuffle — the pattern a
+    * skewed 100 TB key distribution needs. All aggregates here are
+    * algebraic (count→sum, sum→sum) and exact (longs).
+    */
+  private def q30(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.Skew.saltedAgg(
+      Tables.orders(spark, dir)
+        .select(quarterKey(col("o_orderdate")).as("quarter"), col("o_totalprice")),
+      Seq(col("quarter")),
+      buckets = 16)(
+      partials = Seq(count(lit(1)).as("pn"), sum(cents(col("o_totalprice"))).as("ps")),
+      merges   = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("rev_cents")))
+      .orderBy("quarter")
+
+  private val q30Sql =
+    s"""SELECT (CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+       |       COUNT(*) AS n, CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+       |FROM orders GROUP BY 1 ORDER BY quarter""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
+    QuerySpec("q30_salted_agg",       q30, Some(q30Sql)),
     QuerySpec("q21_pricing_summary",  q21, Some(q21Sql), headline = true),
     QuerySpec("q22_top_customers",    q22, Some(q22Sql), headline = true),
     QuerySpec("q23_supplier_rank",    q23, Some(q23Sql)),
