@@ -61,6 +61,63 @@ object ReferencePipeline {
       .drop("date_process", "transaction_from_latlng", "transaction_to_latlng")
   }
 
+  /** Typed dimension loads (reference `server.py:26-50`): the raw
+    * stringly Excel rows (extracted to parquet fixtures) repaired and
+    * typed exactly as the reference does — F13 bool encodings
+    * (`category_is_food == 1`, `is_male = gender == 'L'`), F2
+    * merchant kelurahan-id repair, numeric casts.
+    */
+  def dimKategori(raw: DataFrame): DataFrame = raw.select(
+    col("category_id").cast("long").as("category_id"),
+    col("category_name"),
+    boolFromInt(col("category_is_food").cast("int")).as("category_is_food"))
+
+  def dimPerson(raw: DataFrame): DataFrame = {
+    val base = raw
+      .withColumn("user_id", col("user_id").cast("long"))
+      .withColumn("is_male", isMale(col("user_gender"))).drop("user_gender")
+      .withColumn("user_lat", col("user_lat").cast("double"))
+      .withColumn("user_lng", col("user_lng").cast("double"))
+      .withColumn("kelurahan_id", col("kelurahan_id").cast("long"))
+    if (base.columns.contains("fleet_id"))
+      base.withColumn("fleet_id", col("fleet_id").cast("long"))
+    else base
+  }
+
+  def dimMerchant(raw: DataFrame): DataFrame = raw
+    .withColumn("merchant_id", col("merchant_id").cast("long"))
+    .withColumn("category_id", col("category_id").cast("long"))
+    .withColumn("merchant_address_lat", col("merchant_address_lat").cast("double"))
+    .withColumn("merchant_address_lng", col("merchant_address_lng").cast("double"))
+    // reference keeps this FK stringly, "123.0" → "123" (server.py:41-44)
+    .withColumn("kelurahan_id", removeAfterDot(col("kelurahan_id")))
+
+  /** The star join the reference implies but never executes
+    * (SURVEY.md §2.3): fact LEFT-joins every dim on its FK — left, not
+    * inner, so empty merchant FKs keep blank merchant columns, exactly
+    * like the golden denormalized CSV. Dims are broadcast (hundreds of
+    * rows; on a cluster they'd be broadcast regardless of SF because
+    * dimensions grow sub-linearly).
+    */
+  def denormalize(
+      fact: DataFrame,
+      user: DataFrame,
+      driver: DataFrame,
+      merchant: DataFrame,
+      kategori: DataFrame): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    fact
+      .join(broadcast(prefixed(user, "cust_")),
+        fact("customer_id") === col("cust_user_id"), "left")
+      .join(broadcast(prefixed(driver, "drv_")),
+        fact("driver_id") === col("drv_user_id"), "left")
+      .join(broadcast(prefixed(merchant, "mrc_")),
+        fact("merchant_id") === col("mrc_merchant_id"), "left")
+      .join(broadcast(prefixed(kategori, "cat_")),
+        col("mrc_category_id") === col("cat_category_id"), "left")
+  }
+
   /** The reference's two partition layouts (`server.py:101-112`) as
     * partitioned parquet writes — `QUART_*`/`MODE_*` SQLite tables
     * become partition directories, and reads with a quarter/mode

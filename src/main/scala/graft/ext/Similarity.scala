@@ -176,10 +176,81 @@ object Similarity {
        |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= $NearDupCos
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** IVF parameters: K coarse clusters, nprobe probed per query. */
+  private val IvfK = 16
+  private val IvfProbe = 4
+
+  /** q52 — IVF-style ANN (rows-only): one k-means refinement step
+    * from deterministic seeds builds K coarse centroids; every vector
+    * is assigned to its nearest centroid (the "inverted file"); a
+    * query probes its `IvfProbe` nearest centroids and scores only
+    * those clusters. At 100 TB the cluster id is the shuffle/storage
+    * partition key and each query touches nprobe/K of the data —
+    * the third ANN tier after brute-force (q48) and LSH (q49).
+    * AnnSpec measures recall against exact q48.
+    */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
+
+    // seeds: the K lowest vec_ids (deterministic, no RNG)
+    val seeds = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int").as("cid"), col("ve").as("ce"))
+
+    def nearestCentroid(cents: DataFrame, points: DataFrame): DataFrame = {
+      val scored = points.crossJoin(broadcast(cents))
+        .withColumn("sim", dot(col("ve"), col("ce")) /
+          (norm(col("ve")) * norm(col("ce"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("ve"), col("cid"))
+    }
+
+    // one Lloyd refinement: assign to seeds, recompute centroid means
+    val assigned0 = nearestCentroid(seeds, e)
+    val centroids = assigned0
+      .select(col("cid"), posexplode(col("ve")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("ce"))
+
+    // the inverted file: final assignment on refined centroids
+    val ivf = nearestCentroid(centroids, e)
+
+    // queries probe their IvfProbe nearest centroids
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("psim", dot(col("qe"), col("ce")) /
+        (norm(col("qe")) * norm(col("ce"))))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= IvfProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+
+    // score only vectors in probed clusters
+    val scored = probed.join(ivf, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qe"), col("ve")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cos_rounded"))
+      .orderBy("qid", "rn")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
     QuerySpec("q49_ann_lsh",        q49, None,         headline = true),
     QuerySpec("q51_embedding_neardup", q51, Some(q51Sql), headline = true),
+    QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
   )
 }

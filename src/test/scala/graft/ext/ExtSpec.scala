@@ -68,6 +68,23 @@ class ExtSpec extends SparkSpec {
     assert(f1 == feats(run("q50b_decode_features").collect()))
   }
 
+  test("q52 IVF ANN: valid ranked output and nontrivial recall vs exact q48") {
+    val exact = run("q48_ann_bruteforce").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val rows = run("q52_ann_ivf").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rn")).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq)
+    }
+    val ivf = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nprobe=4 of K=16 clusters scans ~25% of the data; on this
+    // near-uniform random testdata recall tracks coverage, so demand
+    // at least non-degenerate overlap
+    assert(recall >= 0.1, s"IVF recall $recall")
+  }
+
   test("q27b approx distinct is within rsd of exact") {
     val approx = run("q27b_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("approx_custs")).toMap
