@@ -11,14 +11,31 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // write int64-micros timestamps (default INT96 reads back as
+      // nanos in pyarrow/duckdb, which can trip a strict dtype compare
+      // against the oracle's microsecond timestamps)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Timestamps: session-TZ (LTZ) columns would be written as
+    // tz-adjusted (isAdjustedToUTC=true), which pandas reads tz-AWARE
+    // while the DuckDB oracle yields tz-naive. Under the UTC session,
+    // casting to TIMESTAMP_NTZ is value-preserving and writes naive
+    // int64 micros — the oracle's exact physical type.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val naive = df.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.dataType == TimestampType)
+            d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+          else d
+        }
+        naive.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

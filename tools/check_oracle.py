@@ -26,6 +26,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # normalize dtypes that differ only in physical representation
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == "float32":
             df[c] = df[c].astype("float64")
