@@ -194,10 +194,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q53 — corpus-level similarity via the custom typed
+    * [[graft.functions.MinHashUnion]] Aggregator (rows-only): one
+    * pass builds a per-source union MinHash sketch (element-wise min
+    * is algebraic → exact partial aggregation at any parallelism);
+    * pairwise sketch agreement estimates cross-source shingle-set
+    * Jaccard on a 20×20 matrix — never touching document pairs. The
+    * shape that compares 100 TB corpora with one shuffle of
+    * 128-long sketches.
+    */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.functions.minhash_signature(shingles(col("text")), NumHashes).as("sig"))
+      .as[(String, Array[Long])]
+    val perSource = perDoc
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.MinHashUnion.toColumn.name("sig"))
+      .toDF("source", "sig")
+    val a = perSource.select(col("source").as("a_source"), col("sig").as("a_sig"))
+    val b = perSource.select(col("source").as("b_source"), col("sig").as("b_sig"))
+    a.join(b, col("a_source") < col("b_source"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (p, q) => p === q), x => x))
+          .cast("double") / NumHashes)
+      .select(col("a_source"), col("b_source"), col("est_jaccard"))
+      .orderBy("a_source", "b_source")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
     QuerySpec("q46_minhash_lsh",    q46, None,         headline = true),
     QuerySpec("q47_simhash",        q47, None),
+    QuerySpec("q53_source_similarity", q53, None),
   )
 }

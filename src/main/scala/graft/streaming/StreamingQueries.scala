@@ -152,10 +152,75 @@ object StreamingQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Per-user custom state carried by q64: event count and running
+    * value sum (cents, exact).
+    */
+  final case class UserState(n: Long, valueCents: Long)
+  final case class SeqEvent(user_id: Long, event_id: Long, seq_no: Int,
+      run_value_cents: Long)
+
+  /** q64 — arbitrary stateful processing via
+    * `flatMapGroupsWithState`: a hand-rolled per-user state machine
+    * (sequence number + exact running value) — the API for state
+    * logic that windows/dedup can't express. The whole replay arrives
+    * in one micro-batch, so each group's iterator is sorted in the
+    * state function (iterator order within a batch is not defined)
+    * and the result is deterministic; the oracle is the equivalent
+    * window specification.
+    */
+  private def q64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val events = eventStream(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("value_cents"),
+        // exact micros for ordering (Timestamp.getTime is millis-only)
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long, Long)]
+
+    def stateFn(
+        userId: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        state: GroupState[UserState]): Iterator[SeqEvent] = {
+      val prior = state.getOption.getOrElse(UserState(0L, 0L))
+      // batch iterator order is undefined — impose event-time order
+      val sorted = rows.toSeq.sortBy { case (_, eid, _, tsUs) => (tsUs, eid) }
+      var n = prior.n
+      var run = prior.valueCents
+      val out = sorted.map { case (_, eid, cents, _) =>
+        n += 1; run += cents
+        SeqEvent(userId, eid, n.toInt, run)
+      }
+      state.update(UserState(n, run))
+      out.iterator
+    }
+
+    val seqd = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(stateFn)
+
+    drain(spark, seqd.toDF(), "append")
+      .orderBy("user_id", "seq_no")
+  }
+
+  private val q64Sql =
+    """SELECT user_id, event_id,
+      |       CAST(ROW_NUMBER() OVER w AS INT) AS seq_no,
+      |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER
+      |            (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS run_value_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY user_id, seq_no""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
     QuerySpec("q62_stream_dedup",   q62, Some(q62Sql)),
     QuerySpec("q63_session_window", q63, Some(q63Sql), headline = true),
+    QuerySpec("q64_stateful_running", q64, Some(q64Sql), headline = true),
   )
 }

@@ -85,6 +85,36 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.1, s"IVF recall $recall")
   }
 
+  test("q53 source-similarity sketch: full matrix, deterministic, bounded") {
+    val rows = run("q53_source_similarity").collect()
+    assert(rows.length == 190) // C(20,2) source pairs
+    assert(rows.forall { r =>
+      val e = r.getAs[Double]("est_jaccard"); e >= 0.0 && e <= 1.0
+    })
+    val again = run("q53_source_similarity").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("q53 union sketch equals the sketch of the concatenated corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // element-wise min of per-doc signatures == signature of all docs'
+    // shingles together (the property that makes the aggregator exact)
+    val docs = graft.Tables.documents(spark, sf).filter(col("source") === "src0")
+    val perDoc = docs.select(
+      graft.functions.minhash_signature(graft.functions.word_shingles(col("text"), 3), 32).as("sig"))
+      .as[Array[Long]].collect()
+    val manual = perDoc.reduce((a, b) => a.zip(b).map { case (x, y) => math.min(x, y) })
+    val union = docs
+      .select(concat_ws(" ", collect_list(col("text"))).as("all"))
+      .select(graft.functions.minhash_signature(graft.functions.word_shingles(col("all"), 3), 32).as("sig"))
+      .as[Array[Long]].collect()(0)
+    // shingle sets differ only at document boundaries (cross-doc
+    // 3-grams) — so the mins agree on the vast majority of slots
+    val agree = manual.zip(union).count { case (a, b) => a == b }
+    assert(agree >= 28, s"only $agree/32 slots agree")
+  }
+
   test("q27b approx distinct is within rsd of exact") {
     val approx = run("q27b_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("approx_custs")).toMap
