@@ -65,6 +65,26 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(charts("end_hour_hist").collect().map(_.getLong(1)).sum == 2)
   }
 
+  test("dynamic partition pruning: dim-filtered join prunes store partitions") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    ReferencePipeline.writeStore(ReferencePipeline.cleanFact(raw), dir)
+    val store = spark.read.parquet(s"$dir/by_quarter")
+    import spark.implicits._
+    // a tiny "dim" of interesting quarters, joined on the partition col
+    val dim = Seq(("2018Q4", "peak")).toDF("quarter", "label")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val joined = store.join(dim, "quarter")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning")
+        || plan.contains("PartitionFilters: [isnotnull(quarter"),
+        s"no partition pruning evidence in:\n$plan")
+      assert(joined.count() == 2)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    }
+  }
+
   test("histogram: bin counts sum to row count, last bin right-closed") {
     val df = spark.range(0, 100).select($"id".cast("double").as("v"))
     val hist = ReferencePipeline.numericHistogram(df, $"v").collect()
