@@ -125,8 +125,14 @@ object ReferencePipeline {
     * `PruneFileSourcePartitions`, replacing the manual dict lookup).
     */
   def writeStore(fact: DataFrame, path: String): Unit = {
-    fact.write.mode("overwrite").partitionBy("quarter").parquet(s"$path/by_quarter")
-    fact.write.mode("overwrite").partitionBy("mode").parquet(s"$path/by_mode")
+    // repartition on the partition column first: without it every task
+    // writes a sliver into every partition directory — at cluster
+    // scale that's numTasks × numPartitions small files; with it each
+    // partition's rows are co-located before the write
+    fact.repartition(col("quarter"))
+      .write.mode("overwrite").partitionBy("quarter").parquet(s"$path/by_quarter")
+    fact.repartition(col("mode"))
+      .write.mode("overwrite").partitionBy("mode").parquet(s"$path/by_mode")
   }
 
   /** EP2/EP3's per-partition dashboard aggregates (reference

@@ -303,10 +303,87 @@ object RelationalQueries {
        |       COUNT(*) AS n, CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
        |FROM orders GROUP BY 1 ORDER BY quarter""".stripMargin
 
+  /** q31 — pivot: quarter rows × priority columns (the dashboard
+    * cross-tab shape). The oracle mirrors Spark's pivot with FILTER
+    * conditional aggregation under the same output column names.
+    */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, dir)
+      .groupBy(quarterKey(col("o_orderdate")).as("quarter"))
+      .pivot(col("o_orderpriority"), priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("quarter")
+  }
+
+  private val q31Sql = {
+    val cols = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      .map(p => s"""COUNT(*) FILTER (WHERE o_orderpriority = '$p') AS "$p"""")
+      .mkString(",\n       ")
+    s"""SELECT (CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+       |       $cols
+       |FROM orders GROUP BY 1 ORDER BY quarter""".stripMargin
+  }
+
+  /** q32 — lead/lag: quarter-over-quarter revenue delta per priority,
+    * in exact cents.
+    */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val qtr = o.groupBy(
+        col("o_orderpriority").as("mode"),
+        quarterKey(col("o_orderdate")).as("quarter"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    val w = Window.partitionBy(col("mode")).orderBy(col("quarter"))
+    qtr
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("qoq_delta", col("rev_cents") - col("prev_cents"))
+      .orderBy("mode", "quarter")
+  }
+
+  private val q32Sql =
+    s"""WITH qtr AS (
+       |  SELECT o_orderpriority AS mode,
+       |         (CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+       |         CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT mode, quarter, rev_cents,
+       |       LAG(rev_cents, 1) OVER w AS prev_cents,
+       |       rev_cents - LAG(rev_cents, 1) OVER w AS qoq_delta
+       |FROM qtr WINDOW w AS (PARTITION BY mode ORDER BY quarter)
+       |ORDER BY mode, quarter""".stripMargin
+
+  /** q33 — median + p90 of order value per priority, over exact
+    * cents. Percentile interpolation on integer cents lands on exact
+    * .0/.25/.5/.75 fractions — representable doubles, so linear
+    * interpolation agrees across engines bit-for-bit (raw-double
+    * percentiles would not be safe).
+    */
+  private def q33(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("mode"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("mode"))
+      .agg(
+        expr("percentile(c, 0.5)").as("median_cents"),
+        expr("percentile(c, 0.9)").as("p90_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("mode")
+
+  private val q33Sql =
+    s"""SELECT o_orderpriority AS mode,
+       |       quantile_cont(${centsSql("o_totalprice")}, 0.5) AS median_cents,
+       |       quantile_cont(${centsSql("o_totalprice")}, 0.9) AS p90_cents,
+       |       COUNT(*) AS n
+       |FROM orders GROUP BY 1 ORDER BY mode""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
     QuerySpec("q30_salted_agg",       q30, Some(q30Sql)),
+    QuerySpec("q31_pivot",            q31, Some(q31Sql)),
+    QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
+    QuerySpec("q33_percentiles",      q33, Some(q33Sql)),
     QuerySpec("q21_pricing_summary",  q21, Some(q21Sql), headline = true),
     QuerySpec("q22_top_customers",    q22, Some(q22Sql), headline = true),
     QuerySpec("q23_supplier_rank",    q23, Some(q23Sql)),
