@@ -66,8 +66,12 @@ object Dedup {
     * Pairs ≥ 0.5 survive. Int/int division → bit-identical doubles.
     */
   private def q45(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (lazy): the shingle set is referenced by four
+    // plan branches (both self-join sides, DF filter, exact verify) —
+    // without it Spark recomputes the explode per branch
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .localCheckpoint(false)
     val sh = d.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)

@@ -168,11 +168,79 @@ object TextStats {
           .as("fingerprint64"))
       .orderBy("doc_id")
 
+  /** q54 — JSON column processing: extract typed fields from the
+    * `events.props` JSON payload and aggregate — the semi-structured
+    * ingestion path every telemetry pipeline needs.
+    */
+  private def q54(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
+  private val q54Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q55 — regex group extraction: structured ids out of
+    * semi-structured name strings, validated against the real key.
+    */
+  private def q55(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("id_str"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("id_num"))
+      .withColumn("matches_key", col("id_num") === col("c_custkey"))
+      .orderBy("c_custkey")
+
+  private val q55Sql =
+    """SELECT c_custkey, c_name,
+      |       regexp_extract(c_name, '([0-9]+)', 1) AS id_str,
+      |       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS id_num,
+      |       (CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) = c_custkey) AS matches_key
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** q56 — fuzzy matching via edit distance: supplier-name pairs
+    * within levenshtein ≤ 2 (integer algorithm — identical across
+    * engines; the fuzzy tier of entity dedup).
+    */
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val s = graft.Tables.supplier(spark, dir)
+    val a = s.select(col("s_suppkey").as("a_id"), col("s_name").as("a_name"))
+    val b = s.select(col("s_suppkey").as("b_id"), col("s_name").as("b_name"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 2)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val q56Sql =
+    """SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+      |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 2
+      |ORDER BY a_id, b_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
     QuerySpec("q42_lang_id",       q42, Some(q42Sql), headline = true),
     QuerySpec("q43_fingerprint",   q43, Some(q43Sql)),
     QuerySpec("q43b_rolling_hash", q43b, None),
+    QuerySpec("q54_json_extract",  q54, Some(q54Sql)),
+    QuerySpec("q55_regex_extract", q55, Some(q55Sql)),
+    QuerySpec("q56_fuzzy_match",   q56, Some(q56Sql)),
   )
 }
