@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One registered engine query: the Spark implementation plus (where
   * SQL-expressible) the equivalent DuckDB oracle SQL the driver
-  * hash-compares against. `headline = true` marks the queries Bench
-  * times.
+  * hash-compares against. `headline = true` marks the flagship
+  * queries (Bench times all queries; headline flags the
+  * representative set for reporting).
   *
   * Every query obeys two cross-engine determinism rules so the hash
   * compare is stable:

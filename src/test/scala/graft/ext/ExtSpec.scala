@@ -106,7 +106,8 @@ class ExtSpec extends SparkSpec {
       .as[Array[Long]].collect()
     val manual = perDoc.reduce((a, b) => a.zip(b).map { case (x, y) => math.min(x, y) })
     val union = docs
-      .select(concat_ws(" ", collect_list(col("text"))).as("all"))
+      // sort before concatenating: collect_list order is undefined
+      .select(array_join(array_sort(collect_list(col("text"))), " ").as("all"))
       .select(graft.functions.minhash_signature(graft.functions.word_shingles(col("all"), 3), 32).as("sig"))
       .as[Array[Long]].collect()(0)
     // shingle sets differ only at document boundaries (cross-doc
