@@ -30,7 +30,4 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allSpecs.collect { case QuerySpec(n, _, Some(sql), _) => n -> sql }.toMap
-
-  /** The queries Bench times (the expensive/representative ones). */
-  def headlines: Seq[QuerySpec] = allSpecs.filter(_.headline)
 }

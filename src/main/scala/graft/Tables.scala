@@ -24,6 +24,12 @@ object Tables {
     * arithmetic (`div` — a double division would lose precision above
     * 2^53 ns). DuckDB's ns→µs handling floors the same way for the
     * post-epoch timestamps in this data.
+    *
+    * Note: `nanosAsLong` is a SESSION conf (no per-read option
+    * exists), so this call changes how any later TIMESTAMP(NANOS)
+    * parquet in the same session reads. events.parquet is the only
+    * NANOS source in this testbed; a multi-source deployment would
+    * set the flag at session build instead.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -76,17 +76,23 @@ object Dedup {
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
       .select(col("s"))
+    // exploded index rows carry the doc's shingle count so the
+    // candidate filter can exempt short documents (below)
     val indexed = sh.join(rare, "s")
+      .join(d.select(col("doc_id"), size(col("sh")).as("nsh")), "doc_id")
     // candidate support: pairs must share ≥2 indexed shingles — drops
     // the long tail of single-coincidence pairs before the expensive
-    // exact verify (a true ≥0.5-Jaccard pair of ≥3-word docs always
-    // shares ≥2 shingles, so this loses nothing the filter would keep)
-    val cand = indexed.select(col("s"), col("doc_id").as("a_id"))
-      .join(indexed.select(col("s"), col("doc_id").as("b_id")), "s")
+    // exact verify. Exactness: if both docs have ≥4 shingles then
+    // J ≥ 0.5 ⇒ inter ≥ (na+nb)/3 ≥ 8/3 ⇒ inter ≥ 3, so requiring 2
+    // loses nothing; docs with ≤3 shingles (where a J≥0.5 pair can
+    // share only 1) are exempted from the support threshold.
+    val cand = indexed.select(col("s"), col("doc_id").as("a_id"), col("nsh").as("a_nsh"))
+      .join(indexed.select(col("s"), col("doc_id").as("b_id"), col("nsh").as("b_nsh")), "s")
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+      .agg(count(lit(1)).as("support"),
+        min(col("a_nsh")).as("a_nsh"), min(col("b_nsh")).as("b_nsh"))
+      .filter(col("support") >= 2 || col("a_nsh") <= 3 || col("b_nsh") <= 3)
       .select(col("a_id"), col("b_id"))
     val da = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val db = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
@@ -116,11 +122,14 @@ object Dedup {
        |  GROUP BY doc_id),
        |sh AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
-       |indexed AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |nshs AS (SELECT doc_id, CAST(len(sh) AS INT) AS nsh FROM docsh),
+       |indexed AS (SELECT sh.doc_id, sh.s, nshs.nsh
+       |            FROM sh JOIN rare ON sh.s = rare.s JOIN nshs ON sh.doc_id = nshs.doc_id),
        |cand AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM indexed a JOIN indexed b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 2 OR MIN(a.nsh) <= 3 OR MIN(b.nsh) <= 3),
        |scored AS (
        |  SELECT a_id, b_id,
        |         CAST(len(list_intersect(da.sh, db.sh)) AS INT) AS inter,

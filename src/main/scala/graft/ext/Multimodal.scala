@@ -31,7 +31,9 @@ object Multimodal extends Serializable {
         length(img).as("n_bytes"),
         md5(img).as("digest"),
         (length(img) % 640).as("width"),
-        ((col("n_chars") * 3) % 480).as("height"))
+        // byte-based like width (and like the q50b decode stub, which
+        // only sees payload bytes — chars ≠ bytes for multi-byte text)
+        ((length(img).cast("long") * 3) % 480).as("height"))
       .orderBy("doc_id")
   }
 
@@ -40,7 +42,7 @@ object Multimodal extends Serializable {
       |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
       |       md5(text) AS digest,
       |       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-      |       CAST((n_chars * 3) % 480 AS BIGINT) AS height
+      |       CAST((octet_length(encode(text)) * 3) % 480 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** One decoded media row. `features` is the fixed-width embedding a

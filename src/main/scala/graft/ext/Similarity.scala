@@ -45,11 +45,15 @@ object Similarity {
   /** q48 — brute-force cosine top-k (oracle: rank lists). */
   private def q48(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // norms hoisted out of the Q×N pair loop (bit-identical values —
+    // sqrt(dot(v,v)) per row — computed N+Q instead of 3·Q·N times)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+      .withColumn("qn", norm(col("qe")))
     val c = e.select(col("vec_id"), toDouble(col("embedding")).as("ce"))
+      .withColumn("cn", norm(col("ce")))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -198,15 +202,15 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cid"), col("ve").as("ce"))
 
     def nearestCentroid(cents: DataFrame, points: DataFrame): DataFrame = {
-      val scored = points.crossJoin(broadcast(cents))
-        .withColumn("sim", dot(col("ve"), col("ce")) /
-          (norm(col("ve")) * norm(col("ce"))))
+      val scored = points.withColumn("vn", norm(col("ve")))
+        .crossJoin(broadcast(cents.withColumn("cn", norm(col("ce")))))
+        .withColumn("sim", dot(col("ve"), col("ce")) / (col("vn") * col("cn")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("ve"), col("cid"))
-    }
+    } // (vn/cn dropped by the select)
 
     // one Lloyd refinement: assign to seeds, recompute centroid means
     val assigned0 = nearestCentroid(seeds, e)

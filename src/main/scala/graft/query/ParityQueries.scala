@@ -53,19 +53,9 @@ object ParityQueries {
     * (broadcast-)cross-joined back — no driver collect, so the same
     * plan works at any scale.
     */
-  private def q03(spark: SparkSession, dir: String): DataFrame = {
-    val o  = Tables.orders(spark, dir)
-    val mm = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
-    o.crossJoin(broadcast(mm))
-      .withColumn(
-        "bin",
-        when(col("mx") === col("mn"), lit(0L))
-          .otherwise(least(floor((col("o_totalprice") - col("mn")) * 10 / (col("mx") - col("mn"))), lit(9L)))
-          .cast("int"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"))
-      .orderBy("bin")
-  }
+  private def q03(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.ReferencePipeline.numericHistogram(
+      Tables.orders(spark, dir), col("o_totalprice"))
 
   private val q03Sql =
     """WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)

@@ -46,18 +46,18 @@ class GoldenJoinSpec extends SparkSpec {
       col("mrc_merchant_name"), col("cat_category_name"))
     val joined = mine.join(g, mine("id") === g("gid"))
     assert(joined.count() == golden.count(), "every golden row matches a fact id")
+    // null-safe (<=>) comparisons: bare =!= is NULL when a side is
+    // null and would silently drop the row from `bad` — a dim join
+    // regressing to all-null would otherwise pass
     val bad = joined.filter(
-      col("cust_user_name") =!= col("g_cust") ||
-      (col("cust_is_male") =!= (col("g_cust_gender") === "L")) ||
-      col("drv_user_name") =!= col("g_drv") ||
-      col("drv_fleet_type") =!= col("g_fleet_type") ||
-      col("drv_fleet_merk") =!= col("g_fleet_merk") ||
+      !(col("cust_user_name") <=> col("g_cust")) ||
+      !(col("cust_is_male") <=> (col("g_cust_gender") === "L")) ||
+      !(col("drv_user_name") <=> col("g_drv")) ||
+      !(col("drv_fleet_type") <=> col("g_fleet_type")) ||
+      !(col("drv_fleet_merk") <=> col("g_fleet_merk")) ||
       // merchant: golden blanks ⇔ null FK on our side
-      (col("g_mrc").isNotNull && (col("mrc_merchant_name").isNull ||
-        col("mrc_merchant_name") =!= col("g_mrc"))) ||
-      (col("g_mrc").isNull && col("mrc_merchant_name").isNotNull) ||
-      (col("g_cat").isNotNull && (col("cat_category_name").isNull ||
-        col("cat_category_name") =!= col("g_cat"))))
+      !(col("mrc_merchant_name") <=> col("g_mrc")) ||
+      (col("g_cat").isNotNull && !(col("cat_category_name") <=> col("g_cat"))))
     val n = bad.count()
     if (n > 0) bad.select("id", "cust_user_name", "g_cust", "mrc_merchant_name", "g_mrc").show(5, false)
     assert(n == 0, s"$n rows diverge from the golden denormalized extract")

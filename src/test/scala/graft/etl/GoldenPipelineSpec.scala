@@ -56,19 +56,26 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(mine.count() == g.count(), s"row count $mode")
     val joined = mine.join(g, "id")
     assert(joined.count() == g.count(), s"id join $mode")
+    // null-safe comparisons throughout: a bare =!= (or abs-diff) is
+    // NULL when either side is null and would silently DROP the row
+    // from `bad` — a repair expression regressing to all-null would
+    // otherwise pass this test
+    def neq(a: String, b: String) = !(col(a) <=> col(b))
+    def fneq(a: String, b: String) =
+      (col(a).isNull =!= col(b).isNull) ||
+        (col(a).isNotNull && abs(col(a) - col(b)) > 1e-9)
     val bad = joined.filter(
-      col("from_kelurahanid") =!= col("g_from_kel") ||
-      col("to_kelurahanid") =!= col("g_to_kel") ||
-      col("date_start") =!= col("g_start") ||
-      col("date_end") =!= col("g_end") ||
-      abs(col("transaction_from_lat") - col("g_lat")) > 1e-9 ||
-      abs(col("transaction_from_lng") - col("g_lng")) > 1e-9 ||
-      abs(col("transaction_to_lat") - col("g_tlat")) > 1e-9 ||
-      abs(col("transaction_to_lng") - col("g_tlng")) > 1e-9 ||
-      col("distance_rounded") =!= col("g_dist") ||
-      col("duration") =!= col("g_dur") ||
-      (col("merchant_id").isNull =!= col("g_merchant").isNull) ||
-      (col("merchant_id").isNotNull && col("merchant_id") =!= col("g_merchant")))
+      neq("from_kelurahanid", "g_from_kel") ||
+      neq("to_kelurahanid", "g_to_kel") ||
+      neq("date_start", "g_start") ||
+      neq("date_end", "g_end") ||
+      fneq("transaction_from_lat", "g_lat") ||
+      fneq("transaction_from_lng", "g_lng") ||
+      fneq("transaction_to_lat", "g_tlat") ||
+      fneq("transaction_to_lng", "g_tlng") ||
+      neq("distance_rounded", "g_dist") ||
+      neq("duration", "g_dur") ||
+      neq("merchant_id", "g_merchant"))
     val n = bad.count()
     if (n > 0) bad.select("id").show(5)
     assert(n == 0, s"$n mismatching rows in MODE_$mode")
