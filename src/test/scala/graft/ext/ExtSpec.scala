@@ -116,6 +116,23 @@ class ExtSpec extends SparkSpec {
     assert(agree >= 28, s"only $agree/32 slots agree")
   }
 
+  test("q45 finds short-document duplicate pairs (support-threshold exemption)") {
+    import spark.implicits._
+    // a 3-word doc has exactly ONE 3-shingle: a jac-1.0 duplicate pair
+    // shares a single shingle and must survive the support>=2 filter
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    Seq(
+      (0L, "tiny dup doc", "en", "srcA", 12L),
+      (1L, "tiny dup doc", "en", "srcA", 12L),
+      (2L, "a completely different longer document with many more words inside it", "en", "srcA", 70L),
+      (3L, "yet another unrelated document full of some other interesting words", "en", "srcB", 67L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q45_ngram_jaccard")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)), s"got ${pairs.toSeq}")
+  }
+
   test("q27b approx distinct is within rsd of exact") {
     val approx = run("q27b_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("approx_custs")).toMap
