@@ -217,9 +217,15 @@ object TextStats {
     */
   private def q56(spark: SparkSession, dir: String): DataFrame = {
     val s = graft.Tables.supplier(spark, dir)
-    val a = s.select(col("s_suppkey").as("a_id"), col("s_name").as("a_name"))
-    val b = s.select(col("s_suppkey").as("b_id"), col("s_name").as("b_name"))
-    a.join(b, col("a_id") < col("b_id"))
+    val a = s.select(col("s_suppkey").as("a_id"), col("s_name").as("a_name"),
+      length(col("s_name")).as("a_len"))
+    val b = s.select(col("s_suppkey").as("b_id"), col("s_name").as("b_name"),
+      length(col("s_name")).as("b_len"))
+    // sound prefilter: |len(a)-len(b)| <= 2 is necessary for lev <= 2
+    // — evaluated before the O(len²) distance, it prunes most of the
+    // pair space when name lengths vary (at scale, combine with
+    // length-bucket blocking so the join key is the bucket)
+    a.join(b, col("a_id") < col("b_id") && abs(col("a_len") - col("b_len")) <= 2)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= 2)
       .select(col("a_id"), col("b_id"), col("dist"))
@@ -229,7 +235,8 @@ object TextStats {
   private val q56Sql =
     """SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
       |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
-      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |FROM supplier a JOIN supplier b
+      |  ON a.s_suppkey < b.s_suppkey AND abs(len(a.s_name) - len(b.s_name)) <= 2
       |WHERE levenshtein(a.s_name, b.s_name) <= 2
       |ORDER BY a_id, b_id""".stripMargin
 
