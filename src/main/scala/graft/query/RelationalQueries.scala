@@ -377,11 +377,56 @@ object RelationalQueries {
        |       COUNT(*) AS n
        |FROM orders GROUP BY 1 ORDER BY mode""".stripMargin
 
+  /** q34 — AS-OF join: for every purchase event, the same user's most
+    * recent login at-or-before it. Spark has no asof operator; rather
+    * than a custom SparkPlan, this uses the scalable composition
+    * (preference (a) of the custom-op ladder): tag both sides, UNION,
+    * one window pass carrying the last-seen login forward — a single
+    * shuffle on (user, time), never the per-pair join that quadratic
+    * formulations pay. The oracle is DuckDB's native ASOF LEFT JOIN.
+    *
+    * Tie semantics pinned: a login at exactly the purchase timestamp
+    * matches (kind orders logins first within equal timestamps),
+    * matching ASOF's `p.ts >= l.ts`.
+    */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+    val logins = e.filter(col("event_type") === "login")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("kind"), col("ts").as("login_ts"), col("event_id").as("login_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("kind"), lit(null).cast("timestamp").as("login_ts"),
+        lit(null).cast("long").as("login_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    logins.unionAll(purchases)
+      .withColumn("last_login_ts", last(col("login_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_login_id", last(col("login_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("last_login_id"), col("last_login_ts"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  private val q34Sql =
+    """SELECT p.user_id,
+      |       p.event_id AS purchase_id,
+      |       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |       l.event_id AS last_login_id,
+      |       CAST(l.ts AS TIMESTAMP) AS last_login_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+      |  ON p.user_id = l.user_id AND p.ts >= l.ts
+      |ORDER BY p.user_id, purchase_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
     QuerySpec("q30_salted_agg",       q30, Some(q30Sql)),
     QuerySpec("q31_pivot",            q31, Some(q31Sql)),
+    QuerySpec("q34_asof_join",        q34, Some(q34Sql), headline = true),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
     QuerySpec("q33_percentiles",      q33, Some(q33Sql)),
     QuerySpec("q21_pricing_summary",  q21, Some(q21Sql), headline = true),
