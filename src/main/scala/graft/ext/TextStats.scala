@@ -225,7 +225,11 @@ object TextStats {
     // — evaluated before the O(len²) distance, it prunes most of the
     // pair space when name lengths vary (at scale, combine with
     // length-bucket blocking so the join key is the bucket)
-    a.join(b, col("a_id") < col("b_id") && abs(col("a_len") - col("b_len")) <= 2)
+    // the inequality join plans as a broadcast nested loop whose
+    // parallelism = probe-side partitions; a single-file scan would
+    // run the whole pair space on one thread
+    a.repartition(32)
+      .join(b, col("a_id") < col("b_id") && abs(col("a_len") - col("b_len")) <= 2)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= 2)
       .select(col("a_id"), col("b_id"), col("dist"))
