@@ -421,12 +421,53 @@ object RelationalQueries {
       |  ON p.user_id = l.user_id AND p.ts >= l.ts
       |ORDER BY p.user_id, purchase_id""".stripMargin
 
+  /** q35 — range (interval) self-join: pairs of same-user events
+    * within 10 minutes of each other. A naive formulation is a
+    * per-user quadratic inequality join; the scalable form bucketizes
+    * time into gap-width buckets and joins only same-or-adjacent
+    * buckets — the shuffle key is (user, bucket) and each row meets
+    * O(events per 2 buckets) candidates, then the exact predicate
+    * filters. The oracle is the plain inequality join (fine at oracle
+    * scale). All arithmetic in exact micros.
+    */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    val BucketUs = 600000000L // 10 minutes
+    val e = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    // left side explodes into its bucket neighborhood {b-1, b, b+1}:
+    // the pair order key is event_id (not time), so the partner's
+    // bucket can be on either side
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("us").as("a_us"),
+        explode(array(
+          (col("us") / BucketUs).cast("long") - 1,
+          (col("us") / BucketUs).cast("long"),
+          (col("us") / BucketUs).cast("long") + 1)).as("bucket"))
+    val b = e.select(col("user_id"), col("event_id").as("b_id"), col("us").as("b_us"),
+        (col("us") / BucketUs).cast("long").as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("a_us") - col("b_us")) <= BucketUs)
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        abs(col("a_us") - col("b_us")).as("gap_us"))
+      .distinct() // a pair can meet in two bucket alignments
+      .orderBy("user_id", "a_id", "b_id")
+  }
+
+  private val q35Sql =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |       abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 600000000
+      |ORDER BY a.user_id, a_id, b_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
     QuerySpec("q30_salted_agg",       q30, Some(q30Sql)),
     QuerySpec("q31_pivot",            q31, Some(q31Sql)),
     QuerySpec("q34_asof_join",        q34, Some(q34Sql), headline = true),
+    QuerySpec("q35_range_join",       q35, Some(q35Sql), headline = true),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
     QuerySpec("q33_percentiles",      q33, Some(q33Sql)),
     QuerySpec("q21_pricing_summary",  q21, Some(q21Sql), headline = true),
