@@ -1,0 +1,57 @@
+package graft.query
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Boundary semantics of the temporal joins, on crafted events the
+  * synthetic data doesn't contain: exact-timestamp ties and
+  * exactly-at-gap pairs.
+  */
+class TemporalJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events").toString
+    val base = 1700000000000000L // µs
+    Seq(
+      // user 1: login exactly at the purchase timestamp → MUST match
+      (10L, base * 1000, 1L, "login", 1.0, "{}"),
+      (11L, base * 1000, 1L, "purchase", 2.0, "{}"),
+      // user 2: login 1µs AFTER the purchase → must NOT match
+      (20L, (base + 1) * 1000, 2L, "login", 1.0, "{}"),
+      (21L, base * 1000, 2L, "purchase", 2.0, "{}"),
+      // user 3: two logins, later one wins; purchase 5s after
+      (30L, base * 1000, 3L, "login", 1.0, "{}"),
+      (31L, (base + 1000000) * 1000, 3L, "login", 1.0, "{}"),
+      (32L, (base + 6000000) * 1000, 3L, "purchase", 2.0, "{}"),
+      // user 4: pair exactly 10 minutes apart → range join includes (<=)
+      (40L, base * 1000, 4L, "error", 0.0, "{}"),
+      (41L, (base + 600000000L) * 1000, 4L, "error", 0.0, "{}"),
+      // user 5: pair 10 minutes + 1µs apart → excluded
+      (50L, base * 1000, 5L, "error", 0.0, "{}"),
+      (51L, (base + 600000001L) * 1000, 5L, "error", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // write ts as long nanos — Tables.events reads it via nanosAsLong
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("as-of join: equal-timestamp login matches; later login does not; latest wins") {
+    val rows = SparkEntry.queries("q34_asof_join")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        Option(r.getAs[java.lang.Long]("last_login_id")).map(_.toLong)).toMap
+    assert(rows(1L) == Some(10L), "tie at identical timestamp must match")
+    assert(rows(2L) == None, "login after the purchase must not match")
+    assert(rows(3L) == Some(31L), "the most recent prior login wins")
+  }
+
+  test("range join: exactly-at-gap pair included, gap+1µs excluded") {
+    val pairs = SparkEntry.queries("q35_range_join")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("gap_us")))
+    assert(pairs.exists(p => p._1 == 40L && p._2 == 41L && p._3 == 600000000L),
+      s"boundary pair missing from ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 50L),
+      s"out-of-gap pair present in ${pairs.toSeq}")
+  }
+}
