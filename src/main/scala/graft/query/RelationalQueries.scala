@@ -461,6 +461,26 @@ object RelationalQueries {
       | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 600000000
       |ORDER BY a.user_id, a_id, b_id""".stripMargin
 
+  /** q36 — ntile quartiles of customers by account balance within
+    * market segment (completes the ranking-window family: row_number
+    * q23, rank-with-frame q24, lag q32, ntile here). Total order
+    * (balance desc, key) makes tile assignment engine-identical.
+    */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy("c_mktsegment", "quartile", "c_custkey")
+  }
+
+  private val q36Sql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |       CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+      |            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+      |FROM customer ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
@@ -468,6 +488,7 @@ object RelationalQueries {
     QuerySpec("q31_pivot",            q31, Some(q31Sql)),
     QuerySpec("q34_asof_join",        q34, Some(q34Sql), headline = true),
     QuerySpec("q35_range_join",       q35, Some(q35Sql), headline = true),
+    QuerySpec("q36_ntile",            q36, Some(q36Sql)),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
     QuerySpec("q33_percentiles",      q33, Some(q33Sql)),
     QuerySpec("q21_pricing_summary",  q21, Some(q21Sql), headline = true),
