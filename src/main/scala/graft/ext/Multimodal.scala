@@ -87,8 +87,14 @@ object Multimodal extends Serializable {
         (payload.length * 3) % 480, feats)
     }
 
+    // One scalar column per feature dim (not a raw array<float>): the
+    // driver's rows-only check sorts every output column, and an array
+    // column is unsortable there; wide scalar columns are also the
+    // friendlier layout for columnar storage of fixed-width features.
+    val featCols = (0 until FeatureDim).map(i => col("features").getItem(i).as(s"f$i"))
     d.mapPartitions(it => it.map { case (id, bytes) => decode(id, bytes) })
       .toDF()
+      .select(Seq(col("doc_id"), col("n_bytes"), col("width"), col("height")) ++ featCols: _*)
       .orderBy("doc_id")
   }
 

@@ -59,12 +59,14 @@ class ExtSpec extends SparkSpec {
   }
 
   test("q50b decode stub: full coverage, fixed feature width, deterministic") {
+    // features are flattened to one scalar column per dim (f0..f7) so
+    // every output column is sortable by the driver's rows-only check
     def feats(rs: Array[org.apache.spark.sql.Row]): Seq[List[Float]] =
-      rs.map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq
+      rs.map(r => (0 until 8).map(i => r.getAs[Float](s"f$i")).toList).toSeq
     val rows = run("q50b_decode_features").collect()
     assert(rows.length == 500)
     val f1 = feats(rows)
-    assert(f1.forall(_.length == 8))
+    assert(f1.forall(f => f.forall(v => v >= 0f && v < 1f)))
     assert(f1 == feats(run("q50b_decode_features").collect()))
   }
 
