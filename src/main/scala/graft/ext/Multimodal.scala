@@ -55,7 +55,10 @@ object Multimodal extends Serializable {
       height: Int,
       features: Array[Float])
 
-  private val FeatureDim = 8
+  /** Feature width the stub decoder emits — public so specs can assert
+    * against it instead of hardcoding the literal.
+    */
+  val FeatureDim = 8
 
   /** q50b — the decode/feature-extract stage (rows-only check):
     * partition-wise batch processing over the binary column via
@@ -81,7 +84,9 @@ object Multimodal extends Serializable {
         var j = i * stripe
         val end = math.min(payload.length, (i + 1) * stripe)
         while (j < end) { h = h * 31 + (payload(j) & 0xff); j += 1 }
-        ((h % 1000).toFloat) / 1000f
+        // floorMod: the rolling hash overflows Long and Scala's % keeps
+        // the dividend's sign — features must land in [0,1)
+        java.lang.Math.floorMod(h, 1000L).toFloat / 1000f
       }
       MediaFeatures(docId, payload.length, payload.length % 640,
         (payload.length * 3) % 480, feats)

@@ -62,8 +62,12 @@ class ExtSpec extends SparkSpec {
     // features are flattened to one scalar column per dim (f0..f7) so
     // every output column is sortable by the driver's rows-only check
     def feats(rs: Array[org.apache.spark.sql.Row]): Seq[List[Float]] =
-      rs.map(r => (0 until 8).map(i => r.getAs[Float](s"f$i")).toList).toSeq
-    val rows = run("q50b_decode_features").collect()
+      rs.map(r => (0 until Multimodal.FeatureDim).map(i => r.getAs[Float](s"f$i")).toList).toSeq
+    val df = run("q50b_decode_features")
+    // the feature columns are exactly f0..f{FeatureDim-1}, nothing else
+    assert(df.columns.filter(_.startsWith("f")).toSeq ==
+      (0 until Multimodal.FeatureDim).map(i => s"f$i"))
+    val rows = df.collect()
     assert(rows.length == 500)
     val f1 = feats(rows)
     assert(f1.forall(f => f.forall(v => v >= 0f && v < 1f)))
