@@ -86,11 +86,15 @@ object Similarity {
   private val NumTables = 4
   private val PlanesPerTable = 6
 
-  /** Array of `NumTables` bucket keys for one vector. */
-  private def lshBuckets(vec: Column): Column =
-    transform(sequence(lit(0), lit(NumTables - 1)), t =>
+  /** Array of `numTables` bucket keys for one vector. Hyperplane
+    * seeds depend only on (table, plane, dim), so two callers with
+    * the same parameters see identical tables.
+    */
+  private def lshBuckets(vec: Column, numTables: Int = NumTables,
+      planesPerTable: Int = PlanesPerTable): Column =
+    transform(sequence(lit(0), lit(numTables - 1)), t =>
       aggregate(
-        transform(sequence(lit(0), lit(PlanesPerTable - 1)), p => {
+        transform(sequence(lit(0), lit(planesPerTable - 1)), p => {
           val proj = aggregate(
             zip_with(vec, sequence(lit(0), lit(63)), (x, d) =>
               x * ((pmod(hash(t * 65536 + p * 1024 + d), lit(1000)).cast("double") / 1000.0) - 0.5)),
@@ -153,9 +157,10 @@ object Similarity {
     */
   private val NearDupCos = 0.4
 
-  /** q51 — embedding-cosine near-dup pairs, all-pairs exact (the
-    * correctness baseline; q49's LSH buckets are the scale path —
-    * at 100 TB the all-pairs form only runs within blocking buckets).
+  /** q51 — embedding-cosine near-dup pairs, all-pairs exact. This is
+    * the ORACLE/RECALL BASELINE only (a BroadcastNestedLoopJoin over
+    * the pair space — O(n²), must never run at scale); q51b is the
+    * production form: LSH-blocked candidates + exact verify.
     */
   private def q51(spark: SparkSession, dir: String): DataFrame = {
     // norms hoisted out of the O(n²) pair loop — same double values
@@ -179,6 +184,51 @@ object Similarity {
        |WHERE list_dot_product(a.ve, b.ve) /
        |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= $NearDupCos
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** q51b LSH-blocking parameters. The near-dup threshold (0.4) is
+    * much looser than a top-k query, so the OR-amplification needs
+    * SHALLOW tables (few planes → high per-table collision odds) and
+    * MANY of them: p_plane(cos 0.4) = 1 − acos(0.4)/π ≈ 0.63, so one
+    * 3-plane table recalls 0.63³ ≈ 0.25 and twelve OR-ed tables
+    * 1 − 0.75¹² ≈ 0.97 ≥ the 0.9 the recall spec demands.
+    */
+  private val NdTables = 12
+  private val NdPlanes = 3
+
+  /** q51b — embedding near-dup, LSH-BLOCKED (rows-only; the scale
+    * form of q51): every vector explodes into its (table, bucket)
+    * keys, candidates are same-bucket pairs — an equi-join shuffled
+    * on (t, bucket), never the O(n²) pair space — then each distinct
+    * candidate pair is verified with the exact cosine. Output schema
+    * and threshold match q51; ExtSpec asserts recall ≥ 0.9 against
+    * q51's exact pairs (LSH recall is probabilistic but deterministic
+    * here — hyperplanes are seeded from (table, plane, dim)).
+    */
+  private def q51b(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", norm(col("ve")))
+      .withColumn("bks", lshBuckets(col("ve"), NdTables, NdPlanes))
+    val tableIdx = sequence(lit(0), lit(NdTables - 1))
+    val exploded = e.select(col("vec_id"), col("ve"), col("nrm"),
+        explode(zip_with(col("bks"), tableIdx, (b, t) => struct(t.as("t"), b.as("b")))).as("tb"))
+      .select(col("vec_id"), col("ve"), col("nrm"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val a = exploded.select(col("t"), col("b"), col("vec_id").as("a_id"),
+      col("ve").as("a_ve"), col("nrm").as("a_n"))
+    val bb = exploded.select(col("t"), col("b"), col("vec_id").as("b_id"),
+      col("ve").as("b_ve"), col("nrm").as("b_n"))
+    a.join(bb, Seq("t", "b"))
+      .filter(col("a_id") < col("b_id"))
+      // a pair can collide in several tables: dedup BEFORE the exact
+      // verify so each candidate pays one cosine (arrays are valid
+      // Spark distinct keys; equal ids ⇒ equal vectors)
+      .select(col("a_id"), col("b_id"), col("a_ve"), col("b_ve"), col("a_n"), col("b_n"))
+      .distinct()
+      .withColumn("cos", dot(col("a_ve"), col("b_ve")) / (col("a_n") * col("b_n")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
 
   /** IVF parameters: K coarse clusters, nprobe probed per query. */
   private val IvfK = 16
@@ -255,6 +305,7 @@ object Similarity {
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
     QuerySpec("q49_ann_lsh",        q49, None,         headline = true),
     QuerySpec("q51_embedding_neardup", q51, Some(q51Sql), headline = true),
+    QuerySpec("q51b_embedding_neardup_blocked", q51b, None, headline = true),
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
   )
 }

@@ -214,22 +214,32 @@ object TextStats {
   /** q56 — fuzzy matching via edit distance: supplier-name pairs
     * within levenshtein ≤ 2 (integer algorithm — identical across
     * engines; the fuzzy tier of entity dedup).
+    *
+    * Length-bucket blocking (the q35 neighborhood trick applied to
+    * string length): lev ≤ 2 requires |len(a)−len(b)| ≤ 2, and with
+    * bucket width 3 > 2 any qualifying pair lands in identical or
+    * adjacent len/3 buckets. One side explodes into {b−1, b, b+1} and
+    * the join is an EQUI-join on the bucket — a hash/sort-merge
+    * shuffle on the bucket key, not a BroadcastNestedLoopJoin over
+    * the O(n²) pair space. Exactness is preserved (the blocking is a
+    * superset of the length prefilter, which still runs below).
     */
   private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val BucketW = 3 // must exceed the max length gap (2) for exactness
     val s = graft.Tables.supplier(spark, dir)
     val a = s.select(col("s_suppkey").as("a_id"), col("s_name").as("a_name"),
-      length(col("s_name")).as("a_len"))
+        length(col("s_name")).as("a_len"))
+      .withColumn("bucket", explode(array(
+        floor(col("a_len") / BucketW).cast("long") - 1,
+        floor(col("a_len") / BucketW).cast("long"),
+        floor(col("a_len") / BucketW).cast("long") + 1)))
     val b = s.select(col("s_suppkey").as("b_id"), col("s_name").as("b_name"),
-      length(col("s_name")).as("b_len"))
-    // sound prefilter: |len(a)-len(b)| <= 2 is necessary for lev <= 2
-    // — evaluated before the O(len²) distance, it prunes most of the
-    // pair space when name lengths vary (at scale, combine with
-    // length-bucket blocking so the join key is the bucket)
-    // the inequality join plans as a broadcast nested loop whose
-    // parallelism = probe-side partitions; a single-file scan would
-    // run the whole pair space on one thread
-    a.repartition(32)
-      .join(b, col("a_id") < col("b_id") && abs(col("a_len") - col("b_len")) <= 2)
+      length(col("s_name")).as("b_len"),
+      floor(length(col("s_name")) / BucketW).cast("long").as("bucket"))
+    // b carries ONE bucket, a carries the 3-neighborhood, so each pair
+    // meets exactly once — no distinct needed
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id") && abs(col("a_len") - col("b_len")) <= 2)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= 2)
       .select(col("a_id"), col("b_id"), col("dist"))

@@ -359,6 +359,11 @@ object RelationalQueries {
     * .0/.25/.5/.75 fractions — representable doubles, so linear
     * interpolation agrees across engines bit-for-bit (raw-double
     * percentiles would not be safe).
+    *
+    * SCALE: exact `percentile` buffers every value of a group in the
+    * aggregation buffer — at 100 TB one hot group OOMs an executor.
+    * q33 is the oracle-exact baseline; q33b (`approx_percentile`,
+    * constant-size sketch per group) is the scale path.
     */
   private def q33(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -376,6 +381,23 @@ object RelationalQueries {
        |       quantile_cont(${centsSql("o_totalprice")}, 0.9) AS p90_cents,
        |       COUNT(*) AS n
        |FROM orders GROUP BY 1 ORDER BY mode""".stripMargin
+
+  /** q33b — approx percentiles (rows-only + ExtSpec tolerance check
+    * vs exact q33, mirroring the q27/q27b exact/approx pattern): the
+    * KLL/GK sketch in `approx_percentile` keeps a CONSTANT-size
+    * aggregation buffer per group regardless of group cardinality —
+    * the form that survives 100 TB. accuracy=10000 → ~0.01% rank
+    * error.
+    */
+  private def q33b(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("mode"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("mode"))
+      .agg(
+        expr("approx_percentile(c, 0.5, 10000)").as("median_cents"),
+        expr("approx_percentile(c, 0.9, 10000)").as("p90_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("mode")
 
   /** q34 — AS-OF join: for every purchase event, the same user's most
     * recent login at-or-before it. Spark has no asof operator; rather
@@ -491,6 +513,7 @@ object RelationalQueries {
     QuerySpec("q36_ntile",            q36, Some(q36Sql)),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
     QuerySpec("q33_percentiles",      q33, Some(q33Sql)),
+    QuerySpec("q33b_approx_percentiles", q33b, None),
     QuerySpec("q21_pricing_summary",  q21, Some(q21Sql), headline = true),
     QuerySpec("q22_top_customers",    q22, Some(q22Sql), headline = true),
     QuerySpec("q23_supplier_rank",    q23, Some(q23Sql)),

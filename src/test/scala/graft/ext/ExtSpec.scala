@@ -139,6 +139,46 @@ class ExtSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L, 1.0)), s"got ${pairs.toSeq}")
   }
 
+  test("q51b blocked near-dup: recall >= 0.9 vs exact q51, no false positives") {
+    val exact = run("q51_embedding_neardup").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val blocked = run("q51b_embedding_neardup_blocked").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // every blocked pair passed the same exact-cosine verify, so the
+    // blocked result can only MISS pairs, never invent them
+    assert(blocked.subsetOf(exact), s"false positives: ${blocked -- exact}")
+    val recall = (exact & blocked).size.toDouble / math.max(1, exact.size)
+    assert(recall >= 0.9, s"LSH-blocked recall $recall (${blocked.size}/${exact.size})")
+  }
+
+  test("q33b approx percentiles within rank tolerance of exact q33") {
+    import org.apache.spark.sql.functions._
+    // the sketch's guarantee is on RANK (error ≤ n/accuracy), not on
+    // value — neighboring order statistics can be far apart in value
+    // space — so assert the approx value lands within ±1 order
+    // statistic of the target rank per group
+    val vals = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("mode"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("c"))
+      .groupBy(_._1).map { case (m, vs) => m -> vs.map(_._2).sorted }
+    val approx = run("q33b_approx_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("median_cents"), r.getAs[Long]("p90_cents"))).toMap
+    def bounds(sorted: Array[Long], q: Double): (Long, Long) = {
+      val pos = q * (sorted.length - 1)
+      val lo = math.max(0, math.floor(pos).toInt - 1)
+      val hi = math.min(sorted.length - 1, math.ceil(pos).toInt + 1)
+      (sorted(lo), sorted(hi))
+    }
+    vals.foreach { case (m, sorted) =>
+      val (amed, ap90) = approx(m)
+      val (mLo, mHi) = bounds(sorted, 0.5)
+      val (pLo, pHi) = bounds(sorted, 0.9)
+      assert(amed >= mLo && amed <= mHi, s"$m median $amed outside [$mLo,$mHi]")
+      assert(ap90 >= pLo && ap90 <= pHi, s"$m p90 $ap90 outside [$pLo,$pHi]")
+    }
+  }
+
   test("q27b approx distinct is within rsd of exact") {
     val approx = run("q27b_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("approx_custs")).toMap
