@@ -84,6 +84,14 @@ object ReferencePipeline {
     else base
   }
 
+  /** Kelurahan (village) dimension (reference `server.py:38-39`):
+    * typed id; name/kecamatan kept verbatim. Joined TWICE in the
+    * star (from/to legs — golden CSV columns `from_kelurahan`,
+    * `from_kecamatan`, `to_kelurahan`, `to_kecamatan`).
+    */
+  def dimKelurahan(raw: DataFrame): DataFrame = raw
+    .withColumn("kelurahan_id", col("kelurahan_id").cast("long"))
+
   def dimMerchant(raw: DataFrame): DataFrame = raw
     .withColumn("merchant_id", col("merchant_id").cast("long"))
     .withColumn("category_id", col("category_id").cast("long"))
@@ -104,7 +112,8 @@ object ReferencePipeline {
       user: DataFrame,
       driver: DataFrame,
       merchant: DataFrame,
-      kategori: DataFrame): DataFrame = {
+      kategori: DataFrame,
+      kelurahan: DataFrame): DataFrame = {
     def prefixed(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
     fact
@@ -116,6 +125,12 @@ object ReferencePipeline {
         fact("merchant_id") === col("mrc_merchant_id"), "left")
       .join(broadcast(prefixed(kategori, "cat_")),
         col("mrc_category_id") === col("cat_category_id"), "left")
+      // the kelurahan dim joins TWICE — once per trip endpoint
+      // (golden CSV from_kelurahan/from_kecamatan + to_* columns)
+      .join(broadcast(prefixed(kelurahan, "fromkel_")),
+        fact("from_kelurahanid") === col("fromkel_kelurahan_id"), "left")
+      .join(broadcast(prefixed(kelurahan, "tokel_")),
+        fact("to_kelurahanid") === col("tokel_kelurahan_id"), "left")
   }
 
   /** The reference's two partition layouts (`server.py:101-112`) as

@@ -1,0 +1,58 @@
+package graft
+
+/** Plan-shape regression guard: no registered query may plan a
+  * CartesianProduct or BroadcastNestedLoopJoin — the two operators
+  * that turn into O(n²) work at cluster scale — outside a small,
+  * justified allowlist. This is what keeps the all-pairs plans
+  * (pre-round-4 q51/q56) from reappearing: a rewrite that silently
+  * degrades a bucketed equi-join back to a nested loop fails CI
+  * instead of waiting for a manual plan audit.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose nested-loop/cartesian node is intentional:
+    *   - q03: numericHistogram broadcasts a 1-row min/max aggregate
+    *     (a 1×N broadcast is a map stage, not a pair explosion);
+    *   - q48: the exact ANN baseline broadcasts the fixed small query
+    *     set — O(Q·N) map work by design, with q49/q52 as scale paths;
+    *   - q51: the exact near-dup oracle baseline, kept only to anchor
+    *     q51b's recall spec (q51b is the production form);
+    *   - q52: broadcasts the K=16 centroid table (fixed size);
+    *   - q53: the source×source inequality join runs over
+    *     POST-AGGREGATION rows (one sketch per corpus) — its input
+    *     cardinality is the number of corpora, independent of data
+    *     volume, so the nested loop never grows with the 100 TB.
+    */
+  private val allowlist = Set(
+    "q03_price_histogram",
+    "q48_ann_bruteforce",
+    "q51_embedding_neardup",
+    "q52_ann_ivf",
+    "q53_source_similarity")
+
+  private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+
+  test("no query plans a nested-loop/cartesian join outside the allowlist") {
+    // streaming queries (q60+) execute a stream on construction and
+    // contain no joins; skip them to keep the guard fast
+    val guarded = SparkEntry.allSpecs.filterNot(_.name.matches("q6\\d.*"))
+    val offenders = guarded.flatMap { spec =>
+      val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
+      val hits = banned.filter(plan.contains)
+      if (hits.nonEmpty && !allowlist.contains(spec.name)) Some(spec.name -> hits)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile join nodes outside the allowlist: $offenders")
+  }
+
+  test("allowlisted exceptions still exist (keep the allowlist tight)") {
+    // if an allowlisted query stops planning a nested loop, it should
+    // be REMOVED from the allowlist, not silently carried forever
+    val stale = allowlist.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      !banned.exists(plan.contains)
+    }
+    assert(stale.isEmpty, s"allowlist entries no longer needed: $stale")
+  }
+}

@@ -22,7 +22,8 @@ class GoldenJoinSpec extends SparkSpec {
       user = ReferencePipeline.dimPerson(spark.read.parquet(res("master_user.parquet"))),
       driver = ReferencePipeline.dimPerson(spark.read.parquet(res("master_driver.parquet"))),
       merchant = ReferencePipeline.dimMerchant(spark.read.parquet(res("master_merchant.parquet"))),
-      kategori = ReferencePipeline.dimKategori(spark.read.parquet(res("master_kategori.parquet"))))
+      kategori = ReferencePipeline.dimKategori(spark.read.parquet(res("master_kategori.parquet"))),
+      kelurahan = ReferencePipeline.dimKelurahan(spark.read.parquet(res("master_kelurahan.parquet"))))
   }
 
   private lazy val golden = spark.read
@@ -38,12 +39,18 @@ class GoldenJoinSpec extends SparkSpec {
       col("kendaraan_jenis").as("g_fleet_type"),
       col("kendaraan_merk").as("g_fleet_merk"),
       col("merchant_name").as("g_mrc"),
-      col("merchant_category").as("g_cat"))
+      col("merchant_category").as("g_cat"),
+      col("from_kelurahan").as("g_fromkel"),
+      col("from_kecamatan").as("g_fromkec"),
+      col("to_kelurahan").as("g_tokel"),
+      col("to_kecamatan").as("g_tokec"))
     val mine = denorm.select(
       col("id"),
       col("cust_user_name"), col("cust_is_male"),
       col("drv_user_name"), col("drv_fleet_type"), col("drv_fleet_merk"),
-      col("mrc_merchant_name"), col("cat_category_name"))
+      col("mrc_merchant_name"), col("cat_category_name"),
+      col("fromkel_kelurahan_name"), col("fromkel_kecamatan_name"),
+      col("tokel_kelurahan_name"), col("tokel_kecamatan_name"))
     val joined = mine.join(g, mine("id") === g("gid"))
     assert(joined.count() == golden.count(), "every golden row matches a fact id")
     // null-safe (<=>) comparisons: bare =!= is NULL when a side is
@@ -57,7 +64,13 @@ class GoldenJoinSpec extends SparkSpec {
       !(col("drv_fleet_merk") <=> col("g_fleet_merk")) ||
       // merchant: golden blanks ⇔ null FK on our side
       !(col("mrc_merchant_name") <=> col("g_mrc")) ||
-      (col("g_cat").isNotNull && !(col("cat_category_name") <=> col("g_cat"))))
+      (col("g_cat").isNotNull && !(col("cat_category_name") <=> col("g_cat"))) ||
+      // the kelurahan×2 leg: both trip endpoints resolve to the
+      // village/district names the golden extract carries
+      !(col("fromkel_kelurahan_name") <=> col("g_fromkel")) ||
+      !(col("fromkel_kecamatan_name") <=> col("g_fromkec")) ||
+      !(col("tokel_kelurahan_name") <=> col("g_tokel")) ||
+      !(col("tokel_kecamatan_name") <=> col("g_tokec")))
     val n = bad.count()
     if (n > 0) bad.select("id", "cust_user_name", "g_cust", "mrc_merchant_name", "g_mrc").show(5, false)
     assert(n == 0, s"$n rows diverge from the golden denormalized extract")
