@@ -191,6 +191,50 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Width of the SQL-mirrored reduced MinHash signature (q46b). */
+  private val SqlMinHashK = 8
+
+  /** q46b — reduced-width MinHash signature, ORACLE-CHECKED: the
+    * rows-only q46/q53 sketches rest on Spark-internal murmur3, which
+    * no other engine reproduces; this variant derives each of the
+    * k=8 hash families from md5 — identical bytes in every engine —
+    * so the whole signature is DuckDB-verifiable. Per shingle s and
+    * family k: hash = int(hex15(md5(s + "#" + k))) (15 hex chars =
+    * 60 bits, safely inside BIGINT); per doc: element-wise MIN over
+    * its shingle set — the same min-wise algebraic aggregation as
+    * q46/q53, exercised end-to-end under the exact hash compare.
+    * Signature lands as 8 scalar columns (driver-sortable).
+    */
+  private def q46b(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    def h(k: Int): Column =
+      conv(substring(md5(to_binary(concat(col("s"), lit(s"#$k")), lit("utf-8"))), 1, 15), 16, 10)
+        .cast("long")
+    val aggs = (0 until SqlMinHashK).map(k => min(h(k)).as(s"mh$k"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  private val q46bSql = {
+    val mins = (0 until SqlMinHashK)
+      .map(k => s"MIN(('0x' || substr(md5(s || '#$k'), 1, 15))::BIGINT) AS mh$k")
+      .mkString(",\n       ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |              ELSE array_to_string(ws, ' ') END AS s
+       |  FROM (SELECT doc_id, ws,
+       |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+       |                           ELSE [1] END) AS i
+       |        FROM w))
+       |SELECT doc_id,
+       |       $mins
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** q47 — 64-bit SimHash per document (rows-only): majority vote per
     * bit over per-word 64-bit hashes, via the native codegen
     * expression [[graft.functions.SimHash64]] (the built-in
@@ -241,6 +285,7 @@ object Dedup {
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
     QuerySpec("q46_minhash_lsh",    q46, None,         headline = true),
+    QuerySpec("q46b_minhash_sql",   q46b, Some(q46bSql)),
     QuerySpec("q47_simhash",        q47, None),
     QuerySpec("q53_source_similarity", q53, None),
   )
