@@ -208,22 +208,23 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
       .withColumn("nrm", norm(col("ve")))
-      .withColumn("bks", lshBuckets(col("ve"), NdTables, NdPlanes))
     val tableIdx = sequence(lit(0), lit(NdTables - 1))
-    val exploded = e.select(col("vec_id"), col("ve"), col("nrm"),
-        explode(zip_with(col("bks"), tableIdx, (b, t) => struct(t.as("t"), b.as("b")))).as("tb"))
-      .select(col("vec_id"), col("ve"), col("nrm"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val a = exploded.select(col("t"), col("b"), col("vec_id").as("a_id"),
-      col("ve").as("a_ve"), col("nrm").as("a_n"))
-    val bb = exploded.select(col("t"), col("b"), col("vec_id").as("b_id"),
-      col("ve").as("b_ve"), col("nrm").as("b_n"))
-    a.join(bb, Seq("t", "b"))
+    // (vec, table, bucket) index rows — vectors do NOT travel with
+    // them: the candidate self-join and the multi-table dedup shuffle
+    // only 16-byte id pairs; the (bigger) embedding rows are fetched
+    // once per SURVIVING candidate by the two id equi-joins below
+    val buckets = e.select(col("vec_id"),
+        explode(zip_with(lshBuckets(col("ve"), NdTables, NdPlanes), tableIdx,
+          (b, t) => struct(t.as("t"), b.as("b")))).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = buckets.select(col("t"), col("b"), col("vec_id").as("a_id"))
+      .join(buckets.select(col("t"), col("b"), col("vec_id").as("b_id")), Seq("t", "b"))
       .filter(col("a_id") < col("b_id"))
-      // a pair can collide in several tables: dedup BEFORE the exact
-      // verify so each candidate pays one cosine (arrays are valid
-      // Spark distinct keys; equal ids ⇒ equal vectors)
-      .select(col("a_id"), col("b_id"), col("a_ve"), col("b_ve"), col("a_n"), col("b_n"))
-      .distinct()
+      .select(col("a_id"), col("b_id"))
+      .distinct() // a pair can collide in several tables
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("ve").as("a_ve"), col("nrm").as("a_n")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("ve").as("b_ve"), col("nrm").as("b_n")), "b_id")
       .withColumn("cos", dot(col("a_ve"), col("b_ve")) / (col("a_n") * col("b_n")))
       .filter(col("cos") >= NearDupCos)
       .select(col("a_id"), col("b_id"))

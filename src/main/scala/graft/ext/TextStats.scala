@@ -237,8 +237,14 @@ object TextStats {
       length(col("s_name")).as("b_len"),
       floor(length(col("s_name")) / BucketW).cast("long").as("bucket"))
     // b carries ONE bucket, a carries the 3-neighborhood, so each pair
-    // meets exactly once — no distinct needed
-    a.join(b, Seq("bucket"))
+    // meets exactly once — no distinct needed. The repartition keeps
+    // probe-side parallelism when the small side broadcasts (uniform
+    // name lengths — as in this testdata — collapse to one bucket, and
+    // without it the whole levenshtein loop runs on the scan's 1-2
+    // input partitions); under a shuffled join at scale AQE's
+    // skew-split handles the hot bucket instead
+    a.repartition(32)
+      .join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id") && abs(col("a_len") - col("b_len")) <= 2)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= 2)

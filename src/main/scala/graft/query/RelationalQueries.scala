@@ -400,35 +400,38 @@ object RelationalQueries {
       .orderBy("mode")
 
   /** q34 — AS-OF join: for every purchase event, the same user's most
-    * recent login at-or-before it. Spark has no asof operator; rather
+    * recent view at-or-before it. Spark has no asof operator; rather
     * than a custom SparkPlan, this uses the scalable composition
     * (preference (a) of the custom-op ladder): tag both sides, UNION,
-    * one window pass carrying the last-seen login forward — a single
+    * one window pass carrying the last-seen view forward — a single
     * shuffle on (user, time), never the per-pair join that quadratic
     * formulations pay. The oracle is DuckDB's native ASOF LEFT JOIN.
     *
-    * Tie semantics pinned: a login at exactly the purchase timestamp
-    * matches (kind orders logins first within equal timestamps),
-    * matching ASOF's `p.ts >= l.ts`.
+    * Tie semantics pinned: a view at exactly the purchase timestamp
+    * matches (kind orders views first within equal timestamps),
+    * matching ASOF's `p.ts >= v.ts`. ("view" — not a synthetic type:
+    * the testdata's event_type domain is click/signup/error/view/
+    * purchase, so this leg matches ~40% of purchases and leaves the
+    * rest null, exercising both ASOF outcomes.)
     */
   private def q34(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.events(spark, dir)
-    val logins = e.filter(col("event_type") === "login")
+    val views = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id"),
-        lit(0).as("kind"), col("ts").as("login_ts"), col("event_id").as("login_id"))
+        lit(0).as("kind"), col("ts").as("view_ts"), col("event_id").as("view_id"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"),
-        lit(1).as("kind"), lit(null).cast("timestamp").as("login_ts"),
-        lit(null).cast("long").as("login_id"))
+        lit(1).as("kind"), lit(null).cast("timestamp").as("view_ts"),
+        lit(null).cast("long").as("view_id"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    logins.unionAll(purchases)
-      .withColumn("last_login_ts", last(col("login_ts"), ignoreNulls = true).over(w))
-      .withColumn("last_login_id", last(col("login_id"), ignoreNulls = true).over(w))
+    views.unionAll(purchases)
+      .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
-        col("last_login_id"), col("last_login_ts"))
+        col("last_view_id"), col("last_view_ts"))
       .orderBy("user_id", "purchase_id")
   }
 
@@ -436,11 +439,11 @@ object RelationalQueries {
     """SELECT p.user_id,
       |       p.event_id AS purchase_id,
       |       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
-      |       l.event_id AS last_login_id,
-      |       CAST(l.ts AS TIMESTAMP) AS last_login_ts
+      |       v.event_id AS last_view_id,
+      |       CAST(v.ts AS TIMESTAMP) AS last_view_ts
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
-      |  ON p.user_id = l.user_id AND p.ts >= l.ts
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.user_id, purchase_id""".stripMargin
 
   /** q35 — range (interval) self-join: pairs of same-user events

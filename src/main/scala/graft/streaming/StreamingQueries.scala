@@ -216,11 +216,50 @@ object StreamingQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
       |ORDER BY user_id, seq_no""".stripMargin
 
+  /** q65 — stream-stream interval join: each purchase joined to the
+    * same user's views in the preceding 24 hours (the attribution
+    * join), BOTH sides streaming. The join state is keyed by user and
+    * pruned by watermark + time-bound condition (Spark buffers only
+    * events inside the horizon) — the scalable shape for joining two
+    * firehoses: state is bounded by the interval, not the stream
+    * length. Inner join + full single-batch replay ⇒ deterministic;
+    * oracle = the equivalent batch inequality join.
+    */
+  private def q65(spark: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 day")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
+    drain(spark, joined, "append")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
+  private val q65Sql =
+    """SELECT p.user_id, p.event_id AS purchase_id, l.event_id AS view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') l
+      |  ON p.user_id = l.user_id
+      | AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(l.ts AS TIMESTAMP))
+      |     BETWEEN 0 AND 86400000000
+      |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
     QuerySpec("q62_stream_dedup",   q62, Some(q62Sql)),
     QuerySpec("q63_session_window", q63, Some(q63Sql), headline = true),
     QuerySpec("q64_stateful_running", q64, Some(q64Sql), headline = true),
+    QuerySpec("q65_stream_join",    q65, Some(q65Sql), headline = true),
   )
 }

@@ -15,15 +15,15 @@ class TemporalJoinSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("graft_events").toString
     val base = 1700000000000000L // µs
     Seq(
-      // user 1: login exactly at the purchase timestamp → MUST match
-      (10L, base * 1000, 1L, "login", 1.0, "{}"),
+      // user 1: view exactly at the purchase timestamp → MUST match
+      (10L, base * 1000, 1L, "view", 1.0, "{}"),
       (11L, base * 1000, 1L, "purchase", 2.0, "{}"),
-      // user 2: login 1µs AFTER the purchase → must NOT match
-      (20L, (base + 1) * 1000, 2L, "login", 1.0, "{}"),
+      // user 2: view 1µs AFTER the purchase → must NOT match
+      (20L, (base + 1) * 1000, 2L, "view", 1.0, "{}"),
       (21L, base * 1000, 2L, "purchase", 2.0, "{}"),
-      // user 3: two logins, later one wins; purchase 5s after
-      (30L, base * 1000, 3L, "login", 1.0, "{}"),
-      (31L, (base + 1000000) * 1000, 3L, "login", 1.0, "{}"),
+      // user 3: two views, later one wins; purchase 5s after
+      (30L, base * 1000, 3L, "view", 1.0, "{}"),
+      (31L, (base + 1000000) * 1000, 3L, "view", 1.0, "{}"),
       (32L, (base + 6000000) * 1000, 3L, "purchase", 2.0, "{}"),
       // user 4: pair exactly 10 minutes apart → range join includes (<=)
       (40L, base * 1000, 4L, "error", 0.0, "{}"),
@@ -37,13 +37,13 @@ class TemporalJoinSpec extends SparkSpec {
     d
   }
 
-  test("as-of join: equal-timestamp login matches; later login does not; latest wins") {
+  test("as-of join: equal-timestamp view matches; later view does not; latest wins") {
     val rows = SparkEntry.queries("q34_asof_join")(spark, dir).collect()
       .map(r => r.getAs[Long]("user_id") ->
-        Option(r.getAs[java.lang.Long]("last_login_id")).map(_.toLong)).toMap
+        Option(r.getAs[java.lang.Long]("last_view_id")).map(_.toLong)).toMap
     assert(rows(1L) == Some(10L), "tie at identical timestamp must match")
-    assert(rows(2L) == None, "login after the purchase must not match")
-    assert(rows(3L) == Some(31L), "the most recent prior login wins")
+    assert(rows(2L) == None, "view after the purchase must not match")
+    assert(rows(3L) == Some(31L), "the most recent prior view wins")
   }
 
   test("range join: exactly-at-gap pair included, gap+1µs excluded") {
