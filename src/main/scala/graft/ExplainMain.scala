@@ -15,7 +15,8 @@ object ExplainMain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q21_pricing_summary", "q20_star_denorm", "q22_top_customers",
         "q03_price_histogram", "q44_exact_dedup", "q45_ngram_jaccard",
-        "q46_minhash_lsh", "q48_ann_bruteforce")
+        "q46_minhash_lsh", "q48_ann_bruteforce", "q51b_embedding_neardup_blocked",
+        "q56_fuzzy_match", "q57_embedding_quantize")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
