@@ -486,6 +486,31 @@ object RelationalQueries {
       | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 600000000
       |ORDER BY a.user_id, a_id, b_id""".stripMargin
 
+  /** q66 — top-k per key via the custom whole-operator plan
+    * [[graft.plans.TopKPerKey]] (logical node + two-phase exec +
+    * planner strategy): q23's semantics — top-3 suppliers per nation
+    * by balance — but executed with a map-side partial top-k, so the
+    * exchange carries at most k·keys rows per input partition instead
+    * of the whole table (the window form shuffles and sorts every
+    * row). Same oracle shape as q23 minus the rank column; the total
+    * order (balance DESC, suppkey ASC) makes output deterministic.
+    */
+  private def q66(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerKey(
+        Tables.supplier(spark, dir)
+          .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        keyCols = Seq(col("s_nationkey")),
+        orders = Seq(col("s_acctbal").desc, col("s_suppkey").asc),
+        k = 3)
+      .orderBy(col("s_nationkey"), col("s_acctbal").desc, col("s_suppkey"))
+
+  private val q66Sql =
+    """SELECT s_nationkey, s_suppkey, s_name, s_acctbal FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+      |                 ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      |  FROM supplier) t
+      |WHERE rn <= 3 ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""".stripMargin
+
   /** q36 — ntile quartiles of customers by account balance within
     * market segment (completes the ranking-window family: row_number
     * q23, rank-with-frame q24, lag q32, ntile here). Total order
@@ -514,6 +539,7 @@ object RelationalQueries {
     QuerySpec("q34_asof_join",        q34, Some(q34Sql), headline = true),
     QuerySpec("q35_range_join",       q35, Some(q35Sql), headline = true),
     QuerySpec("q36_ntile",            q36, Some(q36Sql)),
+    QuerySpec("q66_topk_custom_plan", q66, Some(q66Sql), headline = true),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
     QuerySpec("q33_percentiles",      q33, Some(q33Sql)),
     QuerySpec("q33b_approx_percentiles", q33b, None),

@@ -16,4 +16,19 @@ object SparkBridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (for wrapping it in a
+    * custom logical operator with already-resolved attributes).
+    */
+  def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** `Dataset.ofRows` — the constructor for a DataFrame over a custom
+    * logical plan (private[sql] in Spark 4, like the Column bridge).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
