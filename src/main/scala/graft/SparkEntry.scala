@@ -14,6 +14,8 @@ object SparkEntry {
       graft.query.RelationalQueries.specs ++
       graft.ext.TextStats.specs ++
       graft.ext.Dedup.specs ++
+      graft.ext.DupGraph.specs ++
+      graft.ext.Decontam.specs ++
       graft.ext.Similarity.specs ++
       graft.ext.Multimodal.specs ++
       graft.ext.TrainPrep.specs ++

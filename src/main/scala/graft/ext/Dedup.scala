@@ -65,7 +65,15 @@ object Dedup {
     * full distinct-shingle arrays, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
     * Pairs ≥ 0.5 survive. Int/int division → bit-identical doubles.
     */
-  private def q45(spark: SparkSession, dir: String): DataFrame = {
+  private def q45(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** The verified near-dup pair relation behind q45 (un-ordered):
+    * `(a_id, b_id, inter, na, nb, jaccard)` with jaccard ≥ 0.5 and
+    * a_id < b_id. Shared with [[DupGraph]], which runs connected
+    * components over these edges (q59).
+    */
+  private[ext] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint (lazy): the shingle set is referenced by four
     // plan branches (both self-join sides, DF filter, exact verify) —
     // without it Spark recomputes the explode per branch
@@ -104,11 +112,16 @@ object Dedup {
         size(col("b_sh")).as("nb"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("a_id", "b_id")
   }
 
-  private val q45Sql =
-    s"""WITH w AS (
+  /** CTE chain producing `scored` = the candidate pairs with exact
+    * Jaccard components — the SQL mirror of [[jaccardPairs]] minus the
+    * ≥ 0.5 filter. Prefixed by `WITH` in q45Sql and `WITH RECURSIVE`
+    * in [[DupGraph]]'s q59 oracle (which appends the connected-
+    * components CTEs on top).
+    */
+  private[ext] val jaccardScoredCte =
+    s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |docsh AS (
        |  SELECT doc_id, list(DISTINCT s) AS sh FROM (
@@ -134,7 +147,10 @@ object Dedup {
        |  SELECT a_id, b_id,
        |         CAST(len(list_intersect(da.sh, db.sh)) AS INT) AS inter,
        |         CAST(len(da.sh) AS INT) AS na, CAST(len(db.sh) AS INT) AS nb
-       |  FROM cand JOIN docsh da ON a_id = da.doc_id JOIN docsh db ON b_id = db.doc_id)
+       |  FROM cand JOIN docsh da ON a_id = da.doc_id JOIN docsh db ON b_id = db.doc_id)""".stripMargin
+
+  private val q45Sql =
+    s"""WITH $jaccardScoredCte
        |SELECT a_id, b_id, inter, na, nb,
        |       inter / (na + nb - inter) AS jaccard
        |FROM scored WHERE inter / (na + nb - inter) >= 0.5

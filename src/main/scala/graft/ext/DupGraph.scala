@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: the step AFTER pair detection that an
+  * actual corpus dedup needs. q45/q46 emit near-dup PAIRS; to drop
+  * duplicates you need connected components over the pair graph —
+  * (a,b) and (b,c) near-dups must collapse into ONE cluster {a,b,c}
+  * with one survivor, or the "dedup" keeps transitive copies.
+  *
+  * Algorithm: iterative min-label propagation over the symmetrized
+  * edge list — every node starts labeled with its own id; each round,
+  * every node takes the min of its own label and its neighbors'
+  * labels; fixpoint = each node labeled with the min doc_id of its
+  * component (the canonical survivor). Each round is one shuffle
+  * (join on id + groupBy min), so the whole computation is
+  * O(diameter) shuffles over the EDGE list — never the O(n²) pair
+  * space, and no driver-side graph state (the driver sees only a
+  * one-row convergence counter per round). Near-dup components are
+  * shallow (dup clusters, not social graphs), so diameter — and the
+  * round count — is small; an adversarial million-node chain would
+  * call for the large-star/small-star contraction of Kiveris et al.
+  * ("Connected Components in MapReduce and Beyond", SoCC'14), which
+  * converges in O(log n) rounds with the same join/groupBy building
+  * blocks.
+  */
+object DupGraph {
+
+  /** Safety bound on propagation rounds (hit only by a path graph of
+    * length ≥ 2^MaxRounds, impossible for dup clusters).
+    */
+  private val MaxRounds = 16
+
+  /** Connected components over an (a_id, b_id) undirected edge list:
+    * returns (id, comp) for every node that appears in an edge, with
+    * comp = min node id of its component. Each iteration
+    * localCheckpoints the label table — labels are small (two longs
+    * per node) and the checkpoint both truncates the exponentially
+    * growing lineage and stops Spark re-running earlier rounds.
+    */
+  private[ext] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxRounds) {
+      val neighborMin = sym.join(labels, sym("u") === labels("id"))
+        .select(col("v").as("id"), col("comp"))
+      val next = labels.union(neighborMin)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** q59 — near-duplicate clusters: connected components over the q45
+    * verified Jaccard pairs, reported per document — `comp_id` is the
+    * cluster's canonical (min) doc_id, `comp_size` its member count;
+    * docs with no near-dup edge are their own singleton cluster. A
+    * downstream dedup keeps exactly the rows with doc_id = comp_id.
+    */
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    val comp = connectedComponents(
+      Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
+      .withColumn("comp_size", count(lit(1)).over(Window.partitionBy(col("comp_id"))))
+      .orderBy("doc_id")
+  }
+
+  private val q59Sql =
+    s"""WITH RECURSIVE ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT s.v AS id, r.comp FROM reach r JOIN sym s ON s.u = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp_id FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+       |SELECT doc_id, comp_id,
+       |       CAST(COUNT(*) OVER (PARTITION BY comp_id) AS BIGINT) AS comp_size
+       |FROM asg ORDER BY doc_id""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
+  )
+}

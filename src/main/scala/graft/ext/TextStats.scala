@@ -260,6 +260,111 @@ object TextStats {
       |WHERE levenshtein(a.s_name, b.s_name) <= 2
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** PII patterns shared (as literal text) between the Spark plan and
+    * the oracle SQL. Class-and-quantifier-only regexes — no
+    * lookaround, no backrefs — so Java (Spark) and RE2 (DuckDB)
+    * semantics are identical.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** q68 — PII redaction: scrub emails and phone numbers from a
+    * free-text contact field, reporting per-row redaction counts —
+    * the privacy pass a training corpus runs before anything else.
+    * Pure per-row regex work: map-only at any scale, no shuffle
+    * until the final contract ORDER BY.
+    *
+    * The synthetic testdata carries no organic PII (grep-verified:
+    * every string column is enum-like or `Customer#N`), so the query
+    * first materializes a deterministic contact blob from the
+    * customer key — `name <user{k}@example.com> tel {k-derived
+    * phone}` — then redacts it. The materialization is part of the
+    * oracle-checked contract, so the redaction is verified against
+    * nonzero, row-varying PII rather than a vacuous no-op.
+    */
+  private def q68(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val blob = concat(
+      col("c_name"), lit(" <user"), k.cast("string"), lit("@example.com> tel "),
+      format_string("%02d-%03d-%03d-%04d",
+        pmod(k, lit(89)) + 10, pmod(k * 7, lit(900)) + 100,
+        pmod(k * 13, lit(900)) + 100, pmod(k * 31, lit(9000)) + 1000))
+    graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), blob.as("contact"))
+      .select(
+        col("c_custkey"),
+        regexp_replace(regexp_replace(col("contact"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"),
+        size(regexp_extract_all(col("contact"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("contact"), lit(PhoneRe), lit(0))).as("n_phones"))
+      .orderBy("c_custkey")
+  }
+
+  private val q68Sql =
+    s"""WITH c AS (
+       |  SELECT c_custkey,
+       |         c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> tel ' ||
+       |         printf('%02d-%03d-%03d-%04d',
+       |                c_custkey % 89 + 10, (c_custkey * 7) % 900 + 100,
+       |                (c_custkey * 13) % 900 + 100, (c_custkey * 31) % 9000 + 1000)
+       |           AS contact
+       |  FROM customer)
+       |SELECT c_custkey,
+       |       regexp_replace(regexp_replace(contact, '$EmailRe', '[EMAIL]', 'g'),
+       |                      '$PhoneRe', '[PHONE]', 'g') AS redacted,
+       |       CAST(len(regexp_extract_all(contact, '$EmailRe')) AS INT) AS n_emails,
+       |       CAST(len(regexp_extract_all(contact, '$PhoneRe')) AS INT) AS n_phones
+       |FROM c ORDER BY c_custkey""".stripMargin
+
+  /** Number of top terms reported per document by q69. */
+  private val TfIdfTopK = 3
+
+  /** q69 — TF-IDF top terms per document. Classic inverted-statistics
+    * shape: one shuffle keyed by term for document frequency, one by
+    * (doc, term) for term frequency, a 1-row broadcast of the corpus
+    * size (the q03 min/max pattern — a scalar cross join is a map
+    * stage, not a pair explosion), and a per-doc window for the
+    * top-k. Scoring uses linear idf — score = tf·N/df scaled to
+    * integer micro-units via floor (exact in IEEE double up to 2^53,
+    * so the value AND the ranking are engine-exact; ln-based idf
+    * differs in final-ulp between libm implementations and would
+    * break the hash compare). Ties broken by term for a total order.
+    */
+  private def q69(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        floor(col("tf") * lit(1000000.0) * col("n_docs") / col("df")).cast("long"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("term"))))
+      .filter(col("rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score_micro"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val q69Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |         CAST(floor(tf * 1000000.0 * n_docs / df) AS BIGINT) AS score_micro
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |           PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score_micro
+       |FROM ranked WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -269,5 +374,7 @@ object TextStats {
     QuerySpec("q54_json_extract",  q54, Some(q54Sql)),
     QuerySpec("q55_regex_extract", q55, Some(q55Sql)),
     QuerySpec("q56_fuzzy_match",   q56, Some(q56Sql)),
+    QuerySpec("q68_pii_redaction", q68, Some(q68Sql)),
+    QuerySpec("q69_tfidf_topterms", q69, Some(q69Sql), headline = true),
   )
 }

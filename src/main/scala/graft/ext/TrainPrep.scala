@@ -68,17 +68,23 @@ object TrainPrep {
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** Split fractions (percent) for q58 — train/val/test 80/10/10. */
-  private val TrainPct = 80
-  private val ValPct   = 10
+  private[ext] val TrainPct = 80
+  private[ext] val ValPct   = 10
 
-  /** md5-derived uniform bucket in [0, 100): engine-identical (md5
+  /** md5-derived uniform bucket in [0, mod): engine-identical (md5
     * bytes are md5 bytes everywhere), stable under reruns AND under
-    * corpus growth — a given doc_id never migrates between splits,
-    * which `ORDER BY rand() LIMIT n` splitting cannot promise.
+    * corpus growth. `salt` decorrelates independent bucketings of the
+    * same key (split vs pack vs sample).
     */
-  private def splitBucket(id: Column): Column =
-    pmod(conv(substring(md5(to_binary(id.cast("string"), lit("utf-8"))), 1, 15), 16, 10)
-      .cast("long"), lit(100))
+  private[ext] def md5Bucket(id: Column, mod: Int, salt: String = ""): Column =
+    pmod(conv(substring(md5(to_binary(concat(id.cast("string"), lit(salt)), lit("utf-8"))), 1, 15), 16, 10)
+      .cast("long"), lit(mod))
+
+  /** Split bucket in [0, 100) — a given doc_id never migrates between
+    * splits as the corpus grows, which `ORDER BY rand() LIMIT n`
+    * splitting cannot promise.
+    */
+  private[ext] def splitBucket(id: Column): Column = md5Bucket(id, 100)
 
   /** q58 — deterministic train/val/test split of the document corpus:
     * hash-bucket each doc_id, assign 80/10/10, report per-split
@@ -112,8 +118,108 @@ object TrainPrep {
        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  /** Packing parallelism (number of independent bucket streams) and
+    * per-sequence token budget for q70.
+    */
+  private val PackBuckets = 32
+  private[ext] val TokenBudget = 256
+
+  /** q70 — training-sequence packing: next-fit bin packing of
+    * documents into fixed token-budget sequences, the step that turns
+    * a shuffled corpus into the dense `(seq_id, docs)` batches a
+    * trainer actually reads. Packing is inherently sequential, so the
+    * corpus is first split into independent md5 buckets (the
+    * deterministic order-free parallel unit); within a bucket docs
+    * pack in doc_id order via one `mapPartitions` pass — genuine
+    * per-partition imperative state, the sanctioned RDD-tier use. At
+    * 100 TB you raise PackBuckets so each bucket's sort fits an
+    * executor (the shuffle is `repartition(bucket)` + an in-partition
+    * sort — no global order, no driver state). A doc longer than the
+    * budget occupies a sequence alone; exact next-fit semantics are
+    * mirrored by the oracle's recursive CTE.
+    */
+  private def q70(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5Bucket(col("doc_id"), PackBuckets).cast("int").as("bucket"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .as[(Long, Int, Int)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .mapPartitions { it =>
+        // a hash partition holds several buckets back-to-back (sorted),
+        // so the fold state resets at each bucket boundary
+        var bucket = -1
+        var seq = 0L
+        var fill = 0L
+        it.map { case (id, b, t) =>
+          if (b != bucket) { bucket = b; seq = 0L; fill = t.toLong }
+          else if (fill + t > TokenBudget) { seq += 1; fill = t.toLong }
+          else fill += t
+          (id, b, seq, t)
+        }
+      }
+      .toDF("doc_id", "bucket", "seq_id", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val q70Sql =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $PackBuckets AS INT) AS bucket,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),
+       |packed AS (
+       |  SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+       |         CASE WHEN p.fill + o.n_tokens > $TokenBudget THEN p.seq_id + 1 ELSE p.seq_id END,
+       |         CASE WHEN p.fill + o.n_tokens > $TokenBudget THEN o.n_tokens ELSE p.fill + o.n_tokens END
+       |  FROM packed p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+       |SELECT doc_id, bucket, seq_id, n_tokens FROM packed ORDER BY doc_id""".stripMargin
+
+  /** q71 — stratified sampling: per-source sampling rates (the domain
+    * mixture weights of a training-data recipe) applied via a salted
+    * md5 threshold — deterministic, reproducible, and monotone under
+    * corpus growth (a sampled doc stays sampled when new data
+    * arrives, unlike `TABLESAMPLE`/`rand()`). Map-only scoring plus
+    * one tiny per-source aggregate; the mixture report is what feeds
+    * the trainer's sampler. Rates are a deterministic function of the
+    * source index here (15% + 4·idx); a production run would join a
+    * config dim instead — same plan shape.
+    */
+  private def q71(spark: SparkSession, dir: String): DataFrame = {
+    val pct = lit(15) + substring(col("source"), 4, 10).cast("int") * 4
+    val sampled = md5Bucket(col("doc_id"), 100, ":q71") < pct
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), pct.as("target_pct"), sampled.as("s"))
+      .groupBy(col("source"))
+      .agg(
+        min(col("target_pct")).as("target_pct"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("s"), col("n_chars").cast("long")).otherwise(0L)).as("sampled_chars"))
+      .orderBy("source")
+  }
+
+  private val q71Sql =
+    """WITH s AS (
+      |  SELECT source, n_chars,
+      |         15 + CAST(substr(source, 4) AS INT) * 4 AS pct,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':q71'), 1, 15))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT source, MIN(pct) AS target_pct, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |       CAST(SUM(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q57_embedding_quantize", q57, Some(q57Sql), headline = true),
     QuerySpec("q58_dataset_split",      q58, Some(q58Sql)),
+    QuerySpec("q70_sequence_packing",   q70, Some(q70Sql), headline = true),
+    QuerySpec("q71_stratified_sample",  q71, Some(q71Sql)),
   )
 }

@@ -18,6 +18,8 @@ class PlanGuardSpec extends SparkSpec {
     *   - q51: the exact near-dup oracle baseline, kept only to anchor
     *     q51b's recall spec (q51b is the production form);
     *   - q52: broadcasts the K=16 centroid table (fixed size);
+    *   - q69: broadcasts the 1-row corpus-size aggregate (the q03
+    *     scalar-broadcast pattern);
     *   - q53: the source×source inequality join runs over
     *     POST-AGGREGATION rows (one sketch per corpus) — its input
     *     cardinality is the number of corpora, independent of data
@@ -28,14 +30,16 @@ class PlanGuardSpec extends SparkSpec {
     "q48_ann_bruteforce",
     "q51_embedding_neardup",
     "q52_ann_ivf",
-    "q53_source_similarity")
+    "q53_source_similarity",
+    "q69_tfidf_topterms")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
   test("no query plans a nested-loop/cartesian join outside the allowlist") {
-    // streaming queries (q60+) execute a stream on construction and
-    // contain no joins; skip them to keep the guard fast
-    val guarded = SparkEntry.allSpecs.filterNot(_.name.matches("q6\\d.*"))
+    // streaming queries execute a stream on construction; skip them by
+    // MODULE (not by name pattern — a q6x batch query must be guarded)
+    val streaming = graft.streaming.StreamingQueries.specs.map(_.name).toSet
+    val guarded = SparkEntry.allSpecs.filterNot(s => streaming(s.name))
     val offenders = guarded.flatMap { spec =>
       val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
       val hits = banned.filter(plan.contains)

@@ -188,4 +188,81 @@ class ExtSpec extends SparkSpec {
       assert(math.abs(approx(q) - n) <= math.max(2.0, n * 0.05), s"$q: $n vs ${approx(q)}")
     }
   }
+
+  test("q59 dup clusters: a valid connected-components partition of the q45 pair graph") {
+    val comp = run("q59_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("comp_id"), r.getAs[Long]("comp_size"))).toMap
+    val pairs = run("q45_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    // every near-dup pair collapses into one cluster (incl. transitively)
+    pairs.foreach { case (a, b) =>
+      assert(comp(a)._1 == comp(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // the cluster id is the min member (the canonical survivor)
+    val members = comp.toSeq.groupBy(_._2._1)
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid id is not the min member")
+      assert(ms.forall(_._2._2 == ms.size), s"cluster $cid size mismatch")
+    }
+    // docs with no edge are singletons; docs with an edge are not
+    val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    comp.foreach { case (id, (_, size)) =>
+      if (inGraph(id)) assert(size >= 2) else assert(size == 1 && comp(id)._1 == id)
+    }
+  }
+
+  test("q59 clusters actually merge transitive chains (pairs < clusters would miss)") {
+    val r = run("q59_dup_clusters").collect()
+    val multi = r.filter(_.getAs[Long]("comp_size") > 1)
+    val nPairs = run("q45_ngram_jaccard").count()
+    val nClusters = multi.map(_.getAs[Long]("comp_id")).distinct.length
+    // 28 planted pairs collapse into fewer clusters — transitivity is real
+    assert(multi.nonEmpty && nClusters < nPairs,
+      s"$nClusters clusters from $nPairs pairs: no transitive merging happened")
+  }
+
+  test("q67 decontamination: flagged docs are train-split and share a real 8-gram") {
+    import org.apache.spark.sql.functions._
+    val flagged = run("q67_decontaminate").collect()
+    assert(flagged.nonEmpty, "no contamination found — the check is vacuous")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def bucket(id: Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    def grams(t: String) = t.split(" ", -1).sliding(8).map(_.mkString(" ")).toSet
+    val testGrams = docs.keys.filter(bucket(_) >= 90)
+      .flatMap(id => grams(docs(id))).toSet
+    flagged.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(bucket(id) < 80, s"flagged doc $id is not in the train split")
+      assert(grams(docs(id)).exists(testGrams), s"doc $id shares no 8-gram with test")
+      assert(r.getAs[Long]("n_shared_grams") >= 1 && r.getAs[Long]("n_test_docs") >= 1)
+    }
+  }
+
+  test("q70 packing: sequences respect the token budget and are contiguous") {
+    val rows = run("q70_sequence_packing").collect().map(r =>
+      (r.getAs[Int]("bucket"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens")))
+    assert(rows.length == 500) // every doc is packed exactly once
+    val bySeq = rows.groupBy(r => (r._1, r._2))
+    bySeq.foreach { case ((b, s), ds) =>
+      val total = ds.map(_._4).sum
+      // a sequence only exceeds the budget if a single oversized doc owns it
+      assert(total <= TrainPrep.TokenBudget || ds.length == 1,
+        s"bucket $b seq $s overflows: $total tokens in ${ds.length} docs")
+    }
+    rows.groupBy(_._1).foreach { case (b, ds) =>
+      val seqs = ds.map(_._2).distinct.sorted
+      assert(seqs.sameElements(0L until seqs.length), s"bucket $b seq ids not contiguous")
+      // next-fit in doc_id order: seq_id is monotone in doc_id
+      val ordered = ds.sortBy(_._3).map(_._2)
+      assert(ordered.sameElements(ordered.sorted), s"bucket $b seq not monotone")
+    }
+  }
 }
