@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data hygiene op: find
@@ -74,7 +74,88 @@ object Decontam {
        |FROM tr JOIN te ON tr.gh = te.gh
        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
+  /** Bloom sizing for q73: 4096 bits (64 longs — a 512-byte sketch)
+    * × 6 probes. For a blocklist of n keys the false-positive rate is
+    * ≈ (1 − e^(−kn/m))^k; production sizes m to the blocklist.
+    */
+  private val BloomBits = 4096
+  private val BloomK    = 6
+
+  /** The two independent 60-bit hashes feeding the Bloom double
+    * hashing — the halves of the key's md5 (h2 forced odd so the
+    * probe stride never degenerates). Engine-identical by
+    * construction; `th` is the md5 hex of the key.
+    */
+  private def bloomH1(th: Column): Column =
+    conv(substring(th, 1, 15), 16, 10).cast("long")
+  private def bloomH2(th: Column): Column =
+    conv(substring(th, 16, 15), 16, 10).cast("long").bitwiseOR(1)
+
+  /** q73 — blocklist filtering via a broadcast Bloom filter: the
+    * "drop known-bad documents" pass (opt-outs, eval sets, flagged
+    * content) a training pipeline runs map-side. The blocklist (here:
+    * every text fingerprint in source src0) aggregates into ONE
+    * 512-byte bitmap row ([[graft.functions.BloomAgg]] — bitwise OR
+    * is algebraic, so the build is exact partial aggregation);
+    * corpus rows then test membership with the codegen'd
+    * [[graft.functions.BloomMightContain]] against the 1-row
+    * broadcast — at 100 TB the corpus side is a pure map stage and
+    * only sketch bytes move, vs an anti-join shuffling every
+    * fingerprint. The report compares Bloom hits to exact hits per
+    * source, surfacing the (bounded) false-positive rate; a
+    * production filter would semi-join only the Bloom survivors for
+    * exactness. Oracle-checked bit-for-bit: the md5 double hashing
+    * makes the bitmap engine-portable, so DuckDB re-derives every
+    * membership answer relationally (distinct set positions vs each
+    * key's k probe positions).
+    */
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("th"))
+      .withColumn("h1", bloomH1(col("th")))
+      .withColumn("h2", bloomH2(col("th")))
+    val block = keyed.filter(col("source") === "src0")
+    val sketch = block.select(col("h1"), col("h2")).as[(Long, Long)]
+      .groupByKey(_ => 0) // one global sketch; partial agg stays map-side
+      .agg(graft.functions.BloomAgg(BloomBits, BloomK).toColumn.name("bloom"))
+      .toDF("g", "bloom").select(col("bloom"))
+    val exact = block.select(col("th")).distinct().withColumn("exact_hit", lit(1L))
+    keyed.crossJoin(broadcast(sketch))
+      .withColumn("bloom_hit",
+        graft.functions.bloom_might_contain(
+          col("bloom"), col("h1"), col("h2"), BloomBits, BloomK).cast("long"))
+      .join(exact, Seq("th"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bloom_hit")).as("n_bloom_hits"),
+        sum(coalesce(col("exact_hit"), lit(0L))).as("n_exact_hits"))
+      .orderBy("source")
+  }
+
+  private val q73Sql =
+    s"""WITH k AS (
+       |  SELECT doc_id, source, md5(text) AS th,
+       |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h1,
+       |         (('0x' || substr(md5(text), 16, 15))::BIGINT) | 1 AS h2
+       |  FROM documents),
+       |bl AS (SELECT DISTINCT th, h1, h2 FROM k WHERE source = 'src0'),
+       |pos AS (SELECT DISTINCT (h1 + i * h2) % $BloomBits AS p
+       |        FROM bl, range(0, $BloomK) r(i)),
+       |dp AS (SELECT doc_id, (h1 + i * h2) % $BloomBits AS p
+       |       FROM k, range(0, $BloomK) r(i)),
+       |hit AS (SELECT doc_id FROM dp JOIN pos ON dp.p = pos.p
+       |        GROUP BY doc_id HAVING COUNT(*) = $BloomK)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       |       CAST(SUM(CASE WHEN k.th IN (SELECT th FROM bl) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits
+       |FROM k LEFT JOIN hit ON k.doc_id = hit.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q67_decontaminate", q67, Some(q67Sql), headline = true),
+    QuerySpec("q73_bloom_blocklist", q73, Some(q73Sql), headline = true),
   )
 }

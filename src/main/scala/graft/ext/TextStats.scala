@@ -365,6 +365,42 @@ object TextStats {
        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score_micro
        |FROM ranked WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin
 
+  /** q72 — intra-document repetition removal: collapse runs of
+    * consecutive repeated tokens (the degenerate "batch batch batch"
+    * pattern the corpus really contains) — the within-document tier
+    * of repetition cleaning, below q44/q45's cross-document dedup.
+    * Implemented as a single array expression per row — `filter` with
+    * the index lambda keeps position i iff i = 0 or ws[i] ≠ ws[i−1] —
+    * so the op is completely shuffle-free: at 100 TB this is a map
+    * stage, where the window-function formulation (posexplode + lag +
+    * re-aggregate) would shuffle every token twice. The lambda
+    * evaluates interpreted (higher-order functions don't codegen),
+    * which is the right trade here: one O(len) pass per document,
+    * evaluated once — unlike the q45/q46 shingle case where the
+    * interpreted expression sat inside self-join branches and was
+    * re-evaluated per branch.
+    */
+  private def q72(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val kept = filter(ws, (w, i) => i === 0 || w =!= get(ws, i - 1))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(ws).as("n_before"),
+        size(kept).as("n_after"),
+        array_join(kept, " ").as("compressed"))
+      .orderBy("doc_id")
+  }
+
+  private val q72Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w),
+      |k AS (SELECT doc_id, ws[i] AS w, i, CAST(len(ws) AS INT) AS n_before
+      |      FROM t WHERE i = 1 OR ws[i] != ws[i-1])
+      |SELECT doc_id, MIN(n_before) AS n_before, CAST(COUNT(*) AS INT) AS n_after,
+      |       string_agg(w, ' ' ORDER BY i) AS compressed
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -376,5 +412,6 @@ object TextStats {
     QuerySpec("q56_fuzzy_match",   q56, Some(q56Sql)),
     QuerySpec("q68_pii_redaction", q68, Some(q68Sql)),
     QuerySpec("q69_tfidf_topterms", q69, Some(q69Sql), headline = true),
+    QuerySpec("q72_repetition_removal", q72, Some(q72Sql)),
   )
 }

@@ -33,4 +33,12 @@ package object functions {
     */
   def dot_product(a: Column, b: Column): Column =
     SparkBridge.toColumn(DotProduct(SparkBridge.toExpression(a), SparkBridge.toExpression(b)))
+
+  /** Bloom-filter membership over an array<long> bitmap — see
+    * [[BloomMightContain]].
+    */
+  def bloom_might_contain(bitmap: Column, h1: Column, h2: Column, m: Int, k: Int): Column =
+    SparkBridge.toColumn(BloomMightContain(
+      SparkBridge.toExpression(bitmap), SparkBridge.toExpression(h1),
+      SparkBridge.toExpression(h2), m, k))
 }

@@ -20,6 +20,8 @@ class PlanGuardSpec extends SparkSpec {
     *   - q52: broadcasts the K=16 centroid table (fixed size);
     *   - q69: broadcasts the 1-row corpus-size aggregate (the q03
     *     scalar-broadcast pattern);
+    *   - q73: broadcasts the 1-row 512-byte Bloom sketch (same
+    *     pattern — membership testing is map work);
     *   - q53: the source×source inequality join runs over
     *     POST-AGGREGATION rows (one sketch per corpus) — its input
     *     cardinality is the number of corpora, independent of data
@@ -31,7 +33,8 @@ class PlanGuardSpec extends SparkSpec {
     "q51_embedding_neardup",
     "q52_ann_ivf",
     "q53_source_similarity",
-    "q69_tfidf_topterms")
+    "q69_tfidf_topterms",
+    "q73_bloom_blocklist")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 

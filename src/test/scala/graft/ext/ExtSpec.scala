@@ -245,6 +245,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q72 repetition removal: no consecutive duplicates remain, token counts consistent") {
+    val rows = run("q72_repetition_removal").collect()
+    assert(rows.length == 500)
+    var removedAny = false
+    rows.foreach { r =>
+      val before = r.getAs[Int]("n_before")
+      val after = r.getAs[Int]("n_after")
+      val toks = r.getAs[String]("compressed").split(" ", -1)
+      assert(toks.length == after && after <= before)
+      // fixpoint: a second compression pass changes nothing
+      assert(toks.sliding(2).forall(p => p.length < 2 || p(0) != p(1)),
+        s"doc ${r.getAs[Long]("doc_id")} still has a consecutive repeat")
+      if (after < before) removedAny = true
+    }
+    assert(removedAny, "corpus contains repeated runs; none were removed")
+  }
+
+  test("q73 bloom blocklist: no false negatives, FPs bounded, src0 fully self-matched") {
+    val rows = run("q73_bloom_blocklist").collect()
+    assert(rows.map(_.getAs[String]("source")).length == 20) // every source reported
+    var bloomTotal = 0L; var exactTotal = 0L; var docsTotal = 0L
+    rows.foreach { r =>
+      val bloom = r.getAs[Long]("n_bloom_hits")
+      val exact = r.getAs[Long]("n_exact_hits")
+      assert(exact <= bloom, s"${r.getAs[String]("source")}: bloom missed an exact hit")
+      if (r.getAs[String]("source") == "src0")
+        assert(exact == r.getAs[Long]("n_docs"), "src0 docs must all match their own blocklist")
+      bloomTotal += bloom; exactTotal += exact; docsTotal += r.getAs[Long]("n_docs")
+    }
+    // false-positive rate stays under 5% of the non-matching corpus
+    val fps = bloomTotal - exactTotal
+    assert(fps <= 0.05 * (docsTotal - exactTotal), s"$fps false positives on $docsTotal docs")
+  }
+
   test("q70 packing: sequences respect the token budget and are contiguous") {
     val rows = run("q70_sequence_packing").collect().map(r =>
       (r.getAs[Int]("bucket"), r.getAs[Long]("seq_id"),
