@@ -216,10 +216,37 @@ object TrainPrep {
       |       CAST(SUM(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** q74 — per-source corpus data card: the health report a data
+    * curator reads before mixing sources — volume (docs/chars/
+    * tokens), language spread, and exact-duplicate rate (distinct
+    * text fingerprints vs rows). One shuffle on `source` with all
+    * aggregates partial-agg'd map-side; COUNT(DISTINCT md5) shuffles
+    * 16-byte digests, not documents.
+    */
+  private def q74(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        countDistinct(md5(to_binary(col("text"), lit("utf-8")))).as("n_unique_texts"))
+      .orderBy("source")
+
+  private val q74Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q57_embedding_quantize", q57, Some(q57Sql), headline = true),
     QuerySpec("q58_dataset_split",      q58, Some(q58Sql)),
     QuerySpec("q70_sequence_packing",   q70, Some(q70Sql), headline = true),
     QuerySpec("q71_stratified_sample",  q71, Some(q71Sql)),
+    QuerySpec("q74_source_datacard",    q74, Some(q74Sql)),
   )
 }

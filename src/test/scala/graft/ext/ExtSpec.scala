@@ -279,6 +279,34 @@ class ExtSpec extends SparkSpec {
     assert(fps <= 0.05 * (docsTotal - exactTotal), s"$fps false positives on $docsTotal docs")
   }
 
+  test("q50c/q50d: sampling invariants hold and the corpus is ASCII (char = byte framing)") {
+    import org.apache.spark.sql.functions._
+    // the q50c/q50d oracles slice by CHAR while the ops conceptually
+    // slice bytes — equivalent only while payloads are ASCII; if the
+    // corpus ever grows multi-byte text this must fail loudly
+    val nonAscii = graft.Tables.documents(spark, sf)
+      .filter(length(col("text")) =!= octet_length(to_binary(col("text"), lit("utf-8"))))
+      .count()
+    assert(nonAscii == 0, "corpus no longer ASCII: q50c/q50d framing must switch to bytes")
+    val fs = run("q50c_frame_sampling").collect()
+    fs.foreach { r =>
+      val stride = r.getAs[Int]("stride")
+      assert(stride >= 2 && stride <= 5)
+      val expect = (r.getAs[Int]("n_frames") + stride - 1) / stride
+      assert(r.getAs[Int]("n_sampled") == expect)
+      assert(r.getAs[String]("sample_digest").matches("[0-9a-f]{32}"))
+    }
+    val rz = run("q50d_resize_thumb").collect()
+    rz.foreach { r =>
+      val (w, h) = (r.getAs[Int]("w"), r.getAs[Int]("h"))
+      assert(w >= 2 && w <= 64 && h >= 1)
+      assert(r.getAs[String]("thumb_digest").matches("[0-9a-f]{32}"))
+    }
+    // deterministic across runs
+    assert(run("q50d_resize_thumb").collect().map(_.getAs[String]("thumb_digest"))
+      .sameElements(rz.map(_.getAs[String]("thumb_digest"))))
+  }
+
   test("q70 packing: sequences respect the token budget and are contiguous") {
     val rows = run("q70_sequence_packing").collect().map(r =>
       (r.getAs[Int]("bucket"), r.getAs[Long]("seq_id"),
