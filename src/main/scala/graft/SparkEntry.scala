@@ -12,6 +12,7 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     graft.query.ParityQueries.specs ++
       graft.query.RelationalQueries.specs ++
+      graft.query.Maintenance.specs ++
       graft.ext.TextStats.specs ++
       graft.ext.Dedup.specs ++
       graft.ext.DupGraph.specs ++

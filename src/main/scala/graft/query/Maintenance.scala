@@ -1,0 +1,120 @@
+package graft.query
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse dimension-maintenance operators — the lifecycle half of a
+  * star schema the reference never reaches (its only maintenance story
+  * is `if_exists='replace'`, reference `server.py:115-130`): MERGE-
+  * style SCD-1 upsert and SCD-2 history construction. Both are pure
+  * equi-join/window plans (shuffle key = the dimension key), and both
+  * derive their change set deterministically from the testdata so the
+  * DuckDB oracle can rebuild the identical delta.
+  */
+object Maintenance {
+
+  /** q75 — SCD-1 upsert (MERGE INTO semantics): apply a CDC-style
+    * delta — updates (key % 7 = 0: segment overwrite + balance
+    * adjustment), deletes (key % 97 = 3), inserts (ten new negative
+    * keys) — to the customer dimension in one pass: anti-filter the
+    * deletes, left-join the updates and coalesce per column, union
+    * the inserts. Everything is keyed on c_custkey, so at scale the
+    * plan is one shuffle (or zero with a bucketed/partitioned target,
+    * where merge-on-read rewrites only the touched partitions). The
+    * delta is derived from the base table here purely so the oracle
+    * can reconstruct it; production feeds a real changelog through
+    * the same plan.
+    */
+  private def q75(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+    val upd = base.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        lit("UPDATED").as("new_seg"),
+        (col("c_acctbal") + 100).as("new_bal"))
+    val inserts = spark.range(1, 11).select(
+      (-col("id")).as("c_custkey"),
+      concat(lit("new_customer_"), col("id")).as("c_name"),
+      col("id").cast("int").as("c_nationkey"),
+      (lit(100.25) * col("id")).as("c_acctbal"),
+      lit("NEWSEG").as("c_mktsegment"))
+    base.filter(col("c_custkey") % 97 =!= 3)
+      .join(upd, Seq("c_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"),
+        coalesce(col("new_seg"), col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(inserts)
+      .orderBy("c_custkey")
+  }
+
+  private val q75Sql =
+    """WITH upd AS (
+      |  SELECT c_custkey, 'UPDATED' AS new_seg, c_acctbal + 100 AS new_bal
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |kept AS (SELECT * FROM customer WHERE c_custkey % 97 != 3),
+      |merged AS (
+      |  SELECT k.c_custkey, k.c_name, k.c_nationkey,
+      |         COALESCE(u.new_bal, k.c_acctbal) AS c_acctbal,
+      |         COALESCE(u.new_seg, k.c_mktsegment) AS c_mktsegment
+      |  FROM kept k LEFT JOIN upd u USING (c_custkey)
+      |  UNION ALL
+      |  SELECT -i, 'new_customer_' || i, CAST(i AS INT), 100.25 * i, 'NEWSEG'
+      |  FROM range(1, 11) r(i))
+      |SELECT * FROM merged ORDER BY c_custkey""".stripMargin
+
+  /** q76 — SCD-2 history: build the versioned slowly-changing
+    * dimension from an event log — each customer's order-priority
+    * change opens a new version with `[effective_from, effective_to)`
+    * validity and an `is_current` flag on the open version. Two
+    * window passes over the same (key, time, tie-break) ordering —
+    * change detection via `lag`, validity closure via `lead` — so
+    * Catalyst reuses one sort/exchange; the only shuffle key is the
+    * dimension key. The (custkey, date) tie is broken by o_orderkey
+    * in BOTH engines or change detection itself would be
+    * nondeterministic (the testdata contains exactly one such tie).
+    */
+  private def q76(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("effective_to", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"),
+        col("version"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("effective_from"),
+        col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
+  private val q76Sql =
+    """WITH m AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |         LAG(o_orderpriority) OVER
+      |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |c AS (SELECT * FROM m WHERE prev IS NULL OR prev != o_orderpriority),
+      |v AS (
+      |  SELECT o_custkey,
+      |         CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |         o_orderpriority AS priority,
+      |         o_orderdate AS effective_from,
+      |         LEAD(o_orderdate) OVER w AS effective_to
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT *, effective_to IS NULL AS is_current FROM v
+      |ORDER BY o_custkey, version""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
+    QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
+  )
+}
