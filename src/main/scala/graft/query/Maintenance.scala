@@ -113,8 +113,50 @@ object Maintenance {
       |SELECT *, effective_to IS NULL AS is_current FROM v
       |ORDER BY o_custkey, version""".stripMargin
 
+  /** q78 — latest-wins log compaction: reduce an append-only event
+    * log to one current row per key (the CDC compaction every
+    * merge-on-read table format runs), deterministically — ordered by
+    * event time with the unique event_id as tie-break. One shuffle on
+    * the key; Spark's WindowGroupLimit pushes the rank-1 filter below
+    * the full sort (rank ≤ k prunes per partition before the window),
+    * and the per-user event count rides the same window partition.
+    * At extreme key cardinality the same semantics are expressible as
+    * `max_by(struct(...), struct(ts, event_id))` — a map-side-partial
+    * aggregate with no sort at all; the window form is kept here
+    * because it also emits the per-key history size.
+    */
+  private def q78(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("ts").as("last_ts"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"),
+        col("event_id").as("last_event_id"),
+        col("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val q78Sql =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_type, value, event_id,
+      |         ROW_NUMBER() OVER
+      |           (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events)
+      |SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+      |       value AS last_value, event_id AS last_event_id,
+      |       CAST(n_events AS BIGINT) AS n_events
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
+    QuerySpec("q78_log_compaction", q78, Some(q78Sql)),
   )
 }

@@ -40,6 +40,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dp") == 11.0)
   }
 
+  test("bloom_might_contain callable from SQL, membership matches the builder") {
+    val bits = new Array[Long](64) // m = 4096
+    graft.functions.Bloom64.set(bits, 12345L, 67891L, 4096, 6)
+    val lit = bits.mkString("array(", "L, ", "L)")
+    val r = spark.sql(
+      s"""SELECT bloom_might_contain($lit, 12345L, 67891L, 4096, 6) AS hit,
+         |       bloom_might_contain($lit, 54321L, 19876L, 4096, 6) AS miss
+         |""".stripMargin).collect()(0)
+    assert(r.getAs[Boolean]("hit"))
+    assert(!r.getAs[Boolean]("miss"))
+  }
+
   test("SQL and Column-API forms agree") {
     import org.apache.spark.sql.functions.{col, split}
     val df = spark.createDataFrame(Seq(Tuple1("the quick brown fox jumps"))).toDF("text")
