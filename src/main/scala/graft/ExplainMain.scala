@@ -16,7 +16,9 @@ object ExplainMain {
       else Seq("q21_pricing_summary", "q20_star_denorm", "q22_top_customers",
         "q03_price_histogram", "q44_exact_dedup", "q45_ngram_jaccard",
         "q46_minhash_lsh", "q48_ann_bruteforce", "q51b_embedding_neardup_blocked",
-        "q56_fuzzy_match", "q57_embedding_quantize")
+        "q56_fuzzy_match", "q57_embedding_quantize", "q59_dup_clusters",
+        "q67_decontaminate", "q69_tfidf_topterms", "q70_sequence_packing",
+        "q73_bloom_blocklist", "q75_scd1_upsert", "q78_log_compaction")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -147,21 +147,30 @@ object TrainPrep {
       .as[(Long, Int, Int)]
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
-      .mapPartitions { it =>
-        // a hash partition holds several buckets back-to-back (sorted),
-        // so the fold state resets at each bucket boundary
-        var bucket = -1
-        var seq = 0L
-        var fill = 0L
-        it.map { case (id, b, t) =>
-          if (b != bucket) { bucket = b; seq = 0L; fill = t.toLong }
-          else if (fill + t > TokenBudget) { seq += 1; fill = t.toLong }
-          else fill += t
-          (id, b, seq, t)
-        }
-      }
+      .mapPartitions(packNextFit(_, TokenBudget))
       .toDF("doc_id", "bucket", "seq_id", "n_tokens")
       .orderBy("doc_id")
+  }
+
+  /** The q70 per-partition fold, extracted for direct unit testing
+    * (the corpus has no doc above the budget, so the oversized-doc
+    * branch is only reachable from a synthetic spec). Input must be
+    * sorted by (bucket, doc_id); a hash partition holds several
+    * buckets back-to-back, so the state resets at bucket boundaries.
+    * A doc with more tokens than the budget occupies its sequence
+    * alone (next-fit: it still closes the previous sequence first).
+    */
+  private[ext] def packNextFit(
+      it: Iterator[(Long, Int, Int)], budget: Int): Iterator[(Long, Int, Long, Int)] = {
+    var bucket = -1
+    var seq = 0L
+    var fill = 0L
+    it.map { case (id, b, t) =>
+      if (b != bucket) { bucket = b; seq = 0L; fill = t.toLong }
+      else if (fill + t > budget) { seq += 1; fill = t.toLong }
+      else fill += t
+      (id, b, seq, t)
+    }
   }
 
   private val q70Sql =

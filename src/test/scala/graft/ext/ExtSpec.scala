@@ -307,6 +307,18 @@ class ExtSpec extends SparkSpec {
       .sameElements(rz.map(_.getAs[String]("thumb_digest"))))
   }
 
+  test("packNextFit handles oversized docs and bucket boundaries (synthetic)") {
+    // budget 10; bucket 1: 6,6 split; bucket 2: oversized 25 alone,
+    // then 4+5 share, 9 overflows to a new seq
+    val in = Iterator(
+      (1L, 1, 6), (2L, 1, 6),
+      (3L, 2, 25), (4L, 2, 4), (5L, 2, 5), (6L, 2, 9))
+    val out = TrainPrep.packNextFit(in, 10).toSeq
+    assert(out == Seq(
+      (1L, 1, 0L, 6), (2L, 1, 1L, 6),
+      (3L, 2, 0L, 25), (4L, 2, 1L, 4), (5L, 2, 1L, 5), (6L, 2, 2L, 9)))
+  }
+
   test("q70 packing: sequences respect the token budget and are contiguous") {
     val rows = run("q70_sequence_packing").collect().map(r =>
       (r.getAs[Int]("bucket"), r.getAs[Long]("seq_id"),
