@@ -34,6 +34,12 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     SparkBridge.toColumn(DotProduct(SparkBridge.toExpression(a), SparkBridge.toExpression(b)))
 
+  /** Collapse consecutive repeated tokens in a string — see
+    * [[CollapseRuns]].
+    */
+  def collapse_runs(c: Column): Column =
+    SparkBridge.toColumn(CollapseRuns(SparkBridge.toExpression(c)))
+
   /** Bloom-filter membership over an array<long> bitmap — see
     * [[BloomMightContain]].
     */

@@ -31,8 +31,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       simhash64(array('a', 'b')) AS sh,
         |       size(minhash_signature(array('x', 'y'), 16)) AS mh_len,
         |       word_shingles('a b c d', 3) AS ws,
-        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |       collapse_runs('a a b b b a c c') AS cr
         |""".stripMargin).collect()(0)
+    assert(r.getAs[String]("cr") == "a b a c")
     assert(r.getAs[Long]("rh") == graft.functions.RollingHash64.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
     assert(r.getAs[Int]("mh_len") == 16)
