@@ -254,6 +254,44 @@ object StreamingQueries {
       |     BETWEEN 0 AND 86400000000
       |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
 
+  /** q79 — CHAINED stateful streaming (the multi-stateful-operator
+    * support Spark gained in 3.4): one streaming query runs
+    * filter → watermarked `dropDuplicates` → tumbling-window count —
+    * the full streaming ingestion pipeline (quality gate, dedup,
+    * daily rollup) in a single incremental plan with two state
+    * stores. Chained stateful operators REQUIRE append mode, and
+    * append emits a window only once the watermark passes its end —
+    * so the final day(s) of the replay are legitimately withheld.
+    * The oracle mirrors that emission rule exactly: it keeps only
+    * windows with `end <= max(click ts) − 1h` (the final watermark of
+    * this stream), making Spark's append semantics themselves part of
+    * the checked contract.
+    */
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("day", "1 hour")
+      .dropDuplicates("user_id", "day")
+      .groupBy(window(col("day"), "1 day"))
+      .agg(count(lit(1)).as("n_unique_users"))
+    drain(spark, agg, "append")
+      .select(col("window.start").as("day"), col("n_unique_users"))
+      .orderBy("day")
+  }
+
+  private val q79Sql =
+    """WITH clicks AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts
+      |  FROM events WHERE event_type = 'click'),
+      |dedup AS (SELECT DISTINCT user_id, day FROM clicks),
+      |wm AS (SELECT CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) - INTERVAL 1 HOUR AS w
+      |       FROM clicks)
+      |SELECT day, COUNT(*) AS n_unique_users
+      |FROM dedup
+      |WHERE day + INTERVAL 1 DAY <= (SELECT w FROM wm)
+      |GROUP BY day ORDER BY day""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -261,5 +299,6 @@ object StreamingQueries {
     QuerySpec("q63_session_window", q63, Some(q63Sql), headline = true),
     QuerySpec("q64_stateful_running", q64, Some(q64Sql), headline = true),
     QuerySpec("q65_stream_join",    q65, Some(q65Sql), headline = true),
+    QuerySpec("q79_stream_pipeline", q79, Some(q79Sql), headline = true),
   )
 }
