@@ -297,6 +297,59 @@ object Dedup {
       .orderBy("a_source", "b_source")
   }
 
+  /** q80 — INCREMENTAL dedup: dedupe a new ingest batch against the
+    * existing corpus without re-touching corpus pairs — the shape
+    * every production pipeline actually runs (full-corpus q44/q45
+    * recomputes are a bootstrap, not a daily job). Batch = the q58
+    * test split (bucket ≥ 90), corpus = the rest. Two checks per new
+    * doc, both keyed on the 16-byte text digest:
+    *   (1) against the corpus — a LEFT join to the corpus FINGERPRINT
+    *       index (doc_id + md5 only; in production this index is
+    *       pre-materialized, so the corpus' text is never re-read and
+    *       the join cost scales with the BATCH, not the corpus);
+    *   (2) within the batch — first occurrence (min doc_id) survives.
+    * Verdict per doc: 'dup_of_corpus' / 'dup_in_batch' / 'new'.
+    */
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    val fingerprinted = Tables.documents(spark, dir)
+      .withColumn("bucket", TrainPrep.splitBucket(col("doc_id")))
+      .select(col("doc_id"), col("bucket"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("th"))
+    val batch  = fingerprinted.filter(col("bucket") >= 90).drop("bucket")
+    val corpus = fingerprinted.filter(col("bucket") < 90)
+      .groupBy(col("th")).agg(min(col("doc_id")).as("corpus_id"))
+    val firstInBatch = batch.groupBy(col("th")).agg(min(col("doc_id")).as("first_id"))
+    batch
+      .join(corpus, Seq("th"), "left")
+      .join(firstInBatch, Seq("th"))
+      .select(
+        col("doc_id"),
+        when(col("corpus_id").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") =!= col("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("corpus_id"),
+          when(col("doc_id") =!= col("first_id"), col("first_id"))).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  private val q80Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+      |         md5(text) AS th
+      |  FROM documents),
+      |batch AS (SELECT doc_id, th FROM f WHERE bucket >= 90),
+      |corpus AS (SELECT th, MIN(doc_id) AS corpus_id FROM f WHERE bucket < 90 GROUP BY th),
+      |fib AS (SELECT th, MIN(doc_id) AS first_id FROM batch GROUP BY th)
+      |SELECT b.doc_id,
+      |       CASE WHEN c.corpus_id IS NOT NULL THEN 'dup_of_corpus'
+      |            WHEN b.doc_id != fib.first_id THEN 'dup_in_batch'
+      |            ELSE 'new' END AS verdict,
+      |       COALESCE(c.corpus_id,
+      |                CASE WHEN b.doc_id != fib.first_id THEN fib.first_id END) AS dup_of
+      |FROM batch b LEFT JOIN corpus c ON b.th = c.th JOIN fib ON b.th = fib.th
+      |ORDER BY b.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
@@ -304,5 +357,6 @@ object Dedup {
     QuerySpec("q46b_minhash_sql",   q46b, Some(q46bSql)),
     QuerySpec("q47_simhash",        q47, None),
     QuerySpec("q53_source_similarity", q53, None),
+    QuerySpec("q80_incremental_dedup", q80, Some(q80Sql)),
   )
 }

@@ -154,9 +154,84 @@ object Maintenance {
       |       CAST(n_events AS BIGINT) AS n_events
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** q81 — data-quality audit (the deequ/dbt-test tier): run the
+    * warehouse's constraint suite and report one row per check with
+    * its violation count. Same-table checks fuse into ONE conditional
+    * aggregation pass per table (no per-check scans); referential
+    * checks are anti-join counts keyed on the FK (shuffle or
+    * broadcast by size). All checks return a count — including the
+    * passing ones — so the report distinguishes "checked and clean"
+    * from "not checked", and a scheduler can alert on any
+    * n_violations > 0. At 100 TB each table is still read exactly
+    * once for its fused check pass.
+    */
+  private def q81(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(pred: org.apache.spark.sql.Column) =
+      sum(when(pred, 1L).otherwise(0L))
+    val li = Tables.lineitem(spark, dir)
+    val liChecks = li.agg(
+      cnt(col("l_quantity") <= 0).as("lineitem_nonpositive_qty"),
+      cnt(col("l_extendedprice") < 0).as("lineitem_negative_price"),
+      cnt(col("l_discount") < 0 || col("l_discount") > 1).as("lineitem_discount_range"),
+      cnt(col("l_orderkey").isNull).as("lineitem_null_orderkey"))
+    val ord = Tables.orders(spark, dir)
+    val ordChecks = ord.agg(
+      cnt(col("o_totalprice") <= 0).as("orders_nonpositive_total"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_duplicate_pk"))
+    val fkLineOrder = li.join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphan_orderkey"))
+    val fkOrderCust = ord.join(Tables.customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orders_orphan_custkey"))
+    def unpivot(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("check_name"), col(c).cast("long").as("n_violations"))): _*)).as("kv"))
+        .select(col("kv.check_name"), col("kv.n_violations"))
+    }
+    unpivot(liChecks)
+      .unionByName(unpivot(ordChecks))
+      .unionByName(unpivot(fkLineOrder))
+      .unionByName(unpivot(fkOrderCust))
+      .orderBy("check_name")
+  }
+
+  private val q81Sql =
+    """WITH li AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS lineitem_nonpositive_qty,
+      |    CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS lineitem_negative_price,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS lineitem_discount_range,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lineitem_null_orderkey
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS orders_nonpositive_total,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS orders_duplicate_pk
+      |  FROM orders),
+      |fk1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS lineitem_orphan_orderkey
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders x WHERE x.o_orderkey = l.l_orderkey)),
+      |fk2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS orders_orphan_custkey
+      |  FROM orders y WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = y.o_custkey))
+      |SELECT 'lineitem_nonpositive_qty' AS check_name, lineitem_nonpositive_qty AS n_violations FROM li
+      |UNION ALL SELECT 'lineitem_negative_price', lineitem_negative_price FROM li
+      |UNION ALL SELECT 'lineitem_discount_range', lineitem_discount_range FROM li
+      |UNION ALL SELECT 'lineitem_null_orderkey', lineitem_null_orderkey FROM li
+      |UNION ALL SELECT 'orders_nonpositive_total', orders_nonpositive_total FROM o
+      |UNION ALL SELECT 'orders_duplicate_pk', orders_duplicate_pk FROM o
+      |UNION ALL SELECT 'lineitem_orphan_orderkey', lineitem_orphan_orderkey FROM fk1
+      |UNION ALL SELECT 'orders_orphan_custkey', orders_orphan_custkey FROM fk2
+      |ORDER BY check_name""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
     QuerySpec("q78_log_compaction", q78, Some(q78Sql)),
+    QuerySpec("q81_dq_audit",     q81, Some(q81Sql)),
   )
 }
