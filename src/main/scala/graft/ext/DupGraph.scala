@@ -29,8 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object DupGraph {
 
-  /** Safety bound on propagation rounds (hit only by a path graph of
-    * length ≥ 2^MaxRounds, impossible for dup clusters).
+  /** Safety bound on propagation rounds. One-hop min-label propagation
+    * converges in O(diameter) rounds (NOT O(log n)), so this bound is
+    * hit by any component of diameter > 16 — plausible only for
+    * adversarial chains, not dup clusters. Rather than silently return
+    * wrong labels, `connectedComponents` throws when the bound is hit
+    * unconverged (the large-star/small-star contraction cited above is
+    * the O(log n) upgrade if that ever fires).
     */
   private val MaxRounds = 16
 
@@ -63,6 +68,10 @@ object DupGraph {
       labels = next
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxRounds rounds " +
+          "(component diameter exceeds the bound); labels would be wrong")
     labels
   }
 

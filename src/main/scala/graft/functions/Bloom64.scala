@@ -22,11 +22,17 @@ import org.apache.spark.sql.types._
   */
 object Bloom64 {
 
-  /** Set key (h1,h2)'s k bits in a little-endian long-array bitmap. */
+  /** Set key (h1,h2)'s k bits in a little-endian long-array bitmap.
+    * floorMod (not %): the SQL-registered `bloom_might_contain` accepts
+    * arbitrary bigints, and a negative hash (or signed overflow of
+    * h1 + i·h2) under Java's signed remainder would index out of
+    * bounds. For the 60-bit positive md5 halves the internal callers
+    * feed, floorMod ≡ %, so existing bitmaps are unchanged.
+    */
   def set(bits: Array[Long], h1: Long, h2: Long, m: Int, k: Int): Unit = {
     var i = 0
     while (i < k) {
-      val p = ((h1 + i * h2) % m).toInt
+      val p = java.lang.Math.floorMod(h1 + i * h2, m.toLong).toInt
       bits(p >> 6) |= 1L << (p & 63)
       i += 1
     }
@@ -36,7 +42,7 @@ object Bloom64 {
   def mightContain(bits: ArrayData, h1: Long, h2: Long, m: Int, k: Int): Boolean = {
     var i = 0
     while (i < k) {
-      val p = ((h1 + i * h2) % m).toInt
+      val p = java.lang.Math.floorMod(h1 + i * h2, m.toLong).toInt
       if ((bits.getLong(p >> 6) & (1L << (p & 63))) == 0L) return false
       i += 1
     }
