@@ -212,30 +212,39 @@ object Dedup {
 
   /** q46b — reduced-width MinHash signature, ORACLE-CHECKED: the
     * rows-only q46/q53 sketches rest on Spark-internal murmur3, which
-    * no other engine reproduces; this variant derives each of the
-    * k=8 hash families from md5 — identical bytes in every engine —
-    * so the whole signature is DuckDB-verifiable. Per shingle s and
-    * family k: hash = int(hex15(md5(s + "#" + k))) (15 hex chars =
-    * 60 bits, safely inside BIGINT); per doc: element-wise MIN over
-    * its shingle set — the same min-wise algebraic aggregation as
-    * q46/q53, exercised end-to-end under the exact hash compare.
-    * Signature lands as 8 scalar columns (driver-sortable).
+    * no other engine reproduces; this variant derives every hash from
+    * md5 — identical bytes in every engine — so the whole signature is
+    * DuckDB-verifiable. The k=8 families come from ONE digest per
+    * shingle via Kirsch–Mitzenmacher double hashing ("Less Hashing,
+    * Same Performance", ESA'06): family k's hash is `h1 + k·h2` over
+    * the digest's two 56-bit halves (14 hex chars each — 56 bits keeps
+    * `h1 + 7·h2 < 2^59`, safely inside BIGINT for both engines; DuckDB
+    * ERRORS on signed overflow rather than wrapping, so headroom is
+    * mandatory). One md5 + two hex-to-int conversions per shingle
+    * instead of eight of each — this was the slowest bench query
+    * (9.9s at sf0.1) purely from redundant digesting. Per doc:
+    * element-wise MIN over its shingle set — the same min-wise
+    * algebraic aggregation as q46/q53, exercised end-to-end under the
+    * exact hash compare. Signature lands as 8 scalar columns
+    * (driver-sortable).
     */
   private def q46b(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-    def h(k: Int): Column =
-      conv(substring(md5(to_binary(concat(col("s"), lit(s"#$k")), lit("utf-8"))), 1, 15), 16, 10)
-        .cast("long")
-    val aggs = (0 until SqlMinHashK).map(k => min(h(k)).as(s"mh$k"))
-    sh.groupBy(col("doc_id"))
+    val d = md5(to_binary(col("s"), lit("utf-8")))
+    val withH = sh.select(col("doc_id"),
+      conv(substring(d, 1, 14), 16, 10).cast("long").as("h1"),
+      conv(substring(d, 15, 14), 16, 10).cast("long").as("h2"))
+    val aggs = (0 until SqlMinHashK)
+      .map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"mh$k"))
+    withH.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("doc_id")
   }
 
   private val q46bSql = {
     val mins = (0 until SqlMinHashK)
-      .map(k => s"MIN(('0x' || substr(md5(s || '#$k'), 1, 15))::BIGINT) AS mh$k")
+      .map(k => s"MIN(h1 + $k * h2) AS mh$k")
       .mkString(",\n       ")
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh AS (
@@ -245,10 +254,14 @@ object Dedup {
        |  FROM (SELECT doc_id, ws,
        |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
        |                           ELSE [1] END) AS i
-       |        FROM w))
+       |        FROM w)),
+       |hh AS (SELECT doc_id,
+       |              ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+       |              ('0x' || substr(md5(s), 15, 14))::BIGINT AS h2
+       |       FROM sh)
        |SELECT doc_id,
        |       $mins
-       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** q47 — 64-bit SimHash per document (rows-only): majority vote per
@@ -266,6 +279,56 @@ object Dedup {
         size(ws).as("n_words"))
       .orderBy("doc_id")
   }
+
+  /** Bit width of the q47b engine-portable SimHash (60 = 15 hex chars
+    * of md5 — the widest value that stays positive in a signed BIGINT
+    * in every engine; DuckDB errors on hex-cast overflow at 16).
+    */
+  private val SimHashBits = 60
+
+  /** q47b — SimHash, ORACLE-CHECKED (the q46→q46b move applied to
+    * q47): per-word 60-bit hashes from md5 — identical bytes in every
+    * engine — and the bit-majority vote expressed relationally, so
+    * DuckDB re-derives the exact simhash value. Spark side: explode
+    * words → ONE groupBy(doc_id) with 60 codegen'd conditional sums
+    * (partial aggregation map-side; only 60-long bit-tally rows ride
+    * the shuffle, never words) → reassemble the simhash from the sign
+    * of each tally. Same majority/tie semantics as the native q47
+    * (bit set iff tally > 0); q47 stays the fast production form
+    * (one fused expression, no shuffle), q47b is its engine-exact
+    * verification twin.
+    */
+  private def q47b(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+    val h = conv(substring(md5(to_binary(col("wd"), lit("utf-8"))), 1, 15), 16, 10)
+      .cast("long")
+    val withH = words.select(col("doc_id"), h.as("h"))
+    val bitSums = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
+    val tallies = withH.groupBy(col("doc_id"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).cast("int").as("n_words")): _*)
+    val simhash = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tallies
+      .select(col("doc_id"), simhash.as("simhash60"), col("n_words"))
+      .orderBy("doc_id")
+  }
+
+  private val q47bSql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT AS h FROM w),
+       |b AS (SELECT doc_id, j,
+       |             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |      FROM h CROSS JOIN (SELECT unnest(range(0, $SimHashBits)) AS j) bits
+       |      GROUP BY doc_id, j),
+       |s AS (SELECT doc_id,
+       |             CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash60
+       |      FROM b GROUP BY doc_id),
+       |n AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words FROM w GROUP BY doc_id)
+       |SELECT s.doc_id, s.simhash60, n.n_words
+       |FROM s JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** q53 — corpus-level similarity via the custom typed
     * [[graft.functions.MinHashUnion]] Aggregator (rows-only): one
@@ -356,6 +419,7 @@ object Dedup {
     QuerySpec("q46_minhash_lsh",    q46, None,         headline = true),
     QuerySpec("q46b_minhash_sql",   q46b, Some(q46bSql)),
     QuerySpec("q47_simhash",        q47, None),
+    QuerySpec("q47b_simhash_sql",   q47b, Some(q47bSql)),
     QuerySpec("q53_source_similarity", q53, None),
     QuerySpec("q80_incremental_dedup", q80, Some(q80Sql)),
   )

@@ -86,12 +86,26 @@ object Similarity {
   private val NumTables = 4
   private val PlanesPerTable = 6
 
-  /** Array of `numTables` bucket keys for one vector. Hyperplane
-    * seeds depend only on (table, plane, dim), so two callers with
-    * the same parameters see identical tables.
+  /** Array of `numTables` bucket keys for one vector — the native
+    * codegen expression [[graft.functions.LshBuckets]]. Hyperplane
+    * seeds depend only on (table, plane, dim), so two callers with the
+    * same parameters see identical tables; the expression is
+    * bit-identical to the interpreted
+    * `transform(aggregate(zip_with(...)))` composition it replaced
+    * (LshBucketsSpec proves parity against that formulation), but runs
+    * as one generated loop over per-JVM precomputed hyperplanes
+    * instead of tables × planes × 64 boxed lambda evals per row.
     */
   private def lshBuckets(vec: Column, numTables: Int = NumTables,
       planesPerTable: Int = PlanesPerTable): Column =
+    graft.functions.lsh_buckets(vec, numTables, planesPerTable)
+
+  /** The interpreted built-in formulation LshBuckets replaced — kept
+    * (test-only) as the executable spec of the hyperplane family;
+    * LshBucketsSpec asserts the native expression matches it exactly.
+    */
+  private[ext] def lshBucketsInterpreted(vec: Column, numTables: Int,
+      planesPerTable: Int): Column =
     transform(sequence(lit(0), lit(numTables - 1)), t =>
       aggregate(
         transform(sequence(lit(0), lit(planesPerTable - 1)), p => {
@@ -108,23 +122,35 @@ object Similarity {
     * shuffle key is (table, bucket) — the full cross product is never
     * touched, which is the 100 TB path. AnnSpec measures recall
     * against q48's exact top-k.
+    *
+    * Vectors do NOT ride the candidate shuffles (the q51b pattern):
+    * the bucket index rows, the equi-join, and the multi-table
+    * `.distinct()` carry only 16-byte id pairs — at 64 doubles/vector
+    * the previous vector-carrying distinct multiplied that exchange
+    * ~60× — and the embeddings are re-joined once per SURVIVING
+    * candidate. AnnSpec plan-asserts no Aggregate groups on an array
+    * column.
     */
   private def q49(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
-      .withColumn("bks", lshBuckets(col("ve")))
+      .withColumn("nrm", norm(col("ve")))
     val tableIdx = sequence(lit(0), lit(NumTables - 1))
-    def explodeBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol), col("ve").as(vecCol),
-          explode(zip_with(col("bks"), tableIdx, (b, t) => struct(t.as("t"), b.as("b")))).as("tb"))
-        .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.b").as("b"))
-    val cands = explodeBuckets(e, "vec_id", "ce")
-    val qs    = explodeBuckets(e.filter(col("vec_id") < NumQueries), "qid", "qe")
-    val scored = cands.join(qs, Seq("t", "b"))
+    val buckets = e.select(col("vec_id"),
+        explode(zip_with(lshBuckets(col("ve")), tableIdx,
+          (b, t) => struct(t.as("t"), b.as("b")))).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val candPairs = buckets
+      .join(buckets.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("t"), col("b")),
+        Seq("t", "b"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("qe"), col("ce"))
-      .distinct() // a pair may collide in several tables
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .select(col("qid"), col("vec_id"))
+      .distinct() // a pair may collide in several tables — ids only
+    val scored = candPairs
+      .join(e.select(col("vec_id").as("qid"), col("ve").as("qe"), col("nrm").as("qn")), "qid")
+      .join(e.select(col("vec_id"), col("ve").as("ce"), col("nrm").as("cn")), "vec_id")
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored

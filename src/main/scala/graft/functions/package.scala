@@ -40,6 +40,12 @@ package object functions {
   def collapse_runs(c: Column): Column =
     SparkBridge.toColumn(CollapseRuns(SparkBridge.toExpression(c)))
 
+  /** Random-hyperplane LSH bucket keys (array<int>, length numTables)
+    * of an array<double> vector — see [[LshBuckets]].
+    */
+  def lsh_buckets(vec: Column, numTables: Int, planesPerTable: Int): Column =
+    SparkBridge.toColumn(LshBuckets(SparkBridge.toExpression(vec), numTables, planesPerTable))
+
   /** Bloom-filter membership over an array<long> bitmap — see
     * [[BloomMightContain]].
     */
