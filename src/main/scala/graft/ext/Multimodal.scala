@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
@@ -60,7 +60,7 @@ object Multimodal extends Serializable {
     */
   val FeatureDim = 8
 
-  /** q50b — the decode/feature-extract stage (rows-only check):
+  /** q50b — the decode/feature-extract stage (ORACLE-CHECKED):
     * partition-wise batch processing over the binary column via
     * `mapPartitions` — one iterator pass per partition, no per-row
     * driver involvement, the exact shape a batched media decoder
@@ -68,7 +68,17 @@ object Multimodal extends Serializable {
     *
     * STUB: the "decode" below fabricates deterministic features from
     * the payload bytes (rolling hash per stripe). A real deployment
-    * replaces ONLY the body of `decode` with the codec call.
+    * replaces ONLY the body of `decode` with the codec call. The stub
+    * arithmetic is chosen to be ENGINE-PORTABLE so DuckDB re-derives
+    * every feature (the rolling fold as a recursive CTE stepping one
+    * byte per iteration): the hash folds mod the prime 1000003 —
+    * `h·31 + byte < 2^26`, no overflow anywhere (DuckDB ERRORS on
+    * BIGINT overflow, so a mod-2^64 hash would be unmirrorable) — and
+    * features quantize to `(h mod 1024)/1024`, a power-of-two divisor
+    * so the float32 value widens to EXACTLY the double DuckDB
+    * computes (k/1000 would differ in low bits between f32 and f64
+    * rounding and break the hash gate). Relies on the ASCII corpus
+    * (byte = `ord(char)`), same guard as q50c/q50d.
     */
   private def q50b(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -83,10 +93,8 @@ object Multimodal extends Serializable {
         var h = 17L
         var j = i * stripe
         val end = math.min(payload.length, (i + 1) * stripe)
-        while (j < end) { h = h * 31 + (payload(j) & 0xff); j += 1 }
-        // floorMod: the rolling hash overflows Long and Scala's % keeps
-        // the dividend's sign — features must land in [0,1)
-        java.lang.Math.floorMod(h, 1000L).toFloat / 1000f
+        while (j < end) { h = (h * 31 + (payload(j) & 0xff)) % 1000003L; j += 1 }
+        (h % 1024).toFloat / 1024f
       }
       MediaFeatures(docId, payload.length, payload.length % 640,
         (payload.length * 3) % 480, feats)
@@ -103,44 +111,73 @@ object Multimodal extends Serializable {
       .orderBy("doc_id")
   }
 
+  /** DuckDB mirror of the q50b stub: the per-stripe rolling fold is a
+    * recursive CTE advancing one byte per iteration — all (doc,
+    * stripe) states step in parallel, so iterations = longest stripe,
+    * not corpus size (NOTES.md: the q70 precedent at sf0.1).
+    */
+  private val q50bSql = {
+    val featAggs = (0 until FeatureDim)
+      .map(i => s"MAX(CASE WHEN i = $i THEN (h % 1024) / 1024.0 END) AS f$i")
+      .mkString(",\n       |         ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS n FROM documents),
+       |st AS (
+       |  SELECT doc_id, text, n, GREATEST(1, n // $FeatureDim) AS stripe,
+       |         unnest(range(0, $FeatureDim)) AS i
+       |  FROM d),
+       |roll AS (
+       |  SELECT doc_id, text, i,
+       |         CAST(i * stripe AS BIGINT) AS j,
+       |         CAST(LEAST(n, (i + 1) * stripe) AS BIGINT) AS e,
+       |         17::BIGINT AS h
+       |  FROM st
+       |  UNION ALL
+       |  SELECT doc_id, text, i, j + 1, e,
+       |         (h * 31 + ord(substr(text, CAST(j AS INT) + 1, 1))) % 1000003
+       |  FROM roll WHERE j < e),
+       |f AS (SELECT doc_id, i, h FROM roll WHERE j >= e),
+       |feat AS (
+       |  SELECT doc_id,
+       |         $featAggs
+       |  FROM f GROUP BY doc_id)
+       |SELECT d.doc_id, d.n AS n_bytes, CAST(d.n % 640 AS INT) AS width,
+       |       CAST((d.n * 3) % 480 AS INT) AS height,
+       |       ${(0 until FeatureDim).map(i => s"f$i").mkString(", ")}
+       |FROM d JOIN feat USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Frame width (chars) for q50c's frame interpretation. Payload
     * text is ASCII in this corpus, so char frames = byte frames; the
     * oracle relies on that equivalence (documented, spec-checked).
     */
   private val FrameLen = 16
 
-  /** One frame-sampled "video": stride-th frames digested. */
-  final case class FrameSample(
-      doc_id: Long, n_frames: Int, stride: Int, n_sampled: Int, sample_digest: String)
-
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   /** q50c — frame sampling (oracle-checked): treat the payload as a
     * sequence of fixed-width frames and keep every stride-th one (the
     * video keyframe-sampling step of a multimodal pipeline), stride
-    * driven by per-row metadata. Same partition-batch shape as q50b —
-    * one `mapPartitions` iterator pass, no shuffle before the
-    * contract sort; a real deployment replaces the substring slicing
-    * with the demuxer call, keeping schema and batch shape. The
-    * sampling arithmetic is pure integer math and the digest is md5,
-    * so the whole op is engine-portable and the oracle verifies the
-    * SAMPLED BYTES (via digest), not just counts.
+    * driven by per-row metadata. Pure Catalyst column composition —
+    * sequence/filter over frame indices, `substr` slicing, one md5 —
+    * so the scan stays columnar with no DeserializeToObject in the
+    * plan and no shuffle before the contract sort (the earlier
+    * `mapPartitions` formulation paid object ser/de for what is
+    * relational integer math; the partition-batch seam a REAL codec
+    * needs is demonstrated where the codec actually sits, q50b). The
+    * oracle verifies the SAMPLED BYTES (via digest), not just counts.
     */
   private def q50c(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val n = length(col("text"))
+    val nf = floor((n + lit(FrameLen - 1)) / lit(FrameLen)).cast("int")
+    val stride = (col("doc_id") % 4 + 2).cast("int")
+    // guard nf = 0: sequence(0, -1) would generate a DESCENDING range
+    val idxs = when(nf > 0, filter(sequence(lit(0), nf - 1), i => i % stride === 0))
+      .otherwise(array().cast("array<int>"))
+    val sampled = aggregate(idxs, lit(""),
+      (acc, i) => concat(acc, col("text").substr(i * FrameLen + 1, lit(FrameLen))))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val nFrames = (text.length + FrameLen - 1) / FrameLen
-        val stride = (id % 4 + 2).toInt
-        val sampled = (0 until nFrames by stride)
-          .map(i => text.substring(i * FrameLen, math.min(text.length, (i + 1) * FrameLen)))
-        FrameSample(id, nFrames, stride, sampled.length, md5hex(sampled.mkString))
-      })
-      .toDF()
+      .select(col("doc_id"), nf.as("n_frames"), stride.as("stride"),
+        size(idxs).as("n_sampled"),
+        md5(to_binary(sampled, lit("utf-8"))).as("sample_digest"))
       .orderBy("doc_id")
   }
 
@@ -162,40 +199,37 @@ object Multimodal extends Serializable {
   /** Thumbnail edge (pixels) for q50d. */
   private val ThumbDim = 8
 
-  final case class Resized(doc_id: Long, w: Int, h: Int, thumb_digest: String)
-
   /** q50d — resize (oracle-checked): interpret the payload as a w×h
     * byte grid (w from per-row metadata) and nearest-neighbor
     * downsample to an 8×8 thumbnail — the resize step of an image
     * pipeline, with the codec call stubbed by direct byte sampling.
     * Pure integer source-index arithmetic (`(r·h)/8·w + (c·w)/8`,
-    * clamped), digest over the 64 sampled chars, so the oracle
-    * verifies the exact sampled pixels. Partition-batch shape as
-    * q50b/q50c.
+    * clamped to [0, n−1]), digest over the 64 sampled chars, so the
+    * oracle verifies the exact sampled pixels. Catalyst column
+    * composition like q50c — columnar scan, no DeserializeToObject
+    * (integer division via floor(double): every operand is < 2^31, so
+    * the double quotient is exact and floor ≡ integer division). An
+    * empty payload needs no guard in this form: every clamped index
+    * is 0 and `substr("", 1, 1)` contributes "", digesting to
+    * md5("") — the same sentinel the oracle's GREATEST-clamped rows
+    * produce.
     */
   private def q50d(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val n = text.length
-        val w = n % 63 + 2
-        val h = (n + w - 1) / w
-        val thumb = new StringBuilder(ThumbDim * ThumbDim)
-        var r = 0
-        while (r < ThumbDim) {
-          var c = 0
-          while (c < ThumbDim) {
-            val idx = math.min(n - 1, (r * h / ThumbDim) * w + (c * w / ThumbDim))
-            thumb += text.charAt(idx)
-            c += 1
-          }
-          r += 1
-        }
-        Resized(id, w, h, md5hex(thumb.result()))
+    val n = length(col("text"))
+    val w = (n % 63 + 2).cast("int")
+    val h = floor((n + w - 1) / w).cast("int")
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("int")
+    val thumb = aggregate(sequence(lit(0), lit(ThumbDim * ThumbDim - 1)), lit(""),
+      (acc, i) => {
+        val r = idiv(i, lit(ThumbDim))
+        val c = i % ThumbDim
+        val idx = greatest(lit(0),
+          least(n - 1, idiv(r * h, lit(ThumbDim)) * w + idiv(c * w, lit(ThumbDim))))
+        concat(acc, col("text").substr(idx + 1, lit(1)))
       })
-      .toDF()
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("w"), h.as("h"),
+        md5(to_binary(thumb, lit("utf-8"))).as("thumb_digest"))
       .orderBy("doc_id")
   }
 
@@ -208,8 +242,8 @@ object Multimodal extends Serializable {
        |px AS (
        |  SELECT doc_id, w, h, i,
        |         substr(text,
-       |                CAST(LEAST(n - 1, ((i // $ThumbDim) * h // $ThumbDim) * w
-       |                                  + ((i % $ThumbDim) * w // $ThumbDim)) AS INT) + 1,
+       |                CAST(GREATEST(0, LEAST(n - 1, ((i // $ThumbDim) * h // $ThumbDim) * w
+       |                                  + ((i % $ThumbDim) * w // $ThumbDim))) AS INT) + 1,
        |                1) AS px
        |  FROM (SELECT *, unnest(range(0, ${ThumbDim * ThumbDim})) AS i FROM g))
        |SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
@@ -218,7 +252,7 @@ object Multimodal extends Serializable {
 
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q50_multimodal_meta",   q50, Some(q50Sql)),
-    QuerySpec("q50b_decode_features",  q50b, None),
+    QuerySpec("q50b_decode_features",  q50b, Some(q50bSql)),
     QuerySpec("q50c_frame_sampling",   q50c, Some(q50cSql)),
     QuerySpec("q50d_resize_thumb",     q50d, Some(q50dSql)),
   )

@@ -281,13 +281,20 @@ class ExtSpec extends SparkSpec {
 
   test("q50c/q50d: sampling invariants hold and the corpus is ASCII (char = byte framing)") {
     import org.apache.spark.sql.functions._
-    // the q50c/q50d oracles slice by CHAR while the ops conceptually
-    // slice bytes — equivalent only while payloads are ASCII; if the
-    // corpus ever grows multi-byte text this must fail loudly
+    // the q50b/q50c/q50d oracles slice by CHAR (ord = byte) while the
+    // ops conceptually slice bytes — equivalent only while payloads
+    // are ASCII; if the corpus ever grows multi-byte text this must
+    // fail loudly
     val nonAscii = graft.Tables.documents(spark, sf)
       .filter(length(col("text")) =!= octet_length(to_binary(col("text"), lit("utf-8"))))
       .count()
-    assert(nonAscii == 0, "corpus no longer ASCII: q50c/q50d framing must switch to bytes")
+    assert(nonAscii == 0, "corpus no longer ASCII: q50b/q50c/q50d framing must switch to bytes")
+    // q50c/q50d are pure Catalyst compositions: the columnar scan must
+    // reach the project with no object-serialization boundary
+    Seq("q50c_frame_sampling", "q50d_resize_thumb").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("DeserializeToObject"), s"$q plan left codegen:\n$plan")
+    }
     val fs = run("q50c_frame_sampling").collect()
     fs.foreach { r =>
       val stride = r.getAs[Int]("stride")
