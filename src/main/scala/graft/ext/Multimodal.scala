@@ -172,8 +172,12 @@ object Multimodal extends Serializable {
     // guard nf = 0: sequence(0, -1) would generate a DESCENDING range
     val idxs = when(nf > 0, filter(sequence(lit(0), nf - 1), i => i % stride === 0))
       .otherwise(array().cast("array<int>"))
-    val sampled = aggregate(idxs, lit(""),
-      (acc, i) => concat(acc, col("text").substr(i * FrameLen + 1, lit(FrameLen))))
+    // transform + array_join, NOT aggregate + concat: the sequential
+    // fold re-copies the accumulator string per step (quadratic chars)
+    // and measured 8s at sf0.1 in q50d's 64-step form; one substr per
+    // element and a single join is linear
+    val sampled = array_join(
+      transform(idxs, i => col("text").substr(i * FrameLen + 1, lit(FrameLen))), "")
     Tables.documents(spark, dir)
       .select(col("doc_id"), nf.as("n_frames"), stride.as("stride"),
         size(idxs).as("n_sampled"),
@@ -215,20 +219,29 @@ object Multimodal extends Serializable {
     * produce.
     */
   private def q50d(spark: SparkSession, dir: String): DataFrame = {
-    val n = length(col("text"))
-    val w = (n % 63 + 2).cast("int")
-    val h = floor((n + w - 1) / w).cast("int")
     def idiv(a: Column, b: Column): Column = floor(a / b).cast("int")
-    val thumb = aggregate(sequence(lit(0), lit(ThumbDim * ThumbDim - 1)), lit(""),
-      (acc, i) => {
-        val r = idiv(i, lit(ThumbDim))
-        val c = i % ThumbDim
-        val idx = greatest(lit(0),
-          least(n - 1, idiv(r * h, lit(ThumbDim)) * w + idiv(c * w, lit(ThumbDim))))
-        concat(acc, col("text").substr(idx + 1, lit(1)))
-      })
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), w.as("w"), h.as("h"),
+    // n/w/h land as row attributes FIRST: referenced unhoisted inside
+    // the 64-element lambda, each mention would re-evaluate its full
+    // expression per element — length() alone is an O(len) char scan,
+    // reintroducing the O(64·len) cost the native gather removes
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("w", (col("n") % 63 + 2).cast("int"))
+      .withColumn("h", idiv(col("n") + col("w") - 1, col("w")))
+    // index arithmetic as a Catalyst transform (cheap int ops); the
+    // gather itself through the native chars_at — 64 `substr` calls
+    // per row would each rescan the string to locate the char position
+    // (O(64·len), measured ~8s at sf0.1 vs 0.3s for the whole op)
+    val positions = transform(sequence(lit(0), lit(ThumbDim * ThumbDim - 1)), i => {
+      val r = idiv(i, lit(ThumbDim))
+      val c = i % ThumbDim
+      greatest(lit(0),
+        least(col("n") - 1,
+          idiv(r * col("h"), lit(ThumbDim)) * col("w") + idiv(c * col("w"), lit(ThumbDim))))
+    })
+    val thumb = graft.functions.chars_at(col("text"), positions)
+    base
+      .select(col("doc_id"), col("w"), col("h"),
         md5(to_binary(thumb, lit("utf-8"))).as("thumb_digest"))
       .orderBy("doc_id")
   }

@@ -40,6 +40,12 @@ package object functions {
   def collapse_runs(c: Column): Column =
     SparkBridge.toColumn(CollapseRuns(SparkBridge.toExpression(c)))
 
+  /** Characters of a string column gathered at an array<int> of char
+    * positions — see [[CharsAt]].
+    */
+  def chars_at(s: Column, positions: Column): Column =
+    SparkBridge.toColumn(CharsAt(SparkBridge.toExpression(s), SparkBridge.toExpression(positions)))
+
   /** Random-hyperplane LSH bucket keys (array<int>, length numTables)
     * of an array<double> vector — see [[LshBuckets]].
     */
