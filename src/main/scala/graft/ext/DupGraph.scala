@@ -75,13 +75,12 @@ object DupGraph {
     labels
   }
 
-  /** q59 — near-duplicate clusters: connected components over the q45
-    * verified Jaccard pairs, reported per document — `comp_id` is the
-    * cluster's canonical (min) doc_id, `comp_size` its member count;
-    * docs with no near-dup edge are their own singleton cluster. A
-    * downstream dedup keeps exactly the rows with doc_id = comp_id.
+  /** Per-document cluster assignment over the q45 verified Jaccard
+    * pairs: (doc_id, comp_id, comp_size), comp_id = the cluster's
+    * canonical (min) doc_id; edge-free docs are their own singleton.
+    * Shared by q59 (the report) and q82 (the materialized dedup).
     */
-  private def q59(spark: SparkSession, dir: String): DataFrame = {
+  private def assignments(spark: SparkSession, dir: String): DataFrame = {
     val comp = connectedComponents(
       Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")))
     Tables.documents(spark, dir)
@@ -89,6 +88,34 @@ object DupGraph {
       .join(comp, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
       .withColumn("comp_size", count(lit(1)).over(Window.partitionBy(col("comp_id"))))
+  }
+
+  /** q59 — near-duplicate clusters: connected components over the q45
+    * verified Jaccard pairs, reported per document — `comp_id` is the
+    * cluster's canonical (min) doc_id, `comp_size` its member count;
+    * docs with no near-dup edge are their own singleton cluster. A
+    * downstream dedup keeps exactly the rows with doc_id = comp_id.
+    */
+  private def q59(spark: SparkSession, dir: String): DataFrame =
+    assignments(spark, dir).orderBy("doc_id")
+
+  /** q82 — the DEDUPLICATED CORPUS itself: the step q59's report
+    * feeds. One survivor per cluster (the canonical min doc_id),
+    * carrying how many near-dup members it absorbed; every non-maximal
+    * cluster member is dropped. The join back to `documents` is on the
+    * survivor ids only, and text leaves as a digest, not a payload —
+    * at 100 TB this materialization shuffles 16-byte ids plus one
+    * md5 per surviving row. Oracle: the same recursive-CTE closure as
+    * q59 restricted to doc_id = comp_id.
+    */
+  private def q82(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = assignments(spark, dir)
+      .filter(col("doc_id") === col("comp_id"))
+      .select(col("doc_id"), (col("comp_size") - 1).as("n_dups_absorbed"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("text_digest"))
+      .join(survivors, "doc_id")
       .orderBy("doc_id")
   }
 
@@ -111,7 +138,33 @@ object DupGraph {
        |       CAST(COUNT(*) OVER (PARTITION BY comp_id) AS BIGINT) AS comp_size
        |FROM asg ORDER BY doc_id""".stripMargin
 
+  private val q82Sql =
+    s"""WITH RECURSIVE ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT s.v AS id, r.comp FROM reach r JOIN sym s ON s.u = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp_id FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+       |sized AS (
+       |  SELECT doc_id, comp_id,
+       |         COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
+       |  FROM asg)
+       |SELECT d.doc_id, d.source, md5(d.text) AS text_digest,
+       |       CAST(s.comp_size - 1 AS BIGINT) AS n_dups_absorbed
+       |FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+       |WHERE s.doc_id = s.comp_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
+    QuerySpec("q82_dedup_corpus", q82, Some(q82Sql)),
   )
 }

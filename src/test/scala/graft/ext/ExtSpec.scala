@@ -222,6 +222,20 @@ class ExtSpec extends SparkSpec {
       s"$nClusters clusters from $nPairs pairs: no transitive merging happened")
   }
 
+  test("q82 dedup corpus: exactly the q59 cluster survivors, dup mass conserved") {
+    val comp = run("q59_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("comp_id"), r.getAs[Long]("comp_size"))).toMap
+    val kept = run("q82_dedup_corpus").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dups_absorbed")).toMap
+    // survivors are exactly the canonical (min) members
+    assert(kept.keySet == comp.filter { case (id, (cid, _)) => id == cid }.keySet)
+    // each survivor absorbed its cluster minus itself; total mass = corpus
+    kept.foreach { case (id, absorbed) => assert(absorbed == comp(id)._2 - 1) }
+    assert(kept.size + kept.values.sum == comp.size,
+      "dropped docs + survivors must partition the corpus")
+  }
+
   test("q67 decontamination: flagged docs are train-split and share a real 8-gram") {
     import org.apache.spark.sql.functions._
     val flagged = run("q67_decontaminate").collect()
