@@ -168,6 +168,46 @@ object TextStats {
           .as("fingerprint64"))
       .orderBy("doc_id")
 
+  /** q43c — rolling fingerprint, ORACLE-CHECKED (the q46→q46b move
+    * applied to q43b): [[graft.functions.RollingHashMod]]'s two
+    * mod-prime Horner folds stay inside BIGINT at every step, so the
+    * DuckDB oracle re-derives the exact fingerprint — Horner's rule
+    * rewritten as a power-weighted character sum joined to a
+    * recursively built `B^e mod p` table (exact same values, no
+    * sequential fold needed on the oracle side). Same shuffle-free
+    * map-only shape as q43b, which stays the production-width
+    * (64-bit) form.
+    */
+  private def q43c(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.rolling_hash_mod(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+          .as("fingerprint_mod"))
+      .orderBy("doc_id")
+
+  private val q43cSql =
+    """WITH RECURSIVE norm AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
+      |mx AS (SELECT CAST(MAX(len(t)) AS INT) AS m FROM norm),
+      |pw AS (
+      |  SELECT 0 AS e, 1::BIGINT AS v31, 1::BIGINT AS v37
+      |  UNION ALL
+      |  SELECT e + 1, (v31 * 31) % 1000003, (v37 * 37) % 1000003 FROM pw, mx WHERE e < mx.m - 1),
+      |cs AS (SELECT doc_id, len(t) AS L,
+      |              unnest(string_split(t, '')) AS c,
+      |              unnest(range(1, len(t) + 1)) AS i
+      |       FROM norm WHERE len(t) > 0),
+      |hs AS (SELECT doc_id,
+      |              SUM(ord(c) * pw.v31) % 1000003 AS h31,
+      |              SUM(ord(c) * pw.v37) % 1000003 AS h37
+      |       FROM cs JOIN pw ON pw.e = cs.L - cs.i
+      |       GROUP BY doc_id)
+      |SELECT n.doc_id, CAST(COALESCE(h31 * 1000003 + h37, 0) AS BIGINT) AS fingerprint_mod
+      |FROM norm n LEFT JOIN hs ON n.doc_id = hs.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
   /** q54 — JSON column processing: extract typed fields from the
     * `events.props` JSON payload and aggregate — the semi-structured
     * ingestion path every telemetry pipeline needs.
@@ -404,6 +444,7 @@ object TextStats {
     QuerySpec("q42_lang_id",       q42, Some(q42Sql), headline = true),
     QuerySpec("q43_fingerprint",   q43, Some(q43Sql)),
     QuerySpec("q43b_rolling_hash", q43b, None),
+    QuerySpec("q43c_rolling_hash_sql", q43c, Some(q43cSql)),
     QuerySpec("q54_json_extract",  q54, Some(q54Sql)),
     QuerySpec("q55_regex_extract", q55, Some(q55Sql)),
     QuerySpec("q56_fuzzy_match",   q56, Some(q56Sql)),

@@ -12,6 +12,12 @@ package object functions {
   def rolling_hash64(c: Column): Column =
     SparkBridge.toColumn(RollingHash64(SparkBridge.toExpression(c)))
 
+  /** Engine-portable mod-prime rolling fingerprint of a string — see
+    * [[RollingHashMod]].
+    */
+  def rolling_hash_mod(c: Column): Column =
+    SparkBridge.toColumn(RollingHashMod(SparkBridge.toExpression(c)))
+
   /** MinHash signature (`array<long>`, length n) of an array<string>
     * column — see [[MinHashSignature]].
     */
