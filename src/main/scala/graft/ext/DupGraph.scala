@@ -45,6 +45,12 @@ object DupGraph {
     * localCheckpoints the label table — labels are small (two longs
     * per node) and the checkpoint both truncates the exponentially
     * growing lineage and stops Spark re-running earlier rounds.
+    *
+    * One round = ONE shuffle pair (edge-label join + per-id min) with
+    * the `changed` flag computed inside the same plan
+    * (`least(own, min-of-neighbors) < own`), so the convergence probe
+    * is a filter over the just-checkpointed labels, not an extra
+    * join job per round.
     */
   private[ext] def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges
@@ -58,14 +64,16 @@ object DupGraph {
     var converged = false
     while (!converged && round < MaxRounds) {
       val neighborMin = sym.join(labels, sym("u") === labels("id"))
-        .select(col("v").as("id"), col("comp"))
-      val next = labels.union(neighborMin)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .groupBy(col("v").as("id")).agg(min("comp").as("nmin"))
+        .withColumnRenamed("id", "nid")
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (coalesce(col("nmin"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      labels = next.select(col("id"), col("comp")) // projection over the checkpoint
       round += 1
     }
     if (!converged)
