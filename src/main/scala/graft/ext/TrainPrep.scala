@@ -225,6 +225,76 @@ object TrainPrep {
       |       CAST(SUM(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** q84 — temperature-scaled source MIXTURE sampling: the dataset
+    * mixing step of a multilingual/multi-source training pipeline —
+    * resample sources toward `weight ∝ tokens^0.5` (α = 0.5
+    * "temperature", the standard upweighting of small sources) under
+    * a global token budget of 30% of the corpus, then keep documents
+    * deterministically via the salted md5 threshold (q71 machinery at
+    * micro-rate granularity, so a doc's keep decision never flips as
+    * other sources grow).
+    *
+    * All rate arithmetic is INTEGER-exact: isq = floor(sqrt(tokens))
+    * (sqrt is correctly rounded in every IEEE engine, so the floor
+    * agrees), rates in floor-divided micro-units — no double SUM
+    * order-dependence anywhere, which is what lets the oracle
+    * hash-match. Two shuffles (doc→source agg, source re-join is a
+    * 20-row broadcast); the 1-row totals broadcast is the q03/q69
+    * allowlisted scalar pattern. Magnitude note: the micro-rate
+    * numerator is budget·isq·10^6 — fine through ~10^9-token sources;
+    * a 100 TB corpus would drop the scale factor or move this one
+    * expression to decimal(38,0).
+    */
+  private def q84(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(col("tok")).as("src_tokens"), count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+    val totals = perSrc.agg(
+      sum(col("src_tokens")).as("total_tokens"), sum(col("isq")).as("sum_isq"))
+    val rated = perSrc.crossJoin(broadcast(totals))
+      .withColumn("rate_micro", least(lit(1000000L),
+        expr("((3 * total_tokens) DIV 10 * isq * 1000000) DIV (sum_isq * src_tokens)")))
+      .select(col("source"), col("src_tokens"), col("n_docs"), col("rate_micro"))
+    docs.join(broadcast(rated), "source")
+      .withColumn("kept", md5Bucket(col("doc_id"), 1000000, ":q84") < col("rate_micro"))
+      .groupBy(col("source"))
+      .agg(
+        min(col("src_tokens")).as("src_tokens"),
+        min(col("n_docs")).as("n_docs"),
+        min(col("rate_micro")).as("rate_micro"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("tok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val q84Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |ps AS (SELECT source, SUM(tok) AS src_tokens, COUNT(*) AS n_docs,
+      |              CAST(FLOOR(SQRT(CAST(SUM(tok) AS DOUBLE))) AS BIGINT) AS isq
+      |       FROM d GROUP BY source),
+      |tot AS (SELECT SUM(src_tokens) AS total_tokens, SUM(isq) AS sum_isq FROM ps),
+      |r AS (SELECT source, src_tokens, n_docs,
+      |             CAST(LEAST(1000000,
+      |                  ((3 * total_tokens) // 10 * isq * 1000000) // (sum_isq * src_tokens))
+      |               AS BIGINT) AS rate_micro
+      |      FROM ps, tot),
+      |k AS (SELECT d.source, d.tok, r.src_tokens, r.n_docs, r.rate_micro,
+      |             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':q84'), 1, 15))::BIGINT
+      |               % 1000000 < r.rate_micro AS kept
+      |      FROM d JOIN r ON d.source = r.source)
+      |SELECT source,
+      |       CAST(MIN(src_tokens) AS BIGINT) AS src_tokens,
+      |       CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+      |       MIN(rate_micro) AS rate_micro,
+      |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(SUM(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   /** q74 — per-source corpus data card: the health report a data
     * curator reads before mixing sources — volume (docs/chars/
     * tokens), language spread, and exact-duplicate rate (distinct
@@ -257,5 +327,6 @@ object TrainPrep {
     QuerySpec("q70_sequence_packing",   q70, Some(q70Sql), headline = true),
     QuerySpec("q71_stratified_sample",  q71, Some(q71Sql)),
     QuerySpec("q74_source_datacard",    q74, Some(q74Sql)),
+    QuerySpec("q84_mixture_sample",     q84, Some(q84Sql)),
   )
 }

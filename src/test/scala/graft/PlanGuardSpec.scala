@@ -22,6 +22,8 @@ class PlanGuardSpec extends SparkSpec {
     *     scalar-broadcast pattern);
     *   - q73: broadcasts the 1-row 512-byte Bloom sketch (same
     *     pattern — membership testing is map work);
+    *   - q84: broadcasts the 1-row budget/weight-normalizer totals
+    *     (the q03/q69 scalar pattern);
     *   - q53: the source×source inequality join runs over
     *     POST-AGGREGATION rows (one sketch per corpus) — its input
     *     cardinality is the number of corpora, independent of data
@@ -34,7 +36,8 @@ class PlanGuardSpec extends SparkSpec {
     "q52_ann_ivf",
     "q53_source_similarity",
     "q69_tfidf_topterms",
-    "q73_bloom_blocklist")
+    "q73_bloom_blocklist",
+    "q84_mixture_sample")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 

@@ -328,6 +328,35 @@ class ExtSpec extends SparkSpec {
       .sameElements(rz.map(_.getAs[String]("thumb_digest"))))
   }
 
+  test("q84 mixture: temperature upweights small sources, budget respected") {
+    val rows = run("q84_mixture_sample").collect()
+    assert(rows.length == 20)
+    // each rate tracks the continuous α=0.5 formula (floor(sqrt) can
+    // locally break pairwise monotonicity at perfect-square edges, so
+    // assert against the formula, not neighbor ordering)
+    val toks = rows.map(r => r.getString(0) -> r.getAs[Long]("src_tokens")).toMap
+    val budget = 0.3 * toks.values.sum
+    val sumSqrt = toks.values.map(t => math.sqrt(t.toDouble)).sum
+    rows.foreach { r =>
+      val t = toks(r.getString(0))
+      val ideal = 1e6 * budget * math.sqrt(t.toDouble) / (sumSqrt * t)
+      val got = r.getAs[Long]("rate_micro")
+      assert(got > 0 && got <= 1000000L)
+      assert(math.abs(got - ideal) < 0.02 * ideal + 2000,
+        s"${r.getString(0)}: rate $got far from continuous $ideal")
+    }
+    // and the big picture: small sources are upweighted vs large ones
+    val bySize = rows.sortBy(_.getAs[Long]("src_tokens"))
+    val small5 = bySize.take(5).map(_.getAs[Long]("rate_micro").toDouble).sum / 5
+    val large5 = bySize.takeRight(5).map(_.getAs[Long]("rate_micro").toDouble).sum / 5
+    assert(small5 > large5, s"small-source avg rate $small5 !> large $large5")
+    // the md5-threshold sample lands near the 30% token budget
+    val total = rows.map(_.getAs[Long]("src_tokens")).sum
+    val kept = rows.map(_.getAs[Long]("kept_tokens")).sum
+    assert(math.abs(kept - 0.3 * total) < 0.05 * total,
+      s"kept $kept vs budget ${0.3 * total}")
+  }
+
   test("packNextFit handles oversized docs and bucket boundaries (synthetic)") {
     // budget 10; bucket 1: 6,6 split; bucket 2: oversized 25 alone,
     // then 4+5 share, 9 overflows to a new seq
