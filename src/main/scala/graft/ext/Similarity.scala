@@ -230,7 +230,7 @@ object Similarity {
     * q51's exact pairs (LSH recall is probabilistic but deterministic
     * here — hyperplanes are seeded from (table, plane, dim)).
     */
-  private def q51b(spark: SparkSession, dir: String): DataFrame = {
+  private[ext] def blockedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
       .withColumn("nrm", norm(col("ve")))
@@ -254,7 +254,32 @@ object Similarity {
       .withColumn("cos", dot(col("a_ve"), col("b_ve")) / (col("a_n") * col("b_n")))
       .filter(col("cos") >= NearDupCos)
       .select(col("a_id"), col("b_id"))
-      .orderBy("a_id", "b_id")
+  }
+
+  private def q51b(spark: SparkSession, dir: String): DataFrame =
+    blockedNearDupPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** q83 — SEMANTIC dedup corpus: the q82 lifecycle applied to the
+    * embedding modality — connected components over the q51b
+    * LSH-blocked near-dup pairs, one survivor (min vec_id) per
+    * cluster with its absorbed count. Same generic CC machinery as
+    * the text side ([[DupGraph.connectedComponents]]); rows-only like
+    * q51b (the pair generator rests on LSH recall), with the
+    * partition properties spec-checked against a driver-side
+    * union-find over the same pairs.
+    */
+  private def q83(spark: SparkSession, dir: String): DataFrame = {
+    val comp = DupGraph.connectedComponents(blockedNearDupPairs(spark, dir))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .join(comp, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("comp"), col("vec_id")).as("comp_id"))
+      .withColumn("comp_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comp_id"))))
+      .filter(col("vec_id") === col("comp_id"))
+      .select(col("vec_id"), col("label"), (col("comp_size") - 1).as("n_dups_absorbed"))
+      .orderBy("vec_id")
   }
 
   /** IVF parameters: K coarse clusters, nprobe probed per query. */
@@ -334,5 +359,6 @@ object Similarity {
     QuerySpec("q51_embedding_neardup", q51, Some(q51Sql), headline = true),
     QuerySpec("q51b_embedding_neardup_blocked", q51b, None, headline = true),
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
+    QuerySpec("q83_semantic_dedup_corpus", q83, None),
   )
 }

@@ -292,6 +292,37 @@ object StreamingQueries {
       |WHERE day + INTERVAL 1 DAY <= (SELECT w FROM wm)
       |GROUP BY day ORDER BY day""".stripMargin
 
+  /** q85 — STREAM-STATIC join: every micro-batch of the event stream
+    * is enriched against the batch `customer` dimension (joined fresh
+    * per batch — Catalyst broadcasts it under the threshold, and on a
+    * cluster the dim may also be re-read per batch, so slowly-changing
+    * enrichment picks up updates), then windowed per market segment.
+    * The third join family after stream-stream (q65) and the
+    * foreachBatch upsert path: NO join state store is needed — only
+    * the windowed aggregate keeps state, which is what makes
+    * dimension enrichment cheap in a streaming ingest pipeline.
+    */
+  private def q85(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+    drain(spark, agg, "complete")
+      .select(col("window.start").as("day"), col("c_mktsegment").as("segment"),
+        col("n"), col("total_value"))
+      .orderBy("day", "segment")
+  }
+
+  private val q85Sql =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |       c.c_mktsegment AS segment,
+       |       COUNT(*) AS n, ${moneySumSql("value")} AS total_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1, 2 ORDER BY day, segment""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -300,5 +331,6 @@ object StreamingQueries {
     QuerySpec("q64_stateful_running", q64, Some(q64Sql), headline = true),
     QuerySpec("q65_stream_join",    q65, Some(q65Sql), headline = true),
     QuerySpec("q79_stream_pipeline", q79, Some(q79Sql), headline = true),
+    QuerySpec("q85_stream_static_join", q85, Some(q85Sql)),
   )
 }

@@ -328,6 +328,29 @@ class ExtSpec extends SparkSpec {
       .sameElements(rz.map(_.getAs[String]("thumb_digest"))))
   }
 
+  test("q83 semantic dedup: survivors match a union-find over the q51b pairs") {
+    val pairs = run("q51b_embedding_neardup_blocked").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = graft.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val roots = ids.map(i => i -> find(i)).toMap
+    val expected = ids.filter(i => roots(i) == i)
+      .map(i => i -> (ids.count(roots(_) == i) - 1).toLong).toMap
+    val got = run("q83_semantic_dedup_corpus").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_dups_absorbed")).toMap
+    assert(got == expected)
+    assert(got.values.sum + got.size == ids.length) // mass conservation
+  }
+
   test("q84 mixture: temperature upweights small sources, budget respected") {
     val rows = run("q84_mixture_sample").collect()
     assert(rows.length == 20)
