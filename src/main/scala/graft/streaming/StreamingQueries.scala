@@ -44,17 +44,34 @@ object StreamingQueries {
 
   /** Drain a streaming aggregate into a uniquely-named memory sink and
     * return it as a batch DataFrame.
+    *
+    * Streaming queries run with a REDUCED shuffle-partition count
+    * (pinned at stream start): every stateful operator keeps one state
+    * store per shuffle partition, each with per-micro-batch
+    * maintenance — at 32 partitions that is 32 stores churning per
+    * stateful op for aggregates whose key cardinality is tiny
+    * (event types × windows). AQE never coalesces stateful exchanges,
+    * so this is the one knob; on a real cluster the operator sizes it
+    * to expected state cardinality, not to cores. Results are
+    * partitioning-independent (decimal-exact sums), which the oracle
+    * gate re-proves every round.
     */
   private var sinkCounter = 0
+  private val StreamShufflePartitions = "8"
   private def drain(spark: SparkSession, agg: DataFrame, mode: String): DataFrame = {
     val name = synchronized { sinkCounter += 1; s"graft_sink_$sinkCounter" }
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
