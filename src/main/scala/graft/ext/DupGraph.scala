@@ -53,9 +53,14 @@ object DupGraph {
     * join job per round.
     */
   private[ext] def connectedComponents(edges: DataFrame): DataFrame = {
+    // symmetrize with ONE pass over the edges plan — a union of two
+    // selects would execute the (often expensive) pair-generation
+    // pipeline twice inside the checkpoint job
     val sym = edges
-      .select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))

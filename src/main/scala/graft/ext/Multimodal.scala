@@ -185,20 +185,29 @@ object Multimodal extends Serializable {
       .orderBy("doc_id")
   }
 
+  // LEFT JOIN from all docs (not GROUP BY over sampled frames alone):
+  // an empty text has nf = 0 and no frame rows, but the Spark side
+  // still emits its row (n_sampled 0, digest md5('')) — the oracle
+  // must too, or the gate breaks on row count the day the corpus
+  // gains an empty document (q50d handles the same edge with its
+  // GREATEST clamp).
   private val q50cSql =
     s"""WITH f AS (
        |  SELECT doc_id, text,
        |         CAST(ceil(len(text) / $FrameLen.0) AS INT) AS nf,
        |         CAST(doc_id % 4 + 2 AS INT) AS stride
        |  FROM documents),
-       |s AS (SELECT doc_id, nf, stride, i,
+       |s AS (SELECT doc_id, i,
        |             substr(text, i * $FrameLen + 1, $FrameLen) AS frame
        |      FROM (SELECT *, unnest(range(0, nf)) AS i FROM f)
-       |      WHERE i % stride = 0)
-       |SELECT doc_id, MIN(nf) AS n_frames, MIN(stride) AS stride,
-       |       CAST(COUNT(*) AS INT) AS n_sampled,
-       |       md5(string_agg(frame, '' ORDER BY i)) AS sample_digest
-       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |      WHERE i % stride = 0),
+       |a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_sampled,
+       |             md5(string_agg(frame, '' ORDER BY i)) AS dg
+       |      FROM s GROUP BY doc_id)
+       |SELECT f.doc_id, f.nf AS n_frames, f.stride,
+       |       COALESCE(a.n_sampled, 0) AS n_sampled,
+       |       COALESCE(a.dg, md5('')) AS sample_digest
+       |FROM f LEFT JOIN a USING (doc_id) ORDER BY f.doc_id""".stripMargin
 
   /** Thumbnail edge (pixels) for q50d. */
   private val ThumbDim = 8

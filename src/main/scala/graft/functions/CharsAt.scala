@@ -61,12 +61,15 @@ object CharsAt {
       }
       UTF8String.fromBytes(if (n == k) out else java.util.Arrays.copyOf(out, n))
     } else {
-      val str = s.toString
+      // positions are CODE POINTS (the substr semantics of the SQL
+      // mirror), not UTF-16 code units — charAt(p) would split
+      // surrogate pairs into invalid lone surrogates
+      val cps = s.toString.codePoints().toArray
       val sb = new java.lang.StringBuilder(k)
       var i = 0
       while (i < k) {
         val p = pos.getInt(i)
-        if (p >= 0 && p < str.length) sb.append(str.charAt(p))
+        if (p >= 0 && p < cps.length) sb.appendCodePoint(cps(p))
         i += 1
       }
       UTF8String.fromString(sb.toString)

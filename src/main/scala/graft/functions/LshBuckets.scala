@@ -88,10 +88,19 @@ object LshBuckets {
   /** Called from generated code. Left-to-right double folds — do NOT
     * reorder: bucket parity with the interpreted original depends on
     * the exact accumulation order.
+    *
+    * The hyperplane family is defined over exactly [[Dims]]-dim
+    * vectors; any other length throws rather than silently diverging
+    * from the interpreted reference (which null-poisons short vectors
+    * to bucket 0 and mixes hash(null) terms into long ones — garbage
+    * either way, so loud beats quiet).
     */
   def compute(vec: ArrayData, numTables: Int, planesPerTable: Int): ArrayData = {
+    val n = vec.numElements()
+    if (n != Dims)
+      throw new IllegalArgumentException(
+        s"lsh_buckets requires $Dims-dim vectors, got $n elements")
     val w = planes(numTables, planesPerTable)
-    val n = math.min(Dims, vec.numElements())
     val out = new Array[Int](numTables)
     var t = 0
     while (t < numTables) {
@@ -101,7 +110,7 @@ object LshBuckets {
       while (p < planesPerTable) {
         var proj = 0.0
         var d = 0
-        while (d < n) {
+        while (d < Dims) {
           proj += vec.getDouble(d) * wt(p * Dims + d)
           d += 1
         }

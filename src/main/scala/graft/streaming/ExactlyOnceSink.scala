@@ -28,19 +28,15 @@ object ExactlyOnceSink {
 
   /** Idempotent foreachBatch body: write `batch` under
     * `out/batch_id=<batchId>/`, replacing any previous (partial or
-    * complete) attempt of the SAME batch id only.
+    * complete) attempt of the SAME batch id only. The overwrite mode
+    * is a per-WRITE option, not a session conf mutation — a
+    * set/restore dance on the shared session would race with any
+    * concurrent writer (its restore to `static` mid-plan would turn
+    * another query's overwrite into a full-store truncation).
     */
-  def writeBatch(batch: DataFrame, batchId: Long, out: String): Unit = {
-    val conf = batch.sparkSession.conf
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = conf.getOption(key)
-    conf.set(key, "dynamic")
-    try
-      batch.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(out)
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None    => conf.unset(key)
-    }
-  }
+  def writeBatch(batch: DataFrame, batchId: Long, out: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(out)
 }
