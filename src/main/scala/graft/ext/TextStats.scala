@@ -438,6 +438,104 @@ object TextStats {
       |       string_agg(w, ' ' ORDER BY i) AS compressed
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q86 curation gates (shared between Spark and the SQL mirror via
+    * this single source of truth).
+    */
+  private val MinWords   = 15
+  private val MaxWords   = 5000
+  private val MinQuality = 0.45
+
+  /** q86 — the CURATED CORPUS pipeline: the C4-style composition every
+    * training-data run executes as ONE pass — length gates, language
+    * gate (n-gram-marker prediction vs the labeled language), quality
+    * gate (the q41 score), then exact-dup survivor election among the
+    * docs that passed everything else (min doc_id per text digest) —
+    * with a per-document VERDICT so the drop accounting is auditable
+    * (first-failed-gate-wins precedence). Map-only until the digest
+    * window (one shuffle of 16-byte digests); the quality/lang
+    * expressions are the exact per-row double arithmetic q41/q42
+    * already prove engine-identical, so the whole pipeline is
+    * hash-checked end-to-end.
+    */
+  private def q86(spark: SparkSession, dir: String): DataFrame = {
+    val words  = split(col("text"), " ")
+    val nWords = size(words)
+    val nUniq  = size(array_distinct(words))
+    val stops  = size(filter(words, w => w.isin(Stopwords: _*)))
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val quality = (nUniq.cast("long") / nWords) * 0.5 +
+      (nAlpha.cast("long") / col("n_chars")) * 0.3 +
+      (stops.cast("long") / nWords) * 0.2
+    val scores = LangMarkers.map { case (l, ms) =>
+      l -> size(filter(words, w => w.isin(ms: _*)))
+    }.toMap
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val geAll = langs.filter(_ != l).map(o => scores(l) >= scores(o)).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    val pre = Tables.documents(spark, dir)
+      .select(col("doc_id"), nWords.as("n_words"), pred.as("pred_lang"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("th"),
+        when(nWords < MinWords, "too_short")
+          .when(nWords > MaxWords, "too_long")
+          .when(pred =!= col("lang"), "lang_mismatch")
+          .when(quality < MinQuality, "low_quality").as("pre_reason"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("th"))
+    pre
+      .withColumn("min_kept",
+        min(when(col("pre_reason").isNull, col("doc_id"))).over(w))
+      .withColumn("verdict", coalesce(col("pre_reason"),
+        when(col("doc_id") =!= col("min_kept"), "duplicate").otherwise("kept")))
+      .select(col("doc_id"), col("n_words"), col("pred_lang"), col("verdict"))
+      .orderBy("doc_id")
+  }
+
+  private val q86Sql = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    def scoreSql(ms: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT)"
+    val scoreCols = LangMarkers
+      .map { case (l, ms) => s"${scoreSql(ms)} AS s_$l" }
+      .mkString(",\n       |         ")
+    val langs = LangMarkers.map(_._1)
+    val cases = langs.init.map { l =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n       |              ")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang, n_chars, text,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS INT) AS n_stop,
+       |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |         $scoreCols
+       |  FROM documents),
+       |q AS (
+       |  SELECT *,
+       |         (CAST(n_uniq AS BIGINT) / n_words) * 0.5
+       |           + (n_alpha / n_chars) * 0.3
+       |           + (CAST(n_stop AS BIGINT) / n_words) * 0.2 AS quality,
+       |         CASE $cases
+       |              ELSE '${langs.last}' END AS pred_lang
+       |  FROM m),
+       |pre AS (
+       |  SELECT doc_id, n_words, pred_lang, md5(text) AS th,
+       |         CASE WHEN n_words < $MinWords THEN 'too_short'
+       |              WHEN n_words > $MaxWords THEN 'too_long'
+       |              WHEN pred_lang <> lang THEN 'lang_mismatch'
+       |              WHEN quality < $MinQuality THEN 'low_quality' END AS pre_reason
+       |  FROM q),
+       |d AS (
+       |  SELECT *, MIN(CASE WHEN pre_reason IS NULL THEN doc_id END)
+       |              OVER (PARTITION BY th) AS min_kept
+       |  FROM pre)
+       |SELECT doc_id, n_words, pred_lang,
+       |       COALESCE(pre_reason,
+       |                CASE WHEN doc_id <> min_kept THEN 'duplicate' ELSE 'kept' END) AS verdict
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -451,5 +549,6 @@ object TextStats {
     QuerySpec("q68_pii_redaction", q68, Some(q68Sql)),
     QuerySpec("q69_tfidf_topterms", q69, Some(q69Sql), headline = true),
     QuerySpec("q72_repetition_removal", q72, Some(q72Sql)),
+    QuerySpec("q86_curated_corpus", q86, Some(q86Sql), headline = true),
   )
 }

@@ -328,6 +328,28 @@ class ExtSpec extends SparkSpec {
       .sameElements(rz.map(_.getAs[String]("thumb_digest"))))
   }
 
+  test("q86 curation: all six verdicts reachable, gate precedence holds (synthetic)") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over lazy dogs and cats of every kind to win is fun"
+    val dup  = "the bright red ship sails far beyond and east of every port to rest is calm"
+    val mis  = "the tall green tree stands high above and north of every field to grow is slow"
+    val junk = Seq.fill(20)("7").mkString(" ")
+    val long = (0 to 5000).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (0L, good, "en"), (1L, dup, "en"), (2L, dup, "en"),
+      (3L, mis, "de"), (4L, junk, "en"),
+      (5L, "tiny doc here", "en"), (6L, long, "en"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    rows.map { case (id, t, l) => (id, t, l, "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q86_curated_corpus")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == Map(
+      0L -> "kept", 1L -> "kept", 2L -> "duplicate", 3L -> "lang_mismatch",
+      4L -> "low_quality", 5L -> "too_short", 6L -> "too_long"), s"got $got")
+  }
+
   test("q83 semantic dedup: survivors match a union-find over the q51b pairs") {
     val pairs = run("q51b_embedding_neardup_blocked").collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
