@@ -360,6 +360,71 @@ object Dedup {
       .orderBy("a_source", "b_source")
   }
 
+  /** q53b — EXACT cross-source similarity, the oracle-checked twin of
+    * the q53 sketch (the q46→q46b / q47→q47b move): true shingle-set
+    * Jaccard per source pair, computed via the inverted index — never
+    * a doc×doc or shingle-set×shingle-set comparison. Phases:
+    *   (1) distinct (source, shingle-digest) rows — documents leave
+    *       the scan as 16-byte md5 digests, so the distinct shuffle
+    *       carries no text;
+    *   (2) per-source set sizes |A| (tiny aggregate);
+    *   (3) intersections |A∩B| by self-joining the index on the
+    *       digest — per-digest fan-out is bounded by the number of
+    *       sources (≤ 20 here), so total join work is
+    *       Σ_shingle df² ≤ |shingles|·sources², linear in corpus size;
+    *   (4) assemble the full pair matrix from the per-source sizes
+    *       (source×source inequality join over POST-AGGREGATION rows,
+    *       the allowlisted q53 pattern) and left-join intersections so
+    *       disjoint pairs report jaccard 0, matching q53's total
+    *       matrix.
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) — an int/int double division,
+    * bit-identical across engines, which is what makes the exact twin
+    * hash-checkable where the murmur3-based q53 sketch is not.
+    */
+  private def q53b(spark: SparkSession, dir: String): DataFrame = {
+    val index = Tables.documents(spark, dir)
+      .select(col("source"), explode(shingles(col("text"))).as("s"))
+      .select(col("source"), md5(to_binary(col("s"), lit("utf-8"))).as("sd"))
+      .distinct()
+    val sizes = index.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+    val inter = index.as("x").join(index.as("y"),
+        col("x.sd") === col("y.sd") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("a_source"), col("y.source").as("b_source"))
+      .agg(count(lit(1)).as("inter"))
+    val a = sizes.select(col("source").as("a_source"), col("nsh").as("na"))
+    val b = sizes.select(col("source").as("b_source"), col("nsh").as("nb"))
+    a.join(b, col("a_source") < col("b_source"))
+      .join(inter, Seq("a_source", "b_source"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("a_source"), col("b_source"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("a_source", "b_source")
+  }
+
+  private val q53bSql =
+    """WITH w AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, md5(s) AS sd FROM (
+      |    SELECT source,
+      |           CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                ELSE array_to_string(ws, ' ') END AS s
+      |    FROM (SELECT source, ws,
+      |                 unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+      |                             ELSE [1] END) AS i
+      |          FROM w))),
+      |sizes AS (SELECT source, COUNT(*) AS nsh FROM sh GROUP BY source),
+      |inter AS (
+      |  SELECT x.source AS a_source, y.source AS b_source, COUNT(*) AS inter
+      |  FROM sh x JOIN sh y ON x.sd = y.sd AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT a.source AS a_source, b.source AS b_source,
+      |       COALESCE(i.inter, 0) AS inter, a.nsh AS na, b.nsh AS nb,
+      |       COALESCE(i.inter, 0) / (a.nsh + b.nsh - COALESCE(i.inter, 0)) AS jaccard
+      |FROM sizes a JOIN sizes b ON a.source < b.source
+      |LEFT JOIN inter i ON i.a_source = a.source AND i.b_source = b.source
+      |ORDER BY a_source, b_source""".stripMargin
+
   /** q80 — INCREMENTAL dedup: dedupe a new ingest batch against the
     * existing corpus without re-touching corpus pairs — the shape
     * every production pipeline actually runs (full-corpus q44/q45
@@ -421,6 +486,7 @@ object Dedup {
     QuerySpec("q47_simhash",        q47, None),
     QuerySpec("q47b_simhash_sql",   q47b, Some(q47bSql)),
     QuerySpec("q53_source_similarity", q53, None),
+    QuerySpec("q53b_source_similarity_sql", q53b, Some(q53bSql)),
     QuerySpec("q80_incremental_dedup", q80, Some(q80Sql)),
   )
 }

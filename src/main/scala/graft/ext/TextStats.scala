@@ -536,6 +536,102 @@ object TextStats {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** q87 chunk geometry (tokens). Stride < size ⇒ adjacent chunks
+    * overlap by ChunkSize − ChunkStride tokens (the context-carryover
+    * every RAG/embedding pipeline wants).
+    */
+  private val ChunkSize   = 64
+  private val ChunkStride = 48
+
+  /** q87 — sliding-window document CHUNKING: split each document into
+    * overlapping token windows (64 tokens, stride 48) — the step that
+    * turns raw documents into embedding/RAG-sized passages. Start
+    * offsets stop at the last stride position whose window reaches the
+    * end of the doc (no redundant suffix-only windows); a doc shorter
+    * than one window yields exactly one chunk. Pure map stage — the
+    * generate/explode/slice pipeline never shuffles, so at 100 TB this
+    * is embarrassingly parallel scan work; chunk text leaves the scan
+    * only as a 16-byte digest.
+    */
+  private def q87(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("ws"))
+    // last window start: 0 for short docs, else stride·ceil((n−size)/stride)
+    val lastStart =
+      when(n <= ChunkSize, lit(0))
+        .otherwise((((n - ChunkSize + ChunkStride - 1) / ChunkStride)
+          .cast("int")) * ChunkStride)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), lastStart, lit(ChunkStride))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("ws"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("chunk_tokens"),
+        md5(to_binary(array_join(col("chunk"), " "), lit("utf-8"))).as("chunk_digest"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val q87Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS n
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, ws,
+       |         unnest(range(0, CASE WHEN n <= $ChunkSize THEN 1
+       |                              ELSE ((n - $ChunkSize + $ChunkStride - 1) // $ChunkStride) * $ChunkStride + 1
+       |                         END, $ChunkStride)) AS start
+       |  FROM w),
+       |c AS (
+       |  SELECT doc_id, CAST(start // $ChunkStride AS INT) AS chunk_idx,
+       |         list_slice(ws, start + 1, start + $ChunkSize) AS chunk
+       |  FROM g)
+       |SELECT doc_id, chunk_idx,
+       |       CAST(len(chunk) AS INT) AS chunk_tokens,
+       |       md5(array_to_string(chunk, ' ')) AS chunk_digest
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q89 vocabulary size (top-K tokens kept). */
+  private val VocabK = 32
+
+  /** q89 — VOCABULARY build: global token frequencies, keep the top-K
+    * (count desc, token asc), report each token's corpus coverage in
+    * exact micro-units. The BPE-precursor / tokenizer-audit op. Plan
+    * shape for scale: explode → map-side partial count → one shuffle
+    * keyed by token, then the top-K is `orderBy(...).limit(K)` which
+    * Spark plans as TakeOrderedAndProject — per-partition heaps merged
+    * once, never a single-partition global sort of the whole
+    * vocabulary. The 1-row total-tokens aggregate rides the q03/q69
+    * scalar-broadcast pattern; rank assignment is a window over the K
+    * surviving rows only.
+    */
+  private def q89(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val topK = counts.orderBy(col("cnt").desc, col("token")).limit(VocabK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    topK.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("token"), col("cnt"),
+        expr("(cnt * 1000000) DIV total_tokens").as("coverage_micro"))
+      .orderBy("rank")
+  }
+
+  private val q89Sql =
+    s"""WITH c AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |f AS (SELECT token, COUNT(*) AS cnt FROM c GROUP BY token),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM f),
+       |k AS (SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+       |      FROM f ORDER BY cnt DESC, token LIMIT $VocabK)
+       |SELECT CAST(rank AS INT) AS rank, token, cnt,
+       |       CAST((cnt * 1000000) // total_tokens AS BIGINT) AS coverage_micro
+       |FROM k, t ORDER BY rank""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -550,5 +646,7 @@ object TextStats {
     QuerySpec("q69_tfidf_topterms", q69, Some(q69Sql), headline = true),
     QuerySpec("q72_repetition_removal", q72, Some(q72Sql)),
     QuerySpec("q86_curated_corpus", q86, Some(q86Sql), headline = true),
+    QuerySpec("q87_doc_chunking",   q87, Some(q87Sql), headline = true),
+    QuerySpec("q89_vocab_build",    q89, Some(q89Sql)),
   )
 }

@@ -295,6 +295,59 @@ object TrainPrep {
       |       CAST(SUM(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** q88 shard capacity (documents per training shard). */
+  private val ShardSize = 64
+
+  /** q88 — deterministic GLOBAL SHUFFLE + fixed-size shard manifest:
+    * the "write the training shards" step — order the corpus by a
+    * salted md5 of the id (a reproducible pseudorandom permutation),
+    * then cut the sequence into fixed-size shards and report each
+    * shard's manifest (doc count, token volume, key range). A trainer
+    * streaming shards 0..N sees documents in a deterministic,
+    * source-decorrelated order.
+    *
+    * Scale shape: `orderBy(key)` is Spark's range-partitioned total
+    * sort (sampled range boundaries, each partition sorts locally —
+    * no single-reducer stage), and the global positions come from
+    * `RDD.zipWithIndex`, which runs one lightweight count job over
+    * the sorted partitions and then indexes each partition at offset
+    * Σ earlier counts — the sanctioned per-partition imperative tier
+    * (q70 precedent), never a driver collect of data rows. Documents
+    * themselves never travel: the sort carries (doc_id, n_tokens,
+    * 16-byte key) triples only.
+    */
+  private def q88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        md5(to_binary(concat(col("doc_id").cast("string"), lit(":q88")), lit("utf-8"))).as("k"))
+      .as[(Long, Int, String)]
+      .orderBy("k", "doc_id")
+    keyed.rdd.zipWithIndex()
+      .map { case ((id, tok, k), pos) => (id, tok, k, pos) }
+      .toDF("doc_id", "n_tokens", "k", "pos")
+      .groupBy((col("pos") / ShardSize).cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("shard_tokens"),
+        min(col("k")).as("first_key"),
+        max(col("k")).as("last_key"))
+      .orderBy("shard")
+  }
+
+  private val q88Sql =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR) || ':q88') AS k
+       |  FROM documents),
+       |p AS (SELECT *, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS pos FROM k)
+       |SELECT pos // $ShardSize AS shard, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |       MIN(k) AS first_key, MAX(k) AS last_key
+       |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** q74 — per-source corpus data card: the health report a data
     * curator reads before mixing sources — volume (docs/chars/
     * tokens), language spread, and exact-duplicate rate (distinct
@@ -328,5 +381,6 @@ object TrainPrep {
     QuerySpec("q71_stratified_sample",  q71, Some(q71Sql)),
     QuerySpec("q74_source_datacard",    q74, Some(q74Sql)),
     QuerySpec("q84_mixture_sample",     q84, Some(q84Sql)),
+    QuerySpec("q88_shard_manifest",     q88, Some(q88Sql), headline = true),
   )
 }

@@ -27,7 +27,12 @@ class PlanGuardSpec extends SparkSpec {
     *   - q53: the source×source inequality join runs over
     *     POST-AGGREGATION rows (one sketch per corpus) — its input
     *     cardinality is the number of corpora, independent of data
-    *     volume, so the nested loop never grows with the 100 TB.
+    *     volume, so the nested loop never grows with the 100 TB;
+    *   - q53b: same source×source post-aggregation matrix as q53
+    *     (the intersection COUNTS come from an equi-join on shingle
+    *     digests; only the ≤ sources² assembly is a nested loop);
+    *   - q89: broadcasts the 1-row total-token aggregate over the K
+    *     surviving vocab rows (the q03/q69 scalar pattern).
     */
   private val allowlist = Set(
     "q03_price_histogram",
@@ -35,9 +40,11 @@ class PlanGuardSpec extends SparkSpec {
     "q51_embedding_neardup",
     "q52_ann_ivf",
     "q53_source_similarity",
+    "q53b_source_similarity_sql",
     "q69_tfidf_topterms",
     "q73_bloom_blocklist",
-    "q84_mixture_sample")
+    "q84_mixture_sample",
+    "q89_vocab_build")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 

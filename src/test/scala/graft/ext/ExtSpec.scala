@@ -11,6 +11,87 @@ class ExtSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  /** Write a synthetic documents.parquet dir (q86/q87/q53b/q89 specs
+    * construct corpora with hand-computable expectations).
+    */
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q87 chunking: window boundaries, overlap, and digests (synthetic)") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, doc(100), "en", "srcA"), // starts 0, 48: chunks of 64 and 52
+      (1L, doc(64), "en", "srcA"),  // exactly one window
+      (2L, doc(10), "en", "srcA"),  // short doc: one small chunk
+      (3L, doc(65), "en", "srcA"))) // starts 0, 48: chunks of 64 and 17
+    val got = SparkEntry.queries("q87_doc_chunking")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        (r.getAs[Int]("chunk_tokens"), r.getAs[String]("chunk_digest"))).toMap
+    assert(got.keySet == Set((0L, 0), (0L, 1), (1L, 0), (2L, 0), (3L, 0), (3L, 1)))
+    assert(got.view.mapValues(_._1).toMap == Map(
+      (0L, 0) -> 64, (0L, 1) -> 52, (1L, 0) -> 64, (2L, 0) -> 10,
+      (3L, 0) -> 64, (3L, 1) -> 17))
+    // overlapping second window of doc 0 covers tokens 49..100
+    val expect01 = (49 to 100).map(i => s"w$i").mkString(" ")
+    assert(got((0L, 1))._2 == md5hex(expect01))
+  }
+
+  test("q53b exact source similarity matches hand-computed Jaccard (synthetic)") {
+    val dir = writeDocs(Seq(
+      (0L, "a b c d", "en", "src0"), // shingles {a b c, b c d}
+      (1L, "a b c e", "en", "src1"), // shingles {a b c, b c e}
+      (2L, "x y z", "en", "src2")))  // disjoint from both
+    val got = SparkEntry.queries("q53b_source_similarity_sql")(spark, dir).collect()
+      .map(r => (r.getAs[String]("a_source"), r.getAs[String]("b_source")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(got == Map(
+      ("src0", "src1") -> ((1L, 2L, 2L, 1.0 / 3)),
+      ("src0", "src2") -> ((0L, 2L, 1L, 0.0)),
+      ("src1", "src2") -> ((0L, 2L, 1L, 0.0))))
+  }
+
+  test("q88 sharding: fixed-size cuts of a deterministic total order (synthetic)") {
+    val docs = (0L until 200L).map(i => (i, s"tok$i text body $i", "en", s"src${i % 4}"))
+    val dir = writeDocs(docs)
+    val rows = SparkEntry.queries("q88_shard_manifest")(spark, dir).collect()
+    val sizes = rows.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+    assert(sizes == Map(0L -> 64L, 1L -> 64L, 2L -> 64L, 3L -> 8L))
+    // shard key ranges tile the global order: max(shard i) < min(shard i+1)
+    val ranges = rows.sortBy(_.getAs[Long]("shard"))
+      .map(r => (r.getAs[String]("first_key"), r.getAs[String]("last_key")))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+    // deterministic: a rerun produces the identical manifest
+    val again = SparkEntry.queries("q88_shard_manifest")(spark, dir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("q89 vocab: rank, tie-break, and exact coverage (synthetic)") {
+    val dir = writeDocs(Seq(
+      (0L, "a a a b b c", "en", "src0"),
+      (1L, "a b d", "en", "src0")))
+    val got = SparkEntry.queries("q89_vocab_build")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("coverage_micro")))
+    assert(got.toSeq == Seq(
+      (1, "a", 4L, 444444L), (2, "b", 3L, 333333L),
+      (3, "c", 1L, 111111L), (4, "d", 1L, 111111L)))
+  }
+
   test("q46 MinHash+LSH finds the planted near-dup pairs") {
     val pairs = run("q46_minhash_lsh").collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
