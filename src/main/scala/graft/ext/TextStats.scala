@@ -632,6 +632,48 @@ object TextStats {
        |       CAST((cnt * 1000000) // total_tokens AS BIGINT) AS coverage_micro
        |FROM k, t ORDER BY rank""".stripMargin
 
+  /** q90 rarity thresholds: hapax = corpus frequency 1, rare ≤ 3. */
+  private val RareMax = 3
+
+  /** q90 — per-document RARITY audit, the OOV-rate proxy a tokenizer/
+    * quality pipeline tracks: join every token occurrence to the
+    * global frequency table and report how much of each document is
+    * hapax (corpus frequency 1) or rare (≤ 3). High hapax ratios flag
+    * boilerplate-free but noisy docs (typos, serial numbers); near-zero
+    * flags templated text. Plan: explode → token-count aggregate (one
+    * shuffle of tokens with map-side partial agg) → equi-join the
+    * occurrences back on token → per-doc aggregate. The token join key
+    * is zipfian-skewed by nature ("the" dominates); the frequency side
+    * is one row per key, so AQE's skew-join split handles the fat
+    * partitions — same posture as the q30 salted-agg demo. Ratios are
+    * integer micro-units — exact across engines.
+    */
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = occ.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    occ.join(freq, "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("cnt") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("hapax_micro", expr("(n_hapax * 1000000) DIV n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hapax"), col("n_rare"), col("hapax_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val q90Sql =
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY token)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |       CAST(SUM(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |       CAST((SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS hapax_micro
+       |FROM occ JOIN f USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -648,5 +690,6 @@ object TextStats {
     QuerySpec("q86_curated_corpus", q86, Some(q86Sql), headline = true),
     QuerySpec("q87_doc_chunking",   q87, Some(q87Sql), headline = true),
     QuerySpec("q89_vocab_build",    q89, Some(q89Sql)),
+    QuerySpec("q90_rarity_audit",   q90, Some(q90Sql)),
   )
 }

@@ -80,6 +80,32 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("q90 rarity: hand-computed hapax/rare counts (synthetic)") {
+    // corpus counts: a=3, b=2, c=1, q=1, z=1 (hapax = 1, rare ≤ 3)
+    val dir = writeDocs(Seq(
+      (0L, "a a b q", "en", "src0"),
+      (1L, "a b c z", "en", "src0")))
+    val got = SparkEntry.queries("q90_rarity_audit")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_hapax"),
+          r.getAs[Long]("n_rare"), r.getAs[Long]("hapax_micro"))).toMap
+    assert(got == Map(
+      0L -> ((4L, 1L, 4L, 250000L)),  // a,a,b rare (cnt 3,3,2) + q hapax
+      1L -> ((4L, 2L, 4L, 500000L)))) // c,z hapax; a,b rare
+  }
+
+  test("q87/q89 plan shapes: map-only chunking, heap-based vocab top-K") {
+    // q87's only exchange is the deterministic output orderBy (range
+    // partitioning) — the generate/slice/digest pipeline itself never
+    // shuffles, so chunking stays a pure scan stage at any SF
+    val p87 = run("q87_doc_chunking").queryExecution.executedPlan.toString
+    assert(!p87.contains("Exchange hashpartitioning"), p87)
+    // q89's top-K is a per-partition heap merge, not a global sort of
+    // the vocabulary
+    val p89 = run("q89_vocab_build").queryExecution.executedPlan.toString
+    assert(p89.contains("TakeOrderedAndProject"), p89)
+  }
+
   test("q89 vocab: rank, tie-break, and exact coverage (synthetic)") {
     val dir = writeDocs(Seq(
       (0L, "a a a b b c", "en", "src0"),
