@@ -88,13 +88,86 @@ object DupGraph {
     labels
   }
 
+  /** Round bound for the star contraction: alternating large/small
+    * star halves the tree height every pass, so convergence is
+    * O(log n) rounds — 48 covers any component a real cluster could
+    * hold (2^48 nodes) with margin for the constant factor.
+    */
+  private val MaxStarRounds = 48
+
+  /** Connected components via the LARGE-STAR / SMALL-STAR contraction
+    * of Kiveris et al. ("Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round upgrade over one-hop
+    * label propagation for adversarial (deep) graphs. Same contract
+    * as [[connectedComponents]]: (id, comp) for every node in an
+    * edge, comp = component min.
+    *
+    * Edges are kept canonical (u > v, distinct). One round =
+    * large-star (each node links its LARGER neighbors to its minimum
+    * neighbor-or-self) then small-star (each node links its smaller
+    * neighbors to their collective minimum); each phase is one
+    * groupBy + one join over the edge list, so a round is a constant
+    * number of edge-list shuffles regardless of graph depth. The
+    * fixpoint is a star forest whose centers are the component
+    * minima; convergence is detected by edge-set equality
+    * (count + anti-join — two cheap jobs over checkpointed edges).
+    */
+  private[ext] def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e
+        .select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("x"))
+        .select(col("x.a").as("a"), col("x.b").as("b"))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .withColumn("m", least(col("a"), col("mb")))
+        .select(col("a"), col("m"))
+      // every edge (a,b), a<b contributes via a's group (b>a), so
+      // dropping the b<a side loses no connectivity
+      sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (u > v): grouping by u sees exactly the
+      // smaller neighbors, whose min is the new star center
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val moved = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.union(mins.select(col("u"), col("m").as("v")))
+    }
+    var cur = canon(edges.select(col("a_id").as("u"), col("b_id").as("v")))
+      .localCheckpoint()
+    var round = 0
+    var converged = cur.limit(1).isEmpty
+    while (!converged && round < MaxStarRounds) {
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint()
+      converged = next.count() == cur.count() &&
+        next.join(cur, Seq("u", "v"), "left_anti").limit(1).isEmpty
+      cur = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $MaxStarRounds rounds")
+    cur.select(col("u").as("id"), col("v").as("comp"))
+      .union(cur.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
   /** Per-document cluster assignment over the q45 verified Jaccard
     * pairs: (doc_id, comp_id, comp_size), comp_id = the cluster's
     * canonical (min) doc_id; edge-free docs are their own singleton.
-    * Shared by q59 (the report) and q82 (the materialized dedup).
+    * Shared by q59 (the report), q82 (the materialized dedup), and
+    * q91 (the star-contraction variant).
     */
-  private def assignments(spark: SparkSession, dir: String): DataFrame = {
-    val comp = connectedComponents(
+  private def assignments(
+      spark: SparkSession, dir: String,
+      cc: DataFrame => DataFrame = connectedComponents): DataFrame = {
+    val comp = cc(
       Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")))
     Tables.documents(spark, dir)
       .select(col("doc_id"))
@@ -111,6 +184,19 @@ object DupGraph {
     */
   private def q59(spark: SparkSession, dir: String): DataFrame =
     assignments(spark, dir).orderBy("doc_id")
+
+  /** q91 — the SAME cluster contract as q59, computed by the
+    * large-star/small-star contraction instead of one-hop label
+    * propagation: identical output (and identical oracle), different
+    * round complexity — O(log n) edge-list shuffles instead of
+    * O(diameter), the algorithm you switch to when components can be
+    * deep (adversarial chains, citation graphs) rather than the
+    * shallow blobs near-dup clusters form. Kept alongside q59 the way
+    * q46b/q47b sit beside their sketch twins: one contract, two
+    * engine strategies, both oracle-gated.
+    */
+  private def q91(spark: SparkSession, dir: String): DataFrame =
+    assignments(spark, dir, connectedComponentsStar).orderBy("doc_id")
 
   /** q82 — the DEDUPLICATED CORPUS itself: the step q59's report
     * feeds. One survivor per cluster (the canonical min doc_id),
@@ -179,5 +265,6 @@ object DupGraph {
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
     QuerySpec("q82_dedup_corpus", q82, Some(q82Sql)),
+    QuerySpec("q91_dup_clusters_star", q91, Some(q59Sql)),
   )
 }

@@ -329,6 +329,34 @@ class ExtSpec extends SparkSpec {
       s"$nClusters clusters from $nPairs pairs: no transitive merging happened")
   }
 
+  test("q91 star contraction equals q59 label propagation on the real pair graph") {
+    val viaProp = run("q59_dup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("comp_id"), r.getAs[Long]("comp_size")))
+    val viaStar = run("q91_dup_clusters_star").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("comp_id"), r.getAs[Long]("comp_size")))
+    assert(viaProp.sameElements(viaStar))
+  }
+
+  test("star contraction handles deep graphs the one-hop bound rejects (synthetic)") {
+    import spark.implicits._
+    // a 200-node path: diameter 199, far beyond label propagation's
+    // 16-round bound — the adversarial case the star algorithm exists
+    // for. Ids shuffled so the min is in the middle of the chain.
+    val ids = new scala.util.Random(7).shuffle((0L until 200L).toVector)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a_id", "b_id")
+    val labels = graft.ext.DupGraph.connectedComponentsStar(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(labels.keySet == (0L until 200L).toSet)
+    assert(labels.values.forall(_ == 0L))
+    // and two disjoint paths stay disjoint
+    val two = (ids.sliding(2).map(p => (p(0), p(1))).toSeq ++
+      ids.sliding(2).map(p => (p(0) + 1000, p(1) + 1000)).toSeq).toDF("a_id", "b_id")
+    val l2 = graft.ext.DupGraph.connectedComponentsStar(two).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(l2.filter(_._1 < 1000).values.forall(_ == 0L))
+    assert(l2.filter(_._1 >= 1000).values.forall(_ == 1000L))
+  }
+
   test("q82 dedup corpus: exactly the q59 cluster survivors, dup mass conserved") {
     val comp = run("q59_dup_clusters").collect()
       .map(r => r.getAs[Long]("doc_id") ->
