@@ -674,6 +674,59 @@ object TextStats {
        |FROM occ JOIN f USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q92 — intra-document REPEATED n-gram ratio (the Gopher/MassiveText
+    * duplicate-3-gram quality signal): what fraction of a doc's 3-gram
+    * OCCURRENCES are repeats of an earlier 3-gram in the same doc.
+    * Complements q72 (consecutive-run collapse) — this catches
+    * non-adjacent boilerplate loops. Pure per-row array math (the
+    * sliding 3-grams are built by indexing the words array, O(1) per
+    * element — NOT positional substr, see CharsAt scaladoc), so the
+    * plan is a shuffle-free map stage; the ratio is integer
+    * micro-units. Docs under 3 words have no 3-grams → 0/0 guarded to
+    * zero.
+    */
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("ws"))
+    // explicit empty branch: sequence(1, 0) without a step would count
+    // DOWN ([1, 0]), not produce an empty range
+    val grams = when(n < 3, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), n - 2),
+        i => concat_ws(" ", get(col("ws"), i - 1), get(col("ws"), i), get(col("ws"), i + 1))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        size(col("g")).as("n_grams"),
+        size(array_distinct(col("g"))).as("n_distinct"))
+      .withColumn("dup_micro",
+        when(col("n_grams") === 0, 0L)
+          .otherwise(expr("((n_grams - n_distinct) * 1000000) DIV n_grams")))
+      .orderBy("doc_id")
+  }
+
+  private val q92Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |  FROM (SELECT doc_id, ws,
+      |               unnest(range(1, GREATEST(n - 2, 0) + 1)) AS i
+      |        FROM w)),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+      |         CAST(COUNT(DISTINCT gram) AS INT) AS n_distinct
+      |  FROM g GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |       COALESCE(a.n_grams, 0) AS n_grams,
+      |       COALESCE(a.n_distinct, 0) AS n_distinct,
+      |       CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0
+      |            ELSE CAST(((a.n_grams - a.n_distinct) * 1000000) // a.n_grams AS BIGINT)
+      |       END AS dup_micro
+      |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -691,5 +744,6 @@ object TextStats {
     QuerySpec("q87_doc_chunking",   q87, Some(q87Sql), headline = true),
     QuerySpec("q89_vocab_build",    q89, Some(q89Sql)),
     QuerySpec("q90_rarity_audit",   q90, Some(q90Sql)),
+    QuerySpec("q92_gopher_repetition", q92, Some(q92Sql)),
   )
 }

@@ -80,6 +80,20 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("q92 repetition: duplicate 3-gram ratio, short-doc guard (synthetic)") {
+    val dir = writeDocs(Seq(
+      (0L, "a b c a b c a b", "en", "src0"), // grams: abc bca cab abc bca cab → 6 grams, 3 distinct
+      (1L, "x y", "en", "src0"),             // < 3 words → no grams
+      (2L, "p q r s", "en", "src0")))        // 2 grams, both distinct
+    val got = SparkEntry.queries("q92_gopher_repetition")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams"), r.getAs[Int]("n_distinct"), r.getAs[Long]("dup_micro"))).toMap
+    assert(got == Map(
+      0L -> ((6, 3, 500000L)),
+      1L -> ((0, 0, 0L)),
+      2L -> ((2, 2, 0L))))
+  }
+
   test("q90 rarity: hand-computed hapax/rare counts (synthetic)") {
     // corpus counts: a=3, b=2, c=1, q=1, z=1 (hapax = 1, rare ≤ 3)
     val dir = writeDocs(Seq(
