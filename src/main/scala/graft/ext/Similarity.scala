@@ -352,6 +352,76 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** q93 — cluster-centroid similarity in QUANTIZED space: pairwise
+    * cosine between the per-label centroid directions of the
+    * embedding corpus — the corpus-drift / cluster-overlap report an
+    * embedding pipeline tracks. The trick that makes it ORACLE-EXACT
+    * where raw double centroids are not: float sums are
+    * order-dependent, so instead each component is first quantized to
+    * an int8 code (the q57 scalar quantization — IEEE-identical
+    * per-row arithmetic), and centroids live in integer space — SUM of
+    * codes per (label, dim) is exact at any parallelism, dot products
+    * and squared norms of those sums are exact BIGINTs, and the final
+    * cosine is one deterministic double division. Plan: posexplode →
+    * 64-key range aggregate (broadcast back) → (label, dim) partial
+    * agg → equi-join on dim for the pairwise products (pair space =
+    * labels² × 64 POST-aggregation rows — never touches vector
+    * count). At 100 TB only the (label, dim) sums — a few KB — cross
+    * the final shuffle.
+    */
+  private def q93(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+    val ranges = comps.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code =
+      when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(greatest(
+          (floor((col("x") - col("mn")) * 254.0 / (col("mx") - col("mn"))) - 127).cast("long"),
+          lit(-127L)), lit(127L)))
+    val sums = comps.join(broadcast(ranges), "pos")
+      .select(col("label"), col("pos"), code.as("c"))
+      .groupBy(col("label"), col("pos")).agg(sum(col("c")).as("s"))
+    val norms = sums.groupBy(col("label")).agg(sum(col("s") * col("s")).as("norm2"))
+    val dots = sums.as("x").join(sums.as("y"),
+        col("x.pos") === col("y.pos") && col("x.label") < col("y.label"))
+      .groupBy(col("x.label").as("a_label"), col("y.label").as("b_label"))
+      .agg(sum(col("x.s") * col("y.s")).as("dot"))
+    dots
+      .join(norms.select(col("label").as("a_label"), col("norm2").as("a_norm2")), "a_label")
+      .join(norms.select(col("label").as("b_label"), col("norm2").as("b_norm2")), "b_label")
+      .select(col("a_label"), col("b_label"), col("dot"), col("a_norm2"), col("b_norm2"),
+        (col("dot").cast("double") /
+          (sqrt(col("a_norm2").cast("double")) * sqrt(col("b_norm2").cast("double"))))
+          .as("cosine"))
+      .orderBy("a_label", "b_label")
+  }
+
+  private val q93Sql =
+    """WITH p AS (
+      |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |r AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM p GROUP BY pos),
+      |q AS (
+      |  SELECT label, p.pos,
+      |         CASE WHEN mx = mn THEN 0
+      |              ELSE LEAST(GREATEST(CAST(floor((x - mn) * 254.0 / (mx - mn)) - 127 AS BIGINT), -127), 127)
+      |         END AS c
+      |  FROM p JOIN r ON p.pos = r.pos),
+      |s AS (SELECT label, pos, CAST(SUM(c) AS BIGINT) AS s FROM q GROUP BY label, pos),
+      |n AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS norm2 FROM s GROUP BY label),
+      |d AS (
+      |  SELECT x.label AS a_label, y.label AS b_label,
+      |         CAST(SUM(x.s * y.s) AS BIGINT) AS dot
+      |  FROM s x JOIN s y ON x.pos = y.pos AND x.label < y.label
+      |  GROUP BY 1, 2)
+      |SELECT d.a_label, d.b_label, d.dot, na.norm2 AS a_norm2, nb.norm2 AS b_norm2,
+      |       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+      |FROM d JOIN n na ON d.a_label = na.label JOIN n nb ON d.b_label = nb.label
+      |ORDER BY a_label, b_label""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
@@ -360,5 +430,6 @@ object Similarity {
     QuerySpec("q51b_embedding_neardup_blocked", q51b, None, headline = true),
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
+    QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),
   )
 }

@@ -80,6 +80,32 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("q93 centroid similarity: full matrix, exact ints, direction sanity (synthetic)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    // labels 0 and 1 share a direction (0 holds two copies), label 2
+    // is the complementary corner — after the affine int8 mapping the
+    // shared direction must give cosine ≈ 1, the complement ≈ −1
+    Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0f), 1),
+      (3L, Array(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q93_centroid_similarity")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("a_label"), r.getAs[Int]("b_label")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(math.abs(got((0, 1)) - 1.0) < 1e-12)
+    assert(math.abs(got((1, 2)) + 1.0) < 1e-12)
+    // and on the real corpus: all pairs present, cosines bounded
+    val real = run("q93_centroid_similarity").collect()
+    val labels = real.flatMap(r =>
+      Seq(r.getAs[Int]("a_label"), r.getAs[Int]("b_label"))).distinct.length
+    assert(real.length == labels * (labels - 1) / 2)
+    assert(real.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+  }
+
   test("q92 repetition: duplicate 3-gram ratio, short-doc guard (synthetic)") {
     val dir = writeDocs(Seq(
       (0L, "a b c a b c a b", "en", "src0"), // grams: abc bca cab abc bca cab → 6 grams, 3 distinct
