@@ -367,7 +367,11 @@ object Similarity {
     * agg → equi-join on dim for the pairwise products (pair space =
     * labels² × 64 POST-aggregation rows — never touches vector
     * count). At 100 TB only the (label, dim) sums — a few KB — cross
-    * the final shuffle.
+    * the final shuffle. Magnitude note: |s| ≤ 127·n_vectors, so s²
+    * stays inside BIGINT through ~10^8 vectors per label; beyond
+    * that, mean-center the codes (divide s by n first) or move the
+    * norm/dot products to decimal(38,0) — ANSI mode would raise, not
+    * wrap, if it ever overflowed.
     */
   private def q93(spark: SparkSession, dir: String): DataFrame = {
     val comps = Tables.embeddings(spark, dir)

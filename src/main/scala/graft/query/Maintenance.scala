@@ -75,7 +75,13 @@ object Maintenance {
     * in BOTH engines or change detection itself would be
     * nondeterministic (the testdata contains exactly one such tie).
     */
-  private def q76(spark: SparkSession, dir: String): DataFrame = {
+  private def q76(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir).orderBy("o_custkey", "version")
+
+  /** The versioned SCD-2 dimension (unordered) — shared by q76 (the
+    * history report) and q94 (the point-in-time join).
+    */
+  private def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val changes = Tables.orders(spark, dir)
@@ -92,7 +98,6 @@ object Maintenance {
         col("o_orderdate").as("effective_from"),
         col("effective_to"),
         col("effective_to").isNull.as("is_current"))
-      .orderBy("o_custkey", "version")
   }
 
   private val q76Sql =
@@ -228,9 +233,68 @@ object Maintenance {
       |UNION ALL SELECT 'orders_orphan_custkey', orders_orphan_custkey FROM fk2
       |ORDER BY check_name""".stripMargin
 
+  /** q94 — POINT-IN-TIME join (temporal leakage prevention): enrich
+    * each lineitem with the customer's order-priority version that was
+    * valid AT ITS SHIP DATE, not the current one — the as-of-history
+    * join every training-data snapshot needs so features never peek
+    * past the fact's own timestamp. Fact side: lineitem → orders
+    * (equi-join on the order key) for the customer key; dimension
+    * side: the q76 SCD-2 history. The temporal match is an equi-join
+    * on the customer key with the interval predicate
+    * `from <= ship < to` as the join filter — a SortMergeJoin keyed on
+    * the dimension key (versions per key are few), never a nested
+    * loop. Facts that PREDATE the dimension's first version (~9% of
+    * this corpus: the synthetic ship dates are not constrained to
+    * follow order dates) keep a NULL as-of version — a LEFT join, so
+    * no fact is silently dropped and "feature unknown at that time"
+    * is visible to the consumer instead of leaking the current value.
+    * Row conservation is asserted by the spec and the oracle mirrors
+    * the same LEFT semantics.
+    */
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val hist = scd2History(spark, dir).withColumnRenamed("o_custkey", "h_custkey")
+    fact.join(hist,
+        col("o_custkey") === col("h_custkey") && col("l_shipdate") >= col("effective_from") &&
+          (col("effective_to").isNull || col("l_shipdate") < col("effective_to")),
+        "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("l_shipdate"), col("version"), col("priority").as("priority_asof"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q94Sql =
+    """WITH m AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |         LAG(o_orderpriority) OVER
+      |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |c AS (SELECT * FROM m WHERE prev IS NULL OR prev != o_orderpriority),
+      |v AS (
+      |  SELECT o_custkey,
+      |         CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |         o_orderpriority AS priority,
+      |         o_orderdate AS effective_from,
+      |         LEAD(o_orderdate) OVER w AS effective_to
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |f AS (
+      |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+      |       v.version, v.priority AS priority_asof
+      |FROM f LEFT JOIN v ON f.o_custkey = v.o_custkey
+      |  AND f.l_shipdate >= v.effective_from
+      |  AND (v.effective_to IS NULL OR f.l_shipdate < v.effective_to)
+      |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
+    QuerySpec("q94_pit_join",     q94, Some(q94Sql), headline = true),
     QuerySpec("q78_log_compaction", q78, Some(q78Sql)),
     QuerySpec("q81_dq_audit",     q81, Some(q81Sql)),
   )

@@ -46,6 +46,29 @@ class TemporalJoinSpec extends SparkSpec {
     assert(rows(3L) == Some(31L), "the most recent prior view wins")
   }
 
+  test("q94 point-in-time join: lossless, unique, and as-of-correct vs the history") {
+    val fact = graft.Tables.lineitem(spark, sf)
+    val rows = SparkEntry.queries("q94_pit_join")(spark, sf).collect()
+    // lossless AND fan-out-free in one equality: a dropped fact would
+    // shrink the count, a fact matching two versions would inflate it
+    // (the synthetic lineitem has non-unique (orderkey, linenumber)
+    // pairs, so per-key distinctness is not assertable here)
+    assert(rows.length == fact.count())
+    // as-of-correct: the joined version equals the LAST q76 version
+    // whose effective_from <= ship date (driver-side replay at sf0.001)
+    val hist = SparkEntry.queries("q76_scd2_history")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[java.time.LocalDateTime]("effective_from"), r.getAs[Int]("version")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ship = r.getAs[java.time.LocalDateTime]("l_shipdate")
+      val expect = hist.getOrElse(r.getAs[Long]("o_custkey"), Array.empty)
+        .filter(!_._2.isAfter(ship)).sortBy(_._3).lastOption.map(_._3)
+      assert(Option(r.getAs[java.lang.Integer]("version")).map(_.toInt) == expect,
+        s"row $r expected version $expect")
+    }
+  }
+
   test("range join: exactly-at-gap pair included, gap+1µs excluded") {
     val pairs = SparkEntry.queries("q35_range_join")(spark, dir).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("gap_us")))
