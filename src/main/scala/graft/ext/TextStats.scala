@@ -36,7 +36,7 @@ object TextStats {
   /** Stopword list shared between the Spark expression and the oracle
     * SQL (single source of truth → byte-identical semantics).
     */
-  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+  private[ext] val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on")
 
   /** q41 — quality scoring: length/repetition/stopword signals
     * combined into a [0,1]-ish score. All ratios are int/int double

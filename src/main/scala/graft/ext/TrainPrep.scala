@@ -348,6 +348,119 @@ object TrainPrep {
        |       MIN(k) AS first_key, MAX(k) AS last_key
        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** q95 eval-set size (documents per source). */
+  private val EvalPerSource = 8
+
+  /** q95 — deterministic K-PER-SOURCE eval sample, executed by the
+    * custom [[graft.plans.TopKPerKey]] whole-operator plan: order each
+    * source's docs by a salted md5 of the id (a reproducible uniform
+    * draw, monotone under corpus growth for the ids it has seen) and
+    * keep the first K. The custom operator makes this the cheap shape
+    * at scale: map-side partial top-K means the exchange carries at
+    * most K·sources rows per input partition — the window/row_number
+    * form would shuffle and sort the entire corpus to discard all but
+    * 8·sources rows.
+    */
+  private def q95(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerKey(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            md5(to_binary(concat(col("doc_id").cast("string"), lit(":q95")), lit("utf-8")))
+              .as("sample_key")),
+        keyCols = Seq(col("source")),
+        orders = Seq(col("sample_key").asc, col("doc_id").asc),
+        k = EvalPerSource)
+      .orderBy("source", "sample_key", "doc_id")
+
+  private val q95Sql =
+    s"""SELECT doc_id, source, sample_key FROM (
+       |  SELECT doc_id, source,
+       |         md5(CAST(doc_id AS VARCHAR) || ':q95') AS sample_key,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':q95'), doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $EvalPerSource
+       |ORDER BY source, sample_key, doc_id""".stripMargin
+
+  /** q96 — QUALITY-THRESHOLD data selection under a token budget: keep
+    * the highest-quality documents whose tokens fit 30% of the corpus
+    * — the "train on the best X%" curation step. Greedy by quality
+    * level with a deterministic md5-order tie-break inside the
+    * boundary level, in three exact integer stages:
+    *   (1) per-doc quality in micro-units (the q41 double arithmetic,
+    *       IEEE-identical per row, floored once to an integer);
+    *   (2) per-level token totals + running totals over levels sorted
+    *       best-first — the level table is bounded by the micro
+    *       resolution (≤ 10^6 rows at ANY corpus size), so its
+    *       single-partition window is scale-safe by construction;
+    *   (3) a per-level running sum over (md5 key, doc_id) inside each
+    *       level; a doc is kept iff tokens-above-its-level plus its
+    *       own running sum fit the budget — one formula that keeps
+    *       full levels whole, drops below-cutoff levels (every token
+    *       count is ≥ 1), and cuts the boundary level mid-sequence
+    *       deterministically.
+    * The 1-row total/budget broadcast is the q03/q69 scalar pattern.
+    */
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words  = split(col("text"), " ")
+    val nWords = size(words)
+    val nUniq  = size(array_distinct(words))
+    val stops  = size(filter(words, w => w.isin(TextStats.Stopwords: _*)))
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val quality = (nUniq.cast("long") / nWords) * 0.5 +
+      (nAlpha.cast("long") / col("n_chars")) * 0.3 +
+      (stops.cast("long") / nWords) * 0.2
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nWords.cast("long").as("tok"),
+        floor(quality * 1000000).cast("long").as("qm"),
+        md5(to_binary(concat(col("doc_id").cast("string"), lit(":q96")), lit("utf-8"))).as("k"))
+    val budget = docs.agg(expr("(3 * SUM(tok)) DIV 10").as("budget"))
+    val levels = docs.groupBy(col("qm")).agg(sum(col("tok")).as("lvl_tokens"))
+      .withColumn("cum_incl", sum(col("lvl_tokens")).over(Window.orderBy(col("qm").desc)))
+      .withColumn("cum_excl", col("cum_incl") - col("lvl_tokens"))
+      .select(col("qm"), col("cum_excl"))
+    docs.join(broadcast(levels), "qm")
+      .crossJoin(broadcast(budget))
+      .withColumn("run",
+        sum(col("tok")).over(Window.partitionBy(col("qm")).orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("qm").as("quality_micro"), col("tok").as("n_tokens"),
+        (col("cum_excl") + col("run") <= col("budget")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val q96Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |         CAST(FLOOR((
+      |           (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |              / len(string_split(text, ' '))) * 0.5
+      |           + (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+      |              / n_chars) * 0.3
+      |           + (CAST(len(list_filter(string_split(text, ' '),
+      |                x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'on'))) AS BIGINT)
+      |              / len(string_split(text, ' '))) * 0.2
+      |         ) * 1000000) AS BIGINT) AS qm,
+      |         md5(CAST(doc_id AS VARCHAR) || ':q96') AS k
+      |  FROM documents),
+      |b AS (SELECT CAST((3 * SUM(tok)) // 10 AS BIGINT) AS budget FROM d),
+      |lv AS (
+      |  SELECT qm, SUM(tok) AS lvl_tokens FROM d GROUP BY qm),
+      |cum AS (
+      |  SELECT qm,
+      |         CAST(SUM(lvl_tokens) OVER (ORDER BY qm DESC)
+      |              - lvl_tokens AS BIGINT) AS cum_excl
+      |  FROM lv),
+      |r AS (
+      |  SELECT d.doc_id, d.qm, d.tok, cum.cum_excl,
+      |         CAST(SUM(d.tok) OVER (PARTITION BY d.qm ORDER BY d.k, d.doc_id) AS BIGINT) AS run
+      |  FROM d JOIN cum ON d.qm = cum.qm)
+      |SELECT doc_id, qm AS quality_micro, tok AS n_tokens,
+      |       (cum_excl + run <= budget) AS kept
+      |FROM r, b ORDER BY doc_id""".stripMargin
+
   /** q74 — per-source corpus data card: the health report a data
     * curator reads before mixing sources — volume (docs/chars/
     * tokens), language spread, and exact-duplicate rate (distinct
@@ -382,5 +495,7 @@ object TrainPrep {
     QuerySpec("q74_source_datacard",    q74, Some(q74Sql)),
     QuerySpec("q84_mixture_sample",     q84, Some(q84Sql)),
     QuerySpec("q88_shard_manifest",     q88, Some(q88Sql), headline = true),
+    QuerySpec("q95_eval_sample",        q95, Some(q95Sql)),
+    QuerySpec("q96_quality_budget",     q96, Some(q96Sql), headline = true),
   )
 }

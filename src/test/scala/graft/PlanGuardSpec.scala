@@ -32,7 +32,9 @@ class PlanGuardSpec extends SparkSpec {
     *     (the intersection COUNTS come from an equi-join on shingle
     *     digests; only the ≤ sources² assembly is a nested loop);
     *   - q89: broadcasts the 1-row total-token aggregate over the K
-    *     surviving vocab rows (the q03/q69 scalar pattern).
+    *     surviving vocab rows (the q03/q69 scalar pattern);
+    *   - q96: broadcasts the 1-row token-budget aggregate (same
+    *     scalar pattern).
     */
   private val allowlist = Set(
     "q03_price_histogram",
@@ -44,7 +46,8 @@ class PlanGuardSpec extends SparkSpec {
     "q69_tfidf_topterms",
     "q73_bloom_blocklist",
     "q84_mixture_sample",
-    "q89_vocab_build")
+    "q89_vocab_build",
+    "q96_quality_budget")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 

@@ -120,6 +120,36 @@ class ExtSpec extends SparkSpec {
       2L -> ((2, 2, 0L))))
   }
 
+  test("q95 eval sample: exactly K per source, deterministic") {
+    val rows = run("q95_eval_sample").collect()
+    val perSource = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(perSource.nonEmpty && perSource.values.forall(_ == 8), perSource)
+    val again = run("q95_eval_sample").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("q96 budget selection: greedy cutoff is tight and quality-monotone") {
+    val rows = run("q96_quality_budget").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_micro"),
+        r.getAs[Long]("n_tokens"), r.getAs[Boolean]("kept")))
+    val budget = 3 * rows.map(_._3).sum / 10
+    val kept = rows.filter(_._4)
+    val dropped = rows.filterNot(_._4)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    val keptSum = kept.map(_._3).sum
+    assert(keptSum <= budget, s"kept $keptSum > budget $budget")
+    // levels strictly above the boundary are fully kept; strictly
+    // below fully dropped (only the boundary level may be split)
+    val boundary = kept.map(_._2).min
+    assert(rows.filter(_._2 > boundary).forall(_._4))
+    assert(rows.filter(_._2 < boundary).forall(!_._4))
+    // tightness: the first dropped doc in greedy order would overflow
+    def md5hexId(id: Long) = md5hex(s"$id:q96")
+    val firstDropped = dropped.minBy(d => (-d._2, md5hexId(d._1), d._1))
+    assert(keptSum + firstDropped._3 > budget,
+      s"greedy would also fit doc ${firstDropped._1}")
+  }
+
   test("q90 rarity: hand-computed hapax/rare counts (synthetic)") {
     // corpus counts: a=3, b=2, c=1, q=1, z=1 (hapax = 1, rare ≤ 3)
     val dir = writeDocs(Seq(
