@@ -461,6 +461,38 @@ object TrainPrep {
       |       (cum_excl + run <= budget) AS kept
       |FROM r, b ORDER BY doc_id""".stripMargin
 
+  /** q97 — corpus VERSION fingerprint: one deterministic id per
+    * source plus a grand-total row (ROLLUP) that changes iff the
+    * underlying document set changes — the dataset-versioning
+    * primitive a reproducible training pipeline records next to every
+    * run. The combine is BIT_XOR over 60-bit md5 halves of the text:
+    * associative, commutative, overflow-free — an exact partial
+    * aggregate at any parallelism and any corpus size (no modular-sum
+    * gymnastics), and engine-portable because the hashed bits are md5,
+    * not engine-internal. XOR caveat documented: a pair of IDENTICAL
+    * texts cancels out, so the exact-dup count (n_docs vs distinct
+    * digests, q74's column) belongs next to it in any real manifest.
+    */
+  private def q97(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        conv(substring(md5(to_binary(col("text"), lit("utf-8"))), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col("n_chars"))
+      .rollup(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        expr("bit_xor(h)").as("version_xor"))
+      .orderBy(col("source").asc_nulls_first)
+
+  private val q97Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       BIT_XOR(('0x' || substr(md5(text), 1, 15))::BIGINT) AS version_xor
+      |FROM documents GROUP BY ROLLUP (source)
+      |ORDER BY source ASC NULLS FIRST""".stripMargin
+
   /** q74 — per-source corpus data card: the health report a data
     * curator reads before mixing sources — volume (docs/chars/
     * tokens), language spread, and exact-duplicate rate (distinct
@@ -497,5 +529,6 @@ object TrainPrep {
     QuerySpec("q88_shard_manifest",     q88, Some(q88Sql), headline = true),
     QuerySpec("q95_eval_sample",        q95, Some(q95Sql)),
     QuerySpec("q96_quality_budget",     q96, Some(q96Sql), headline = true),
+    QuerySpec("q97_corpus_version",     q97, Some(q97Sql)),
   )
 }

@@ -120,6 +120,25 @@ class ExtSpec extends SparkSpec {
       2L -> ((2, 2, 0L))))
   }
 
+  test("q97 corpus version: total = XOR of sources, changes iff content changes") {
+    def fingerprints(dir: String) =
+      SparkEntry.queries("q97_corpus_version")(spark, dir).collect()
+        .map(r => Option(r.getAs[String]("source")) -> r.getAs[Long]("version_xor")).toMap
+    val base = Seq(
+      (0L, "alpha beta gamma", "en", "srcA"), (1L, "delta epsilon", "en", "srcA"),
+      (2L, "zeta eta theta", "en", "srcB"))
+    val v1 = fingerprints(writeDocs(base))
+    // grand total (null source) is the XOR of the per-source rows
+    assert(v1(None) == (v1(Some("srcA")) ^ v1(Some("srcB"))))
+    // identical corpus → identical fingerprint
+    assert(fingerprints(writeDocs(base)) == v1)
+    // one changed text → that source and the total change, others don't
+    val v2 = fingerprints(writeDocs(base.updated(1, (1L, "delta epsilon CHANGED", "en", "srcA"))))
+    assert(v2(Some("srcA")) != v1(Some("srcA")))
+    assert(v2(Some("srcB")) == v1(Some("srcB")))
+    assert(v2(None) != v1(None))
+  }
+
   test("q95 eval sample: exactly K per source, deterministic") {
     val rows = run("q95_eval_sample").collect()
     val perSource = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
