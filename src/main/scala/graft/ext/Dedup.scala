@@ -478,6 +478,107 @@ object Dedup {
       |FROM batch b LEFT JOIN corpus c ON b.th = c.th JOIN fib ON b.th = fib.th
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Span width for q98 — the published decontamination/ExactSubstr
+    * window (8 tokens), matching q67's gram width.
+    */
+  private val SpanW = 8
+
+  /** q98 — duplicated-SPAN removal (the n-gram-granular form of
+    * ExactSubstr dedup, Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2021): instead of dropping whole
+    * near-duplicate documents (q44/q45/q82), surgically remove every
+    * token covered by an 8-gram that also appears in ANOTHER document
+    * — the pass that strips boilerplate and quoted passages while
+    * keeping the unique remainder of each document.
+    *
+    * Phases, all equi-keyed:
+    *   (1) positional gram index — every (doc, start, gram-md5) row;
+    *       the shuffle key is the 16-byte digest, never gram text;
+    *   (2) cross-document duplicated grams: COUNT(DISTINCT doc) ≥ 2
+    *       per digest (within-doc repeats alone don't qualify — q72
+    *       owns intra-doc repetition);
+    *   (3) coverage mask — duplicated starts explode to their ≤ 8
+    *       covered token indexes, collect_set per doc (bounded by
+    *       doc length, int indexes only);
+    *   (4) rewrite — one map pass filters each doc's tokens by the
+    *       mask. Output keeps the digest of the cleaned text, not the
+    *       text, so result rows stay 3 ints + 32 hex chars.
+    * At 100 TB the mask side (docs that contain any duplicated span)
+    * is far smaller than the corpus, and the rewrite is a map stage
+    * over the scan — the corpus text itself never shuffles. Docs
+    * shorter than 8 tokens fall back to the whole text as one span
+    * (the q67/word_shingles convention), so exact short-doc dups are
+    * fully masked rather than silently exempt.
+    */
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .localCheckpoint(false)
+    // positional grams (fallback: whole text as one span at start 0)
+    val gramArr = when(col("n") >= SpanW,
+        transform(sequence(lit(0), col("n") - SpanW),
+          i => array_join(slice(col("ws"), i + 1, lit(SpanW)), " ")))
+      .otherwise(array(array_join(col("ws"), " ")))
+    val grams = toks
+      .select(col("doc_id"), col("n"), posexplode(gramArr).as(Seq("p", "g")))
+      .select(col("doc_id"), col("n"), col("p"),
+        md5(to_binary(col("g"), lit("utf-8"))).as("gh"))
+      .localCheckpoint(false) // referenced by the DF count AND the mask join
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gh"))
+    val cov = grams.join(dup, "gh")
+      .select(col("doc_id"),
+        explode(sequence(col("p"),
+          when(col("n") >= SpanW, col("p") + (SpanW - 1))
+            .otherwise(col("n") - 1))).as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("idx")).as("cov"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        md5(to_binary(
+          array_join(filter(col("ws"), (w, i) => !array_contains(col("cov"), i)), " "),
+          lit("utf-8"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val q98Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(ws) AS n, i - 1 AS p,
+       |         md5(CASE WHEN len(ws) >= $SpanW
+       |                  THEN array_to_string(ws[i:i+${SpanW - 1}], ' ')
+       |                  ELSE array_to_string(ws, ' ') END) AS gh
+       |  FROM (SELECT doc_id, ws,
+       |               unnest(CASE WHEN len(ws) >= $SpanW
+       |                           THEN range(1, len(ws) - ${SpanW - 2})
+       |                           ELSE [1] END) AS i
+       |        FROM w)),
+       |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT g.doc_id, p + o AS idx
+       |  FROM g JOIN dup USING (gh), range(0, $SpanW) r(o)
+       |  WHERE o <= CASE WHEN n >= $SpanW THEN ${SpanW - 1} ELSE n - 1 END),
+       |tok AS (
+       |  SELECT doc_id, i, ws[i] AS wd
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)),
+       |k AS (
+       |  SELECT tok.doc_id, tok.i,
+       |         CASE WHEN cov.idx IS NULL THEN tok.wd END AS wd,
+       |         CASE WHEN cov.idx IS NOT NULL THEN 1 ELSE 0 END AS rm
+       |  FROM tok LEFT JOIN cov
+       |    ON cov.doc_id = tok.doc_id AND cov.idx = tok.i - 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(rm) AS BIGINT) AS n_removed,
+       |       md5(COALESCE(string_agg(wd, ' ' ORDER BY i), '')) AS clean_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
@@ -488,5 +589,6 @@ object Dedup {
     QuerySpec("q53_source_similarity", q53, None),
     QuerySpec("q53b_source_similarity_sql", q53b, Some(q53bSql)),
     QuerySpec("q80_incremental_dedup", q80, Some(q80Sql)),
+    QuerySpec("q98_dup_span_removal", q98, Some(q98Sql), headline = true),
   )
 }

@@ -483,6 +483,54 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q98 span removal: matches a driver-side reference replay on the real corpus") {
+    // independent reference implementation: plain Scala over the
+    // collected sf0.001 corpus (500 docs), replaying the operator's
+    // contract — mask every token covered by an 8-gram present in >= 2
+    // distinct docs (whole text as one span when < 8 tokens)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val W = 8
+    def spans(text: String): Seq[(Int, Int, String)] = { // (start, width, gram)
+      val ws = text.split(" ", -1)
+      if (ws.length < W) Seq((0, ws.length, text))
+      else (0 to ws.length - W).map(i => (i, W, ws.slice(i, i + W).mkString(" ")))
+    }
+    val gramDocs = docs.toSeq
+      .flatMap { case (id, t) => spans(t).map(s => s._3 -> id) }
+      .groupMap(_._1)(_._2).view.mapValues(_.distinct.size).toMap
+    val expected = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val covered = spans(t).filter(s => gramDocs(s._3) >= 2)
+        .flatMap(s => s._1 until (s._1 + s._2)).toSet
+      val clean = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      id -> ((ws.length.toLong, covered.size.toLong, md5hex(clean.mkString(" "))))
+    }
+    val got = run("q98_dup_span_removal").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_md5")))).toMap
+    assert(got == expected)
+    // the corpus really exercises both sides: some docs lose spans,
+    // none lose everything unless they are exact duplicates
+    assert(expected.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "no partially-masked doc — the span mask is vacuous on this corpus")
+  }
+
+  test("q98 span removal is surgical: unique remainder survives (synthetic)") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one duplicated 8-gram
+    val dir = writeDocs(Seq(
+      (0L, s"u1 u2 u3 $shared u4 u5 u6", "en", "srcA"),
+      (1L, s"v1 v2 $shared v3 v4 v5 v6", "en", "srcB"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "srcC"))) // untouched
+    val got = SparkEntry.queries("q98_dup_span_removal")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_md5")))).toMap
+    assert(got(0L) == ((8L, md5hex("u1 u2 u3 u4 u5 u6"))))
+    assert(got(1L) == ((8L, md5hex("v1 v2 v3 v4 v5 v6"))))
+    assert(got(2L) == ((0L, md5hex("w1 w2 w3 w4 w5 w6 w7 w8 w9"))))
+  }
+
   test("q72 repetition removal: no consecutive duplicates remain, token counts consistent") {
     val rows = run("q72_repetition_removal").collect()
     assert(rows.length == 500)
