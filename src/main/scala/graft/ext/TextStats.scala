@@ -727,6 +727,83 @@ object TextStats {
       |       END AS dup_micro
       |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
+  /** Count-min sketch shape for q99: 3 rows × 64 counters (a 1.5 KB
+    * sketch). Width is deliberately small relative to the corpus
+    * vocabulary so hash collisions actually occur and the report's
+    * `overcount` column shows the sketch's one-sided error; a
+    * production sketch sizes width ≈ e/ε for error ε·Σcounts.
+    */
+  private val CmsDepth  = 3
+  private val CmsWidth  = 64
+  private val CmsTopK   = 20
+
+  /** q99 — heavy hitters via a count-min sketch: estimate the
+    * frequency of the corpus' top tokens from ONE mergeable 1.5 KB
+    * counter matrix ([[graft.functions.CountMinAgg]] — counter
+    * addition is algebraic, so the build is exact partial aggregation
+    * and, at 100 TB, a pure map stage where the exact count pays a
+    * full token-key shuffle). The report joins the sketch estimate
+    * against the exact count for the top-20 tokens, surfacing the
+    * sketch's one-sided `overcount` (CMS never underestimates — a
+    * property the spec asserts corpus-wide). Probing is built-in
+    * element_at/least arithmetic over the broadcast 1-row sketch —
+    * no UDF, stays codegen. Oracle-checked cell-for-cell: the
+    * md5-halves hash family (the q73 Bloom convention) makes the
+    * matrix engine-portable, so DuckDB re-derives every estimate
+    * relationally (per-cell SUMs, then MIN across rows).
+    */
+  private def q99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .withColumn("th", md5(to_binary(col("token"), lit("utf-8"))))
+      .withColumn("h1", conv(substring(col("th"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("th"), 16, 15), 16, 10).cast("long")
+        .bitwiseOR(1))
+    val sketch = keyed.select(col("h1"), col("h2")).as[(Long, Long)]
+      .groupByKey(_ => 0) // one global sketch; partial agg stays map-side
+      .agg(graft.functions.CountMinAgg(CmsDepth, CmsWidth).toColumn.name("cms"))
+      .toDF("g", "cms").select(col("cms"))
+    val top = keyed.groupBy(col("token"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token"))
+      .limit(CmsTopK)
+    // row r's counters live at offset r·width in the flattened matrix
+    val est = least((0 until CmsDepth).map { r =>
+      element_at(col("cms"),
+        ((col("h1") + lit(r.toLong) * col("h2")) % CmsWidth).cast("int")
+          + (r * CmsWidth + 1))
+    }: _*)
+    top.crossJoin(broadcast(sketch))
+      .select(col("token"), col("true_cnt"), est.as("est_cnt"))
+      .withColumn("overcount", col("est_cnt") - col("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token"))
+  }
+
+  private val q99Sql =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |k AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+       |         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+       |         (('0x' || substr(md5(token), 16, 15))::BIGINT) | 1 AS h2
+       |  FROM tok GROUP BY token),
+       |cells AS (
+       |  SELECT r, (h1 + r * h2) % $CmsWidth AS pos,
+       |         CAST(SUM(true_cnt) AS BIGINT) AS cnt
+       |  FROM k CROSS JOIN range(0, $CmsDepth) t(r)
+       |  GROUP BY 1, 2),
+       |probe AS (SELECT * FROM k ORDER BY true_cnt DESC, token LIMIT $CmsTopK),
+       |est AS (
+       |  SELECT p.token, p.true_cnt, MIN(c.cnt) AS est_cnt
+       |  FROM probe p
+       |  CROSS JOIN range(0, $CmsDepth) t(r)
+       |  JOIN cells c ON c.r = t.r AND c.pos = (p.h1 + t.r * p.h2) % $CmsWidth
+       |  GROUP BY 1, 2)
+       |SELECT token, true_cnt, est_cnt,
+       |       CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+       |FROM est ORDER BY true_cnt DESC, token""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -745,5 +822,6 @@ object TextStats {
     QuerySpec("q89_vocab_build",    q89, Some(q89Sql)),
     QuerySpec("q90_rarity_audit",   q90, Some(q90Sql)),
     QuerySpec("q92_gopher_repetition", q92, Some(q92Sql)),
+    QuerySpec("q99_heavy_hitters",  q99, Some(q99Sql), headline = true),
   )
 }

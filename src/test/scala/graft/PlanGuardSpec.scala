@@ -34,7 +34,9 @@ class PlanGuardSpec extends SparkSpec {
     *   - q89: broadcasts the 1-row total-token aggregate over the K
     *     surviving vocab rows (the q03/q69 scalar pattern);
     *   - q96: broadcasts the 1-row token-budget aggregate (same
-    *     scalar pattern).
+    *     scalar pattern);
+    *   - q99: broadcasts the 1-row 1.5 KB count-min sketch over the
+    *     20 probe rows (the q73 sketch-broadcast pattern).
     */
   private val allowlist = Set(
     "q03_price_histogram",
@@ -47,7 +49,8 @@ class PlanGuardSpec extends SparkSpec {
     "q73_bloom_blocklist",
     "q84_mixture_sample",
     "q89_vocab_build",
-    "q96_quality_budget")
+    "q96_quality_budget",
+    "q99_heavy_hitters")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
