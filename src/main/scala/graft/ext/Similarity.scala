@@ -426,6 +426,97 @@ object Similarity {
       |FROM d JOIN n na ON d.a_label = na.label JOIN n nb ON d.b_label = nb.label
       |ORDER BY a_label, b_label""".stripMargin
 
+  /** Rows flagged per label by q100 (the prune-candidate review set). */
+  private val PruneK = 5
+
+  /** q100 — PROTOTYPICALITY pruning (the SemDeDup / SSL-prototypes
+    * curation step): per embedding cluster (label), rank vectors by
+    * cosine to their cluster centroid and flag the K least central —
+    * the out-of-distribution / noisy-sample candidates a curation
+    * pipeline reviews or drops. Exactness machinery shared with q93:
+    * vectors quantize to int8 codes under corpus-wide per-dim ranges
+    * (IEEE-identical arithmetic), the centroid is the exact BIGINT
+    * SUM of codes per (label, dim), per-vector dot/norms against it
+    * are exact BIGINTs, and only the final cosine is one
+    * deterministic double expression — which is what lets DuckDB
+    * reproduce the ranking bit-for-bit. (The centroid includes the
+    * vector itself, the SemDeDup convention.)
+    *
+    * Scale shape: the centroid table is labels × 64 rows — a
+    * broadcast — so per-vector scoring is a MAP stage over the code
+    * rows; the only data-sized shuffles are the (label, dim) partial
+    * agg and the per-label top-K window, which carries ids + scalars,
+    * never embeddings. At 100 TB with bounded label cardinality the
+    * window would become [[graft.plans.TopKPerKey]] (map-side heaps,
+    * the q95 path); the window form is kept here because rank output
+    * must be exact for the oracle, which TopKPerKey also guarantees —
+    * both are safe, the window is simply simpler while label counts
+    * stay small.
+    */
+  private def q100(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+    val ranges = comps.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code =
+      when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(greatest(
+          (floor((col("x") - col("mn")) * 254.0 / (col("mx") - col("mn"))) - 127).cast("long"),
+          lit(-127L)), lit(127L)))
+    val codes = comps.join(broadcast(ranges), "pos")
+      .select(col("vec_id"), col("label"), col("pos"), code.as("c"))
+    val sums = codes.groupBy(col("label"), col("pos")).agg(sum(col("c")).as("s"))
+    val snorms = sums.groupBy(col("label")).agg(sum(col("s") * col("s")).as("snorm2"))
+    val scored = codes.join(broadcast(sums), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("c") * col("s")).as("dot"), sum(col("c") * col("c")).as("cnorm2"))
+      .join(broadcast(snorms), "label")
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("cnorm2").cast("double")) * sqrt(col("snorm2").cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("cosine").asc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PruneK)
+      .select(col("label"), col("rank").cast("int").as("rank"), col("vec_id"),
+        col("dot"), col("cnorm2"), col("snorm2"), col("cosine"))
+      .orderBy("label", "rank")
+  }
+
+  private val q100Sql =
+    s"""WITH p AS (
+       |  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |         generate_subscripts(embedding, 1) AS pos
+       |  FROM embeddings),
+       |r AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM p GROUP BY pos),
+       |q AS (
+       |  SELECT vec_id, label, p.pos,
+       |         CASE WHEN mx = mn THEN 0
+       |              ELSE LEAST(GREATEST(CAST(floor((x - mn) * 254.0 / (mx - mn)) - 127 AS BIGINT), -127), 127)
+       |         END AS c
+       |  FROM p JOIN r ON p.pos = r.pos),
+       |s AS (SELECT label, pos, CAST(SUM(c) AS BIGINT) AS s FROM q GROUP BY label, pos),
+       |n AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS snorm2 FROM s GROUP BY label),
+       |v AS (
+       |  SELECT q.vec_id, q.label,
+       |         CAST(SUM(q.c * s.s) AS BIGINT) AS dot,
+       |         CAST(SUM(q.c * q.c) AS BIGINT) AS cnorm2
+       |  FROM q JOIN s ON q.label = s.label AND q.pos = s.pos
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT v.label, v.vec_id, v.dot, v.cnorm2, n.snorm2,
+       |         CAST(v.dot AS DOUBLE) /
+       |           (sqrt(CAST(v.cnorm2 AS DOUBLE)) * sqrt(CAST(n.snorm2 AS DOUBLE))) AS cosine
+       |  FROM v JOIN n ON v.label = n.label),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |           PARTITION BY label ORDER BY cosine ASC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT label, CAST(rank AS INT) AS rank, vec_id, dot, cnorm2, snorm2, cosine
+       |FROM ranked WHERE rank <= $PruneK ORDER BY label, rank""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
@@ -435,5 +526,6 @@ object Similarity {
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),
+    QuerySpec("q100_prototypicality", q100, Some(q100Sql), headline = true),
   )
 }

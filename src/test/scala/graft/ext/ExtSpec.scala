@@ -531,6 +531,46 @@ class ExtSpec extends SparkSpec {
     assert(got(2L) == ((0L, md5hex("w1 w2 w3 w4 w5 w6 w7 w8 w9"))))
   }
 
+  test("q100 prototypicality: flagged sets match a driver-side integer replay") {
+    // replay the exact quantized arithmetic in plain Scala: corpus-wide
+    // per-dim ranges -> int8 codes -> BIGINT centroid sums -> per-vector
+    // dot/norms -> cosine ranking, bottom-5 per label
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val dims = vecs.head._3.length
+    val mn = (0 until dims).map(d => vecs.map(_._3(d)).min)
+    val mx = (0 until dims).map(d => vecs.map(_._3(d)).max)
+    def codeOf(x: Double, d: Int): Long =
+      if (mx(d) == mn(d)) 0L
+      else math.min(127L, math.max(-127L,
+        math.floor((x - mn(d)) * 254.0 / (mx(d) - mn(d))).toLong - 127L))
+    val coded = vecs.map { case (id, l, e) =>
+      (id, l, Array.tabulate(dims)(d => codeOf(e(d), d)))
+    }
+    val sums = coded.groupBy(_._2).view.mapValues { vs =>
+      Array.tabulate(dims)(d => vs.map(_._3(d)).sum)
+    }.toMap
+    val expected = coded.groupBy(_._2).toSeq.flatMap { case (l, vs) =>
+      val s = sums(l)
+      val snorm2 = s.map(x => x * x).sum
+      vs.map { case (id, _, c) =>
+        val dot = (0 until dims).map(d => c(d) * s(d)).sum
+        val cnorm2 = c.map(x => x * x).sum
+        val cos = dot.toDouble / (math.sqrt(cnorm2.toDouble) * math.sqrt(snorm2.toDouble))
+        (l, id, dot, cnorm2, snorm2, cos)
+      }.sortBy(v => (v._6, v._2)).take(5).zipWithIndex
+        .map { case (v, i) => (v._1, i + 1) -> ((v._2, v._3, v._4, v._5)) }
+    }.toMap
+    val got = run("q100_prototypicality").collect().map(r =>
+      (r.getAs[Int]("label"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Long]("dot"),
+          r.getAs[Long]("cnorm2"), r.getAs[Long]("snorm2")))).toMap
+    assert(got == expected)
+    assert(got.size == sums.size * 5)
+  }
+
   test("q72 repetition removal: no consecutive duplicates remain, token counts consistent") {
     val rows = run("q72_repetition_removal").collect()
     assert(rows.length == 500)
