@@ -804,6 +804,52 @@ object TextStats {
        |       CAST(est_cnt - true_cnt AS BIGINT) AS overcount
        |FROM est ORDER BY true_cnt DESC, token""".stripMargin
 
+  /** Merge candidates reported by q101. */
+  private val BpeTopK = 20
+
+  /** q101 — BPE merge-candidate statistics: corpus-wide adjacent
+    * token-pair frequencies, ranked — the inner loop of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016):
+    * each BPE round merges the most frequent adjacent pair, and this
+    * query is that round's counting step, the part that must be
+    * distributed (the merge-table update is driver-side metadata).
+    * Pair construction is a per-row map over the token array (no
+    * window/lag formulation, which would shuffle every token to find
+    * its neighbor — adjacency is already local to the row); the only
+    * shuffle is the pair-key count, partial-aggregated map-side, and
+    * the top-K selection is a TakeOrdered over the aggregated pair
+    * table. Occurrence counts (not document counts): BPE weights
+    * merges by total frequency. Single-token documents contribute no
+    * pairs (explicit n >= 2 branch — two-arg sequence() counts DOWN
+    * on an empty range, it does not return empty).
+    */
+  private def q101(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(explode(when(col("n") >= 2,
+        transform(sequence(lit(0), col("n") - 2),
+          i => struct(
+            element_at(col("ws"), i + 1).as("left_tok"),
+            element_at(col("ws"), i + 2).as("right_tok"))))
+        .otherwise(array().cast("array<struct<left_tok:string,right_tok:string>>")))
+        .as("pr"))
+    pairs.select(col("pr.left_tok"), col("pr.right_tok"))
+      .groupBy(col("left_tok"), col("right_tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("left_tok"), col("right_tok"))
+      .limit(BpeTopK)
+  }
+
+  private val q101Sql =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |p AS (
+       |  SELECT ws[i] AS left_tok, ws[i + 1] AS right_tok
+       |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w))
+       |SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM p GROUP BY 1, 2
+       |ORDER BY cnt DESC, left_tok, right_tok LIMIT $BpeTopK""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -823,5 +869,6 @@ object TextStats {
     QuerySpec("q90_rarity_audit",   q90, Some(q90Sql)),
     QuerySpec("q92_gopher_repetition", q92, Some(q92Sql)),
     QuerySpec("q99_heavy_hitters",  q99, Some(q99Sql), headline = true),
+    QuerySpec("q101_bpe_pair_stats", q101, Some(q101Sql)),
   )
 }

@@ -571,6 +571,27 @@ class ExtSpec extends SparkSpec {
     assert(got.size == sums.size * 5)
   }
 
+  test("q101 BPE pair stats: counts match a driver replay; single-token docs contribute nothing") {
+    // corpus replay
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap(t => t.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val expected = counts.sortBy { case ((l, r), c) => (-c, l, r) }.take(20)
+      .map { case ((l, r), c) => (l, r, c) }
+    val got = run("q101_bpe_pair_stats").collect()
+      .map(r => (r.getAs[String]("left_tok"), r.getAs[String]("right_tok"),
+        r.getAs[Long]("cnt"))).toSeq
+    assert(got == expected)
+    // synthetic: a single-token doc must not produce a phantom pair
+    val dir = writeDocs(Seq((0L, "solo", "en", "srcA"), (1L, "a b a b", "en", "srcA")))
+    val syn = SparkEntry.queries("q101_bpe_pair_stats")(spark, dir).collect()
+      .map(r => (r.getAs[String]("left_tok"), r.getAs[String]("right_tok")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(syn == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
   test("q72 repetition removal: no consecutive duplicates remain, token counts consistent") {
     val rows = run("q72_repetition_removal").collect()
     assert(rows.length == 500)
