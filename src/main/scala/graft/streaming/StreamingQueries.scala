@@ -340,6 +340,76 @@ object StreamingQueries {
        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
        |GROUP BY 1, 2 ORDER BY day, segment""".stripMargin
 
+  /** Sketch shape for q102: 3 rows × 8 counters — deliberately
+    * narrower than the ~15-key user domain so collisions occur and
+    * the one-sided `overcount` is visible (the q99 sizing note).
+    */
+  private val CmsDepth = 3
+  private val CmsWidth = 8
+
+  /** q102 — STREAMING heavy hitters: the q99 count-min sketch
+    * maintained incrementally as streaming state (typed
+    * [[graft.functions.CountMinAgg]] under a streaming groupByKey —
+    * counter addition is algebraic, so each micro-batch folds into
+    * the state buffer and the final sketch is bit-identical to a
+    * batch build at ANY partitioning/trigger slicing; that
+    * merge-invariance is exactly what lets one 192-byte state row
+    * track per-user event frequency over an unbounded firehose).
+    * After the drain, the snapshot sketch is probed against exact
+    * per-user counts from the batch table — so the report both
+    * demonstrates the estimate quality AND lets the oracle re-derive
+    * every streamed counter relationally in DuckDB (the stream-built
+    * matrix must equal the relational one, or est_cnt hashes
+    * mismatch).
+    */
+  private def q102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def hashed(df: DataFrame): DataFrame = df
+      .withColumn("th", md5(to_binary(col("user_id").cast("string"), lit("utf-8"))))
+      .withColumn("h1", conv(substring(col("th"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("th"), 16, 15), 16, 10).cast("long")
+        .bitwiseOR(1))
+    val sketchStream = hashed(eventStream(spark, dir))
+      .select(col("h1"), col("h2")).as[(Long, Long)]
+      .groupByKey(_ => 0) // one global sketch row; partial agg is per-batch map-side
+      .agg(graft.functions.CountMinAgg(CmsDepth, CmsWidth).toColumn.name("cms"))
+      .toDF("g", "cms")
+    val sketch = drain(spark, sketchStream, "complete").select(col("cms"))
+    val exact = hashed(graft.Tables.events(spark, dir))
+      .groupBy(col("user_id"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val est = least((0 until CmsDepth).map { r =>
+      element_at(col("cms"),
+        ((col("h1") + lit(r.toLong) * col("h2")) % CmsWidth).cast("int")
+          + (r * CmsWidth + 1))
+    }: _*)
+    exact.crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("true_cnt"), est.as("est_cnt"))
+      .withColumn("overcount", col("est_cnt") - col("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+  }
+
+  private val q102Sql =
+    s"""WITH k AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+       |         (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 16, 15))::BIGINT) | 1 AS h2
+       |  FROM events GROUP BY user_id),
+       |cells AS (
+       |  SELECT r, (h1 + r * h2) % $CmsWidth AS pos,
+       |         CAST(SUM(true_cnt) AS BIGINT) AS cnt
+       |  FROM k CROSS JOIN range(0, $CmsDepth) t(r)
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT p.user_id, p.true_cnt, MIN(c.cnt) AS est_cnt
+       |  FROM k p
+       |  CROSS JOIN range(0, $CmsDepth) t(r)
+       |  JOIN cells c ON c.r = t.r AND c.pos = (p.h1 + t.r * p.h2) % $CmsWidth
+       |  GROUP BY 1, 2)
+       |SELECT user_id, true_cnt, est_cnt,
+       |       CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+       |FROM est ORDER BY true_cnt DESC, user_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -349,5 +419,6 @@ object StreamingQueries {
     QuerySpec("q65_stream_join",    q65, Some(q65Sql), headline = true),
     QuerySpec("q79_stream_pipeline", q79, Some(q79Sql), headline = true),
     QuerySpec("q85_stream_static_join", q85, Some(q85Sql)),
+    QuerySpec("q102_stream_heavy_hitters", q102, Some(q102Sql)),
   )
 }

@@ -24,6 +24,38 @@ class StreamingEtlSpec extends SparkSpec {
     StructField("props", StringType),
   ))
 
+  test("q102: stream-built count-min sketch equals the batch build (merge-invariance)") {
+    import spark.implicits._
+    // batch-built sketch over the same keys the streaming query folds
+    val keyed = graft.Tables.events(spark, sf)
+      .withColumn("th", md5(to_binary(col("user_id").cast("string"), lit("utf-8"))))
+      .select(
+        conv(substring(col("th"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("th"), 16, 15), 16, 10).cast("long").bitwiseOR(1).as("h2"))
+      .as[(Long, Long)]
+    val batchSketch = keyed.groupByKey(_ => 0)
+      .agg(graft.functions.CountMinAgg(3, 8).toColumn.name("cms"))
+      .collect().head._2
+    // the streamed report's est_cnt column is a pure function of the
+    // streamed sketch; replaying the probe against the batch sketch
+    // must reproduce it for every user
+    val rows = graft.SparkEntry.queries("q102_stream_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val th = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p1 = java.lang.Long.parseLong(th.substring(0, 15), 16)
+      val p2 = java.lang.Long.parseLong(th.substring(15, 30), 16) | 1L
+      val est = (0 until 3).map { d =>
+        batchSketch(d * 8 + java.lang.Math.floorMod(p1 + d * p2, 8L).toInt)
+      }.min
+      assert(r.getAs[Long]("est_cnt") == est,
+        s"user $uid: streamed sketch diverged from the batch build")
+      assert(r.getAs[Long]("overcount") >= 0L)
+    }
+  }
+
   test("foreachBatch streaming ETL writes the partitioned store incrementally") {
     val out = Files.createTempDirectory("graft_stream_store").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
