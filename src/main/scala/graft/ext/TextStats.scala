@@ -823,7 +823,10 @@ object TextStats {
     * pairs (explicit n >= 2 branch — two-arg sequence() counts DOWN
     * on an empty range, it does not return empty).
     */
-  private def q101(spark: SparkSession, dir: String): DataFrame = {
+  /** Ranked adjacent-pair frequency relation shared by q101 (the
+    * top-K report) and q103 (which applies the rank-1 merge).
+    */
+  private def rankedPairs(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(spark, dir)
       .select(split(col("text"), " ").as("ws"))
       .withColumn("n", size(col("ws")))
@@ -838,17 +841,79 @@ object TextStats {
       .groupBy(col("left_tok"), col("right_tok"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("left_tok"), col("right_tok"))
-      .limit(BpeTopK)
   }
 
+  private def q101(spark: SparkSession, dir: String): DataFrame =
+    rankedPairs(spark, dir).limit(BpeTopK)
+
+  /** The q101 pair-count CTEs, shared verbatim by q101Sql and the
+    * q103 oracle (which appends the greedy-walk recursion on top).
+    */
+  private val bpePairCte =
+    """pw AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |pc AS (
+      |  SELECT ws[i] AS left_tok, ws[i + 1] AS right_tok, COUNT(*) AS cnt
+      |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM pw)
+      |  GROUP BY 1, 2)""".stripMargin
+
   private val q101Sql =
-    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
-       |p AS (
-       |  SELECT ws[i] AS left_tok, ws[i + 1] AS right_tok
-       |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w))
-       |SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS cnt
-       |FROM p GROUP BY 1, 2
-       |ORDER BY cnt DESC, left_tok, right_tok LIMIT $BpeTopK""".stripMargin
+    s"""WITH $bpePairCte
+       |SELECT left_tok, right_tok, CAST(cnt AS BIGINT) AS cnt
+       |FROM pc ORDER BY cnt DESC, left_tok, right_tok LIMIT $BpeTopK""".stripMargin
+
+  /** q103 — BPE merge APPLICATION: rewrite every document with the
+    * corpus' rank-1 adjacent pair (from q101's counts) merged into a
+    * single token, greedy left-to-right — the other half of a BPE
+    * training round (count → select merge → apply), after which the
+    * next round would re-count. The merge itself is the native
+    * codegen expression [[graft.functions.MergeAdjacent]]: one O(len)
+    * pass per row, shuffle-free — windows/lag cannot express the
+    * overlap rule ("x x x" merges only the first two) because each
+    * merge consumes the next position, and a per-row sequential scan
+    * is the sanctioned tier for that (the q70/CollapseRuns
+    * precedent). The selected pair arrives as a 1-row broadcast (the
+    * q03/q73 scalar pattern), so at 100 TB the rewrite is a pure map
+    * stage; output carries digests, not rewritten text. Oracle: the
+    * same greedy walk replayed as a per-document recursive CTE (the
+    * q50b/q43c sequential-fold pattern).
+    */
+  private def q103(spark: SparkSession, dir: String): DataFrame = {
+    val top1 = rankedPairs(spark, dir).limit(1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .crossJoin(broadcast(top1.select(col("left_tok"), col("right_tok"))))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens_before"),
+        graft.functions.merge_adjacent(
+          col("ws"), col("left_tok"), col("right_tok")).as("merged"))
+      .select(col("doc_id"), col("n_tokens_before"),
+        (col("n_tokens_before") - size(col("merged"))).cast("long").as("n_merges"),
+        md5(to_binary(array_join(col("merged"), " "), lit("utf-8"))).as("merged_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val q103Sql =
+    s"""WITH RECURSIVE $bpePairCte,
+       |top1 AS (SELECT left_tok AS a, right_tok AS b FROM pc
+       |         ORDER BY cnt DESC, left_tok, right_tok LIMIT 1),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |walk AS (
+       |  SELECT doc_id, 1 AS i, CAST('' AS VARCHAR) AS acc, 0 AS m FROM d
+       |  UNION ALL
+       |  SELECT d.doc_id,
+       |         CASE WHEN w.i < len(d.ws) AND d.ws[w.i] = t.a AND d.ws[w.i + 1] = t.b
+       |              THEN w.i + 2 ELSE w.i + 1 END AS i,
+       |         w.acc || CASE WHEN w.i = 1 THEN '' ELSE ' ' END ||
+       |           CASE WHEN w.i < len(d.ws) AND d.ws[w.i] = t.a AND d.ws[w.i + 1] = t.b
+       |                THEN t.a || '_' || t.b ELSE d.ws[w.i] END AS acc,
+       |         w.m + CASE WHEN w.i < len(d.ws) AND d.ws[w.i] = t.a AND d.ws[w.i + 1] = t.b
+       |                    THEN 1 ELSE 0 END AS m
+       |  FROM walk w JOIN d ON d.doc_id = w.doc_id CROSS JOIN top1 t
+       |  WHERE w.i <= len(d.ws))
+       |SELECT w.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens_before,
+       |       CAST(w.m AS BIGINT) AS n_merges, md5(w.acc) AS merged_md5
+       |FROM walk w JOIN d ON d.doc_id = w.doc_id
+       |WHERE w.i = len(d.ws) + 1
+       |ORDER BY w.doc_id""".stripMargin
 
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
@@ -870,5 +935,6 @@ object TextStats {
     QuerySpec("q92_gopher_repetition", q92, Some(q92Sql)),
     QuerySpec("q99_heavy_hitters",  q99, Some(q99Sql), headline = true),
     QuerySpec("q101_bpe_pair_stats", q101, Some(q101Sql)),
+    QuerySpec("q103_bpe_merge_apply", q103, Some(q103Sql)),
   )
 }

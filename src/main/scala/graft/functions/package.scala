@@ -58,6 +58,14 @@ package object functions {
   def lsh_buckets(vec: Column, numTables: Int, planesPerTable: Int): Column =
     SparkBridge.toColumn(LshBuckets(SparkBridge.toExpression(vec), numTables, planesPerTable))
 
+  /** Greedy left-to-right merge of adjacent (left, right) token pairs
+    * into `left_right` — see [[MergeAdjacent]].
+    */
+  def merge_adjacent(tokens: Column, left: Column, right: Column): Column =
+    SparkBridge.toColumn(MergeAdjacent(
+      SparkBridge.toExpression(tokens), SparkBridge.toExpression(left),
+      SparkBridge.toExpression(right)))
+
   /** Bloom-filter membership over an array<long> bitmap — see
     * [[BloomMightContain]].
     */

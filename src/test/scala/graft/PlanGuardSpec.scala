@@ -36,7 +36,9 @@ class PlanGuardSpec extends SparkSpec {
     *   - q96: broadcasts the 1-row token-budget aggregate (same
     *     scalar pattern);
     *   - q99: broadcasts the 1-row 1.5 KB count-min sketch over the
-    *     20 probe rows (the q73 sketch-broadcast pattern).
+    *     20 probe rows (the q73 sketch-broadcast pattern);
+    *   - q103: broadcasts the 1-row selected-merge pair for the
+    *     map-stage rewrite (the q03/q73 scalar pattern).
     */
   private val allowlist = Set(
     "q03_price_histogram",
@@ -50,7 +52,8 @@ class PlanGuardSpec extends SparkSpec {
     "q84_mixture_sample",
     "q89_vocab_build",
     "q96_quality_budget",
-    "q99_heavy_hitters")
+    "q99_heavy_hitters",
+    "q103_bpe_merge_apply")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 

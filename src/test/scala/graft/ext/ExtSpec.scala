@@ -592,6 +592,48 @@ class ExtSpec extends SparkSpec {
     assert(syn == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
   }
 
+  test("q103 merge apply: greedy overlap rule and a corpus replay") {
+    // greedy left-to-right: "x x x" under top pair (x,x) merges ONLY
+    // the first two; doc 1 makes (x,x) the clear top pair (count 3)
+    val dir = writeDocs(Seq(
+      (0L, "x x x y", "en", "srcA"),
+      (1L, "x x p x x q", "en", "srcA")))
+    val syn = SparkEntry.queries("q103_bpe_merge_apply")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_merges"), r.getAs[String]("merged_md5")))).toMap
+    assert(syn(0L) == ((1L, md5hex("x_x x y"))))
+    assert(syn(1L) == ((2L, md5hex("x_x p x_x q"))))
+
+    // real corpus: replay pair counting + greedy merge driver-side
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val counts = docs.flatMap { case (_, t) =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.length).toSeq
+    val (a, b) = counts.minBy { case ((l, r), c) => (-c, l, r) }._1
+    def mergeGreedy(ws: Array[String]): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < ws.length) {
+        if (i < ws.length - 1 && ws(i) == a && ws(i + 1) == b) {
+          out += s"${a}_$b"; i += 2
+        } else { out += ws(i); i += 1 }
+      }
+      out.toArray
+    }
+    val expected = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val m = mergeGreedy(ws)
+      id -> ((ws.length.toLong, (ws.length - m.length).toLong, md5hex(m.mkString(" "))))
+    }.toMap
+    val got = run("q103_bpe_merge_apply").collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens_before"),
+        r.getAs[Long]("n_merges"), r.getAs[String]("merged_md5")))).toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._2 > 0), "top pair never fired — vacuous corpus check")
+  }
+
   test("q72 repetition removal: no consecutive duplicates remain, token counts consistent") {
     val rows = run("q72_repetition_removal").collect()
     assert(rows.length == 500)
