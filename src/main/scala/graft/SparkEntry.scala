@@ -20,6 +20,7 @@ object SparkEntry {
       graft.ext.Similarity.specs ++
       graft.ext.Multimodal.specs ++
       graft.ext.TrainPrep.specs ++
+      graft.scale.Layout.specs ++
       graft.streaming.StreamingQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,146 @@
+package graft.scale
+
+import graft.{QuerySpec, Tables}
+import graft.etl.CleanExprs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators — the write-side half of 100 TB
+  * performance. Everything else in this engine optimizes the READ
+  * plan (pushdown, broadcast, partial agg); these two queries cover
+  * the storage decisions that make those reads cheap in the first
+  * place: multi-dimensional clustering for data skipping (q104) and
+  * pre-bucketed tables for shuffle-free joins (q107). The reference
+  * touches neither (its single layout decision is one `if_exists=
+  * 'replace'` SQLite table, reference `server.py:115-130`); both are
+  * table-stakes for a warehouse at scale.
+  */
+object Layout {
+
+  /** Bits interleaved per dimension: 21+21 = 42-bit z-values, BIGINT
+    * with 2^21 = 2M headroom per key column at any tested SF.
+    */
+  private val Bits = 21
+
+  /** Morton (z-order) interleave of two non-negative integer columns:
+    * bit i of `p` lands at position 2i, bit i of `s` at 2i+1. Pure
+    * integer arithmetic (shift/mask/multiply-accumulate), so the
+    * whole derivation stays in whole-stage codegen and the DuckDB
+    * oracle can mirror it operator-for-operator.
+    */
+  private[scale] def zValue(p: Column, s: Column): Column =
+    (0 until Bits).map { i =>
+      shiftright(p, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(s, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def zValueSql(p: String, s: String): String =
+    (0 until Bits).map { i =>
+      s"((($p >> $i) & 1) * ${1L << (2 * i)}) + ((($s >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  /** q104 — z-order clustering + skip-index statistics: interleave
+    * (l_partkey, l_suppkey) into a Morton z-value, cut the data's own
+    * z-range into 16 prefix cells, and report each cell's row count
+    * and per-dimension min/max — i.e. the file-footer skip index a
+    * z-ordered write produces. Because the z-curve keeps both
+    * dimensions local, every cell covers a tight (partkey × suppkey)
+    * rectangle, so a predicate on EITHER column prunes most cells —
+    * the property that makes one clustered layout serve two query
+    * families where a single-column sort serves one.
+    *
+    * Scale shape: the z-value is a map-side expression; the only data
+    * pass is one grouped aggregation on the cell id (shuffle rows =
+    * 6 longs per cell). The cell split derives from a 1-row MAX
+    * broadcast (`length(bin(zmax))` — exact integer bit-length, no
+    * float log at power-of-two boundaries). The write path this
+    * models is `repartitionByRange(z) + sortWithinPartitions(z)`;
+    * at petabyte scale the same cells become Parquet row-groups whose
+    * min/max footers the reader prunes with.
+    */
+  private def q104(spark: SparkSession, dir: String): DataFrame = {
+    val z = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .withColumn("z", zValue(col("p"), col("s")))
+    val zmax = z.agg(max(col("z")).as("zmax"))
+    z.crossJoin(broadcast(zmax))
+      .withColumn("shift", greatest(length(bin(col("zmax"))) - lit(4), lit(0)))
+      .withColumn("cell_id", expr("shiftright(z, shift)"))
+      .groupBy(col("cell_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+        min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+      .orderBy(col("cell_id"))
+  }
+
+  private val q104Sql =
+    s"""WITH z AS (
+       |  SELECT l_partkey AS p, l_suppkey AS s,
+       |         ${zValueSql("l_partkey", "l_suppkey")} AS z
+       |  FROM lineitem),
+       |m AS (SELECT MAX(z) AS zmax FROM z),
+       |cells AS (
+       |  SELECT p, s, z >> GREATEST(length(bin(zmax)) - 4, 0) AS cell_id
+       |  FROM z, m)
+       |SELECT cell_id, COUNT(*) AS n_rows,
+       |       MIN(p) AS p_min, MAX(p) AS p_max,
+       |       MIN(s) AS s_min, MAX(s) AS s_max
+       |FROM cells GROUP BY cell_id ORDER BY cell_id""".stripMargin
+
+  /** q107 — bucketed co-located join: write lineitem and orders
+    * bucketed 8 ways on the order key (one bucket file each via a
+    * pre-repartition on the key), then sort-merge join the two
+    * bucketed tables and aggregate revenue per order priority. With
+    * matching bucket counts on the join key, the SMJ consumes each
+    * table's bucket layout directly — NO exchange under the join (the
+    * only shuffle in the plan is the 5-row priority aggregation);
+    * LayoutSpec plan-asserts exactly that. This is the write-once /
+    * join-many contract every nightly-join fact table wants at
+    * 100 TB: the shuffle that dominates a fact-fact join is paid once
+    * at ingest, not per query. The oracle doesn't know about buckets
+    * — same rows either way, which is the point: layout changes the
+    * plan, never the answer.
+    */
+  private def q107(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val db = s"graft_bkt_$tag"
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bucketed_$tag").getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(8, col("l_orderkey"))
+      .write.mode("overwrite")
+      .option("path", s"$root/lineitem_b")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.lineitem_b")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority")
+      .repartition(8, col("o_orderkey"))
+      .write.mode("overwrite")
+      .option("path", s"$root/orders_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders_b")
+    spark.table(s"$db.lineitem_b").hint("merge")
+      .join(spark.table(s"$db.orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        CleanExprs.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q107Sql =
+    s"""SELECT o_orderpriority,
+       |       ${CleanExprs.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |       COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q104_zorder_layout", q104, Some(q104Sql), headline = true),
+    QuerySpec("q107_bucketed_join", q107, Some(q107Sql), headline = true),
+  )
+}

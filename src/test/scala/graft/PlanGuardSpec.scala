@@ -38,7 +38,9 @@ class PlanGuardSpec extends SparkSpec {
     *   - q99: broadcasts the 1-row 1.5 KB count-min sketch over the
     *     20 probe rows (the q73 sketch-broadcast pattern);
     *   - q103: broadcasts the 1-row selected-merge pair for the
-    *     map-stage rewrite (the q03/q73 scalar pattern).
+    *     map-stage rewrite (the q03/q73 scalar pattern);
+    *   - q104: broadcasts the 1-row z-range MAX that sizes the
+    *     clustering cells (the q03/q69 scalar pattern).
     */
   private val allowlist = Set(
     "q03_price_histogram",
@@ -53,7 +55,8 @@ class PlanGuardSpec extends SparkSpec {
     "q89_vocab_build",
     "q96_quality_budget",
     "q99_heavy_hitters",
-    "q103_bpe_merge_apply")
+    "q103_bpe_merge_apply",
+    "q104_zorder_layout")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
