@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -291,11 +291,131 @@ object Maintenance {
       |  AND (v.effective_to IS NULL OR f.l_shipdate < v.effective_to)
       |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin
 
+  /** q105 — corpus snapshot diff: given two corpus versions, report
+    * per-source how many documents were added, removed, changed, or
+    * unchanged — the audit a training-data release pipeline runs
+    * between every crawl refresh (q97 fingerprints ANSWER "did
+    * anything change"; this query answers "what changed"). The two
+    * snapshots are derived deterministically from the base table so
+    * the oracle can rebuild them: v1 lacks the late-arriving docs
+    * (id % 11 = 5), v2 lacks the taken-down docs (id % 13 = 2) and
+    * carries revised text for id % 7 = 0.
+    *
+    * Scale shape: each snapshot reduces to (doc_id, source, digest)
+    * at the scan — 16-byte md5s travel, never document bodies — and
+    * the diff is ONE full-outer equi-join on doc_id followed by a
+    * map-side status CASE and a tiny (source × status) aggregation.
+    * At 100 TB that is one digest-weight shuffle, the same plan a
+    * petabyte snapshot compare wants.
+    */
+  private def q105(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val v1 = base.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val v2 = base.filter(col("doc_id") % 13 =!= 2)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("digest"))
+    v1.select(col("doc_id"), col("source").as("src1"), col("digest").as("d1"))
+      .join(v2.select(col("doc_id"), col("source").as("src2"), col("digest").as("d2")),
+        Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src1"), col("src2")).as("source"),
+        when(col("d1").isNull, lit("added"))
+          .when(col("d2").isNull, lit("removed"))
+          .when(col("d1") =!= col("d2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  private val q105Sql =
+    """WITH v1 AS (
+      |  SELECT doc_id, source, md5(text) AS digest
+      |  FROM documents WHERE doc_id % 11 != 5),
+      |v2 AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS digest
+      |  FROM documents WHERE doc_id % 13 != 2),
+      |diff AS (
+      |  SELECT COALESCE(v1.source, v2.source) AS source,
+      |         CASE WHEN v1.digest IS NULL THEN 'added'
+      |              WHEN v2.digest IS NULL THEN 'removed'
+      |              WHEN v1.digest != v2.digest THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      |SELECT source, status, COUNT(*) AS n_docs
+      |FROM diff GROUP BY source, status ORDER BY source, status""".stripMargin
+
+  /** q106 — right-to-be-forgotten erasure audit: given a forget list
+    * of customers (here derived as c_custkey % 53 = 7 so the oracle
+    * can rebuild it; production feeds a real deletion queue), cascade
+    * the erasure through the schema — customer rows, their orders,
+    * the lineitems of those orders, and their event streams — and
+    * report per table how many rows the erasure removes. Compliance
+    * pipelines run exactly this audit before the destructive rewrite.
+    *
+    * Scale shape: every leg is an equi-join or a map-side predicate
+    * on the table's own key — the forget list is dimension-sized (a
+    * broadcast at any realistic scale), and the one fact-fact hop
+    * (lineitem → its order's customer) is the orderkey equi-join the
+    * tables are already keyed on. Counts are conditional aggregates
+    * in the same pass as the scan, so the audit costs one read of
+    * each table; the subsequent rewrite touches only partitions that
+    * contain flagged rows.
+    */
+  private def q106(spark: SparkSession, dir: String): DataFrame = {
+    val forgotten = col("c_custkey") % 53 === 7
+    val audit = (name: String, df: DataFrame, erased: Column) =>
+      df.agg(count(lit(1)).as("rows_before"),
+          sum(when(erased, 1L).otherwise(0L)).as("rows_erased"))
+        .select(lit(name).as("table_name"), col("rows_before"), col("rows_erased"),
+          (col("rows_before") - col("rows_erased")).as("rows_after"))
+    val cust = audit("customer", Tables.customer(spark, dir), forgotten)
+    val ord = audit("orders", Tables.orders(spark, dir),
+      col("o_custkey") % 53 === 7)
+    val li = audit("lineitem",
+      Tables.lineitem(spark, dir).select(col("l_orderkey"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), (col("o_custkey") % 53 === 7).as("gone")),
+          col("l_orderkey") === col("o_orderkey"), "left"),
+      coalesce(col("gone"), lit(false)))
+    val ev = audit("events", Tables.events(spark, dir),
+      col("user_id") % 53 === 7)
+    cust.unionByName(ord).unionByName(li).unionByName(ev)
+      .orderBy("table_name")
+  }
+
+  private val q106Sql =
+    """SELECT 'customer' AS table_name, COUNT(*) AS rows_before,
+      |       CAST(SUM(CASE WHEN c_custkey % 53 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+      |       CAST(COUNT(*) - SUM(CASE WHEN c_custkey % 53 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS rows_after
+      |FROM customer
+      |UNION ALL
+      |SELECT 'orders', COUNT(*),
+      |       CAST(SUM(CASE WHEN o_custkey % 53 = 7 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(COUNT(*) - SUM(CASE WHEN o_custkey % 53 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem', COUNT(*),
+      |       CAST(SUM(CASE WHEN COALESCE(o.o_custkey % 53 = 7, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(COUNT(*) - SUM(CASE WHEN COALESCE(o.o_custkey % 53 = 7, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'events', COUNT(*),
+      |       CAST(SUM(CASE WHEN user_id % 53 = 7 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(COUNT(*) - SUM(CASE WHEN user_id % 53 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM events
+      |ORDER BY table_name""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
     QuerySpec("q94_pit_join",     q94, Some(q94Sql), headline = true),
     QuerySpec("q78_log_compaction", q78, Some(q78Sql)),
     QuerySpec("q81_dq_audit",     q81, Some(q81Sql)),
+    QuerySpec("q105_corpus_diff", q105, Some(q105Sql)),
+    QuerySpec("q106_gdpr_erasure", q106, Some(q106Sql)),
   )
 }
