@@ -915,6 +915,105 @@ object TextStats {
        |WHERE w.i = len(d.ws) + 1
        |ORDER BY w.doc_id""".stripMargin
 
+  /** Fixed retrieval query for q108 — four corpus terms spanning the
+    * document-frequency spectrum (three common, one rare) so both the
+    * high-idf and the saturation paths are exercised.
+    */
+  private val Bm25Query = Seq("fast", "hash", "join", "dup")
+
+  /** Number of retrieved documents reported by q108. */
+  private val Bm25TopK = 20
+
+  /** q108 — BM25 ranked retrieval: score every document against a
+    * fixed term query with Okapi BM25 (k1 = 1.2, b = 0.75) and return
+    * the top 20 — the lexical-retrieval half of a RAG / hard-negative
+    * mining pipeline, next to q48/q49's embedding half.
+    *
+    * Scoring is EXACT integer arithmetic end to end, which takes two
+    * deviations from the textbook float form (both value-preserving
+    * for ranking):
+    *   - idf is the linear odds ratio (N − df + ½)/(df + ½) scaled to
+    *     micro-units by floor division, not its logarithm — same
+    *     monotonicity, no libm ulp drift between engines (the q69
+    *     precedent);
+    *   - the tf-saturation factor tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    *     is cleared of fractions: with k1 = 6/5, b = 3/4 and
+    *     avgdl = T/N it equals 44·tf·T / (20·tf·T + 6·T + 18·dl·N),
+    *     floored at micro resolution. Every intermediate fits BIGINT
+    *     at these SFs (headroom notes inline); at petabyte T the
+    *     micro factor drops a digit.
+    *
+    * Scale shape: the token scan filters to the query's terms BEFORE
+    * the (doc, term) aggregation, so the tf shuffle carries only
+    * matching tokens; df is a per-term count over that tf relation
+    * (4 rows, broadcast back); corpus totals are a 1-row broadcast
+    * (q03/q69 scalar pattern); the final top-k is
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  private def q108(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("t_tokens"), count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      // idf_micro ≤ (2N+1)·1e6/3 (~3.3e9 at sf0.1) — BIGINT-safe
+      .withColumn("idf_micro",
+        expr("(2 * (n_docs - df) + 1) * CAST(1000000 AS BIGINT) div (2 * df + 1)"))
+      // 44·tf·T·1e6 ≤ ~2e15 at sf0.1 (tf ≲ 50, T ≲ 1e6) — BIGINT-safe
+      .withColumn("tfsat_micro",
+        expr("44 * tf * t_tokens * CAST(1000000 AS BIGINT) div " +
+          "(20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs)"))
+      .withColumn("term_score_micro",
+        expr("idf_micro * tfsat_micro div CAST(1000000 AS BIGINT)"))
+    val top = scored.groupBy(col("doc_id"))
+      .agg(sum(col("term_score_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+    // rank over the already-reduced top-k rows (bounded input, not a
+    // global single-partition window)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("score_micro"), col("n_terms_matched"))
+      .orderBy("rank")
+  }
+
+  private val q108Sql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |totals AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1)) AS idf_micro,
+       |         (44 * tf * t_tokens * 1000000 //
+       |          (20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs)) AS tfsat_micro
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN totals),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(idf_micro * tfsat_micro // 1000000) AS BIGINT) AS score_micro,
+       |         COUNT(*) AS n_terms_matched
+       |  FROM scored GROUP BY doc_id)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       |       doc_id, score_micro, n_terms_matched
+       |FROM agg ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -936,5 +1035,6 @@ object TextStats {
     QuerySpec("q99_heavy_hitters",  q99, Some(q99Sql), headline = true),
     QuerySpec("q101_bpe_pair_stats", q101, Some(q101Sql)),
     QuerySpec("q103_bpe_merge_apply", q103, Some(q103Sql)),
+    QuerySpec("q108_bm25_retrieval", q108, Some(q108Sql), headline = true),
   )
 }

@@ -40,7 +40,9 @@ class PlanGuardSpec extends SparkSpec {
     *   - q103: broadcasts the 1-row selected-merge pair for the
     *     map-stage rewrite (the q03/q73 scalar pattern);
     *   - q104: broadcasts the 1-row z-range MAX that sizes the
-    *     clustering cells (the q03/q69 scalar pattern).
+    *     clustering cells (the q03/q69 scalar pattern);
+    *   - q108: broadcasts the 1-row corpus-totals aggregate for BM25
+    *     normalization (the q03/q69 scalar pattern).
     */
   private val allowlist = Set(
     "q03_price_histogram",
@@ -56,7 +58,8 @@ class PlanGuardSpec extends SparkSpec {
     "q96_quality_budget",
     "q99_heavy_hitters",
     "q103_bpe_merge_apply",
-    "q104_zorder_layout")
+    "q104_zorder_layout",
+    "q108_bm25_retrieval")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
