@@ -519,6 +519,54 @@ object TrainPrep {
       |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q109 — exact distribution moments per source: count, min/max,
+    * mean and population variance of per-document token counts, in
+    * integer micro-units — the normalization statistics a feature
+    * pipeline computes before standardizing, and the drift numbers a
+    * data card tracks release over release. Exactness: the aggregate
+    * state is (n, Σx, Σx²) — all BIGINT, all algebraic, so the
+    * partial aggregation is exact at ANY parallelism (a float Welford
+    * pass is order-dependent and would break the cross-engine hash);
+    * mean = Σx·1e6 div n and var = (n·Σx² − (Σx)²)·1e6 div n² are
+    * single floor divisions at the end. Headroom: x ≲ 10³ tokens,
+    * so n·Σx² ≲ 10¹⁶ at a billion docs per source — BIGINT-safe
+    * right up to corpus scale.
+    *
+    * Scale shape: one shuffle on `source` moving three longs per
+    * partition per source — the textbook mergeable-statistics plan.
+    */
+  private def q109(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_tokens"),
+        max(col("x")).as("max_tokens"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .select(
+        col("source"), col("n"), col("min_tokens"), col("max_tokens"),
+        expr("sum_x * CAST(1000000 AS BIGINT) div n").as("mean_micro"),
+        expr("(n * sum_x2 - sum_x * sum_x) * CAST(1000000 AS BIGINT) div (n * n)")
+          .as("var_micro"))
+      .orderBy("source")
+
+  private val q109Sql =
+    """WITH x AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, COUNT(*) AS n,
+      |         MIN(x) AS min_tokens, MAX(x) AS max_tokens,
+      |         CAST(SUM(x) AS BIGINT) AS sum_x,
+      |         CAST(SUM(x * x) AS BIGINT) AS sum_x2
+      |  FROM x GROUP BY source)
+      |SELECT source, n, min_tokens, max_tokens,
+      |       sum_x * 1000000 // n AS mean_micro,
+      |       (n * sum_x2 - sum_x * sum_x) * 1000000 // (n * n) AS var_micro
+      |FROM m ORDER BY source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q57_embedding_quantize", q57, Some(q57Sql), headline = true),
     QuerySpec("q58_dataset_split",      q58, Some(q58Sql)),
@@ -530,5 +578,6 @@ object TrainPrep {
     QuerySpec("q95_eval_sample",        q95, Some(q95Sql)),
     QuerySpec("q96_quality_budget",     q96, Some(q96Sql), headline = true),
     QuerySpec("q97_corpus_version",     q97, Some(q97Sql)),
+    QuerySpec("q109_feature_moments",   q109, Some(q109Sql)),
   )
 }

@@ -446,6 +446,69 @@ object RelationalQueries {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.user_id, purchase_id""".stripMargin
 
+  /** q110 — batch sessionization: split each user's event stream into
+    * sessions at 30-minute inactivity gaps and report one row per
+    * session (bounds, size, total value) — the batch twin of q63's
+    * streaming `session_window`, and the first step of any
+    * clickstream/agent-trace analysis. Two window passes over ONE
+    * (user, time, id) sort — gap detection via `lag`, then a running
+    * sum of the new-session flags as the session ordinal — so
+    * Catalyst plans a single exchange+sort; the per-session rollup
+    * reuses the same (user) shuffle key. Gap arithmetic is exact
+    * integer micros (`unix_micros`); the money total goes through the
+    * decimal-exact moneySum; ties (same-µs events) break on event_id
+    * in both engines.
+    */
+  private def q110(spark: SparkSession, dir: String): DataFrame = {
+    val GapUs = 1800000000L // 30 minutes
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = graft.Tables.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.etl.CleanExprs.moneySum(col("value")).as("total_value"))
+      .withColumn("duration_us",
+        expr("unix_micros(session_end) - unix_micros(session_start)"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q110Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |         LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |f AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM e),
+       |s AS (
+       |  SELECT *, CAST(SUM(new_session) OVER
+       |           (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM f)
+       |SELECT user_id, session_id,
+       |       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       |       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       |       COUNT(*) AS n_events,
+       |       ${graft.etl.CleanExprs.moneySumSql("value")} AS total_value,
+       |       epoch_us(CAST(MAX(ts) AS TIMESTAMP)) - epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+       |         AS duration_us
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   /** q35 — range (interval) self-join: pairs of same-user events
     * within 10 minutes of each other. A naive formulation is a
     * per-user quadratic inequality join; the scalable form bucketizes
@@ -538,6 +601,7 @@ object RelationalQueries {
     QuerySpec("q31_pivot",            q31, Some(q31Sql)),
     QuerySpec("q34_asof_join",        q34, Some(q34Sql), headline = true),
     QuerySpec("q35_range_join",       q35, Some(q35Sql), headline = true),
+    QuerySpec("q110_sessionize",      q110, Some(q110Sql)),
     QuerySpec("q36_ntile",            q36, Some(q36Sql)),
     QuerySpec("q66_topk_custom_plan", q66, Some(q66Sql), headline = true),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
