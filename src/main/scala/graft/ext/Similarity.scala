@@ -426,6 +426,320 @@ object Similarity {
       |FROM d JOIN n na ON d.a_label = na.label JOIN n nb ON d.b_label = nb.label
       |ORDER BY a_label, b_label""".stripMargin
 
+  /** Shared int8 quantization (the q57/q93/q100 arithmetic): corpus-wide
+    * per-dim ranges, IEEE-identical per-row math in both engines, codes
+    * in [-127, 127] as BIGINT. The foundation of every ORACLE-EXACT
+    * embedding query — float folds are accumulation-order-dependent,
+    * integer code sums are not.
+    */
+  private def quantCodes(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+    val ranges = comps.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code =
+      when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(greatest(
+          (floor((col("x") - col("mn")) * 254.0 / (col("mx") - col("mn"))) - 127).cast("long"),
+          lit(-127L)), lit(127L)))
+    comps.join(broadcast(ranges), "pos")
+      .select(col("vec_id"), col("pos"), code.as("c"))
+  }
+
+  /** The quantization prologue shared by the q49b/q52b oracle SQL:
+    * codes CTE `q(vec_id, pos, c)` with 0-based pos (DuckDB
+    * `generate_subscripts` is 1-based; pos feeds engine-portable md5
+    * derivations, so the bases MUST agree).
+    */
+  private val quantCodesSql =
+    """WITH p AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |         generate_subscripts(embedding, 1) - 1 AS pos
+      |  FROM embeddings),
+      |r AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM p GROUP BY pos),
+      |q AS (
+      |  SELECT vec_id, p.pos,
+      |         CASE WHEN mx = mn THEN 0
+      |              ELSE LEAST(GREATEST(CAST(floor((x - mn) * 254.0 / (mx - mn)) - 127 AS BIGINT), -127), 127)
+      |         END AS c
+      |  FROM p JOIN r ON p.pos = r.pos)""".stripMargin
+
+  /** q49b SRP family: 6 OR-ed tables of 5 sign bits each (shallow →
+    * high per-table collision odds at top-k cosine levels, same knob
+    * logic as q51b's parameter note).
+    */
+  private val QbTables = 6
+  private val QbPlanes = 5
+
+  /** q49b — ORACLE-EXACT LSH ANN, the engine-exact twin of q49 (the
+    * q46→q46b move applied to the ANN family). Everything that made
+    * q49 rows-only was float order-dependence and JVM-private RNG;
+    * both are removed:
+    *
+    *   - vectors quantize to int8 codes under corpus-wide per-dim
+    *     ranges (exact in both engines — q93/q100 precedent);
+    *   - hyperplanes are RADEMACHER ±1 weights derived from the md5 of
+    *     `(table)_(plane)_(dim)` — sign-random-projection needs only
+    *     the sign of an integer sum, and a ±1 family makes that sum an
+    *     exact BIGINT while keeping the weight derivation one digest
+    *     both engines can compute;
+    *   - candidate verification is the exact integer dot product of
+    *     code vectors; the final cosine is ONE deterministic double
+    *     division (identical bits cross-engine).
+    *
+    * Scale shape: same as q49 — bucket keys shuffle, candidates are
+    * same-(table,bucket) equi-join rows, ids-only through the distinct,
+    * codes re-joined once per surviving pair. The relational
+    * weight-table join (64 code rows × T·P weights per vector) is the
+    * price of oracle expressibility; the production path stays q49's
+    * fused one-pass codegen [[graft.functions.LshBuckets]], exactly as
+    * q46 (fused) vs q46b (relational) on the MinHash side.
+    */
+  private def q49b(spark: SparkSession, dir: String): DataFrame = {
+    val codes = quantCodes(spark, dir)
+    val weights = spark.range(QbTables.toLong * QbPlanes * 64)
+      .select(
+        expr(s"CAST(id div ${QbPlanes * 64} AS INT)").as("t"),
+        expr(s"CAST((id div 64) % $QbPlanes AS INT)").as("p"),
+        expr("CAST(id % 64 AS INT)").as("pos"))
+      .withColumn("w",
+        when(ascii(substring(md5(to_binary(
+            concat_ws("_", col("t"), col("p"), col("pos")), lit("utf-8"))), 1, 1)) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+    val proj = codes.join(broadcast(weights), "pos")
+      .groupBy(col("vec_id"), col("t"), col("p"))
+      .agg(sum(col("c") * col("w")).as("proj"))
+    val buckets = proj.groupBy(col("vec_id"), col("t"))
+      .agg(sum(when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))
+        .otherwise(lit(0L))).as("b"))
+    val cand = buckets
+      .join(buckets.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("t"), col("b")),
+        Seq("t", "b"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct() // ids only — the q49/q51b rule
+    val norms = codes.groupBy(col("vec_id")).agg(sum(col("c") * col("c")).as("n2"))
+    val pairDot = cand
+      .join(codes.select(col("vec_id").as("qid"), col("pos"), col("c").as("qc")), Seq("qid"))
+      .join(codes.select(col("vec_id"), col("pos"), col("c").as("cc")), Seq("vec_id", "pos"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qc") * col("cc")).as("dot"))
+    val scored = pairDot
+      .join(norms.select(col("vec_id").as("qid"), col("n2").as("qnorm2")), "qid")
+      .join(norms.select(col("vec_id"), col("n2").as("cnorm2")), "vec_id")
+      .filter(col("qnorm2") > 0 && col("cnorm2") > 0)
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("qnorm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("vec_id"),
+        col("dot"), col("qnorm2"), col("cnorm2"), col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  private val q49bSql =
+    s"""$quantCodesSql,
+       |wt AS (
+       |  SELECT CAST(id // ${QbPlanes * 64} AS INT) AS t,
+       |         CAST((id // 64) % $QbPlanes AS INT) AS p,
+       |         CAST(id % 64 AS INT) AS pos,
+       |         CASE WHEN ascii(substr(md5(
+       |                  CAST(id // ${QbPlanes * 64} AS VARCHAR) || '_' ||
+       |                  CAST((id // 64) % $QbPlanes AS VARCHAR) || '_' ||
+       |                  CAST(id % 64 AS VARCHAR)), 1, 1)) % 2 = 0
+       |              THEN 1 ELSE -1 END AS w
+       |  FROM range(0, ${QbTables * QbPlanes * 64}) r(id)),
+       |pr AS (
+       |  SELECT vec_id, t, wt.p, CAST(SUM(c * w) AS BIGINT) AS proj
+       |  FROM q JOIN wt ON q.pos = wt.pos GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT vec_id, t,
+       |         CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS b
+       |  FROM pr GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, bk.vec_id
+       |  FROM bk JOIN bk qb ON bk.t = qb.t AND bk.b = qb.b
+       |  WHERE qb.vec_id < $NumQueries AND bk.vec_id <> qb.vec_id),
+       |n AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM q GROUP BY vec_id),
+       |d AS (
+       |  SELECT cand.qid, cand.vec_id, CAST(SUM(qc.c * cc.c) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN q qc ON qc.vec_id = cand.qid
+       |  JOIN q cc ON cc.vec_id = cand.vec_id AND cc.pos = qc.pos
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT d.qid, d.vec_id, d.dot, nq.n2 AS qnorm2, nc.n2 AS cnorm2,
+       |         CAST(d.dot AS DOUBLE) /
+       |           (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+       |  FROM d JOIN n nq ON d.qid = nq.vec_id JOIN n nc ON d.vec_id = nc.vec_id
+       |  WHERE nq.n2 > 0 AND nc.n2 > 0),
+       |rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rn
+       |  FROM s)
+       |SELECT qid, rn, vec_id, dot, qnorm2, cnorm2, cosine
+       |FROM rk WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  /** q52b — ORACLE-EXACT IVF ANN, the engine-exact twin of q52
+    * (completing the set: every ANN tier — brute force q48, LSH
+    * q49/q49b, IVF q52/q52b — now has a driver-verified form). The
+    * whole Lloyd pipeline runs in quantized integer space:
+    *
+    *   - seeds are the `IvfK` lowest vec_ids' CODE vectors;
+    *   - assignment similarity is the exact BIGINT code dot over one
+    *     deterministic double division (ties → lower cid), with a -2
+    *     sentinel for zero-norm degenerate rows so NaN never orders;
+    *   - the Lloyd refinement keeps centroids as exact BIGINT SUMs of
+    *     member codes — un-normalized on purpose: cosine is
+    *     scale-invariant, so the sum IS the mean direction, and
+    *     skipping the divide keeps every quantity integer (the q93
+    *     trick);
+    *   - queries probe their `IvfProbe` top centroids; candidates are
+    *     the probed clusters' members via cid equi-join (each vector
+    *     sits in exactly one cluster, so the pair set needs no
+    *     distinct); verification is the exact pair dot of codes.
+    *
+    * Scale shape matches q52: the centroid table (K×64 BIGINTs) is a
+    * broadcast, assignment is a map-stage over code rows, and the only
+    * data-sized shuffles are (vec_id) / (cid, pos) partial aggs — at
+    * 100 TB the cid is the storage partition key and a query touches
+    * nprobe/K of the corpus.
+    */
+  private def q52b(spark: SparkSession, dir: String): DataFrame = {
+    val codes = quantCodes(spark, dir)
+    val norms = codes.groupBy(col("vec_id")).agg(sum(col("c") * col("c")).as("n2"))
+
+    // cosine of a code vector against a centroid table cent(cid,pos,s)
+    // → (vec_id, cid, sim); exact integers until one double division
+    def simTo(cent: DataFrame, centNorm: DataFrame): DataFrame =
+      codes.join(broadcast(cent), "pos")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("c") * col("s")).as("dot"))
+        .join(broadcast(centNorm), "cid")
+        .join(norms, "vec_id")
+        .withColumn("sim",
+          when(col("n2") > 0 && col("sn2") > 0,
+            col("dot").cast("double") /
+              (sqrt(col("n2").cast("double")) * sqrt(col("sn2").cast("double"))))
+            .otherwise(lit(-2.0)))
+
+    def argmax(scored: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+
+    val seed = codes.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int").as("cid"), col("pos"), col("c").as("s"))
+    val seedNorm = seed.groupBy(col("cid")).agg(sum(col("s") * col("s")).as("sn2"))
+    val assign0 = argmax(simTo(seed, seedNorm))
+
+    // one Lloyd step: integer centroid = SUM of member codes
+    val cent = codes.join(assign0, "vec_id")
+      .groupBy(col("cid"), col("pos")).agg(sum(col("c")).as("s"))
+    val centNorm = cent.groupBy(col("cid")).agg(sum(col("s") * col("s")).as("sn2"))
+
+    val scored1 = simTo(cent, centNorm)
+    val ivf = argmax(scored1) // final inverted file
+
+    // queries probe their IvfProbe nearest refined centroids
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val probed = scored1.filter(col("vec_id") < NumQueries)
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= IvfProbe)
+      .select(col("vec_id").as("qid"), col("cid"))
+
+    val cand = probed.join(ivf.select(col("vec_id"), col("cid")), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val pairDot = cand
+      .join(codes.select(col("vec_id").as("qid"), col("pos"), col("c").as("qc")), Seq("qid"))
+      .join(codes.select(col("vec_id"), col("pos"), col("c").as("cc")), Seq("vec_id", "pos"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qc") * col("cc")).as("dot"))
+    val scored = pairDot
+      .join(norms.select(col("vec_id").as("qid"), col("n2").as("qnorm2")), "qid")
+      .join(norms.select(col("vec_id"), col("n2").as("cnorm2")), "vec_id")
+      .filter(col("qnorm2") > 0 && col("cnorm2") > 0)
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("qnorm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("vec_id"),
+        col("dot"), col("qnorm2"), col("cnorm2"), col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  private val q52bSql = {
+    // scored-against-centroids template: cent CTE name + output name
+    def simSql(cent: String, centNorm: String, out: String): String =
+      s"""$out AS (
+         |  SELECT q.vec_id, c.cid, CAST(SUM(q.c * c.s) AS BIGINT) AS dot,
+         |         CASE WHEN n.n2 > 0 AND cn.sn2 > 0
+         |              THEN CAST(SUM(q.c * c.s) AS DOUBLE) /
+         |                   (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.sn2 AS DOUBLE)))
+         |              ELSE -2.0 END AS sim
+         |  FROM q JOIN $cent c ON q.pos = c.pos
+         |  JOIN n ON q.vec_id = n.vec_id JOIN $centNorm cn ON c.cid = cn.cid
+         |  GROUP BY q.vec_id, c.cid, n.n2, cn.sn2)""".stripMargin
+    s"""$quantCodesSql,
+       |n AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM q GROUP BY vec_id),
+       |sd AS (SELECT CAST(vec_id AS INT) AS cid, pos, c AS s FROM q WHERE vec_id < $IvfK),
+       |sdn AS (SELECT cid, CAST(SUM(s * s) AS BIGINT) AS sn2 FROM sd GROUP BY cid),
+       |${simSql("sd", "sdn", "a0s")},
+       |a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a0s) WHERE rn = 1),
+       |ct AS (
+       |  SELECT a0.cid, q.pos, CAST(SUM(q.c) AS BIGINT) AS s
+       |  FROM q JOIN a0 ON q.vec_id = a0.vec_id GROUP BY 1, 2),
+       |ctn AS (SELECT cid, CAST(SUM(s * s) AS BIGINT) AS sn2 FROM ct GROUP BY cid),
+       |${simSql("ct", "ctn", "a1s")},
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a1s) WHERE rn = 1),
+       |pb AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a1s WHERE vec_id < $NumQueries) WHERE rn <= $IvfProbe),
+       |cd AS (
+       |  SELECT pb.qid, a1.vec_id
+       |  FROM pb JOIN a1 ON pb.cid = a1.cid WHERE a1.vec_id <> pb.qid),
+       |d AS (
+       |  SELECT cd.qid, cd.vec_id, CAST(SUM(qc.c * cc.c) AS BIGINT) AS dot
+       |  FROM cd
+       |  JOIN q qc ON qc.vec_id = cd.qid
+       |  JOIN q cc ON cc.vec_id = cd.vec_id AND cc.pos = qc.pos
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT d.qid, d.vec_id, d.dot, nq.n2 AS qnorm2, nc.n2 AS cnorm2,
+       |         CAST(d.dot AS DOUBLE) /
+       |           (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+       |  FROM d JOIN n nq ON d.qid = nq.vec_id JOIN n nc ON d.vec_id = nc.vec_id
+       |  WHERE nq.n2 > 0 AND nc.n2 > 0),
+       |rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rn
+       |  FROM s)
+       |SELECT qid, rn, vec_id, dot, qnorm2, cnorm2, cosine
+       |FROM rk WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+  }
+
   /** Rows flagged per label by q100 (the prune-candidate review set). */
   private val PruneK = 5
 
@@ -521,9 +835,11 @@ object Similarity {
     QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
     QuerySpec("q49_ann_lsh",        q49, None,         headline = true),
+    QuerySpec("q49b_ann_lsh_exact", q49b, Some(q49bSql)),
     QuerySpec("q51_embedding_neardup", q51, Some(q51Sql), headline = true),
     QuerySpec("q51b_embedding_neardup_blocked", q51b, None, headline = true),
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
+    QuerySpec("q52b_ann_ivf_exact", q52b, Some(q52bSql)),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),
     QuerySpec("q100_prototypicality", q100, Some(q100Sql), headline = true),

@@ -254,6 +254,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q49b/q52b exact ANN twins: ranked output, integer-consistent cosines, recall vs q48") {
+    val exact = run("q48_ann_bruteforce").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    for ((name, floor) <- Seq("q49b_ann_lsh_exact" -> 0.2, "q52b_ann_ivf_exact" -> 0.1)) {
+      val rows = run(name).collect()
+      assert(rows.nonEmpty, name)
+      rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+        val ranks = rs.map(_.getAs[Int]("rn")).sorted
+        assert(ranks.toSeq == (1 to ranks.length).toSeq, name)
+      }
+      // the reported cosine is exactly the double derived from the
+      // integer dot/norm columns — the oracle-exactness invariant
+      rows.foreach { r =>
+        val c = r.getAs[Long]("dot").toDouble /
+          (math.sqrt(r.getAs[Long]("qnorm2").toDouble) * math.sqrt(r.getAs[Long]("cnorm2").toDouble))
+        assert(c == r.getAs[Double]("cosine"), name)
+        assert(c >= -1.0001 && c <= 1.0001, name)
+      }
+      // deterministic LSH/IVF in QUANTIZED space vs FLOAT exact top-k:
+      // overlap floor only documents non-degeneracy (params are demo
+      // scale; the oracle is the correctness gate)
+      val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      assert(recall >= floor, s"$name recall $recall")
+    }
+  }
+
   test("q50b decode stub: full coverage, fixed feature width, deterministic") {
     // features are flattened to one scalar column per dim (f0..f7) so
     // every output column is sortable by the driver's rows-only check
