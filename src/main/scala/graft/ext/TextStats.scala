@@ -1014,6 +1014,73 @@ object TextStats {
        |FROM agg ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  /** q111 classifier vocabulary width — 16 of the corpus's 31 distinct
+    * tokens, so the hashed OOV fallback path really executes.
+    */
+  private val ClfVocab = 16
+
+  /** md5-derived signed integer weight in [-(mod-1)/2, (mod-1)/2]:
+    * 24 bits of the digest of `value+salt`, reduced mod `mod` (odd),
+    * recentered. Positive dividend in both engines ⇒ `%` agrees.
+    */
+  private def md5Weight(value: Column, salt: String, mod: Int): Column =
+    conv(substring(md5(to_binary(concat(value, lit(salt)), lit("utf-8"))), 1, 6), 16, 10)
+      .cast("long") % mod - (mod - 1) / 2
+
+  /** q111 — LINEAR QUALITY CLASSIFIER inference (the fastText-style
+    * model-based filter tier of a curation pipeline, after the
+    * heuristic gates of q41/q86): per-document score = Σ weight(token)
+    * over token OCCURRENCES, in-vocabulary weights from a broadcast
+    * weight table (top-[[ClfVocab]] corpus tokens), out-of-vocabulary
+    * tokens through a feature-HASHED fallback weight, keep = score ≥ 0.
+    *
+    * The WEIGHTS are a deterministic md5 stub standing in for trained
+    * parameters (the container has no model artifacts — same policy as
+    * the multimodal decode stubs, documented, engine-portable). The
+    * PLUMBING is the real production shape and is what this query
+    * certifies: inference = one broadcast hash join (weight table) +
+    * map-side partial agg per doc — a pure map stage over the corpus
+    * at 100 TB, no shuffle of text, the score threshold applied where
+    * the data lives. A trained model would swap the weight column, not
+    * the plan.
+    */
+  private def q111(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = occ.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(ClfVocab)
+      .select(col("token"), md5Weight(col("token"), ":q111w", 2001).as("w"))
+    occ.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("tw",
+        coalesce(col("w"), md5Weight(col("token"), ":q111h", 201)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("tw")).as("score"))
+      .withColumn("keep", (col("score") >= 0).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("score"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val q111Sql =
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |f AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+       |v AS (SELECT token,
+       |             ('0x' || substr(md5(token || ':q111w'), 1, 6))::BIGINT % 2001 - 1000 AS w
+       |      FROM f ORDER BY cnt DESC, token LIMIT $ClfVocab),
+       |s AS (
+       |  SELECT occ.doc_id, v.w,
+       |         COALESCE(v.w,
+       |           ('0x' || substr(md5(occ.token || ':q111h'), 1, 6))::BIGINT % 201 - 100) AS tw
+       |  FROM occ LEFT JOIN v USING (token))
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST(SUM(tw) AS BIGINT) AS score,
+       |       CAST(CASE WHEN SUM(tw) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -1036,5 +1103,6 @@ object TextStats {
     QuerySpec("q101_bpe_pair_stats", q101, Some(q101Sql)),
     QuerySpec("q103_bpe_merge_apply", q103, Some(q103Sql)),
     QuerySpec("q108_bm25_retrieval", q108, Some(q108Sql), headline = true),
+    QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),
   )
 }

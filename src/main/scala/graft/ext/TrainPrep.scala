@@ -567,6 +567,83 @@ object TrainPrep {
       |       (n * sum_x2 - sum_x * sum_x) * 1000000 // (n * n) AS var_micro
       |FROM m ORDER BY source""".stripMargin
 
+  /** q112 target domain: docs from this source play the "high-quality
+    * target corpus" role (the Wikipedia/books slot in DSIR).
+    */
+  private val DsirTarget = "src0"
+
+  /** q112 — DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw-corpus document by how target-like its token
+    * distribution is, using two hashed-unigram language models — the
+    * selection signal for domain-targeted pretraining data.
+    *
+    * Published DSIR sums per-token LOG likelihood ratios; natural logs
+    * differ in the last ulp across libm implementations and would
+    * break the driver's hash gate (the q69 idf lesson), so the score
+    * here is the ADDITIVE RATIO surrogate: per token, the
+    * Laplace-smoothed ratio
+    *   lr_micro = ⌊1e6 · (cnt_t+1)(N_r+V) / ((cnt_r+1)(N_t+V))⌋
+    * (exact BIGINT arithmetic), summed over the document's token
+    * occurrences. Monotone in the same per-token evidence, integer-
+    * exact in both engines; `selected` marks docs whose mean token
+    * ratio clears 1.0 (score ≥ n_tokens·1e6) — a scale-free,
+    * data-independent threshold that needs no global sort.
+    *
+    * Scale shape: token LM build = one token-keyed partial agg; the
+    * 1-row totals ride the q03/q89 scalar-broadcast pattern
+    * (PlanGuard-allowlisted); scoring = equi-join of raw-doc token
+    * occurrences to the 31-row (V-row) weight table — broadcast, so
+    * inference is a map stage + per-doc partial agg, text never
+    * shuffles. Magnitudes: (cnt+1)·(N+V)·1e6 ≲ 1e16 at sf0.1; a
+    * 100 TB run moves the lr arithmetic to DECIMAL(38,0) (ANSI mode
+    * raises, not wraps, if it ever overflows).
+    */
+  private def q112(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
+    val c = occ.groupBy(col("token")).agg(
+      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("cnt_t"),
+      sum(when(col("source") =!= DsirTarget, 1L).otherwise(0L)).as("cnt_r"))
+    val totals = c.agg(
+      sum(col("cnt_t")).as("nt"), sum(col("cnt_r")).as("nr"),
+      count(lit(1)).as("v"))
+    val w = c.crossJoin(broadcast(totals))
+      .select(col("token"),
+        expr("((cnt_t + 1) * (nr + v) * 1000000) DIV ((cnt_r + 1) * (nt + v))").as("lr"))
+    occ.filter(col("source") =!= DsirTarget)
+      .join(broadcast(w), "token")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("score"))
+      .withColumn("lr_micro_per_token", expr("score DIV n_tokens"))
+      .withColumn("selected", (col("score") >= col("n_tokens") * 1000000L).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val q112Sql =
+    s"""WITH occ AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (
+       |  SELECT token,
+       |         CAST(SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+       |         CAST(SUM(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
+       |  FROM occ GROUP BY token),
+       |t AS (
+       |  SELECT CAST(SUM(cnt_t) AS BIGINT) AS nt, CAST(SUM(cnt_r) AS BIGINT) AS nr,
+       |         CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM c),
+       |w AS (
+       |  SELECT token,
+       |         ((cnt_t + 1) * (nr + v) * 1000000) // ((cnt_r + 1) * (nt + v)) AS lr
+       |  FROM c, t)
+       |SELECT occ.doc_id, occ.source, COUNT(*) AS n_tokens,
+       |       CAST(SUM(lr) AS BIGINT) AS score,
+       |       CAST(SUM(lr) // COUNT(*) AS BIGINT) AS lr_micro_per_token,
+       |       CAST(CASE WHEN SUM(lr) >= COUNT(*) * 1000000 THEN 1 ELSE 0 END AS INT) AS selected
+       |FROM occ JOIN w USING (token)
+       |WHERE occ.source <> '$DsirTarget'
+       |GROUP BY occ.doc_id, occ.source ORDER BY occ.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q57_embedding_quantize", q57, Some(q57Sql), headline = true),
     QuerySpec("q58_dataset_split",      q58, Some(q58Sql)),
@@ -579,5 +656,6 @@ object TrainPrep {
     QuerySpec("q96_quality_budget",     q96, Some(q96Sql), headline = true),
     QuerySpec("q97_corpus_version",     q97, Some(q97Sql)),
     QuerySpec("q109_feature_moments",   q109, Some(q109Sql)),
+    QuerySpec("q112_dsir_importance",   q112, Some(q112Sql)),
   )
 }

@@ -59,7 +59,8 @@ class PlanGuardSpec extends SparkSpec {
     "q99_heavy_hitters",
     "q103_bpe_merge_apply",
     "q104_zorder_layout",
-    "q108_bm25_retrieval")
+    "q108_bm25_retrieval",
+    "q112_dsir_importance")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
