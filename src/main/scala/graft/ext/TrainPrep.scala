@@ -68,15 +68,15 @@ object TrainPrep {
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** Split fractions (percent) for q58 — train/val/test 80/10/10. */
-  private[ext] val TrainPct = 80
-  private[ext] val ValPct   = 10
+  private[graft] val TrainPct = 80
+  private[graft] val ValPct   = 10
 
   /** md5-derived uniform bucket in [0, mod): engine-identical (md5
     * bytes are md5 bytes everywhere), stable under reruns AND under
     * corpus growth. `salt` decorrelates independent bucketings of the
     * same key (split vs pack vs sample).
     */
-  private[ext] def md5Bucket(id: Column, mod: Int, salt: String = ""): Column =
+  private[graft] def md5Bucket(id: Column, mod: Int, salt: String = ""): Column =
     pmod(conv(substring(md5(to_binary(concat(id.cast("string"), lit(salt)), lit("utf-8"))), 1, 15), 16, 10)
       .cast("long"), lit(mod))
 
@@ -84,7 +84,7 @@ object TrainPrep {
     * splits as the corpus grows, which `ORDER BY rand() LIMIT n`
     * splitting cannot promise.
     */
-  private[ext] def splitBucket(id: Column): Column = md5Bucket(id, 100)
+  private[graft] def splitBucket(id: Column): Column = md5Bucket(id, 100)
 
   /** q58 — deterministic train/val/test split of the document corpus:
     * hash-bucket each doc_id, assign 80/10/10, report per-split

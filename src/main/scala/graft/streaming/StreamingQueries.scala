@@ -410,6 +410,82 @@ object StreamingQueries {
        |       CAST(est_cnt - true_cnt AS BIGINT) AS overcount
        |FROM est ORDER BY true_cnt DESC, user_id""".stripMargin
 
+  /** q113 decontamination gram width (matches the batch q67). */
+  private val DecontamGramN = 8
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+  ))
+
+  /** q113 — STREAMING decontamination: the q67 hygiene gate applied at
+    * INGESTION time instead of as a batch sweep. The held-out test
+    * split's distinct 8-gram digests form a STATIC index (in
+    * production: the benchmark suite, tiny and broadcast); arriving
+    * train-split documents stream through, explode into gram digests,
+    * and stream-static inner-join the index per micro-batch — the q85
+    * join family, so NO join state store exists; the only state is the
+    * per-doc running count of contaminated gram occurrences. A doc
+    * appearing in the output means "quarantine before it reaches the
+    * training corpus" — the answer arrives while the data lands, not
+    * after a nightly scan of 100 TB.
+    *
+    * Shuffle shape matches q67: fixed-width md5 digests key every
+    * exchange, never gram text, never doc×doc. Oracle = the exact
+    * batch replay (occurrence-granularity: each train gram occurrence
+    * matching any distinct test gram counts once).
+    */
+  private def q113(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TrainPrep
+    val gh = (g: org.apache.spark.sql.Column) => md5(to_binary(g, lit("utf-8")))
+    val testIdx = graft.Tables.documents(spark, dir)
+      .withColumn("bucket", TrainPrep.splitBucket(col("doc_id")))
+      .filter(col("bucket") >= TrainPrep.TrainPct + TrainPrep.ValPct)
+      .select(explode(graft.functions.word_shingles(col("text"), DecontamGramN)).as("g"))
+      .select(gh(col("g")).as("gh"))
+      .distinct()
+    val agg = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("bucket", TrainPrep.splitBucket(col("doc_id")))
+      .filter(col("bucket") < TrainPrep.TrainPct)
+      .select(col("doc_id"),
+        explode(graft.functions.word_shingles(col("text"), DecontamGramN)).as("g"))
+      .select(col("doc_id"), gh(col("g")).as("gh"))
+      .join(testIdx, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_occurrences"))
+    drain(spark, agg, "complete")
+      .orderBy("doc_id")
+  }
+
+  private val q113Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+       |         string_split(text, ' ') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, bucket,
+       |         md5(CASE WHEN len(ws) >= $DecontamGramN
+       |                  THEN array_to_string(ws[i:i+${DecontamGramN - 1}], ' ')
+       |                  ELSE array_to_string(ws, ' ') END) AS gh
+       |  FROM (SELECT doc_id, bucket, ws,
+       |               unnest(CASE WHEN len(ws) >= $DecontamGramN
+       |                           THEN range(1, len(ws) - ${DecontamGramN - 2})
+       |                           ELSE [1] END) AS i
+       |        FROM w)),
+       |te AS (SELECT DISTINCT gh FROM g
+       |       WHERE bucket >= ${graft.ext.TrainPrep.TrainPct + graft.ext.TrainPrep.ValPct}),
+       |tr AS (SELECT doc_id, gh FROM g WHERE bucket < ${graft.ext.TrainPrep.TrainPct})
+       |SELECT tr.doc_id, COUNT(*) AS n_contaminated_occurrences
+       |FROM tr JOIN te USING (gh)
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -420,5 +496,6 @@ object StreamingQueries {
     QuerySpec("q79_stream_pipeline", q79, Some(q79Sql), headline = true),
     QuerySpec("q85_stream_static_join", q85, Some(q85Sql)),
     QuerySpec("q102_stream_heavy_hitters", q102, Some(q102Sql)),
+    QuerySpec("q113_stream_decontam", q113, Some(q113Sql)),
   )
 }
