@@ -740,6 +740,127 @@ object Similarity {
        |FROM rk WHERE rn <= $K ORDER BY qid, rn""".stripMargin
   }
 
+  /** q115 RRF smoothing constant (the standard k=60 from Cormack &
+    * Clarke's reciprocal-rank-fusion formulation).
+    */
+  private val RrfK = 60
+
+  /** q115 — HYBRID retrieval: dense + sparse rankings fused by
+    * reciprocal rank (RRF), the modern retrieval-stack shape (vector
+    * index and lexical index answer independently; ranks — not scores
+    * — fuse, so the two incomparable score scales never mix). Query
+    * docs are ids < NumQueries with `documents` and `embeddings`
+    * aligned on id:
+    *
+    *   - DENSE leg: exact integer cosine in quantized code space (the
+    *     q49b arithmetic) of the query vector against every candidate;
+    *   - SPARSE leg: distinct-token Jaccard overlap of the query doc's
+    *     text against every candidate doc, in exact integer micros via
+    *     an inverted token-index equi-join (never doc×doc text);
+    *   - FUSION: rrf_micro = Σ_legs ⌊1e6/(60+rank)⌋, top-K per query
+    *     by (rrf desc, id).
+    *
+    * Both legs are rank-complete over the candidate set (each leg
+    * ranks every candidate), so the fusion needs no missing-rank
+    * convention. Everything is integers until nothing: ranks fuse as
+    * exact micros; the oracle replays all three stages relationally.
+    *
+    * Scale: both legs shuffle ids+scalars keyed by pos/token; code and
+    * token tables broadcast at dim/vocab size. At 100 TB each leg
+    * becomes its indexed form (q49 buckets, q108 term index) feeding
+    * the same fusion — RRF only needs the per-leg top-N lists.
+    */
+  private def q115(spark: SparkSession, dir: String): DataFrame = {
+    val codes = quantCodes(spark, dir)
+    val norms = codes.groupBy(col("vec_id")).agg(sum(col("c") * col("c")).as("n2"))
+    val qcodes = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("pos"), col("c").as("qc"))
+    val dense = codes.join(broadcast(qcodes), "pos")
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qc") * col("c")).as("dot"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(norms.select(col("vec_id").as("qid"), col("n2").as("qn2")), "qid")
+      .join(norms, "vec_id")
+      .filter(col("qn2") > 0 && col("n2") > 0)
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("dense_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("qid"), col("vec_id").as("id"), col("dense_rank"))
+
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val qtoks = toks.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("qid"), col("t"))
+    val sparse = toks.join(qtoks, "t")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(sizes.select(col("doc_id").as("qid"), col("nt").as("qnt")), "qid")
+      .join(sizes, "doc_id")
+      .withColumn("jac_micro",
+        expr("(shared * 1000000) DIV (qnt + nt - shared)"))
+      .withColumn("sparse_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("jac_micro").desc, col("doc_id"))))
+      .select(col("qid"), col("doc_id").as("id"), col("sparse_rank"))
+
+    dense.join(sparse, Seq("qid", "id"))
+      .withColumn("rrf_micro",
+        expr(s"1000000 DIV ($RrfK + dense_rank) + 1000000 DIV ($RrfK + sparse_rank)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("rrf_micro").desc, col("id"))))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("id"),
+        col("dense_rank").cast("int").as("dense_rank"),
+        col("sparse_rank").cast("int").as("sparse_rank"), col("rrf_micro"))
+      .orderBy("qid", "rn")
+  }
+
+  private val q115Sql =
+    s"""$quantCodesSql,
+       |n AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM q GROUP BY vec_id),
+       |qc AS (SELECT vec_id AS qid, pos, c AS qc FROM q WHERE vec_id < $NumQueries),
+       |dd AS (
+       |  SELECT qc.qid, q.vec_id, CAST(SUM(qc.qc * q.c) AS BIGINT) AS dot
+       |  FROM q JOIN qc ON q.pos = qc.pos GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT dd.qid, dd.vec_id AS id, ROW_NUMBER() OVER (
+       |           PARTITION BY dd.qid ORDER BY
+       |             CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+       |             dd.vec_id) AS dense_rank
+       |  FROM dd JOIN n nq ON dd.qid = nq.vec_id JOIN n nc ON dd.vec_id = nc.vec_id
+       |  WHERE dd.vec_id <> dd.qid AND nq.n2 > 0 AND nc.n2 > 0),
+       |tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |sz AS (SELECT doc_id, COUNT(*) AS nt FROM tk GROUP BY doc_id),
+       |qt AS (SELECT doc_id AS qid, t FROM tk WHERE doc_id < $NumQueries),
+       |ss AS (
+       |  SELECT qt.qid, tk.doc_id, COUNT(*) AS shared
+       |  FROM tk JOIN qt ON tk.t = qt.t GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT ss.qid, ss.doc_id AS id, ROW_NUMBER() OVER (
+       |           PARTITION BY ss.qid ORDER BY
+       |             (shared * 1000000) // (szq.nt + szc.nt - shared) DESC, ss.doc_id) AS sparse_rank
+       |  FROM ss JOIN sz szq ON ss.qid = szq.doc_id JOIN sz szc ON ss.doc_id = szc.doc_id
+       |  WHERE ss.doc_id <> ss.qid),
+       |fused AS (
+       |  SELECT dense.qid, dense.id, dense.dense_rank, sparse.sparse_rank,
+       |         CAST(1000000 // ($RrfK + dense.dense_rank) +
+       |              1000000 // ($RrfK + sparse.sparse_rank) AS BIGINT) AS rrf_micro
+       |  FROM dense JOIN sparse ON dense.qid = sparse.qid AND dense.id = sparse.id),
+       |rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY qid ORDER BY rrf_micro DESC, id) AS INT) AS rn
+       |  FROM fused)
+       |SELECT qid, rn, id, CAST(dense_rank AS INT) AS dense_rank,
+       |       CAST(sparse_rank AS INT) AS sparse_rank, rrf_micro
+       |FROM rk WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
   /** Rows flagged per label by q100 (the prune-candidate review set). */
   private val PruneK = 5
 
@@ -843,5 +964,6 @@ object Similarity {
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),
     QuerySpec("q100_prototypicality", q100, Some(q100Sql), headline = true),
+    QuerySpec("q115_hybrid_rrf", q115, Some(q115Sql)),
   )
 }

@@ -1081,6 +1081,66 @@ object TextStats {
        |       CAST(CASE WHEN SUM(tw) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q114 — BIGRAM LM fluency scoring (the CCNet/KenLM perplexity
+    * filter tier): train a corpus bigram language model, score every
+    * document by its mean conditional token probability — low scores
+    * flag token-salad documents a perplexity filter would drop, high
+    * scores flag boilerplate. Published filters use log-perplexity;
+    * logs differ in the last ulp across libm builds (the q69/q112
+    * lesson), so the score is the mean Laplace-smoothed probability in
+    * exact integer micros:
+    *   p_micro(a→b) = ⌊1e6·(cnt(a,b)+1)/(cnt(a,·)+V)⌋,
+    * averaged over the document's bigram occurrences — rank-equivalent
+    * for the filter's purpose and bit-identical in both engines.
+    *
+    * Scale shape: LM build = one bigram-keyed partial agg (the q101
+    * shuffle); the model table (≤V² rows, bounded by vocabulary, not
+    * corpus) broadcasts; scoring = map-side equi-join + per-doc
+    * partial agg — text never shuffles. The 1-row vocab-size aggregate
+    * rides the q03 scalar-broadcast pattern (PlanGuard-allowlisted).
+    */
+  private def q114(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), explode(when(col("n") >= 2,
+        transform(sequence(lit(0), col("n") - 2),
+          i => struct(
+            element_at(col("ws"), i + 1).as("a"),
+            element_at(col("ws"), i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val cnt2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val cnt1 = cnt2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val v = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val lm = cnt2.join(cnt1, "a").crossJoin(broadcast(v))
+      .select(col("a"), col("b"), expr("((c2 + 1) * 1000000) DIV (c1 + v)").as("p_micro"))
+    bi.join(broadcast(lm), Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p_micro"))
+      .withColumn("mean_p_micro", expr("sum_p_micro DIV n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  private val q114Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bi AS (
+      |  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM d)),
+      |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a),
+      |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      |lm AS (SELECT a, b, ((c2 + 1) * 1000000) // (c1 + v) AS p_micro
+      |       FROM c2 JOIN c1 USING (a), v)
+      |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro,
+      |       CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS mean_p_micro
+      |FROM bi JOIN lm USING (a, b)
+      |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -1104,5 +1164,6 @@ object TextStats {
     QuerySpec("q103_bpe_merge_apply", q103, Some(q103Sql)),
     QuerySpec("q108_bm25_retrieval", q108, Some(q108Sql), headline = true),
     QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),
+    QuerySpec("q114_bigram_lm_score", q114, Some(q114Sql)),
   )
 }

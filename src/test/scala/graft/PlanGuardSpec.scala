@@ -60,7 +60,8 @@ class PlanGuardSpec extends SparkSpec {
     "q103_bpe_merge_apply",
     "q104_zorder_layout",
     "q108_bm25_retrieval",
-    "q112_dsir_importance")
+    "q112_dsir_importance",
+    "q114_bigram_lm_score")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
