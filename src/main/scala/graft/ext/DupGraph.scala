@@ -262,9 +262,69 @@ object DupGraph {
        |WHERE s.doc_id = s.comp_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q116 — TRANSITIVE contamination audit: q67 catches train docs
+    * sharing literal 8-grams with held-out docs, but a held-out doc's
+    * NEAR-DUPLICATE in the train split leaks evaluation data just the
+    * same (lightly edited copies share answers, not necessarily exact
+    * 8-grams once perturbed). The fix is graph-shaped: any q59 dup
+    * cluster containing a held-out (val/test-split) member taints
+    * EVERY train member of that cluster — quarantine them all.
+    * Reported per tainted train doc with its cluster id/size and how
+    * many held-out members the cluster holds.
+    *
+    * Pure composition of audited machinery: q45 verified pairs →
+    * [[connectedComponents]] → split buckets (the q58 md5 split) →
+    * one per-cluster aggregate + one membership join — everything
+    * shuffles ids and counts only. Oracle = the q59 recursive-closure
+    * CTE extended with the same split/taint relational steps.
+    */
+  private def q116(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TrainPrep.splitBucket(col("doc_id"))
+    val sp = assignments(spark, dir).withColumn("bucket", bucket)
+    val taint = sp.groupBy(col("comp_id"))
+      .agg(sum(when(col("bucket") >= TrainPrep.TrainPct, 1L).otherwise(0L))
+        .as("n_heldout_members"))
+    sp.join(taint, "comp_id")
+      .filter(col("bucket") < TrainPrep.TrainPct && col("n_heldout_members") > 0)
+      .select(col("doc_id"), col("comp_id"), col("comp_size"), col("n_heldout_members"))
+      .orderBy("doc_id")
+  }
+
+  private val q116Sql =
+    s"""WITH RECURSIVE ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT s.v AS id, r.comp FROM reach r JOIN sym s ON s.u = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp_id FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+       |sp AS (
+       |  SELECT doc_id, comp_id,
+       |         COUNT(*) OVER (PARTITION BY comp_id) AS comp_size,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+       |  FROM asg),
+       |tc AS (
+       |  SELECT comp_id,
+       |         CAST(SUM(CASE WHEN bucket >= ${TrainPrep.TrainPct} THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_heldout_members
+       |  FROM sp GROUP BY comp_id)
+       |SELECT sp.doc_id, sp.comp_id, CAST(sp.comp_size AS BIGINT) AS comp_size,
+       |       tc.n_heldout_members
+       |FROM sp JOIN tc USING (comp_id)
+       |WHERE sp.bucket < ${TrainPrep.TrainPct} AND tc.n_heldout_members > 0
+       |ORDER BY sp.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
     QuerySpec("q82_dedup_corpus", q82, Some(q82Sql)),
     QuerySpec("q91_dup_clusters_star", q91, Some(q59Sql)),
+    QuerySpec("q116_neardup_contamination", q116, Some(q116Sql)),
   )
 }
