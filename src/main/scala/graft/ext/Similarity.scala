@@ -760,10 +760,12 @@ object Similarity {
     *   - FUSION: rrf_micro = Σ_legs ⌊1e6/(60+rank)⌋, top-K per query
     *     by (rrf desc, id).
     *
-    * Both legs are rank-complete over the candidate set (each leg
-    * ranks every candidate), so the fusion needs no missing-rank
-    * convention. Everything is integers until nothing: ranks fuse as
-    * exact micros; the oracle replays all three stages relationally.
+    * Fusion is the INNER join of the two rank lists — a candidate
+    * invisible to a leg (zero shared tokens, zero-norm vector) drops
+    * out rather than receiving an arbitrary missing-rank convention;
+    * on this corpus both legs cover every candidate, so the join is
+    * effectively rank-complete. Ranks fuse as exact integer micros;
+    * the oracle replays all three stages relationally.
     *
     * Scale: both legs shuffle ids+scalars keyed by pos/token; code and
     * token tables broadcast at dim/vocab size. At 100 TB each leg
@@ -860,6 +862,72 @@ object Similarity {
        |SELECT qid, rn, id, CAST(dense_rank AS INT) AS dense_rank,
        |       CAST(sparse_rank AS INT) AS sparse_rank, rrf_micro
        |FROM rk WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  /** q117 output dimensionality (64 → 16, a 4× storage/compute cut). */
+  private val JlDims = 16
+
+  /** q117 — JOHNSON-LINDENSTRAUSS random projection: reduce the
+    * 64-dim embeddings to [[JlDims]] dims with a Rademacher ±1
+    * projection matrix (Achlioptas 2003: database-friendly random
+    * projections — ±1 entries preserve pairwise distances in
+    * expectation just like Gaussians), the standard pre-ANN /
+    * pre-storage dimensionality cut. Exactness machinery shared with
+    * q49b: inputs are int8 quantized codes, the projection matrix
+    * derives from md5 of `(out_dim)_(in_dim)` (engine-portable, no
+    * RNG state), so every projected component is an exact BIGINT sum.
+    * Per vector the output carries each projected component plus its
+    * squared norm — the quantity a downstream ANN actually consumes.
+    *
+    * Scale shape: the 16×64 weight table broadcasts; projection is
+    * one equi-join on the dim index + a (vec_id, out_dim) partial agg
+    * — a map-stage rewrite of the corpus, embeddings shuffle only as
+    * (id, 16 BIGINTs). The fused production form would be one codegen
+    * expression (the LshBuckets precedent — same loop, values instead
+    * of sign bits); the relational form is kept as the oracle-exact
+    * contract, the q46/q46b relationship.
+    */
+  private def q117(spark: SparkSession, dir: String): DataFrame = {
+    val codes = quantCodes(spark, dir)
+    val weights = spark.range(JlDims.toLong * 64)
+      .select(
+        expr("CAST(id div 64 AS INT)").as("od"),
+        expr("CAST(id % 64 AS INT)").as("pos"))
+      .withColumn("w",
+        when(ascii(substring(md5(to_binary(
+            concat_ws("_", col("od"), col("pos")), lit("utf-8"))), 1, 1)) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+    codes.join(broadcast(weights), "pos")
+      .groupBy(col("vec_id"), col("od"))
+      .agg(sum(col("c") * col("w")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(col("proj") * col("proj")).as("proj_norm2"),
+        // struct sort orders by od (first field), fixing collect_list
+        array_sort(collect_list(struct(col("od"), col("proj")))).as("ps"))
+      .select(Seq(col("vec_id"), col("proj_norm2")) ++
+        (0 until JlDims).map(i => col("ps").getItem(i).getField("proj").as(s"p$i")): _*)
+      .orderBy("vec_id")
+  }
+
+  private val q117Sql = {
+    val pcols = (0 until JlDims)
+      .map(i => s"CAST(MAX(CASE WHEN od = $i THEN proj END) AS BIGINT) AS p$i")
+      .mkString(",\n       |       ")
+    s"""$quantCodesSql,
+       |wt AS (
+       |  SELECT CAST(id // 64 AS INT) AS od, CAST(id % 64 AS INT) AS pos,
+       |         CASE WHEN ascii(substr(md5(
+       |                  CAST(id // 64 AS VARCHAR) || '_' || CAST(id % 64 AS VARCHAR)), 1, 1)) % 2 = 0
+       |              THEN 1 ELSE -1 END AS w
+       |  FROM range(0, ${JlDims * 64}) r(id)),
+       |pj AS (
+       |  SELECT vec_id, od, CAST(SUM(c * w) AS BIGINT) AS proj
+       |  FROM q JOIN wt ON q.pos = wt.pos GROUP BY 1, 2)
+       |SELECT vec_id,
+       |       CAST(SUM(proj * proj) AS BIGINT) AS proj_norm2,
+       |       $pcols
+       |FROM pj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 
   /** Rows flagged per label by q100 (the prune-candidate review set). */
   private val PruneK = 5
@@ -965,5 +1033,6 @@ object Similarity {
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),
     QuerySpec("q100_prototypicality", q100, Some(q100Sql), headline = true),
     QuerySpec("q115_hybrid_rrf", q115, Some(q115Sql)),
+    QuerySpec("q117_jl_projection", q117, Some(q117Sql)),
   )
 }
