@@ -486,6 +486,66 @@ object StreamingQueries {
        |FROM tr JOIN te USING (gh)
        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
+  /** q118 — STREAMING anomaly detection: per-type daily event counts
+    * maintained incrementally (the q60 state), then each day flagged
+    * against its type's history with a 2σ deviation test — the
+    * volume-drop / traffic-spike alert a production ingest pipeline
+    * hangs off its metrics stream. The flagging arithmetic is
+    * integer-exact (the q109 moment trick): with D observed days,
+    * Σn and Σn², the test |n − μ| > 2σ is equivalently
+    *   (n·D − Σn)² > 4·(D·Σn² − (Σn)²)
+    * — no division, no sqrt, no floats, so both engines agree
+    * bit-for-bit. Deviation and bound are reported so the alert is
+    * auditable.
+    *
+    * The history baseline runs over the DRAINED window table — rows
+    * bounded by types × days (a metrics stream, not the event
+    * stream), the same post-drain tier every streaming query's final
+    * ORDER BY uses; only observed days participate (a production
+    * monitor would densify the calendar before flagging volume
+    * drops to literal zero).
+    */
+  private def q118(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // localCheckpoint: the memory-sink view is not a
+    // MultiInstanceRelation, so the days-stats self-join below would
+    // fail attribute deduplication against the raw view (and the
+    // table is bounded by types × days anyway)
+    val days = drain(spark, agg, "complete")
+      .select(col("window.start").as("day"), col("event_type"), col("n"))
+      .localCheckpoint()
+    val stats = days.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("sn2"))
+    days.join(stats, "event_type")
+      .withColumn("dev2", expr("(n * d - sn) * (n * d - sn)"))
+      .withColumn("bound", expr("4 * (d * sn2 - sn * sn)"))
+      .withColumn("anomaly", (col("dev2") > col("bound")).cast("int"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("dev2"), col("bound"), col("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q118Sql =
+    """WITH days AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+      |         CAST(SUM(n) AS BIGINT) AS sn,
+      |         CAST(SUM(n * n) AS BIGINT) AS sn2
+      |  FROM days GROUP BY event_type)
+      |SELECT days.event_type, day, n,
+      |       (n * d - sn) * (n * d - sn) AS dev2,
+      |       4 * (d * sn2 - sn * sn) AS bound,
+      |       CAST(CASE WHEN (n * d - sn) * (n * d - sn) > 4 * (d * sn2 - sn * sn)
+      |                 THEN 1 ELSE 0 END AS INT) AS anomaly
+      |FROM days JOIN st USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -497,5 +557,6 @@ object StreamingQueries {
     QuerySpec("q85_stream_static_join", q85, Some(q85Sql)),
     QuerySpec("q102_stream_heavy_hitters", q102, Some(q102Sql)),
     QuerySpec("q113_stream_decontam", q113, Some(q113Sql)),
+    QuerySpec("q118_stream_anomaly", q118, Some(q118Sql)),
   )
 }
