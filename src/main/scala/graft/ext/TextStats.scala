@@ -1141,6 +1141,56 @@ object TextStats {
       |FROM bi JOIN lm USING (a, b)
       |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
 
+  /** q119 n-gram width and per-source report depth. */
+  private val SrcGramN = 3
+  private val SrcGramK = 5
+
+  /** q119 — per-source TOP-K n-gram report (the boilerplate/template
+    * detector a corpus audit runs per provider: a source whose top
+    * trigrams dominate is template-heavy). `cnt` is DOCUMENT frequency
+    * — [[graft.functions.WordShingles]] emits each doc's distinct
+    * shingles, which is the right unit for boilerplate (one doc
+    * repeating a gram 100× is repetition, q92's signal; many docs
+    * sharing it is boilerplate). Counts are one
+    * (source, gram)-keyed partial agg; the per-source top-K then runs
+    * through the custom [[graft.plans.TopKPerKey]] whole-operator plan
+    * — map-side partial heaps, so the exchange after the count
+    * carries at most K rows per source per partition instead of every
+    * distinct gram (the window form would shuffle the full gram
+    * table). Second consumer of the custom plan after q95, proving
+    * the operator generalizes beyond its first query.
+    */
+  private def q119(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), // shingles are distinct-per-doc ⇒ cnt = doc frequency
+        explode(graft.functions.word_shingles(col("text"), SrcGramN)).as("gram"))
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK.topKPerKey(counts,
+        keyCols = Seq(col("source")),
+        orders = Seq(col("cnt").desc, col("gram").asc),
+        k = SrcGramK)
+      .orderBy(col("source"), col("cnt").desc, col("gram"))
+  }
+
+  private val q119Sql =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         CASE WHEN len(ws) >= $SrcGramN
+       |              THEN array_to_string(ws[i:i+${SrcGramN - 1}], ' ')
+       |              ELSE array_to_string(ws, ' ') END AS gram
+       |  FROM (SELECT doc_id, source, ws,
+       |               unnest(CASE WHEN len(ws) >= $SrcGramN
+       |                           THEN range(1, len(ws) - ${SrcGramN - 2})
+       |                           ELSE [1] END) AS i
+       |        FROM w)),
+       |c AS (SELECT source, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+       |r AS (SELECT source, gram, cnt, ROW_NUMBER() OVER (
+       |          PARTITION BY source ORDER BY cnt DESC, gram) AS rn
+       |      FROM c)
+       |SELECT source, gram, cnt FROM r WHERE rn <= $SrcGramK
+       |ORDER BY source, cnt DESC, gram""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -1165,5 +1215,6 @@ object TextStats {
     QuerySpec("q108_bm25_retrieval", q108, Some(q108Sql), headline = true),
     QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),
     QuerySpec("q114_bigram_lm_score", q114, Some(q114Sql)),
+    QuerySpec("q119_source_ngrams", q119, Some(q119Sql)),
   )
 }
