@@ -272,10 +272,68 @@ object Multimodal extends Serializable {
        |       md5(string_agg(px, '' ORDER BY i)) AS thumb_digest
        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q120 — CROSS-PAYLOAD duplicate-frame detection: the multimodal
+    * family's corpus-level op (q50–q50d are all per-row). Every
+    * payload splits into its [[FrameLen]] frames (the q50c framing),
+    * each frame leaves the scan as an md5 digest, and a frame digest
+    * seen in ≥2 distinct payloads marks every occurrence as shared —
+    * the "duplicated video segment / repeated image tile" signal a
+    * multimodal training pipeline deduplicates on, reported per doc
+    * as a shared-frame ratio in exact micros. Exact-duplicate
+    * payloads light up completely; partially-overlapping payloads
+    * light up on their aligned common frames.
+    *
+    * Scale shape: frames shuffle as fixed-width digests keyed by
+    * digest (never payload bytes, never doc×doc), the shared-digest
+    * table is bounded by duplicate volume, and the report is one
+    * per-doc partial agg. Docs with empty payloads have no frames and
+    * are excluded by both engines.
+    */
+  private def q120(spark: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    val nf = floor((n + lit(FrameLen - 1)) / lit(FrameLen)).cast("int")
+    val frames = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), nf.as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("nf") - 1)).as("i"))
+      .select(col("doc_id"),
+        md5(to_binary(col("text").substr(col("i") * FrameLen + 1, lit(FrameLen)),
+          lit("utf-8"))).as("fh"))
+    val shared = frames.groupBy(col("fh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fh"))
+    frames.join(shared.withColumn("hit", lit(1L)), Seq("fh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared_frames"))
+      .withColumn("shared_micro", expr("(n_shared_frames * 1000000) DIV n_frames"))
+      .orderBy("doc_id")
+  }
+
+  private val q120Sql =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         CAST(ceil(len(text) / $FrameLen.0) AS INT) AS nf
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, md5(substr(text, i * $FrameLen + 1, $FrameLen)) AS fh
+       |  FROM (SELECT doc_id, text, unnest(range(0, nf)) AS i FROM f)),
+       |sh AS (SELECT fh FROM fr GROUP BY fh HAVING COUNT(DISTINCT doc_id) >= 2)
+       |SELECT fr.doc_id, COUNT(*) AS n_frames,
+       |       CAST(SUM(CASE WHEN sh.fh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_frames,
+       |       CAST((SUM(CASE WHEN sh.fh IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+       |         AS shared_micro
+       |FROM fr LEFT JOIN sh ON fr.fh = sh.fh
+       |GROUP BY fr.doc_id ORDER BY fr.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q50_multimodal_meta",   q50, Some(q50Sql)),
     QuerySpec("q50b_decode_features",  q50b, Some(q50bSql)),
     QuerySpec("q50c_frame_sampling",   q50c, Some(q50cSql)),
     QuerySpec("q50d_resize_thumb",     q50d, Some(q50dSql)),
+    QuerySpec("q120_dup_frames", q120, Some(q120Sql)),
   )
 }
