@@ -579,6 +579,46 @@ object Dedup {
        |       md5(COALESCE(string_agg(wd, ' ' ORDER BY i), '')) AS clean_md5
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q122 — BAG-OF-WORDS dedup: group documents by the digest of
+    * their sorted DISTINCT-token set — the limit case of the q45
+    * criterion (set-Jaccard exactly 1.0): same vocabulary footprint,
+    * any order, any multiplicities. Catches what byte-exact dedup
+    * (q44) misses — reordered boilerplate, template fields in a
+    * different sequence, repetition-padded copies — and each group
+    * also reports how many DISTINCT token MULTISETS it contains:
+    * `n_multisets = 1` with `n_docs ≥ 2` means pure reorderings
+    * (count-identical), larger values mean same vocabulary at
+    * different repetition levels (this corpus: every group is
+    * multiset-diverse — no two docs share exact counts). Map stage
+    * per doc (sort its own tokens — O(len log len) in the row, never
+    * a corpus sort), one 16-byte-digest-keyed shuffle.
+    */
+  private def q122(spark: SparkSession, dir: String): DataFrame = {
+    val setDigest = md5(to_binary(
+      array_join(array_sort(array_distinct(split(col("text"), " "))), " "), lit("utf-8")))
+    val bagDigest = md5(to_binary(
+      array_join(array_sort(split(col("text"), " ")), " "), lit("utf-8")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), setDigest.as("set_digest"), bagDigest.as("bag_digest"))
+      .groupBy(col("set_digest"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_id"),
+        countDistinct(col("bag_digest")).as("n_multisets"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("canonical_id")
+  }
+
+  private val q122Sql =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_digest,
+      |       COUNT(*) AS n_docs,
+      |       MIN(doc_id) AS canonical_id,
+      |       CAST(COUNT(DISTINCT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))) AS BIGINT)
+      |         AS n_multisets
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY canonical_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
@@ -590,5 +630,6 @@ object Dedup {
     QuerySpec("q53b_source_similarity_sql", q53b, Some(q53bSql)),
     QuerySpec("q80_incremental_dedup", q80, Some(q80Sql)),
     QuerySpec("q98_dup_span_removal", q98, Some(q98Sql), headline = true),
+    QuerySpec("q122_bow_dedup", q122, Some(q122Sql)),
   )
 }

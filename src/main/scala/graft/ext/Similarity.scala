@@ -495,23 +495,55 @@ object Similarity {
     * fused one-pass codegen [[graft.functions.LshBuckets]], exactly as
     * q46 (fused) vs q46b (relational) on the MinHash side.
     */
-  private def q49b(spark: SparkSession, dir: String): DataFrame = {
-    val codes = quantCodes(spark, dir)
-    val weights = spark.range(QbTables.toLong * QbPlanes * 64)
+  /** (vec_id, t, b) SRP bucket index over quantized codes with the
+    * md5-derived Rademacher family — the engine-portable bucket
+    * generator shared by q49b and q121.
+    */
+  private def srpBuckets(spark: SparkSession, codes: DataFrame,
+      numTables: Int, planes: Int): DataFrame = {
+    val weights = spark.range(numTables.toLong * planes * 64)
       .select(
-        expr(s"CAST(id div ${QbPlanes * 64} AS INT)").as("t"),
-        expr(s"CAST((id div 64) % $QbPlanes AS INT)").as("p"),
+        expr(s"CAST(id div ${planes * 64} AS INT)").as("t"),
+        expr(s"CAST((id div 64) % $planes AS INT)").as("p"),
         expr("CAST(id % 64 AS INT)").as("pos"))
       .withColumn("w",
         when(ascii(substring(md5(to_binary(
             concat_ws("_", col("t"), col("p"), col("pos")), lit("utf-8"))), 1, 1)) % 2 === 0,
           lit(1L)).otherwise(lit(-1L)))
-    val proj = codes.join(broadcast(weights), "pos")
+    codes.join(broadcast(weights), "pos")
       .groupBy(col("vec_id"), col("t"), col("p"))
       .agg(sum(col("c") * col("w")).as("proj"))
-    val buckets = proj.groupBy(col("vec_id"), col("t"))
+      .groupBy(col("vec_id"), col("t"))
       .agg(sum(when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))
         .otherwise(lit(0L))).as("b"))
+  }
+
+  /** The matching oracle CTE chain: `wt` (weights) + `pr` + `bk`
+    * bucket tables over the `q` codes CTE, parameterized on the
+    * family shape.
+    */
+  private def srpBucketsSql(numTables: Int, planes: Int): String =
+    s"""wt AS (
+       |  SELECT CAST(id // ${planes * 64} AS INT) AS t,
+       |         CAST((id // 64) % $planes AS INT) AS p,
+       |         CAST(id % 64 AS INT) AS pos,
+       |         CASE WHEN ascii(substr(md5(
+       |                  CAST(id // ${planes * 64} AS VARCHAR) || '_' ||
+       |                  CAST((id // 64) % $planes AS VARCHAR) || '_' ||
+       |                  CAST(id % 64 AS VARCHAR)), 1, 1)) % 2 = 0
+       |              THEN 1 ELSE -1 END AS w
+       |  FROM range(0, ${numTables * planes * 64}) r(id)),
+       |pr AS (
+       |  SELECT vec_id, t, wt.p, CAST(SUM(c * w) AS BIGINT) AS proj
+       |  FROM q JOIN wt ON q.pos = wt.pos GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT vec_id, t,
+       |         CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS b
+       |  FROM pr GROUP BY 1, 2)""".stripMargin
+
+  private def q49b(spark: SparkSession, dir: String): DataFrame = {
+    val codes = quantCodes(spark, dir)
+    val buckets = srpBuckets(spark, codes, QbTables, QbPlanes)
     val cand = buckets
       .join(buckets.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("qid"), col("t"), col("b")),
@@ -544,23 +576,7 @@ object Similarity {
 
   private val q49bSql =
     s"""$quantCodesSql,
-       |wt AS (
-       |  SELECT CAST(id // ${QbPlanes * 64} AS INT) AS t,
-       |         CAST((id // 64) % $QbPlanes AS INT) AS p,
-       |         CAST(id % 64 AS INT) AS pos,
-       |         CASE WHEN ascii(substr(md5(
-       |                  CAST(id // ${QbPlanes * 64} AS VARCHAR) || '_' ||
-       |                  CAST((id // 64) % $QbPlanes AS VARCHAR) || '_' ||
-       |                  CAST(id % 64 AS VARCHAR)), 1, 1)) % 2 = 0
-       |              THEN 1 ELSE -1 END AS w
-       |  FROM range(0, ${QbTables * QbPlanes * 64}) r(id)),
-       |pr AS (
-       |  SELECT vec_id, t, wt.p, CAST(SUM(c * w) AS BIGINT) AS proj
-       |  FROM q JOIN wt ON q.pos = wt.pos GROUP BY 1, 2, 3),
-       |bk AS (
-       |  SELECT vec_id, t,
-       |         CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS b
-       |  FROM pr GROUP BY 1, 2),
+       |${srpBucketsSql(QbTables, QbPlanes)},
        |cand AS (
        |  SELECT DISTINCT qb.vec_id AS qid, bk.vec_id
        |  FROM bk JOIN bk qb ON bk.t = qb.t AND bk.b = qb.b
@@ -929,6 +945,92 @@ object Similarity {
        |FROM pj GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** q121 semantic-neighbor threshold: below the corpus max pairwise
+    * cosine (≈0.48) so real cross-split neighbors exist at demo scale;
+    * a production run sets it to its paraphrase-detection operating
+    * point.
+    */
+  private val SemDecontamCos = 0.35
+
+  /** q121 — SEMANTIC decontamination, ORACLE-EXACT: q67/q113 catch
+    * literal 8-gram leakage and q116 catches near-dup-cluster
+    * leakage; this catches EMBEDDING-space leakage — train-split
+    * vectors suspiciously close to a held-out vector (paraphrased or
+    * re-rendered eval content that shares no literal n-grams). Exact
+    * by the q49b recipe: quantized codes, md5-derived SRP buckets for
+    * candidate generation (train×held-out same-(t,b) equi-join —
+    * never the cross product), integer dot verification, one
+    * deterministic double compare against the threshold. Reported per
+    * contaminated train vector with its neighbor count and max
+    * cosine (max over identical doubles is order-independent, so the
+    * hash gate holds).
+    *
+    * Like every LSH candidate generator, recall is the OR-amplified
+    * family's (the q51b parameter-note math) — the oracle replays the
+    * same buckets, so the driver checks the pipeline exactly; τ/table
+    * trade-offs are the operator's published knob.
+    */
+  private def q121(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TrainPrep
+    val codes = quantCodes(spark, dir)
+    val norms = codes.groupBy(col("vec_id")).agg(sum(col("c") * col("c")).as("n2"))
+    val buckets = srpBuckets(spark, codes, QbTables, QbPlanes)
+      .withColumn("bucket", TrainPrep.splitBucket(col("vec_id")))
+    val train = buckets.filter(col("bucket") < TrainPrep.TrainPct)
+      .select(col("vec_id"), col("t"), col("b"))
+    val held = buckets.filter(col("bucket") >= TrainPrep.TrainPct + TrainPrep.ValPct)
+      .select(col("vec_id").as("h_id"), col("t"), col("b"))
+    val cand = train.join(held, Seq("t", "b"))
+      .select(col("vec_id"), col("h_id"))
+      .distinct()
+    val pairDot = cand
+      .join(codes.select(col("vec_id"), col("pos"), col("c").as("tc")), Seq("vec_id"))
+      .join(codes.select(col("vec_id").as("h_id"), col("pos"), col("c").as("hc")),
+        Seq("h_id", "pos"))
+      .groupBy(col("vec_id"), col("h_id"))
+      .agg(sum(col("tc") * col("hc")).as("dot"))
+    pairDot
+      .join(norms.select(col("vec_id"), col("n2").as("tn2")), "vec_id")
+      .join(norms.select(col("vec_id").as("h_id"), col("n2").as("hn2")), "h_id")
+      .filter(col("tn2") > 0 && col("hn2") > 0)
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("tn2").cast("double")) * sqrt(col("hn2").cast("double"))))
+      .filter(col("cosine") >= SemDecontamCos)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_heldout_neighbors"), max(col("cosine")).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  private val q121Sql =
+    s"""$quantCodesSql,
+       |${srpBucketsSql(QbTables, QbPlanes)},
+       |sp AS (
+       |  SELECT vec_id, t, b,
+       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+       |  FROM bk),
+       |cand AS (
+       |  SELECT DISTINCT tr.vec_id, he.vec_id AS h_id
+       |  FROM sp tr JOIN sp he ON tr.t = he.t AND tr.b = he.b
+       |  WHERE tr.bucket < ${graft.ext.TrainPrep.TrainPct}
+       |    AND he.bucket >= ${graft.ext.TrainPrep.TrainPct + graft.ext.TrainPrep.ValPct}),
+       |n AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM q GROUP BY vec_id),
+       |d AS (
+       |  SELECT cand.vec_id, cand.h_id, CAST(SUM(tc.c * hc.c) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN q tc ON tc.vec_id = cand.vec_id
+       |  JOIN q hc ON hc.vec_id = cand.h_id AND hc.pos = tc.pos
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT d.vec_id, d.h_id,
+       |         CAST(d.dot AS DOUBLE) /
+       |           (sqrt(CAST(nt.n2 AS DOUBLE)) * sqrt(CAST(nh.n2 AS DOUBLE))) AS cosine
+       |  FROM d JOIN n nt ON d.vec_id = nt.vec_id JOIN n nh ON d.h_id = nh.vec_id
+       |  WHERE nt.n2 > 0 AND nh.n2 > 0)
+       |SELECT vec_id, COUNT(*) AS n_heldout_neighbors, MAX(cosine) AS max_cos
+       |FROM s WHERE cosine >= $SemDecontamCos
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Rows flagged per label by q100 (the prune-candidate review set). */
   private val PruneK = 5
 
@@ -1034,5 +1136,6 @@ object Similarity {
     QuerySpec("q100_prototypicality", q100, Some(q100Sql), headline = true),
     QuerySpec("q115_hybrid_rrf", q115, Some(q115Sql)),
     QuerySpec("q117_jl_projection", q117, Some(q117Sql)),
+    QuerySpec("q121_semantic_decontam", q121, Some(q121Sql)),
   )
 }

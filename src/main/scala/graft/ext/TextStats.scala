@@ -1044,24 +1044,30 @@ object TextStats {
     * the data lives. A trained model would swap the weight column, not
     * the plan.
     */
-  private def q111(spark: SparkSession, dir: String): DataFrame = {
+  /** The q111 scoring pipeline (doc_id, source, n_tokens, n_oov,
+    * score) — shared with the q123 calibration.
+    */
+  private def clfScores(spark: SparkSession, dir: String): DataFrame = {
     val occ = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
     val vocab = occ.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(ClfVocab)
       .select(col("token"), md5Weight(col("token"), ":q111w", 2001).as("w"))
     occ.join(broadcast(vocab), Seq("token"), "left")
       .withColumn("tw",
         coalesce(col("w"), md5Weight(col("token"), ":q111h", 201)))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(when(col("w").isNull, 1L).otherwise(0L)).as("n_oov"),
         sum(col("tw")).as("score"))
+  }
+
+  private def q111(spark: SparkSession, dir: String): DataFrame =
+    clfScores(spark, dir)
       .withColumn("keep", (col("score") >= 0).cast("int"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("score"), col("keep"))
       .orderBy("doc_id")
-  }
 
   private val q111Sql =
     s"""WITH occ AS (
@@ -1191,6 +1197,57 @@ object TextStats {
        |SELECT source, gram, cnt FROM r WHERE rn <= $SrcGramK
        |ORDER BY source, cnt DESC, gram""".stripMargin
 
+  /** q123 — PER-SOURCE score CALIBRATION: the q111 classifier scores
+    * are not comparable across sources (different base rates — a
+    * mediocre doc in a strong source outscores a good doc in a weak
+    * one), so mixing pipelines calibrate per source before applying a
+    * global threshold. Calibration = within-source quantile transform:
+    * rank by (score, doc_id) inside each source, emit
+    * ⌊(rank−1)·1e6/(n−1)⌋ — integer-exact, and the row_number tie
+    * break makes it deterministic where raw percent_rank ties would
+    * not be. Plan: the scoring map stage (q111), then ONE window
+    * partitioned by source — the standard partition-parallel shape;
+    * source cardinality bounds the skew, and a 100 TB run salts any
+    * single source too big for one task the q30 way.
+    */
+  private def q123(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").asc, col("doc_id"))
+    clfScores(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .withColumn("calib_micro",
+        expr("CASE WHEN n_src > 1 THEN ((rank - 1) * 1000000) DIV (n_src - 1) ELSE 500000 END"))
+      .select(col("doc_id"), col("source"), col("score"),
+        col("rank").cast("int").as("rank"), col("calib_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val q123Sql =
+    s"""WITH occ AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |f AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+       |v AS (SELECT token,
+       |             ('0x' || substr(md5(token || ':q111w'), 1, 6))::BIGINT % 2001 - 1000 AS w
+       |      FROM f ORDER BY cnt DESC, token LIMIT $ClfVocab),
+       |s AS (
+       |  SELECT occ.doc_id, occ.source,
+       |         CAST(SUM(COALESCE(v.w,
+       |           ('0x' || substr(md5(occ.token || ':q111h'), 1, 6))::BIGINT % 201 - 100)) AS BIGINT)
+       |           AS score
+       |  FROM occ LEFT JOIN v USING (token)
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT doc_id, source, score,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id) AS rank,
+       |         COUNT(*) OVER (PARTITION BY source) AS n_src
+       |  FROM s)
+       |SELECT doc_id, source, score, CAST(rank AS INT) AS rank,
+       |       CAST(CASE WHEN n_src > 1 THEN ((rank - 1) * 1000000) // (n_src - 1)
+       |                 ELSE 500000 END AS BIGINT) AS calib_micro
+       |FROM r ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -1216,5 +1273,6 @@ object TextStats {
     QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),
     QuerySpec("q114_bigram_lm_score", q114, Some(q114Sql)),
     QuerySpec("q119_source_ngrams", q119, Some(q119Sql)),
+    QuerySpec("q123_score_calibration", q123, Some(q123Sql)),
   )
 }
