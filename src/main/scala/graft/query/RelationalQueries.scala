@@ -509,6 +509,91 @@ object RelationalQueries {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** q124 — RETENTION COHORTS: users grouped by first-seen day, then
+    * the classic (cohort_day, days_since) activity triangle every
+    * product dashboard carries. Two shuffles: one distinct over
+    * (user, day) rows — ids and dates only, map-side partial — and
+    * the per-user MIN for the cohort assignment (broadcast back via
+    * equi-join); the final matrix is bounded by days², not events.
+    * Day arithmetic stays in whole-day integers (datediff on
+    * midnight-truncated timestamps), exact in both engines.
+    */
+  private def q124(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("days_since", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("days_since"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "days_since")
+  }
+
+  private val q124Sql =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS days_since,
+      |       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q125 — ORDERED FUNNEL (view → click → purchase within a day):
+    * per user-day, the first view, the first click AT-OR-AFTER that
+    * view, the first purchase at-or-after that click — order matters,
+    * which is what separates a funnel from three independent counts.
+    * Three stage aggregates, each one (user, day)-keyed shuffle with
+    * the previous stage equi-joined back in (events never self-join
+    * on inequality alone — each stage filter is a timestamp compare
+    * against the already-aggregated anchor). Daily conversion report:
+    * how many users entered each stage.
+    */
+  private def q125(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        date_trunc("day", col("ts")).as("day"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id", "day"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id", "day"))
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("p_ts"))
+    v.join(c, Seq("user_id", "day"), "left")
+      .join(p, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("c_ts")).as("n_view_click"),
+        count(col("p_ts")).as("n_full_funnel"))
+      .orderBy("day")
+  }
+
+  private val q125Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, ts, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events),
+      |v AS (SELECT user_id, day, MIN(ts) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT ev.user_id, ev.day, MIN(ev.ts) AS c_ts
+      |      FROM ev JOIN v ON ev.user_id = v.user_id AND ev.day = v.day
+      |      WHERE ev.event_type = 'click' AND ev.ts >= v.v_ts GROUP BY 1, 2),
+      |p AS (SELECT ev.user_id, ev.day, MIN(ev.ts) AS p_ts
+      |      FROM ev JOIN c ON ev.user_id = c.user_id AND ev.day = c.day
+      |      WHERE ev.event_type = 'purchase' AND ev.ts >= c.c_ts GROUP BY 1, 2)
+      |SELECT v.day, COUNT(*) AS n_view,
+      |       CAST(COUNT(c.c_ts) AS BIGINT) AS n_view_click,
+      |       CAST(COUNT(p.p_ts) AS BIGINT) AS n_full_funnel
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id AND v.day = c.day
+      |LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day
+      |GROUP BY v.day ORDER BY v.day""".stripMargin
+
   /** q35 — range (interval) self-join: pairs of same-user events
     * within 10 minutes of each other. A naive formulation is a
     * per-user quadratic inequality join; the scalable form bucketizes
@@ -602,6 +687,8 @@ object RelationalQueries {
     QuerySpec("q34_asof_join",        q34, Some(q34Sql), headline = true),
     QuerySpec("q35_range_join",       q35, Some(q35Sql), headline = true),
     QuerySpec("q110_sessionize",      q110, Some(q110Sql)),
+    QuerySpec("q124_retention_cohorts", q124, Some(q124Sql)),
+    QuerySpec("q125_funnel",          q125, Some(q125Sql)),
     QuerySpec("q36_ntile",            q36, Some(q36Sql)),
     QuerySpec("q66_topk_custom_plan", q66, Some(q66Sql), headline = true),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
