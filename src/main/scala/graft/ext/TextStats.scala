@@ -1248,6 +1248,73 @@ object TextStats {
        |                 ELSE 500000 END AS BIGINT) AS calib_micro
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q126 — PHRASE search over a POSITIONAL inverted index: exact
+    * consecutive-token phrase matching (the retrieval op BM25's
+    * bag-of-words scoring cannot express — "new york" ≠ "york new").
+    * The demo phrase is the corpus's top trigram by document
+    * frequency (deterministic, 1-row broadcast); the SEARCH path is
+    * the real Lucene shape: the positional index pt(doc, pos, token)
+    * is filtered to the phrase's terms by an equi-join against the
+    * 3-row term list (posting-list retrieval — the index is touched
+    * only at the phrase's tokens, never scanned whole), then the
+    * three posting streams intersect on (doc, pos+k) equality —
+    * hash-joinable keys, no inequality scan. Per matching doc:
+    * occurrence count and first position.
+    */
+  private def q126(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val top = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.word_shingles(col("text"), 3)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram")).limit(1)
+    val terms = top.select(posexplode(split(col("gram"), " ")).as(Seq("k", "w")))
+    val posting = pt.join(broadcast(terms), col("tok") === col("w"))
+      .select(col("doc_id"), col("pos"), col("k"))
+    val m = posting.filter(col("k") === 0).select(col("doc_id"), col("pos"))
+      .join(posting.filter(col("k") === 1).select(col("doc_id"), (col("pos") - 1).as("pos")),
+        Seq("doc_id", "pos"))
+      .join(posting.filter(col("k") === 2).select(col("doc_id"), (col("pos") - 2).as("pos")),
+        Seq("doc_id", "pos"))
+    m.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("pos")).as("first_pos"))
+      .crossJoin(broadcast(top.select(col("gram").as("phrase"))))
+      .select(col("doc_id"), col("phrase"), col("n_occurrences"), col("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  private val q126Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pt AS (
+      |  SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS INT) AS pos,
+      |         unnest(ws) AS tok
+      |  FROM d),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |         CASE WHEN len(ws) >= 3 THEN array_to_string(ws[i:i+2], ' ')
+      |              ELSE array_to_string(ws, ' ') END AS gram
+      |  FROM (SELECT doc_id, ws,
+      |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+      |                           ELSE [1] END) AS i
+      |        FROM d)),
+      |top1 AS (SELECT gram FROM g GROUP BY gram
+      |         ORDER BY COUNT(*) DESC, gram LIMIT 1),
+      |tm AS (SELECT CAST(generate_subscripts(tw, 1) - 1 AS INT) AS k, unnest(tw) AS w
+      |       FROM (SELECT string_split(gram, ' ') AS tw FROM top1)),
+      |po AS (SELECT pt.doc_id, pt.pos, tm.k FROM pt JOIN tm ON pt.tok = tm.w),
+      |m AS (
+      |  SELECT a.doc_id, a.pos
+      |  FROM (SELECT doc_id, pos FROM po WHERE k = 0) a
+      |  JOIN (SELECT doc_id, pos - 1 AS pos FROM po WHERE k = 1) b
+      |    ON a.doc_id = b.doc_id AND a.pos = b.pos
+      |  JOIN (SELECT doc_id, pos - 2 AS pos FROM po WHERE k = 2) c
+      |    ON a.doc_id = c.doc_id AND a.pos = c.pos)
+      |SELECT m.doc_id, top1.gram AS phrase, COUNT(*) AS n_occurrences,
+      |       CAST(MIN(m.pos) AS INT) AS first_pos
+      |FROM m, top1
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -1274,5 +1341,6 @@ object TextStats {
     QuerySpec("q114_bigram_lm_score", q114, Some(q114Sql)),
     QuerySpec("q119_source_ngrams", q119, Some(q119Sql)),
     QuerySpec("q123_score_calibration", q123, Some(q123Sql)),
+    QuerySpec("q126_phrase_search", q126, Some(q126Sql)),
   )
 }

@@ -139,8 +139,58 @@ object Layout {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q127 target output-file size (bytes). Tiny on purpose — the demo
+    * corpus is ~7.5 KB/source; production targets 128–512 MB.
+    */
+  private val TargetFileBytes = 4096L
+
+  /** q127 — small-file COMPACTION planner: the write-side maintenance
+    * op that turns an ingest's thousands of tiny files into
+    * target-sized ones. Within each source partition, documents are
+    * striped into output files by cumulative byte offset
+    * (file_id = ⌊cum_bytes_before / target⌋ — the relational form of
+    * the plan a compactor executes with
+    * `repartitionByRange(source, file_id)`); the report per planned
+    * file carries row count, bytes, and the doc_id range, i.e. the
+    * manifest the rewrite job consumes. One window per source
+    * partition (the cumulative sum), one grouped aggregate — ids and
+    * byte counts only, payloads never move during PLANNING, which is
+    * the point: at 100 TB the planner is a metadata query over file
+    * listings, and this query IS that planner over per-row sizes.
+    */
+  private def q127(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("bytes"))
+      .withColumn("cum_excl", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("file_id", expr(s"cum_excl DIV $TargetFileBytes"))
+      .groupBy(col("source"), col("file_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("file_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "file_id")
+  }
+
+  private val q127Sql =
+    s"""WITH c AS (
+       |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+       |         COALESCE(SUM(n_chars) OVER (
+       |           PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+       |  FROM documents)
+       |SELECT source, CAST(cum_excl // $TargetFileBytes AS BIGINT) AS file_id,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(bytes) AS BIGINT) AS file_bytes,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY source, file_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q104_zorder_layout", q104, Some(q104Sql), headline = true),
     QuerySpec("q107_bucketed_join", q107, Some(q107Sql), headline = true),
+    QuerySpec("q127_compaction_plan", q127, Some(q127Sql)),
   )
 }

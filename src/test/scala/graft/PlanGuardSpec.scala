@@ -61,7 +61,8 @@ class PlanGuardSpec extends SparkSpec {
     "q104_zorder_layout",
     "q108_bm25_retrieval",
     "q112_dsir_importance",
-    "q114_bigram_lm_score")
+    "q114_bigram_lm_score",
+    "q126_phrase_search")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
