@@ -281,6 +281,87 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q122 BoW dedup: reordered and repetition-padded copies group correctly (synthetic)") {
+    // 0/1: exact reorderings (same multiset) — the signal q44 misses;
+    // 2: same vocabulary, different counts (padded copy) → same set
+    //    group, extra multiset; 3: distinct vocabulary → no group
+    val dir = writeDocs(Seq(
+      (0L, "alpha beta gamma delta", "en", "s"),
+      (1L, "delta gamma beta alpha", "en", "s"),
+      (2L, "alpha alpha beta gamma delta", "en", "s"),
+      (3L, "epsilon zeta", "en", "s")))
+    val rows = SparkEntry.queries("q122_bow_dedup")(spark, dir).collect()
+    assert(rows.length == 1) // one non-singleton group: {0, 1, 2}
+    val r = rows.head
+    assert(r.getAs[Long]("canonical_id") == 0L)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    // docs 0 and 1 share a multiset; doc 2's differs → 2 multisets
+    assert(r.getAs[Long]("n_multisets") == 2L)
+  }
+
+  test("q126 phrase search: planted phrase with overlapping occurrences (synthetic)") {
+    // "x y z" is the top trigram by doc frequency (3 docs); doc 0 has
+    // two occurrences (positions 0 and 3), doc 1 one at position 2
+    // after a near-miss prefix, doc 2 one at position 0, doc 3 none
+    val dir = writeDocs(Seq(
+      (0L, "x y z x y z", "en", "s"),
+      (1L, "x y x y z", "en", "s"),
+      (2L, "x y z q q q", "en", "s"),
+      (3L, "z y x p p p", "en", "s")))
+    val got = SparkEntry.queries("q126_phrase_search")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("phrase"), r.getAs[Long]("n_occurrences"), r.getAs[Int]("first_pos")))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got.values.map(_._1).toSet == Set("x y z"))
+    assert(got(0L) == (("x y z", 2L, 0)))
+    assert(got(1L) == (("x y z", 1L, 2)))
+    assert(got(2L) == (("x y z", 1L, 0)))
+  }
+
+  test("q121 semantic decontam: flags are a subset of brute-force cross-split pairs, with recall") {
+    // brute-force quantized-cosine truth over the real embeddings:
+    // every (train, heldout) pair with cos >= threshold
+    import org.apache.spark.sql.functions._
+    val flagged = run("q121_semantic_decontam").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_heldout_neighbors")).toMap
+    // derive truth via the exact q51-style pair scan in quantized space
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("ve"))
+    val comps = emb.select(col("vec_id"), posexplode(col("ve")).as(Seq("pos", "x")))
+    val ranges = comps.groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(greatest((floor((col("x") - col("mn")) * 254.0 / (col("mx") - col("mn"))) - 127)
+        .cast("long"), lit(-127L)), lit(127L)))
+    val codes = comps.join(broadcast(ranges), "pos").select(col("vec_id"), col("pos"), code.as("c"))
+      .collect().groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("c")).toArray }
+    def bucket(id: Long): Long = {
+      val h = md5hex(id.toString)
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 100
+    }
+    val train = codes.keys.filter(bucket(_) < 80).toSeq
+    val held = codes.keys.filter(bucket(_) >= 90).toSeq
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      if (na == 0 || nb == 0) -2.0 else dot / (na * nb)
+    }
+    val truth = train.map { t =>
+      t -> held.count(h => cos(codes(t), codes(h)) >= 0.35)
+    }.filter(_._2 > 0).toMap
+    // soundness: every flagged vec is truly contaminated, never over-counted
+    flagged.foreach { case (id, n) =>
+      assert(truth.contains(id), s"vec $id flagged but not in truth")
+      assert(n <= truth(id), s"vec $id: flagged $n > true ${truth(id)}")
+    }
+    // recall of the OR-amplified family on the real corpus
+    val recall = flagged.size.toDouble / math.max(1, truth.size)
+    assert(recall >= 0.2, s"semantic decontam recall $recall (${flagged.size}/${truth.size})")
+  }
+
   test("q50b decode stub: full coverage, fixed feature width, deterministic") {
     // features are flattened to one scalar column per dim (f0..f7) so
     // every output column is sortable by the driver's rows-only check
