@@ -409,6 +409,49 @@ object Maintenance {
       |FROM events
       |ORDER BY table_name""".stripMargin
 
+  /** q128 — TABLE PROFILER (the ANALYZE / discovery tier, upstream of
+    * q81's rule checks: the profile tells you which constraints are
+    * worth asserting): per column of `documents` — row count, null
+    * count, exact NDV, min/max rendered to string. Long-form output
+    * (one row per column) so new columns never change the schema.
+    *
+    * Plan shape: one aggregate pass per column, unioned — kept exact
+    * because the oracle hash-compares NDV; the single-pass production
+    * form at 100 TB swaps `countDistinct` for
+    * `approx_count_distinct` (the q27b machinery) and fuses all
+    * columns into one scan. Min/max are computed TYPED and rendered
+    * afterward, so numeric columns don't sort lexically.
+    */
+  private def q128(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    def profile(cname: String): org.apache.spark.sql.DataFrame = {
+      val c = col(cname)
+      d.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(c).as("ndv"),
+          min(c).cast("string").as("min_value"),
+          max(c).cast("string").as("max_value"))
+        .select(lit(cname).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("min_value"), col("max_value"))
+    }
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(profile).reduce(_.unionAll(_))
+      .orderBy("column_name")
+  }
+
+  private val q128Sql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |       CAST(MIN($c) AS VARCHAR) AS min_value,
+         |       CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
@@ -417,5 +460,6 @@ object Maintenance {
     QuerySpec("q81_dq_audit",     q81, Some(q81Sql)),
     QuerySpec("q105_corpus_diff", q105, Some(q105Sql)),
     QuerySpec("q106_gdpr_erasure", q106, Some(q106Sql)),
+    QuerySpec("q128_table_profile", q128, Some(q128Sql)),
   )
 }
