@@ -188,9 +188,52 @@ object Layout {
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY source, file_id""".stripMargin
 
+  /** q129 sizing: rows a single reducer task should carry, and how
+    * many hot keys the report surfaces.
+    */
+  private val RowsPerTask = 1000L
+  private val SkewTopK = 20
+
+  /** q129 — SKEW diagnostics: the planning half of [[Skew.saltedAgg]]
+    * — before salting a hot-key aggregation/join you need to know
+    * WHICH keys are hot and how many ways to split them. Over the
+    * zipfian token key of the corpus: per-key cardinality, corpus
+    * share in micros, and the suggested salt factor
+    * ⌈cnt / RowsPerTask⌉ (keys at factor 1 need no salting; the
+    * report's top entries are exactly the keys AQE's skew threshold
+    * would flag, derived here from data, not runtime stats). One
+    * token-keyed partial agg + a 1-row total broadcast (q03 pattern,
+    * allowlisted) + TakeOrderedAndProject for the top-K.
+    */
+  private def q129(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    cnt.crossJoin(broadcast(total))
+      .select(col("token"), col("cnt"),
+        expr("(cnt * 1000000) DIV total").as("share_micro"),
+        expr(s"(cnt + ${RowsPerTask - 1}) DIV $RowsPerTask").as("salt_factor"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(SkewTopK)
+  }
+
+  private val q129Sql =
+    s"""WITH c AS (
+       |  SELECT token, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY token),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+       |SELECT token, cnt,
+       |       CAST((cnt * 1000000) // total AS BIGINT) AS share_micro,
+       |       CAST((cnt + ${RowsPerTask - 1}) // $RowsPerTask AS BIGINT) AS salt_factor
+       |FROM c, t
+       |ORDER BY cnt DESC, token LIMIT $SkewTopK""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q104_zorder_layout", q104, Some(q104Sql), headline = true),
     QuerySpec("q107_bucketed_join", q107, Some(q107Sql), headline = true),
     QuerySpec("q127_compaction_plan", q127, Some(q127Sql)),
+    QuerySpec("q129_skew_report", q129, Some(q129Sql)),
   )
 }

@@ -62,7 +62,8 @@ class PlanGuardSpec extends SparkSpec {
     "q108_bm25_retrieval",
     "q112_dsir_importance",
     "q114_bigram_lm_score",
-    "q126_phrase_search")
+    "q126_phrase_search",
+    "q129_skew_report")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
