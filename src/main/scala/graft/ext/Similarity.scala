@@ -1031,6 +1031,94 @@ object Similarity {
        |FROM s WHERE cosine >= $SemDecontamCos
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** SRP-blocked near-dup pairs in QUANTIZED space (a_id < b_id,
+    * exact integer verification at [[NearDupCos]]) — the engine-exact
+    * sibling of [[blockedNearDupPairs]], feeding q83b.
+    */
+  private def srpNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val codes = quantCodes(spark, dir)
+    val norms = codes.groupBy(col("vec_id")).agg(sum(col("c") * col("c")).as("n2"))
+    val buckets = srpBuckets(spark, codes, QbTables, QbPlanes)
+    val cand = buckets.select(col("t"), col("b"), col("vec_id").as("a_id"))
+      .join(buckets.select(col("t"), col("b"), col("vec_id").as("b_id")), Seq("t", "b"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(codes.select(col("vec_id").as("a_id"), col("pos"), col("c").as("ac")), Seq("a_id"))
+      .join(codes.select(col("vec_id").as("b_id"), col("pos"), col("c").as("bc")),
+        Seq("b_id", "pos"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("ac") * col("bc")).as("dot"))
+      .join(norms.select(col("vec_id").as("a_id"), col("n2").as("an2")), "a_id")
+      .join(norms.select(col("vec_id").as("b_id"), col("n2").as("bn2")), "b_id")
+      .filter(col("an2") > 0 && col("bn2") > 0)
+      .filter(col("dot").cast("double") /
+        (sqrt(col("an2").cast("double")) * sqrt(col("bn2").cast("double"))) >= NearDupCos)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** q83b — SEMANTIC dedup corpus, ORACLE-EXACT twin of q83: same
+    * contract (one survivor per embedding near-dup cluster with its
+    * absorbed count), but the pair generator is the quantized SRP
+    * pipeline ([[srpNearDupPairs]]) instead of the float-hyperplane
+    * LSH, so the WHOLE compound — bucketing, verification, connected
+    * components, survivor election — replays relationally in DuckDB
+    * (recursive-CTE closure, the q59 pattern). The last compound
+    * family (pair generator → CC → materialization) now has a
+    * driver-verified end-to-end form.
+    */
+  private def q83b(spark: SparkSession, dir: String): DataFrame = {
+    val comp = DupGraph.connectedComponents(srpNearDupPairs(spark, dir))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .join(comp, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("comp"), col("vec_id")).as("comp_id"))
+      .withColumn("comp_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comp_id"))))
+      .filter(col("vec_id") === col("comp_id"))
+      .select(col("vec_id"), col("label"), (col("comp_size") - 1).as("n_dups_absorbed"))
+      .orderBy("vec_id")
+  }
+
+  private val q83bSql =
+    s"""WITH RECURSIVE ${quantCodesSql.stripPrefix("WITH ")},
+       |${srpBucketsSql(QbTables, QbPlanes)},
+       |n AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM q GROUP BY vec_id),
+       |cd AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+       |dt AS (
+       |  SELECT cd.a_id, cd.b_id, CAST(SUM(ac.c * bc.c) AS BIGINT) AS dot
+       |  FROM cd
+       |  JOIN q ac ON ac.vec_id = cd.a_id
+       |  JOIN q bc ON bc.vec_id = cd.b_id AND bc.pos = ac.pos
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT dt.a_id, dt.b_id
+       |  FROM dt JOIN n na ON dt.a_id = na.vec_id JOIN n nb ON dt.b_id = nb.vec_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0
+       |    AND CAST(dt.dot AS DOUBLE) /
+       |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $NearDupCos),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT s.v AS id, r.comp FROM reach r JOIN sym s ON s.u = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp_id FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, COALESCE(c.comp_id, e.vec_id) AS comp_id
+       |  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id),
+       |sized AS (
+       |  SELECT vec_id, label, comp_id,
+       |         COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
+       |  FROM asg)
+       |SELECT vec_id, label, CAST(comp_size - 1 AS BIGINT) AS n_dups_absorbed
+       |FROM sized WHERE vec_id = comp_id
+       |ORDER BY vec_id""".stripMargin
+
   /** Rows flagged per label by q100 (the prune-candidate review set). */
   private val PruneK = 5
 
@@ -1132,6 +1220,7 @@ object Similarity {
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
     QuerySpec("q52b_ann_ivf_exact", q52b, Some(q52bSql)),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
+    QuerySpec("q83b_semantic_dedup_sql", q83b, Some(q83bSql)),
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),
     QuerySpec("q100_prototypicality", q100, Some(q100Sql), headline = true),
     QuerySpec("q115_hybrid_rrf", q115, Some(q115Sql)),
