@@ -644,6 +644,47 @@ object TrainPrep {
        |WHERE occ.source <> '$DsirTarget'
        |GROUP BY occ.doc_id, occ.source ORDER BY occ.doc_id""".stripMargin
 
+  /** q131 — METADATA association audit (the corpus-bias check a data
+    * card should carry): observed (lang, source) cell counts against
+    * the independence expectation n_lang·n_source/N, reported as
+    * exact integer micros — `ratio_micro` far from 1e6 means language
+    * is entangled with provenance (a sampler stratifying on source
+    * silently skews languages). Both derived quantities keep POSITIVE
+    * integer arithmetic (obs·N·1e6 and n_l·n_s·1e6 numerators), so
+    * truncating vs flooring division can never disagree across
+    * engines on sign. Plan: one (lang, source) aggregate, two
+    * marginal aggregates broadcast back, a 1-row N (allowlisted).
+    */
+  private def q131(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cells = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_obs"))
+    val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val bySrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    cells
+      .join(broadcast(byLang), "lang")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_obs"),
+        expr("(n_lang * n_source * 1000000) DIV (n_total * n_total)").as("expected_share_micro"),
+        expr("(n_obs * 1000000) DIV n_total").as("observed_share_micro"),
+        expr("(n_obs * n_total * 1000000) DIV (n_lang * n_source)").as("ratio_micro"))
+      .orderBy("lang", "source")
+  }
+
+  private val q131Sql =
+    """WITH c AS (SELECT lang, source, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2),
+      |l AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+      |s AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents)
+      |SELECT c.lang, c.source, c.n_obs,
+      |       CAST((n_lang * n_source * 1000000) // (n_total * n_total) AS BIGINT)
+      |         AS expected_share_micro,
+      |       CAST((n_obs * 1000000) // n_total AS BIGINT) AS observed_share_micro,
+      |       CAST((n_obs * n_total * 1000000) // (n_lang * n_source) AS BIGINT) AS ratio_micro
+      |FROM c JOIN l USING (lang) JOIN s USING (source), t
+      |ORDER BY lang, source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q57_embedding_quantize", q57, Some(q57Sql), headline = true),
     QuerySpec("q58_dataset_split",      q58, Some(q58Sql)),
@@ -657,5 +698,6 @@ object TrainPrep {
     QuerySpec("q97_corpus_version",     q97, Some(q97Sql)),
     QuerySpec("q109_feature_moments",   q109, Some(q109Sql)),
     QuerySpec("q112_dsir_importance",   q112, Some(q112Sql)),
+    QuerySpec("q131_metadata_association", q131, Some(q131Sql)),
   )
 }

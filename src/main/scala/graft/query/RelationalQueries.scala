@@ -594,6 +594,66 @@ object RelationalQueries {
       |LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day
       |GROUP BY v.day ORDER BY v.day""".stripMargin
 
+  /** q130 — WINSORIZED robust statistics: per order priority, clip
+    * prices to the exact rank-based [p05, p95] boundaries and report
+    * the trimmed mean — the outlier-robust aggregate a metrics
+    * pipeline prefers over raw means. Everything integer-exact: money
+    * in BIGINT cents, boundary indexes ⌈n·5/100⌉ / ⌊n·95/100⌋ (pure
+    * integer arithmetic — no percentile interpolation, so no float
+    * divergence), and the boundary VALUE at a rank is well-defined
+    * regardless of how row_number breaks value ties. Plan: one window
+    * per group for ranks, a conditional aggregate for the two
+    * boundary rows, a broadcast join back, one clipped aggregate.
+    */
+  private def q130(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("mode")).orderBy(col("c"))
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("mode"), cents(col("o_totalprice")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("mode"))))
+    val bounds = ranked
+      .withColumn("k_lo", expr("greatest(1L, (n * 5 + 99) DIV 100)"))
+      .withColumn("k_hi", expr("greatest(1L, (n * 95) DIV 100)"))
+      .groupBy(col("mode"))
+      .agg(
+        min(when(col("rn") === col("k_lo"), col("c"))).as("lo_cents"),
+        min(when(col("rn") === col("k_hi"), col("c"))).as("hi_cents"))
+    ranked.join(broadcast(bounds), "mode")
+      .withColumn("clipped", greatest(least(col("c"), col("hi_cents")), col("lo_cents")))
+      .groupBy(col("mode"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        sum(when(col("c") < col("lo_cents"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("c") > col("hi_cents"), 1L).otherwise(0L)).as("n_clipped_high"),
+        expr("SUM(clipped) DIV COUNT(*)").as("winsor_mean_cents"))
+      .orderBy("mode")
+  }
+
+  private val q130Sql =
+    s"""WITH v AS (
+       |  SELECT o_orderpriority AS mode, ${centsSql("o_totalprice")} AS c
+       |  FROM orders),
+       |r AS (
+       |  SELECT mode, c,
+       |         ROW_NUMBER() OVER (PARTITION BY mode ORDER BY c) AS rn,
+       |         COUNT(*) OVER (PARTITION BY mode) AS n
+       |  FROM v),
+       |b AS (
+       |  SELECT mode,
+       |         MIN(CASE WHEN rn = GREATEST(1, (n * 5 + 99) // 100) THEN c END) AS lo_cents,
+       |         MIN(CASE WHEN rn = GREATEST(1, (n * 95) // 100) THEN c END) AS hi_cents
+       |  FROM r GROUP BY mode)
+       |SELECT r.mode, COUNT(*) AS n,
+       |       MIN(b.lo_cents) AS lo_cents, MIN(b.hi_cents) AS hi_cents,
+       |       CAST(SUM(CASE WHEN r.c < b.lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       |       CAST(SUM(CASE WHEN r.c > b.hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       |       CAST(SUM(GREATEST(LEAST(r.c, b.hi_cents), b.lo_cents)) // COUNT(*) AS BIGINT)
+       |         AS winsor_mean_cents
+       |FROM r JOIN b USING (mode)
+       |GROUP BY r.mode ORDER BY mode""".stripMargin
+
   /** q35 — range (interval) self-join: pairs of same-user events
     * within 10 minutes of each other. A naive formulation is a
     * per-user quadratic inequality join; the scalable form bucketizes
@@ -689,6 +749,7 @@ object RelationalQueries {
     QuerySpec("q110_sessionize",      q110, Some(q110Sql)),
     QuerySpec("q124_retention_cohorts", q124, Some(q124Sql)),
     QuerySpec("q125_funnel",          q125, Some(q125Sql)),
+    QuerySpec("q130_winsorized_stats", q130, Some(q130Sql)),
     QuerySpec("q36_ntile",            q36, Some(q36Sql)),
     QuerySpec("q66_topk_custom_plan", q66, Some(q66Sql), headline = true),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),

@@ -63,7 +63,8 @@ class PlanGuardSpec extends SparkSpec {
     "q112_dsir_importance",
     "q114_bigram_lm_score",
     "q126_phrase_search",
-    "q129_skew_report")
+    "q129_skew_report",
+    "q131_metadata_association")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
