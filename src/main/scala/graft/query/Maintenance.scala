@@ -452,6 +452,89 @@ object Maintenance {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** q132 anonymity threshold (groups smaller than K are risky). */
+  private val AnonK = 5
+
+  /** q132 — K-ANONYMITY audit: the re-identification check a privacy
+    * review runs before releasing "aggregated" data — any
+    * quasi-identifier combination ((event_type, day) here) shared by
+    * fewer than K distinct users singles those users out, so the
+    * release needs suppression or generalization for exactly these
+    * cells. Reports every risky cell with its user count; one grouped
+    * aggregate over ids and dates (the q124 shuffle), output bounded
+    * by the quasi-identifier domain. Complements q68 (PII scrubbing)
+    * and q106 (erasure): scrub, forget, and THEN check that what
+    * remains doesn't isolate anyone.
+    */
+  private def q132(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        // a released report's value band joins the quasi-identifier;
+        // floor of an IEEE division is engine-identical
+        floor(col("value") / 50).cast("long").as("value_band"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"), col("value_band"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .filter(col("n_users") < AnonK)
+      .orderBy("event_type", "day", "value_band")
+
+  private val q132Sql =
+    s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |       CAST(floor(value / 50) AS BIGINT) AS value_band,
+       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       COUNT(*) AS n_events
+       |FROM events
+       |GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT user_id) < $AnonK
+       |ORDER BY event_type, day, value_band""".stripMargin
+
+  /** q133 cutoff: events at or after this instant arrive "late"; mid-day on purpose, so the cutoff day itself genuinely MERGES base and delta partials. */
+  private val IvmCutoff = "2024-01-25 12:00:00"
+
+  /** q133 — INCREMENTAL rollup maintenance (IVM): a materialized
+    * daily rollup is maintained under a late-arriving batch by
+    * merging per-day partials instead of recomputing history — the
+    * pattern that keeps a 100 TB rollup's nightly cost proportional
+    * to the DELTA, not the table. The base aggregate (events before
+    * the cutoff) and the late batch's partial aggregate outer-merge
+    * on the (event_type, day) key; COUNTs and decimal-exact SUMs are
+    * algebraic, so merged partials equal a full recompute exactly —
+    * and the ORACLE IS THE FULL RECOMPUTE, making the driver's hash
+    * gate a proof of the IVM equivalence, not just a replay.
+    * `refreshed` marks the days the delta touched (the only
+    * partitions a real maintenance job would rewrite).
+    */
+  private def q133(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("value"))
+    def rollup(part: org.apache.spark.sql.DataFrame) =
+      part.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sv"))
+    val base = rollup(ev.filter(col("ts") < lit(IvmCutoff).cast("timestamp")))
+      .select(col("event_type"), col("day"), col("n").as("bn"), col("sv").as("bsv"))
+    val delta = rollup(ev.filter(col("ts") >= lit(IvmCutoff).cast("timestamp")))
+      .select(col("event_type"), col("day"), col("n").as("dn"), col("sv").as("dsv"))
+    base.join(delta, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        (coalesce(col("bsv"), lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6))) +
+          coalesce(col("dsv"), lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+          .cast("double").as("total_value"),
+        col("dn").isNotNull.cast("int").as("refreshed"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q133Sql =
+    s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       |       CAST(CASE WHEN SUM(CASE WHEN ts >= TIMESTAMP '$IvmCutoff' THEN 1 ELSE 0 END) > 0
+       |                 THEN 1 ELSE 0 END AS INT) AS refreshed
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
@@ -461,5 +544,7 @@ object Maintenance {
     QuerySpec("q105_corpus_diff", q105, Some(q105Sql)),
     QuerySpec("q106_gdpr_erasure", q106, Some(q106Sql)),
     QuerySpec("q128_table_profile", q128, Some(q128Sql)),
+    QuerySpec("q132_k_anonymity", q132, Some(q132Sql)),
+    QuerySpec("q133_incremental_rollup", q133, Some(q133Sql)),
   )
 }
