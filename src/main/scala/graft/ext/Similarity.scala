@@ -1069,7 +1069,11 @@ object Similarity {
     * driver-verified end-to-end form.
     */
   private def q83b(spark: SparkSession, dir: String): DataFrame = {
-    val comp = DupGraph.connectedComponents(srpNearDupPairs(spark, dir))
+    // star contraction, not label propagation: at sf0.1 the SRP pair
+    // graph forms chains deeper than label-prop's 16-round diameter
+    // bound (its guard throws rather than mislabel) — the O(log n)
+    // contraction converges regardless of depth
+    val comp = DupGraph.connectedComponentsStar(srpNearDupPairs(spark, dir))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
       .join(comp, col("vec_id") === col("id"), "left")

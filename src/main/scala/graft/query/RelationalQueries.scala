@@ -654,6 +654,49 @@ object RelationalQueries {
        |FROM r JOIN b USING (mode)
        |GROUP BY r.mode ORDER BY mode""".stripMargin
 
+  /** q134 — DAU / rolling-7-day WAU: daily active users and the
+    * 7-day sliding DISTINCT count per day — the engagement pair on
+    * every product dashboard, and the query shape (sliding distinct)
+    * that windows cannot express directly because COUNT(DISTINCT)
+    * over a range frame isn't supported. The exact relational form:
+    * each (user, day) activity row fans out to the ≤7 target days
+    * whose window it enters (a 7-row sequence explode — ids and dates
+    * only), joined to the observed-day domain, then one grouped
+    * distinct per target day; DAU rides the same aggregate via a
+    * conditional distinct. At extreme scale the same sliding metric
+    * keeps per-day HLL sketches and merges 7 (the q27b machinery);
+    * the exact fan-out form is the oracle-checkable contract.
+    */
+  private def q134(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val days = ev.select(col("day")).distinct().select(col("day").as("target_day"))
+    ev.select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .withColumn("target_day", expr("timestampadd(DAY, k, day)"))
+      .join(days, "target_day")
+      .groupBy(col("target_day").as("day"))
+      .agg(
+        countDistinct(when(col("k") === 0, col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau7"))
+      .orderBy("day")
+  }
+
+  private val q134Sql =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events),
+      |d AS (SELECT DISTINCT day AS target_day FROM ev),
+      |x AS (
+      |  SELECT ev.user_id, ev.day, ev.day + k * INTERVAL 1 DAY AS target_day
+      |  FROM ev, range(0, 7) r(k)),
+      |j AS (SELECT x.user_id, x.day, x.target_day FROM x JOIN d USING (target_day))
+      |SELECT target_day AS day,
+      |       CAST(COUNT(DISTINCT CASE WHEN j.day = j.target_day THEN user_id END) AS BIGINT) AS dau,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q35 — range (interval) self-join: pairs of same-user events
     * within 10 minutes of each other. A naive formulation is a
     * per-user quadratic inequality join; the scalable form bucketizes
@@ -750,6 +793,7 @@ object RelationalQueries {
     QuerySpec("q124_retention_cohorts", q124, Some(q124Sql)),
     QuerySpec("q125_funnel",          q125, Some(q125Sql)),
     QuerySpec("q130_winsorized_stats", q130, Some(q130Sql)),
+    QuerySpec("q134_active_users", q134, Some(q134Sql)),
     QuerySpec("q36_ntile",            q36, Some(q36Sql)),
     QuerySpec("q66_topk_custom_plan", q66, Some(q66Sql), headline = true),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
