@@ -546,6 +546,84 @@ object StreamingQueries {
       |FROM days JOIN st USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  /** q135 — STREAMING ETL into an exactly-once parquet store, as a
+    * registered oracle-checked query (until now the
+    * [[ExactlyOnceSink]] contract lived only in StreamingEtlSpec's
+    * crash-replay proof): the event stream lands micro-batch by
+    * micro-batch through the idempotent batch-id-partitioned writer,
+    * then the STORE is read back and aggregated — so the driver's
+    * hash gate verifies the actual files the sink produced, closing
+    * the loop stream → store → query. Decimal-exact sums make the
+    * store aggregation hash-stable regardless of how many batches the
+    * replay produced (the batch_id partition column is provenance,
+    * not part of the result).
+    */
+  private def q135(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_q135_store").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_q135_ck").toString
+    val src = eventStream(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val q = src.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ExactlyOnceSink.writeBatch(batch, batchId, out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q135Sql =
+    s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |       COUNT(*) AS n_events,
+       |       ${moneySumSql("value")} AS total_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  /** q136 — calendar GAP FILLING (the densification q118's scaladoc
+    * defers): generate the full day calendar between the observed min
+    * and max, cross it with the type dimension, and left-join the
+    * observed per-day counts so silent days appear as explicit zero
+    * rows — without this, a volume-drop monitor can't distinguish "no
+    * row" from "zero events". Both generated sides are 1-row
+    * aggregates exploded to bounded domains (days × types), so the
+    * cross join is a broadcast of tiny derived tables (allowlisted),
+    * and the only data-sized op is the (type, day) count aggregate.
+    */
+  private def q136(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+    val calendar = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, INTERVAL 1 DAY)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    calendar.crossJoin(types)
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.cast("int").as("filled"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q136Sql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+      |cal AS (
+      |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev)),
+      |ty AS (SELECT DISTINCT event_type FROM ev),
+      |c AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+      |SELECT ty.event_type, cal.day,
+      |       COALESCE(c.n, 0) AS n_events,
+      |       CAST(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS INT) AS filled
+      |FROM cal CROSS JOIN ty
+      |LEFT JOIN c ON c.event_type = ty.event_type AND c.day = cal.day
+      |ORDER BY ty.event_type, cal.day""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -558,5 +636,7 @@ object StreamingQueries {
     QuerySpec("q102_stream_heavy_hitters", q102, Some(q102Sql)),
     QuerySpec("q113_stream_decontam", q113, Some(q113Sql)),
     QuerySpec("q118_stream_anomaly", q118, Some(q118Sql)),
+    QuerySpec("q135_stream_etl_store", q135, Some(q135Sql)),
+    QuerySpec("q136_gap_fill", q136, Some(q136Sql)),
   )
 }

@@ -64,7 +64,8 @@ class PlanGuardSpec extends SparkSpec {
     "q114_bigram_lm_score",
     "q126_phrase_search",
     "q129_skew_report",
-    "q131_metadata_association")
+    "q131_metadata_association",
+    "q136_gap_fill")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
