@@ -697,6 +697,70 @@ object RelationalQueries {
       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q137 — A/B EXPERIMENT analysis: users deterministically split
+    * into two arms (salted md5 — the same never-migrates guarantee as
+    * the q58 dataset split), conversion measured as an ORDERED
+    * view→purchase within the same day (the q125 funnel anchor, so
+    * pre-exposure purchases don't count), and the readout — per-arm
+    * rates and B-over-A lift — kept in positive-integer micros so
+    * both engines agree exactly. One (user, day)-keyed stage pair and
+    * one global conditional aggregate; the single-row output is the
+    * experiment dashboard's headline. (Significance testing needs the
+    * same four counts — the z-statistic is a driver-side formula over
+    * this row, deliberately outside the hash-gated engine result.)
+    */
+  private def q137(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        date_trunc("day", col("ts")).as("day"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id", "day"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("p_ts"))
+    v.join(p, Seq("user_id", "day"), "left")
+      .withColumn("arm", graft.ext.TrainPrep.md5Bucket(col("user_id"), 2, ":q137"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0 && col("p_ts").isNotNull, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1 && col("p_ts").isNotNull, 1L).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("(conv_a * 1000000) DIV n_a").as("rate_a_micro"),
+        expr("(conv_b * 1000000) DIV n_b").as("rate_b_micro"),
+        // ANSI DIV raises on /0 — an unconverted control arm reads NULL
+        expr("CASE WHEN conv_a * n_b > 0 THEN (conv_b * n_a * 1000000) DIV (conv_a * n_b) END")
+          .as("lift_micro"))
+  }
+
+  private val q137Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, ts, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events),
+      |v AS (SELECT user_id, day, MIN(ts) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (SELECT ev.user_id, ev.day, MIN(ev.ts) AS p_ts
+      |      FROM ev JOIN v ON ev.user_id = v.user_id AND ev.day = v.day
+      |      WHERE ev.event_type = 'purchase' AND ev.ts >= v.v_ts GROUP BY 1, 2),
+      |j AS (
+      |  SELECT v.user_id, v.day, p.p_ts,
+      |         ('0x' || substr(md5(CAST(v.user_id AS VARCHAR) || ':q137'), 1, 15))::BIGINT % 2 AS arm
+      |  FROM v LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day),
+      |agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 0 AND p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 1 AND p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM j)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |       CAST((conv_a * 1000000) // n_a AS BIGINT) AS rate_a_micro,
+      |       CAST((conv_b * 1000000) // n_b AS BIGINT) AS rate_b_micro,
+      |       CAST(CASE WHEN conv_a * n_b > 0
+      |                 THEN (conv_b * n_a * 1000000) // (conv_a * n_b) END AS BIGINT) AS lift_micro
+      |FROM agg""".stripMargin
+
   /** q35 — range (interval) self-join: pairs of same-user events
     * within 10 minutes of each other. A naive formulation is a
     * per-user quadratic inequality join; the scalable form bucketizes
@@ -794,6 +858,7 @@ object RelationalQueries {
     QuerySpec("q125_funnel",          q125, Some(q125Sql)),
     QuerySpec("q130_winsorized_stats", q130, Some(q130Sql)),
     QuerySpec("q134_active_users", q134, Some(q134Sql)),
+    QuerySpec("q137_ab_experiment", q137, Some(q137Sql)),
     QuerySpec("q36_ntile",            q36, Some(q36Sql)),
     QuerySpec("q66_topk_custom_plan", q66, Some(q66Sql), headline = true),
     QuerySpec("q32_qoq_lag",          q32, Some(q32Sql)),
