@@ -18,7 +18,10 @@ object ExplainMain {
         "q46_minhash_lsh", "q48_ann_bruteforce", "q51b_embedding_neardup_blocked",
         "q56_fuzzy_match", "q57_embedding_quantize", "q59_dup_clusters",
         "q67_decontaminate", "q69_tfidf_topterms", "q70_sequence_packing",
-        "q73_bloom_blocklist", "q75_scd1_upsert", "q78_log_compaction")
+        "q73_bloom_blocklist", "q75_scd1_upsert", "q78_log_compaction",
+        "q49b_ann_lsh_exact", "q108_bm25_retrieval", "q111_quality_classifier",
+        "q115_hybrid_rrf", "q116_neardup_contamination", "q126_phrase_search",
+        "q133_incremental_rollup")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
