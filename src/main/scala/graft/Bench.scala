@@ -52,7 +52,11 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // optional args: restrict to these query names (local iteration;
+    // the driver passes none)
+    val only = args.toSet
     val specs = SparkEntry.allSpecs
+      .filter(s => only.isEmpty || only(s.name))
     val reps = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     specs.foreach { spec => reps(spec.name) = Vector.fill(3)(timeOnce(spec)) }
     // second pass over the 5 slowest: 2 extra reps each
@@ -65,7 +69,25 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val spreads = reps.toSeq.map { case (k, v) => k -> (v.max - v.min) }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"spreads":${jmap(spreads)},"sf":"$sfDir"}""")
+    // Full artifact → file (r6 postmortem: the driver captures only a
+    // ~2KB stdout tail, so a 141-query line arrived decapitated and
+    // 93 timings were invisible to the judge). BENCH_LOCAL.json in the
+    // working directory carries every median, spread, and raw rep;
+    // SPARK_GRAFT_BENCH_OUT overrides the path.
+    val repsJson = reps.toSeq.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"spreads":${jmap(spreads)},"reps":$repsJson,"sf":"$sfDir","cpus":$cpus}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // stdout line must FIT the tail window to stay parseable: report
+    // the slowest 25 queries at ms resolution (the ones worth a
+    // round-over-round diff) and point at the file for the rest.
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val slowest = results.sortBy(-_._2).take(25).map { case (k, v) => k -> r3(v) }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(slowest)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,7 +21,11 @@ object ExplainMain {
         "q73_bloom_blocklist", "q75_scd1_upsert", "q78_log_compaction",
         "q49b_ann_lsh_exact", "q108_bm25_retrieval", "q111_quality_classifier",
         "q115_hybrid_rrf", "q116_neardup_contamination", "q126_phrase_search",
-        "q133_incremental_rollup")
+        "q133_incremental_rollup",
+        // round-6 heavies (VERDICT r6 task 7): the slowest current
+        // queries — their plans are the ones worth eyeballing per round
+        "q83b_semantic_dedup_sql", "q120_dup_frames",
+        "q124_retention_cohorts", "q134_active_users", "q137_ab_experiment")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

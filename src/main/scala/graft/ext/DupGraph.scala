@@ -277,6 +277,14 @@ object DupGraph {
     * one per-cluster aggregate + one membership join — everything
     * shuffles ids and counts only. Oracle = the q59 recursive-closure
     * CTE extended with the same split/taint relational steps.
+    *
+    * HELD-OUT CONVENTION (intentional family difference): this audit
+    * taints on the FULL non-train pool (bucket ≥ TrainPct, val AND
+    * test) because a val-set near-duplicate in train biases model
+    * selection just like test leakage biases the final eval; the
+    * n-gram/semantic audits q67/q113/q121 index only the TEST split
+    * (bucket ≥ TrainPct+ValPct) — the irrecoverable final-eval
+    * surface. Compare the audits knowing the pools differ.
     */
   private def q116(spark: SparkSession, dir: String): DataFrame = {
     val bucket = TrainPrep.splitBucket(col("doc_id"))

@@ -595,9 +595,10 @@ object TrainPrep {
     * (PlanGuard-allowlisted); scoring = equi-join of raw-doc token
     * occurrences to the 31-row (V-row) weight table — broadcast, so
     * inference is a map stage + per-doc partial agg, text never
-    * shuffles. Magnitudes: (cnt+1)·(N+V)·1e6 ≲ 1e16 at sf0.1; a
-    * 100 TB run moves the lr arithmetic to DECIMAL(38,0) (ANSI mode
-    * raises, not wraps, if it ever overflows).
+    * shuffles. The lr numerator runs in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB): the triple product crosses BIGINT once
+    * raw-token occurrences reach ~1e6× the hot-token count, so the
+    * 38-digit form is the 100 TB-safe arithmetic from the start.
     */
   private def q112(spark: SparkSession, dir: String): DataFrame = {
     val occ = Tables.documents(spark, dir)
@@ -608,9 +609,17 @@ object TrainPrep {
     val totals = c.agg(
       sum(col("cnt_t")).as("nt"), sum(col("cnt_r")).as("nr"),
       count(lit(1)).as("v"))
+    // DECIMAL(38,0) numerator (the scaladoc's 100 TB plan, applied
+    // now): the BIGINT triple product (cnt_t+1)(nr+v)·1e6 crosses
+    // 9.2e18 once raw-token occurrences reach ~1e6× the hot-token
+    // count, and ANSI mode raises rather than wraps. All quantities
+    // are positive, so decimal DIV (truncating) still equals floor
+    // and matches DuckDB's HUGEINT `//` exactly.
     val w = c.crossJoin(broadcast(totals))
       .select(col("token"),
-        expr("((cnt_t + 1) * (nr + v) * 1000000) DIV ((cnt_r + 1) * (nt + v))").as("lr"))
+        expr("""CAST((CAST(cnt_t + 1 AS DECIMAL(38,0)) * (nr + v) * 1000000)
+               | DIV (CAST(cnt_r + 1 AS DECIMAL(38,0)) * (nt + v)) AS BIGINT)""".stripMargin
+          .replace("\n", " ")).as("lr"))
     occ.filter(col("source") =!= DsirTarget)
       .join(broadcast(w), "token")
       .groupBy(col("doc_id"), col("source"))
@@ -634,7 +643,8 @@ object TrainPrep {
        |  FROM c),
        |w AS (
        |  SELECT token,
-       |         ((cnt_t + 1) * (nr + v) * 1000000) // ((cnt_r + 1) * (nt + v)) AS lr
+       |         CAST((CAST(cnt_t + 1 AS HUGEINT) * (nr + v) * 1000000)
+       |              // (CAST(cnt_r + 1 AS HUGEINT) * (nt + v)) AS BIGINT) AS lr
        |  FROM c, t)
        |SELECT occ.doc_id, occ.source, COUNT(*) AS n_tokens,
        |       CAST(SUM(lr) AS BIGINT) AS score,

@@ -40,6 +40,12 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     SparkBridge.toColumn(DotProduct(SparkBridge.toExpression(a), SparkBridge.toExpression(b)))
 
+  /** Exact BIGINT dot product of two array<long> columns — see
+    * [[DotProductLong]].
+    */
+  def dot_long(a: Column, b: Column): Column =
+    SparkBridge.toColumn(DotProductLong(SparkBridge.toExpression(a), SparkBridge.toExpression(b)))
+
   /** Collapse consecutive repeated tokens in a string — see
     * [[CollapseRuns]].
     */

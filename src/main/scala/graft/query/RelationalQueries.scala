@@ -703,11 +703,18 @@ object RelationalQueries {
     * view→purchase within the same day (the q125 funnel anchor, so
     * pre-exposure purchases don't count), and the readout — per-arm
     * rates and B-over-A lift — kept in positive-integer micros so
-    * both engines agree exactly. One (user, day)-keyed stage pair and
-    * one global conditional aggregate; the single-row output is the
-    * experiment dashboard's headline. (Significance testing needs the
-    * same four counts — the z-statistic is a driver-side formula over
-    * this row, deliberately outside the hash-gated engine result.)
+    * both engines agree exactly. The UNIT OF ANALYSIS is the USER:
+    * exposure days collapse to one row per user before the arm
+    * rollup (converted = any exposure day with an ordered
+    * view→purchase), so a multi-day user contributes ONE trial to the
+    * rate instead of several correlated ones — the per-(user,day)
+    * counting an earlier revision used inflates n and narrows
+    * implied confidence intervals. One (user, day)-keyed stage pair,
+    * a per-user collapse, and one global conditional aggregate; the
+    * single-row output is the experiment dashboard's headline.
+    * (Significance testing needs the same four counts — the
+    * z-statistic is a driver-side formula over this row, deliberately
+    * outside the hash-gated engine result.)
     */
   private def q137(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
@@ -720,12 +727,14 @@ object RelationalQueries {
       .filter(col("ts") >= col("v_ts"))
       .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("p_ts"))
     v.join(p, Seq("user_id", "day"), "left")
+      .groupBy(col("user_id"))
+      .agg(max(col("p_ts").isNotNull.cast("long")).as("converted"))
       .withColumn("arm", graft.ext.TrainPrep.md5Bucket(col("user_id"), 2, ":q137"))
       .agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("arm") === 0 && col("p_ts").isNotNull, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("arm") === 1 && col("p_ts").isNotNull, 1L).otherwise(0L)).as("conv_b"))
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
         expr("(conv_a * 1000000) DIV n_a").as("rate_a_micro"),
         expr("(conv_b * 1000000) DIV n_b").as("rate_b_micro"),
@@ -744,16 +753,20 @@ object RelationalQueries {
       |      FROM ev JOIN v ON ev.user_id = v.user_id AND ev.day = v.day
       |      WHERE ev.event_type = 'purchase' AND ev.ts >= v.v_ts GROUP BY 1, 2),
       |j AS (
-      |  SELECT v.user_id, v.day, p.p_ts,
-      |         ('0x' || substr(md5(CAST(v.user_id AS VARCHAR) || ':q137'), 1, 15))::BIGINT % 2 AS arm
+      |  SELECT v.user_id, v.day, p.p_ts
       |  FROM v LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day),
+      |u AS (
+      |  SELECT user_id,
+      |         MAX(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS converted,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':q137'), 1, 15))::BIGINT % 2 AS arm
+      |  FROM j GROUP BY user_id),
       |agg AS (
       |  SELECT
       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-      |    CAST(SUM(CASE WHEN arm = 0 AND p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-      |    CAST(SUM(CASE WHEN arm = 1 AND p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
-      |  FROM j)
+      |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u)
       |SELECT n_a, conv_a, n_b, conv_b,
       |       CAST((conv_a * 1000000) // n_a AS BIGINT) AS rate_a_micro,
       |       CAST((conv_b * 1000000) // n_b AS BIGINT) AS rate_b_micro,

@@ -58,11 +58,27 @@ object StreamingQueries {
     */
   private var sinkCounter = 0
   private val StreamShufflePartitions = "8"
+
+  /** Every stateful stream here runs under the ROCKSDB state store
+    * (VERDICT r6 task 4): the default HDFS-backed provider keeps all
+    * state on-heap, which at 100 TB-scale keyspaces (per-user
+    * sessions, high-cardinality windows) is an OOM waiting to happen —
+    * RocksDB spills state to local disk with an off-heap block cache
+    * and is the provider a production deployment pins. Pinned
+    * per-query (the conf is read at stream start); the driver's hash
+    * gate re-proves all 12 streaming oracles unchanged under it.
+    */
+  private val StateStoreProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   private def drain(spark: SparkSession, agg: DataFrame, mode: String): DataFrame = {
     val name = synchronized { sinkCounter += 1; s"graft_sink_$sinkCounter" }
     val key = "spark.sql.shuffle.partitions"
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevStore = spark.conf.getOption(storeKey)
     spark.conf.set(key, StreamShufflePartitions)
+    spark.conf.set(storeKey, StateStoreProvider)
     try {
       val q = agg.writeStream
         .outputMode(mode)
@@ -71,7 +87,13 @@ object StreamingQueries {
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      prevStore match {
+        case Some(v) => spark.conf.set(storeKey, v)
+        case None => spark.conf.unset(storeKey)
+      }
+    }
     spark.table(name)
   }
 
@@ -571,10 +593,18 @@ object StreamingQueries {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(out)
+    // localCheckpoint pins the read-back aggregate so the store and
+    // checkpoint temp dirs can be deleted NOW — repeated sweeps/bench
+    // reps would otherwise accumulate unbounded parquet under /tmp
+    val result = spark.read.parquet(out)
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
       .orderBy("event_type", "day")
+      .localCheckpoint()
+    Seq(out, ck).foreach { d =>
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+    result
   }
 
   private val q135Sql =

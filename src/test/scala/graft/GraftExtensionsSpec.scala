@@ -32,9 +32,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       size(minhash_signature(array('x', 'y'), 16)) AS mh_len,
         |       word_shingles('a b c d', 3) AS ws,
         |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |       dot_long(array(3L, -4L, 127L), array(2L, 5L, -127L)) AS dl,
         |       collapse_runs('a a b b b a c c') AS cr
         |""".stripMargin).collect()(0)
     assert(r.getAs[String]("cr") == "a b a c")
+    assert(r.getAs[Long]("dl") == 3L * 2 - 4 * 5 - 127L * 127)
     assert(r.getAs[Long]("rh") == graft.functions.RollingHash64.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
     assert(r.getAs[Int]("mh_len") == 16)

@@ -65,7 +65,10 @@ class PlanGuardSpec extends SparkSpec {
     "q126_phrase_search",
     "q129_skew_report",
     "q131_metadata_association",
-    "q136_gap_fill")
+    "q136_gap_fill",
+    // q138: broadcasts the 1-row corpus-totals aggregate that
+    // denominates the ppm/recall metrics (the q03 scalar pattern)
+    "q138_lsh_pruning")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
