@@ -697,6 +697,35 @@ object RelationalQueries {
       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q134b — the EXTREME-SCALE form q134's scaladoc names, registered
+    * (VERDICT r6 task 8): per-day HLL sketches of the user set
+    * (Spark's datasketches `hll_sketch_agg`), each fanned to the ≤7
+    * windows it enters, merged per target day with `hll_union_agg` —
+    * so the shuffle carries ONE ~KB sketch per (day, k) instead of
+    * every (user, day) id pair, the difference between a dashboard
+    * refresh and a full-corpus shuffle at 100 TB. Estimates are
+    * rows-only by nature (DuckDB's HLL is a different sketch family);
+    * the exact fan-out twin q134 is the oracle-gated contract and
+    * HllActiveUsersSpec pins this form's error against it (≤5%,
+    * deterministic — the sketch is seed-free for fixed input).
+    */
+  private def q134b(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val days = daily.select(col("day").as("target_day"))
+    daily.select(col("day"), col("sk"), explode(sequence(lit(0), lit(6))).as("k"))
+      .withColumn("target_day", expr("timestampadd(DAY, k, day)"))
+      .join(days, "target_day")
+      .groupBy(col("target_day").as("day"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(CASE WHEN k = 0 THEN sk END))")
+          .as("dau_est"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau7_est"))
+      .orderBy("day")
+  }
+
   /** q137 — A/B EXPERIMENT analysis: users deterministically split
     * into two arms (salted md5 — the same never-migrates guarantee as
     * the q58 dataset split), conversion measured as an ORDERED
@@ -871,6 +900,7 @@ object RelationalQueries {
     QuerySpec("q125_funnel",          q125, Some(q125Sql)),
     QuerySpec("q130_winsorized_stats", q130, Some(q130Sql)),
     QuerySpec("q134_active_users", q134, Some(q134Sql)),
+    QuerySpec("q134b_active_users_hll", q134b, None),
     QuerySpec("q137_ab_experiment", q137, Some(q137Sql)),
     QuerySpec("q36_ntile",            q36, Some(q36Sql)),
     QuerySpec("q66_topk_custom_plan", q66, Some(q66Sql), headline = true),

@@ -47,6 +47,33 @@ class JdbcSourceSpec extends SparkSpec {
       "JDBC round trip must be lossless")
   }
 
+  test("all-VARCHAR fact (the sqlite TEXT-affinity shape) repairs identically") {
+    // server.py:53-56 reads the fact over sqlite, where TEXT affinity
+    // hands EVERY column back as text regardless of content. The
+    // sqlite jar is unavailable offline (documented S2 gap), so this
+    // closes the SEMANTIC half jar-free: the same fact forced into
+    // explicit VARCHAR columns on Derby (not Spark's default CLOB
+    // mapping), pulled back through JDBC, must repair via cleanFact
+    // into exactly the rows the parquet-sourced path produces —
+    // proving the typed-cast/try_cast repair layer is agnostic to a
+    // TEXT-affinity source.
+    val varcharTypes = raw.columns.map(c => s"$c VARCHAR(256)").mkString(", ")
+    raw.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "fact_text_affinity")
+      .option("createTableColumnTypes", varcharTypes)
+      .save()
+    val viaText = JdbcStore.read(spark, url, "fact_text_affinity")
+    assert(viaText.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType),
+      "TEXT-affinity fixture must arrive all-string")
+    val cleaned = graft.etl.ReferencePipeline.cleanFact(viaText.toDF(raw.columns: _*))
+    val fromParquet = graft.etl.ReferencePipeline.cleanFact(raw)
+    assert(cleaned.count() == fromParquet.count())
+    assert(fromParquet.exceptAll(cleaned).count() == 0 &&
+      cleaned.exceptAll(fromParquet).count() == 0,
+      "TEXT-affinity source must clean to the identical typed rows")
+  }
+
   test("cleanFact runs unchanged on the JDBC-sourced fact") {
     val viaJdbc = JdbcStore.read(spark, url, "fact_transaction")
       .toDF(raw.columns: _*)
