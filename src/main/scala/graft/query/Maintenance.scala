@@ -424,31 +424,59 @@ object Maintenance {
     */
   private def q128(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(spark, dir)
-    def profile(cname: String): org.apache.spark.sql.DataFrame = {
+    // The BODY column's profile must not ship documents through the
+    // shuffle (ShuffleSchemaGuardSpec bans exactly that), which takes
+    // two moves: (1) ndv counts md5 digests, not raw strings —
+    // countDistinct's partial-distinct otherwise ships every distinct
+    // body; (2) ndv runs in its OWN aggregate — fused with min/max,
+    // Spark groups the partials by the distinct expression, making
+    // the per-group min/max partials the bodies again. Split, the
+    // min/max partial ships one extreme per partition (O(partitions))
+    // and the ndv shuffle carries only digests; the two 1-row results
+    // reassemble via a broadcast (the q03 scalar pattern,
+    // PlanGuard-allowlisted). Digest ndv is the same number in both
+    // engines.
+    def profile(cname: String, body: Boolean): org.apache.spark.sql.DataFrame = {
       val c = col(cname)
-      d.agg(
+      if (!body)
+        d.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(c).as("ndv"),
+            min(c).cast("string").as("min_value"),
+            max(c).cast("string").as("max_value"))
+          .select(lit(cname).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("ndv"), col("min_value"), col("max_value"))
+      else {
+        val base = d.agg(
           count(lit(1)).as("n_rows"),
           sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
-          countDistinct(c).as("ndv"),
           min(c).cast("string").as("min_value"),
           max(c).cast("string").as("max_value"))
-        .select(lit(cname).as("column_name"), col("n_rows"), col("n_nulls"),
-          col("ndv"), col("min_value"), col("max_value"))
+        val ndv = d.agg(
+          countDistinct(md5(to_binary(c, lit("utf-8")))).as("ndv"))
+        base.crossJoin(broadcast(ndv))
+          .select(lit(cname).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("ndv"), col("min_value"), col("max_value"))
+      }
     }
-    Seq("doc_id", "text", "lang", "source", "n_chars")
-      .map(profile).reduce(_.unionAll(_))
+    Seq("doc_id" -> false, "text" -> true, "lang" -> false,
+        "source" -> false, "n_chars" -> false)
+      .map { case (c, b) => profile(c, b) }.reduce(_.unionAll(_))
       .orderBy("column_name")
   }
 
   private val q128Sql = {
-    def one(c: String) =
+    def one(c: String, ndvExpr: String) =
       s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
          |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |       CAST(COUNT(DISTINCT $ndvExpr) AS BIGINT) AS ndv,
          |       CAST(MIN($c) AS VARCHAR) AS min_value,
          |       CAST(MAX($c) AS VARCHAR) AS max_value
          |FROM documents""".stripMargin
-    Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+    Seq("doc_id" -> "doc_id", "text" -> "md5(text)", "lang" -> "lang",
+        "source" -> "source", "n_chars" -> "n_chars")
+      .map { case (c, e) => one(c, e) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 

@@ -654,6 +654,110 @@ object StreamingQueries {
       |LEFT JOIN c ON c.event_type = ty.event_type AND c.day = cal.day
       |ORDER BY ty.event_type, cal.day""".stripMargin
 
+  /** q139 session gap: 1 day, matching q63's `session_window` so the
+    * two sessionizers describe the same sessions.
+    */
+  private val SessionGapUs = 86400000000L
+
+  /** q139 — CUSTOM PER-KEY STATE MACHINE via `flatMapGroupsWithState`
+    * in UPDATE mode with long-lived COMPACT state — the state-API
+    * regime q64's append-mode per-event enumerator doesn't cover:
+    * q64 emits a row per input event (state is a cursor), while q139
+    * maintains a bounded per-user PROFILE that outlives any batch and
+    * re-emits current state per touched key — the accumulator shape
+    * of fraud scoring, CDC reconciliation, and enrichment caches,
+    * where state size (not output size) is the scaling constraint.
+    * Each user's profile folds their event sequence: event/purchase
+    * counts, 1-day-gap session count (q63's sessions, recomputed by
+    * explicit state transitions instead of `session_window`),
+    * first/last activity, longest gap.
+    *
+    * Determinism contract: within each micro-batch the group's
+    * events are folded in (ts, event_id) order from the persisted
+    * state; the drain harness replays history through the file
+    * source, so the fold equals the exact batch recompute and the
+    * DuckDB window oracle checks it. (A real deployment fed
+    * out-of-order batches would pair this with a watermark + timeout
+    * eviction — GroupStateTimeout is part of the exercised API.)
+    * Update-mode emissions re-state each touched user per batch;
+    * the post-drain dedup keeps each user's final state (n_events is
+    * monotone). State lives in the RocksDB store like every stateful
+    * query here; keys shuffle once to their state partition.
+    */
+  /** The q139 state transition applied to a streaming event Dataset —
+    * shared with StateMachineSpec, which drives it through a forced
+    * MULTI-batch replay (1 file per trigger) to prove the state
+    * really persists and composes across micro-batches.
+    */
+  private[streaming] def userStateMachine(
+      ev: org.apache.spark.sql.Dataset[UserEvent]): DataFrame = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserLifetimeState, UserLifetimeRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[UserLifetimeState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var s = state.getOption.getOrElse(UserLifetimeState(0L, 0L, 0L, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            s =
+              if (s.nEvents == 0L)
+                UserLifetimeState(1L, 1L, e.is_purchase.toLong, e.ts_us, e.ts_us, 0L)
+              else {
+                val gap = e.ts_us - s.lastTsUs
+                UserLifetimeState(
+                  s.nEvents + 1L,
+                  s.nSessions + (if (gap > SessionGapUs) 1L else 0L),
+                  s.nPurchases + e.is_purchase.toLong,
+                  s.firstTsUs,
+                  e.ts_us,
+                  math.max(s.maxGapUs, gap))
+              }
+          }
+          state.update(s)
+          Iterator(UserLifetimeRow(uid, s.nEvents, s.nSessions, s.nPurchases,
+            s.firstTsUs, s.lastTsUs, s.maxGapUs))
+      }.toDF()
+  }
+
+  /** Post-drain dedup: update mode re-states a touched user each
+    * batch; n_events is monotone, so the max row is the final state.
+    */
+  private[streaming] def latestStatePerUser(drained: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    drained.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
+  }
+
+  private def q139(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventStream(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "purchase").cast("int").as("is_purchase"))
+      .as[UserEvent]
+    latestStatePerUser(drain(spark, userStateMachine(ev), "update"))
+  }
+
+  private val q139Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, ts_us, is_purchase,
+       |         ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+       |  FROM e)
+       |SELECT user_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_events,
+       |       CAST(1 + SUM(CASE WHEN gap > $SessionGapUs THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       |       CAST(SUM(is_purchase) AS BIGINT) AS n_purchases,
+       |       CAST(MIN(ts_us) AS BIGINT) AS first_ts_us,
+       |       CAST(MAX(ts_us) AS BIGINT) AS last_ts_us,
+       |       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -668,5 +772,16 @@ object StreamingQueries {
     QuerySpec("q118_stream_anomaly", q118, Some(q118Sql)),
     QuerySpec("q135_stream_etl_store", q135, Some(q135Sql)),
     QuerySpec("q136_gap_fill", q136, Some(q136Sql)),
+    QuerySpec("q139_user_state_machine", q139, Some(q139Sql)),
   )
 }
+
+/** q139 typed-API records (product encoders). */
+private[streaming] case class UserEvent(
+  user_id: Long, event_id: Long, ts_us: Long, is_purchase: Int)
+private[streaming] case class UserLifetimeState(
+  nEvents: Long, nSessions: Long, nPurchases: Long,
+  firstTsUs: Long, lastTsUs: Long, maxGapUs: Long)
+private[streaming] case class UserLifetimeRow(
+  user_id: Long, n_events: Long, n_sessions: Long, n_purchases: Long,
+  first_ts_us: Long, last_ts_us: Long, max_gap_us: Long)

@@ -66,6 +66,10 @@ class PlanGuardSpec extends SparkSpec {
     "q129_skew_report",
     "q131_metadata_association",
     "q136_gap_fill",
+    // q128: the body column's profile assembles two 1-row aggregates
+    // (min/max extremes + digest ndv) via broadcast — split on
+    // purpose so neither shuffle carries document text (see q128)
+    "q128_table_profile",
     // q138: broadcasts the 1-row corpus-totals aggregate that
     // denominates the ppm/recall metrics (the q03 scalar pattern)
     "q138_lsh_pruning")
