@@ -758,6 +758,102 @@ object StreamingQueries {
        |       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q140 — SESSION CLOSING via EVENT-TIME TIMEOUT: the state-API
+    * surface q64/q139 leave untouched — `withWatermark` +
+    * `GroupStateTimeout.EventTimeTimeout` + `setTimeoutTimestamp` +
+    * `hasTimedOut` + `state.remove()` — doing the canonical job that
+    * needs it: emitting each user session exactly once, as it CLOSES.
+    * Sessions whose gap to the next event exceeds [[SessionGapUs]]
+    * close inline on data; each user's final session has no next
+    * event, so the engine must close it for us — the state carries a
+    * timeout at (last event + gap), and when the watermark passes it
+    * Spark runs the state function with `hasTimedOut` in a dedicated
+    * (possibly data-less) micro-batch, where the session is emitted
+    * and its state removed. Append mode: every session appears once,
+    * tagged with HOW it closed.
+    *
+    * Determinism: the watermark after the replay is the corpus max
+    * event time (0s delay), so exactly the sessions with
+    * `(end + gap) // 1000 < watermark_ms` time out — both the
+    * millisecond floor (timeouts and watermarks are ms-granular) and
+    * the STRICT compare (`hasTimedOut` fires when the watermark
+    * passes beyond the set timestamp) are replicated in the oracle;
+    * any session still within gap of the corpus edge remains open and
+    * is deliberately ABSENT from the output, exactly as in a live
+    * deployment.
+    */
+  private def q140(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = eventStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+    val closed = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, events: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startUs, s.lastUs, s.n, "timeout"))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = scala.collection.mutable.ListBuffer[ClosedSession]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.lastUs > SessionGapUs =>
+                  out += ClosedSession(uid, s.startUs, s.lastUs, s.n, "data")
+                  cur = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.startUs, e.ts_us, s.n + 1L))
+                case None =>
+                  cur = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + SessionGapUs) / 1000L)
+            }
+            out.iterator
+          }
+      }
+    drain(spark, closed.toDF(), "append")
+      .orderBy("user_id", "session_start_us")
+  }
+
+  private val q140Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, ts_us,
+       |         CASE WHEN ts_us - LAG(ts_us) OVER w > $SessionGapUs OR
+       |                   LAG(ts_us) OVER w IS NULL
+       |              THEN 1 ELSE 0 END AS is_start
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |isl AS (
+       |  SELECT user_id, ts_us,
+       |         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+       |                             ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM g),
+       |s AS (
+       |  SELECT user_id, island,
+       |         CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       |         CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
+       |         CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         CAST(MAX(island) OVER (PARTITION BY user_id) AS BIGINT) AS last_island
+       |  FROM isl GROUP BY user_id, island),
+       |wm AS (SELECT MAX(ts_us) // 1000 AS wm_ms FROM e)
+       |SELECT user_id, session_start_us, session_end_us, n_events,
+       |       CASE WHEN island = last_island THEN 'timeout' ELSE 'data' END AS closed_by
+       |FROM s, wm
+       |WHERE island < last_island
+       |   OR (session_end_us + $SessionGapUs) // 1000 < wm_ms
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -773,6 +869,7 @@ object StreamingQueries {
     QuerySpec("q135_stream_etl_store", q135, Some(q135Sql)),
     QuerySpec("q136_gap_fill", q136, Some(q136Sql)),
     QuerySpec("q139_user_state_machine", q139, Some(q139Sql)),
+    QuerySpec("q140_session_close_timeout", q140, Some(q140Sql)),
   )
 }
 
@@ -785,3 +882,13 @@ private[streaming] case class UserLifetimeState(
 private[streaming] case class UserLifetimeRow(
   user_id: Long, n_events: Long, n_sessions: Long, n_purchases: Long,
   first_ts_us: Long, last_ts_us: Long, max_gap_us: Long)
+
+/** q140 typed-API records. `SessionEvent.ts` keeps the watermarked
+  * timestamp column alive through the typed projection.
+  */
+private[streaming] case class SessionEvent(
+  user_id: Long, event_id: Long, ts: java.sql.Timestamp, ts_us: Long)
+private[streaming] case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+private[streaming] case class ClosedSession(
+  user_id: Long, session_start_us: Long, session_end_us: Long,
+  n_events: Long, closed_by: String)
