@@ -79,6 +79,10 @@ object StreamingQueries {
     val prevStore = spark.conf.getOption(storeKey)
     spark.conf.set(key, StreamShufflePartitions)
     spark.conf.set(storeKey, StateStoreProvider)
+    // each drain start allocates a temp checkpoint dir; without this
+    // flag Spark leaves it behind (best-effort delete on stop) and
+    // repeated sweeps/bench reps accumulate state under /tmp
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     try {
       val q = agg.writeStream
         .outputMode(mode)
