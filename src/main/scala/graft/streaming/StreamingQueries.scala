@@ -858,6 +858,101 @@ object StreamingQueries {
        |   OR (session_end_us + $SessionGapUs) // 1000 < wm_ms
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** q141 rolling-throttle TTL (2 days in micros). */
+  private val ThrottleTtlUs = 2L * 86400L * 1000000L
+
+  /** q141 — TTL-BOUNDED streaming state: per-(user, event_type)
+    * notification throttling ("send at most one alert per key per
+    * rolling [[ThrottleTtlUs]] window") where EventTimeTimeout evicts
+    * idle keys so state size is bounded by the ACTIVE keyspace, not
+    * the all-time one. This is the piece q140 doesn't show: there the
+    * timeout CHANGES the answer (it closes sessions); here eviction is
+    * provably semantics-free — state for a key whose last sent alert
+    * is `ttl` behind the watermark can never suppress again (any
+    * non-late event has `ts > watermark >= last_sent + ttl`, so the
+    * greedy rule re-sends and re-seeds state identically), which is
+    * exactly the argument that lets a 100 TB deployment keep
+    * O(active keys) state over an unbounded stream. The timeout
+    * branch emits NOTHING and just removes state.
+    *
+    * Semantics (greedy, event-time only, deterministic under any
+    * micro-batching of the replay): per key in (ts, event_id) order,
+    * an event is `sent` iff `ts >= last_sent + ttl` (or no prior
+    * sent), else `suppressed`; `sent` advances `last_sent`. The
+    * oracle replays the same recurrence as a DuckDB recursive CTE
+    * over per-key row numbers (chain depth = events per key, ≤29 at
+    * sf0.1, so the recursion is shallow however large the corpus).
+    */
+  private def q141(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[ThrottleEvent]
+    drain(spark, throttleDecisions(ev).toDF(), "append")
+      .orderBy("user_id", "event_type", "ts_us", "event_id")
+  }
+
+  /** q141 core, exposed so TtlThrottleSpec can replay it multi-batch
+    * (where the advancing watermark actually EVICTS state between
+    * triggers) and assert the output is identical to the one-batch
+    * run — the semantics-free-eviction property, executed.
+    */
+  private[streaming] def throttleDecisions(
+      ev: org.apache.spark.sql.Dataset[ThrottleEvent]): org.apache.spark.sql.Dataset[ThrottleRow] = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ev.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[ThrottleState, ThrottleRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), events: Iterator[ThrottleEvent],
+         state: GroupState[ThrottleState]) =>
+          if (state.hasTimedOut) {
+            // pure state-size control: evict, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var lastSent = state.getOption.map(_.lastSentUs)
+            val out = sorted.map { e =>
+              val send = lastSent.forall(ls => e.ts_us >= ls + ThrottleTtlUs)
+              if (send) lastSent = Some(e.ts_us)
+              ThrottleRow(key._1, key._2, e.event_id, e.ts_us,
+                if (send) "sent" else "suppressed")
+            }
+            lastSent.foreach { ls =>
+              state.update(ThrottleState(ls))
+              state.setTimeoutTimestamp((ls + ThrottleTtlUs) / 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  private val q141Sql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_type, event_id,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+       |  FROM events),
+       |walk AS (
+       |  SELECT user_id, event_type, event_id, ts_us, rn,
+       |         ts_us AS last_sent, 'sent' AS action
+       |  FROM e WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.event_type, e.event_id, e.ts_us, e.rn,
+       |         CASE WHEN e.ts_us >= w.last_sent + $ThrottleTtlUs
+       |              THEN e.ts_us ELSE w.last_sent END,
+       |         CASE WHEN e.ts_us >= w.last_sent + $ThrottleTtlUs
+       |              THEN 'sent' ELSE 'suppressed' END
+       |  FROM e JOIN walk w
+       |    ON e.user_id = w.user_id AND e.event_type = w.event_type
+       |   AND e.rn = w.rn + 1)
+       |SELECT user_id, event_type, event_id, ts_us, action
+       |FROM walk ORDER BY user_id, event_type, ts_us, event_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -874,6 +969,7 @@ object StreamingQueries {
     QuerySpec("q136_gap_fill", q136, Some(q136Sql)),
     QuerySpec("q139_user_state_machine", q139, Some(q139Sql)),
     QuerySpec("q140_session_close_timeout", q140, Some(q140Sql)),
+    QuerySpec("q141_ttl_throttle", q141, Some(q141Sql)),
   )
 }
 
@@ -893,6 +989,17 @@ private[streaming] case class UserLifetimeRow(
 private[streaming] case class SessionEvent(
   user_id: Long, event_id: Long, ts: java.sql.Timestamp, ts_us: Long)
 private[streaming] case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+/** q141 typed-API records. `ThrottleEvent.ts` keeps the watermarked
+  * column alive through the typed projection (q140 precedent).
+  */
+private[streaming] case class ThrottleEvent(
+  user_id: Long, event_type: String, event_id: Long,
+  ts: java.sql.Timestamp, ts_us: Long)
+private[streaming] case class ThrottleState(lastSentUs: Long)
+private[streaming] case class ThrottleRow(
+  user_id: Long, event_type: String, event_id: Long, ts_us: Long,
+  action: String)
 private[streaming] case class ClosedSession(
   user_id: Long, session_start_us: Long, session_end_us: Long,
   n_events: Long, closed_by: String)
