@@ -71,13 +71,18 @@ object DupGraph {
       val neighborMin = sym.join(labels, sym("u") === labels("id"))
         .groupBy(col("v").as("id")).agg(min("comp").as("nmin"))
         .withColumnRenamed("id", "nid")
+      // the convergence count rides the checkpoint job itself
+      // (CollectMetrics above the localCheckpoint): one job per round
+      // instead of checkpoint + a separate filter/isEmpty probe
+      val obs = org.apache.spark.sql.Observation()
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           (coalesce(col("nmin"), col("comp")) < col("comp")).as("changed"))
+        .observe(obs, count(when(col("changed"), 1)).as("n_changed"))
         .localCheckpoint()
-      converged = next.filter(col("changed")).limit(1).isEmpty
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = next.select(col("id"), col("comp")) // projection over the checkpoint
       round += 1
     }
@@ -139,15 +144,27 @@ object DupGraph {
         .select(col("v").as("u"), col("m").as("v"))
       moved.union(mins.select(col("u"), col("m").as("v")))
     }
+    // edge counts ride each checkpoint job via CollectMetrics (the
+    // q59-loop trick): per round that drops the separate count() job,
+    // and the anti-join probe only runs when counts already match
+    // (i.e. at the fixpoint), so a round is checkpoint + nothing
+    val obs0 = org.apache.spark.sql.Observation()
     var cur = canon(edges.select(col("a_id").as("u"), col("b_id").as("v")))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
+    var curCount = obs0.get("n").asInstanceOf[Long]
     var round = 0
-    var converged = cur.limit(1).isEmpty
+    var converged = curCount == 0L
     while (!converged && round < MaxStarRounds) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint()
-      converged = next.count() == cur.count() &&
+      val obs = org.apache.spark.sql.Observation()
+      val next = canon(smallStar(largeStar(cur)))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val nextCount = obs.get("n").asInstanceOf[Long]
+      converged = nextCount == curCount &&
         next.join(cur, Seq("u", "v"), "left_anti").limit(1).isEmpty
       cur = next
+      curCount = nextCount
       round += 1
     }
     if (!converged)
