@@ -346,10 +346,105 @@ object DupGraph {
        |WHERE sp.bucket < ${TrainPrep.TrainPct} AND tc.n_heldout_members > 0
        |ORDER BY sp.doc_id""".stripMargin
 
+  /** q142 rank scale (micromass × 1e6): ranks are BIGINTs summing to
+    * ~[[PrScale]] across the subgraph, so every intermediate stays far
+    * under 2^63 and truncating integer division is the ONLY rounding
+    * — identical in both engines for positive operands.
+    */
+  private val PrScale = 1000000000000L
+
+  /** q142 damping = 85/100 and a fixed 5 iterations (unrolled in the
+    * oracle; no convergence probe, so the computation is a pure
+    * function of the edge list in both engines).
+    */
+  private val PrIters = 5
+
+  /** q142 — PAGERANK over the near-dup pair graph: the iterative
+    * link-analysis family (the one CC doesn't cover — value
+    * PROPAGATION rather than label collapse), run where it's useful
+    * in a corpus pipeline: scoring boilerplate HUBS. A template shared
+    * by many documents sits central in the near-dup graph; its
+    * PageRank concentrates mass from every spoke, so ranking the
+    * subgraph surfaces the templates a cleaning pass should inspect
+    * first (degree alone can't distinguish one 10-spoke hub from ten
+    * chained copies — rank can).
+    *
+    * Engine shape: the symmetrized q45 edge list is lazily
+    * checkpointed once (the pair-verification pipeline must not
+    * re-run per iteration), each iteration is one join + one groupBy
+    * over edges — the same shuffle unit as a CC round — and 5
+    * iterations compose into ONE linear plan evaluated by a single
+    * action (no per-round materialization: lineage is 5 deep, not
+    * exponential). Only the node count N crosses to the driver.
+    *
+    * Exactness: ranks are scaled integers ([[PrScale]]); each edge
+    * contributes `r_u DIV deg_u`, each update is
+    * `T + (85 · Σcontrib) DIV 100` with
+    * `T = (15 · PrScale) DIV (100 · N)` — every division truncates
+    * positive BIGINTs, which Spark's `DIV` and DuckDB's `//` agree on
+    * bit-for-bit. The oracle unrolls the 5 iterations as chained CTEs
+    * over the shared [[Dedup.jaccardScoredCte]] edge derivation.
+    */
+  private def q142(spark: SparkSession, dir: String): DataFrame = {
+    val sym = Dedup.jaccardPairs(spark, dir)
+      .select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(false)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val n = deg.count()
+    require(n > 0, "q142 needs a non-empty near-dup graph")
+    val teleport = (15L * PrScale) / (100L * n)
+    var r = deg.select(col("u").as("id"), lit(PrScale / n).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = sym
+        .join(deg, "u")
+        .join(r, sym("u") === r("id"))
+        .select(col("v"), expr("r DIV deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      r = deg.select(col("u").as("id"))
+        .join(contrib, col("id") === contrib("v"), "left")
+        .select(col("id"),
+          (lit(teleport) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+    }
+    r.join(deg, r("id") === deg("u"))
+      .select(col("id").as("doc_id"), col("deg").as("n_neighbors"),
+        col("r").as("rank_scaled"))
+      .orderBy("doc_id")
+  }
+
+  private val q142Sql = {
+    val step = (k: Int) =>
+      s"""c$k AS (
+         |  SELECT s.v, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+         |  FROM sym s JOIN deg d ON s.u = d.u JOIN r${k - 1} r ON r.id = s.u
+         |  GROUP BY s.v),
+         |r$k AS (
+         |  SELECT d.u AS id,
+         |         (15 * $PrScale) // (100 * n.n) + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM deg d LEFT JOIN c$k c ON c.v = d.u CROSS JOIN n)""".stripMargin
+    s"""WITH ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+       |n AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (SELECT u AS id, $PrScale // n.n AS r FROM deg CROSS JOIN n),
+       |${(1 to PrIters).map(step).mkString(",\n")}
+       |SELECT r.id AS doc_id, d.deg AS n_neighbors, CAST(r.r AS BIGINT) AS rank_scaled
+       |FROM r$PrIters r JOIN deg d ON d.u = r.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
     QuerySpec("q82_dedup_corpus", q82, Some(q82Sql)),
     QuerySpec("q91_dup_clusters_star", q91, Some(q59Sql)),
     QuerySpec("q116_neardup_contamination", q116, Some(q116Sql)),
+    QuerySpec("q142_pagerank_hubs", q142, Some(q142Sql)),
   )
 }
