@@ -440,11 +440,80 @@ object DupGraph {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q143 — TRIANGLE COUNTING + local clustering coefficient over the
+    * near-dup graph: the structural probe that tells a CLIQUE (a
+    * template stamped out many times — every copy near-dups every
+    * other) from a CHAIN (drifting edits — a near-dups b near-dups c,
+    * but a≁c). Dup clusters with high clustering coefficient are safe
+    * to collapse to one survivor; low-coefficient clusters deserve a
+    * look before deleting "duplicates" that differ end-to-end.
+    *
+    * The canonical distributed formulation: triangles enumerated once
+    * each as ordered triples a<b<c via two self-joins of the
+    * canonical (u<v) edge list — at cluster scale the join order
+    * pivots on orienting edges from low- to high-degree endpoints so
+    * no reducer sees a hub's full neighborhood squared; at this graph
+    * size (hundreds of verified pairs) plain joins are optimal.
+    * Integer-exact: coefficient reported as ppm,
+    * `(2·T·1e6) DIV (deg·(deg−1))` for deg ≥ 2, NULL below (both
+    * engines truncate positive BIGINTs identically).
+    */
+  private def q143(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.jaccardPairs(spark, dir)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint(false)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tri = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg").as("n_neighbors"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("""CASE WHEN deg >= 2
+               | THEN (2 * coalesce(n_triangles, CAST(0 AS BIGINT)) * 1000000)
+               |      DIV (deg * (deg - 1))
+               | END""".stripMargin.replace("\n", " ")).as("clustering_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val q143Sql =
+    s"""WITH ${Dedup.jaccardScoredCte},
+       |e AS (
+       |  SELECT a_id AS u, b_id AS v FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |deg AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY id),
+       |tri AS (
+       |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+       |  FROM e ab JOIN e bc ON ab.v = bc.u
+       |            JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+       |pn AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY id)
+       |SELECT deg.id AS doc_id, deg.deg AS n_neighbors,
+       |       COALESCE(pn.n_triangles, 0) AS n_triangles,
+       |       CASE WHEN deg.deg >= 2
+       |            THEN (2 * COALESCE(pn.n_triangles, 0) * 1000000)
+       |                 // (deg.deg * (deg.deg - 1))
+       |            END AS clustering_ppm
+       |FROM deg LEFT JOIN pn ON pn.id = deg.id
+       |ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
     QuerySpec("q82_dedup_corpus", q82, Some(q82Sql)),
     QuerySpec("q91_dup_clusters_star", q91, Some(q59Sql)),
     QuerySpec("q116_neardup_contamination", q116, Some(q116Sql)),
     QuerySpec("q142_pagerank_hubs", q142, Some(q142Sql)),
+    QuerySpec("q143_triangle_count", q143, Some(q143Sql)),
   )
 }
