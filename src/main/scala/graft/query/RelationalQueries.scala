@@ -303,6 +303,58 @@ object RelationalQueries {
        |       COUNT(*) AS n, CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
        |FROM orders GROUP BY 1 ORDER BY quarter""".stripMargin
 
+  /** q144 hot user id: half of all event traffic is collapsed onto
+    * this one key to PLANT the skew the query demonstrates handling
+    * (the q138 planted-fixture pattern — the synthetic events table
+    * is uniform, production never is: one bot account, one null-key
+    * convention, one default tenant).
+    */
+  private val HotUid = 42L
+
+  /** q144 — SALTED SKEW JOIN ([[graft.scale.Skew.saltedJoin]]): the
+    * join-side complement of q30's salted aggregation. Events are
+    * remapped so one "bot" user carries ~50% of all rows, then fact
+    * joins its user dimension on the hot key — unsalted, one reducer
+    * would receive half the fact table; salted, the hot key spreads
+    * over 16 (key, salt) cells with the dim's hot row replicated 16×
+    * (non-hot dim rows are NOT inflated). Result ≡ the plain join —
+    * the oracle IS the plain join+rollup — and `SaltedJoinSpec`
+    * asserts the spread actually happened (16 distinct salts, no
+    * cell holding the hot key's full row set). AQE's skew-join split
+    * is the first line of defense for oversized SMJ partitions; the
+    * salt is the remedy when a single key's matches exceed what any
+    * one task should hold.
+    */
+  private def q144(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("uid",
+        when(pmod(col("user_id"), lit(10)) < 5, lit(HotUid))
+          .otherwise(col("user_id")))
+    val dim = ev.select(col("uid")).distinct()
+      .withColumn("segment",
+        when(col("uid") === HotUid, lit("bot")).otherwise(lit("organic")))
+    graft.scale.Skew.saltedJoin(
+      ev.select(col("uid"), col("event_id"), col("value")), dim,
+      keyCols = Seq("uid"), hot = col("uid") === HotUid,
+      buckets = 16, saltSrc = col("event_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("uid")).as("n_users"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy("segment")
+  }
+
+  private val q144Sql =
+    s"""WITH ev AS (
+       |  SELECT CASE WHEN user_id % 10 < 5 THEN $HotUid ELSE user_id END AS uid,
+       |         value
+       |  FROM events)
+       |SELECT CASE WHEN uid = $HotUid THEN 'bot' ELSE 'organic' END AS segment,
+       |       COUNT(*) AS n_events,
+       |       CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_users,
+       |       ${moneySumSql("value")} AS total_value
+       |FROM ev GROUP BY 1 ORDER BY segment""".stripMargin
+
   /** q31 — pivot: quarter rows × priority columns (the dashboard
     * cross-tab shape). The oracle mirrors Spark's pivot with FILTER
     * conditional aggregation under the same output column names.
@@ -892,6 +944,7 @@ object RelationalQueries {
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
     QuerySpec("q30_salted_agg",       q30, Some(q30Sql)),
+    QuerySpec("q144_salted_join",     q144, Some(q144Sql)),
     QuerySpec("q31_pivot",            q31, Some(q31Sql)),
     QuerySpec("q34_asof_join",        q34, Some(q34Sql), headline = true),
     QuerySpec("q35_range_join",       q35, Some(q35Sql), headline = true),

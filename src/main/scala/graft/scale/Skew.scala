@@ -41,4 +41,38 @@ object Skew {
       .groupBy(keyNames.map(col): _*)
       .agg(merges.head, merges.tail: _*)
   }
+
+  /** Salted fact⋈dim equi-join for HOT fact keys: rows carrying a hot
+    * key are sprayed across `buckets` sub-keys (salt derived from
+    * `saltSrc`, a per-row deterministic column — no RNG, replayable),
+    * and the dim side replicates its hot rows once per bucket so
+    * every (key, salt) cell still finds its match. Non-hot keys keep
+    * salt 0 on both sides — dim inflation is `buckets × |hot dim
+    * rows|`, not `buckets × |dim|`. Same join result as the unsalted
+    * join (inner, on `keyCols`), but no reducer receives a hot key's
+    * full row set: the worst partition shrinks by ~`buckets`×.
+    *
+    * This is the manual fallback for the skew AQE can't fix:
+    * AQE skew-join splits oversized SMJ partitions of the FACT side
+    * but still routes every match of a hot key through the join; when
+    * the hot key's row set alone exceeds an executor (the 100 TB bot
+    * user, the null-key convention), pre-spreading the key is the
+    * standard remedy.
+    *
+    * `hot` must be a predicate over the join key columns (present on
+    * both sides by name).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      hot: Column,
+      buckets: Int,
+      saltSrc: Column): DataFrame = {
+    val f = fact.withColumn("__salt",
+      when(hot, pmod(hash(saltSrc), lit(buckets))).otherwise(lit(0)))
+    val d = dim.withColumn("__salt",
+      explode(when(hot, sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0)))))
+    f.join(d, keyCols :+ "__salt").drop("__salt")
+  }
 }

@@ -1,0 +1,61 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Proves q144's mechanism, not just its result (the oracle covers the
+  * result): the salted join (a) equals the unsalted join row-for-row,
+  * (b) actually SPREADS the hot key — all 16 salts occupied, no
+  * (key, salt) cell holding more than a fraction of the hot key's
+  * rows — and (c) does not inflate non-hot dim rows.
+  */
+class SaltedJoinSpec extends SparkSpec {
+
+  private val Hot = 42L
+  private val Buckets = 16
+
+  private def fixtures = {
+    val ev = graft.Tables.events(spark, sf)
+      .withColumn("uid",
+        when(pmod(col("user_id"), lit(10)) < 5, lit(Hot)).otherwise(col("user_id")))
+      .select(col("uid"), col("event_id"), col("value"))
+    val dim = ev.select(col("uid")).distinct()
+      .withColumn("segment",
+        when(col("uid") === Hot, lit("bot")).otherwise(lit("organic")))
+    (ev, dim)
+  }
+
+  test("salted join result equals the unsalted join") {
+    val (ev, dim) = fixtures
+    val salted = Skew.saltedJoin(ev, dim, Seq("uid"), col("uid") === Hot,
+      Buckets, col("event_id"))
+    val plain = ev.join(dim, "uid")
+    assert(salted.count() == plain.count())
+    assert(salted.join(plain, Seq("uid", "event_id", "segment"), "left_anti").isEmpty)
+  }
+
+  test("hot key spreads across all salts; no cell keeps the full hot row set") {
+    val (ev, _) = fixtures
+    val hotRows = ev.filter(col("uid") === Hot)
+      .withColumn("__salt", pmod(hash(col("event_id")), lit(Buckets)))
+    val perSalt = hotRows.groupBy(col("__salt")).count().collect()
+    val total = perSalt.map(_.getLong(1)).sum
+    assert(perSalt.length == Buckets,
+      s"expected $Buckets occupied salts, got ${perSalt.length}")
+    val maxCell = perSalt.map(_.getLong(1)).max
+    assert(maxCell * 4 < total,
+      s"one salt cell holds $maxCell of $total hot rows — not spread")
+  }
+
+  test("dim replication is buckets x hot rows only") {
+    val (_, dim) = fixtures
+    val d = dim.withColumn("__salt",
+      explode(when(col("uid") === Hot, sequence(lit(0), lit(Buckets - 1)))
+        .otherwise(array(lit(0)))))
+    val byHot = d.groupBy((col("uid") === Hot).as("hot"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("nk"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byHot(true)._1 == Buckets * byHot(true)._2)
+    assert(byHot(false)._1 == byHot(false)._2)
+  }
+}
