@@ -563,6 +563,60 @@ object Maintenance {
        |FROM events
        |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
 
+  /** q145 — OBSERVED data quality: the q81 constraint tier collected
+    * by `Dataset.observe` (CollectMetrics) DURING the pipeline's own
+    * action instead of by a second scan — at 100 TB the difference
+    * between "DQ audit" and "DQ audit that re-reads the lake". The
+    * events pipeline runs once to a noop sink with six metrics riding
+    * the scan (row count, null-value/negative-value violation counts,
+    * purchase/error class counts, exact decimal value total, ts
+    * span); the query's output IS the observation row, and the oracle
+    * recomputes every metric as an explicit aggregate — so the gate
+    * proves CollectMetrics sees exactly what a dedicated pass sees.
+    * All metrics are partial-mergeable by construction (counts,
+    * conditional counts, decimal sum, min/max) — the CollectMetrics
+    * contract.
+    */
+  private def q145(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.CleanExprs.moneySum
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("value").isNull.cast("long")).as("n_null_value"),
+        sum((col("value") < 0).cast("long")).as("n_negative_value"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchases"),
+        sum((col("event_type") === "error").cast("long")).as("n_errors"),
+        moneySum(col("value")).as("total_value"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((
+      m("n_rows").asInstanceOf[Long],
+      m("n_null_value").asInstanceOf[Long],
+      m("n_negative_value").asInstanceOf[Long],
+      m("n_purchases").asInstanceOf[Long],
+      m("n_errors").asInstanceOf[Long],
+      m("total_value").asInstanceOf[Double],
+      m("min_ts_us").asInstanceOf[Long],
+      m("max_ts_us").asInstanceOf[Long],
+    )).toDF("n_rows", "n_null_value", "n_negative_value", "n_purchases",
+        "n_errors", "total_value", "min_ts_us", "max_ts_us")
+  }
+
+  private val q145Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+      |       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_value,
+      |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+      |       CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_ts_us,
+      |       CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_ts_us,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
@@ -574,5 +628,6 @@ object Maintenance {
     QuerySpec("q128_table_profile", q128, Some(q128Sql)),
     QuerySpec("q132_k_anonymity", q132, Some(q132Sql)),
     QuerySpec("q133_incremental_rollup", q133, Some(q133Sql)),
+    QuerySpec("q145_observed_dq", q145, Some(q145Sql)),
   )
 }
