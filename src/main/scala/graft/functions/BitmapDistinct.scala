@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed aggregator computing an EXACT distinct count of dense
+  * non-negative ids via a bitmap OR — the warehouse trick that turns
+  * `COUNT(DISTINCT user_id)` from a two-shuffle expand-and-dedup into
+  * a single-pass algebraic aggregate: partials are fixed-size bit
+  * arrays, merge is word-wise OR (associative, commutative,
+  * parallelism-invariant), finish is a popcount. Unlike the HLL
+  * route (q134b) the answer is exact, so it oracle-gates against
+  * `COUNT(DISTINCT ...)` bit-for-bit.
+  *
+  * Scale contract: buffer size is `maxId/64` WORDS regardless of row
+  * count — right whenever the id domain is dense and bounded (user
+  * ids, dictionary-encoded keys); 1e8 ids = 12.5 MB partials, the
+  * standard segment-bitmap regime. Sparse/unbounded domains want a
+  * compressed (roaring) bitmap or the HLL sketch instead; ids beyond
+  * [[BitmapDistinct.MaxBits]] throw rather than silently mis-count.
+  */
+object BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
+
+  /** Hard cap on the id domain (2^24 bits = 2 MiB buffers): beyond
+    * this a direct-indexed bitmap is the wrong tool, so fail loudly.
+    */
+  val MaxBits: Long = 1L << 24
+
+  override def zero: Array[Long] = Array.empty
+
+  override def reduce(buf: Array[Long], id: Long): Array[Long] = {
+    require(id >= 0 && id < MaxBits,
+      s"BitmapDistinct: id $id outside dense domain [0, $MaxBits)")
+    val word = (id >> 6).toInt
+    val grown =
+      if (word < buf.length) buf
+      else java.util.Arrays.copyOf(buf, word + 1)
+    grown(word) |= 1L << (id & 63)
+    grown
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+    val out = java.util.Arrays.copyOf(big, big.length)
+    var i = 0
+    while (i < small.length) { out(i) |= small(i); i += 1 }
+    out
+  }
+
+  override def finish(buf: Array[Long]): Long = {
+    var n = 0L
+    var i = 0
+    while (i < buf.length) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+    n
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

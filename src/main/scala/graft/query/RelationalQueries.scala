@@ -231,6 +231,30 @@ object RelationalQueries {
       |       COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY quarter""".stripMargin
 
+  /** q146 — EXACT distinct via bitmap-OR UDAF
+    * ([[graft.functions.BitmapDistinct]]): the third point on the
+    * q27/q27b distinct-count spectrum. `COUNT(DISTINCT)` expands and
+    * re-shuffles the raw key stream; HLL (q27b/q134b) is single-pass
+    * but approximate; a direct-indexed bitmap is single-pass AND
+    * exact whenever the id domain is dense and bounded (user ids,
+    * dictionary codes) — partials are fixed-size words, merge is OR,
+    * finish is popcount. Because it's exact, this one oracle-gates
+    * bit-for-bit against `COUNT(DISTINCT user_id)` — a custom typed
+    * `Aggregator` whose output survives the hash compare.
+    */
+  private def q146(spark: SparkSession, dir: String): DataFrame = {
+    val bitmapDistinct = udaf(graft.functions.BitmapDistinct)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(bitmapDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  private val q146Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q27b — approximate distinct (HLL++): the 100 TB-scale variant of
     * q27. No oracle (sketch internals are engine-specific); the driver
     * records a rows-only check, and the ScalaTest spec asserts the
@@ -968,6 +992,7 @@ object RelationalQueries {
     QuerySpec("q26_setops",           q26, Some(q26Sql)),
     QuerySpec("q27_distinct_counts",  q27, Some(q27Sql)),
     QuerySpec("q27b_approx_distinct", q27b, None),
+    QuerySpec("q146_bitmap_distinct", q146, Some(q146Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
   )
 }
