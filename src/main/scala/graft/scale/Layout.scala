@@ -230,10 +230,57 @@ object Layout {
        |FROM c, t
        |ORDER BY cnt DESC, token LIMIT $SkewTopK""".stripMargin
 
+  /** q147 — SCHEMA EVOLUTION on read (`mergeSchema`): a decade-old
+    * lake never has one schema — columns arrive mid-history, and the
+    * reader must union generations without a rewrite. Fixture: the
+    * events slice with even ids is written as GENERATION 1 *without*
+    * the `value` column (the column didn't exist yet), odd ids as
+    * generation 2 with it; both land under one root as `gen=N`
+    * partitions. One `mergeSchema` read reconciles the footers —
+    * gen-1 rows surface `value` as NULL, the partition-discovery
+    * column tells provenance — and the rollup aggregates across both
+    * generations in one pass (decimal sum over the present values,
+    * null-aware counts). Oracle re-derives the same split from the
+    * source table, so the gate proves merged-read ≡ never-split.
+    * Temp generations are deleted after a localCheckpoint pins the
+    * result (the q135 hygiene pattern).
+    */
+  private def q147(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q147_evo").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.filter(pmod(col("event_id"), lit(2)) === 0).drop("value")
+      .write.parquet(s"$tmp/gen=1")
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .write.parquet(s"$tmp/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    val out = merged.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").isNotNull.cast("long")).as("n_with_value"),
+        sum((col("gen") === 1).cast("long")).as("n_gen1"),
+        CleanExprs.moneySum(col("value")).as("total_value"))
+      .orderBy("event_type")
+      .localCheckpoint()
+    scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp)))
+    out
+  }
+
+  private val q147Sql =
+    """SELECT event_type,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+      |       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1,
+      |       CAST(SUM(CASE WHEN event_id % 2 = 1
+      |                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q104_zorder_layout", q104, Some(q104Sql), headline = true),
     QuerySpec("q107_bucketed_join", q107, Some(q107Sql), headline = true),
     QuerySpec("q127_compaction_plan", q127, Some(q127Sql)),
     QuerySpec("q129_skew_report", q129, Some(q129Sql)),
+    QuerySpec("q147_schema_evolution", q147, Some(q147Sql)),
   )
 }
