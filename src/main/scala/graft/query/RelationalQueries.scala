@@ -255,6 +255,50 @@ object RelationalQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q148 — time-RANGE window frame: trailing-7-day revenue per event
+    * type where the frame is `RANGE [-6 days, now]` over event-time,
+    * NOT `ROWS -6` — the distinction that matters on SPARSE days: a
+    * rows-frame counts 7 *observed* rows (reaching weeks back across
+    * gaps), a range-frame counts calendar distance, exactly what a
+    * trailing-week metric means. The frame key is epoch seconds (a
+    * numeric range frame, codegen-friendly); day totals are exact
+    * BIGINT micros via the proven decimal-sum path, so the window
+    * sums and the truncating per-day average replay bit-for-bit in
+    * the oracle's `RANGE BETWEEN 518400 PRECEDING` window.
+    */
+  private def q148(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 6))) * 1000000L)
+        .cast("long").as("day_micros"))
+      .withColumn("day_s", col("day").cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_s"))
+      .rangeBetween(-6L * 86400L, 0L)
+    daily
+      .withColumn("trail7_micros", sum(col("day_micros")).over(w))
+      .withColumn("n_days_in_window", count(lit(1)).over(w))
+      .withColumn("trail7_avg_micros",
+        expr("trail7_micros DIV n_days_in_window"))
+      .select(col("event_type"), col("day"), col("day_micros"),
+        col("trail7_micros"), col("n_days_in_window"), col("trail7_avg_micros"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q148Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS day_micros
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, day_micros,
+      |       CAST(SUM(day_micros) OVER w AS BIGINT) AS trail7_micros,
+      |       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window,
+      |       CAST(SUM(day_micros) OVER w AS BIGINT)
+      |         // CAST(COUNT(*) OVER w AS BIGINT) AS trail7_avg_micros
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch(day)
+      |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
   /** q27b — approximate distinct (HLL++): the 100 TB-scale variant of
     * q27. No oracle (sketch internals are engine-specific); the driver
     * records a rows-only check, and the ScalaTest spec asserts the
@@ -993,6 +1037,7 @@ object RelationalQueries {
     QuerySpec("q27_distinct_counts",  q27, Some(q27Sql)),
     QuerySpec("q27b_approx_distinct", q27b, None),
     QuerySpec("q146_bitmap_distinct", q146, Some(q146Sql)),
+    QuerySpec("q148_range_frame", q148, Some(q148Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
   )
 }
