@@ -299,6 +299,97 @@ object RelationalQueries {
       |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  /** q149 — explicit GROUPING SETS with GROUPING() lineage flags: the
+    * general form behind q25's ROLLUP and q29's CUBE — an arbitrary
+    * set list ((quarter, mode), (quarter), (mode), ()) computed in ONE
+    * pass (Spark expands sets into a single Expand + aggregate, not
+    * one scan per set), with `GROUPING(col)` distinguishing "NULL
+    * because aggregated away" from a genuine NULL key — the flag a
+    * report consumer needs to tell subtotal rows apart.
+    */
+  private def q149(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("q149_orders")
+    spark.sql(
+      """SELECT quarter, mode,
+        |       CAST(grouping(quarter) AS INT) AS g_quarter,
+        |       CAST(grouping(mode) AS INT) AS g_mode,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+        |FROM (
+        |  SELECT CONCAT(CAST(year(o_orderdate) AS STRING), 'Q',
+        |                CAST(quarter(o_orderdate) AS STRING)) AS quarter,
+        |         o_orderpriority AS mode, o_totalprice
+        |  FROM q149_orders)
+        |GROUP BY GROUPING SETS ((quarter, mode), (quarter), (mode), ())
+        |ORDER BY g_quarter, g_mode, quarter NULLS FIRST, mode NULLS FIRST
+        |""".stripMargin)
+  }
+
+  private val q149Sql =
+    s"""WITH src AS (
+       |  SELECT (CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+       |         o_orderpriority AS mode, o_totalprice
+       |  FROM orders)
+       |SELECT quarter, mode,
+       |       CAST(GROUPING(quarter) AS INT) AS g_quarter,
+       |       CAST(GROUPING(mode) AS INT) AS g_mode,
+       |       COUNT(*) AS n,
+       |       CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+       |FROM src
+       |GROUP BY GROUPING SETS ((quarter, mode), (quarter), (mode), ())
+       |ORDER BY g_quarter, g_mode, quarter NULLS FIRST, mode NULLS FIRST""".stripMargin
+
+  /** q150 null-key planting period: every 97th event id loses its
+    * user attribution (the tracking-consent / legacy-row reality).
+    */
+  private val NullEvery = 97L
+
+  /** q150 — NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    * join a warehouse needs when the key itself can be legitimately
+    * NULL. A plain inner join silently DROPS null-key fact rows (SQL
+    * null-equality is UNKNOWN); the null-safe operator matches them
+    * to the dimension's null member — the "unattributed" bucket every
+    * funnel report must keep, because dropping it under-counts
+    * revenue. Planted: every [[NullEvery]]th event loses its user id;
+    * the dim (distinct uids + the null member) joins back null-safely
+    * and the rollup proves conservation — total joined rows = total
+    * events, the null segment carries exactly the planted rows.
+    * Spark's `<=>` stays a hash-joinable equality (no BNLJ — nulls
+    * hash to one partition; at 100 TB a hot null key is exactly the
+    * q144 salting case).
+    */
+  private def q150(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("uid",
+        when(pmod(col("event_id"), lit(NullEvery)) === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")))
+      .select(col("uid"), col("event_id"), col("value"))
+    val dim = ev.select(col("uid")).distinct()
+      .withColumn("segment",
+        when(col("uid").isNull, lit("unattributed"))
+          .when(pmod(col("uid"), lit(2)) === 0, lit("even_cohort"))
+          .otherwise(lit("odd_cohort")))
+    ev.as("f").join(dim.as("d"), col("f.uid") <=> col("d.uid"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("f.uid")).as("n_users"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy("segment")
+  }
+
+  private val q150Sql =
+    s"""WITH ev AS (
+       |  SELECT CASE WHEN event_id % $NullEvery = 0 THEN NULL ELSE user_id END AS uid,
+       |         value
+       |  FROM events)
+       |SELECT CASE WHEN uid IS NULL THEN 'unattributed'
+       |            WHEN uid % 2 = 0 THEN 'even_cohort'
+       |            ELSE 'odd_cohort' END AS segment,
+       |       COUNT(*) AS n_events,
+       |       CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_users,
+       |       ${moneySumSql("value")} AS total_value
+       |FROM ev GROUP BY 1 ORDER BY segment""".stripMargin
+
   /** q27b — approximate distinct (HLL++): the 100 TB-scale variant of
     * q27. No oracle (sketch internals are engine-specific); the driver
     * records a rows-only check, and the ScalaTest spec asserts the
@@ -1038,6 +1129,8 @@ object RelationalQueries {
     QuerySpec("q27b_approx_distinct", q27b, None),
     QuerySpec("q146_bitmap_distinct", q146, Some(q146Sql)),
     QuerySpec("q148_range_frame", q148, Some(q148Sql)),
+    QuerySpec("q149_grouping_sets", q149, Some(q149Sql)),
+    QuerySpec("q150_nullsafe_join", q150, Some(q150Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
   )
 }
