@@ -305,25 +305,23 @@ object RelationalQueries {
     * pass (Spark expands sets into a single Expand + aggregate, not
     * one scan per set), with `GROUPING(col)` distinguishing "NULL
     * because aggregated away" from a genuine NULL key — the flag a
-    * report consumer needs to tell subtotal rows apart.
+    * report consumer needs to tell subtotal rows apart. Built with the
+    * `Dataset.groupingSets` API (new in Spark 4) — no SQL detour.
     */
-  private def q149(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("q149_orders")
-    spark.sql(
-      """SELECT quarter, mode,
-        |       CAST(grouping(quarter) AS INT) AS g_quarter,
-        |       CAST(grouping(mode) AS INT) AS g_mode,
-        |       COUNT(*) AS n,
-        |       SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
-        |FROM (
-        |  SELECT CONCAT(CAST(year(o_orderdate) AS STRING), 'Q',
-        |                CAST(quarter(o_orderdate) AS STRING)) AS quarter,
-        |         o_orderpriority AS mode, o_totalprice
-        |  FROM q149_orders)
-        |GROUP BY GROUPING SETS ((quarter, mode), (quarter), (mode), ())
-        |ORDER BY g_quarter, g_mode, quarter NULLS FIRST, mode NULLS FIRST
-        |""".stripMargin)
-  }
+  private def q149(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(quarterKey(col("o_orderdate")).as("quarter"),
+        col("o_orderpriority").as("mode"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("quarter"), col("mode")), Seq(col("quarter")),
+          Seq(col("mode")), Seq.empty),
+        col("quarter"), col("mode"))
+      .agg(grouping(col("quarter")).cast("int").as("g_quarter"),
+        grouping(col("mode")).cast("int").as("g_mode"),
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .orderBy(col("g_quarter"), col("g_mode"),
+        col("quarter").asc_nulls_first, col("mode").asc_nulls_first)
 
   private val q149Sql =
     s"""WITH src AS (
