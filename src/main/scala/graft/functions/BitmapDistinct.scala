@@ -32,9 +32,12 @@ object BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
     require(id >= 0 && id < MaxBits,
       s"BitmapDistinct: id $id outside dense domain [0, $MaxBits)")
     val word = (id >> 6).toInt
+    // geometric growth: ascending-id input (sorted/range-partitioned
+    // layouts) would otherwise trigger a full copy per new 64-id
+    // block — O(words²) memmove instead of O(words)
     val grown =
       if (word < buf.length) buf
-      else java.util.Arrays.copyOf(buf, word + 1)
+      else java.util.Arrays.copyOf(buf, math.max(word + 1, buf.length * 2))
     grown(word) |= 1L << (id & 63)
     grown
   }

@@ -270,7 +270,8 @@ object Layout {
   private val q147Sql =
     """SELECT event_type,
       |       COUNT(*) AS n_rows,
-      |       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+      |       CAST(SUM(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
       |       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1,
       |       CAST(SUM(CASE WHEN event_id % 2 = 1
       |                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value

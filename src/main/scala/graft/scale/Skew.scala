@@ -69,10 +69,25 @@ object Skew {
       hot: Column,
       buckets: Int,
       saltSrc: Column): DataFrame = {
+    val (f, d) = saltedSides(fact, dim, hot, buckets, saltSrc)
+    f.join(d, keyCols :+ "__salt").drop("__salt")
+  }
+
+  /** The two salted inputs of [[saltedJoin]] with their `__salt`
+    * column still visible — exposed so SaltedJoinSpec can assert the
+    * spread and replication properties on the REAL implementation
+    * rather than a re-derivation.
+    */
+  private[scale] def saltedSides(
+      fact: DataFrame,
+      dim: DataFrame,
+      hot: Column,
+      buckets: Int,
+      saltSrc: Column): (DataFrame, DataFrame) = {
     val f = fact.withColumn("__salt",
       when(hot, pmod(hash(saltSrc), lit(buckets))).otherwise(lit(0)))
     val d = dim.withColumn("__salt",
       explode(when(hot, sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0)))))
-    f.join(d, keyCols :+ "__salt").drop("__salt")
+    (f, d)
   }
 }

@@ -923,7 +923,12 @@ object StreamingQueries {
             }
             lastSent.foreach { ls =>
               state.update(ThrottleState(ls))
-              state.setTimeoutTimestamp((ls + ThrottleTtlUs) / 1000L)
+              // round UP to the next ms: timeouts are ms-granular, and
+              // flooring could evict up to 999µs BEFORE last_sent+ttl —
+              // exactly the sub-ms window that would break the
+              // semantics-free-eviction invariant. Evicting late is
+              // always safe (state lingers; decisions stay identical).
+              state.setTimeoutTimestamp((ls + ThrottleTtlUs + 999L) / 1000L)
             }
             out.iterator
           }

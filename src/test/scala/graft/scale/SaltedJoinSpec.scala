@@ -35,27 +35,30 @@ class SaltedJoinSpec extends SparkSpec {
   }
 
   test("hot key spreads across all salts; no cell keeps the full hot row set") {
-    val (ev, _) = fixtures
-    val hotRows = ev.filter(col("uid") === Hot)
-      .withColumn("__salt", pmod(hash(col("event_id")), lit(Buckets)))
-    val perSalt = hotRows.groupBy(col("__salt")).count().collect()
+    val (ev, dim) = fixtures
+    val (f, _) = Skew.saltedSides(ev, dim, col("uid") === Hot, Buckets, col("event_id"))
+    val perSalt = f.filter(col("uid") === Hot)
+      .groupBy(col("__salt")).count().collect()
     val total = perSalt.map(_.getLong(1)).sum
     assert(perSalt.length == Buckets,
       s"expected $Buckets occupied salts, got ${perSalt.length}")
     val maxCell = perSalt.map(_.getLong(1)).max
     assert(maxCell * 4 < total,
       s"one salt cell holds $maxCell of $total hot rows — not spread")
+    // non-hot fact rows keep salt 0 (they must find the unreplicated dim row)
+    assert(f.filter(col("uid") =!= Hot && col("__salt") =!= 0).isEmpty)
   }
 
   test("dim replication is buckets x hot rows only") {
-    val (_, dim) = fixtures
-    val d = dim.withColumn("__salt",
-      explode(when(col("uid") === Hot, sequence(lit(0), lit(Buckets - 1)))
-        .otherwise(array(lit(0)))))
+    val (ev, dim) = fixtures
+    val (_, d) = Skew.saltedSides(ev, dim, col("uid") === Hot, Buckets, col("event_id"))
     val byHot = d.groupBy((col("uid") === Hot).as("hot"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("nk"))
-      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("nk"),
+        countDistinct(col("__salt")).as("ns"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(byHot(true)._1 == Buckets * byHot(true)._2)
+    assert(byHot(true)._3 == Buckets, "hot dim rows must cover every salt exactly once")
     assert(byHot(false)._1 == byHot(false)._2)
+    assert(byHot(false)._3 == 1L, "non-hot dim rows must keep the single salt 0")
   }
 }

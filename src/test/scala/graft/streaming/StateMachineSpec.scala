@@ -32,6 +32,9 @@ class StateMachineSpec extends SparkSpec {
     q.processAllAvailable()
     val nBatches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
+    // the memory sink holds the rows; the replay files are done with
+    scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir)))
     assert(nBatches >= 2, s"expected a multi-batch replay, got $nBatches batches")
     val twoBatch = StreamingQueries.latestStatePerUser(spark.table("q139_two_batch"))
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap

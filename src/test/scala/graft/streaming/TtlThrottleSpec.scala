@@ -38,6 +38,9 @@ class TtlThrottleSpec extends SparkSpec {
     q.processAllAvailable()
     val nBatches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
+    // the memory sink holds the rows; the replay files are done with
+    scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir)))
     assert(nBatches >= 2, s"expected a multi-batch replay, got $nBatches batches")
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getString(1), r.getLong(2))
