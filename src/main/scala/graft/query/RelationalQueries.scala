@@ -388,6 +388,45 @@ object RelationalQueries {
        |       ${moneySumSql("value")} AS total_value
        |FROM ev GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** q151 — EVENT-TRANSITION MATRIX: the behavioral Markov chain over
+    * per-user event streams (the q114 bigram pattern lifted from text
+    * tokens to user journeys). Each user's events ordered by event
+    * time form (prev → next) transitions; the matrix of counts with
+    * row-normalized probabilities is what powers next-action
+    * prediction, funnel-leak diagnosis, and bot detection (bots have
+    * degenerate rows). One window pass (shuffle on user_id) + one
+    * type-pair aggregate — the matrix is bounded by |types|², never
+    * by the stream; probabilities in integer ppm (positive truncating
+    * division, identical both engines).
+    */
+  private def q151(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("p_ppm", expr("(n * 1000000) DIV row_total"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val q151Sql =
+    """WITH pairs AS (
+      |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM pairs WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+      |       (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
   /** q27b — approximate distinct (HLL++): the 100 TB-scale variant of
     * q27. No oracle (sketch internals are engine-specific); the driver
     * records a rows-only check, and the ScalaTest spec asserts the
@@ -1129,6 +1168,7 @@ object RelationalQueries {
     QuerySpec("q148_range_frame", q148, Some(q148Sql)),
     QuerySpec("q149_grouping_sets", q149, Some(q149Sql)),
     QuerySpec("q150_nullsafe_join", q150, Some(q150Sql)),
+    QuerySpec("q151_event_transitions", q151, Some(q151Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
   )
 }
