@@ -25,7 +25,12 @@ object ExplainMain {
         // round-6 heavies (VERDICT r6 task 7): the slowest current
         // queries — their plans are the ones worth eyeballing per round
         "q83b_semantic_dedup_sql", "q120_dup_frames",
-        "q124_retention_cohorts", "q134_active_users", "q137_ab_experiment")
+        "q124_retention_cohorts", "q134_active_users", "q137_ab_experiment",
+        // round-7 additions worth plan-eyeballing: the iterative graph
+        // pair (share the q45 pair pipeline), the salted join, and the
+        // bitmap UDAF (ObjectHashAggregate two-phase)
+        "q142_pagerank_hubs", "q143_triangle_count", "q144_salted_join",
+        "q146_bitmap_distinct")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
