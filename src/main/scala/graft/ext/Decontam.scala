@@ -154,8 +154,83 @@ object Decontam {
        |FROM k LEFT JOIN hit ON k.doc_id = hit.doc_id
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Containment threshold for q155: flag a (train, test) pair when
+    * the train doc covers ≥ half of the test doc's distinct shingles.
+    */
+  private val ContainThreshold = 0.5
+
+  /** q155 — ASYMMETRIC containment decontamination: for each
+    * (train, test) candidate pair, containment = |train ∩ test| /
+    * |test| over distinct 3-word shingles. This is the leakage
+    * detector symmetric Jaccard (q45/q116) structurally misses: a
+    * 200-word benchmark item pasted into a 20k-word train document has
+    * Jaccard ≈ 0.01 but containment ≈ 1.0. q67 catches verbatim
+    * 8-gram copies; containment catches PARAPHRASE-ADJACENT leakage
+    * where most-but-not-all of the benchmark's vocabulary n-grams
+    * survive.
+    *
+    * Scale shape identical to q67: inverted index keyed by the
+    * shingle md5 (digests through the shuffle, never text), test side
+    * tiny in production → broadcast; the denominator |test| rides the
+    * index rows so the ratio needs no extra join. Int/int division →
+    * bit-identical doubles (q45 precedent).
+    */
+  private def q155(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", TrainPrep.splitBucket(col("doc_id")))
+      .select(col("doc_id"), col("bucket"),
+        graft.functions.word_shingles(col("text"), 3).as("sh"))
+    val grams = docs.select(col("doc_id"), col("bucket"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("bucket"), col("nsh"),
+        md5(to_binary(col("s"), lit("utf-8"))).as("gh"))
+    val train = grams.filter(col("bucket") < TrainPrep.TrainPct)
+      .select(col("doc_id").as("train_id"), col("gh"))
+    val test = grams.filter(col("bucket") >= TrainPrep.TrainPct + TrainPrep.ValPct)
+      .select(col("doc_id").as("test_id"), col("nsh").as("n_test_sh"), col("gh"))
+    train.join(test, "gh")
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("n_test_sh")).as("n_test_sh"))
+      .withColumn("containment", col("n_shared") / col("n_test_sh"))
+      .filter(col("containment") >= ContainThreshold)
+      .select(col("train_id"), col("test_id"), col("n_shared").cast("int").as("n_shared"),
+        col("n_test_sh"), col("containment"))
+      .orderBy("train_id", "test_id")
+  }
+
+  private val q155Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+       |         string_split(text, ' ') AS ws
+       |  FROM documents),
+       |docsh AS (
+       |  SELECT doc_id, bucket, list(DISTINCT s) AS sh FROM (
+       |    SELECT doc_id, bucket,
+       |           CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                ELSE array_to_string(ws, ' ') END AS s
+       |    FROM (SELECT doc_id, bucket, ws,
+       |                 unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+       |                             ELSE [1] END) AS i
+       |          FROM w))
+       |  GROUP BY doc_id, bucket),
+       |g AS (SELECT doc_id, bucket, CAST(len(sh) AS INT) AS nsh, md5(unnest(sh)) AS gh
+       |      FROM docsh),
+       |tr AS (SELECT doc_id AS train_id, gh FROM g WHERE bucket < ${TrainPrep.TrainPct}),
+       |te AS (SELECT doc_id AS test_id, nsh AS n_test_sh, gh FROM g
+       |       WHERE bucket >= ${TrainPrep.TrainPct + TrainPrep.ValPct})
+       |SELECT train_id, test_id,
+       |       CAST(COUNT(*) AS INT) AS n_shared,
+       |       MIN(n_test_sh) AS n_test_sh,
+       |       COUNT(*) / MIN(n_test_sh) AS containment
+       |FROM tr JOIN te USING (gh)
+       |GROUP BY train_id, test_id
+       |HAVING COUNT(*) / MIN(n_test_sh) >= $ContainThreshold
+       |ORDER BY train_id, test_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q67_decontaminate", q67, Some(q67Sql), headline = true),
     QuerySpec("q73_bloom_blocklist", q73, Some(q73Sql), headline = true),
+    QuerySpec("q155_containment_decontam", q155, Some(q155Sql)),
   )
 }

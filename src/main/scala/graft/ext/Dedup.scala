@@ -619,6 +619,99 @@ object Dedup {
       |GROUP BY 1 HAVING COUNT(*) >= 2
       |ORDER BY canonical_id""".stripMargin
 
+  /** q152 — PREFIX-FILTER similarity join (SSJoin/PPJoin candidate
+    * generation) at Jaccard ≥ 0.5: the provably-LOSSLESS alternative
+    * to q45's DF-capped inverted index.
+    *
+    * Principle: order every document's shingles by a global frequency
+    * order (df asc, shingle asc) and index only each doc's PREFIX of
+    * length |A| − ⌈t·|A|⌉ + 1. If J(A,B) ≥ t then the overlap o
+    * satisfies o ≥ t·(|A|+|B|)/(1+t) ≥ t·(|A|+o)/(1+t) (as |B| ≥ o),
+    * hence o ≥ t·|A| — so A and B must share a token inside BOTH
+    * prefixes, and candidate generation over prefixes alone misses
+    * nothing. Contrast with q45's stop-shingle DF cap, which can in
+    * principle drop a true pair whose shared shingles are all
+    * frequent; q152 trades that (tiny) recall risk for a slightly
+    * larger index of only the RAREST ~half of each doc's tokens —
+    * exactly the tokens with the shortest postings lists, so the
+    * self-join fan-out stays small. At 100 TB this is the shape
+    * published set-similarity joins use: the shuffle key is a shingle,
+    * prefix postings are the rare tokens, and the O(n²) pair space is
+    * never touched.
+    *
+    * Per-doc ordering is a `Window.partitionBy(doc_id)` row_number —
+    * no global rank materialization, so nothing in the plan is
+    * single-partition. Verify stage identical to q45 (exact Jaccard
+    * on the full distinct-shingle arrays; int/int division →
+    * bit-identical doubles).
+    */
+  private def q152(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .localCheckpoint(false)
+    val sh = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // prefix length |A| − ⌈|A|/2⌉ + 1 in pure integer arithmetic
+    val pref = sh.join(dfreq, "s")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .join(d.select(col("doc_id"), size(col("sh")).as("nsh")), "doc_id")
+      .filter(col("rn") <= expr("nsh - ((nsh + 1) div 2) + 1"))
+      .select(col("doc_id"), col("s"))
+    val cand = pref.select(col("s"), col("doc_id").as("a_id"))
+      .join(pref.select(col("s"), col("doc_id").as("b_id")), "s")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val da = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val db = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    cand.join(da, "a_id").join(db, "b_id")
+      .select(
+        col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+        size(col("a_sh")).as("na"),
+        size(col("b_sh")).as("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val q152Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |docsh AS (
+      |  SELECT doc_id, list(DISTINCT s) AS sh FROM (
+      |    SELECT doc_id,
+      |           CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                ELSE array_to_string(ws, ' ') END AS s
+      |    FROM (SELECT doc_id, ws,
+      |                 unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+      |                             ELSE [1] END) AS i
+      |          FROM w))
+      |  GROUP BY doc_id),
+      |sh AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
+      |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      |nshs AS (SELECT doc_id, CAST(len(sh) AS INT) AS nsh FROM docsh),
+      |pref AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT sh.doc_id, sh.s, nshs.nsh,
+      |           ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY dfreq.df, sh.s) AS rn
+      |    FROM sh JOIN dfreq USING (s) JOIN nshs USING (doc_id))
+      |  WHERE rn <= nsh - ((nsh + 1) // 2) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT a_id, b_id,
+      |         CAST(len(list_intersect(da.sh, db.sh)) AS INT) AS inter,
+      |         CAST(len(da.sh) AS INT) AS na, CAST(len(db.sh) AS INT) AS nb
+      |  FROM cand JOIN docsh da ON a_id = da.doc_id JOIN docsh db ON b_id = db.doc_id)
+      |SELECT a_id, b_id, inter, na, nb,
+      |       inter / (na + nb - inter) AS jaccard
+      |FROM scored WHERE inter / (na + nb - inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
@@ -631,5 +724,6 @@ object Dedup {
     QuerySpec("q80_incremental_dedup", q80, Some(q80Sql)),
     QuerySpec("q98_dup_span_removal", q98, Some(q98Sql), headline = true),
     QuerySpec("q122_bow_dedup", q122, Some(q122Sql)),
+    QuerySpec("q152_prefix_filter_join", q152, Some(q152Sql)),
   )
 }

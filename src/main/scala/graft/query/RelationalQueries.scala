@@ -1136,6 +1136,117 @@ object RelationalQueries {
       |            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
       |FROM customer ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin
 
+  /** Interval width for q156: each event occupies [ts, ts + 5 min). */
+  private val ConcurrencyWindowUs = 300000000L
+
+  /** q156 — PEAK CONCURRENCY via a sweep line: treat each event as a
+    * 5-minute interval, emit (+1 at start, −1 at end) deltas, running
+    * sum in event order = live-interval count; the max prefix sum per
+    * event type is the peak, `min(t)` at the peak its first time.
+    * End-exclusive tie rule: at equal timestamps ends sort before
+    * starts (`delta` ascending), so back-to-back intervals never
+    * count as concurrent.
+    *
+    * The per-row prefix values are made engine-identical by a TOTAL
+    * sort key (t, delta, event_id); peak and first-peak-time are
+    * tie-invariant anyway (the multiset of prefix sums at a timestamp
+    * doesn't depend on intra-tie order), so the hash compare pins
+    * both the invariant and the tiebreak.
+    *
+    * Scale: one shuffle on the partition key + a per-partition sort —
+    * the standard distributed sweep. Partitioning by event_type alone
+    * (5 keys) would skew at 100 TB; the production refinement slices
+    * the sweep by (event_type, day) and corrects each slice with the
+    * count of intervals straddling its lower boundary — same plan
+    * shape, finer key. Documented, not needed at this SF.
+    */
+  private def q156(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+    val pts = e.select(col("event_type"), col("us").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+      .unionAll(e.select(col("event_type"),
+        (col("us") + lit(ConcurrencyWindowUs)).as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val sweep = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = pts.withColumn("c", sum(col("delta")).over(sweep))
+    val peak = run.groupBy(col("event_type"))
+      .agg(max(col("c")).as("peak_concurrency"))
+    run.join(peak, "event_type")
+      .filter(col("c") === col("peak_concurrency"))
+      .groupBy(col("event_type"), col("peak_concurrency"))
+      .agg(min(col("t")).as("peak_at_us"))
+      .select(col("event_type"), col("peak_concurrency").cast("int").as("peak_concurrency"),
+        col("peak_at_us"))
+      .orderBy("event_type")
+  }
+
+  private val q156Sql =
+    s"""WITH pts AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+       |         CAST(1 AS BIGINT) AS delta, event_id
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) + $ConcurrencyWindowUs AS t,
+       |         CAST(-1 AS BIGINT) AS delta, event_id
+       |  FROM events),
+       |run AS (
+       |  SELECT event_type, t,
+       |         CAST(SUM(delta) OVER (PARTITION BY event_type
+       |                               ORDER BY t, delta, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+       |  FROM pts),
+       |pk AS (SELECT event_type, MAX(c) AS peak FROM run GROUP BY event_type)
+       |SELECT run.event_type,
+       |       CAST(pk.peak AS INT) AS peak_concurrency,
+       |       MIN(run.t) AS peak_at_us
+       |FROM run JOIN pk ON run.event_type = pk.event_type AND run.c = pk.peak
+       |GROUP BY run.event_type, pk.peak
+       |ORDER BY run.event_type""".stripMargin
+
+  /** q157 — EXACT cumulative distinct users per day ("users to date")
+    * via first-touch materialization: `min(day) per user` turns the
+    * cumulative-COUNT(DISTINCT) — which naively needs either a
+    * per-day rescan of all history or an ever-growing distinct state —
+    * into one groupBy(user) plus a ~days-row rollup. `new_users` is
+    * the first-seen count per day, `cum_users` its running sum over
+    * the (bounded, tiny) day domain; days with no new users still
+    * appear via the left join against the observed day spine.
+    *
+    * The final cumulative window is unpartitioned on purpose: it runs
+    * over the post-aggregate day spine (≤ a few thousand rows at any
+    * scale), not over events — same bounded-domain exemption as q24's
+    * quarter window.
+    */
+  private def q157(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val newByDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val days = ev.select(col("day")).distinct()
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(newByDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(cum))
+      .orderBy("day")
+  }
+
+  private val q157Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+      |fs AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id),
+      |nd AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day),
+      |d AS (SELECT DISTINCT day FROM ev)
+      |SELECT d.day,
+      |       COALESCE(nd.new_users, 0) AS new_users,
+      |       CAST(SUM(COALESCE(nd.new_users, 0)) OVER
+      |            (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM d LEFT JOIN nd USING (day)
+      |ORDER BY day""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
@@ -1169,6 +1280,8 @@ object RelationalQueries {
     QuerySpec("q149_grouping_sets", q149, Some(q149Sql)),
     QuerySpec("q150_nullsafe_join", q150, Some(q150Sql)),
     QuerySpec("q151_event_transitions", q151, Some(q151Sql)),
+    QuerySpec("q156_max_concurrency", q156, Some(q156Sql)),
+    QuerySpec("q157_cumulative_distinct", q157, Some(q157Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
   )
 }
