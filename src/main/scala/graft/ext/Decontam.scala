@@ -86,9 +86,9 @@ object Decontam {
     * probe stride never degenerates). Engine-identical by
     * construction; `th` is the md5 hex of the key.
     */
-  private def bloomH1(th: Column): Column =
+  private[graft] def bloomH1(th: Column): Column =
     conv(substring(th, 1, 15), 16, 10).cast("long")
-  private def bloomH2(th: Column): Column =
+  private[graft] def bloomH2(th: Column): Column =
     conv(substring(th, 16, 15), 16, 10).cast("long").bitwiseOR(1)
 
   /** q73 — blocklist filtering via a broadcast Bloom filter: the

@@ -617,6 +617,115 @@ object Maintenance {
       |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events""".stripMargin
 
+  /** Bucket count for the q158 digest exchange. */
+  private val MerkleBuckets = 64
+
+  /** q158 — MERKLE-style table sync: find where two table versions
+    * differ by exchanging per-bucket digests FIRST, then running the
+    * row-level diff ONLY inside differing buckets. Phase 1 reduces
+    * each version to `MerkleBuckets` rows of (row count, order-
+    * independent digest sum) — at 100 TB the cross-site/cross-version
+    * comparison ships 64 digest rows, not two tables (the
+    * anti-entropy shape DynamoDB/Cassandra replica repair uses).
+    * Phase 2 joins row-level digests only for rows whose bucket
+    * failed the phase-1 compare — a broadcast semi-join against the
+    * (tiny) differing-bucket list prunes both sides before the
+    * expensive full-outer row diff (q105 runs that diff globally;
+    * this is its incremental form).
+    *
+    * Determinism: the bucket is the q58 md5 bucket, the row digest a
+    * 32-bit md5 chunk of (doc_id, content-digest) — both
+    * engine-portable, and SUM over ≤2^32-valued terms is
+    * order-independent and overflow-safe in BIGINT. A digest-sum
+    * collision masking a real difference would need md5 chunks to
+    * cancel exactly — and both engines compute the identical sum
+    * either way, so the hash compare stays exact regardless.
+    */
+  private def q158(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val v1 = base.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    val v2 = base.filter(col("doc_id") % 13 =!= 2)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("digest"))
+    def keyed(v: DataFrame): DataFrame = v
+      .withColumn("bucket", graft.ext.TrainPrep.md5Bucket(col("doc_id"), MerkleBuckets))
+      .withColumn("rh",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("digest"))), 1, 8), 16, 10)
+          .cast("long"))
+    val b1 = keyed(v1).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_v1"), sum(col("rh")).as("s1"))
+    val b2 = keyed(v2).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_v2"), sum(col("rh")).as("s2"))
+    val differing = b1.join(b2, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        coalesce(col("s1"), lit(0L)).as("s1"),
+        coalesce(col("s2"), lit(0L)).as("s2"))
+      .filter(col("n_v1") =!= col("n_v2") || col("s1") =!= col("s2"))
+    val diffBuckets = broadcast(differing.select(col("bucket")))
+    val r1 = keyed(v1).join(diffBuckets, Seq("bucket"), "left_semi")
+      .select(col("doc_id"), col("bucket"), col("digest").as("d1"))
+    val r2 = keyed(v2).join(diffBuckets, Seq("bucket"), "left_semi")
+      .select(col("doc_id"), col("digest").as("d2"))
+    // bucket is a pure function of doc_id, so pruning each side to the
+    // differing buckets BEFORE the full-outer row join loses nothing
+    val rows = r1.join(r2, Seq("doc_id"), "full_outer")
+      .withColumn("bucket",
+        coalesce(col("bucket"), graft.ext.TrainPrep.md5Bucket(col("doc_id"), MerkleBuckets)))
+    rows.groupBy(col("bucket"))
+      .agg(
+        sum(col("d1").isNull.cast("long")).as("n_added"),
+        sum(col("d2").isNull.cast("long")).as("n_removed"),
+        sum((col("d1").isNotNull && col("d2").isNotNull && col("d1") =!= col("d2"))
+          .cast("long")).as("n_changed"))
+      .join(differing.select(col("bucket"), col("n_v1"), col("n_v2")), "bucket")
+      .select(col("bucket"), col("n_v1"), col("n_v2"),
+        col("n_added"), col("n_removed"), col("n_changed"))
+      .orderBy("bucket")
+  }
+
+  private val q158Sql =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, md5(text) AS digest
+       |  FROM documents WHERE doc_id % 11 != 5),
+       |v2 AS (
+       |  SELECT doc_id,
+       |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS digest
+       |  FROM documents WHERE doc_id % 13 != 2),
+       |k1 AS (
+       |  SELECT doc_id, digest,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $MerkleBuckets AS bucket,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || digest), 1, 8))::BIGINT AS rh
+       |  FROM v1),
+       |k2 AS (
+       |  SELECT doc_id, digest,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $MerkleBuckets AS bucket,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || digest), 1, 8))::BIGINT AS rh
+       |  FROM v2),
+       |b1 AS (SELECT bucket, COUNT(*) AS n_v1, CAST(SUM(rh) AS BIGINT) AS s1 FROM k1 GROUP BY bucket),
+       |b2 AS (SELECT bucket, COUNT(*) AS n_v2, CAST(SUM(rh) AS BIGINT) AS s2 FROM k2 GROUP BY bucket),
+       |differing AS (
+       |  SELECT bucket,
+       |         COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2,
+       |         COALESCE(s1, 0) AS s1, COALESCE(s2, 0) AS s2
+       |  FROM b1 FULL OUTER JOIN b2 USING (bucket)
+       |  WHERE COALESCE(n_v1, 0) != COALESCE(n_v2, 0) OR COALESCE(s1, 0) != COALESCE(s2, 0)),
+       |rows_ AS (
+       |  SELECT COALESCE(k1.bucket, k2.bucket) AS bucket, k1.digest AS d1, k2.digest AS d2
+       |  FROM k1 FULL OUTER JOIN k2 USING (doc_id)
+       |  WHERE COALESCE(k1.bucket, k2.bucket) IN (SELECT bucket FROM differing))
+       |SELECT differing.bucket, differing.n_v1, differing.n_v2,
+       |       CAST(SUM(CASE WHEN d1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |       CAST(SUM(CASE WHEN d2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST(SUM(CASE WHEN d1 IS NOT NULL AND d2 IS NOT NULL AND d1 != d2
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+       |FROM rows_ JOIN differing USING (bucket)
+       |GROUP BY differing.bucket, differing.n_v1, differing.n_v2
+       |ORDER BY differing.bucket""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
@@ -629,5 +738,6 @@ object Maintenance {
     QuerySpec("q132_k_anonymity", q132, Some(q132Sql)),
     QuerySpec("q133_incremental_rollup", q133, Some(q133Sql)),
     QuerySpec("q145_observed_dq", q145, Some(q145Sql)),
+    QuerySpec("q158_merkle_diff", q158, Some(q158Sql)),
   )
 }

@@ -277,11 +277,77 @@ object Layout {
       |                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Bloom sizing for q153: 2^18 bits (32 KiB sketch) × 6 probes —
+    * at sf0.1's ~27k urgent order keys the false-positive rate is
+    * ≈ (1 − e^(−kn/m))^k ≈ 1%; production sizes m to the build side.
+    */
+  private val SemiJoinBloomBits = 1 << 18
+  private val SemiJoinBloomK    = 6
+
+  /** q153 — RUNTIME-FILTER (Bloom) semi-join reduction: the
+    * classic "ship a filter, not the rows" join optimization. The
+    * build side (urgent orders) reduces to one 32 KiB Bloom sketch
+    * (associative OR → exact at any parallelism), which BROADCASTS to
+    * the probe side so ~80% of lineitem rows are dropped MAP-SIDE,
+    * before the join shuffle ever materializes them. The exact join
+    * then removes the ~1% Bloom false positives, so the result is
+    * byte-identical to the plain join — no false negatives by
+    * construction (every true key set its own bits).
+    *
+    * At 100 TB this is the difference between shuffling the full fact
+    * table and shuffling the ~selectivity fraction of it; Spark's own
+    * `runtime.bloomFilter` optimization injects exactly this shape,
+    * and building it explicitly makes the mechanism (and its
+    * engine-portable [[graft.functions.Bloom64]] bit layout, verified
+    * by the oracle's plain join) part of the tested surface.
+    * BloomJoinSpec pins the reduction claims the oracle can't see:
+    * the pre-filter passes every true key and drops most of the rest.
+    */
+  private def q153(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val keyHash = md5(to_binary(col("o_orderkey").cast("string"), lit("utf-8")))
+    val sketch = urgent
+      .select(graft.ext.Decontam.bloomH1(keyHash).as("h1"),
+        graft.ext.Decontam.bloomH2(keyHash).as("h2"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0) // one global sketch; partial agg stays map-side
+      .agg(graft.functions.BloomAgg(SemiJoinBloomBits, SemiJoinBloomK).toColumn.name("bloom"))
+      .toDF("g", "bloom").select(col("bloom"))
+    val probeHash = md5(to_binary(col("l_orderkey").cast("string"), lit("utf-8")))
+    val pre = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        graft.ext.Decontam.bloomH1(probeHash).as("h1"),
+        graft.ext.Decontam.bloomH2(probeHash).as("h2"))
+      .crossJoin(broadcast(sketch))
+      .filter(graft.functions.bloom_might_contain(
+        col("bloom"), col("h1"), col("h2"), SemiJoinBloomBits, SemiJoinBloomK))
+    pre.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        CleanExprs.moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("month")
+  }
+
+  private val q153Sql =
+    s"""SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+       |       COUNT(*) AS n_items,
+       |       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |       ${CleanExprs.moneySumSql("l.l_extendedprice")} AS revenue
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE o.o_orderpriority = '1-URGENT'
+       |GROUP BY 1 ORDER BY month""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q104_zorder_layout", q104, Some(q104Sql), headline = true),
     QuerySpec("q107_bucketed_join", q107, Some(q107Sql), headline = true),
     QuerySpec("q127_compaction_plan", q127, Some(q127Sql)),
     QuerySpec("q129_skew_report", q129, Some(q129Sql)),
     QuerySpec("q147_schema_evolution", q147, Some(q147Sql)),
+    QuerySpec("q153_bloom_semi_join", q153, Some(q153Sql)),
   )
 }

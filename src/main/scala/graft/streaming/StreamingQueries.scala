@@ -958,6 +958,37 @@ object StreamingQueries {
        |SELECT user_id, event_type, event_id, ts_us, action
        |FROM walk ORDER BY user_id, event_type, ts_us, event_id""".stripMargin
 
+  /** q154 — WATERMARK-BOUNDED streaming dedup:
+    * `dropDuplicatesWithinWatermark` on (user_id, event_type). q62's
+    * `dropDuplicates` keeps every key it has ever seen — state grows
+    * with lifetime distinct keys, the thing that OOMs an unbounded
+    * firehose. This variant drops a key's dedup entry once the
+    * watermark passes its event time + the 2-day delay, so state is
+    * proportional to the LAST TWO DAYS of traffic at any stream
+    * length — the production shape for at-least-once ingestion where
+    * duplicates arrive close to the original (retries, replays). The
+    * documented trade: a duplicate arriving later than the delay
+    * re-emits. Single-batch replay ⇒ no mid-stream eviction ⇒ result
+    * equals global DISTINCT (the oracle); the eviction-then-re-emit
+    * behavior and the within-delay suppression are pinned by
+    * WatermarkDedupSpec's three-batch replay.
+    *
+    * Emitting only the KEY columns keeps the result independent of
+    * which physical row wins the per-key race (q62 precedent).
+    */
+  private def q154(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    drain(spark, deduped, "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  private val q154Sql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
