@@ -989,6 +989,65 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q159 — stream-stream LEFT OUTER interval join: q65's attribution
+    * join, but purchases with NO view in the preceding 24h must still
+    * emit (with a null view_id) — the shape that distinguishes "no
+    * match yet" from "no match ever", which only the watermark can
+    * decide. A buffered purchase can emit its outer null only once
+    * the global watermark guarantees no qualifying view can still
+    * arrive (watermark > p_ts, since any future view has
+    * v_ts ≥ watermark > p_ts ≥ required v_ts); Spark emits those
+    * nulls in the post-data watermark-advance batch. Purchases above
+    * the final watermark stay buffered and never emit an outer row —
+    * the oracle mirrors that cutoff exactly (see the strict `<`
+    * below), making the emission rule itself part of the checked
+    * contract (q79/q140 precedent).
+    */
+  private def q159(spark: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 day")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"),
+      "left_outer")
+    drain(spark, joined, "append")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
+  private val q159Sql =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+      |wm AS (SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM v))
+      |              - INTERVAL 1 DAY AS w),
+      |matched AS (
+      |  SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+      |  FROM p JOIN v
+      |    ON p.user_id = v.user_id
+      |   AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+      |       BETWEEN 0 AND 86400000000),
+      |outer_null AS (
+      |  SELECT p.user_id, p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS view_id
+      |  FROM p
+      |  WHERE epoch_ms(CAST(p.ts AS TIMESTAMP)) < epoch_ms((SELECT w FROM wm))
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM v WHERE v.user_id = p.user_id
+      |        AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+      |            BETWEEN 0 AND 86400000000))
+      |SELECT user_id, purchase_id, view_id FROM matched
+      |UNION ALL
+      |SELECT user_id, purchase_id, view_id FROM outer_null
+      |ORDER BY user_id, purchase_id, view_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -1006,6 +1065,8 @@ object StreamingQueries {
     QuerySpec("q139_user_state_machine", q139, Some(q139Sql)),
     QuerySpec("q140_session_close_timeout", q140, Some(q140Sql)),
     QuerySpec("q141_ttl_throttle", q141, Some(q141Sql)),
+    QuerySpec("q154_stream_dedup_watermark", q154, Some(q154Sql)),
+    QuerySpec("q159_stream_outer_join", q159, Some(q159Sql)),
   )
 }
 
