@@ -1315,6 +1315,83 @@ object TextStats {
       |FROM m, top1
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  /** Expected chunk length for q160: a word is a cut point when its
+    * md5 bucket mod CdcDivisor is 0 → chunks average ~CdcDivisor
+    * tokens.
+    */
+  private val CdcDivisor = 16
+
+  /** q160 — CONTENT-DEFINED chunking (token-level CDC): a chunk
+    * boundary falls AFTER every word whose md5 bucket mod 16 is 0,
+    * so boundaries depend only on LOCAL content — never on offsets.
+    * That is the property fixed-size chunking (q87) lacks and dedup
+    * storage/transfer systems (rsync, LBFS, backup dedupe) rely on:
+    * insert a sentence at the top of a document and every q87 window
+    * shifts (all digests change), while every CDC chunk after the
+    * next cut point keeps its exact digest — so chunk-level dedup
+    * still matches the unchanged tail. CdcChunkingSpec pins exactly
+    * that resilience contrast.
+    *
+    * Scale shape: pure map stage like q87 — cut detection, boundary
+    * assembly, and slicing all happen inside per-row array
+    * expressions (no explode-regroup, so no shuffle carries words;
+    * chunk text leaves the row only as a 16-byte digest). The
+    * higher-order lambdas here evaluate interpreted, which is
+    * acceptable off the hot path at ~n_words evals/doc; the hot-loop
+    * alternative is a native expression (the WordShingles precedent)
+    * if profiling ever demands it.
+    */
+  private def q160(spark: SparkSession, dir: String): DataFrame = {
+    def bucket(w: Column): Column =
+      pmod(conv(substring(md5(to_binary(w, lit("utf-8"))), 1, 15), 16, 10).cast("long"),
+        lit(CdcDivisor))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      // cut after word i (1-based) for interior i with bucket 0; the
+      // final word never cuts (a cut there would make an empty chunk)
+      .withColumn("starts",
+        concat(array(lit(0)),
+          when(col("n") > 1,
+            filter(sequence(lit(1), col("n") - 1),
+              i => bucket(get(col("ws"), i - 1)) === 0))
+            .otherwise(array().cast("array<int>"))))
+      .withColumn("ends",
+        concat(slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+          array(col("n"))))
+    d.select(col("doc_id"), col("ws"),
+        posexplode(zip_with(col("starts"), col("ends"),
+          (s, e) => struct(s.as("start"), (e - s).as("len")))).as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("se.start").as("start_tok"),
+        col("se.len").as("n_tokens"),
+        md5(to_binary(
+          array_join(slice(col("ws"), col("se.start") + 1, col("se.len")), " "),
+          lit("utf-8"))).as("chunk_digest"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val q160Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, ws[i] AS wd, i, len(ws) AS n
+       |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)),
+       |cuts AS (SELECT doc_id, i FROM tok
+       |         WHERE i < n AND ('0x' || substr(md5(wd), 1, 15))::BIGINT % $CdcDivisor = 0),
+       |starts AS (SELECT doc_id, 0 AS s FROM w
+       |           UNION ALL SELECT doc_id, i FROM cuts),
+       |ord AS (SELECT doc_id, s,
+       |               CAST(ROW_NUMBER() OVER pw - 1 AS INT) AS chunk_idx,
+       |               LEAD(s) OVER pw AS nxt
+       |        FROM starts WINDOW pw AS (PARTITION BY doc_id ORDER BY s)),
+       |ch AS (SELECT o.doc_id, o.chunk_idx,
+       |              CAST(o.s AS INT) AS start_tok,
+       |              CAST(COALESCE(o.nxt, len(w.ws)) - o.s AS INT) AS n_tokens,
+       |              md5(array_to_string(w.ws[o.s + 1:COALESCE(o.nxt, len(w.ws))], ' '))
+       |                AS chunk_digest
+       |       FROM ord o JOIN w ON o.doc_id = w.doc_id)
+       |SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_digest
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
@@ -1342,5 +1419,6 @@ object TextStats {
     QuerySpec("q119_source_ngrams", q119, Some(q119Sql)),
     QuerySpec("q123_score_calibration", q123, Some(q123Sql)),
     QuerySpec("q126_phrase_search", q126, Some(q126Sql)),
+    QuerySpec("q160_cdc_chunking", q160, Some(q160Sql)),
   )
 }

@@ -1247,6 +1247,130 @@ object RelationalQueries {
       |FROM d LEFT JOIN nd USING (day)
       |ORDER BY day""".stripMargin
 
+  /** q161 — INTERVAL-UNION coverage (total covered time): per event
+    * type, the union length of the 5-minute event intervals — q156's
+    * complement (peak = how deep the overlap, coverage = how wide).
+    * Sweep: order intervals by start, running max of PRIOR interval
+    * ends detects overlap; each interval contributes
+    * `end − max(start, running_max_prior_end)` clamped at 0 — pure
+    * integer micros, window-expressible, one sort per key. Also
+    * reports `n_gaps` (intervals that start a new covered island),
+    * i.e. the island count. Same key-skew caveat + day-slicing
+    * refinement as q156 at 100 TB.
+    */
+  private def q161(spark: SparkSession, dir: String): DataFrame = {
+    val iv = graft.Tables.events(spark, dir)
+      .withColumn("s", expr("unix_micros(ts)"))
+      .withColumn("e", col("s") + lit(ConcurrencyWindowUs))
+      .select(col("event_type"), col("event_id"), col("s"), col("e"))
+    val prior = Window.partitionBy(col("event_type"))
+      .orderBy(col("s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("prior_max_e", max(col("e")).over(prior))
+      .withColumn("covered",
+        greatest(col("e") - greatest(col("s"), coalesce(col("prior_max_e"), lit(Long.MinValue))),
+          lit(0L)))
+      .withColumn("new_island",
+        (col("prior_max_e").isNull || col("prior_max_e") < col("s")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("covered")).as("covered_us"),
+        sum(col("new_island")).as("n_islands"))
+      .orderBy("event_type")
+  }
+
+  private val q161Sql =
+    s"""WITH iv AS (
+       |  SELECT event_type, event_id,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) + $ConcurrencyWindowUs AS e
+       |  FROM events),
+       |sw AS (
+       |  SELECT event_type, s, e,
+       |         MAX(e) OVER (PARTITION BY event_type ORDER BY s, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS prior_max_e
+       |  FROM iv)
+       |SELECT event_type,
+       |       COUNT(*) AS n_intervals,
+       |       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(prior_max_e, ${Long.MinValue})), 0))
+       |            AS BIGINT) AS covered_us,
+       |       CAST(SUM(CASE WHEN prior_max_e IS NULL OR prior_max_e < s
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
+       |FROM sw GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q162 — position-based MULTI-TOUCH attribution in exact integer
+    * ppm: each purchase's credit (1,000,000 ppm) splits across the
+    * same user's views in the preceding 24h — 40% to the first view,
+    * 40% to the last, 20% shared by the middles. All division is
+    * integer: each middle gets `200000 div k`, and the `200000 mod k`
+    * remainder goes one ppm each to the k earliest middles, so every
+    * purchase's credits sum to exactly 1,000,000 at any view count
+    * (one view → 1,000,000; two views → 500,000 each: the middle
+    * share folds into first/last symmetrically). Deterministic
+    * integer arithmetic end-to-end — no floats to disagree across
+    * engines — and the join is the q65 bounded-interval shape
+    * (state/shuffle keyed by user, never a cross join).
+    */
+  private def q162(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("us").as("v_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"))
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("p_us") >= col("v_us") &&
+        col("p_us") - col("v_us") <= lit(86400000000L))
+    val byP = Window.partitionBy(col("purchase_id"))
+    val asc = byP.orderBy(col("v_us"), col("view_id"))
+    val desc = byP.orderBy(col("v_us").desc, col("view_id").desc)
+    joined
+      .withColumn("rn", row_number().over(asc))
+      .withColumn("rrn", row_number().over(desc))
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("credit_ppm",
+        when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("rn") === 1 || col("rrn") === 1, lit(400000L))
+          .otherwise(expr("200000L div (n - 2)") // integer div (Column./ is double)
+            + when(col("rn") - 1 <= pmod(lit(200000L), col("n") - 2), lit(1L))
+              .otherwise(lit(0L))))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("credit_ppm"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
+  private val q162Sql =
+    """WITH p AS (SELECT user_id, event_id AS purchase_id,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, event_id AS view_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+      |      FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT p.user_id, p.purchase_id, v.view_id, v.v_us
+      |  FROM p JOIN v ON p.user_id = v.user_id
+      |   AND p.p_us - v.v_us BETWEEN 0 AND 86400000000),
+      |r AS (
+      |  SELECT user_id, purchase_id, view_id,
+      |         ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY v_us, view_id) AS rn,
+      |         ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY v_us DESC, view_id DESC) AS rrn,
+      |         COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      |  FROM j)
+      |SELECT user_id, purchase_id, view_id,
+      |       CAST(CASE WHEN n = 1 THEN 1000000
+      |                 WHEN n = 2 THEN 500000
+      |                 WHEN rn = 1 OR rrn = 1 THEN 400000
+      |                 ELSE 200000 // (n - 2)
+      |                      + CASE WHEN rn - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+      |            END AS BIGINT) AS credit_ppm
+      |FROM r ORDER BY user_id, purchase_id, view_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
@@ -1282,6 +1406,8 @@ object RelationalQueries {
     QuerySpec("q151_event_transitions", q151, Some(q151Sql)),
     QuerySpec("q156_max_concurrency", q156, Some(q156Sql)),
     QuerySpec("q157_cumulative_distinct", q157, Some(q157Sql)),
+    QuerySpec("q161_interval_coverage", q161, Some(q161Sql)),
+    QuerySpec("q162_position_attribution", q162, Some(q162Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
   )
 }
