@@ -1048,6 +1048,61 @@ object StreamingQueries {
       |SELECT user_id, purchase_id, view_id FROM outer_null
       |ORDER BY user_id, purchase_id, view_id""".stripMargin
 
+  /** q163 — the Spark 4 `transformWithState` API (the successor to
+    * `mapGroupsWithState`/`flatMapGroupsWithState`, q64/q139-q141):
+    * a [[UserProfileProcessor StatefulProcessor]] keeps a per-user
+    * profile in TYPED state primitives — two `ValueState[Long]`
+    * (event count, exact cents) plus a `MapState[String, Long]` of
+    * per-type counts, the state shape the older APIs force into one
+    * monolithic case-class blob. MapState matters at scale: RocksDB
+    * stores each map entry as its own key, so updating one
+    * event-type counter rewrites ~16 bytes, not the whole profile
+    * (drain() already pins the RocksDB provider, which
+    * transformWithState requires). Each batch emits one summary row
+    * per active user from final state — order-independent
+    * aggregates and a (count, type) tie-break keep it deterministic
+    * under any iterator order, so the single-batch replay is
+    * oracle-exact and TwsProfileSpec's two-batch replay proves the
+    * state actually carries.
+    */
+  private def q163(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .as[TwsEvent]
+    drain(spark, transformedProfiles(ev).toDF(), "update")
+      .orderBy("user_id")
+  }
+
+  /** The transformWithState pipeline behind q163 (shared with the
+    * spec's multi-batch replay).
+    */
+  private[streaming] def transformedProfiles(
+      ev: org.apache.spark.sql.Dataset[TwsEvent]): org.apache.spark.sql.Dataset[TwsProfileRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  private val q163Sql =
+    """WITH tc AS (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt,
+      |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id, event_type),
+      |ag AS (
+      |  SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events,
+      |         CAST(COUNT(*) AS BIGINT) AS n_types,
+      |         CAST(SUM(cents) AS BIGINT) AS value_cents, MAX(cnt) AS mx
+      |  FROM tc GROUP BY user_id)
+      |SELECT ag.user_id, ag.n_events, ag.n_types, ag.value_cents,
+      |       MIN(tc.event_type) AS top_type, CAST(ag.mx AS BIGINT) AS top_n
+      |FROM ag JOIN tc ON ag.user_id = tc.user_id AND tc.cnt = ag.mx
+      |GROUP BY ag.user_id, ag.n_events, ag.n_types, ag.value_cents, ag.mx
+      |ORDER BY ag.user_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -1067,6 +1122,7 @@ object StreamingQueries {
     QuerySpec("q141_ttl_throttle", q141, Some(q141Sql)),
     QuerySpec("q154_stream_dedup_watermark", q154, Some(q154Sql)),
     QuerySpec("q159_stream_outer_join", q159, Some(q159Sql)),
+    QuerySpec("q163_transform_with_state", q163, Some(q163Sql)),
   )
 }
 
@@ -1100,3 +1156,61 @@ private[streaming] case class ThrottleRow(
 private[streaming] case class ClosedSession(
   user_id: Long, session_start_us: Long, session_end_us: Long,
   n_events: Long, closed_by: String)
+
+/** q163 typed-API records. */
+private[streaming] case class TwsEvent(
+  user_id: Long, event_type: String, cents: Long)
+private[streaming] case class TwsProfileRow(
+  user_id: Long, n_events: Long, n_types: Long, value_cents: Long,
+  top_type: String, top_n: Long)
+
+/** q163's `StatefulProcessor`: per-user profile split across typed
+  * state primitives — two ValueState counters plus a MapState of
+  * per-event-type counts (each map entry is its own store key under
+  * RocksDB, so one counter update never rewrites the whole profile).
+  * Emits one summary row per user per batch from final state; every
+  * aggregate is order-independent and the top-type pick breaks ties
+  * to the lexicographically smallest type, so emissions are
+  * deterministic under any input-iterator order.
+  */
+private[streaming] class UserProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsProfileRow] {
+  import org.apache.spark.sql.streaming.{MapState, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var total: ValueState[Long] = _
+  @transient private var cents: ValueState[Long] = _
+  @transient private var byType: MapState[String, Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    total  = getHandle.getValueState[Long]("n_events", E.scalaLong, TTLConfig.NONE)
+    cents  = getHandle.getValueState[Long]("cents", E.scalaLong, TTLConfig.NONE)
+    byType = getHandle.getMapState[String, Long]("by_type", E.STRING, E.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TwsEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsProfileRow] = {
+    var n = if (total.exists()) total.get() else 0L
+    var c = if (cents.exists()) cents.get() else 0L
+    rows.foreach { e =>
+      n += 1
+      c += e.cents
+      val cur = if (byType.containsKey(e.event_type)) byType.getValue(e.event_type) else 0L
+      byType.updateValue(e.event_type, cur + 1L)
+    }
+    total.update(n)
+    cents.update(c)
+    var nTypes = 0L
+    var topType = ""
+    var topN = -1L
+    byType.iterator().foreach { case (t, cnt) =>
+      nTypes += 1
+      if (cnt > topN || (cnt == topN && t < topType)) { topType = t; topN = cnt }
+    }
+    Iterator.single(TwsProfileRow(key, n, nTypes, c, topType, topN))
+  }
+}

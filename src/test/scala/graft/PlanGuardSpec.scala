@@ -72,7 +72,10 @@ class PlanGuardSpec extends SparkSpec {
     "q128_table_profile",
     // q138: broadcasts the 1-row corpus-totals aggregate that
     // denominates the ppm/recall metrics (the q03 scalar pattern)
-    "q138_lsh_pruning")
+    "q138_lsh_pruning",
+    // q153: broadcasts the 1-row 32 KiB Bloom sketch for the
+    // map-side semi-join pre-filter (the q73/q99 sketch pattern)
+    "q153_bloom_semi_join")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
