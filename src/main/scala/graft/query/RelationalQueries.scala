@@ -1371,6 +1371,60 @@ object RelationalQueries {
       |            END AS BIGINT) AS credit_ppm
       |FROM r ORDER BY user_id, purchase_id, view_id""".stripMargin
 
+  /** q164 — event LATENESS audit: the out-of-orderness distribution
+    * that tells an operator what watermark delay to configure (too
+    * short drops data, too long bloats every stateful operator's
+    * buffers — q154/q159/q141 all hang off this number). Arrival
+    * order is proxied by event_id (monotone at generation); lateness
+    * of an event = how far the per-type running-max event time is
+    * ahead of it at arrival, bucketed into fixed human bands. Pure
+    * integer micros end-to-end; one windowed pass per type, same
+    * sweep shape (and 100 TB day-slicing refinement) as q156/q161.
+    */
+  private def q164(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = graft.Tables.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("late_us",
+        greatest(coalesce(max(col("us")).over(arrival), col("us")) - col("us"), lit(0L)))
+    late
+      .withColumn("band",
+        when(col("late_us") === 0, "0_in_order")
+          .when(col("late_us") <= 1000000L, "1_le_1s")
+          .when(col("late_us") <= 60000000L, "2_le_1min")
+          .when(col("late_us") <= 3600000000L, "3_le_1h")
+          .when(col("late_us") <= 86400000000L, "4_le_1d")
+          .otherwise("5_gt_1d"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+      .orderBy("event_type", "band")
+  }
+
+  private val q164Sql =
+    s"""WITH a AS (
+       |  SELECT event_type,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |         MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+       |           (PARTITION BY event_type ORDER BY event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+       |  FROM events),
+       |l AS (
+       |  SELECT event_type,
+       |         GREATEST(COALESCE(prior_max, us) - us, 0) AS late_us
+       |  FROM a)
+       |SELECT event_type,
+       |       CASE WHEN late_us = 0 THEN '0_in_order'
+       |            WHEN late_us <= 1000000 THEN '1_le_1s'
+       |            WHEN late_us <= 60000000 THEN '2_le_1min'
+       |            WHEN late_us <= 3600000000 THEN '3_le_1h'
+       |            WHEN late_us <= 86400000000 THEN '4_le_1d'
+       |            ELSE '5_gt_1d' END AS band,
+       |       COUNT(*) AS n_events,
+       |       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+       |FROM l GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
@@ -1408,6 +1462,7 @@ object RelationalQueries {
     QuerySpec("q157_cumulative_distinct", q157, Some(q157Sql)),
     QuerySpec("q161_interval_coverage", q161, Some(q161Sql)),
     QuerySpec("q162_position_attribution", q162, Some(q162Sql)),
+    QuerySpec("q164_lateness_audit", q164, Some(q164Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
   )
 }
