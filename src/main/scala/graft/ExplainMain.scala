@@ -30,7 +30,12 @@ object ExplainMain {
         // pair (share the q45 pair pipeline), the salted join, and the
         // bitmap UDAF (ObjectHashAggregate two-phase)
         "q142_pagerank_hubs", "q143_triangle_count", "q144_salted_join",
-        "q146_bitmap_distinct")
+        "q146_bitmap_distinct",
+        // round-7 second-wave additions: the lossless prefix-filter
+        // join, the Bloom semi-join reduction, the two-phase Merkle
+        // sync, CDC chunking, and the attribution interval join
+        "q152_prefix_filter_join", "q153_bloom_semi_join",
+        "q158_merkle_diff", "q160_cdc_chunking", "q162_position_attribution")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -1425,6 +1425,98 @@ object RelationalQueries {
        |       CAST(MAX(late_us) AS BIGINT) AS max_late_us
        |FROM l GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin
 
+  /** q166 — UNPIVOT (melt): the q31 wide pivot folded back to long
+    * form with `Dataset.unpivot` — the round-trip every
+    * report-to-warehouse import needs (wide spreadsheets → long
+    * fact rows). Zero-filled pivot cells survive as explicit zero
+    * rows, so the long form is the DENSE quarter × priority matrix
+    * (the oracle rebuilds it with a domain cross join against the
+    * observed counts). Both pivot and unpivot are narrow map-side
+    * reshapes around one groupBy shuffle at any scale.
+    */
+  private def q166(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val wide = Tables.orders(spark, dir)
+      .groupBy(quarterKey(col("o_orderdate")).as("quarter"))
+      .pivot(col("o_orderpriority"), priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(
+        Array(col("quarter")),
+        priorities.map(p => col(s"`$p`")).toArray,
+        "mode", "n")
+      .orderBy("quarter", "mode")
+  }
+
+  private val q166Sql =
+    """WITH d AS (
+      |  SELECT DISTINCT CAST(year(o_orderdate) AS VARCHAR) || 'Q' ||
+      |         CAST(quarter(o_orderdate) AS VARCHAR) AS quarter
+      |  FROM orders),
+      |p AS (SELECT DISTINCT o_orderpriority AS mode FROM orders),
+      |c AS (
+      |  SELECT CAST(year(o_orderdate) AS VARCHAR) || 'Q' ||
+      |         CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+      |         o_orderpriority AS mode, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT d.quarter, p.mode, COALESCE(c.n, 0) AS n
+      |FROM d CROSS JOIN p
+      |LEFT JOIN c ON c.quarter = d.quarter AND c.mode = p.mode
+      |ORDER BY d.quarter, p.mode""".stripMargin
+
+  /** q165 — TIME-WEIGHTED average via the LOCF step integral: treat
+    * each user's `value` as a step function (last observation carried
+    * forward between events) and integrate it exactly —
+    * Σ cents_i · (us_{i+1} − us_i) over consecutive pairs, divided by
+    * the observed span. This is the billing/sensor aggregate a plain
+    * AVG gets wrong whenever sampling is irregular (a value held for
+    * 6 days must weigh 6 days, not one sample). All integer: cents ×
+    * micro gaps stay far under 2^63 per user (≈31-day span × 10^5
+    * cents ≈ 2.7·10^17), the final rate is integer `div` — no floats
+    * anywhere, so both engines agree bit-for-bit. One user-keyed
+    * window pass + a per-user rollup; single-event users (span 0)
+    * are excluded rather than divided by zero.
+    */
+  private def q165(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    graft.Tables.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("cents",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        sum(when(col("next_us").isNotNull, col("cents") * (col("next_us") - col("us"))))
+          .as("integral_cents_us"))
+      .filter(col("span_us") > 0)
+      .withColumn("twa_cents", expr("integral_cents_us div span_us"))
+      .orderBy("user_id")
+  }
+
+  private val q165Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, us, cents,
+      |         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |         MAX(us) - MIN(us) AS span_us,
+      |         CAST(SUM(CASE WHEN next_us IS NOT NULL
+      |                       THEN cents * (next_us - us) END) AS BIGINT)
+      |           AS integral_cents_us
+      |  FROM l GROUP BY user_id)
+      |SELECT user_id, n_events, span_us, integral_cents_us,
+      |       integral_cents_us // span_us AS twa_cents
+      |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
@@ -1463,6 +1555,8 @@ object RelationalQueries {
     QuerySpec("q161_interval_coverage", q161, Some(q161Sql)),
     QuerySpec("q162_position_attribution", q162, Some(q162Sql)),
     QuerySpec("q164_lateness_audit", q164, Some(q164Sql)),
+    QuerySpec("q165_time_weighted_avg", q165, Some(q165Sql)),
+    QuerySpec("q166_unpivot", q166, Some(q166Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
   )
 }
