@@ -1392,7 +1392,70 @@ object TextStats {
        |SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_digest
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q169 support floor: pairs must co-occur in at least this many
+    * docs to be reported (kills the long random-pair tail).
+    */
+  private val CoocMinSupport = 5
+
+  /** q169 — TOKEN CO-OCCURRENCE lift (market-basket over documents):
+    * which token pairs appear together far more often than
+    * independence predicts — the association audit that surfaces
+    * template/boilerplate phrases and topic clusters in a corpus.
+    * lift·10⁶ = n_both·n_docs·10⁶ / (n_a·n_b), exact integers end to
+    * end (one `div` per pair, identical in both engines). The pair
+    * generator is a SELF-EQUI-JOIN on doc_id over per-doc DISTINCT
+    * tokens with `ta < tb` — per-doc fan-out is (tokens/doc choose
+    * 2), independent of corpus size, so the shuffle grows linearly
+    * with docs; the support floor bounds the output. At a real vocab
+    * (this corpus has 31 tokens; a web corpus has millions) the
+    * standard extra bound is a doc-frequency ceiling on the exploded
+    * tokens (drop df > 50% stopword-ish terms) BEFORE the self-join —
+    * noted, not needed at this vocab. Top-50 by lift with a full
+    * (ta, tb) tie-break so the LIMIT is deterministic.
+    */
+  private def q169(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    val dfA = tok.groupBy(col("t")).agg(count(lit(1)).as("na"))
+      .withColumnRenamed("t", "ta")
+    val dfB = dfA.toDF("tb", "nb")
+    val nDocs = Tables.documents(spark, dir)
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    tok.as("a")
+      .join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= CoocMinSupport)
+      .join(dfA, "ta")
+      .join(dfB, "tb")
+      .crossJoin(broadcast(nDocs))
+      .select(col("ta"), col("tb"), col("n_both"),
+        expr("CAST(n_both * n_docs * 1000000 DIV (na * nb) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("ta"), col("tb"))
+      .limit(50)
+  }
+
+  private val q169Sql =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+       |df AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+       |p AS (
+       |  SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_both
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $CoocMinSupport)
+       |SELECT ta, tb, n_both,
+       |       CAST(n_both * n.n_docs * 1000000 // (da.n * db.n) AS BIGINT) AS lift_ppm
+       |FROM p
+       |JOIN df da ON da.t = p.ta
+       |JOIN df db ON db.t = p.tb
+       |CROSS JOIN n
+       |ORDER BY lift_ppm DESC, ta, tb LIMIT 50""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q169_cooccurrence_lift", q169, Some(q169Sql)),
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
     QuerySpec("q42_lang_id",       q42, Some(q42Sql), headline = true),

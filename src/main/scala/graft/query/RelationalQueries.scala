@@ -1517,7 +1517,140 @@ object RelationalQueries {
       |       integral_cents_us // span_us AS twa_cents
       |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin
 
+  /** q167 — GROUP-WISE OLS regression via sufficient statistics: the
+    * per-segment trend fit (is `error` volume growing? is `purchase`
+    * value declining?) computed as one grouped aggregate of
+    * (n, Σx, Σy, Σxy, Σx²) — the map-side-combinable form that fits
+    * any SF, vs the per-group `collect`-and-fit a driver-side library
+    * would do. x is the day index against a FIXED epoch
+    * (2024-01-01, a constant both engines share), y the day's total
+    * cents; slope and intercept come out of Cramer's rule as exact
+    * integer ratios, scaled to ppm by a DECIMAL(38,0) multiply BEFORE
+    * the integer division so the product can't overflow BIGINT at
+    * larger SFs (the q112 overflow lesson, applied from the start).
+    * Two shuffles total (day rollup, then 5-row type rollup) — both
+    * key-partitioned, no window, no collect.
+    */
+  private def q167(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("x"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(sum(col("c")).as("y"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("event_type"), col("n_days"),
+        expr("""CAST((CAST(n_days AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+               |     * 1000000 DIV (CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+               |     AS BIGINT)""".stripMargin).as("slope_ppm"),
+        expr("CAST(sy DIV n_days AS BIGINT)").as("mean_daily_cents"))
+      .orderBy("event_type")
+  }
+
+  private val q167Sql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+      |         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |         SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM daily GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, n_days,
+      |         (CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+      |           * 1000000 AS num,
+      |         CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+      |         sy FROM s)
+      |-- Spark's DIV truncates toward zero; DuckDB's // floors. The
+      |-- sign split forces truncation semantics on negative slopes.
+      |SELECT event_type, n_days,
+      |       CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END
+      |            AS BIGINT) AS slope_ppm,
+      |       CAST(sy // n_days AS BIGINT) AS mean_daily_cents
+      |FROM f ORDER BY event_type""".stripMargin
+
+  /** q168 mid-window cutoff splitting January into two halves. */
+  private val DriftCutoff = "2024-01-16"
+
+  /** q168 — DISTRIBUTION-DRIFT audit via a chi-squared contingency
+    * statistic: did the event-type mix shift between the first and
+    * second half of the window? Per type, the statistic contribution
+    * Σ_half (o·N − r·c)² / (N·r·c) is computed in scaled integers —
+    * DECIMAL(38,0) products (o·N alone reaches ~2·10¹¹ at sf0.1, its
+    * square ~4·10²² would wrap BIGINT), ppm-scaled per cell BEFORE
+    * one integer division so both engines round identically. The
+    * whole audit is one groupBy(type, half) count + two tiny
+    * broadcast-joined total rollups — the monitoring query a training
+    * pipeline runs per ingestion batch, at any SF. Complements q164
+    * (lateness drift) and q129 (skew): this one watches the LABEL
+    * mix.
+    */
+  private def q168(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        when(to_date(col("ts")) < lit(DriftCutoff).cast("date"), lit(0))
+          .otherwise(lit(1)).as("half"))
+      .groupBy(col("event_type"), col("half"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col("half")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(rowTot, "event_type")
+      .join(broadcast(colTot), "half")
+      .crossJoin(broadcast(n))
+      .withColumn("cell_chi2_ppm",
+        expr("""CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+               |     * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+               |     * 1000000
+               |     DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("half") === 0, col("o"))).as("n_first"),
+        sum(when(col("half") === 1, col("o"))).as("n_second"),
+        sum(col("cell_chi2_ppm")).as("chi2_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val q168Sql =
+    s"""WITH cells AS (
+       |  SELECT event_type,
+       |         CASE WHEN CAST(ts AS DATE) < DATE '$DriftCutoff' THEN 0 ELSE 1 END AS half,
+       |         COUNT(*) AS o
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+       |c AS (SELECT half, SUM(o) AS c FROM cells GROUP BY 1),
+       |n AS (SELECT SUM(o) AS n FROM cells),
+       |x AS (
+       |  SELECT cells.event_type, cells.half, cells.o,
+       |         CAST((CAST(cells.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
+       |              * (CAST(cells.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
+       |              * 1000000
+       |              // (CAST(n.n AS HUGEINT) * r.r * c.c) AS BIGINT) AS cell_chi2_ppm
+       |  FROM cells
+       |  JOIN r ON r.event_type = cells.event_type
+       |  JOIN c ON c.half = cells.half
+       |  CROSS JOIN n)
+       |SELECT event_type,
+       |       CAST(SUM(CASE WHEN half = 0 THEN o END) AS BIGINT) AS n_first,
+       |       CAST(SUM(CASE WHEN half = 1 THEN o END) AS BIGINT) AS n_second,
+       |       CAST(SUM(cell_chi2_ppm) AS BIGINT) AS chi2_ppm
+       |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q167_groupwise_regression", q167, Some(q167Sql)),
+    QuerySpec("q168_chisq_drift", q168, Some(q168Sql)),
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
     QuerySpec("q29_cube",             q29, Some(q29Sql)),
     QuerySpec("q30_salted_agg",       q30, Some(q30Sql)),

@@ -75,7 +75,13 @@ class PlanGuardSpec extends SparkSpec {
     "q138_lsh_pruning",
     // q153: broadcasts the 1-row 32 KiB Bloom sketch for the
     // map-side semi-join pre-filter (the q73/q99 sketch pattern)
-    "q153_bloom_semi_join")
+    "q153_bloom_semi_join",
+    // q168: broadcasts the 1-row grand-total N that denominates the
+    // chi-squared cells (the q03/q69 scalar pattern)
+    "q168_chisq_drift",
+    // q169: broadcasts the 1-row corpus doc count that denominates
+    // the lift ratio (the q03/q69 scalar pattern)
+    "q169_cooccurrence_lift")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
