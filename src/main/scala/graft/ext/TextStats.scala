@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -1454,8 +1455,70 @@ object TextStats {
        |CROSS JOIN n
        |ORDER BY lift_ppm DESC, ta, tb LIMIT 50""".stripMargin
 
+  /** q170 vocab size — deliberately SMALLER than this corpus's
+    * 31-token vocabulary so the OOV path is exercised for real.
+    */
+  private val EncodeVocabN = 24
+
+  /** q170 — CORPUS ENCODING to vocabulary ids: the step that turns
+    * cleaned text into model-ready integer sequences. The vocab is
+    * the top-[[EncodeVocabN]] tokens by corpus frequency (ties broken
+    * by token, ids dense from 1; 0 is reserved for OOV), assigned by
+    * a row_number over the VOCAB-sized aggregate — a single-partition
+    * window over ≤|vocab| rows, the one place a global window is
+    * right (a real 100k-token vocab is still a single executor's
+    * work, and the result broadcasts to the encode join). Encoding is
+    * a broadcast left join on the exploded (doc, pos, token) rows,
+    * re-assembled in position order via array_sort over
+    * (pos, id) structs; the id sequence ships as a canonical CSV
+    * string (arrays hash differently across engines' parquet
+    * writers; strings compare bit-exact). Per-doc OOV counts fall out
+    * of the same pass — the coverage metric that decides whether the
+    * vocab is big enough.
+    */
+  private def q170(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(Window.orderBy(col("n").desc, col("t"))))
+      .filter(col("id") <= EncodeVocabN)
+      .select(col("t"), col("id"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid").cast("string"))).as("ids_csv"))
+      .orderBy("doc_id")
+  }
+
+  private val q170Sql =
+    s"""WITH parts AS (
+       |  SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+       |tok AS (
+       |  SELECT doc_id, g AS pos, p[g] AS t
+       |  FROM parts, unnest(generate_series(1, len(p))) AS u(g)),
+       |freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1),
+       |vocab AS (
+       |  SELECT t, id FROM (
+       |    SELECT t, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS id FROM freq)
+       |  WHERE id <= $EncodeVocabN),
+       |enc AS (
+       |  SELECT tok.doc_id, tok.pos,
+       |         COALESCE(vocab.id, 0) AS tid,
+       |         CASE WHEN vocab.id IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tok LEFT JOIN vocab ON vocab.t = tok.t)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q169_cooccurrence_lift", q169, Some(q169Sql)),
+    QuerySpec("q170_corpus_encode", q170, Some(q170Sql)),
     QuerySpec("q40_token_stats",   q40, Some(q40Sql)),
     QuerySpec("q41_quality_score", q41, Some(q41Sql), headline = true),
     QuerySpec("q42_lang_id",       q42, Some(q42Sql), headline = true),

@@ -726,7 +726,121 @@ object Maintenance {
        |GROUP BY differing.bucket, differing.n_v1, differing.n_v2
        |ORDER BY differing.bucket""".stripMargin
 
+  /** q171 diversity floor: a k-anonymous cell whose sensitive
+    * attribute takes fewer than this many distinct values is still a
+    * disclosure (everyone in the cell shares the secret).
+    */
+  private val DivL = 2
+
+  /** q171 — L-DIVERSITY audit, the companion check to q132: a cell
+    * can pass k-anonymity (≥K distinct users) and still leak — if
+    * every member shares the same sensitive value, knowing someone is
+    * in the cell reveals their secret. Sensitive attribute here is
+    * the props JSON `k` halved into a binary class (the coarsest,
+    * hardest-to-diversify case); the audit reports every K-ANONYMOUS
+    * cell with its distinct-sensitive count `l_distinct` and flags
+    * `at_risk` cells below [[DivL]]. Same single groupBy shuffle as
+    * q132 — distinct-count of a bounded attribute adds no extra pass
+    * — and the output stays bounded by the quasi-identifier domain at
+    * any SF.
+    */
+  private def q171(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") / 50).cast("long").as("value_band"),
+        col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("int") >= 50).as("sens"))
+      .groupBy(col("event_type"), col("day"), col("value_band"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("sens")).as("l_distinct"))
+      .filter(col("n_users") >= AnonK)
+      .withColumn("at_risk", col("l_distinct") < DivL)
+      .orderBy("event_type", "day", "value_band")
+
+  private val q171Sql =
+    s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |       CAST(floor(value / 50) AS BIGINT) AS value_band,
+       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$$.k') AS INT) >= 50) AS BIGINT)
+       |         AS l_distinct,
+       |       COUNT(DISTINCT CAST(json_extract_string(props, '$$.k') AS INT) >= 50) < $DivL
+       |         AS at_risk
+       |FROM events
+       |GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT user_id) >= $AnonK
+       |ORDER BY event_type, day, value_band""".stripMargin
+
+  /** q172 — missing bucket: md5(event_id) % 100 below this is
+    * "missing" (a deterministic, engine-identical 10% planting).
+    */
+  private val ImputeMissPct = 10
+
+  /** q172 — GROUP-MEDIAN imputation with an EXACT integer median:
+    * the standard repair for missing numeric features before
+    * training. The median is the lower-median BY CONSTRUCTION —
+    * row_number over (cents, event_id) picked at position
+    * ⌊(n+1)/2⌋ — because interpolated percentiles return
+    * accumulation-dependent doubles while a picked element is a
+    * cents value both engines agree on bit-for-bit. Missingness is
+    * planted via the shared md5 bucket (engine-identical, rerun-
+    * stable). Plan shape: one window over the present rows partitioned
+    * by type (each partition sorts locally), a 5-row median lookup
+    * broadcast back, and one rollup — no collect, no global sort; at
+    * 100 TB the per-type sort is the only O(n log n) stage and it
+    * partitions across executors by group.
+    */
+  private def q172(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .withColumn("miss",
+        graft.ext.TrainPrep.md5Bucket(col("event_id"), 100) < ImputeMissPct)
+    val present = ev.filter(!col("miss"))
+    val med = present
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))))
+      .join(present.groupBy(col("event_type")).agg(count(lit(1)).as("n_present")),
+        "event_type")
+      .filter(col("rn") === expr("(n_present + 1) div 2"))
+      .select(col("event_type"), col("c").as("median_cents"), col("n_present"))
+    ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("miss").cast("long")).as("n_missing"),
+        min(col("median_cents")).as("median_cents"),
+        sum(when(col("miss"), col("median_cents")).otherwise(col("c")))
+          .as("sum_cents_imputed"))
+      .orderBy("event_type")
+  }
+
+  private val q172Sql =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+       |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100
+       |           < $ImputeMissPct AS miss
+       |  FROM events),
+       |present AS (SELECT * FROM ev WHERE NOT miss),
+       |ranked AS (
+       |  SELECT event_type, c,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n_present
+       |  FROM present),
+       |med AS (
+       |  SELECT event_type, c AS median_cents
+       |  FROM ranked WHERE rn = (n_present + 1) // 2)
+       |SELECT ev.event_type, COUNT(*) AS n_rows,
+       |       CAST(SUM(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       |       CAST(MIN(median_cents) AS BIGINT) AS median_cents,
+       |       CAST(SUM(CASE WHEN miss THEN median_cents ELSE c END) AS BIGINT)
+       |         AS sum_cents_imputed
+       |FROM ev JOIN med ON med.event_type = ev.event_type
+       |GROUP BY 1 ORDER BY ev.event_type""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q171_l_diversity", q171, Some(q171Sql)),
+    QuerySpec("q172_group_impute", q172, Some(q172Sql)),
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),
     QuerySpec("q76_scd2_history", q76, Some(q76Sql)),
     QuerySpec("q94_pit_join",     q94, Some(q94Sql), headline = true),
