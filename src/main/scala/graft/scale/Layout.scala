@@ -342,7 +342,98 @@ object Layout {
        |WHERE o.o_orderpriority = '1-URGENT'
        |GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** q174 zone-map experiment constants: 64 synthetic files over the
+    * fixed shipdate domain (1995-01-01 .. 2002-01-01 ≈ 2560 days —
+    * stable across SFs, so the file math is pure map-side constants),
+    * probed with a one-quarter range predicate.
+    */
+  private val ZoneFiles = 64
+  private val ZoneSpanDays = 2560
+  private val ZoneLo = "1998-01-01"
+  private val ZoneHiExcl = "1998-04-01"
+
+  /** q174 — ZONE-MAP data skipping, measured: the min/max-per-file
+    * statistics every lakehouse format keeps, evaluated against the
+    * two layouts a writer can choose. The same rows are assigned to
+    * [[ZoneFiles]] synthetic files twice — `hash` (md5 of the order
+    * key: the default shuffle-write layout; co-locates an order's
+    * lines but scatters dates everywhere) and `range` (a value-based
+    * date bucket: what `repartitionByRange(sort col)` + per-file
+    * stats produce) — then each file's (min, max) shipdate zone map
+    * decides whether a quarter-range predicate can SKIP the file
+    * (max < lo ∨ min ≥ hi). The readout is the scan-economics row
+    * pair a table-format advisor shows: under `hash` every file
+    * intersects the predicate (all rows scanned for a ~3.5%
+    * selection); under `range` only the 2-3 files whose zone overlaps
+    * are read. File assignment is constant arithmetic per row (no
+    * global sort — the ntile a naive version would use is exactly
+    * what range partitioning avoids at 100 TB), one groupBy(layout,
+    * file) for the zone maps, one 128-row rollup.
+    */
+  private def q174(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val assigned = li
+      .withColumn("f_hash",
+        graft.ext.TrainPrep.md5Bucket(col("l_orderkey"), ZoneFiles))
+      .withColumn("f_range",
+        expr(s"datediff(l_shipdate, DATE '1995-01-01') * $ZoneFiles div $ZoneSpanDays"))
+    val both = assigned
+      .select(lit("hash").as("layout"), col("f_hash").cast("long").as("file_id"), col("l_shipdate"))
+      .unionAll(assigned.select(lit("range").as("layout"),
+        col("f_range").cast("long").as("file_id"), col("l_shipdate")))
+      .withColumn("matches",
+        (col("l_shipdate") >= lit(ZoneLo).cast("timestamp") &&
+          col("l_shipdate") < lit(ZoneHiExcl).cast("timestamp")).cast("long"))
+    both
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"),
+        count(lit(1)).as("n"), sum(col("matches")).as("n_match"))
+      .withColumn("scanned",
+        (col("mx") >= lit(ZoneLo).cast("timestamp") &&
+          col("mn") < lit(ZoneHiExcl).cast("timestamp")).cast("long"))
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("scanned")).as("n_files_scanned"),
+        sum(col("n")).as("n_rows"),
+        sum(col("scanned") * col("n")).as("n_rows_scanned"),
+        sum(col("n_match")).as("n_rows_matching"))
+      .orderBy("layout")
+  }
+
+  private val q174Sql =
+    s"""WITH assigned AS (
+       |  SELECT l_shipdate,
+       |         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+       |           % $ZoneFiles AS f_hash,
+       |         datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+       |           * $ZoneFiles // $ZoneSpanDays AS f_range
+       |  FROM lineitem),
+       |ab AS (
+       |  SELECT 'hash' AS layout, CAST(f_hash AS BIGINT) AS file_id, l_shipdate FROM assigned
+       |  UNION ALL
+       |  SELECT 'range', CAST(f_range AS BIGINT), l_shipdate FROM assigned),
+       |zones AS (
+       |  SELECT layout, file_id, MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
+       |         COUNT(*) AS n,
+       |         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '$ZoneLo 00:00:00'
+       |                        AND l_shipdate < TIMESTAMP '$ZoneHiExcl 00:00:00'
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM ab GROUP BY 1, 2),
+       |flagged AS (
+       |  SELECT *, CASE WHEN mx >= TIMESTAMP '$ZoneLo 00:00:00'
+       |                  AND mn < TIMESTAMP '$ZoneHiExcl 00:00:00'
+       |                 THEN 1 ELSE 0 END AS scanned
+       |  FROM zones)
+       |SELECT layout, COUNT(*) AS n_files,
+       |       CAST(SUM(scanned) AS BIGINT) AS n_files_scanned,
+       |       CAST(SUM(n) AS BIGINT) AS n_rows,
+       |       CAST(SUM(scanned * n) AS BIGINT) AS n_rows_scanned,
+       |       CAST(SUM(n_match) AS BIGINT) AS n_rows_matching
+       |FROM flagged GROUP BY 1 ORDER BY layout""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
     QuerySpec("q104_zorder_layout", q104, Some(q104Sql), headline = true),
     QuerySpec("q107_bucketed_join", q107, Some(q107Sql), headline = true),
     QuerySpec("q127_compaction_plan", q127, Some(q127Sql)),

@@ -989,6 +989,51 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q173 — CHAINED STATEFUL operators (Spark 4 multi-stateful append
+    * mode): watermark-bounded dedup feeding a tumbling-window
+    * aggregate in ONE streaming query — daily active users per type,
+    * where `dropDuplicatesWithinWatermark` on (user, type, day)
+    * collapses each user's repeat events before the window count ever
+    * sees them. Pre-3.4 Spark rejected this pipeline (one stateful op
+    * per query); the chained form is the production shape because the
+    * dedup state and the window state evict INDEPENDENTLY under the
+    * shared watermark — neither grows with stream lifetime. The
+    * surviving row per dedup key is whichever physical row won the
+    * batch race, but its window assignment is deterministic anyway:
+    * `day` is derived FROM ts, so every candidate row of a key lands
+    * in the same window — the nondeterminism is quotiented out by
+    * construction (the q154/q62 key-only lesson, extended to a
+    * downstream consumer). Append-mode windows emit only once the
+    * watermark (ms-floored max ts − 1 day) passes the window END; the
+    * oracle replicates that cutoff, so the held-back trailing windows
+    * are part of the checked contract (q159/q140 precedent).
+    */
+  private def q173(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .withColumn("day", date_trunc("day", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_active"))
+    drain(spark, agg, "append")
+      .select(col("window.start").as("day"), col("event_type"), col("n_active"))
+      .orderBy("day", "event_type")
+  }
+
+  private val q173Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('day', ts) AS day,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |wm AS (
+      |  SELECT (MAX(ts_us) // 1000) * 1000 - 86400000000 AS wm_us FROM e),
+      |d AS (SELECT DISTINCT user_id, event_type, day FROM e),
+      |c AS (SELECT day, event_type, COUNT(*) AS n_active FROM d GROUP BY 1, 2)
+      |SELECT CAST(day AS TIMESTAMP) AS day, event_type, n_active
+      |FROM c, wm
+      |WHERE epoch_us(day + INTERVAL 1 DAY) <= wm_us
+      |ORDER BY day, event_type""".stripMargin
+
   /** q159 — stream-stream LEFT OUTER interval join: q65's attribution
     * join, but purchases with NO view in the preceding 24h must still
     * emit (with a null view_id) — the shape that distinguishes "no
@@ -1118,6 +1163,7 @@ object StreamingQueries {
     QuerySpec("q135_stream_etl_store", q135, Some(q135Sql)),
     QuerySpec("q136_gap_fill", q136, Some(q136Sql)),
     QuerySpec("q139_user_state_machine", q139, Some(q139Sql)),
+    QuerySpec("q173_chained_stateful", q173, Some(q173Sql)),
     QuerySpec("q140_session_close_timeout", q140, Some(q140Sql)),
     QuerySpec("q141_ttl_throttle", q141, Some(q141Sql)),
     QuerySpec("q154_stream_dedup_watermark", q154, Some(q154Sql)),
