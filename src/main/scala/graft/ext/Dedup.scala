@@ -712,7 +712,62 @@ object Dedup {
       |FROM scored WHERE inter / (na + nb - inter) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q177 — CORPUS NOVELTY rate: what fraction of an incoming batch's
+    * 3-gram shingles has never been seen in the existing corpus — the
+    * freshness/contamination dial a continuous-ingest training
+    * pipeline reads before accepting a crawl (novelty ≈ 0 means
+    * you're re-crawling what you have; ≈ 1 means a new domain —
+    * or garbage). "Existing" vs "incoming" is the shared md5 doc
+    * split (engine-identical, rerun-stable); grams come from the same
+    * native [[graft.functions.WordShingles]] codegen expression the
+    * dedup family uses (distinct per doc by construction, mirrored by
+    * the oracle's DISTINCT). The join is gram-digest-sized — a LEFT
+    * join of the incoming side's distinct grams against the corpus
+    * gram set, i.e. an anti-join with a count, never document bodies
+    * — and per-source novelty is an exact ppm ratio. At 100 TB the
+    * corpus side is the incremental gram INDEX q80 maintains; the
+    * per-batch cost is the new batch's grams only.
+    */
+  private def q177(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", graft.ext.TrainPrep.md5Bucket(col("doc_id"), 100))
+    val grams = docs.select(col("source"), col("bucket"),
+      explode(graft.functions.word_shingles(col("text"), 3)).as("gm"))
+    val corpus = grams.filter(col("bucket") < 50).select(col("gm")).distinct()
+      .withColumn("seen", lit(1L))
+    grams.filter(col("bucket") >= 50).select(col("source"), col("gm")).distinct()
+      .join(corpus, Seq("gm"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+      .orderBy("source")
+  }
+
+  private val q177Sql =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source, bucket,
+      |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |              ELSE array_to_string(ws, ' ') END AS gm
+      |  FROM (SELECT doc_id, source, bucket, ws,
+      |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+      |                           ELSE [1] END) AS i
+      |        FROM w)),
+      |corpus AS (SELECT DISTINCT gm FROM g WHERE bucket < 50),
+      |incoming AS (SELECT DISTINCT source, gm FROM g WHERE bucket >= 50)
+      |SELECT incoming.source, COUNT(*) AS n_grams,
+      |       CAST(SUM(CASE WHEN corpus.gm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       CAST(SUM(CASE WHEN corpus.gm IS NULL THEN 1 ELSE 0 END) * 1000000
+      |            // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM incoming LEFT JOIN corpus ON corpus.gm = incoming.gm
+      |GROUP BY 1 ORDER BY incoming.source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q177_corpus_novelty", q177, Some(q177Sql)),
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
     QuerySpec("q46_minhash_lsh",    q46, None,         headline = true),

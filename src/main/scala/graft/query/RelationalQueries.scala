@@ -1648,7 +1648,105 @@ object RelationalQueries {
        |       CAST(SUM(cell_chi2_ppm) AS BIGINT) AS chi2_ppm
        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q175 — the six-table STAR-JOIN flagship (TPC-H Q5 shape):
+    * regional supplier revenue where customer and supplier must sit
+    * in the SAME nation — the classic join-order stress test, because
+    * the c↔s nation equality only becomes joinable after both arms
+    * are assembled. Declared as plain joins: Catalyst folds the
+    * region filter into the nation/supplier arm, broadcasts the
+    * bounded dims (region, nation — fixed size at ANY SF), and lets
+    * AQE pick broadcast vs shuffle for customer/supplier by runtime
+    * size, while lineitem⋈orders shuffles on the order key — exactly
+    * the plan you'd hand-write at 100 TB. Revenue goes through
+    * decimal-exact money arithmetic (accumulation-order-free), date
+    * filter is a constant range that prunes at the scan.
+    */
+  private def q175(spark: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q175Sql =
+    s"""SELECT n_name,
+       |       ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |       COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q176 — GAPS-AND-ISLANDS: per-user consecutive-day activity
+    * streaks, the classic group-by-what-isn't-a-column problem. The
+    * island key is day_index − row_number — constant within a
+    * consecutive run, unique across runs — computed in one
+    * user-partitioned window pass over the DISTINCT (user, day) grid
+    * (the heavy raw-event table collapses first, so the window sorts
+    * |users|·|days| rows, not |events|). Everything stays integer
+    * (datediff against a fixed epoch), and the output is one row per
+    * user: total active days, number of streaks, longest streak —
+    * the engagement summary shape. Scales as two key-partitioned
+    * shuffles; no global sort anywhere.
+    */
+  private def q176(spark: SparkSession, dir: String): DataFrame = {
+    val days = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("d"))
+      .distinct()
+    val grp = col("d") -
+      row_number().over(Window.partitionBy(col("user_id")).orderBy(col("d")))
+    days
+      .withColumn("grp", grp)
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  private val q176Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, d,
+      |         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id,
+      |       CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |       COUNT(*) AS n_streaks,
+      |       CAST(MAX(len) AS BIGINT) AS longest_streak
+      |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q175_star_revenue", q175, Some(q175Sql), headline = true),
+    QuerySpec("q176_activity_streaks", q176, Some(q176Sql)),
     QuerySpec("q167_groupwise_regression", q167, Some(q167Sql)),
     QuerySpec("q168_chisq_drift", q168, Some(q168Sql)),
     QuerySpec("q20_star_denorm",      q20, Some(q20Sql), headline = true),
