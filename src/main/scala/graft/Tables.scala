@@ -18,23 +18,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy conf) and floor-divide to microseconds with exact integer
-    * arithmetic (`div` — a double division would lose precision above
-    * 2^53 ns). DuckDB's ns→µs handling floors the same way for the
-    * post-epoch timestamps in this data.
+  /** `events.ts` has shipped as two physical shapes across testdata
+    * generations, so the reader adapts on the footer schema:
     *
-    * Note: `nanosAsLong` is a SESSION conf (no per-read option
-    * exists), so this call changes how any later TIMESTAMP(NANOS)
-    * parquet in the same session reads. events.parquet is the only
-    * NANOS source in this testbed; a multi-source deployment would
-    * set the flag at session build instead.
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader historically
+    *    rejects it ([PARQUET_TYPE_ILLEGAL]); the legacy `nanosAsLong`
+    *    session conf reads it as raw BIGINT nanos, which we
+    *    floor-divide to microseconds with exact integer arithmetic
+    *    (`div` — a double division would lose precision above 2^53
+    *    ns). DuckDB's ns→µs handling floors the same way.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads natively as
+    *    TIMESTAMP_NTZ; cast to the session type (LTZ) — value-
+    *    preserving under the UTC session every entry point pins —
+    *    so every downstream query keeps seeing plain TimestampType.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // No-op on builds whose reader handles NANOS natively; required
+    // on builds where NANOS parquet is otherwise unreadable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

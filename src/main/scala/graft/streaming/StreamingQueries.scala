@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries {
 
-  /** events.parquet carries TIMESTAMP(NANOS) → must be read as long
-    * nanos (same trick as [[graft.Tables.events]], but readStream
-    * needs the schema up front).
+  /** events.ts has shipped as TIMESTAMP(NANOS) and as µs
+    * TIMESTAMP_NTZ across testdata generations (see
+    * [[graft.Tables.events]]); readStream needs the schema up front,
+    * so probe the footer with a one-off batch read and declare the
+    * matching physical type, normalizing to session-TZ TimestampType
+    * either way.
     */
-  private val rawSchema = StructType(Seq(
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -33,13 +36,15 @@ object StreamingQueries {
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // The file-stream source requires a directory path; events.parquet
     // is a single file, so stream the directory with a name filter.
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(rawSchema(if (tsType == LongType) LongType else tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (tsType == LongType) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Drain a streaming aggregate into a uniquely-named memory sink and

@@ -15,9 +15,11 @@ import java.nio.file.Files
   */
 class StreamingEtlSpec extends SparkSpec {
 
-  private val rawSchema = StructType(Seq(
+  // ts physical type differs across testdata generations (NANOS-as-long
+  // vs µs NTZ) — probe the footer like StreamingQueries.eventStream does.
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -59,12 +61,15 @@ class StreamingEtlSpec extends SparkSpec {
   test("foreachBatch streaming ETL writes the partitioned store incrementally") {
     val out = Files.createTempDirectory("graft_stream_store").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
 
-    val stream = spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = (if (tsType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast(TimestampType)))
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
 
     val q = stream.writeStream
