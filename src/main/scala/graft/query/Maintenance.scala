@@ -838,7 +838,69 @@ object Maintenance {
        |FROM ev JOIN med ON med.event_type = ev.event_type
        |GROUP BY 1 ORDER BY ev.event_type""".stripMargin
 
+  /** q179 — snapshot cut and delta window for the join-IVM demo: the
+    * "stored view" covers activity before the cut; the maintenance
+    * batch applies one month of arrivals on BOTH sides of the join.
+    */
+  private val IvmCut = "1999-01-01 00:00:00"
+  private val IvmEnd = "1999-02-01 00:00:00"
+
+  /** q179 — INCREMENTAL VIEW MAINTENANCE of a JOIN view (the
+    * two-sided companion to q133's rollup IVM): the maintained view is
+    * revenue per (o_orderpriority, l_returnflag) over orders ⋈
+    * lineitem. When a batch arrives on BOTH base tables, the delta of
+    * the join is NOT ΔO ⋈ ΔL — it is the three cross terms
+    * ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL, and the engine maintains the view
+    * by aggregating only those terms and merging them into the stored
+    * aggregate (union → re-group → sum), never re-joining the base.
+    * At 100 TB that's the whole point: the base join never re-runs;
+    * the three delta joins are month-sized, AQE broadcasts the small
+    * delta sides, and the merge shuffles one aggregate grid (~15
+    * rows), not the fact tables. The ORACLE is the full recompute
+    * over the post-batch window — the driver hash-compare IS the
+    * proof of the maintenance identity (the q133 pattern). Revenue
+    * merges exactly because partial decimal sums are associative;
+    * the double cast happens once, after the merge.
+    */
+  private def q179(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6)).as("rev"))
+    val cut = lit(IvmCut).cast("timestamp")
+    val end = lit(IvmEnd).cast("timestamp")
+    val oOld = o.filter(col("o_orderdate") < cut)
+    val oNew = o.filter(col("o_orderdate") >= cut && col("o_orderdate") < end)
+    val lOld = l.filter(col("l_shipdate") < cut)
+    val lNew = l.filter(col("l_shipdate") >= cut && col("l_shipdate") < end)
+    def viewAgg(oSide: DataFrame, lSide: DataFrame): DataFrame = oSide
+      .join(lSide, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("rev_part"))
+    viewAgg(oOld, lOld)                  // the stored view (would be read, not re-joined)
+      .unionAll(viewAgg(oNew, lOld))     // Δorders against old lineitems
+      .unionAll(viewAgg(oOld, lNew))     // old orders against Δlineitems
+      .unionAll(viewAgg(oNew, lNew))     // Δ against Δ
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(col("n_items")).as("n_items"),
+        sum(col("rev_part")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
+  private val q179Sql =
+    s"""SELECT o_orderpriority, l_returnflag, COUNT(*) AS n_items,
+       |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       |            AS DOUBLE) AS revenue
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE o_orderdate < TIMESTAMP '$IvmEnd'
+       |  AND l_shipdate  < TIMESTAMP '$IvmEnd'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q179_join_ivm", q179, Some(q179Sql), headline = true),
     QuerySpec("q171_l_diversity", q171, Some(q171Sql)),
     QuerySpec("q172_group_impute", q172, Some(q172Sql)),
     QuerySpec("q75_scd1_upsert",  q75, Some(q75Sql)),

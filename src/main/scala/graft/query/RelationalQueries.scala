@@ -1744,7 +1744,122 @@ object RelationalQueries {
       |       CAST(MAX(len) AS BIGINT) AS longest_streak
       |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q178 — safety bound on closure-squaring rounds: round i covers
+    * ancestor paths of length ≤ 2^i, so 8 rounds cover depth 256 —
+    * far above the ~e·ln(n) expected height of the uniform-attachment
+    * forest (≈26 at sf0.1). Hitting the bound unconverged throws
+    * rather than returning a truncated closure (the DupGraph
+    * contract).
+    */
+  private val MaxHierarchyRounds = 8
+
+  /** q178 — HIERARCHICAL ROLLUP over a parent-pointer dimension (org
+    * charts, category trees, bill-of-materials): for every node, its
+    * depth and its full-subtree member count and balance. Spark has no
+    * recursive SQL, so the ancestor closure is computed by CLOSURE
+    * SQUARING — round i turns "ancestors within 2^(i-1) hops" into
+    * "within 2^i hops" via one self-join + distinct — i.e. O(log
+    * depth) shuffle rounds over an (node, ancestor) list that tops out
+    * at n·depth rows, never the O(n·2^rounds) a naive unrolled
+    * walk-one-step plan would cost, and never a driver-side loop over
+    * collected rows. Each round localCheckpoints (the DupGraph
+    * precedent: truncate exponential lineage, stop recomputation) and
+    * the fixpoint probe (row count unchanged) rides the checkpoint job
+    * via CollectMetrics.
+    *
+    * The forest itself is derived deterministically so the oracle can
+    * rebuild it: customers ranked by key; node at rank r ≥ 2 gets
+    * parent rank 1 + md5(key) mod (r−1) — a uniform-attachment random
+    * recursive tree, expected height e·ln(n). The one global
+    * row_number is a DIMENSION build (15k rows at sf0.1, a one-off
+    * single-partition window); the closure/rollup stages — the part
+    * that grows with depth×n — are all key-partitioned shuffles.
+    * Oracle: DuckDB recursive CTE over the identical edge list.
+    */
+  private def q178(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("r", row_number().over(Window.orderBy(col("c_custkey"))))
+      .localCheckpoint()
+    val parentRank = lit(1) + pmod(
+      conv(substring(md5(to_binary(col("c_custkey").cast("string"), lit("utf-8"))), 1, 15), 16, 10)
+        .cast("long"),
+      col("r") - 1)
+    val edges = ranked.filter(col("r") >= 2)
+      .select(col("c_custkey").as("node"), parentRank.as("pr"))
+      .join(ranked.select(col("c_custkey").as("parent"), col("r").as("pr")), "pr")
+      .select(col("node"), col("parent").as("anc"))
+    var anc = edges.localCheckpoint()
+    var prevCount = anc.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxHierarchyRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = anc
+        .union(anc.as("x")
+          .join(anc.as("y"), col("x.anc") === col("y.node"))
+          .select(col("x.node").as("node"), col("y.anc").as("anc")))
+        .distinct()
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val nextCount = obs.get("n").asInstanceOf[Long]
+      converged = nextCount == prevCount
+      anc = next
+      prevCount = nextCount
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ancestor closure did not converge in $MaxHierarchyRounds squaring rounds")
+    val depth = ranked.select(col("c_custkey"))
+      .join(anc.groupBy(col("node")).agg(count(lit(1)).as("d")),
+        col("c_custkey") === col("node"), "left")
+      .select(col("c_custkey"), coalesce(col("d"), lit(0L)).as("depth"))
+    val sub = anc
+      .union(ranked.select(col("c_custkey").as("node"), col("c_custkey").as("anc")))
+      .join(ranked.select(col("c_custkey").as("node"), col("cents")), "node")
+      .groupBy(col("anc"))
+      .agg(count(lit(1)).as("subtree_n"), sum(col("cents")).as("subtree_cents"))
+    depth.join(sub, depth("c_custkey") === sub("anc"))
+      .select(col("c_custkey"), col("depth"), col("subtree_n"), col("subtree_cents"))
+      .orderBy("c_custkey")
+  }
+
+  private val q178Sql =
+    """WITH RECURSIVE ranked AS (
+      |  SELECT c_custkey,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |         ROW_NUMBER() OVER (ORDER BY c_custkey) AS r
+      |  FROM customer),
+      |edges AS (
+      |  SELECT ch.c_custkey AS node, p.c_custkey AS anc
+      |  FROM ranked ch
+      |  JOIN ranked p
+      |    ON p.r = 1 + ('0x' || substr(md5(CAST(ch.c_custkey AS VARCHAR)), 1, 15))::BIGINT
+      |                 % (ch.r - 1)
+      |  WHERE ch.r >= 2),
+      |anc AS (
+      |  SELECT node, anc FROM edges
+      |  UNION
+      |  SELECT a.node, e.anc FROM anc a JOIN edges e ON e.node = a.anc),
+      |depth AS (SELECT node, COUNT(*) AS d FROM anc GROUP BY node),
+      |pairs AS (
+      |  SELECT node, anc FROM anc
+      |  UNION ALL
+      |  SELECT c_custkey, c_custkey FROM ranked),
+      |sub AS (
+      |  SELECT p.anc AS c_custkey, COUNT(*) AS subtree_n,
+      |         CAST(SUM(rc.cents) AS BIGINT) AS subtree_cents
+      |  FROM pairs p JOIN ranked rc ON rc.c_custkey = p.node
+      |  GROUP BY p.anc)
+      |SELECT s.c_custkey, CAST(COALESCE(d.d, 0) AS BIGINT) AS depth,
+      |       s.subtree_n, s.subtree_cents
+      |FROM sub s LEFT JOIN depth d ON d.node = s.c_custkey
+      |ORDER BY s.c_custkey""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q178_hierarchy_rollup", q178, Some(q178Sql), headline = true),
     QuerySpec("q175_star_revenue", q175, Some(q175Sql), headline = true),
     QuerySpec("q176_activity_streaks", q176, Some(q176Sql)),
     QuerySpec("q167_groupwise_regression", q167, Some(q167Sql)),
