@@ -18,6 +18,7 @@ object SparkEntry {
       graft.ext.DupGraph.specs ++
       graft.ext.Decontam.specs ++
       graft.ext.Similarity.specs ++
+      graft.ext.Spatial.specs ++
       graft.ext.Multimodal.specs ++
       graft.ext.TrainPrep.specs ++
       graft.scale.Layout.specs ++

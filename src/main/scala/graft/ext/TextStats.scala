@@ -301,6 +301,56 @@ object TextStats {
       |WHERE levenshtein(a.s_name, b.s_name) <= 2
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q180 — exact Levenshtein ≤ 1 similarity self-join via FastSS
+    * DELETION NEIGHBORHOODS, the scale path of the edit-distance
+    * family: q56's length blocking only bounds |len(a)−len(b)| — at
+    * uniform lengths (exactly this testdata: every c_name is 18
+    * chars) its buckets degrade to all-pairs — while deletion
+    * blocking pins the edit POSITION. For any single edit
+    * (insert / delete / substitute), deleting the edited position
+    * from both strings yields an identical variant, so joining the
+    * (len+1) single-character-deletion variants of every name (the
+    * identity variant included, catching insertions) is a provably
+    * LOSSLESS candidate generator for distance ≤ 1 (Bocek et al.'s
+    * FastSS; distance ≤ k generalizes to ≤k-deletion subsets).
+    *
+    * The join key is `xxhash64(variant)` — a fixed 8-byte shuffle
+    * key regardless of string length; a hash collision can only
+    * admit a FALSE candidate, which the exact `levenshtein` verify
+    * removes, so the result is exact while the candidate shuffle
+    * never carries variant text (the "digests through the shuffle"
+    * house rule). Candidates dedup to bare (n1, n2) before the
+    * verify. At 100 TB: (len+1)·n variant rows of 8-byte keys
+    * through one equi-join — no O(n²) stage anywhere. The oracle is
+    * the BRUTE-FORCE all-pairs levenshtein (an independent method,
+    * so the hash compare proves the neighborhood construction
+    * lossless on the full input); EditDistanceJoinSpec re-proves it
+    * in-engine at sf0.001 and covers the insert/delete shapes the
+    * uniform-length testdata can't produce.
+    */
+  private def q180(spark: SparkSession, dir: String): DataFrame = {
+    val names = graft.Tables.customer(spark, dir)
+      .select(col("c_name").as("n")).distinct()
+    val vars = names
+      .withColumn("i", explode(sequence(lit(0), length(col("n")))))
+      .select(col("n"),
+        xxhash64(expr("concat(substring(n, 1, i), substring(n, i + 2))")).as("vh"))
+    vars.as("a").join(vars.as("b"),
+        col("a.vh") === col("b.vh") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 1)
+      .orderBy("n1", "n2")
+  }
+
+  private val q180Sql =
+    """WITH names AS (SELECT DISTINCT c_name AS n FROM customer)
+      |SELECT a.n AS n1, b.n AS n2, CAST(levenshtein(a.n, b.n) AS INT) AS dist
+      |FROM names a JOIN names b ON a.n < b.n
+      |WHERE levenshtein(a.n, b.n) <= 1
+      |ORDER BY n1, n2""".stripMargin
+
   /** PII patterns shared (as literal text) between the Spark plan and
     * the oracle SQL. Class-and-quantifier-only regexes — no
     * lookaround, no backrefs — so Java (Spark) and RE2 (DuckDB)
@@ -1528,6 +1578,7 @@ object TextStats {
     QuerySpec("q54_json_extract",  q54, Some(q54Sql)),
     QuerySpec("q55_regex_extract", q55, Some(q55Sql)),
     QuerySpec("q56_fuzzy_match",   q56, Some(q56Sql)),
+    QuerySpec("q180_edit_distance_join", q180, Some(q180Sql), headline = true),
     QuerySpec("q68_pii_redaction", q68, Some(q68Sql)),
     QuerySpec("q69_tfidf_topterms", q69, Some(q69Sql), headline = true),
     QuerySpec("q72_repetition_removal", q72, Some(q72Sql)),

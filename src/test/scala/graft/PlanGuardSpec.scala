@@ -81,7 +81,10 @@ class PlanGuardSpec extends SparkSpec {
     "q168_chisq_drift",
     // q169: broadcasts the 1-row corpus doc count that denominates
     // the lift ratio (the q03/q69 scalar pattern)
-    "q169_cooccurrence_lift")
+    "q169_cooccurrence_lift",
+    // q181: broadcasts the 1-row point count that scales the derived
+    // coordinate domain (the q03/q69 scalar pattern)
+    "q181_grid_spatial_join")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
