@@ -1858,7 +1858,127 @@ object RelationalQueries {
       |FROM sub s LEFT JOIN depth d ON d.node = s.c_custkey
       |ORDER BY s.c_custkey""".stripMargin
 
+  /** q182 — SKYLINE (Pareto-frontier) preference query: the documents
+    * no other document dominates on (token count, distinct-token
+    * count) — "longest AND most lexically diverse" without collapsing
+    * the two criteria into one score. The naive formulation is a
+    * quadratic dominance self-join; in 2D the skyline is ORDER-
+    * REDUCIBLE: sort by one axis and a point survives iff its second
+    * coordinate strictly exceeds the running maximum over all points
+    * with a STRICTLY greater first coordinate (value-based RANGE
+    * frame, exact on integer axes) and it attains the maximum within
+    * its own first-coordinate tie group. Two window passes over one
+    * range-partitioned sort — no self-join, no O(n²). At 100 TB the
+    * global sort is Spark's range-partitioned orderBy (the same
+    * machinery as any large ORDER BY); higher dimensions would switch
+    * to the partition-local-skyline ∪ global-refine shape. Both
+    * engines share identical window semantics, so the oracle is the
+    * same construction verified value-exact.
+    */
+  private def q182(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
+    val wStrict = Window.orderBy(col("nt").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy(col("nt"))
+    docs
+      .withColumn("m1", max(col("nd")).over(wStrict))
+      .withColumn("m2", max(col("nd")).over(wTie))
+      .filter(col("nd") === col("m2") &&
+        (col("m1").isNull || col("nd") > col("m1")))
+      .select(col("doc_id"), col("nt"), col("nd"))
+      .orderBy("doc_id")
+  }
+
+  private val q182Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, nt, nd,
+      |         max(nd) OVER (ORDER BY nt DESC
+      |                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+      |         max(nd) OVER (PARTITION BY nt) AS m2
+      |  FROM d)
+      |SELECT doc_id, nt, nd FROM m
+      |WHERE nd = m2 AND (m1 IS NULL OR nd > m1)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q183 — SEASONAL DECOMPOSITION of daily revenue (classical
+    * additive decompose, weekday period): per day, the 7-day centered
+    * trend window, the detrended deviation, and the weekday seasonal
+    * component — all in EXACT integers. Fractions never materialize:
+    * the trend is carried as the 7-day SUM (7×trend), the deviation
+    * as 7·rev − sum7 (both BIGINT µ$), and the seasonal component as
+    * its (sum, count) numerator/denominator pair, so both engines
+    * agree bit-for-bit with no division-rounding convention at all.
+    * The trend frame is a value-based RANGE over the day index —
+    * calendar gaps shrink the window's COUNT and null the trend
+    * rather than silently pulling in non-adjacent days (the q148
+    * gap-correct frame rule). Plan shape: one shuffle to daily
+    * grain, one range-sorted window pass, one 7-row weekday
+    * aggregate broadcast back — no per-row joins.
+    */
+  private def q183(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(col("l_shipdate").cast("date").as("day"),
+        (col("l_extendedprice").cast(DecimalType(18, 6)) * 1000000)
+          .cast("long").as("rev_u"))
+      .groupBy(col("day")).agg(sum(col("rev_u")).as("rev_u"))
+      .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("wd", pmod(col("day_idx"), lit(7)).cast("int"))
+    val w7 = Window.orderBy(col("day_idx")).rangeBetween(-3, 3)
+    val trended = daily
+      .withColumn("sum7_u", when(count(lit(1)).over(w7) === 7,
+        sum(col("rev_u")).over(w7)))
+      .withColumn("dev7_u", lit(7) * col("rev_u") - col("sum7_u"))
+    val seasonal = trended.filter(col("dev7_u").isNotNull)
+      .groupBy(col("wd"))
+      .agg(sum(col("dev7_u")).as("seas_sum7_u"), count(lit(1)).as("seas_n"))
+    trended.join(seasonal, Seq("wd"), "left")
+      // DATE parquet reads back as python objects in the driver's
+      // compare; emit the day at timestamp grain (value-identical)
+      .select(col("day").cast("timestamp").as("day"), col("rev_u"),
+        col("sum7_u"), col("dev7_u"),
+        col("wd"), col("seas_sum7_u"), col("seas_n"))
+      .orderBy("day")
+  }
+
+  private val q183Sql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+      |              AS BIGINT) AS rev_u
+      |  FROM lineitem GROUP BY 1),
+      |idx AS (
+      |  SELECT day, rev_u,
+      |         datediff('day', DATE '1970-01-01', day) AS day_idx,
+      |         CAST(mod(datediff('day', DATE '1970-01-01', day), 7) AS INT) AS wd
+      |  FROM daily),
+      |tr AS (
+      |  SELECT day, rev_u, wd,
+      |         CASE WHEN count(*) OVER w7 = 7
+      |              THEN CAST(sum(rev_u) OVER w7 AS BIGINT) END AS sum7_u
+      |  FROM idx
+      |  WINDOW w7 AS (ORDER BY day_idx RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dev AS (
+      |  SELECT day, rev_u, wd, sum7_u, 7 * rev_u - sum7_u AS dev7_u FROM tr),
+      |seas AS (
+      |  SELECT wd, CAST(SUM(dev7_u) AS BIGINT) AS seas_sum7_u,
+      |         COUNT(*) AS seas_n
+      |  FROM dev WHERE dev7_u IS NOT NULL GROUP BY wd)
+      |SELECT CAST(d.day AS TIMESTAMP) AS day, d.rev_u, d.sum7_u, d.dev7_u,
+      |       d.wd, s.seas_sum7_u, s.seas_n
+      |FROM dev d LEFT JOIN seas s ON s.wd = d.wd
+      |ORDER BY d.day""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q182_skyline", q182, Some(q182Sql)),
+    QuerySpec("q183_seasonal_decompose", q183, Some(q183Sql)),
     QuerySpec("q178_hierarchy_rollup", q178, Some(q178Sql), headline = true),
     QuerySpec("q175_star_revenue", q175, Some(q175Sql), headline = true),
     QuerySpec("q176_activity_streaks", q176, Some(q176Sql)),

@@ -432,7 +432,64 @@ object Layout {
        |       CAST(SUM(n_match) AS BIGINT) AS n_rows_matching
        |FROM flagged GROUP BY 1 ORDER BY layout""".stripMargin
 
+  /** q184 buckets — the histogram resolution real optimizers default
+    * to (Spark's ANALYZE uses 254; 10 keeps the artifact readable).
+    */
+  private val HistBuckets = 10L
+
+  /** q184 — ANALYZE-style EQUI-DEPTH COLUMN HISTOGRAM: the statistics
+    * artifact a cost-based optimizer stores per column (Spark's
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`, DuckDB/
+    * Postgres pg_stats): B buckets of ~equal row mass over
+    * l_extendedprice, each with its value range, row count, and NDV.
+    * VALUE-PACKED semantics (a distinct value never splits across
+    * buckets — exactly how production histogram stats behave): bucket
+    * of value v = ⌊rows_below(v) · B / N⌋.
+    *
+    * Scale shape: the only per-ROW stage is the distributed groupBy
+    * to (value, count) — everything after runs on the DISTINCT-VALUE
+    * domain (bounded: prices, enum-ish keys — the q89 vocab-build
+    * argument), so the global cumulative window sorts ndv rows, not
+    * N. The exact-NDV/exact-boundary form is the oracle-checkable
+    * anchor; at genuinely unbounded domains the engine would swap in
+    * the mergeable approx_percentile/HLL sketches (q27b/q33b) — same
+    * artifact, sketched. The 1-row total broadcasts (q03 scalar
+    * pattern, allowlisted).
+    */
+  private def q184(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents")).rowsBetween(Long.MinValue, -1)
+    counts.crossJoin(broadcast(total))
+      .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("bucket", expr(s"(cum * $HistBuckets) DIV total"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ndv"), sum(col("cnt")).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .orderBy("bucket")
+  }
+
+  private val q184Sql =
+    s"""WITH c AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |         COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+       |cum AS (
+       |  SELECT cents, cnt,
+       |         COALESCE(CAST(SUM(cnt) OVER (ORDER BY cents
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+       |  FROM c)
+       |SELECT CAST((cum * $HistBuckets) // total AS BIGINT) AS bucket,
+       |       COUNT(*) AS ndv, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+       |FROM cum, t GROUP BY 1 ORDER BY 1""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
     QuerySpec("q104_zorder_layout", q104, Some(q104Sql), headline = true),
     QuerySpec("q107_bucketed_join", q107, Some(q107Sql), headline = true),

@@ -84,7 +84,10 @@ class PlanGuardSpec extends SparkSpec {
     "q169_cooccurrence_lift",
     // q181: broadcasts the 1-row point count that scales the derived
     // coordinate domain (the q03/q69 scalar pattern)
-    "q181_grid_spatial_join")
+    "q181_grid_spatial_join",
+    // q184: broadcasts the 1-row row-total that denominates the
+    // equi-depth bucket index (the q03/q69 scalar pattern)
+    "q184_column_histogram")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
