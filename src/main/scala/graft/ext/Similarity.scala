@@ -1456,7 +1456,44 @@ object Similarity {
        |FROM fam LEFT JOIN fm USING (family), tot
        |ORDER BY family""".stripMargin
 
+  /** q187 — GRAM MATRIX of the embedding corpus (XᵀX over the int8
+    * quantized codes): the D×D second-moment table that feeds PCA /
+    * covariance whitening / linear-probe training — the standard
+    * "reduce a 100 TB matrix to a D² summary" primitive. Exact by the
+    * house rule: integer code products sum order-independently, so
+    * both engines agree bit-for-bit where a float fold would not.
+    *
+    * Plan shape is the point: the naive formulation self-joins the
+    * exploded (vec, pos, c) table on vec_id (shuffling D·n rows to
+    * pair positions); here each vector's code ARRAY expands its own
+    * D(D+1)/2 upper-triangle products MAP-SIDE (two chained
+    * posexplodes over the in-row array — no join, no shuffle of
+    * per-vector data at all), and the partial aggregate leaves ≤
+    * D(D+1)/2 ≈ 2k cells per map partition. The only shuffle is the
+    * final cell merge: #partitions × 2k rows, independent of corpus
+    * size. At 100 TB that is the difference between re-shuffling the
+    * corpus and shuffling a few MB of partial sums. The oracle pairs
+    * positions through the per-pos equi-join (required in SQL), which
+    * the hash compare then proves equivalent.
+    */
+  private def q187(spark: SparkSession, dir: String): DataFrame =
+    quantCodeVecs(spark, dir)
+      .select(col("cs"), posexplode(col("cs")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("cs")).as(Seq("j", "cj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("ci") * col("cj")).as("g"))
+      .orderBy("i", "j")
+
+  private val q187Sql =
+    s"""$quantCodesSql
+       |SELECT x.pos AS i, y.pos AS j,
+       |       COUNT(*) AS n_vecs, CAST(SUM(x.c * y.c) AS BIGINT) AS g
+       |FROM q x JOIN q y ON y.vec_id = x.vec_id AND x.pos <= y.pos
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q187_gram_matrix", q187, Some(q187Sql)),
     QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
     QuerySpec("q49_ann_lsh",        q49, None,         headline = true),

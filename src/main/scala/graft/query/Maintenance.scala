@@ -899,7 +899,60 @@ object Maintenance {
        |  AND l_shipdate  < TIMESTAMP '$IvmEnd'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q185 — the AS-OF instant for the time-travel read: mid-history,
+    * so both superseded and not-yet-born versions exist on each side.
+    */
+  private val AsOfInstant = "1998-06-01 00:00:00"
+
+  /** q185 — TIME-TRAVEL READ over the SCD-2 dimension (the
+    * read-side counterpart of q76's history build and q94's
+    * point-in-time join): reconstruct the dimension AS OF a past
+    * instant T by slicing the validity intervals —
+    * effective_from ≤ T < effective_to (open-ended current rows
+    * included via the null bound). Zero-width versions (superseded
+    * the same day they appeared) are correctly invisible at any T.
+    * This is the engine feature table formats market as "time
+    * travel"; over an interval-versioned dimension it is a pure
+    * partition-prunable filter — no snapshot copies, no log replay.
+    * At 100 TB the history table is partitioned by effective_from
+    * range, so the scan prunes to segments born before T; the filter
+    * is map-only. Exactly one version per customer born before T
+    * survives (the intervals tile time) — AsOfTravelSpec asserts
+    * both uniqueness and agreement with a latest-row-wins recompute.
+    */
+  private def q185(spark: SparkSession, dir: String): DataFrame = {
+    val t = lit(AsOfInstant).cast("timestamp")
+    scd2History(spark, dir)
+      .filter(col("effective_from") <= t &&
+        (col("effective_to").isNull || col("effective_to") > t))
+      .select(col("o_custkey"), col("version"), col("priority"),
+        col("effective_from"), col("effective_to"))
+      .orderBy("o_custkey")
+  }
+
+  private val q185Sql =
+    s"""WITH m AS (
+       |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+       |         LAG(o_orderpriority) OVER
+       |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+       |  FROM orders),
+       |c AS (SELECT * FROM m WHERE prev IS NULL OR prev != o_orderpriority),
+       |v AS (
+       |  SELECT o_custkey,
+       |         CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       |         o_orderpriority AS priority,
+       |         o_orderdate AS effective_from,
+       |         LEAD(o_orderdate) OVER w AS effective_to
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+       |SELECT o_custkey, version, priority, effective_from, effective_to
+       |FROM v
+       |WHERE effective_from <= TIMESTAMP '$AsOfInstant'
+       |  AND (effective_to IS NULL OR effective_to > TIMESTAMP '$AsOfInstant')
+       |ORDER BY o_custkey""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q185_scd2_time_travel", q185, Some(q185Sql)),
     QuerySpec("q179_join_ivm", q179, Some(q179Sql), headline = true),
     QuerySpec("q171_l_diversity", q171, Some(q171Sql)),
     QuerySpec("q172_group_impute", q172, Some(q172Sql)),

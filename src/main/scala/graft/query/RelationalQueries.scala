@@ -1976,7 +1976,76 @@ object RelationalQueries {
       |FROM dev d LEFT JOIN seas s ON s.wd = d.wd
       |ORDER BY d.day""".stripMargin
 
+  /** q186 — lag window for the autocorrelation diagnostics. */
+  private val MaxLag = 7
+
+  /** q186 — AUTOCORRELATION STRUCTURE of daily revenue at lags 1..7
+    * (the time-series diagnostic that picks q183's seasonal period and
+    * sizes forecasting windows), in EXACT arithmetic end to end. Per
+    * lag L: the matched day pairs (t, t+L present — calendar-exact via
+    * the day-index equi-join, never row-adjacency), and the centered
+    * second moments as integers: cov = (n·Σxy − Σx·Σy) / n²,
+    * var_x/var_y likewise, each emitted as its TRUNCATED cents²
+    * quotient (both engines truncate integer division toward zero —
+    * verified — so negative covariances stay bit-identical; r =
+    * cov/√(vx·vy) is one float away for the reader, left out to keep
+    * the artifact hash-exact). The n·Σxy products cross BIGINT at
+    * warehouse scale, so the numerators run in DECIMAL(38,0) (Spark)
+    * / HUGEINT (DuckDB) — the q112 rule: 38-digit arithmetic from the
+    * start, not after the first overflow incident. Plan shape: one
+    * shuffle to daily grain (~years×365 rows), a ×MaxLag explode, and
+    * a self-equi-join on the shifted day index — everything after the
+    * daily rollup is O(days·lags), independent of fact-table size.
+    */
+  private def q186(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(col("l_shipdate").cast("date").as("day"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("c"))
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")).as("d"), col("c"))
+    val probe = daily
+      .withColumn("lag", explode(sequence(lit(1), lit(MaxLag))))
+      .select(col("lag"), (col("d") + col("lag")).as("d2"), col("c").as("x"))
+    val m = probe
+      .join(daily.select(col("d").as("d2"), col("c").as("y")), Seq("d2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    m.select(col("lag").cast("long").as("lag"), col("n"),
+        expr("CAST((n * sxy - sx * sy) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("cov_c2"),
+        expr("CAST((n * sxx - sx * sx) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("vx_c2"),
+        expr("CAST((n * syy - sy * sy) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("vy_c2"))
+      .orderBy("lag")
+  }
+
+  private val q186Sql =
+    s"""WITH daily AS (
+       |  SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |              AS BIGINT) AS c
+       |  FROM lineitem GROUP BY 1),
+       |lags AS (SELECT CAST(i AS BIGINT) AS lag FROM range(1, ${MaxLag + 1}) t(i)),
+       |m AS (
+       |  SELECT lag, COUNT(*) AS n,
+       |         SUM(CAST(a.c AS HUGEINT)) AS sx,
+       |         SUM(CAST(b.c AS HUGEINT)) AS sy,
+       |         SUM(CAST(a.c AS HUGEINT) * b.c) AS sxy,
+       |         SUM(CAST(a.c AS HUGEINT) * a.c) AS sxx,
+       |         SUM(CAST(b.c AS HUGEINT) * b.c) AS syy
+       |  FROM daily a JOIN lags ON true JOIN daily b ON b.d = a.d + lag
+       |  GROUP BY lag)
+       |SELECT lag, n,
+       |       CAST((n * sxy - sx * sy) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS cov_c2,
+       |       CAST((n * sxx - sx * sx) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS vx_c2,
+       |       CAST((n * syy - sy * sy) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS vy_c2
+       |FROM m ORDER BY lag""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q186_autocorrelation", q186, Some(q186Sql)),
     QuerySpec("q182_skyline", q182, Some(q182Sql)),
     QuerySpec("q183_seasonal_decompose", q183, Some(q183Sql)),
     QuerySpec("q178_hierarchy_rollup", q178, Some(q178Sql), headline = true),
