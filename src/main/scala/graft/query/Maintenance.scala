@@ -951,7 +951,68 @@ object Maintenance {
        |  AND (effective_to IS NULL OR effective_to > TIMESTAMP '$AsOfInstant')
        |ORDER BY o_custkey""".stripMargin
 
+  /** q189 — maintenance window and erasure cohort for the
+    * retraction-aware IVM: one month of arrivals, plus deletion of
+    * every order belonging to an md5-selected ~1/37 of customers
+    * (the q106 GDPR-erasure shape arriving as retractions).
+    */
+  private val RetractCut = "1998-01-01 00:00:00"
+  private val RetractEnd = "1998-02-01 00:00:00"
+
+  /** q189 — INCREMENTAL VIEW MAINTENANCE UNDER DELETES: q133/q179
+    * maintain on inserts only; real pipelines also retract (GDPR
+    * erasure, late-data corrections, CDC deletes). The maintained
+    * view is (n_orders, total_cents) per priority; the batch carries
+    * BOTH polarities — inserts (one month of arrivals, erasures
+    * already honored) and retractions (every stored row of the
+    * erased customers) — and the engine merges SIGNED deltas into
+    * the stored aggregate: counts and sums are abelian-group
+    * aggregates, so a delete is literally a −1 row; a group whose
+    * maintained count reaches zero must DROP (the classic retraction
+    * subtlety — max/min would need auxiliary structures, which is
+    * why retractable IVM restricts to group-homomorphic aggregates).
+    * The base join/aggregate never re-runs: the three legs are the
+    * stored view (read, not recomputed, in production), the
+    * month-sized insert delta, and the erasure-sized delete delta.
+    * The ORACLE is the full recompute over (survivors before end) —
+    * the driver hash compare IS the maintenance-identity proof, now
+    * covering the delete path the q133/q179 oracles cannot.
+    */
+  private def q189(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(RetractCut).cast("timestamp")
+    val end = lit(RetractEnd).cast("timestamp")
+    val erased = (conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 37) === 0
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderpriority"), col("o_orderdate"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+      erased.as("erased"))
+    def signedAgg(df: DataFrame, sign: Int): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(lit(sign.toLong)).as("dn"), sum(col("cents") * sign).as("dc"))
+    val stored = signedAgg(o.filter(col("o_orderdate") < cut), 1)
+    val inserts = signedAgg(
+      o.filter(col("o_orderdate") >= cut && col("o_orderdate") < end && !col("erased")), 1)
+    val retractions = signedAgg(
+      o.filter(col("o_orderdate") < cut && col("erased")), -1)
+    stored.unionAll(inserts).unionAll(retractions)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("dn")).as("n_orders"), sum(col("dc")).as("total_cents"))
+      .filter(col("n_orders") > 0) // fully-retracted groups disappear
+      .orderBy("o_orderpriority")
+  }
+
+  private val q189Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |            AS BIGINT) AS total_cents
+       |FROM orders
+       |WHERE o_orderdate < TIMESTAMP '$RetractEnd'
+       |  AND mod(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT, 37) != 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q189_retractable_ivm", q189, Some(q189Sql)),
     QuerySpec("q185_scd2_time_travel", q185, Some(q185Sql)),
     QuerySpec("q179_join_ivm", q179, Some(q179Sql), headline = true),
     QuerySpec("q171_l_diversity", q171, Some(q171Sql)),

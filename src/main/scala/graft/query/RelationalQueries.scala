@@ -2044,7 +2044,62 @@ object RelationalQueries {
        |       CAST((n * syy - sy * sy) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS vy_c2
        |FROM m ORDER BY lag""".stripMargin
 
+  /** q190 — Benford expectation table, ppm, floored: log10(1 + 1/d)
+    * hard-coded as integer literals so neither engine evaluates a
+    * float log (the values are mathematical constants, not data).
+    */
+  private val BenfordPpm = Map(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** q190 — BENFORD FIRST-DIGIT AUDIT over line-item amounts: the
+    * classic forensic/data-quality screen — naturally-occurring
+    * multiplicative amounts follow P(d) = log10(1+1/d); fabricated,
+    * truncated, or uniformly-synthesized columns deviate loudly.
+    * The audit reports, per leading digit, the observed count, the
+    * observed share (ppm, floored), the Benford expectation (ppm,
+    * hard-coded constants — no float log in either engine), and the
+    * absolute deviation. On THIS synthetic testdata the deviation is
+    * large by construction (prices are uniform-ish, not
+    * multiplicative) — which is the audit doing its job: the row
+    * a pipeline alerts on. Plan: map-only digit extraction (string
+    * head of the exact DECIMAL rendering — no float formatting),
+    * one 9-group aggregate; the normalizing total rides a window
+    * over the 9-row aggregate, so no scalar broadcast is needed.
+    */
+  private def q190(spark: SparkSession, dir: String): DataFrame = {
+    val benford = BenfordPpm.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"WHEN $d THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    Tables.lineitem(spark, dir)
+      .select(substring(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING)"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("observed_ppm", expr("(n * 1000000) DIV (SUM(n) OVER ())"))
+      .withColumn("benford_ppm", expr(benford))
+      .withColumn("dev_ppm", abs(col("observed_ppm") - col("benford_ppm")))
+      .orderBy("digit")
+  }
+
+  private val q190Sql = {
+    val benford = BenfordPpm.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"WHEN $d THEN $p" }
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+       |              AS INT) AS digit
+       |  FROM lineitem),
+       |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+       |SELECT digit, n,
+       |       CAST((n * 1000000) // (SUM(n) OVER ()) AS BIGINT) AS observed_ppm,
+       |       CAST($benford AS BIGINT) AS benford_ppm,
+       |       abs(CAST((n * 1000000) // (SUM(n) OVER ()) AS BIGINT)
+       |           - CAST($benford AS BIGINT)) AS dev_ppm
+       |FROM g ORDER BY digit""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q190_benford_audit", q190, Some(q190Sql)),
     QuerySpec("q186_autocorrelation", q186, Some(q186Sql)),
     QuerySpec("q182_skyline", q182, Some(q182Sql)),
     QuerySpec("q183_seasonal_decompose", q183, Some(q183Sql)),

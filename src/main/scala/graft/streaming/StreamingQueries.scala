@@ -616,6 +616,82 @@ object StreamingQueries {
     result
   }
 
+  /** q188 — STREAMING CDC MERGE into a versioned table: each
+    * micro-batch folds into a per-user profile store (event count +
+    * latest event) by read-merge-write against the previous snapshot
+    * version — the continuous MERGE INTO shape every table format
+    * (Delta/Iceberg/Hudi) ships, built from first principles: batch
+    * b writes snapshot v_b = merge(v_{b-1}, agg(batch_b)), and the
+    * final snapshot answers the query. Correctness does NOT depend
+    * on how the stream happens to split into micro-batches, because
+    * both merge operations are ASSOCIATIVE: counts add and "latest"
+    * is a max over the (ts, event_id, type) struct — so any batch
+    * partition folds to the same table (CdcMergeSpec proves a forced
+    * multi-batch replay ≡ the one-shot run). At 100 TB the
+    * read-merge-write of the FULL store per batch becomes a keyed
+    * MERGE pruned to touched partitions (the delta only carries
+    * batch keys), and the snapshot chain is exactly a table format's
+    * version log — the versioned-dir chain here keeps every
+    * intermediate state inspectable and the final read atomic. The
+    * oracle is the batch recompute (latest row + count per user)
+    * over the same events, proving the incremental chain exact.
+    */
+  private def q188(spark: SparkSession, dir: String): DataFrame =
+    cdcMerge(spark, eventStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** The q188 merge loop over any (user_id, ts, event_id, event_type)
+    * stream — exposed so CdcMergeSpec can drive it with a forced
+    * multi-batch replay.
+    */
+  private[streaming] def cdcMerge(spark: SparkSession, src: DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q188_store").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_q188_ck").toString
+    var current: Option[String] = None // snapshot pointer, advanced per batch
+    val q = src.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+        val merged = current match {
+          case None => delta
+          case Some(prev) => spark.read.parquet(prev)
+            .unionByName(delta)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
+        }
+        val v = s"$base/v$batchId"
+        merged.write.mode("overwrite").parquet(v)
+        current = Some(v)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val result = spark.read.parquet(current.get)
+      .select(col("user_id"), col("n_events"),
+        col("last.ts").as("last_ts"), col("last.event_type").as("last_type"))
+      .orderBy("user_id")
+      .localCheckpoint()
+    Seq(base, ck).foreach { d =>
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+    result
+  }
+
+  private val q188Sql =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id, n AS n_events, CAST(ts AS TIMESTAMP) AS last_ts,
+      |       event_type AS last_type
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   private val q135Sql =
     s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        |       COUNT(*) AS n_events,
@@ -1166,6 +1242,7 @@ object StreamingQueries {
     QuerySpec("q113_stream_decontam", q113, Some(q113Sql)),
     QuerySpec("q118_stream_anomaly", q118, Some(q118Sql)),
     QuerySpec("q135_stream_etl_store", q135, Some(q135Sql)),
+    QuerySpec("q188_stream_cdc_merge", q188, Some(q188Sql)),
     QuerySpec("q136_gap_fill", q136, Some(q136Sql)),
     QuerySpec("q139_user_state_machine", q139, Some(q139Sql)),
     QuerySpec("q173_chained_stateful", q173, Some(q173Sql)),
