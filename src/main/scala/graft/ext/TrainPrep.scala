@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation operators (BASELINE.json north star):
@@ -695,7 +696,70 @@ object TrainPrep {
       |FROM c JOIN l USING (lang) JOIN s USING (source), t
       |ORDER BY lang, source""".stripMargin
 
+  /** q191 sample size per source. */
+  private val PriorityK = 10
+
+  /** q191 — WEIGHT-PROPORTIONAL SAMPLING via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup; equivalently Ohlsson's sequential
+    * Poisson): per item, priority qᵢ = wᵢ/uᵢ with uᵢ uniform(0,1];
+    * the k highest-priority items per source form a without-
+    * replacement πps sample, and the (k+1)-th priority τ yields the
+    * unbiased weight estimator ŵᵢ = max(wᵢ, τ) — the method of
+    * record for weighted subsampling of massive corpora (vs q71's
+    * uniform strata and q84's budgeted mixtures). Deterministic and
+    * ORACLE-EXACT despite the float priority: uᵢ derives from a
+    * 48-bit md5 slice (exact integer in both engines), and the
+    * priority is one correctly-rounded IEEE multiply + divide on
+    * exactly-representable inputs — bit-identical across engines by
+    * the same argument as the sequential-fold dot product. Weights
+    * are document lengths, so the sample tilts toward long docs with
+    * exactly known inclusion odds. Plan: map-side priorities, one
+    * per-source window for rank and the τ lookahead — partitioned
+    * sort, no global stage, no scalar broadcast.
+    */
+  private def q191(spark: SparkSession, dir: String): DataFrame = {
+    val u48 = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":q191"))), 1, 12),
+      16, 10).cast("long") + 1 // (0, 2^48] — never zero
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+        (col("n_chars").cast("double") * 281474976710656.0 / u48.cast("double"))
+          .as("priority"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("tau", lead(col("priority"), 1).over(w))
+      .filter(col("rank") <= PriorityK)
+      // ŵ = max(w, τ of the (k+1)-th) — τ is constant across the kept
+      // rows only at rank k, so propagate the rank-k lookahead
+      .withColumn("tau_k", last(when(col("rank") === PriorityK, col("tau")), ignoreNulls = true)
+        .over(Window.partitionBy(col("source")).orderBy(col("rank"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("source"), col("weight"), col("rank"),
+        greatest(col("weight").cast("double"), col("tau_k")).as("est_weight"))
+      .orderBy("source", "rank")
+  }
+
+  private val q191Sql =
+    s"""WITH p AS (
+       |  SELECT doc_id, source, n_chars AS weight,
+       |         CAST(n_chars AS DOUBLE) * 281474976710656
+       |           / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':q191'), 1, 12))::BIGINT + 1
+       |                  AS DOUBLE) AS priority
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER w AS rank, LEAD(priority, 1) OVER w AS tau
+       |  FROM p WINDOW w AS (PARTITION BY source ORDER BY priority DESC, doc_id)),
+       |k AS (
+       |  SELECT *, last_value(CASE WHEN rank = $PriorityK THEN tau END IGNORE NULLS)
+       |              OVER (PARTITION BY source ORDER BY rank
+       |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tau_k
+       |  FROM r WHERE rank <= $PriorityK)
+       |SELECT doc_id, source, weight, CAST(rank AS INT) AS rank,
+       |       greatest(CAST(weight AS DOUBLE), tau_k) AS est_weight
+       |FROM k ORDER BY source, rank""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q191_priority_sample",  q191, Some(q191Sql)),
     QuerySpec("q57_embedding_quantize", q57, Some(q57Sql), headline = true),
     QuerySpec("q58_dataset_split",      q58, Some(q58Sql)),
     QuerySpec("q70_sequence_packing",   q70, Some(q70Sql), headline = true),

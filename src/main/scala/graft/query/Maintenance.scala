@@ -1011,7 +1011,79 @@ object Maintenance {
        |  AND mod(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT, 37) != 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q192 — ROBUST DISPERSION per group: median + MAD (median
+    * absolute deviation) + robust-z outlier counts over event values,
+    * all in EXACT integers. Mean/stddev outlier screens break on the
+    * contamination they're meant to find (one 1e9 row inflates σ
+    * until nothing is an outlier); median/MAD have a 50% breakdown
+    * point. Both medians are the LOWER median by construction (the
+    * q172 picked-element rule — interpolated percentiles return
+    * accumulation-dependent doubles, a picked element is a value both
+    * engines agree on bit-for-bit), and the robust-z test
+    * |c − m| > 3σ̂ = 3·1.4826·MAD runs as the cross-multiplied
+    * integer compare 10000·|c−m| > 44478·MAD — no float division
+    * anywhere. Plan: two partitioned window sorts (values, then
+    * deviations) and two tiny broadcast lookups — per-group sorts
+    * distribute across executors; no global stage.
+    */
+  private def q192(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("event_id"))))
+      .join(df.groupBy(col("event_type")).agg(count(lit(1)).as("n")), "event_type")
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col(valueCol).as(out))
+    val med = lowerMedian(ev, "c", "median_cents")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("c") - col("median_cents")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("event_id"), col("d")),
+      "d", "mad_cents")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("median_cents")).as("median_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        sum((col("d") * 10000 > col("mad_cents") * 44478).cast("long")).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val q192Sql =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, c AS median_cents FROM (
+      |    SELECT event_type, c,
+      |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+      |           COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM ev)
+      |  WHERE rn = (n + 1) // 2),
+      |d AS (
+      |  SELECT ev.event_type, ev.event_id, ev.c, m.median_cents,
+      |         abs(ev.c - m.median_cents) AS dd
+      |  FROM ev JOIN m ON m.event_type = ev.event_type),
+      |mad AS (
+      |  SELECT event_type, dd AS mad_cents FROM (
+      |    SELECT event_type, dd,
+      |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd, event_id) AS rn,
+      |           COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM d)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |       MIN(d.median_cents) AS median_cents,
+      |       MIN(mad.mad_cents) AS mad_cents,
+      |       CAST(SUM(CASE WHEN d.dd * 10000 > mad.mad_cents * 44478
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN mad ON mad.event_type = d.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q192_robust_mad", q192, Some(q192Sql)),
     QuerySpec("q189_retractable_ivm", q189, Some(q189Sql)),
     QuerySpec("q185_scd2_time_travel", q185, Some(q185Sql)),
     QuerySpec("q179_join_ivm", q179, Some(q179Sql), headline = true),

@@ -2098,7 +2098,82 @@ object RelationalQueries {
        |FROM g ORDER BY digit""".stripMargin
   }
 
+  /** q193 — index-bucket width for the span lookup join. */
+  private val QnBucketW = 64L
+
+  /** q193 — QUANTILE NORMALIZATION across sources (the
+    * distribution-alignment transform genomics and feature pipelines
+    * apply before mixing heterogeneous sources): each document's
+    * feature maps to its within-source quantile position, then to the
+    * GLOBAL value at that position, so every source ends up with the
+    * corpus-wide distribution while preserving within-source order.
+    * All-integer: position q_ppm = (rn−1)·10⁶ div (n−1) per source,
+    * global index g = 1 + q_ppm·(N−1) div 10⁶, normalized value = the
+    * distinct value whose cumulative span [lo, hi] contains g.
+    *
+    * The span CONTAINMENT lookup is a non-equi join; at scale that
+    * must not plan as a nested loop, so it runs as the bucketized
+    * equi-join (the q35 neighborhood trick on the index axis): spans
+    * explode to the 64-wide index buckets they overlap, facts join on
+    * g's bucket, and the exact lo ≤ g ≤ hi filter runs after the
+    * hash join — lossless, and candidate width is bounded by bucket
+    * occupancy. Windows: the per-source ranks partition by source
+    * (distributed); the distinct-value cumulative runs on the bounded
+    * VALUE DOMAIN (the q184 argument). The 1-row corpus total
+    * broadcasts (q03 scalar pattern, allowlisted).
+    */
+  private def q193(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val ranked = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("v"), col("doc_id"))))
+      .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n")), "source")
+      .withColumn("q_ppm", expr("((rn - 1) * 1000000) DIV greatest(n - 1, 1)"))
+      .crossJoin(broadcast(n))
+      .withColumn("g", expr("1 + (q_ppm * (nn - 1)) DIV 1000000"))
+    val spans = docs.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Long.MinValue, -1)), lit(0L)) + 1)
+      .withColumn("hi", col("lo") + col("cnt") - 1)
+      .withColumn("b", explode(expr(s"sequence(lo DIV $QnBucketW, hi DIV $QnBucketW)")))
+      .select(col("b"), col("v").as("norm_v"), col("lo"), col("hi"))
+    ranked
+      .withColumn("b", expr(s"g DIV $QnBucketW"))
+      .join(spans, Seq("b"))
+      .filter(col("lo") <= col("g") && col("g") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("v"), col("q_ppm"), col("norm_v"))
+      .orderBy("doc_id")
+  }
+
+  private val q193Sql =
+    """WITH d AS (SELECT doc_id, source, n_chars AS v FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, v,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM d),
+      |t AS (SELECT COUNT(*) AS nn FROM d),
+      |q AS (
+      |  SELECT doc_id, source, v,
+      |         ((rn - 1) * 1000000) // greatest(n - 1, 1) AS q_ppm
+      |  FROM r),
+      |g AS (
+      |  SELECT doc_id, source, v, q_ppm,
+      |         1 + (q_ppm * (nn - 1)) // 1000000 AS gi
+      |  FROM q, t),
+      |spans AS (
+      |  SELECT v AS norm_v, cnt,
+      |         COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + 1 AS lo
+      |  FROM (SELECT v, COUNT(*) AS cnt FROM d GROUP BY 1))
+      |SELECT g.doc_id, g.source, g.v, g.q_ppm, s.norm_v
+      |FROM g JOIN spans s ON g.gi >= s.lo AND g.gi < s.lo + s.cnt
+      |ORDER BY g.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q193_quantile_normalize", q193, Some(q193Sql)),
     QuerySpec("q190_benford_audit", q190, Some(q190Sql)),
     QuerySpec("q186_autocorrelation", q186, Some(q186Sql)),
     QuerySpec("q182_skyline", q182, Some(q182Sql)),

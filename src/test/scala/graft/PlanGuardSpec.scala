@@ -87,7 +87,10 @@ class PlanGuardSpec extends SparkSpec {
     "q181_grid_spatial_join",
     // q184: broadcasts the 1-row row-total that denominates the
     // equi-depth bucket index (the q03/q69 scalar pattern)
-    "q184_column_histogram")
+    "q184_column_histogram",
+    // q193: broadcasts the 1-row corpus total that scales the global
+    // quantile index (the q03/q69 scalar pattern)
+    "q193_quantile_normalize")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
