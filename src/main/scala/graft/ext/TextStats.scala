@@ -335,10 +335,22 @@ object TextStats {
       .withColumn("i", explode(sequence(lit(0), length(col("n")))))
       .select(col("n"),
         xxhash64(expr("concat(substring(n, 1, i), substring(n, i + 2))")).as("vh"))
+      // explicit co-partitioning on the join key: the variant table is
+      // only ~11 MB at sf0.1, so AQE would coalesce the join to 1-2
+      // partitions and serialize the candidate build; the explicit
+      // hash repartition pins probe-side parallelism (and at real
+      // scale is exactly the partitioning the join needs anyway)
+      .repartition(32, col("vh"))
     vars.as("a").join(vars.as("b"),
         col("a.vh") === col("b.vh") && col("a.n") < col("b.n"))
       .select(col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
+      // AQE coalesces the ~1M-row dedup shuffle to one partition,
+      // which would run the O(len²) levenshtein verify single-threaded
+      // — and the global ORDER BY executes the child twice (range
+      // sampling + shuffle), doubling it. Re-spread first (the q56
+      // rule): 24s → ~4s at sf0.1.
+      .repartition(32)
       .withColumn("dist", levenshtein(col("n1"), col("n2")))
       .filter(col("dist") <= 1)
       .orderBy("n1", "n2")
