@@ -512,7 +512,92 @@ object DupGraph {
        |FROM deg LEFT JOIN pn ON pn.id = deg.id
        |ORDER BY doc_id""".stripMargin
 
+  /** q194 — SURVIVORSHIP (the MDM "golden record" build): per
+    * near-dup cluster, fuse one canonical record with a DIFFERENT
+    * rule per field — the defining trait of survivorship vs q82's
+    * keep-one-row dedup, where a single winner donates every field:
+    *   - `lang`: cluster MODE (most frequent, lexicographic
+    *     tie-break) — consensus fields take the majority;
+    *   - `source`: from the EARLIEST member (min doc_id) —
+    *     provenance fields take the first-seen value;
+    *   - `text_from` / `max_chars`: the LONGEST member wins —
+    *     completeness fields take the richest value (the winner's ID
+    *     ships, never its body — the shuffle-payload rule).
+    * Different fields can come from different rows, which no single
+    * max_by can express. Plan: the shared CC assignments, then three
+    * comp-keyed aggregation/window passes (distributed by cluster
+    * key) joined on the cluster id — no global stage, no body
+    * columns through any exchange. The oracle rebuilds the identical
+    * clusters (recursive CTE) and rules.
+    */
+  private def q194(spark: SparkSession, dir: String): DataFrame = {
+    val members = assignments(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")), "doc_id")
+    val base = members.groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("n_chars")).as("max_chars"))
+    val textW = members.withColumn("rn", row_number().over(
+        Window.partitionBy(col("comp_id")).orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 1).select(col("comp_id"), col("doc_id").as("text_from"))
+    val srcW = members.withColumn("rn", row_number().over(
+        Window.partitionBy(col("comp_id")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).select(col("comp_id"), col("source"))
+    val langW = members.groupBy(col("comp_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("comp_id")).orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("rn") === 1).select(col("comp_id"), col("lang"))
+    base.join(textW, "comp_id").join(srcW, "comp_id").join(langW, "comp_id")
+      .select(col("comp_id"), col("n_members"), col("lang"), col("source"),
+        col("text_from"), col("max_chars"))
+      .orderBy("comp_id")
+  }
+
+  private val q194Sql =
+    s"""WITH RECURSIVE ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT s.v AS id, r.comp FROM reach r JOIN sym s ON s.u = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp_id FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id,
+       |         d.lang, d.source, d.n_chars
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+       |base AS (
+       |  SELECT comp_id, COUNT(*) AS n_members,
+       |         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+       |  FROM asg GROUP BY 1),
+       |tw AS (
+       |  SELECT comp_id, doc_id AS text_from FROM (
+       |    SELECT comp_id, doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY comp_id
+       |                              ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM asg) WHERE rn = 1),
+       |sw AS (
+       |  SELECT comp_id, source FROM (
+       |    SELECT comp_id, source,
+       |           ROW_NUMBER() OVER (PARTITION BY comp_id ORDER BY doc_id) AS rn
+       |    FROM asg) WHERE rn = 1),
+       |lm AS (
+       |  SELECT comp_id, lang FROM (
+       |    SELECT comp_id, lang,
+       |           ROW_NUMBER() OVER (PARTITION BY comp_id
+       |                              ORDER BY COUNT(*) DESC, lang) AS rn
+       |    FROM asg GROUP BY comp_id, lang) WHERE rn = 1)
+       |SELECT base.comp_id, base.n_members, lm.lang, sw.source,
+       |       tw.text_from, base.max_chars
+       |FROM base JOIN tw USING (comp_id) JOIN sw USING (comp_id)
+       |          JOIN lm USING (comp_id)
+       |ORDER BY comp_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q194_survivorship", q194, Some(q194Sql)),
     QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
     QuerySpec("q82_dedup_corpus", q82, Some(q82Sql)),
     QuerySpec("q91_dup_clusters_star", q91, Some(q59Sql)),

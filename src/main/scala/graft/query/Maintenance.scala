@@ -1082,7 +1082,81 @@ object Maintenance {
       |FROM d JOIN mad ON mad.event_type = d.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q195 — the two snapshot instants for the CDC extraction. */
+  private val SnapT1 = "1997-06-01 00:00:00"
+  private val SnapT2 = "1998-06-01 00:00:00"
+
+  /** q195 — SNAPSHOT-DIFF CDC EXTRACTION: the inverse of q188's CDC
+    * apply — given two as-of snapshots of the dimension (the q185
+    * interval slice at T1 and T2), recover the change stream between
+    * them as I/U/D operations via one full-outer join keyed on the
+    * business key: key only in the new snapshot → INSERT, only in
+    * the old → DELETE, in both with a changed payload → UPDATE;
+    * unchanged keys are NOT emitted (a CDC feed carries deltas, not
+    * the table). This is how warehouses without change logs bootstrap
+    * CDC (snapshot-based extraction — the Kimball "brute force diff").
+    * DELETE is structurally impossible HERE — both snapshots derive
+    * from one history whose last version is open-ended, so a key
+    * born by T1 is alive at T2; the branch exists because real
+    * snapshot pairs come from independent extracts where keys do
+    * vanish, and SnapshotCdcSpec pins the structural zero plus an
+    * I/U recompute. Plan: the shared history build,
+    * two map-only interval slices of it, one key-partitioned
+    * full-outer join — at 100 TB both snapshot scans prune to
+    * segments live at their instant and the join shuffles the
+    * (small) dimension, never a fact table.
+    */
+  private def q195(spark: SparkSession, dir: String): DataFrame = {
+    def asOf(t: String): DataFrame = {
+      val ts = lit(t).cast("timestamp")
+      scd2History(spark, dir)
+        .filter(col("effective_from") <= ts &&
+          (col("effective_to").isNull || col("effective_to") > ts))
+        .select(col("o_custkey"), col("priority"))
+    }
+    val s1 = asOf(SnapT1).withColumnRenamed("priority", "old_priority")
+    val s2 = asOf(SnapT2).withColumnRenamed("priority", "new_priority")
+    s1.join(s2, Seq("o_custkey"), "full_outer")
+      .withColumn("op",
+        when(col("old_priority").isNull, lit("I"))
+          .when(col("new_priority").isNull, lit("D"))
+          .when(col("old_priority") =!= col("new_priority"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("o_custkey"), col("old_priority"), col("new_priority"))
+      .orderBy("op", "o_custkey")
+  }
+
+  private val q195Sql =
+    s"""WITH m AS (
+       |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+       |         LAG(o_orderpriority) OVER
+       |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+       |  FROM orders),
+       |c AS (SELECT * FROM m WHERE prev IS NULL OR prev != o_orderpriority),
+       |v AS (
+       |  SELECT o_custkey, o_orderpriority AS priority,
+       |         o_orderdate AS effective_from,
+       |         LEAD(o_orderdate) OVER
+       |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS effective_to
+       |  FROM c),
+       |s1 AS (SELECT o_custkey, priority AS old_priority FROM v
+       |       WHERE effective_from <= TIMESTAMP '$SnapT1'
+       |         AND (effective_to IS NULL OR effective_to > TIMESTAMP '$SnapT1')),
+       |s2 AS (SELECT o_custkey, priority AS new_priority FROM v
+       |       WHERE effective_from <= TIMESTAMP '$SnapT2'
+       |         AND (effective_to IS NULL OR effective_to > TIMESTAMP '$SnapT2'))
+       |SELECT CASE WHEN s1.o_custkey IS NULL THEN 'I'
+       |            WHEN s2.o_custkey IS NULL THEN 'D'
+       |            ELSE 'U' END AS op,
+       |       COALESCE(s1.o_custkey, s2.o_custkey) AS o_custkey,
+       |       s1.old_priority, s2.new_priority
+       |FROM s1 FULL OUTER JOIN s2 ON s2.o_custkey = s1.o_custkey
+       |WHERE s1.o_custkey IS NULL OR s2.o_custkey IS NULL
+       |   OR s1.old_priority != s2.new_priority
+       |ORDER BY op, o_custkey""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q195_snapshot_cdc", q195, Some(q195Sql)),
     QuerySpec("q192_robust_mad", q192, Some(q192Sql)),
     QuerySpec("q189_retractable_ivm", q189, Some(q189Sql)),
     QuerySpec("q185_scd2_time_travel", q185, Some(q185Sql)),
