@@ -596,7 +596,85 @@ object DupGraph {
        |          JOIN lm USING (comp_id)
        |ORDER BY comp_id""".stripMargin
 
+  /** q196 — BFS round bound: hop distances only shrink and every
+    * improving round reduces Σdist or grows the reached set, so the
+    * loop converges within the seed-to-node diameter; 16 rounds
+    * covers any component the shallow near-dup graph can hold, and
+    * hitting the bound unconverged throws (the DupGraph contract).
+    * The oracle's recursive CTE carries the same bound as a WHERE
+    * depth guard — without it, cycles would enumerate (node, d),
+    * (node, d+L), ... forever before the outer MIN.
+    */
+  private val MaxBfsRounds = 16
+
+  /** q196 — MULTI-SOURCE BFS hop distance over the near-dup graph:
+    * for every document reachable from the md5-selected ~1% seed set,
+    * its minimum hop count to any seed — the graph-traversal
+    * primitive backing contamination-radius queries ("everything
+    * within 2 hops of a known-bad doc", the transitive widening of
+    * q116's 1-hop taint). Frontier relaxation, not pointer-chasing:
+    * each round is ONE edge-label equi-join + per-node MIN — dist'
+    * = min(dist, min over in-neighbors(dist)+1) — with the
+    * convergence probe (reached count + Σdist, both monotone) riding
+    * the round's checkpoint job via CollectMetrics (the CC-family
+    * pattern: one job per round). O(diameter) shuffle rounds over
+    * (id, dist) pairs — labels through the shuffle, never documents.
+    */
+  private def q196(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
+    val sym = edges
+      .select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    var dist = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(graft.ext.TrainPrep.md5Bucket(col("doc_id"), 100) === 0)
+      .select(col("doc_id").as("id"), lit(0L).as("d"))
+      .localCheckpoint()
+    var prev = (-1L, -1L)
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxBfsRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = dist
+        .unionAll(sym.join(dist, sym("u") === dist("id"))
+          .select(col("v").as("id"), (col("d") + 1).as("d")))
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .observe(obs, count(lit(1)).as("n"), sum(col("d")).as("s"))
+        .localCheckpoint()
+      val cur = (obs.get("n").asInstanceOf[Long], obs.get("s").asInstanceOf[Long])
+      converged = cur == prev
+      prev = cur
+      dist = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"BFS did not converge in $MaxBfsRounds relaxation rounds")
+    dist.select(col("id").as("doc_id"), col("d").as("dist")).orderBy("doc_id")
+  }
+
+  private val q196Sql =
+    s"""WITH RECURSIVE ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |seeds AS (
+       |  SELECT doc_id AS id FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 = 0),
+       |reach AS (
+       |  SELECT id, 0 AS d FROM seeds
+       |  UNION
+       |  SELECT s.v, r.d + 1 FROM reach r JOIN sym s ON s.u = r.id
+       |  WHERE r.d < $MaxBfsRounds)
+       |SELECT id AS doc_id, CAST(MIN(d) AS BIGINT) AS dist
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q196_bfs_contamination_radius", q196, Some(q196Sql)),
     QuerySpec("q194_survivorship", q194, Some(q194Sql)),
     QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
     QuerySpec("q82_dedup_corpus", q82, Some(q82Sql)),

@@ -2172,7 +2172,59 @@ object RelationalQueries {
       |FROM g JOIN spans s ON g.gi >= s.lo AND g.gi < s.lo + s.cnt
       |ORDER BY g.doc_id""".stripMargin
 
+  /** q198 — ROLLING MEDIAN of daily revenue over the calendar ±3-day
+    * window: the robust companion to q183's rolling mean (one bad
+    * ingestion day drags a mean; the rolling median shrugs). No
+    * engine has an exact median window aggregate, so the window
+    * COLLECTS its ≤7 values into an array and picks the lower median
+    * from the sorted list — exact, engine-identical (the q172
+    * picked-element rule applied inside a frame), and safe precisely
+    * because the frame is CONSTANT-BOUNDED: the array is ≤7 BIGINTs
+    * regardless of corpus size, so the window state never grows with
+    * data (contrast an unbounded-preceding collect, which would be a
+    * scale hazard). Gap-correctness as in q183: the value-based
+    * RANGE frame means sparse stretches yield smaller windows, and
+    * n7 reports the actual window size rather than silently
+    * averaging non-adjacent days.
+    */
+  private def q198(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(col("l_shipdate").cast("date").as("day"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev_c"))
+      .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w7 = Window.orderBy(col("day_idx")).rangeBetween(-3, 3)
+    daily
+      .withColumn("vals", collect_list(col("rev_c")).over(w7))
+      .select(col("day").cast("timestamp").as("day"), col("rev_c"),
+        size(col("vals")).cast("long").as("n7"),
+        expr("element_at(array_sort(vals), CAST((size(vals) + 1) DIV 2 AS INT))")
+          .as("med7_c"))
+      .orderBy("day")
+  }
+
+  private val q198Sql =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |idx AS (
+      |  SELECT day, rev_c,
+      |         datediff('day', DATE '1970-01-01', day) AS day_idx
+      |  FROM daily),
+      |win AS (
+      |  SELECT day, rev_c,
+      |         list(rev_c) OVER (ORDER BY day_idx
+      |                           RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS vals
+      |  FROM idx)
+      |SELECT CAST(day AS TIMESTAMP) AS day, rev_c,
+      |       CAST(len(vals) AS BIGINT) AS n7,
+      |       list_sort(vals)[(len(vals) + 1) // 2] AS med7_c
+      |FROM win ORDER BY day""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q198_rolling_median", q198, Some(q198Sql)),
     QuerySpec("q193_quantile_normalize", q193, Some(q193Sql)),
     QuerySpec("q190_benford_audit", q190, Some(q190Sql)),
     QuerySpec("q186_autocorrelation", q186, Some(q186Sql)),

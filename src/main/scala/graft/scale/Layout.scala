@@ -488,7 +488,55 @@ object Layout {
        |       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
        |FROM cum, t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q197 — SECOND FREQUENCY MOMENT (F₂) column statistics: per key
+    * column, n, exact NDV, F₂ = Σₖ count(k)² and the hottest key's
+    * count. F₂ IS the column's self-join size — the quantity a CBO
+    * needs to cost any join through that key (|A ⋈_k B| = Σ
+    * nA(k)·nB(k) ≤ √(F₂(A)·F₂(B))), the quantity AMS sketches
+    * estimate in one pass at unbounded domains, and with F₂/n vs
+    * max_n the skew signal that decides salting (q129's planning
+    * input, formalized). Exact here — per-key counts are a
+    * distributed groupBy, everything after runs on the distinct-key
+    * domain (the q184 argument); counts square into DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) before summing — Σn² crosses BIGINT
+    * exactly when a key gets hot, which is precisely when you need
+    * the number (the q112 rule), then the per-column totals emit as
+    * BIGINT (bounded by n·max_n, safe at any SF the totals
+    * themselves fit).
+    */
+  private def q197(spark: SparkSession, dir: String): DataFrame = {
+    def stats(df: DataFrame, colName: String): DataFrame = df
+      .groupBy(col(colName).as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("ndv"), sum(col("cnt")).as("n_rows"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).cast("long").as("f2_selfjoin"),
+        max(col("cnt")).as("max_key_n"))
+      .select(lit(colName).as("column_name"), col("n_rows"), col("ndv"),
+        col("f2_selfjoin"), col("max_key_n"))
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    stats(o, "o_custkey")
+      .unionAll(stats(o, "o_orderpriority"))
+      .unionAll(stats(l, "l_partkey"))
+      .unionAll(stats(l, "l_suppkey"))
+      .orderBy("column_name")
+  }
+
+  private val q197Sql = {
+    def one(table: String, c: String) =
+      s"""SELECT '$c' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |       COUNT(*) AS ndv,
+         |       CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS f2_selfjoin,
+         |       CAST(MAX(cnt) AS BIGINT) AS max_key_n
+         |FROM (SELECT $c, COUNT(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+    s"""${one("orders", "o_custkey")}
+       |UNION ALL ${one("orders", "o_orderpriority")}
+       |UNION ALL ${one("lineitem", "l_partkey")}
+       |UNION ALL ${one("lineitem", "l_suppkey")}
+       |ORDER BY column_name""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
     QuerySpec("q104_zorder_layout", q104, Some(q104Sql), headline = true),
