@@ -758,7 +758,65 @@ object TrainPrep {
        |       greatest(CAST(weight AS DOUBLE), tau_k) AS est_weight
        |FROM k ORDER BY source, rank""".stripMargin
 
+  /** q200 — the CAPSTONE pipeline: clean → exact-dedup → quality
+    * filter → deterministic split → per-split datacard, composed as
+    * ONE Catalyst DAG and verified by ONE oracle — the point of a
+    * declarative engine is that the stages q44/q41/q58/q74 prove
+    * individually FUSE without materialization barriers: the dedup
+    * keep-min and the quality predicate both ride the same shuffle
+    * stage group, Catalyst prunes every column the final rollup
+    * doesn't need, and nothing but (split, lang) aggregates cross
+    * the last exchange. Stage rules (deliberately the simple forms —
+    * each has a richer registered sibling): dedup keeps min doc_id
+    * per exact text digest; quality demands ≥ 5 tokens and ≥ 30%
+    * distinct tokens (integer cross-multiply, no ratio floats);
+    * split is the never-migrates md5 bucket (80/10/10). The output
+    * is the per-(split, lang) datacard: surviving docs, token mass,
+    * and chars — the summary a training run reads before it starts.
+    */
+  private def q200(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val deduped = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .withColumn("keep", row_number().over(
+        Window.partitionBy(md5(to_binary(col("text"), lit("utf-8"))))
+          .orderBy(col("doc_id"))))
+      .filter(col("keep") === 1)
+    deduped
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(words)).cast("long"))
+      .filter(col("n_words") >= 5 && col("n_uniq") * 10 >= col("n_words") * 3)
+      .withColumn("split",
+        when(splitBucket(col("doc_id")) < 80, "train")
+          .when(splitBucket(col("doc_id")) < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("split", "lang")
+  }
+
+  private val q200Sql =
+    """WITH dedup AS (
+      |  SELECT doc_id, lang, text, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS keep
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+      |  FROM dedup WHERE keep = 1),
+      |f AS (
+      |  SELECT *,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |  FROM q WHERE n_words >= 5 AND n_uniq * 10 >= n_words * 3)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |       lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM f GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q200_corpus_capstone",  q200, Some(q200Sql), headline = true),
     QuerySpec("q191_priority_sample",  q191, Some(q191Sql)),
     QuerySpec("q57_embedding_quantize", q57, Some(q57Sql), headline = true),
     QuerySpec("q58_dataset_split",      q58, Some(q58Sql)),

@@ -2223,7 +2223,72 @@ object RelationalQueries {
       |       list_sort(vals)[(len(vals) + 1) // 2] AS med7_c
       |FROM win ORDER BY day""".stripMargin
 
+  /** q199 — CAPPED RUNNING BALANCE (clamp-at-zero recurrence):
+    * balanceₙ = max(0, balanceₙ₋₁ + deltaₙ) per user over time-ordered
+    * events — credit ledgers, rate-limit budgets, inventory floors.
+    * This is NOT window-expressible: the clamp makes the recurrence
+    * nonlinear, so no prefix-sum trick applies. The engine folds each
+    * user's ORDERED delta list with the higher-order `aggregate`
+    * (struct accumulator carrying balance + clamp count) — exact
+    * integer state, deterministic because the fold order is pinned by
+    * `array_sort` on (ts, event_id). The per-key collect is safe for
+    * the same reason q198's is: per-user event counts are bounded
+    * (the per-entity-history argument — at 100 TB you partition by
+    * user and each history is still small; a genuinely unbounded key
+    * would move to `flatMapGroupsWithState`, the q64/q139 machinery).
+    * The oracle replays the identical recurrence as a per-user
+    * recursive CTE over row-numbered chains (the q141 pattern).
+    */
+  private def q199(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type").isin("purchase", "error"),
+          -expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .otherwise(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("delta_c"))
+    ev.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("delta_c"))))
+        .as("evs"))
+      .select(col("user_id"),
+        expr("""aggregate(
+               |  evs,
+               |  named_struct('bal', CAST(0 AS BIGINT), 'clamps', CAST(0 AS BIGINT)),
+               |  (acc, e) -> named_struct(
+               |    'bal', greatest(CAST(0 AS BIGINT), acc.bal + e.delta_c),
+               |    'clamps', acc.clamps + CASE WHEN acc.bal + e.delta_c < 0 THEN 1 ELSE 0 END))
+               |""".stripMargin).as("st"),
+        size(col("evs")).cast("long").as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        col("st.bal").as("final_balance_c"), col("st.clamps").as("n_clamps"))
+      .orderBy("user_id")
+  }
+
+  private val q199Sql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id,
+      |         CASE WHEN event_type IN ('purchase', 'error')
+      |              THEN -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |              ELSE  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta_c,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |fold AS (
+      |  SELECT user_id, rn, n,
+      |         greatest(0, delta_c) AS bal,
+      |         CASE WHEN delta_c < 0 THEN 1 ELSE 0 END AS clamps
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.n,
+      |         greatest(0, f.bal + e.delta_c),
+      |         f.clamps + CASE WHEN f.bal + e.delta_c < 0 THEN 1 ELSE 0 END
+      |  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |       CAST(bal AS BIGINT) AS final_balance_c,
+      |       CAST(clamps AS BIGINT) AS n_clamps
+      |FROM fold WHERE rn = n ORDER BY user_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q199_capped_balance", q199, Some(q199Sql)),
     QuerySpec("q198_rolling_median", q198, Some(q198Sql)),
     QuerySpec("q193_quantile_normalize", q193, Some(q193Sql)),
     QuerySpec("q190_benford_audit", q190, Some(q190Sql)),
