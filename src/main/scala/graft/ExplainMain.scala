@@ -35,7 +35,14 @@ object ExplainMain {
         // join, the Bloom semi-join reduction, the two-phase Merkle
         // sync, CDC chunking, and the attribution interval join
         "q152_prefix_filter_join", "q153_bloom_semi_join",
-        "q158_merkle_diff", "q160_cdc_chunking", "q162_position_attribution")
+        "q158_merkle_diff", "q160_cdc_chunking", "q162_position_attribution",
+        // round-7 fourth-wave heavies: the FastSS join (AQE-coalesce
+        // fix), the survivorship build (CC floor + 3 window passes),
+        // the closure-squaring rollup, the grid radius join, and the
+        // bucketized quantile-normalize lookup
+        "q180_edit_distance_join", "q194_survivorship",
+        "q178_hierarchy_rollup", "q181_grid_spatial_join",
+        "q193_quantile_normalize")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
