@@ -664,6 +664,12 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+      // the candidate list is only a few MB, so AQE coalesces the
+      // dedup shuffle to 1-2 partitions and the array_intersect
+      // verify below runs near-single-threaded (the q180/q56 shape;
+      // at sf0.1 the 31-word vocab makes candidates near-quadratic,
+      // so the verify IS the cost). Re-spread before it.
+      .repartition(32)
     val da = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val db = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     cand.join(da, "a_id").join(db, "b_id")
