@@ -2287,7 +2287,80 @@ object RelationalQueries {
       |       CAST(clamps AS BIGINT) AS n_clamps
       |FROM fold WHERE rn = n ORDER BY user_id""".stripMargin
 
+  /** q201 — two-sample KOLMOGOROV–SMIRNOV drift per source: the
+    * continuous complement to q168's categorical χ² — for each
+    * source, the KS distance between its document-length distribution
+    * and the REST of the corpus, in EXACT integer arithmetic: over
+    * the distinct-value spine, D = max |F_s(v) − F_rest(v)| becomes
+    * max |cum_s(v)·n_rest − cum_rest(v)·n_s| (cross-multiplied, no
+    * ratio floats), reported in ppm with the argmax value (the length
+    * where the distributions diverge most — the actionable part of a
+    * drift alert). Plan shape: one (value, source) count aggregate;
+    * the global value spine and its cumulative run on the bounded
+    * DISTINCT-VALUE domain (the q184/q193 argument); each source's
+    * step function materializes by joining its counts onto the spine
+    * (sources × ndv rows) with a per-source cumulative window —
+    * partitioned by source, distributed. Nothing scales with row
+    * count after the first aggregate.
+    */
+  private def q201(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val counts = docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val spine = docs.groupBy(col("v")).agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Long.MinValue, 0)))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val steps = totals.crossJoin(broadcast(n))
+      // sources × value spine: both bounded derived domains (the q136
+      // pattern) — 20 sources × ndv lengths, never row-count-sized
+      .crossJoin(broadcast(spine.select(col("v"), col("gcum"))))
+      .join(counts, Seq("source", "v"), "left")
+      .withColumn("cum_s", sum(coalesce(col("cnt"), lit(0L))).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Long.MinValue, 0)))
+      .withColumn("cum_r", col("gcum") - col("cum_s"))
+      .withColumn("n_r", col("nn") - col("n_s"))
+      .withColumn("d_num", abs(col("cum_s") * col("n_r") - col("cum_r") * col("n_s")))
+    steps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("d_num").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_s"), col("n_r"),
+        expr("(d_num * 1000000) DIV (n_s * n_r)").as("ks_ppm"),
+        col("v").as("argmax_v"))
+      .orderBy("source")
+  }
+
+  private val q201Sql =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |counts AS (SELECT source, v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT v, CAST(SUM(COUNT(*)) OVER (ORDER BY v
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gcum
+      |  FROM d GROUP BY v),
+      |totals AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS nn FROM d),
+      |steps AS (
+      |  SELECT totals.source, totals.n_s, t.nn - totals.n_s AS n_r, spine.v, spine.gcum,
+      |         CAST(SUM(COALESCE(counts.cnt, 0)) OVER (PARTITION BY totals.source
+      |              ORDER BY spine.v
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+      |  FROM totals CROSS JOIN t CROSS JOIN spine
+      |  LEFT JOIN counts ON counts.source = totals.source AND counts.v = spine.v),
+      |scored AS (
+      |  SELECT source, n_s, n_r, v,
+      |         abs(cum_s * n_r - (gcum - cum_s) * n_s) AS d_num,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY abs(cum_s * n_r - (gcum - cum_s) * n_s) DESC, v) AS rn
+      |  FROM steps)
+      |SELECT source, n_s, n_r,
+      |       CAST((d_num * 1000000) // (n_s * n_r) AS BIGINT) AS ks_ppm,
+      |       v AS argmax_v
+      |FROM scored WHERE rn = 1 ORDER BY source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q201_ks_drift", q201, Some(q201Sql)),
     QuerySpec("q199_capped_balance", q199, Some(q199Sql)),
     QuerySpec("q198_rolling_median", q198, Some(q198Sql)),
     QuerySpec("q193_quantile_normalize", q193, Some(q193Sql)),

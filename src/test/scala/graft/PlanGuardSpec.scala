@@ -90,7 +90,10 @@ class PlanGuardSpec extends SparkSpec {
     "q184_column_histogram",
     // q193: broadcasts the 1-row corpus total that scales the global
     // quantile index (the q03/q69 scalar pattern)
-    "q193_quantile_normalize")
+    "q193_quantile_normalize",
+    // q201: broadcasts the 1-row total plus the bounded distinct-value
+    // spine for the sources × spine step functions (the q136 pattern)
+    "q201_ks_drift")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
