@@ -2359,7 +2359,108 @@ object RelationalQueries {
       |       v AS argmax_v
       |FROM scored WHERE rn = 1 ORDER BY source""".stripMargin
 
+  /** q202 — the quantile grid for the weighted-percentile report. */
+  private val WqPcts = Seq(25, 50, 75, 90, 99)
+
+  /** q202 — EXACT WEIGHTED QUANTILES: document-length percentiles
+    * where each document counts n_chars times — "the length of the
+    * document containing the p-th percentile BYTE", the
+    * token-budget-relevant form of q33 (a corpus is consumed by
+    * token, not by document, so unweighted quantiles over-represent
+    * shorts). Picked-element semantics on the weight axis: quantile
+    * p = the smallest value whose cumulative weight reaches
+    * ⌈p·W/100⌉ — integer threshold, no interpolation, engine-exact
+    * (the q172 rule lifted to weights). Computed on the
+    * distinct-value domain: per-value weight sums, one cumulative
+    * window over ndv rows (the q184 argument), then each percentile
+    * picks its first crossing via a min-over-candidates aggregate —
+    * the grid is a bounded literal domain, so the pick join is a
+    * broadcast of WqPcts rows.
+    */
+  private def q202(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.documents(spark, dir)
+      .select(col("n_chars").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", col("v") * col("cnt")) // weight = the value itself × count
+      .withColumn("cumw", sum(col("w")).over(
+        Window.orderBy(col("v")).rowsBetween(Long.MinValue, 0)))
+    val total = byVal.agg(max(col("cumw")).as("tw"))
+    val pcts = total.select(explode(lit(WqPcts.toArray)).as("p"), col("tw"))
+      .withColumn("thresh", expr("(p * tw + 99) DIV 100")) // ⌈p·W/100⌉
+    byVal.crossJoin(broadcast(pcts))
+      .filter(col("cumw") >= col("thresh"))
+      .groupBy(col("p"))
+      .agg(min(col("v")).as("weighted_pct_chars"), min(col("tw")).as("total_weight"))
+      .select(col("p").cast("long").as("pct"), col("weighted_pct_chars"),
+        col("total_weight"))
+      .orderBy("pct")
+  }
+
+  private val q202Sql = {
+    val grid = WqPcts.mkString(", ")
+    s"""WITH byval AS (
+       |  SELECT v, CAST(v * COUNT(*) AS BIGINT) AS w
+       |  FROM (SELECT n_chars AS v FROM documents) GROUP BY v),
+       |cum AS (
+       |  SELECT v, CAST(SUM(w) OVER (ORDER BY v
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+       |  FROM byval),
+       |t AS (SELECT MAX(cumw) AS tw FROM cum),
+       |pcts AS (SELECT CAST(unnest([$grid]) AS BIGINT) AS pct FROM t),
+       |th AS (SELECT pct, tw, (pct * tw + 99) // 100 AS thresh FROM pcts, t)
+       |SELECT th.pct, MIN(cum.v) AS weighted_pct_chars,
+       |       CAST(MIN(th.tw) AS BIGINT) AS total_weight
+       |FROM th JOIN cum ON cum.cumw >= th.thresh
+       |GROUP BY th.pct ORDER BY pct""".stripMargin
+  }
+
+  /** q203 — LORENZ/GINI concentration of revenue across customers in
+    * exact integer ppm: Gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over
+    * customers sorted by revenue ascending (i = 1..n) — the standard
+    * rank formula, which needs no pairwise |xᵢ−xⱼ| join. The rank is
+    * a window over the CUSTOMER dimension (n ≈ rows/40 — a dimension
+    * build, the q178 argument; a fact-sized Gini would rank within
+    * partitioned strata first). Numerator and denominator stay
+    * BIGINT/DECIMAL-exact; the ppm division floors identically in
+    * both engines (values nonneg). The answer a mixture designer
+    * asks of a corpus ("how concentrated is the token mass across
+    * sources/customers") — q84's budget rebalancing is the remedy
+    * this number triggers.
+    */
+  private def q203(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("c"))
+    rev
+      .withColumn("i", row_number().over(Window.orderBy(col("c"), col("o_custkey"))))
+      .crossJoin(broadcast(rev.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))))
+      .agg(
+        min(col("n")).as("n_customers"),
+        min(col("sc")).as("total_cents"),
+        sum(expr("(2 * CAST(i AS DECIMAL(38,0)) - n - 1) * c")).as("num"))
+      .select(col("n_customers"), col("total_cents"),
+        expr("""CAST((num * 1000000)
+               |  DIV (CAST(n_customers AS DECIMAL(38,0)) * total_cents) AS BIGINT)"""
+          .stripMargin).as("gini_ppm"))
+  }
+
+  private val q203Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS i FROM rev),
+      |t AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS HUGEINT) AS sc FROM rev)
+      |SELECT CAST(t.n AS BIGINT) AS n_customers, CAST(t.sc AS BIGINT) AS total_cents,
+      |       CAST(CAST(SUM((2 * CAST(i AS HUGEINT) - n - 1) * c) * 1000000 AS HUGEINT)
+      |            // (CAST(n AS HUGEINT) * sc) AS BIGINT) AS gini_ppm
+      |FROM r, t GROUP BY t.n, t.sc""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q202_weighted_quantiles", q202, Some(q202Sql)),
+    QuerySpec("q203_gini_concentration", q203, Some(q203Sql)),
     QuerySpec("q201_ks_drift", q201, Some(q201Sql)),
     QuerySpec("q199_capped_balance", q199, Some(q199Sql)),
     QuerySpec("q198_rolling_median", q198, Some(q198Sql)),

@@ -93,7 +93,13 @@ class PlanGuardSpec extends SparkSpec {
     "q193_quantile_normalize",
     // q201: broadcasts the 1-row total plus the bounded distinct-value
     // spine for the sources × spine step functions (the q136 pattern)
-    "q201_ks_drift")
+    "q201_ks_drift",
+    // q202: broadcasts the bounded percentile-grid × 1-row-total table
+    // for the first-crossing pick (the q136 pattern)
+    "q202_weighted_quantiles",
+    // q203: broadcasts the 1-row (n, total) aggregate that normalizes
+    // the Gini numerator (the q03/q69 scalar pattern)
+    "q203_gini_concentration")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
