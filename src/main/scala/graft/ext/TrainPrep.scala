@@ -776,15 +776,19 @@ object TrainPrep {
     */
   private def q200(spark: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
-    val deduped = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    // every text-derived stat computes MAP-SIDE so the dedup shuffle
+    // carries digests and small ints, never the body (the
+    // ShuffleSchemaGuardSpec contract — it caught the text column
+    // riding the window exchange in the first cut of this query)
+    val enriched = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("dig"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_uniq"))
+    enriched
       .withColumn("keep", row_number().over(
-        Window.partitionBy(md5(to_binary(col("text"), lit("utf-8"))))
-          .orderBy(col("doc_id"))))
+        Window.partitionBy(col("dig")).orderBy(col("doc_id"))))
       .filter(col("keep") === 1)
-    deduped
-      .withColumn("n_words", size(words).cast("long"))
-      .withColumn("n_uniq", size(array_distinct(words)).cast("long"))
       .filter(col("n_words") >= 5 && col("n_uniq") * 10 >= col("n_words") * 3)
       .withColumn("split",
         when(splitBucket(col("doc_id")) < 80, "train")
