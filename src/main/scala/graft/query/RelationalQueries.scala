@@ -2458,7 +2458,115 @@ object RelationalQueries {
       |            // (CAST(n AS HUGEINT) * sc) AS BIGINT) AS gini_ppm
       |FROM r, t GROUP BY t.n, t.sc""".stripMargin
 
+  /** q204 — two-sample MANN–WHITNEY U rank test per source: the
+    * rank-based complement to q201's KS (which compares CDFs at their
+    * widest gap; U compares the whole rank mass, so it reacts to
+    * location shifts KS underweights). Each source's document lengths
+    * vs the REST of the corpus, in EXACT integers via DOUBLED ranks:
+    * for a tied value v with `gcnt` corpus rows and `cum_lt` rows
+    * strictly below, the average rank is cum_lt + (gcnt+1)/2 — a
+    * half-integer — so we carry 2·rank = 2·cum_lt + gcnt + 1, which
+    * is always integral. Then 2·R_s = Σ_v cnt_s(v)·rank2(v), the
+    * doubled U statistic is U2 = 2R_s − n_s(n_s+1), and the
+    * rank-biserial effect size r = 2U/(n_s·n_r) − 1 reports in ppm
+    * as (U2·1e6) DIV (n_s·n_r) − 1e6 (U2 ≥ 0, so trunc-vs-floor
+    * never diverges). Plan shape: the q201 spine — one (source,
+    * value) count aggregate, the bounded distinct-value spine with a
+    * cumulative window, a spine-broadcast join, one per-source sum.
+    * Nothing downstream of the first aggregate scales with row
+    * count, so the shape survives any SF.
+    */
+  private def q204(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val counts = docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val spine = docs.groupBy(col("v")).agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Long.MinValue, 0)))
+      // doubled midrank of every row holding value v
+      .withColumn("rank2", lit(2L) * (col("gcum") - col("gcnt")) + col("gcnt") + 1L)
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    counts
+      .join(broadcast(spine.select(col("v"), col("rank2"))), Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt") * col("rank2")).as("r2"))
+      .join(totals, Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"), (col("nn") - col("n_s")).as("n_r"),
+        (col("r2") - col("n_s") * (col("n_s") + 1L)).as("u2"))
+      .withColumn("rb_ppm",
+        expr("(u2 * 1000000) DIV (n_s * n_r) - 1000000"))
+      .orderBy("source")
+  }
+
+  private val q204Sql =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |counts AS (SELECT source, v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT v,
+      |         2 * (CAST(SUM(COUNT(*)) OVER (ORDER BY v
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |              - COUNT(*)) + COUNT(*) + 1 AS rank2
+      |  FROM d GROUP BY v),
+      |totals AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS nn FROM d),
+      |rs AS (
+      |  SELECT counts.source, CAST(SUM(counts.cnt * spine.rank2) AS BIGINT) AS r2
+      |  FROM counts JOIN spine ON counts.v = spine.v GROUP BY 1)
+      |SELECT rs.source, totals.n_s, t.nn - totals.n_s AS n_r,
+      |       CAST(rs.r2 - totals.n_s * (totals.n_s + 1) AS BIGINT) AS u2,
+      |       CAST(((rs.r2 - totals.n_s * (totals.n_s + 1)) * 1000000)
+      |            // (totals.n_s * (t.nn - totals.n_s)) - 1000000 AS BIGINT) AS rb_ppm
+      |FROM rs JOIN totals ON rs.source = totals.source CROSS JOIN t
+      |ORDER BY rs.source""".stripMargin
+
+  /** q205 — CO-PURCHASE ITEM SIMILARITY (the collaborative-filtering
+    * primitive): items that appear in the same order basket, scored
+    * by cosine over binary basket-membership vectors. cos(i,j) =
+    * co(i,j)/√(n_i·n_j) needs a square root, so the engine reports
+    * the SQUARED cosine in ppm — co²·1e6 DIV (n_i·n_j) — exact
+    * integers, same ordering (cos ≥ 0 here). Plan shape: baskets
+    * dedup to (order, part); the pair generator is a SELF-JOIN ON
+    * THE ORDER KEY with p1 < p2, so fan-out per order is bounded by
+    * basket size² (baskets are small and bounded by business reality
+    * — the standard market-basket scale argument; a degree cap would
+    * bolt on for adversarial carts), never corpus². Item totals join
+    * back by part key (plain equi-joins — AQE broadcasts them when
+    * small). co ≥ 2 prunes noise pairs before ranking; top-20 by
+    * (cos², pair) is a total deterministic order.
+    */
+  private def q205(spark: SparkSession, dir: String): DataFrame = {
+    val basket = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val itemN = basket.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val co = basket.as("a")
+      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    co.join(itemN.withColumnRenamed("pk", "p1").withColumnRenamed("n", "n1"), Seq("p1"))
+      .join(itemN.withColumnRenamed("pk", "p2").withColumnRenamed("n", "n2"), Seq("p2"))
+      .select(col("p1"), col("p2"), col("co"), col("n1"), col("n2"),
+        expr("(co * co * 1000000) DIV (n1 * n2)").as("cos2_ppm"))
+      .orderBy(col("cos2_ppm").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  private val q205Sql =
+    """WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |item_n AS (SELECT pk, COUNT(*) AS n FROM basket GROUP BY 1),
+      |co AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS co
+      |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT co.p1, co.p2, co.co, n1.n AS n1, n2.n AS n2,
+      |       CAST((co.co * co.co * 1000000) // (n1.n * n2.n) AS BIGINT) AS cos2_ppm
+      |FROM co JOIN item_n n1 ON co.p1 = n1.pk JOIN item_n n2 ON co.p2 = n2.pk
+      |ORDER BY cos2_ppm DESC, p1, p2 LIMIT 20""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q204_mann_whitney", q204, Some(q204Sql)),
+    QuerySpec("q205_copurchase_similarity", q205, Some(q205Sql)),
     QuerySpec("q202_weighted_quantiles", q202, Some(q202Sql)),
     QuerySpec("q203_gini_concentration", q203, Some(q203Sql)),
     QuerySpec("q201_ks_drift", q201, Some(q201Sql)),

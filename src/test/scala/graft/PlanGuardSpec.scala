@@ -99,7 +99,10 @@ class PlanGuardSpec extends SparkSpec {
     "q202_weighted_quantiles",
     // q203: broadcasts the 1-row (n, total) aggregate that normalizes
     // the Gini numerator (the q03/q69 scalar pattern)
-    "q203_gini_concentration")
+    "q203_gini_concentration",
+    // q204: broadcasts the 1-row corpus total that turns per-source
+    // counts into rest-of-corpus counts (the q03/q69 scalar pattern)
+    "q204_mann_whitney")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
