@@ -1155,7 +1155,116 @@ object Maintenance {
        |   OR s1.old_priority != s2.new_priority
        |ORDER BY op, o_custkey""".stripMargin
 
+  /** q206/q207 — the candidate sets drive BOTH engine sides, so the
+    * Spark plan and the oracle SQL can never drift apart.
+    */
+  private val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"))
+
+  /** q206 — approximate FUNCTIONAL-DEPENDENCY discovery (the
+    * profiling tier above q128's per-column stats): for each declared
+    * candidate A→B, the violation mass is Σ_a (cnt(a) − max_b
+    * cnt(a,b)) — the minimum number of rows you'd have to delete for
+    * the dependency to hold exactly (the g3 error measure from the
+    * FD-mining literature, TANE/Metanome). Reported in exact ppm of
+    * table rows; holds ⟺ zero violations. Plan shape per candidate:
+    * one (A,B) count aggregate, one per-A max/sum re-aggregate —
+    * cardinality bounded by ndv(A,B), then ndv(A); the six candidate
+    * sub-plans union into one result. Candidates are declared, not
+    * enumerated-all-pairs: at 100 TB you run the bounded list the
+    * schema owner cares about (all-pairs mining adds a lattice walk
+    * on TOP of these same per-pair aggregates).
+    */
+  private def q206(spark: SparkSession, dir: String): DataFrame = {
+    val per = FdCandidates.map { case (t, a, b) =>
+      Tables.table(spark, dir, t)
+        .groupBy(col(a).as("lhs"), col(b).as("rhs"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lhs"))
+        .agg(sum(col("cnt")).as("tot"), max(col("cnt")).as("keep"))
+        .agg(
+          count(lit(1)).as("n_lhs"),
+          sum(col("tot")).as("n_rows"),
+          sum(col("tot") - col("keep")).as("violations"))
+        .select(lit(s"$t.$a->$b").as("fd"), col("n_rows"), col("n_lhs"),
+          col("violations"),
+          expr("(violations * 1000000) DIV n_rows").as("viol_ppm"),
+          (col("violations") === 0L).as("holds"))
+    }
+    per.reduce(_.unionAll(_)).orderBy("fd")
+  }
+
+  private val q206Sql = {
+    val blocks = FdCandidates.map { case (t, a, b) =>
+      s"""SELECT '$t.$a->$b' AS fd,
+         |       CAST(SUM(tot) AS BIGINT) AS n_rows,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         |       CAST(SUM(tot - keep) AS BIGINT) AS violations,
+         |       CAST((SUM(tot - keep) * 1000000) // SUM(tot) AS BIGINT) AS viol_ppm,
+         |       SUM(tot - keep) = 0 AS holds
+         |FROM (SELECT $a AS lhs, CAST(SUM(cnt) AS BIGINT) AS tot,
+         |             CAST(MAX(cnt) AS BIGINT) AS keep
+         |      FROM (SELECT $a, $b, COUNT(*) AS cnt FROM $t GROUP BY 1, 2)
+         |      GROUP BY 1)""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  private val IndCandidates: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    // the deliberate partial case: most customers never appear in the
+    // events stream (15 distinct user_ids vs 150+ customers)
+    ("customer", "c_custkey", "events", "user_id"))
+
+  /** q207 — INCLUSION-DEPENDENCY / foreign-key discovery: for each
+    * candidate lhs ⊆ rhs, the fraction of DISTINCT lhs values present
+    * in rhs (exact ppm); containment = 1e6 certifies a candidate FK.
+    * The distinct-value projections shrink both sides to their key
+    * domains before the left-anti probe — each check is
+    * ndv-vs-ndv, never row-vs-row, and the anti join is the
+    * shuffle-pruned shape (only misses survive the probe). The
+    * reversed customer⊆orders candidate documents the partial case
+    * (customers with no orders yet) — discovery must REPORT
+    * containment < 1, not assume FK-ness.
+    */
+  private def q207(spark: SparkSession, dir: String): DataFrame = {
+    val per = IndCandidates.map { case (lt, lc, rt, rc) =>
+      val lhs = Tables.table(spark, dir, lt).select(col(lc).as("v")).distinct()
+      val rhs = Tables.table(spark, dir, rt).select(col(rc).as("v")).distinct()
+      lhs.join(rhs.withColumn("hit", lit(1)), Seq("v"), "left")
+        .agg(count(lit(1)).as("n_lhs"), count(col("hit")).as("n_contained"))
+        .select(lit(s"$lt.$lc<=$rt.$rc").as("ind"), col("n_lhs"), col("n_contained"),
+          expr("(n_contained * 1000000) DIV n_lhs").as("containment_ppm"),
+          (col("n_contained") === col("n_lhs")).as("is_fk_candidate"))
+    }
+    per.reduce(_.unionAll(_)).orderBy("ind")
+  }
+
+  private val q207Sql = {
+    val blocks = IndCandidates.map { case (lt, lc, rt, rc) =>
+      s"""SELECT '$lt.$lc<=$rt.$rc' AS ind,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         |       CAST(COUNT(r.v) AS BIGINT) AS n_contained,
+         |       CAST((COUNT(r.v) * 1000000) // COUNT(*) AS BIGINT) AS containment_ppm,
+         |       COUNT(r.v) = COUNT(*) AS is_fk_candidate
+         |FROM (SELECT DISTINCT $lc AS v FROM $lt) l
+         |LEFT JOIN (SELECT DISTINCT $rc AS v FROM $rt) r ON l.v = r.v""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY ind")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q206_fd_discovery", q206, Some(q206Sql)),
+    QuerySpec("q207_inclusion_deps", q207, Some(q207Sql)),
     QuerySpec("q195_snapshot_cdc", q195, Some(q195Sql)),
     QuerySpec("q192_robust_mad", q192, Some(q192Sql)),
     QuerySpec("q189_retractable_ivm", q189, Some(q189Sql)),
