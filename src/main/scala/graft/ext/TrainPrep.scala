@@ -819,7 +819,97 @@ object TrainPrep {
       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
       |FROM f GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  /** q208 — replicate count and the truncated-Poisson(1) cumulative
+    * thresholds in ppb (e⁻¹·Σ 1/k!, floored; k ≥ 5 collapses into
+    * weight 5 — ~0.37% of draws, identical in both engines: the
+    * scheme only needs to be a fixed, deterministic resampling
+    * distribution, not an untruncated Poisson).
+    */
+  private val BootReps = 64
+  private val PoissonCumPpb = Seq(367879441L, 735758882L, 919698602L, 981011843L, 996340153L)
+
+  /** q208 — POISSON BOOTSTRAP confidence intervals (the
+    * distributed-bootstrap construction from Chamandy et al. /
+    * Kleiner's scalable-bootstrap line): classic bootstrap resampling
+    * shuffles the corpus B times, which is a non-starter at 100 TB;
+    * the Poisson bootstrap instead gives every (row, replicate) an
+    * independent Poisson(1) weight — HERE derived deterministically
+    * from md5(id:replicate) against fixed cumulative ppb thresholds —
+    * so all B=64 replicates materialize MAP-SIDE as a ×64 fan-out
+    * followed by one (segment, replicate) aggregate. No resampling
+    * shuffle exists; the plan is one explode + one groupBy at any
+    * scale. Replicate means use exact integer cents division; the
+    * 90% CI picks the 4th/61st order statistics of the 64 replicate
+    * means (picked-element semantics, tie-broken by replicate id) —
+    * everything engine-exact, so the driver hash-verifies a
+    * BOOTSTRAP, which float resampling could never do.
+    */
+  private def q208(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("segment"),
+      col("o_orderkey").as("id"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x_c"))
+    val wExpr = PoissonCumPpb.zipWithIndex
+      .foldRight(lit(PoissonCumPpb.length.toLong)) { case ((cum, k), els) =>
+        when(col("u") < cum, lit(k.toLong)).otherwise(els)
+      }
+    val means = base
+      .withColumn("b", explode(lit((0 until BootReps).toArray)))
+      .withColumn("u", md5Bucket(concat_ws(":", col("id"), col("b")), 1000000000, ":q208"))
+      .withColumn("w", wExpr)
+      .groupBy(col("segment"), col("b"))
+      .agg(sum(col("w") * col("x_c")).as("s1"), sum(col("w")).as("s0"))
+      .filter(col("s0") > 0)
+      .select(col("segment"), col("b"), expr("s1 DIV s0").as("mean_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("segment")).orderBy(col("mean_b"), col("b"))))
+    val ci = means.groupBy(col("segment")).agg(
+      min(when(col("rn") === 4, col("mean_b"))).as("ci_lo_c"),
+      min(when(col("rn") === 61, col("mean_b"))).as("ci_hi_c"))
+    base.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"), expr("SUM(x_c) DIV COUNT(*)").as("mean_c"))
+      .join(ci, Seq("segment"))
+      .orderBy("segment")
+  }
+
+  private val q208Sql = {
+    val cases = PoissonCumPpb.zipWithIndex
+      .map { case (cum, k) => s"WHEN u < $cum THEN $k" }
+      .mkString(" ")
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS segment, o_orderkey AS id,
+       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x_c
+       |  FROM orders),
+       |reps AS (
+       |  SELECT segment, x_c, b,
+       |         ('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR)
+       |                             || ':q208'), 1, 15))::BIGINT % 1000000000 AS u
+       |  FROM base CROSS JOIN (SELECT unnest(range($BootReps)) AS b)),
+       |agg AS (
+       |  SELECT segment, b,
+       |         CAST(SUM((CASE $cases ELSE ${PoissonCumPpb.length} END) * x_c) AS BIGINT) AS s1,
+       |         CAST(SUM(CASE $cases ELSE ${PoissonCumPpb.length} END) AS BIGINT) AS s0
+       |  FROM reps GROUP BY 1, 2),
+       |means AS (
+       |  SELECT segment, b, s1 // s0 AS mean_b,
+       |         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY s1 // s0, b) AS rn
+       |  FROM agg WHERE s0 > 0),
+       |ci AS (
+       |  SELECT segment,
+       |         MIN(CASE WHEN rn = 4 THEN mean_b END) AS ci_lo_c,
+       |         MIN(CASE WHEN rn = 61 THEN mean_b END) AS ci_hi_c
+       |  FROM means GROUP BY 1),
+       |pt AS (
+       |  SELECT segment, COUNT(*) AS n_orders,
+       |         CAST(CAST(SUM(x_c) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_c
+       |  FROM base GROUP BY 1)
+       |SELECT pt.segment, pt.n_orders, pt.mean_c, ci.ci_lo_c, ci.ci_hi_c
+       |FROM pt JOIN ci ON pt.segment = ci.segment
+       |ORDER BY pt.segment""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q208_poisson_bootstrap", q208, Some(q208Sql)),
     QuerySpec("q200_corpus_capstone",  q200, Some(q200Sql), headline = true),
     QuerySpec("q191_priority_sample",  q191, Some(q191Sql)),
     QuerySpec("q57_embedding_quantize", q57, Some(q57Sql), headline = true),
