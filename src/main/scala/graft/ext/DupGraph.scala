@@ -673,7 +673,90 @@ object DupGraph {
        |SELECT id AS doc_id, CAST(MIN(d) AS BIGINT) AS dist
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q209 — fixed Bellman–Ford round count, unrolled in BOTH engines
+    * so the result is a pure function of the edge list (the q142
+    * argument): no convergence probe, no driver-visible state beyond
+    * the source id. 8 rounds bounds 8-hop shortest paths — beyond any
+    * path the shallow near-dup components hold; if a deeper graph
+    * appeared, paths longer than 8 hops would simply read as their
+    * best-8-hop relaxation IDENTICALLY in both engines.
+    */
+  private val SsspIters = 8
+
+  /** q209 — WEIGHTED MULTI-SOURCE SHORTEST PATHS over the near-dup
+    * graph (Bellman–Ford): q196 answers "how many hops from a seed";
+    * this answers "how far in DISSIMILARITY" — edge weight =
+    * 1e6 − jaccard_ppm, so a chain of tight copies (J≈1, w≈0) stays
+    * near its seed while one loose link (J≈0.5, w≈5e5) pushes its
+    * subtree away. An md5-selected ~14% salted seed set (the q196
+    * shape; dense enough that components contain seeds at the demo
+    * corpus size, decorrelated from q196's bucket): the
+    * drift-aware contamination radius — delete everything within
+    * dissimilarity D of a flagged seed, not within K hops.
+    *
+    * Engine shape: the symmetrized weighted edge list checkpoints
+    * once; the dist table holds REACHED nodes only (the q196 BFS
+    * frontier shape — no NULL sentinel rows), so each relaxation
+    * round is `(dist ∪ relaxed-neighbors) groupBy id MIN(d)` — one
+    * equi-join + one aggregate — checkpointed per round because the
+    * round references dist twice (union arm + join probe); without
+    * the checkpoint BOTH engines would inline the previous round
+    * twice and the plan doubles per iteration (measured: the 2⁸
+    * blowup wedged DuckDB outright — the oracle carries the same
+    * fix as MATERIALIZED CTEs). Distances are exact BIGINT ppm
+    * sums. Nothing crosses to the driver.
+    */
+  private def q209(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(spark, dir)
+      .select(col("a_id"), col("b_id"),
+        expr("1000000 - (CAST(inter AS BIGINT) * 1000000) DIV CAST(na + nb - inter AS BIGINT)")
+          .as("w"))
+    val sym = pairs
+      .select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v"), col("w")),
+        struct(col("b_id").as("u"), col("a_id").as("v"), col("w")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+      .localCheckpoint()
+    var dist = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .filter(graft.ext.TrainPrep.md5Bucket(col("id"), 7, ":q209") === 0)
+      .select(col("id"), lit(0L).as("d"))
+    for (_ <- 1 to SsspIters) {
+      dist = dist
+        .unionAll(sym.join(dist, sym("u") === dist("id"))
+          .select(col("v").as("id"), (col("d") + col("w")).as("d")))
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.select(col("id").as("doc_id"), col("d").as("dist_scaled")).orderBy("doc_id")
+  }
+
+  private val q209Sql = {
+    val step = (k: Int) =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT id, MIN(d) AS d FROM (
+         |    SELECT id, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT s.v, d.d + s.w FROM sym s JOIN d${k - 1} d ON d.id = s.u)
+         |  GROUP BY id)""".stripMargin
+    s"""WITH ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |         1000000 - (CAST(inter AS BIGINT) * 1000000)
+       |                   // CAST(na + nb - inter AS BIGINT) AS w
+       |  FROM scored WHERE inter / (na + nb - inter) >= 0.5),
+       |sym AS MATERIALIZED (
+       |  SELECT a_id AS u, b_id AS v, w FROM pairs
+       |  UNION ALL SELECT b_id, a_id, w FROM pairs),
+       |d0 AS (
+       |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS d FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':q209'), 1, 15))::BIGINT % 7 = 0),
+       |${(1 to SsspIters).map(step).mkString(",\n")}
+       |SELECT id AS doc_id, CAST(d AS BIGINT) AS dist_scaled
+       |FROM d$SsspIters ORDER BY doc_id""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q209_shortest_paths", q209, Some(q209Sql)),
     QuerySpec("q196_bfs_contamination_radius", q196, Some(q196Sql)),
     QuerySpec("q194_survivorship", q194, Some(q194Sql)),
     QuerySpec("q59_dup_clusters", q59, Some(q59Sql), headline = true),
