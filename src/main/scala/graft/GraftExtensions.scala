@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // transparent MV rewrite — a no-op until a view is registered in
+    // graft.plans.MvRegistry (see MvRewrite scaladoc)
+    ext.injectOptimizerRule(session => graft.plans.MvRewriteRule(session))
   }
 }
 

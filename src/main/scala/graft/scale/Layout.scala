@@ -535,7 +535,66 @@ object Layout {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** q210 — the MV measure: order revenue in exact cents (the same
+    * shape every money aggregate in this engine uses — exact BIGINT
+    * partials are what make MV re-aggregation bit-identical).
+    */
+  private val MvMeasureSql = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** q210 — transparent MATERIALIZED-VIEW REWRITE end-to-end (the
+    * [[graft.plans.MvRewriteRule]] engine piece driven as a query):
+    * build a rollup MV of orders at (priority, status) grain with
+    * exact BIGINT partials, register it, then run the USER query —
+    * revenue + order count by priority over the BASE table. The
+    * injected optimizer rule recognizes that the coarser grouping
+    * rolls up from the MV (SUM/COUNT are re-aggregable), rewrites the
+    * Aggregate onto the MV scan, and the query answers from
+    * group-count rows instead of fact rows — the dashboard-serving
+    * economics at 100 TB. Planning is forced while the registration
+    * is live, then the view deregisters so no OTHER query in the
+    * session can silently change plans (MvRewriteSpec asserts the
+    * rewritten plan scans the MV and not the base, plus the
+    * negative cases); the oracle runs plain SQL over the BASE table,
+    * so the driver hash-verifies rewritten-vs-base equality.
+    */
+  private def q210(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{MvDescriptor, MvRegistry, MvRewrite}
+    MvRewrite.ensureInjected(spark)
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val mvPath = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_mv_orders_$tag").getAbsolutePath
+    val base = Tables.orders(spark, dir)
+    base.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(expr(MvMeasureSql)).as("rev_c"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(mvPath)
+    MvRegistry.register(MvDescriptor(
+      basePath = s"$dir/orders.parquet",
+      mvPath = mvPath,
+      dims = Set("o_orderpriority", "o_orderstatus"),
+      measures = Map(MvRewrite.measureFingerprint(base, MvMeasureSql) -> "rev_c"),
+      cntCol = "cnt"))
+    try {
+      val q = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr(MvMeasureSql)).as("revenue_c"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+      // force planning while the registration is live: QueryExecution
+      // caches the optimized/executed plan, so actions on THIS frame
+      // keep the MV-backed plan after deregistration
+      q.queryExecution.executedPlan
+      q
+    } finally MvRegistry.unregister(mvPath)
+  }
+
+  private val q210Sql =
+    """SELECT o_orderpriority,
+      |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |            AS BIGINT) AS revenue_c,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
