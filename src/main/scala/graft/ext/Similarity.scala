@@ -1492,7 +1492,119 @@ object Similarity {
        |FROM q x JOIN q y ON y.vec_id = x.vec_id AND x.pos <= y.pos
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q211 — ANN QUALITY EVALUATION: recall@K and reciprocal rank of
+    * the LSH path (q49b's SRP-bucketed retrieval) against exact
+    * brute-force ground truth, per query — the eval harness every
+    * production ANN deployment runs before trusting an index, as a
+    * registered query. All integer-exact: ground truth and system
+    * share the quantized-code cosine (one deterministic double
+    * division, ties → lower vec_id), recall is hits·1e6 DIV K, and
+    * the reciprocal rank of the true nearest neighbor is 1e6 DIV
+    * rank (0 when the index misses it entirely) — so the driver
+    * hash-verifies an IR evaluation end to end. Complements q138:
+    * that prices LSH's candidate pruning on planted pairs; this
+    * scores the RETRIEVAL quality of the actual index on the actual
+    * corpus.
+    *
+    * Scale shape: ground truth is queries×corpus via the per-pos
+    * equi-join (64·Nq·n rows map-side, no cartesian node — at real
+    * scale you'd ground-truth a SAMPLE of queries, which is exactly
+    * what NumQueries is); the system side reuses the bucket
+    * candidate generator, ids-only through the distinct.
+    */
+  private def q211(spark: SparkSession, dir: String): DataFrame = {
+    val codes = quantCodes(spark, dir)
+    val norms = codes.groupBy(col("vec_id")).agg(sum(col("c") * col("c")).as("n2"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(norms.select(col("vec_id").as("qid"), col("n2").as("qn2")), "qid")
+      .join(norms.select(col("vec_id"), col("n2").as("cn2")), "vec_id")
+      .filter(col("qn2") > 0 && col("cn2") > 0)
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("vec_id"), col("rn"))
+    // ground truth: every (query, vector) pair through the pos join
+    val truth = score(codes
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("pos"), col("c").as("qc"))
+      .join(codes, "pos")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qc") * col("c")).as("dot")))
+    // system: the q49b SRP-bucket candidates, scored identically
+    val buckets = srpBuckets(spark, codes, QbTables, QbPlanes)
+    val cand = buckets
+      .join(buckets.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("t"), col("b")), Seq("t", "b"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val sys = score(cand
+      .join(codes.select(col("vec_id").as("qid"), col("pos"), col("c").as("qc")), Seq("qid"))
+      .join(codes.select(col("vec_id"), col("pos"), col("c").as("cc")), Seq("vec_id", "pos"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qc") * col("cc")).as("dot")))
+    val hits = truth
+      .join(sys.select(col("qid"), col("vec_id"), col("rn").as("sys_rn")),
+        Seq("qid", "vec_id"), "left")
+    hits.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_truth"),
+      count(col("sys_rn")).as("n_hits"),
+      expr(s"(count(sys_rn) * 1000000) DIV $K").as("recall_ppm"),
+      coalesce(min(when(col("rn") === 1,
+        expr("1000000 DIV sys_rn"))), lit(0L)).as("rr_ppm"))
+      .orderBy("qid")
+  }
+
+  private val q211Sql =
+    s"""$quantCodesSql,
+       |${srpBucketsSql(QbTables, QbPlanes)},
+       |n AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM q GROUP BY vec_id),
+       |tdot AS (
+       |  SELECT qc.vec_id AS qid, cc.vec_id, CAST(SUM(qc.c * cc.c) AS BIGINT) AS dot
+       |  FROM q qc JOIN q cc ON cc.pos = qc.pos AND cc.vec_id <> qc.vec_id
+       |  WHERE qc.vec_id < $NumQueries GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT qid, vec_id, rn FROM (
+       |    SELECT t.qid, t.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY t.qid ORDER BY
+       |             CAST(t.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+       |             t.vec_id) AS rn
+       |    FROM tdot t JOIN n nq ON t.qid = nq.vec_id JOIN n nc ON t.vec_id = nc.vec_id
+       |    WHERE nq.n2 > 0 AND nc.n2 > 0)
+       |  WHERE rn <= $K),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, bk.vec_id
+       |  FROM bk JOIN bk qb ON bk.t = qb.t AND bk.b = qb.b
+       |  WHERE qb.vec_id < $NumQueries AND bk.vec_id <> qb.vec_id),
+       |sdot AS (
+       |  SELECT cand.qid, cand.vec_id, CAST(SUM(qc.c * cc.c) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN q qc ON qc.vec_id = cand.qid
+       |  JOIN q cc ON cc.vec_id = cand.vec_id AND cc.pos = qc.pos
+       |  GROUP BY 1, 2),
+       |sys AS (
+       |  SELECT qid, vec_id, rn FROM (
+       |    SELECT s.qid, s.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY
+       |             CAST(s.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+       |             s.vec_id) AS rn
+       |    FROM sdot s JOIN n nq ON s.qid = nq.vec_id JOIN n nc ON s.vec_id = nc.vec_id
+       |    WHERE nq.n2 > 0 AND nc.n2 > 0)
+       |  WHERE rn <= $K),
+       |hits AS (
+       |  SELECT truth.qid, truth.vec_id, truth.rn, sys.rn AS sys_rn
+       |  FROM truth LEFT JOIN sys ON sys.qid = truth.qid AND sys.vec_id = truth.vec_id)
+       |SELECT qid, COUNT(*) AS n_truth,
+       |       CAST(COUNT(sys_rn) AS BIGINT) AS n_hits,
+       |       CAST((COUNT(sys_rn) * 1000000) // $K AS BIGINT) AS recall_ppm,
+       |       CAST(COALESCE(MIN(CASE WHEN rn = 1 THEN 1000000 // sys_rn END), 0) AS BIGINT) AS rr_ppm
+       |FROM hits GROUP BY qid ORDER BY qid""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q211_ann_eval", q211, Some(q211Sql)),
     QuerySpec("q187_gram_matrix", q187, Some(q187Sql)),
     QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
