@@ -2564,7 +2564,76 @@ object RelationalQueries {
       |FROM co JOIN item_n n1 ON co.p1 = n1.pk JOIN item_n n2 ON co.p2 = n2.pk
       |ORDER BY cos2_ppm DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** q212 — CUSUM CHANGEPOINT localization per event type: q201/q168
+    * detect THAT a distribution drifted; this finds WHEN a daily
+    * metric's mean shifted. The classic CUSUM statistic
+    * S_i = Σ_{j≤i}(x_j − x̄) peaks at the changepoint; to stay
+    * integer-exact we carry the cross-multiplied form
+    * D_i = n·cum_i − i·total (cents, BIGINT — no mean division), take
+    * argmax |D_i| with earliest-day tie-break, and report the
+    * before/after mean levels in exact cents division — the
+    * actionable readout ("the level moved from a to b on day d").
+    * Normalized magnitude in ppm of n·|total| for comparability
+    * across types. Plan shape: one (type, day) aggregate, then
+    * windows over the bounded type×day domain (the q201 spine
+    * argument) — nothing after the first aggregate scales with row
+    * count.
+    */
+  private def q212(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x_c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("x_c")).as("x_c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("cum", sum(col("x_c")).over(wOrd.rowsBetween(Long.MinValue, 0)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("x_c")).over(wAll))
+      .withColumn("d_abs", abs(col("n") * col("cum") - col("i") * col("total")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("d_abs").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").cast("timestamp").as("change_day"),
+        col("d_abs").as("cusum_abs"),
+        expr("CASE WHEN total <> 0 THEN (d_abs * 1000000) DIV (n * abs(total)) END")
+          .as("cusum_ppm"),
+        expr("cum DIV i").as("before_mean_c"),
+        expr("CASE WHEN n > i THEN (total - cum) DIV (n - i) END").as("after_mean_c"))
+      .orderBy("event_type")
+  }
+
+  private val q212Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x_c
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, day,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+      |         CAST(SUM(x_c) OVER (PARTITION BY event_type ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |         CAST(SUM(x_c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM daily),
+      |ranked AS (
+      |  SELECT *, abs(n * cum - i * total) AS d_abs,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type
+      |           ORDER BY abs(n * cum - i * total) DESC, day) AS rk
+      |  FROM scored)
+      |SELECT event_type, n AS n_days, CAST(day AS TIMESTAMP) AS change_day, d_abs AS cusum_abs,
+      |       CASE WHEN total <> 0
+      |            THEN CAST((d_abs * 1000000) // (n * abs(total)) AS BIGINT) END AS cusum_ppm,
+      |       CAST(cum // i AS BIGINT) AS before_mean_c,
+      |       CASE WHEN n > i THEN CAST((total - cum) // (n - i) AS BIGINT) END AS after_mean_c
+      |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q212_cusum_changepoint", q212, Some(q212Sql)),
     QuerySpec("q204_mann_whitney", q204, Some(q204Sql)),
     QuerySpec("q205_copurchase_similarity", q205, Some(q205Sql)),
     QuerySpec("q202_weighted_quantiles", q202, Some(q202Sql)),
