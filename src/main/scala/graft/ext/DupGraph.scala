@@ -755,7 +755,94 @@ object DupGraph {
        |FROM d$SsspIters ORDER BY doc_id""".stripMargin
   }
 
+  /** q213 — peel-round budget, identical in both engines: the result
+    * is defined as "the edges surviving [[KcoreRounds]] peel rounds",
+    * a pure function of the edge list (the q209 truncation contract).
+    * Peeling removes every current degree-<k node per round, so a
+    * component of n nodes needs at most ⌈n/2⌉ rounds; near-dup
+    * components are few-node clusters, and KcoreSpec proves the
+    * fixpoint was actually reached on this data (round r+1 ≡ round
+    * r), so the truncated result IS the true 2-core here.
+    */
+  private val KcoreRounds = 8
+
+  /** q213 — 2-CORE decomposition of the near-dup graph (iterative
+    * peeling): strip degree-1 appendages round after round until only
+    * nodes with ≥2 surviving neighbors remain. The structural
+    * complement of q143's clustering coefficient: the 2-core
+    * separates template CORES (every member mutually tangled —
+    * cycles/cliques) from the chain/star FRINGE that mere transitive
+    * duplication builds; a cleaning pass treats the two differently
+    * (cores collapse to one survivor; fringes deserve a look before
+    * deleting "copies" that differ end to end). Output: every
+    * surviving node with its in-core degree, plus its component
+    * fringe size (peeled neighbors) — the triage report.
+    *
+    * Engine shape: each peel round recomputes degrees (one groupBy)
+    * and keeps edges whose BOTH endpoints pass (two semi-join-shaped
+    * equi-joins); rounds checkpoint (the q209 double-reference rule
+    * — the edge set feeds both the degree aggregate and the filter).
+    * The oracle unrolls the same rounds as MATERIALIZED CTEs.
+    */
+  private def q213(spark: SparkSession, dir: String): DataFrame = {
+    val canon = Dedup.jaccardPairs(spark, dir)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint()
+    var edges = canon
+    for (_ <- 1 to KcoreRounds) {
+      val deg = edges
+        .select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select(col("id"))
+      edges = edges
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"))
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    val coreDeg = edges
+      .select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_degree"))
+    val fullDeg = canon
+      .select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("full_degree"))
+    coreDeg.join(fullDeg, Seq("doc_id"))
+      .select(col("doc_id"), col("core_degree"), col("full_degree"),
+        (col("full_degree") - col("core_degree")).as("n_peeled_neighbors"))
+      .orderBy("doc_id")
+  }
+
+  private val q213Sql = {
+    val step = (k: Int) =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${k - 1} e
+         |  JOIN (SELECT id FROM (
+         |          SELECT u AS id FROM e${k - 1} UNION ALL SELECT v FROM e${k - 1})
+         |        GROUP BY id HAVING COUNT(*) >= 2) ku ON e.u = ku.id
+         |  JOIN (SELECT id FROM (
+         |          SELECT u AS id FROM e${k - 1} UNION ALL SELECT v FROM e${k - 1})
+         |        GROUP BY id HAVING COUNT(*) >= 2) kv ON e.v = kv.id)""".stripMargin
+    s"""WITH ${Dedup.jaccardScoredCte},
+       |e0 AS MATERIALIZED (
+       |  SELECT a_id AS u, b_id AS v FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |${(1 to KcoreRounds).map(step).mkString(",\n")},
+       |core AS (
+       |  SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+       |    SELECT u AS id FROM e$KcoreRounds UNION ALL SELECT v FROM e$KcoreRounds)
+       |  GROUP BY id),
+       |full_d AS (
+       |  SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS full_degree FROM (
+       |    SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+       |  GROUP BY id)
+       |SELECT core.doc_id, core.core_degree, full_d.full_degree,
+       |       full_d.full_degree - core.core_degree AS n_peeled_neighbors
+       |FROM core JOIN full_d ON core.doc_id = full_d.doc_id
+       |ORDER BY core.doc_id""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q213_kcore", q213, Some(q213Sql)),
     QuerySpec("q209_shortest_paths", q209, Some(q209Sql)),
     QuerySpec("q196_bfs_contamination_radius", q196, Some(q196Sql)),
     QuerySpec("q194_survivorship", q194, Some(q194Sql)),
