@@ -1262,7 +1262,131 @@ object Maintenance {
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY ind")
   }
 
+  /** q214 feature log-odds in micro units — a-priori Fellegi–Sunter
+    * agreement/disagreement weights (log₂(m/u) for plausible m/u,
+    * fixed constants so both engines share them exactly; production
+    * systems estimate m/u by EM, which is a fitting step upstream of
+    * this scoring query).
+    */
+  private val WNameAgree = 4000000L
+  private val WNameDis = -1000000L
+  private val WBalAgree = 3000000L
+  private val WBalDis = -2000000L
+  private val WNation = 1000000L
+  private val MatchThresh = 6000000L
+
+  /** q214 — FELLEGI–SUNTER record-linkage scoring: the probabilistic
+    * matching tier between blocking (q56/q180) and survivorship
+    * (q194). A synthetic CRM extract derives from customer with
+    * md5-determined corruption classes (70% clean, 20% name typo,
+    * 10% wrong nation — plus a ≤3-cent balance drift on every row);
+    * candidate pairs come from MULTI-KEY BLOCKING — equality on
+    * (nation, $1000-balance-window) with the crm side exploded to
+    * ±1 windows (the q56/q181 neighbor-probe rule: the ≤3-cent drift
+    * can cross a window boundary, and a one-sided block would lose
+    * exactly those pairs). Each pair scores name-exact /
+    * balance-within-5¢ / nation-equal with the fixed log-odds
+    * weights; decisions at the match/possible thresholds. Because
+    * ground truth is known by construction, the OUTPUT is the
+    * honest evaluation: a per-decision confusion row (true vs false
+    * pairs) plus a `missed_by_blocking` audit row counting true
+    * links no block recovered (the wrong-nation class — exactly the
+    * recall price the blocking-key choice pays, stated rather than
+    * hidden). Scale shape: block cells are bounded (nation ×
+    * window), so the pair join is cell-local — never customers²;
+    * scoring is map-side arithmetic on the pair stream.
+    */
+  private def q214(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TrainPrep.md5Bucket
+    val cust = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_c"))
+    val crm = cust
+      .withColumn("cls", md5Bucket(col("id"), 10, ":q214"))
+      .withColumn("drift", md5Bucket(col("id"), 7, ":q214bal") - 3L)
+      .select(
+        col("id").as("src_id"),
+        when(col("cls").isin(7, 8),
+          concat(substring(col("name"), 1, 1), expr("substring(name, 3)")))
+          .otherwise(col("name")).as("name2"),
+        when(col("cls") === 9, (col("nation") + 1) % 25)
+          .otherwise(col("nation")).as("nation2"),
+        (col("bal_c") + col("drift")).as("bal2_c"))
+    val custKeyed = cust.withColumn("wb", expr("bal_c DIV 100000"))
+    val crmKeyed = crm
+      .withColumn("wb0", expr("bal2_c DIV 100000"))
+      .withColumn("wb", explode(array(col("wb0") - 1, col("wb0"), col("wb0") + 1)))
+    val scored = custKeyed
+      .join(crmKeyed, Seq("wb"))
+      .filter(col("nation") === col("nation2"))
+      .withColumn("score",
+        when(col("name") === col("name2"), lit(WNameAgree)).otherwise(lit(WNameDis)) +
+          when(abs(col("bal_c") - col("bal2_c")) <= 5, lit(WBalAgree))
+            .otherwise(lit(WBalDis)) +
+          lit(WNation))
+      .withColumn("decision",
+        when(col("score") >= MatchThresh, lit("match"))
+          .when(col("score") >= 0, lit("possible"))
+          .otherwise(lit("non_match")))
+      .withColumn("is_true", (col("id") === col("src_id")).cast("long"))
+    val confusion = scored.groupBy(col("decision")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("is_true")).as("n_true"),
+      (count(lit(1)) - sum(col("is_true"))).as("n_false"))
+    val missed = crm.join(
+        scored.filter(col("is_true") === 1).select(col("src_id")).distinct(),
+        Seq("src_id"), "left_anti")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit("missed_by_blocking").as("decision"), col("n_pairs"),
+        col("n_pairs").as("n_true"), lit(0L).as("n_false"))
+    confusion.unionAll(missed).orderBy("decision")
+  }
+
+  private val q214Sql =
+    s"""WITH cust AS (
+       |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+       |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+       |  FROM customer),
+       |crm AS (
+       |  SELECT id AS src_id,
+       |         CASE WHEN ('0x' || substr(md5(CAST(id AS VARCHAR) || ':q214'), 1, 15))::BIGINT % 10 IN (7, 8)
+       |              THEN substr(name, 1, 1) || substr(name, 3)
+       |              ELSE name END AS name2,
+       |         CASE WHEN ('0x' || substr(md5(CAST(id AS VARCHAR) || ':q214'), 1, 15))::BIGINT % 10 = 9
+       |              THEN (nation + 1) % 25 ELSE nation END AS nation2,
+       |         bal_c + (('0x' || substr(md5(CAST(id AS VARCHAR) || ':q214bal'), 1, 15))::BIGINT % 7) - 3 AS bal2_c
+       |  FROM cust),
+       |ck AS (SELECT *, bal_c // 100000 AS wb FROM cust),
+       |rk AS (
+       |  SELECT crm.*, (bal2_c // 100000) + d.o AS wb
+       |  FROM crm CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) d),
+       |scored AS (
+       |  SELECT ck.id, rk.src_id,
+       |         (CASE WHEN ck.name = rk.name2 THEN $WNameAgree ELSE $WNameDis END)
+       |         + (CASE WHEN abs(ck.bal_c - rk.bal2_c) <= 5 THEN $WBalAgree ELSE $WBalDis END)
+       |         + $WNation AS score
+       |  FROM ck JOIN rk ON ck.wb = rk.wb AND ck.nation = rk.nation2),
+       |dec AS (
+       |  SELECT *,
+       |         CASE WHEN score >= $MatchThresh THEN 'match'
+       |              WHEN score >= 0 THEN 'possible'
+       |              ELSE 'non_match' END AS decision,
+       |         CASE WHEN id = src_id THEN 1 ELSE 0 END AS is_true
+       |  FROM scored),
+       |confusion AS (
+       |  SELECT decision, COUNT(*) AS n_pairs,
+       |         CAST(SUM(is_true) AS BIGINT) AS n_true,
+       |         CAST(COUNT(*) - SUM(is_true) AS BIGINT) AS n_false
+       |  FROM dec GROUP BY decision),
+       |missed AS (
+       |  SELECT 'missed_by_blocking' AS decision, COUNT(*) AS n_pairs,
+       |         CAST(COUNT(*) AS BIGINT) AS n_true, CAST(0 AS BIGINT) AS n_false
+       |  FROM crm WHERE src_id NOT IN (SELECT src_id FROM dec WHERE is_true = 1))
+       |SELECT * FROM confusion UNION ALL SELECT * FROM missed ORDER BY decision""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q214_record_linkage", q214, Some(q214Sql)),
     QuerySpec("q206_fd_discovery", q206, Some(q206Sql)),
     QuerySpec("q207_inclusion_deps", q207, Some(q207Sql)),
     QuerySpec("q195_snapshot_cdc", q195, Some(q195Sql)),
