@@ -42,7 +42,12 @@ object ExplainMain {
         // bucketized quantile-normalize lookup
         "q180_edit_distance_join", "q194_survivorship",
         "q178_hierarchy_rollup", "q181_grid_spatial_join",
-        "q193_quantile_normalize")
+        "q193_quantile_normalize",
+        // round-7 fifth-wave: the iterative SSSP/k-core pair (q45
+        // floor + per-round checkpoints), the ANN eval double
+        // pipeline, the MV-rewrite demo, and the blocked linkage join
+        "q209_shortest_paths", "q213_kcore", "q211_ann_eval",
+        "q210_mv_rewrite", "q214_record_linkage")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
