@@ -2632,7 +2632,73 @@ object RelationalQueries {
       |       CASE WHEN n > i THEN CAST((total - cum) // (n - i) AS BIGINT) END AS after_mean_c
       |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  /** q215 — absolute support threshold for frequent itemsets (count
+    * of baskets containing the itemset). 2 keeps the demo corpus
+    * interesting; production sets a fraction of basket count.
+    */
+  private val MinSupport = 2L
+
+  /** q215 — FREQUENT 3-ITEMSETS with the APRIORI prune (Agrawal &
+    * Srikant's anti-monotonicity: a triple can only be frequent if
+    * all three of its pairs are): q205 scores pairs; this walks one
+    * lattice level up, which is where naive enumeration dies at scale
+    * and support pruning is the survival strategy. Plan shape: the
+    * triple stream comes from the basket³ self-join on the order key
+    * (fan-out bounded by basket size³ per order — still
+    * order-local), but BEFORE counting, three semi-joins against the
+    * frequent-pair list drop every triple with an infrequent
+    * sub-pair — at scale the frequent-pair list is small (that's the
+    * point of support), so the semi-joins broadcast and the pruned
+    * triple stream is a fraction of the raw one. Output: supported
+    * triples with their support, deterministic top-20.
+    */
+  private def q215(spark: SparkSession, dir: String): DataFrame = {
+    val basket = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = basket.as("a")
+      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= MinSupport)
+      .select(col("x"), col("y"))
+    val triples = basket.as("a")
+      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .join(basket.as("c"), col("b.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+      .select(col("a.ok").as("ok"), col("a.pk").as("p1"), col("b.pk").as("p2"),
+        col("c.pk").as("p3"))
+    val pruned = triples
+      .join(pairs.select(col("x").as("p1"), col("y").as("p2")), Seq("p1", "p2"), "left_semi")
+      .join(pairs.select(col("x").as("p1"), col("y").as("p3")), Seq("p1", "p3"), "left_semi")
+      .join(pairs.select(col("x").as("p2"), col("y").as("p3")), Seq("p2", "p3"), "left_semi")
+    pruned.groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
+  private val q215Sql =
+    s"""WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pairs AS (
+       |  SELECT a.pk AS x, b.pk AS y
+       |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |triples AS (
+       |  SELECT a.ok, a.pk AS p1, b.pk AS p2, c.pk AS p3
+       |  FROM basket a
+       |  JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+       |  JOIN basket c ON b.ok = c.ok AND b.pk < c.pk),
+       |pruned AS (
+       |  SELECT t.* FROM triples t
+       |  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.x = t.p1 AND p.y = t.p2)
+       |    AND EXISTS (SELECT 1 FROM pairs p WHERE p.x = t.p1 AND p.y = t.p3)
+       |    AND EXISTS (SELECT 1 FROM pairs p WHERE p.x = t.p2 AND p.y = t.p3))
+       |SELECT p1, p2, p3, COUNT(*) AS support
+       |FROM pruned GROUP BY 1, 2, 3 HAVING COUNT(*) >= $MinSupport
+       |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q215_frequent_itemsets", q215, Some(q215Sql)),
     QuerySpec("q212_cusum_changepoint", q212, Some(q212Sql)),
     QuerySpec("q204_mann_whitney", q204, Some(q204Sql)),
     QuerySpec("q205_copurchase_similarity", q205, Some(q205Sql)),
