@@ -13,6 +13,7 @@ object SparkEntry {
     graft.query.ParityQueries.specs ++
       graft.query.RelationalQueries.specs ++
       graft.query.Maintenance.specs ++
+      graft.query.Estimation.specs ++
       graft.ext.TextStats.specs ++
       graft.ext.Dedup.specs ++
       graft.ext.DupGraph.specs ++
