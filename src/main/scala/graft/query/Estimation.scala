@@ -225,11 +225,11 @@ object Estimation {
         .agg(count(lit(1)).as("actual_rows"))
     val ord = Tables.orders(spark, dir); val li = Tables.lineitem(spark, dir)
     val cust = Tables.customer(spark, dir)
-    // the two 1-row aggregates meet on a literal key — an equi-join
-    // plans a hash join, not the nested loop a bare crossJoin would
+    // 1-row estimate × 1-row actual: the q03/q69 scalar-broadcast
+    // assembly (Catalyst folds any constant-key equi-join back into a
+    // nested loop anyway; PlanGuard-allowlisted)
     def pair(name: String, a: DataFrame, ak: String, b: DataFrame, bk: String) =
-      estimate(a, ak, b, bk).withColumn("one", lit(1))
-        .join(actual(a, ak, b, bk).withColumn("one", lit(1)), Seq("one"))
+      estimate(a, ak, b, bk).crossJoin(actual(a, ak, b, bk))
         .select(lit(name).as("join_pair"), col("est_rows"), col("actual_rows"),
           expr("CAST(abs(est_rows - actual_rows) * 1000000 DIV actual_rows AS BIGINT)")
             .as("err_ppm"))

@@ -1385,7 +1385,152 @@ object Maintenance {
        |  FROM crm WHERE src_id NOT IN (SELECT src_id FROM dec WHERE is_true = 1))
        |SELECT * FROM confusion UNION ALL SELECT * FROM missed ORDER BY decision""".stripMargin
 
+  /** q219 — the t-closeness threshold (Li, Li & Venkatasubramanian
+    * 2007 suggest 0.15–0.2 as a practical release bar), in ppm.
+    */
+  private val TCloseT = 200000L
+
+  /** q219 — T-CLOSENESS audit, the third rung of the release-privacy
+    * ladder (q132 k-anonymity → q171 l-diversity → this): a cell can
+    * be k-anonymous AND l-diverse while its sensitive-value
+    * DISTRIBUTION still leaks (all its values at the distribution's
+    * extreme tail). t-closeness bounds the Earth Mover's Distance
+    * between each cell's sensitive distribution and the global one.
+    * For an ORDERED attribute with m equally-spaced bands the EMD is
+    * (1/(m−1))·Σ_i |P_cum,i − Q_cum,i|; everything stays integral by
+    * cross-multiplying the two cumulative fractions:
+    * Σ|cumg_i·N − cum_i·n_g| · 10^6 DIV (n_g·N·(m−1)) — products in
+    * DECIMAL(38,0)/HUGEINT so the sf1+ magnitudes can't overflow.
+    * Output: the 10 worst cells with their EMD in ppm and the
+    * violation flag at t = 0.2.
+    *
+    * Scale shape: one (type, day, band) aggregate off the scan, then
+    * every window/join runs on the bounded cell×band spine (the q136
+    * derived-domain argument — the spine crossJoin is two
+    * POST-AGGREGATION frames, 150 cells × 10 bands, independent of
+    * row volume; PlanGuard-allowlisted like q136's calendar).
+    */
+  private def q219(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") / 50).cast("long").as("band"))
+    val cellBand = ev.groupBy(col("event_type"), col("day"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val cells = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n_g"))
+    val global = ev.groupBy(col("band")).agg(count(lit(1)).as("cnt_b"))
+      .withColumn("cum_b", sum(col("cnt_b")).over(
+        Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_total", sum(col("cnt_b")).over(Window.partitionBy()))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .select(col("band"), col("cum_b"), col("n_total"), col("m"))
+    val spine = cells.crossJoin(global)
+      .join(cellBand, Seq("event_type", "day", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cumg", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"), col("day")).orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    spine.groupBy(col("event_type"), col("day"), col("n_g"), col("n_total"), col("m"))
+      .agg(sum(expr("abs(CAST(cumg AS DECIMAL(38,0)) * n_total - CAST(cum_b AS DECIMAL(38,0)) * n_g)"))
+        .as("emd_num"))
+      .select(col("event_type"), col("day"), col("n_g"),
+        expr("CAST(CAST(emd_num AS DECIMAL(38,0)) * 1000000 DIV (CAST(n_g AS DECIMAL(38,0)) * n_total * (m - 1)) AS BIGINT)")
+          .as("t_ppm"))
+      .withColumn("violates_t", (col("t_ppm") > TCloseT).cast("int"))
+      .orderBy(col("t_ppm").desc, col("event_type"), col("day"))
+      .limit(10)
+  }
+
+  private val q219Sql =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         CAST(floor(value / 50) AS BIGINT) AS band
+       |  FROM events),
+       |cell_band AS (
+       |  SELECT event_type, day, band, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1, 2, 3),
+       |cells AS (
+       |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_g FROM ev GROUP BY 1, 2),
+       |global AS (
+       |  SELECT band, CAST(SUM(COUNT(*)) OVER (ORDER BY band
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+       |         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total,
+       |         CAST(COUNT(*) OVER () AS BIGINT) AS m
+       |  FROM ev GROUP BY band),
+       |spine AS (
+       |  SELECT c.event_type, c.day, c.n_g, g.band, g.cum_b, g.n_total, g.m,
+       |         COALESCE(cb.cnt, 0) AS cnt
+       |  FROM cells c CROSS JOIN global g
+       |  LEFT JOIN cell_band cb
+       |    ON cb.event_type = c.event_type AND cb.day = c.day AND cb.band = g.band),
+       |cum AS (
+       |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY band
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg
+       |  FROM spine),
+       |emd AS (
+       |  SELECT event_type, day, n_g, n_total, m,
+       |         SUM(abs(CAST(cumg AS HUGEINT) * n_total - CAST(cum_b AS HUGEINT) * n_g)) AS emd_num
+       |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+       |SELECT event_type, day, n_g,
+       |       CAST(CAST(emd_num AS HUGEINT) * 1000000 // (CAST(n_g AS HUGEINT) * n_total * (m - 1)) AS BIGINT) AS t_ppm,
+       |       CAST(CAST(CAST(emd_num AS HUGEINT) * 1000000 // (CAST(n_g AS HUGEINT) * n_total * (m - 1)) AS BIGINT) > $TCloseT AS INT) AS violates_t
+       |FROM emd
+       |ORDER BY t_ppm DESC, event_type, day LIMIT 10""".stripMargin
+
+  /** q220 — RANDOMIZED RESPONSE (Warner 1965), the local-DP
+    * mechanism: each row reports its sensitive bit truthfully only
+    * half the time (the other half it reports a fair coin), giving
+    * every individual plausible deniability (ε = ln 3 local DP), yet
+    * the population rate debiases exactly: E[obs] = π/2 + 1/4, so
+    * π̂ = (4·obs − n)/(2n). Both coins come from salted md5 of the
+    * event id, so the entire mechanism — noise included — is replayed
+    * bit-for-bit by the oracle: the hash gate checks the DEBIASING
+    * ALGEBRA, not just a happy path. Output: per-day true rate vs
+    * debiased estimate (both ppm, truncating integral division;
+    * 4·obs−n may be negative and DIV/`//` both truncate toward zero
+    * — the q183 parity fact) and the realized absolute error.
+    *
+    * Scale shape: pure map stage (two md5s + a CASE) into a per-day
+    * count aggregate; nothing but (day, three counts) ever shuffles.
+    */
+  private def q220(spark: SparkSession, dir: String): DataFrame = {
+    val coin1 = graft.ext.TrainPrep.md5Bucket(col("event_id"), 2, ":rr1")
+    val coin2 = graft.ext.TrainPrep.md5Bucket(col("event_id"), 2, ":rr2")
+    Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        (col("event_type") === "error").cast("long").as("s"),
+        coin1.as("c1"), coin2.as("c2"))
+      .withColumn("reported", when(col("c1") === 0, col("s")).otherwise(col("c2")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("true_cnt"),
+        sum(col("reported")).as("obs_cnt"))
+      .select(col("day"), col("n"), col("true_cnt"), col("obs_cnt"),
+        expr("true_cnt * 1000000 DIV n").as("true_ppm"),
+        expr("(4 * obs_cnt - n) * 1000000 DIV (2 * n)").as("est_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("true_ppm")))
+      .orderBy(col("day"))
+  }
+
+  private val q220Sql =
+    """WITH rr AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS s,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':rr1'), 1, 15))::BIGINT % 2 AS c1,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':rr2'), 1, 15))::BIGINT % 2 AS c2
+      |  FROM events),
+      |agg AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(s) AS BIGINT) AS true_cnt,
+      |         CAST(SUM(CASE WHEN c1 = 0 THEN s ELSE c2 END) AS BIGINT) AS obs_cnt
+      |  FROM rr GROUP BY day)
+      |SELECT day, n, true_cnt, obs_cnt,
+      |       true_cnt * 1000000 // n AS true_ppm,
+      |       (4 * obs_cnt - n) * 1000000 // (2 * n) AS est_ppm,
+      |       abs((4 * obs_cnt - n) * 1000000 // (2 * n) - true_cnt * 1000000 // n) AS abs_err_ppm
+      |FROM agg ORDER BY day""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q219_t_closeness", q219, Some(q219Sql)),
+    QuerySpec("q220_randomized_response", q220, Some(q220Sql)),
     QuerySpec("q214_record_linkage", q214, Some(q214Sql)),
     QuerySpec("q206_fd_discovery", q206, Some(q206Sql)),
     QuerySpec("q207_inclusion_deps", q207, Some(q207Sql)),

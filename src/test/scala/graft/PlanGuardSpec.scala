@@ -102,7 +102,14 @@ class PlanGuardSpec extends SparkSpec {
     "q203_gini_concentration",
     // q204: broadcasts the 1-row corpus total that turns per-source
     // counts into rest-of-corpus counts (the q03/q69 scalar pattern)
-    "q204_mann_whitney")
+    "q204_mann_whitney",
+    // q219: the EMD spine crossJoins two POST-AGGREGATION frames
+    // (privacy cells × value bands, ~150×10 — the q136 bounded
+    // derived-domain pattern); row volume never reaches the join
+    "q219_t_closeness",
+    // q223: assembles the 1-row CBO estimate with the 1-row actual
+    // join count (the q03/q69 scalar pattern)
+    "q223_join_cardinality")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
