@@ -908,7 +908,86 @@ object TrainPrep {
        |ORDER BY pt.segment""".stripMargin
   }
 
+  /** q218 — GINI-IMPURITY SPLIT FINDING (the CART split criterion,
+    * Breiman et al. 1984): the decision-stump learner that underlies
+    * model-based data selection — "which single threshold on this
+    * feature best separates the labels" is the per-node inner loop of
+    * every tree ensemble, and at 100 TB it must run as ONE aggregate
+    * pass, not one pass per candidate. Feature: l_quantity; label:
+    * returned (l_returnflag = 'R'). The trick that makes it one
+    * pass: aggregate to per-VALUE (cnt, pos) first, then cumulative
+    * windows over the ≤50-value domain give every threshold's left/
+    * right class counts simultaneously. Exactness: minimizing
+    * weighted Gini ⟺ maximizing Σ_side (pos² + neg²)/n_side; each
+    * side's ratio is scored in truncated micro-units (DECIMAL(38,0)
+    * products — BIGINT would overflow at sf1's n² ≈ 3.6e13·10^6) and
+    * the argmax-by-truncated-score with threshold-ascending tie-break
+    * is the documented deterministic contract both engines share.
+    * Output: top-5 thresholds with their class splits and scores —
+    * rank 1 IS the learned stump.
+    *
+    * Scale shape: one groupBy(value) aggregate off the scan (map-side
+    * partial on ≤50 keys), then windows/ranks on the bounded value
+    * domain. Nothing after the first aggregate scales with rows.
+    */
+  private def q218(spark: SparkSession, dir: String): DataFrame = {
+    val byV = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("threshold"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val wCum = Window.orderBy(col("threshold")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val scored = byV
+      .withColumn("n_l", sum(col("cnt")).over(wCum))
+      .withColumn("pos_l", sum(col("pos")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p", sum(col("pos")).over(wAll))
+      .filter(col("n_l") < col("n")) // the top value splits nothing off
+      .select(col("threshold"), col("n_l"), col("pos_l"),
+        (col("n") - col("n_l")).as("n_r"), (col("p") - col("pos_l")).as("pos_r"))
+      .withColumn("score_micro",
+        expr("""CAST((CAST(pos_l AS DECIMAL(38,0)) * pos_l + CAST(n_l - pos_l AS DECIMAL(38,0)) * (n_l - pos_l)) * 1000000 DIV n_l AS BIGINT)
+               | + CAST((CAST(pos_r AS DECIMAL(38,0)) * pos_r + CAST(n_r - pos_r AS DECIMAL(38,0)) * (n_r - pos_r)) * 1000000 DIV n_r AS BIGINT)""".stripMargin
+          .replace("\n", " ")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("threshold"))))
+      .filter(col("rank") <= 5)
+      .select(col("rank"), col("threshold"), col("n_l"), col("pos_l"),
+        col("n_r"), col("pos_r"), col("score_micro"))
+      .orderBy(col("rank"))
+  }
+
+  private val q218Sql =
+    """WITH by_v AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS threshold,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt,
+      |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT threshold,
+      |         CAST(SUM(cnt) OVER (ORDER BY threshold
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_l,
+      |         CAST(SUM(pos) OVER (ORDER BY threshold
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_l,
+      |         CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+      |         CAST(SUM(pos) OVER () AS BIGINT) AS p
+      |  FROM by_v),
+      |scored AS (
+      |  SELECT threshold, n_l, pos_l, n - n_l AS n_r, p - pos_l AS pos_r,
+      |         CAST((CAST(pos_l AS HUGEINT) * pos_l + CAST(n_l - pos_l AS HUGEINT) * (n_l - pos_l)) * 1000000 // n_l AS BIGINT)
+      |         + CAST((CAST(p - pos_l AS HUGEINT) * (p - pos_l) + CAST((n - n_l) - (p - pos_l) AS HUGEINT) * ((n - n_l) - (p - pos_l))) * 1000000 // (n - n_l) AS BIGINT)
+      |           AS score_micro
+      |  FROM cum WHERE n_l < n),
+      |ranked AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY score_micro DESC, threshold) AS rank, *
+      |  FROM scored)
+      |SELECT rank, threshold, n_l, pos_l, n_r, pos_r, score_micro
+      |FROM ranked WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q218_gini_split", q218, Some(q218Sql)),
     QuerySpec("q208_poisson_bootstrap", q208, Some(q208Sql)),
     QuerySpec("q200_corpus_capstone",  q200, Some(q200Sql), headline = true),
     QuerySpec("q191_priority_sample",  q191, Some(q191Sql)),

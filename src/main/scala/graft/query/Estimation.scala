@@ -260,9 +260,105 @@ object Estimation {
        |FROM pairs ORDER BY join_pair""".stripMargin
   }
 
+  /** q221 — fixed power-iteration budget, identical in both engines:
+    * the result is DEFINED as the round-[[MarkovRounds]] iterate (the
+    * q209/q213 truncation contract); MarkovSpec proves convergence at
+    * the OUTPUT resolution (one more round moves no ppm readout — the
+    * raw 10^12-scale iterate jitters by O(m) units forever because
+    * every truncating round drops sub-unit mass).
+    */
+  private val MarkovRounds = 16
+
+  /** q221 — MARKOV-CHAIN STATIONARY DISTRIBUTION of the user
+    * event-type process: build the transition matrix from consecutive
+    * event pairs per user (q151 reports the matrix; this closes the
+    * loop and solves π = πP by power iteration), in EXACT integer
+    * arithmetic: probabilities are never materialized — each round
+    * computes v'(j) = Σ_i v(i)·cnt(i,j) DIV rowtot(i) with the
+    * product in DECIMAL(38,0)/HUGEINT (v carries 10^12 scale), so
+    * both engines walk bit-identical iterates and the oracle
+    * hash-checks the SOLVER, not a float approximation. The readout
+    * compares π against the empirical visit share — the "is the
+    * process already mixed?" diagnostic a session-model owner wants.
+    *
+    * Scale shape: ONE shuffle that scales with data (the per-user
+    * LEAD + pair count); everything after runs on the ≤|types|²
+    * matrix — iteration cost is independent of row volume (the
+    * bounded-domain argument of q212/q201). Rounds localCheckpoint
+    * so the 16-round lineage never compounds (q209 rule).
+    */
+  private def q221(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("nxt").isNotNull)
+    val trans = seq.groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val tr = trans
+      .withColumn("rowtot", sum(col("cnt")).over(Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    var v = tr.select(col("src").as("state")).distinct()
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .select(col("state"), expr("1000000000000 DIV m").as("p"))
+      .localCheckpoint()
+    for (_ <- 1 to MarkovRounds) {
+      v = v.join(tr, v("state") === tr("src"))
+        .groupBy(col("dst"))
+        .agg(expr("CAST(SUM(CAST(p AS DECIMAL(38,0)) * cnt DIV rowtot) AS BIGINT)").as("p"))
+        .select(col("dst").as("state"), col("p"))
+        .localCheckpoint()
+    }
+    val empirical = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .withColumn("total", sum(col("n_events")).over(Window.partitionBy()))
+      .select(col("event_type"), col("n_events"),
+        expr("n_events * 1000000 DIV total").as("empirical_ppm"))
+    v.select(col("state").as("event_type"), expr("p DIV 1000000").as("stationary_ppm"))
+      .join(empirical, Seq("event_type"))
+      .withColumn("gap_ppm", abs(col("stationary_ppm") - col("empirical_ppm")))
+      .orderBy(col("event_type"))
+  }
+
+  private val q221Sql = {
+    val rounds = (1 to MarkovRounds).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT t.dst AS state,
+         |         CAST(SUM(CAST(v.p AS HUGEINT) * t.cnt // t.rowtot) AS BIGINT) AS p
+         |  FROM v${k - 1} v JOIN tr t ON v.state = t.src GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |trans AS (
+       |  SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |tr AS MATERIALIZED (
+       |  SELECT src, dst, cnt,
+       |         CAST(SUM(cnt) OVER (PARTITION BY src) AS BIGINT) AS rowtot
+       |  FROM trans),
+       |v0 AS MATERIALIZED (
+       |  SELECT src AS state,
+       |         1000000000000 // (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM tr) AS p
+       |  FROM tr GROUP BY src),
+       |$rounds,
+       |empirical AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         CAST(COUNT(*) AS BIGINT) * 1000000
+       |           // (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS empirical_ppm
+       |  FROM events GROUP BY 1)
+       |SELECT v.state AS event_type, v.p // 1000000 AS stationary_ppm,
+       |       e.n_events, e.empirical_ppm,
+       |       abs(v.p // 1000000 - e.empirical_ppm) AS gap_ppm
+       |FROM v$MarkovRounds v JOIN empirical e ON v.state = e.event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q216_kmv_distinct", q216, Some(q216Sql)),
     QuerySpec("q217_theta_set_ops", q217, Some(q217Sql)),
+    QuerySpec("q221_markov_stationary", q221, Some(q221Sql)),
     QuerySpec("q223_join_cardinality", q223, Some(q223Sql)),
   )
 }
