@@ -593,7 +593,130 @@ object Layout {
       |       COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q222 ring geometry: shards before/after and virtual nodes per
+    * shard. 32 vnodes keeps per-shard load spread within ~±20% —
+    * production rings run 100-1000 vnodes for tighter balance.
+    */
+  private val ChShardsBefore = 4
+  private val ChShardsAfter  = 5
+  private val ChVnodes       = 32
+
+  /** q222 hash-space bucketing that turns the ring lookup into an
+    * equi-join: 2^60 space / 2^10 buckets = 2^50-wide cells.
+    */
+  private val ChBuckets     = 1024
+  private val ChBucketWidth = 1152921504606846976L / ChBuckets
+
+  /** q222 — CONSISTENT-HASH REBALANCE audit (Karger et al. 1997):
+    * assign every document to a shard via a 32-vnode hash ring, add
+    * one shard, and report the migration matrix — the operation
+    * behind every "grow the cluster without reshuffling the world"
+    * story. The defining property (docs only ever move TO the new
+    * shard, ~1/(n+1) of them, and never between old shards) comes
+    * out as data: every `moved=1` row has `shard_after = 4`.
+    *
+    * Scale shape: the ring lookup ("first vnode position ≥ h, wrap
+    * to the ring minimum") is a RANGE predicate, which would be a
+    * nested-loop against 160 ring points; instead the ring's
+    * intervals explode to the 2^50-wide hash-space buckets they
+    * overlap (ring+bucket rows ≈ 1.2k, a broadcast) and docs
+    * equi-join on their bucket with the interval filter applied
+    * post-join — the q193/q181 bucketize-the-range-join pattern. Per
+    * doc exactly one interval matches (ConsistentHashSpec proves
+    * match multiplicity). Everything data-sized is one map-side
+    * broadcast join + one (before, after) count aggregate; the wrap
+    * interval inherits the ring-minimum's shard via a window first().
+    */
+  private def q222(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ring(nShards: Int): DataFrame = spark.range(nShards.toLong * ChVnodes)
+      .select(expr(s"id DIV $ChVnodes").as("shard"),
+        expr(s"id % $ChVnodes").as("vnode"))
+      .select(col("shard"),
+        conv(substring(md5(to_binary(
+          concat(col("shard").cast("string"), lit(":"), col("vnode").cast("string"), lit(":ring")),
+          lit("utf-8"))), 1, 15), 16, 10).cast("long").as("pos"))
+    def intervals(nShards: Int): DataFrame = {
+      val w = Window.orderBy(col("pos"))
+      val base = ring(nShards)
+        .withColumn("lo", coalesce(lag(col("pos"), 1).over(w), lit(-1L)))
+        .withColumn("first_shard", first(col("shard")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("max_pos", max(col("pos")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val wrap = base.filter(col("pos") === col("max_pos"))
+        .select(col("first_shard").as("shard"), lit(1152921504606846976L).as("hi"),
+          col("pos").as("lo"))
+      base.select(col("shard"), col("pos").as("hi"), col("lo")).unionAll(wrap)
+        // integral DIV throughout: a double `/` would round 2^60-scale
+        // positions past the 2^53 mantissa and mis-bucket ring points
+        .withColumn("b", explode(sequence(
+          expr(s"(lo + 1) DIV $ChBucketWidth"),
+          when(col("hi") === 1152921504606846976L, lit((ChBuckets - 1).toLong))
+            .otherwise(expr(s"hi DIV $ChBucketWidth")))))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(to_binary(concat(col("doc_id").cast("string"), lit(":ch")),
+          lit("utf-8"))), 1, 15), 16, 10).cast("long").as("h"))
+      .withColumn("b", expr(s"h DIV $ChBucketWidth"))
+    def assign(nShards: Int, outCol: String) = docs
+      .join(broadcast(intervals(nShards)), Seq("b"))
+      .filter(col("lo") < col("h") && col("h") <= col("hi"))
+      .select(col("doc_id"), col("shard").as(outCol))
+    assign(ChShardsBefore, "shard_before")
+      .join(assign(ChShardsAfter, "shard_after"), Seq("doc_id"))
+      .groupBy(col("shard_before"), col("shard_after"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", (col("shard_before") =!= col("shard_after")).cast("int"))
+      .orderBy(col("shard_before"), col("shard_after"))
+  }
+
+  private val q222Sql = {
+    def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+    def ringCte(n: Int, nm: String) =
+      s"""$nm AS (
+         |  SELECT s.range AS shard,
+         |         ${h60(s"CAST(s.range AS VARCHAR) || ':' || CAST(v.range AS VARCHAR) || ':ring'")} AS pos
+         |  FROM range(0, $n) s, range(0, $ChVnodes) v)""".stripMargin
+    def ivCte(ringNm: String, nm: String) =
+      s"""$nm AS (
+         |  SELECT shard, hi, lo,
+         |         unnest(range(CAST((lo + 1) // $ChBucketWidth AS BIGINT),
+         |                      CASE WHEN hi = 1152921504606846976 THEN ${ChBuckets - 1}
+         |                           ELSE CAST(hi // $ChBucketWidth AS BIGINT) END + 1)) AS b
+         |  FROM (
+         |    SELECT shard, pos AS hi,
+         |           COALESCE(LAG(pos) OVER (ORDER BY pos), -1) AS lo
+         |    FROM $ringNm
+         |    UNION ALL
+         |    SELECT FIRST_VALUE(shard) OVER (ORDER BY pos
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS shard,
+         |           1152921504606846976 AS hi, pos AS lo
+         |    FROM $ringNm QUALIFY pos = MAX(pos) OVER ()))""".stripMargin
+    s"""WITH ${ringCte(ChShardsBefore, "ring_a")},
+       |${ringCte(ChShardsAfter, "ring_b")},
+       |${ivCte("ring_a", "iv_a")},
+       |${ivCte("ring_b", "iv_b")},
+       |docs AS (
+       |  SELECT doc_id, ${h60("CAST(doc_id AS VARCHAR) || ':ch'")} AS h
+       |  FROM documents),
+       |assign_a AS (
+       |  SELECT d.doc_id, i.shard AS shard_before
+       |  FROM docs d JOIN iv_a i ON d.h // $ChBucketWidth = i.b
+       |  WHERE i.lo < d.h AND d.h <= i.hi),
+       |assign_b AS (
+       |  SELECT d.doc_id, i.shard AS shard_after
+       |  FROM docs d JOIN iv_b i ON d.h // $ChBucketWidth = i.b
+       |  WHERE i.lo < d.h AND d.h <= i.hi)
+       |SELECT a.shard_before, b.shard_after, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(a.shard_before <> b.shard_after AS INT) AS moved
+       |FROM assign_a a JOIN assign_b b ON a.doc_id = b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
