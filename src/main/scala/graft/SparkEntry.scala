@@ -14,6 +14,7 @@ object SparkEntry {
       graft.query.RelationalQueries.specs ++
       graft.query.Maintenance.specs ++
       graft.query.Estimation.specs ++
+      graft.query.CustomerAnalytics.specs ++
       graft.ext.TextStats.specs ++
       graft.ext.Dedup.specs ++
       graft.ext.DupGraph.specs ++
