@@ -16,6 +16,7 @@ object SparkEntry {
       graft.query.Estimation.specs ++
       graft.query.CustomerAnalytics.specs ++
       graft.ext.TextStats.specs ++
+      graft.ext.FeatureEng.specs ++
       graft.ext.Dedup.specs ++
       graft.ext.DupGraph.specs ++
       graft.ext.Decontam.specs ++

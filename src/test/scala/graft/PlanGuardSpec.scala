@@ -109,7 +109,14 @@ class PlanGuardSpec extends SparkSpec {
     "q219_t_closeness",
     // q223: assembles the 1-row CBO estimate with the 1-row actual
     // join count (the q03/q69 scalar pattern)
-    "q223_join_cardinality")
+    "q223_join_cardinality",
+    // q227: broadcasts the 1-row global (N, ΣT) aggregate that the
+    // smoothed encoder shrinks toward (the q03/q69 scalar pattern)
+    "q227_target_encoding",
+    // q228: the isotonic minimax joins bounded bin-aggregate frames
+    // (≤16 rows each) on range predicates (the q136 bounded
+    // derived-domain pattern)
+    "q228_isotonic_calibration")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
