@@ -772,6 +772,90 @@ object Dedup {
       |FROM incoming LEFT JOIN corpus ON corpus.gm = incoming.gm
       |GROUP BY 1 ORDER BY incoming.source""".stripMargin
 
+  /** q229 band geometry: Hamming radius 3 over the 60-bit simhash,
+    * pigeonholed into 4 disjoint 15-bit bands — d ≤ 3 differing bits
+    * cannot touch all 4 bands, so ≥ 1 band matches exactly.
+    */
+  private val HamRadius = 3
+  private val HamBands  = 4
+  private val BandBits  = 15 // 4 × 15 = 60
+
+  /** q229 — SIMHASH HAMMING-RADIUS JOIN, scalably blocked: all
+    * document pairs whose 60-bit md5 simhashes (the q47b engine-exact
+    * fingerprint) differ in ≤ 3 bits — the Google-crawl near-dup
+    * detector (Manku et al., WWW'07). The blocking is the PIGEONHOLE
+    * split: 60 bits into 4 disjoint 15-bit bands; a pair within
+    * Hamming radius 3 has at most 3 differing bands, so at least one
+    * band is byte-identical — candidates are an EQUI-join on
+    * (band_idx, band_value), provably LOSSLESS (unlike probabilistic
+    * LSH banding, q46). The exact bit_count(xor) predicate then
+    * filters candidates to true hits.
+    *
+    * The ORACLE is the brute-force all-pairs scan — so the driver's
+    * hash gate itself certifies the blocking lost nothing (a missed
+    * pair would hash-mismatch). SimHammingJoinSpec additionally pins
+    * the candidate volume ≪ pair space (the pruning-power claim,
+    * measured). Scale shape: fingerprints are one groupBy(doc) with
+    * map-side bit tallies (60-long rows through the shuffle, never
+    * text); the band join shuffles 4 rows of (band, 15-bit key, id,
+    * sh) per doc; per-bucket fan-out is bounded by band-value
+    * collisions (2^15 values per band), the q129 skew machinery
+    * applies if a band value goes hot at corpus scale.
+    */
+  private def q229(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash60Frame(spark, dir) // (doc_id, sh)
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until HamBands).map(lit(_)): _*)).as("band"))
+      .withColumn("bv", expr(s"shiftright(sh, band * $BandBits)")
+        .bitwiseAND(lit((1L << BandBits) - 1)))
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("bv"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(a_sh ^ b_sh) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HamRadius)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q229Sql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT AS h FROM w),
+       |b AS (SELECT doc_id, j,
+       |             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+       |      GROUP BY doc_id, j),
+       |s AS (SELECT doc_id,
+       |             CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+       |      FROM b GROUP BY doc_id)
+       |SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+       |       CAST(bit_count(xor(a.sh, b2.sh)) AS INT) AS hamming
+       |FROM s a JOIN s b2 ON a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.sh, b2.sh)) <= $HamRadius
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Shared q47b/q229 fingerprint: 60-bit md5-word simhash per doc
+    * (see q47b for the relational majority-vote derivation).
+    */
+  private[ext] def simhash60Frame(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+    val h = conv(substring(md5(to_binary(col("wd"), lit("utf-8"))), 1, 15), 16, 10)
+      .cast("long")
+    val withH = words.select(col("doc_id"), h.as("h"))
+    val bitSums = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
+    val tallies = withH.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tallies.select(col("doc_id"), simhash.as("sh"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q177_corpus_novelty", q177, Some(q177Sql)),
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
@@ -786,5 +870,6 @@ object Dedup {
     QuerySpec("q98_dup_span_removal", q98, Some(q98Sql), headline = true),
     QuerySpec("q122_bow_dedup", q122, Some(q122Sql)),
     QuerySpec("q152_prefix_filter_join", q152, Some(q152Sql)),
+    QuerySpec("q229_simhash_hamming_join", q229, Some(q229Sql)),
   )
 }
