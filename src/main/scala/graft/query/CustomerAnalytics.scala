@@ -274,9 +274,109 @@ object CustomerAnalytics {
        |ORDER BY side, rk""".stripMargin
   }
 
+  /** q230 — CUPED variance-reduced experiment readout (Deng et al.,
+    * WSDM'13 — "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data"): the A/B readout
+    * (q137's sibling) with each user's experiment-period metric
+    * adjusted by their PRE-period covariate,
+    *
+    *   ŷᵢ = yᵢ − θ·(xᵢ − x̄),  θ = cov(x, y) / var(x)
+    *
+    * which preserves the arm-difference expectation (θ is pooled
+    * across arms) while removing the covariate-explained variance.
+    * Here x = the user's event count in the pre-period (before
+    * 2024-01-16), y = purchase count after; arms are the salted-md5
+    * never-migrates split (q58/q137 house rule). Everything is exact:
+    * θ's numerator/denominator stay integer (n·Sxy − Sx·Sy over
+    * n·Sxx − Sx²), and each arm's adjusted mean clears every
+    * denominator by cross multiplication —
+    *
+    *   adj_a = (Sy_a·var·n − cov·(Sx_a·n − Sx·n_a)) · 10⁶
+    *           ──────────────────────────────────────────
+    *                       n_a · var · n
+    *
+    * — with the triple products in DECIMAL(38,0)/HUGEINT (the q112
+    * overflow rule; counts² × counts³ crosses BIGINT at large SFs).
+    * Output: one row per arm with raw and adjusted means, plus the
+    * shared θ and the variance-reduction ratio ρ² = cov²/(var_x·var_y)
+    * in ppm — the "how much narrower did the CI get" headline
+    * (1 − ρ² is the residual variance fraction).
+    *
+    * Scale shape: ONE groupBy(user) over events with conditional
+    * sums (map-side partials), then 1-row/2-row aggregates joined by
+    * broadcast (the q03/q69 scalar pattern, PlanGuard-allowlisted).
+    * Nothing user-level ever reshuffles after the first aggregate.
+    */
+  private def q230(spark: SparkSession, dir: String): DataFrame = {
+    val Boundary = "2024-01-16"
+    val perUser = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        (col("ts") < lit(Boundary).cast("timestamp")).as("pre"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("pre"), 1L).otherwise(0L)).as("x"),
+        sum(when(!col("pre") && col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", graft.ext.TrainPrep.md5Bucket(col("user_id"), 2, ":q230"))
+    val glob = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val arms = perUser.groupBy(col("arm")).agg(
+      count(lit(1)).as("n_arm"), sum(col("x")).as("sx_arm"), sum(col("y")).as("sy_arm"))
+    arms.crossJoin(broadcast(glob))
+      .select(col("arm"), col("n_arm"),
+        expr("(sx_arm * 1000000) DIV n_arm").as("mean_x_micro"),
+        expr("(sy_arm * 1000000) DIV n_arm").as("mean_y_micro"),
+        expr("""CAST((CAST(sy_arm AS DECIMAL(38,0)) * (n*sxx - sx*sx) * n
+               |      - CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * (sx_arm*n - sx*n_arm))
+               |     * 1000000
+               |     DIV (CAST(n_arm AS DECIMAL(38,0)) * (n*sxx - sx*sx) * n)
+               |     AS BIGINT)""".stripMargin).as("adj_mean_y_micro"),
+        expr("((n*sxy - sx*sy) * 1000000) DIV (n*sxx - sx*sx)").as("theta_micro"),
+        expr("""CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * (n*sxy - sx*sy) * 1000000
+               |     DIV (CAST(n*sxx - sx*sx AS DECIMAL(38,0)) * (n*syy - sy*sy))
+               |     AS BIGINT)""".stripMargin).as("var_reduction_ppm"))
+      .orderBy(col("arm"))
+  }
+
+  private val q230Sql =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |                        AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':q230'), 1, 15))::BIGINT % 2 AS arm
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |         CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM per_user),
+      |arms AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+      |         CAST(SUM(x) AS BIGINT) AS sx_arm, CAST(SUM(y) AS BIGINT) AS sy_arm
+      |  FROM per_user GROUP BY arm)
+      |SELECT arm, n_arm,
+      |       CAST((sx_arm * 1000000) // n_arm AS BIGINT) AS mean_x_micro,
+      |       CAST((sy_arm * 1000000) // n_arm AS BIGINT) AS mean_y_micro,
+      |       CAST((CAST(sy_arm AS HUGEINT) * (n*sxx - sx*sx) * n
+      |             - CAST(n*sxy - sx*sy AS HUGEINT) * (sx_arm*n - sx*n_arm))
+      |            * 1000000
+      |            // (CAST(n_arm AS HUGEINT) * (n*sxx - sx*sx) * n)
+      |            AS BIGINT) AS adj_mean_y_micro,
+      |       CAST(((n*sxy - sx*sy) * 1000000) // (n*sxx - sx*sx) AS BIGINT) AS theta_micro,
+      |       CAST(CAST(n*sxy - sx*sy AS HUGEINT) * (n*sxy - sx*sy) * 1000000
+      |            // (CAST(n*sxx - sx*sx AS HUGEINT) * (n*syy - sy*sy))
+      |            AS BIGINT) AS var_reduction_ppm
+      |FROM arms CROSS JOIN g
+      |ORDER BY arm""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q224_rfm_segments", q224, Some(q224Sql)),
     QuerySpec("q225_ewma_smoothing", q225, Some(q225Sql)),
     QuerySpec("q226_hits_ranking", q226, Some(q226Sql)),
+    QuerySpec("q230_cuped_readout", q230, Some(q230Sql)),
   )
 }

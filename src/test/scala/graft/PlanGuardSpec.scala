@@ -113,6 +113,9 @@ class PlanGuardSpec extends SparkSpec {
     // q227: broadcasts the 1-row global (N, ΣT) aggregate that the
     // smoothed encoder shrinks toward (the q03/q69 scalar pattern)
     "q227_target_encoding",
+    // q230: broadcasts the 1-row pooled-moment aggregate that the
+    // CUPED adjustment denominates (the q03/q69 scalar pattern)
+    "q230_cuped_readout",
     // q228: the isotonic minimax joins bounded bin-aggregate frames
     // (≤16 rows each) on range predicates (the q136 bounded
     // derived-domain pattern)
