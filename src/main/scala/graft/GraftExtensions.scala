@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent MV rewrite — a no-op until a view is registered in
     // graft.plans.MvRegistry (see MvRewrite scaladoc)
     ext.injectOptimizerRule(session => graft.plans.MvRewriteRule(session))
+    // FK join elimination — a no-op until a constraint is validated
+    // into graft.plans.FkRegistry (see JoinElimination scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.JoinEliminationRule)
   }
 }
 

@@ -715,9 +715,62 @@ object Layout {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q231 — FK JOIN ELIMINATION end-to-end (the second optimizer-rule
+    * surface next to q210's MV rewrite; [[graft.plans
+    * .JoinEliminationRule]]): validate customer.c_nationkey →
+    * nation.n_nationkey as a real constraint ON THE DATA (PK unique,
+    * FK non-null, containment — registration throws otherwise), then
+    * run the BI-generated shape "customer joined to nation, grouped
+    * on customer columns only". With the constraint registered the
+    * optimizer drops the nation join entirely — scan + broadcast
+    * + probe gone, plan-asserted in JoinEliminationSpec — while the
+    * ORACLE runs the JOINED SQL, so the hash gate certifies the
+    * elimination changed nothing. The readout groups by the child's
+    * own FK column (n_nationkey would be substituted identically) and
+    * keeps money in exact cents (house rule).
+    *
+    * Scale judgment: a dimension join this small broadcasts anyway;
+    * the elimination's real 100 TB win is on wide dimensions (the
+    * probe side never materializes) and on generated queries that
+    * join every dimension unconditionally — the rule turns schema
+    * documentation (q207's discovered inclusion dependencies) into
+    * erased work.
+    */
+  private def q231(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{FkDescriptor, FkRegistry, JoinElimination}
+    JoinElimination.ensureInjected(spark)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    FkRegistry.validateAndRegister(cust, nat, FkDescriptor(
+      childPath = s"$dir/customer.parquet", childCol = "c_nationkey",
+      parentPath = s"$dir/nation.parquet", parentCol = "n_nationkey"))
+    try {
+      val q = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum((col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long")).as("bal_cents"))
+        .orderBy(col("c_nationkey"))
+      // force planning while the constraint is registered (the q210
+      // plan-pinning note applies)
+      q.queryExecution.executedPlan
+      q
+    } finally FkRegistry.clear()
+  }
+
+  private val q231Sql =
+    """SELECT c_nationkey,
+      |       CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS bal_cents
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
+    QuerySpec("q231_join_elimination", q231, Some(q231Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),

@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+import org.apache.spark.sql.functions._
+
+/** JoinEliminationRule: with the FK validated+registered, the
+  * customer→nation join must VANISH from the optimized plan and the
+  * result must equal the un-eliminated run; unsound candidates must
+  * be refused at registration; unrelated plans must be untouched.
+  */
+class JoinEliminationSpec extends SparkSpec {
+
+  private def fk = FkDescriptor(
+    childPath = s"$sf/customer.parquet", childCol = "c_nationkey",
+    parentPath = s"$sf/nation.parquet", parentCol = "n_nationkey")
+
+  private def joined = {
+    val cust = Tables.customer(spark, sf)
+    val nat = Tables.nation(spark, sf)
+    cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("c_nationkey").cast("long")).as("key_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  test("registered FK: join vanishes from the plan, result unchanged") {
+    JoinElimination.ensureInjected(spark)
+    FkRegistry.clear()
+    val before = joined.collect()
+    assert(joined.queryExecution.optimizedPlan.collect { case j: LJoin => j }.nonEmpty)
+
+    FkRegistry.validateAndRegister(
+      Tables.customer(spark, sf), Tables.nation(spark, sf), fk)
+    try {
+      val df = joined
+      val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      assert(joins.isEmpty, s"join not eliminated:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().toSeq == before.toSeq, "elimination changed the result")
+    } finally FkRegistry.clear()
+  }
+
+  test("a query that reads parent columns is NOT rewritten") {
+    JoinElimination.ensureInjected(spark)
+    FkRegistry.validateAndRegister(
+      Tables.customer(spark, sf), Tables.nation(spark, sf), fk)
+    try {
+      val cust = Tables.customer(spark, sf)
+      val nat = Tables.nation(spark, sf)
+      val df = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      assert(df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.nonEmpty,
+        "a query referencing n_name must keep the join")
+    } finally FkRegistry.clear()
+  }
+
+  test("outer joins and non-FK equi-joins are untouched") {
+    JoinElimination.ensureInjected(spark)
+    FkRegistry.validateAndRegister(
+      Tables.customer(spark, sf), Tables.nation(spark, sf), fk)
+    try {
+      val cust = Tables.customer(spark, sf)
+      val nat = Tables.nation(spark, sf)
+      val left = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"), "left")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(left.queryExecution.optimizedPlan.collect { case j: LJoin => j }.nonEmpty,
+        "left join must not be eliminated (contract is inner-only)")
+    } finally FkRegistry.clear()
+  }
+
+  test("unsound constraints are refused at registration") {
+    // orders.o_custkey -> customer with a DUPLICATED 'parent': parent
+    // key not unique => must throw
+    val notAPk = Tables.orders(spark, sf).select(col("o_custkey").as("k"))
+    intercept[IllegalArgumentException] {
+      FkRegistry.validateAndRegister(
+        Tables.orders(spark, sf), notAPk,
+        FkDescriptor(s"$sf/orders.parquet", "o_custkey", s"$sf/orders.parquet", "k"))
+    }
+    assert(FkRegistry.all.isEmpty)
+  }
+}
