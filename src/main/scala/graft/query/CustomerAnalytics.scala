@@ -373,10 +373,168 @@ object CustomerAnalytics {
       |FROM arms CROSS JOIN g
       |ORDER BY arm""".stripMargin
 
+  /** q232 — THEIL–SEN ROBUST TREND per nation: the median of all
+    * pairwise slopes of the nation's monthly order-count series —
+    * the standard robust alternative to OLS trend (q167's groupwise
+    * regression): a 29% contamination of the series moves the
+    * estimate boundedly, where one bad month drags OLS arbitrarily.
+    * Slopes are floor-micros by exact cross-multiplied integer
+    * division ((y_j−y_i)·10⁶ DIV (m_j−m_i) — both engines truncate
+    * toward zero, the q183-verified rule), and the even-count median
+    * is pinned engine-exactly as the two middle ORDER STATISTICS
+    * under a TOTAL order (slope, i, j), averaged with one more
+    * truncating DIV. The intercept is the median residual
+    * y_i·10⁶ − slope·m_i under the chosen slope (Conover's variant).
+    *
+    * Scale shape: the series is a (nation, month) AGGREGATE — its
+    * length is bounded by the calendar, not the data, so the O(L²)
+    * pair stage is scale-INVARIANT (84 months → ≤3.5k pairs per
+    * nation forever); everything upstream is one shuffled rollup of
+    * orders⋈customer. The per-nation windows partition by nation —
+    * no single-partition global sort anywhere.
+    */
+  private def q232(spark: SparkSession, dir: String): DataFrame = {
+    val series = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .groupBy(col("nk"), col("m")).agg(count(lit(1)).as("y"))
+    val a = series.select(col("nk"), col("m").as("mi"), col("y").as("yi"))
+    val b = series.select(col("nk"), col("m").as("mj"), col("y").as("yj"))
+    val slopes = a.join(b, Seq("nk")).filter(col("mi") < col("mj"))
+      .select(col("nk"), col("mi"), col("mj"),
+        expr("((yj - yi) * 1000000) DIV (mj - mi)").as("s"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("s"), col("mi"), col("mj"))
+    val med = slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("nk"))))
+      .filter(expr("rn = (cnt + 1) DIV 2 OR rn = cnt DIV 2 + 1"))
+      .groupBy(col("nk"))
+      .agg(max(col("cnt")).as("n_pairs"),
+        expr("CAST(SUM(s) DIV COUNT(*) AS BIGINT)").as("slope_micro"))
+    val resid = series.join(med, Seq("nk"))
+      .select(col("nk"), col("m"),
+        (col("y") * 1000000L - col("slope_micro") * col("m")).as("r"))
+    val wr = Window.partitionBy(col("nk")).orderBy(col("r"), col("m"))
+    val intercept = resid
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("nk"))))
+      .filter(expr("rn = (cnt + 1) DIV 2 OR rn = cnt DIV 2 + 1"))
+      .groupBy(col("nk"))
+      .agg(max(col("cnt")).as("n_months"),
+        expr("CAST(SUM(r) DIV COUNT(*) AS BIGINT)").as("intercept_micro"))
+    med.join(intercept, Seq("nk"))
+      .select(col("nk").as("nationkey").cast("int"), col("n_months").cast("long"),
+        col("n_pairs").cast("long"), col("slope_micro"), col("intercept_micro"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q232Sql =
+    """WITH series AS (
+      |  SELECT c_nationkey AS nk,
+      |         (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+      |           + month(o_orderdate) - 1 AS m,
+      |         CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.nk, a.m AS mi, b.m AS mj,
+      |         ((b.y - a.y) * 1000000) // (b.m - a.m) AS s
+      |  FROM series a JOIN series b ON a.nk = b.nk AND a.m < b.m),
+      |ranked AS (
+      |  SELECT nk, s,
+      |         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY s, mi, mj) AS rn,
+      |         COUNT(*) OVER (PARTITION BY nk) AS cnt
+      |  FROM slopes),
+      |med AS (
+      |  SELECT nk, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+      |         CAST(SUM(s) // COUNT(*) AS BIGINT) AS slope_micro
+      |  FROM ranked
+      |  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+      |  GROUP BY nk),
+      |resid AS (
+      |  SELECT series.nk, m, y * 1000000 - slope_micro * m AS r
+      |  FROM series JOIN med ON series.nk = med.nk),
+      |rranked AS (
+      |  SELECT nk, r,
+      |         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY r, m) AS rn,
+      |         COUNT(*) OVER (PARTITION BY nk) AS cnt
+      |  FROM resid),
+      |icept AS (
+      |  SELECT nk, CAST(MAX(cnt) AS BIGINT) AS n_months,
+      |         CAST(SUM(r) // COUNT(*) AS BIGINT) AS intercept_micro
+      |  FROM rranked
+      |  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+      |  GROUP BY nk)
+      |SELECT CAST(med.nk AS INT) AS nationkey, n_months, n_pairs,
+      |       slope_micro, intercept_micro
+      |FROM med JOIN icept ON med.nk = icept.nk
+      |ORDER BY nationkey""".stripMargin
+
+  /** q233 hub guard: parts touched by more distinct customers than
+    * this contribute deg² candidate pairs and ~0 signal (1/deg → 0);
+    * production caps them out of the pair generator entirely. A no-op
+    * on the synthetic graph (max degree ≈ 40) — the knob documents
+    * the 100 TB hazard, q129's skew report is how you'd size it.
+    */
+  private val RaDegCap = 1000L
+
+  /** q233 — LINK PREDICTION on the co-purchase graph via the
+    * RESOURCE-ALLOCATION index (Zhou–Lü–Zhang 2009): for customers
+    * u, v the predicted-affinity score is Σ_{p ∈ Γ(u)∩Γ(v)} 1/deg(p)
+    * over shared parts — common-neighbors where rare shared items
+    * count more. RA is chosen over Adamic–Adar deliberately: 1/deg
+    * is EXACT in integer pico-units (10¹² DIV deg), where AA's
+    * 1/log(deg) would drag libm into the hash gate. Top-50 pairs by
+    * (score, common count, pair id) under a total order.
+    *
+    * Scale shape: candidate pairs come from the edge self-join on
+    * partkey — fan-out Σ deg(p)², bounded by the RaDegCap hub guard;
+    * scores aggregate id pairs only (never names/payloads), and the
+    * top-50 runs as TakeOrderedAndProject (per-partition heaps, no
+    * global sort — the q89 plan shape).
+    */
+  private def q233(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val deg = edges.groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= RaDegCap)
+    val scored = edges.join(deg, Seq("p"))
+    val a = scored.select(col("p"), col("c").as("ca"), col("d"))
+    val b = scored.select(col("p"), col("c").as("cb"))
+    a.join(b, Seq("p")).filter(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("common_parts"),
+        sum(expr("1000000000000 DIV d")).as("ra_pico"))
+      .orderBy(col("ra_pico").desc, col("common_parts").desc, col("ca"), col("cb"))
+      .limit(50)
+  }
+
+  private val q233Sql =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |deg AS (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY p
+       |  HAVING COUNT(*) <= $RaDegCap)
+       |SELECT a.c AS ca, b.c AS cb,
+       |       CAST(COUNT(*) AS BIGINT) AS common_parts,
+       |       CAST(SUM(1000000000000 // d) AS BIGINT) AS ra_pico
+       |FROM edges a JOIN deg USING (p) JOIN edges b USING (p)
+       |WHERE a.c < b.c
+       |GROUP BY 1, 2
+       |ORDER BY ra_pico DESC, common_parts DESC, ca, cb
+       |LIMIT 50""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q224_rfm_segments", q224, Some(q224Sql)),
     QuerySpec("q225_ewma_smoothing", q225, Some(q225Sql)),
     QuerySpec("q226_hits_ranking", q226, Some(q226Sql)),
     QuerySpec("q230_cuped_readout", q230, Some(q230Sql)),
+    QuerySpec("q232_theil_sen", q232, Some(q232Sql)),
+    QuerySpec("q233_link_prediction", q233, Some(q233Sql)),
   )
 }

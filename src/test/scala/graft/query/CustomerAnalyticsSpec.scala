@@ -109,4 +109,93 @@ class CustomerAnalyticsSpec extends SparkSpec {
     assert(top10(auth5).map(_._1) == top10(auth4).map(_._1), "round-5 authority keys stable")
     assert(top10(hub5).map(_._1) == top10(hub4).map(_._1), "round-5 hub keys stable")
   }
+
+  test("q232: Theil-Sen slope/intercept match a driver-side recompute; median is robust to one outlier month") {
+    val out = rows("q232_theil_sen")
+    assert(out.nonEmpty)
+    // rebuild each nation's monthly series on the driver
+    val orders = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("c_nationkey", "o_orderdate").collect()
+    val series = orders.groupBy(_.getAs[Number]("c_nationkey").longValue).map { case (nk, rs) =>
+      nk -> rs.groupBy { r =>
+        val d = r.getAs[java.time.LocalDateTime]("o_orderdate")
+        (d.getYear - 1995) * 12L + d.getMonthValue - 1
+      }.view.mapValues(_.length.toLong).toMap
+    }
+    def medianOf(vals: Seq[BigInt]): BigInt = {
+      val sorted = vals.sorted
+      val n = sorted.length
+      (sorted((n + 1) / 2 - 1) + sorted(n / 2)) / 2
+    }
+    out.foreach { r =>
+      val nk = r.getAs[Int]("nationkey").toLong
+      val s = series(nk)
+      val ms = s.keys.toSeq.sorted
+      val slopes = for (i <- ms.indices; j <- i + 1 until ms.length)
+        yield BigInt((s(ms(j)) - s(ms(i))) * 1000000) / BigInt(ms(j) - ms(i))
+      assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)
+      val slope = medianOf(slopes)
+      assert(BigInt(r.getAs[Long]("slope_micro")) == slope, s"slope nation $nk")
+      val resid = ms.map(m => BigInt(s(m)) * 1000000 - slope * m)
+      assert(BigInt(r.getAs[Long]("intercept_micro")) == medianOf(resid), s"intercept nation $nk")
+      assert(r.getAs[Long]("n_months") == ms.length.toLong)
+    }
+    // robustness, demonstrated: corrupt ONE month of the first series
+    // by 100x and the pairwise-slope median barely moves, while the
+    // OLS slope on the same corrupted series shifts by orders more
+    val (nk0, s0) = series.head
+    val ms = s0.keys.toSeq.sorted
+    val corrupted = s0 + (ms(ms.length / 2) -> s0(ms(ms.length / 2)) * 100)
+    def tsSlope(s: Map[Long, Long]): Double = {
+      val m = s.keys.toSeq.sorted
+      val sl = for (i <- m.indices; j <- i + 1 until m.length)
+        yield (s(m(j)) - s(m(i))).toDouble / (m(j) - m(i))
+      val v = sl.sorted; (v((v.length + 1) / 2 - 1) + v(v.length / 2)) / 2
+    }
+    def olsSlope(s: Map[Long, Long]): Double = {
+      val n = s.size.toDouble
+      val sx = s.keys.sum.toDouble; val sy = s.values.sum.toDouble
+      val sxx = s.keys.map(m => m.toDouble * m).sum
+      val sxy = s.map { case (m, y) => m.toDouble * y }.sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val tsShift = math.abs(tsSlope(corrupted) - tsSlope(s0))
+    val olsShift = math.abs(olsSlope(corrupted) - olsSlope(s0))
+    assert(olsShift > 10 * tsShift,
+      s"nation $nk0: expected OLS to be >>10x more sensitive (ts=$tsShift ols=$olsShift)")
+  }
+
+  test("q233: RA scores match brute force and ranking is total") {
+    val out = rows("q233_link_prediction")
+    assert(out.length == 50)
+    val edges = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.lineitem(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getAs[Number]("o_custkey").longValue, r.getAs[Number]("l_partkey").longValue))
+    val deg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val parts = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val custs = parts.keys.toSeq.sorted
+    val brute = (for {
+      i <- custs.indices; j <- i + 1 until custs.length
+      shared = parts(custs(i)) & parts(custs(j)) if shared.nonEmpty
+    } yield ((custs(i), custs(j)),
+        (shared.size.toLong, shared.toSeq.map(p => 1000000000000L / deg(p)).sum))).toMap
+    out.foreach { r =>
+      val k = (r.getAs[Long]("ca"), r.getAs[Long]("cb"))
+      val (cn, ra) = brute(k)
+      assert(r.getAs[Long]("common_parts") == cn && r.getAs[Long]("ra_pico") == ra, s"pair $k")
+    }
+    // the emitted 50 are the global maxima under the total order
+    val want = brute.toSeq
+      .map { case ((a, b), (cn, ra)) => (ra, cn, a, b) }
+      .sortBy { case (ra, cn, a, b) => (-ra, -cn, a, b) }.take(50)
+    val got = out.map(r => (r.getAs[Long]("ra_pico"), r.getAs[Long]("common_parts"),
+      r.getAs[Long]("ca"), r.getAs[Long]("cb"))).toSeq
+    assert(got == want)
+  }
 }
