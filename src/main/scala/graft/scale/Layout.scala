@@ -767,10 +767,154 @@ object Layout {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** q234 key-range bucket width (in orderkeys): each bucket's run
+    * scan is an independent partition-local window; the cross-bucket
+    * correction touches one row per bucket.
+    */
+  private val RunBucket = 64L
+
+  /** q234 — COLUMN ENCODING ADVISOR: per-column storage estimates for
+    * PLAIN vs DICTIONARY vs RLE-on-dictionary encoding, from exactly
+    * the statistics a writer needs — row count, distinct values,
+    * dictionary byte mass, and the RUN COUNT in storage order — and
+    * an argmin recommendation per column. The formulas are the
+    * parquet-style ones in exact integer bytes: plain = value bytes +
+    * 4-byte offsets; dict = dictionary store (value bytes + 4·ndv) +
+    * bit-packed codes at ceil(log2 ndv) bits (computed portably as
+    * length(bin(ndv−1))); RLE = dictionary store + runs · (code byte
+    * width + 2-byte length). Profiled columns: two enum-grade
+    * (returnflag, linestatus), one mid-cardinality (quantity,
+    * truncated — the q183 both-engines-truncate rule keeps the
+    * stringification exact), one key-grade (suppkey).
+    *
+    * The interesting scale problem is the RUN COUNT: a naive
+    * lag() over (ORDER BY pk) is one global single-partition window.
+    * Here runs are counted per KEY-RANGE BUCKET (orderkey DIV 64)
+    * with a partition-local lag — run-starts within each bucket —
+    * then stitched: one row per bucket carries its (first, last)
+    * value, and adjacent non-empty buckets whose last == first merge
+    * a run. total = Σ run-starts − Σ boundary joins. The stitch
+    * window rides on n/bucket rows per column; at extreme scale the
+    * same correction applies recursively (buckets of buckets) — the
+    * map-side scan stays the only pass over the data either way.
+    */
+  private def q234(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.lineitem(spark, dir).selectExpr(
+      "l_orderkey", "l_linenumber",
+      """stack(4,
+        | 'l_returnflag', l_returnflag,
+        | 'l_linestatus', l_linestatus,
+        | 'l_quantity',   CAST(CAST(l_quantity AS BIGINT) AS STRING),
+        | 'l_suppkey',    CAST(l_suppkey AS STRING)) AS (cname, v)""".stripMargin)
+      .withColumn("bucket", expr(s"l_orderkey DIV $RunBucket"))
+    // synthetic lineitem has non-unique (orderkey, linenumber) pairs
+    // (see q94) — v is the final tiebreak that makes the storage
+    // order TOTAL, so the run count is engine-deterministic
+    val wOrd = Window.partitionBy(col("cname"), col("bucket"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("v"))
+    val wCnt = Window.partitionBy(col("cname"), col("bucket"))
+    val marked = vals
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .withColumn("chg",
+        when(lag(col("v"), 1).over(wOrd).isNull ||
+          lag(col("v"), 1).over(wOrd) =!= col("v"), 1L).otherwise(0L))
+    val perBucket = marked.groupBy(col("cname"), col("bucket"))
+      .agg(sum(col("chg")).as("starts"),
+        max(when(col("rn") === 1, col("v"))).as("first_v"),
+        max(when(col("rn") === col("cnt"), col("v"))).as("last_v"))
+    val wChain = Window.partitionBy(col("cname")).orderBy(col("bucket"))
+    val runs = perBucket
+      .withColumn("joins",
+        when(lag(col("last_v"), 1).over(wChain) === col("first_v"), 1L).otherwise(0L))
+      .groupBy(col("cname"))
+      .agg((sum(col("starts")) - sum(col("joins"))).as("runs"))
+    val base = vals.groupBy(col("cname")).agg(
+      count(lit(1)).as("n"),
+      sum(length(col("v")).cast("long")).as("val_bytes"))
+    val dict = vals.select(col("cname"), col("v")).distinct()
+      .groupBy(col("cname")).agg(
+        count(lit(1)).as("ndv"),
+        sum(length(col("v")).cast("long")).as("dict_val_bytes"))
+    base.join(dict, Seq("cname")).join(runs, Seq("cname"))
+      .withColumn("bits", expr("CASE WHEN ndv <= 1 THEN 1 ELSE length(bin(ndv - 1)) END").cast("long"))
+      .withColumn("plain_bytes", expr("val_bytes + 4 * n"))
+      .withColumn("dict_bytes", expr("dict_val_bytes + 4 * ndv + (n * bits + 7) DIV 8"))
+      .withColumn("rle_bytes", expr("dict_val_bytes + 4 * ndv + runs * ((bits + 7) DIV 8 + 2)"))
+      .withColumn("recommended", expr(
+        """CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes THEN 'rle_dict'
+          |     WHEN dict_bytes <= plain_bytes THEN 'dict'
+          |     ELSE 'plain' END""".stripMargin))
+      .select(col("cname"), col("n"), col("ndv"), col("runs"), col("bits"),
+        col("plain_bytes"), col("dict_bytes"), col("rle_bytes"), col("recommended"))
+      .orderBy(col("cname"))
+  }
+
+  private val q234Sql =
+    s"""WITH vals AS (
+       |  SELECT l_orderkey, l_linenumber, cname, v,
+       |         l_orderkey // $RunBucket AS bucket
+       |  FROM (
+       |    SELECT l_orderkey, l_linenumber, 'l_returnflag' AS cname, l_returnflag AS v FROM lineitem
+       |    UNION ALL
+       |    SELECT l_orderkey, l_linenumber, 'l_linestatus', l_linestatus FROM lineitem
+       |    UNION ALL
+       |    SELECT l_orderkey, l_linenumber, 'l_quantity',
+       |           CAST(CAST(TRUNC(l_quantity) AS BIGINT) AS VARCHAR) FROM lineitem
+       |    UNION ALL
+       |    SELECT l_orderkey, l_linenumber, 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem)),
+       |marked AS (
+       |  SELECT cname, bucket, v,
+       |         ROW_NUMBER() OVER w AS rn,
+       |         COUNT(*) OVER (PARTITION BY cname, bucket) AS cnt,
+       |         CASE WHEN LAG(v) OVER w IS NULL OR LAG(v) OVER w <> v
+       |              THEN 1 ELSE 0 END AS chg
+       |  FROM vals
+       |  WINDOW w AS (PARTITION BY cname, bucket ORDER BY l_orderkey, l_linenumber, v)),
+       |per_bucket AS (
+       |  SELECT cname, bucket, SUM(chg) AS starts,
+       |         MAX(CASE WHEN rn = 1 THEN v END) AS first_v,
+       |         MAX(CASE WHEN rn = cnt THEN v END) AS last_v
+       |  FROM marked GROUP BY 1, 2),
+       |runs AS (
+       |  SELECT cname,
+       |         CAST(SUM(starts) - SUM(CASE WHEN prev_last = first_v THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS runs
+       |  FROM (SELECT *, LAG(last_v) OVER (PARTITION BY cname ORDER BY bucket) AS prev_last
+       |        FROM per_bucket)
+       |  GROUP BY 1),
+       |base AS (
+       |  SELECT cname, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(length(v)) AS BIGINT) AS val_bytes
+       |  FROM vals GROUP BY 1),
+       |dict AS (
+       |  SELECT cname, CAST(COUNT(*) AS BIGINT) AS ndv,
+       |         CAST(SUM(length(v)) AS BIGINT) AS dict_val_bytes
+       |  FROM (SELECT DISTINCT cname, v FROM vals) GROUP BY 1),
+       |sized AS (
+       |  SELECT cname, n, ndv, runs,
+       |         CAST(CASE WHEN ndv <= 1 THEN 1 ELSE length(bin(ndv - 1)) END AS BIGINT) AS bits,
+       |         CAST(val_bytes + 4 * n AS BIGINT) AS plain_bytes,
+       |         dict_val_bytes
+       |  FROM base JOIN dict USING (cname) JOIN runs USING (cname)),
+       |est AS (
+       |  SELECT cname, n, ndv, runs, bits, plain_bytes,
+       |         CAST(dict_val_bytes + 4 * ndv + (n * bits + 7) // 8 AS BIGINT) AS dict_bytes,
+       |         CAST(dict_val_bytes + 4 * ndv + runs * ((bits + 7) // 8 + 2) AS BIGINT) AS rle_bytes
+       |  FROM sized)
+       |SELECT cname, n, ndv, runs, bits, plain_bytes, dict_bytes, rle_bytes,
+       |       CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes THEN 'rle_dict'
+       |            WHEN dict_bytes <= plain_bytes THEN 'dict'
+       |            ELSE 'plain' END AS recommended
+       |FROM est
+       |ORDER BY cname""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
     QuerySpec("q231_join_elimination", q231, Some(q231Sql)),
+    QuerySpec("q234_encoding_advisor", q234, Some(q234Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
