@@ -1528,6 +1528,145 @@ object Maintenance {
       |       abs((4 * obs_cnt - n) * 1000000 // (2 * n) - true_cnt * 1000000 // n) AS abs_err_ppm
       |FROM agg ORDER BY day""".stripMargin
 
+  /** q235 — BITEMPORAL AS-OF READ (SQL:2011 application-time +
+    * system-time, the axis pair q185's time travel only covers half
+    * of): every record carries BOTH a valid-time interval (when the
+    * fact was true in the world) and a transaction-time interval
+    * (when the warehouse believed it), so "what was customer X's
+    * balance on date V, as we knew it at time T" is answerable for
+    * any (V, T) — the query auditors and model-reproducibility
+    * checks actually ask. The bitemporal table is built
+    * deterministically from customer ⋈ orders: an initial record
+    * valid from epoch; a balance revision valid from the customer's
+    * first order date (loaded that day); and for an md5-selected 10%
+    * of customers the initial load of that revision was WRONG
+    * (+10000 cents) — a correction record arrives 30 days later,
+    * closing the erroneous record's transaction interval without
+    * touching valid time (the defining bitemporal move: corrections
+    * rewrite belief, never history).
+    *
+    * Readout: balance at valid date V = 2000-01-01 as known at
+    * T1 = first_load + 15d (inside the erroneous belief window) and
+    * at T2 = first_load + 45d (after the correction): exactly one
+    * record matches each (V, T) probe — BitemporalSpec proves that
+    * uniqueness over a (V, T) grid — and corrected customers show
+    * the 10000-cent retraction iff their revision was valid-selected.
+    *
+    * Scale shape: records are ≤ 4 per customer derived in one
+    * orders-rollup ⋈ customer pass; the as-of probe is a conditional
+    * aggregate per custkey — one shuffle end to end, no windows over
+    * anything unbounded.
+    */
+  private def q235(spark: SparkSession, dir: String): DataFrame = {
+    def cents(c: Column): Column =
+      (c.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+    val Inf = "TIMESTAMP '9999-01-01'"
+    val wFirst = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val firstOrder = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate").as("fo_raw"),
+        cents(col("o_totalprice")).as("first_cents"))
+    val base = Tables.customer(spark, dir)
+      .join(firstOrder, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey").as("ck"), cents(col("c_acctbal")).as("bal0"),
+        col("fo_raw").as("fo"), coalesce(col("first_cents"), lit(0L)).as("oc"),
+        (graft.ext.TrainPrep.md5Bucket(col("c_custkey"), 10, ":q235") === 0).as("corr"))
+    // record assembly: valid interval, transaction interval, balance.
+    // The initial record ships in TWO transaction-time generations:
+    // before the revision loads the warehouse believes it valid
+    // forever (g1); the load at fo supersedes it with the closed
+    // valid interval (g2) — there is never a (V, T) gap in belief.
+    val v1g1 = base.selectExpr("ck", "fo",
+      "TIMESTAMP '1995-01-01' AS valid_from",
+      s"$Inf AS valid_to",
+      "TIMESTAMP '1995-01-01' AS tx_from", s"coalesce(fo, $Inf) AS tx_to",
+      "bal0 AS bal")
+    val v1g2 = base.filter(col("fo").isNotNull).selectExpr("ck", "fo",
+      "TIMESTAMP '1995-01-01' AS valid_from",
+      "fo AS valid_to",
+      "fo AS tx_from", s"$Inf AS tx_to",
+      "bal0 AS bal")
+    val v2wrong = base.filter(col("fo").isNotNull && col("corr")).selectExpr("ck", "fo",
+      "fo AS valid_from", s"$Inf AS valid_to",
+      "fo AS tx_from", "fo + INTERVAL 30 DAY AS tx_to",
+      "bal0 + oc + 10000 AS bal")
+    val v2right = base.filter(col("fo").isNotNull).selectExpr("ck", "fo",
+      "fo AS valid_from", s"$Inf AS valid_to",
+      "CASE WHEN corr THEN fo + INTERVAL 30 DAY ELSE fo END AS tx_from",
+      s"$Inf AS tx_to",
+      "bal0 + oc AS bal")
+    val records = v1g1.unionByName(v1g2).unionByName(v2wrong).unionByName(v2right)
+    records
+      .withColumn("v", expr("TIMESTAMP '2000-01-01'"))
+      .withColumn("t1", expr("coalesce(fo, TIMESTAMP '1995-07-01') + INTERVAL 15 DAY"))
+      .withColumn("t2", expr("coalesce(fo, TIMESTAMP '1995-07-01') + INTERVAL 45 DAY"))
+      .groupBy(col("ck"))
+      .agg(
+        max(when(expr("valid_from <= v AND v < valid_to AND tx_from <= t1 AND t1 < tx_to"),
+          col("bal"))).as("bal_t1_cents"),
+        max(when(expr("valid_from <= v AND v < valid_to AND tx_from <= t2 AND t2 < tx_to"),
+          col("bal"))).as("bal_t2_cents"),
+        count(lit(1)).as("n_records"))
+      .withColumn("was_corrected", col("bal_t1_cents") =!= col("bal_t2_cents"))
+      .orderBy(col("ck"))
+  }
+
+  private val q235Sql =
+    """WITH first_order AS (
+      |  SELECT o_custkey, o_orderdate AS fo,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS oc
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                    ORDER BY o_orderdate, o_orderkey) AS rn
+      |        FROM orders)
+      |  WHERE rn = 1),
+      |base AS (
+      |  SELECT c_custkey AS ck,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal0,
+      |         fo, COALESCE(oc, 0) AS oc,
+      |         (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':q235'), 1, 15))::BIGINT
+      |            % 10 = 0) AS corr
+      |  FROM customer LEFT JOIN first_order ON c_custkey = o_custkey),
+      |records AS (
+      |  SELECT ck, fo, TIMESTAMP '1995-01-01' AS valid_from,
+      |         TIMESTAMP '9999-01-01' AS valid_to,
+      |         TIMESTAMP '1995-01-01' AS tx_from,
+      |         COALESCE(fo, TIMESTAMP '9999-01-01') AS tx_to,
+      |         bal0 AS bal
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ck, fo, TIMESTAMP '1995-01-01', fo,
+      |         fo, TIMESTAMP '9999-01-01', bal0
+      |  FROM base WHERE fo IS NOT NULL
+      |  UNION ALL
+      |  SELECT ck, fo, fo, TIMESTAMP '9999-01-01',
+      |         fo, fo + INTERVAL 30 DAY, bal0 + oc + 10000
+      |  FROM base WHERE fo IS NOT NULL AND corr
+      |  UNION ALL
+      |  SELECT ck, fo, fo, TIMESTAMP '9999-01-01',
+      |         CASE WHEN corr THEN fo + INTERVAL 30 DAY ELSE fo END,
+      |         TIMESTAMP '9999-01-01', bal0 + oc
+      |  FROM base WHERE fo IS NOT NULL),
+      |probed AS (
+      |  SELECT *, TIMESTAMP '2000-01-01' AS v,
+      |         COALESCE(fo, TIMESTAMP '1995-07-01') + INTERVAL 15 DAY AS t1,
+      |         COALESCE(fo, TIMESTAMP '1995-07-01') + INTERVAL 45 DAY AS t2
+      |  FROM records)
+      |SELECT ck,
+      |       MAX(CASE WHEN valid_from <= v AND v < valid_to
+      |                 AND tx_from <= t1 AND t1 < tx_to THEN bal END) AS bal_t1_cents,
+      |       MAX(CASE WHEN valid_from <= v AND v < valid_to
+      |                 AND tx_from <= t2 AND t2 < tx_to THEN bal END) AS bal_t2_cents,
+      |       CAST(COUNT(*) AS BIGINT) AS n_records,
+      |       (MAX(CASE WHEN valid_from <= v AND v < valid_to
+      |                  AND tx_from <= t1 AND t1 < tx_to THEN bal END)
+      |        <> MAX(CASE WHEN valid_from <= v AND v < valid_to
+      |                     AND tx_from <= t2 AND t2 < tx_to THEN bal END)) AS was_corrected
+      |FROM probed
+      |GROUP BY ck
+      |ORDER BY ck""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q219_t_closeness", q219, Some(q219Sql)),
     QuerySpec("q220_randomized_response", q220, Some(q220Sql)),
@@ -1553,5 +1692,6 @@ object Maintenance {
     QuerySpec("q133_incremental_rollup", q133, Some(q133Sql)),
     QuerySpec("q145_observed_dq", q145, Some(q145Sql)),
     QuerySpec("q158_merkle_diff", q158, Some(q158Sql)),
+    QuerySpec("q235_bitemporal_asof", q235, Some(q235Sql)),
   )
 }
