@@ -2697,6 +2697,86 @@ object RelationalQueries {
        |FROM pruned GROUP BY 1, 2, 3 HAVING COUNT(*) >= $MinSupport
        |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin
 
+  /** q236 — NESTED-DATA PROCESSING end to end: denormalize each order
+    * into a document — the order's scalars plus a SORTED array of
+    * lineitem structs — write it as nested parquet, read it back, and
+    * answer an analytics question entirely with higher-order
+    * functions over the array (`filter` + `aggregate`), never
+    * re-exploding: per order priority, how many orders, how many
+    * high-quantity items, and the cents revenue those items carry.
+    * Nested documents are how event/log pipelines actually ship data
+    * (one row per entity, repeated group inside); this query is the
+    * engine's proof that the shape is first-class: the array is
+    * assembled with sort_array(collect_list(struct(...))) over the
+    * FULL struct (ties in (orderkey, linenumber) — see q94 — are
+    * broken by the remaining fields, so the array order is total and
+    * the document is byte-deterministic), and the readout matches the
+    * flat-relational oracle exactly (quantities integer-truncated,
+    * money in cents — house rules).
+    *
+    * Scale shape: one shuffle to assemble each order's items
+    * (groupBy orderkey — the same shuffle a flat join would pay), a
+    * columnar nested write, then a map-only HOF pass over documents
+    * (interpreted lambda, but evaluated once per ORDER — the q72
+    * regime, not the per-element-in-join trap). NestedPushdownSpec
+    * proves the parquet scan prunes to the two referenced nested
+    * fields — at 100 TB the document table reads like a 2-column
+    * table, which is the entire point of columnar nested storage.
+    */
+  private def q236(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_nested_orders_$tag").getAbsolutePath
+    nestedOrders(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(col("o_orderpriority"),
+        // field-array extraction (items.qty), not lambda field access:
+        // GetArrayStructFields is what nested schema pruning can see
+        // through — the scan then reads ONLY qty + price_cents
+        // (plan-asserted in NestedPushdownSpec); x.qty inside a
+        // filter() lambda defeats pruning and drags the whole struct
+        expr("aggregate(items.qty, 0L, (acc, q) -> acc + IF(q >= 25, 1L, 0L))").as("n_big"),
+        expr("""aggregate(zip_with(items.qty, items.price_cents,
+               |                   (q, p) -> IF(q >= 25, p, 0L)),
+               |          0L, (acc, x) -> acc + x)""".stripMargin).as("big_cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_big")).as("n_big_items"),
+        sum(col("big_cents")).as("big_item_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q236 document assembly: one row per order with its items nested. */
+  private[query] def nestedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val items = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        struct(
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("price_cents")).as("item"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+    graft.Tables.orders(spark, dir)
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"), col("items"))
+  }
+
+  private val q236Sql =
+    """WITH docs AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         SUM(CASE WHEN CAST(TRUNC(l_quantity) AS BIGINT) >= 25 THEN 1 ELSE 0 END) AS n_big,
+      |         SUM(CASE WHEN CAST(TRUNC(l_quantity) AS BIGINT) >= 25
+      |             THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |             ELSE 0 END) AS big_cents
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(n_big) AS BIGINT) AS n_big_items,
+      |       CAST(SUM(big_cents) AS BIGINT) AS big_item_cents
+      |FROM docs
+      |GROUP BY 1
+      |ORDER BY o_orderpriority""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q215_frequent_itemsets", q215, Some(q215Sql)),
     QuerySpec("q212_cusum_changepoint", q212, Some(q212Sql)),
@@ -2757,5 +2837,6 @@ object RelationalQueries {
     QuerySpec("q165_time_weighted_avg", q165, Some(q165Sql)),
     QuerySpec("q166_unpivot", q166, Some(q166Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
+    QuerySpec("q236_nested_pushdown", q236, Some(q236Sql)),
   )
 }
