@@ -2777,6 +2777,75 @@ object RelationalQueries {
       |GROUP BY 1
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q237 — ROBUST CSV INGESTION under PERMISSIVE semantics: parse a
+    * CSV feed with planted corruption classes and classify every row
+    * by what the parser reports — the quarantine/repair triage every
+    * file-drop ingestion pipeline runs. The feed is built
+    * deterministically from customer (md5 mod-20 buckets): numeric
+    * rot ("N/A" balance), truncated rows (missing field), over-wide
+    * rows (extra field), and the subtle NON-error of a trailing empty
+    * field (CSV empty = NULL, not malformed). Money rides as integer
+    * cents in the text itself — float formatting never enters the
+    * corpus (house rule).
+    *
+    * The readout groups by (parser-flagged corrupt, balance present)
+    * and the ORACLE recomputes the same cells from the PLANT RULES —
+    * so the driver's hash gate certifies Spark's PERMISSIVE contract
+    * itself: malformed fields null out while intact fields of the
+    * same row survive (keys stay recoverable), arity errors flag the
+    * row, empty trailing fields parse clean. (Behavior pinned
+    * empirically; see the spec's single-line probes.) Scale shape:
+    * map-only — build, parse, classify in one pass, then a ≤4-row
+    * aggregate; no shuffle touches row text.
+    */
+  private def q237(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.ext.TrainPrep.md5Bucket(col("c_custkey"), 20, ":q237")
+    val lines = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("nm"),
+        (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").cast("string").as("bc"),
+        bucket.as("b"))
+      .select(expr(
+        """CASE WHEN b = 0 THEN concat(ck, ',', nm, ',N/A')
+          |     WHEN b = 1 THEN concat(ck, ',', nm)
+          |     WHEN b = 2 THEN concat(ck, ',', nm, ',', bc, ',x')
+          |     WHEN b = 3 THEN concat(ck, ',', nm, ',')
+          |     ELSE concat(ck, ',', nm, ',', bc) END""".stripMargin).as("line"))
+    val parsed = lines.select(
+      from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, name STRING, bal_cents BIGINT, _corrupt STRING"),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("p"))
+      .select(col("p.k"), col("p.bal_cents"), col("p._corrupt"))
+    parsed
+      .groupBy(col("_corrupt").isNotNull.as("is_corrupt"),
+        col("bal_cents").isNotNull.as("has_bal"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").isNotNull.cast("long")).as("n_keys_recovered"),
+        coalesce(sum(col("bal_cents")), lit(0L)).as("bal_cents_sum"))
+      .orderBy(col("is_corrupt"), col("has_bal"))
+  }
+
+  private val q237Sql =
+    """WITH b AS (
+      |  SELECT c_custkey,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bc,
+      |         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':q237'), 1, 15))::BIGINT % 20
+      |           AS bucket
+      |  FROM customer),
+      |cls AS (
+      |  SELECT c_custkey,
+      |         bucket IN (0, 1, 2) AS is_corrupt,
+      |         (bucket = 2 OR bucket >= 4) AS has_bal,
+      |         CASE WHEN bucket = 2 OR bucket >= 4 THEN bc ELSE 0 END AS bal
+      |  FROM b)
+      |SELECT is_corrupt, has_bal, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(COUNT(*) AS BIGINT) AS n_keys_recovered,
+      |       CAST(SUM(bal) AS BIGINT) AS bal_cents_sum
+      |FROM cls
+      |GROUP BY 1, 2
+      |ORDER BY is_corrupt, has_bal""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q215_frequent_itemsets", q215, Some(q215Sql)),
     QuerySpec("q212_cusum_changepoint", q212, Some(q212Sql)),
@@ -2838,5 +2907,6 @@ object RelationalQueries {
     QuerySpec("q166_unpivot", q166, Some(q166Sql)),
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
     QuerySpec("q236_nested_pushdown", q236, Some(q236Sql)),
+    QuerySpec("q237_csv_robust_parse", q237, Some(q237Sql)),
   )
 }
