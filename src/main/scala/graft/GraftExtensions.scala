@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // FK join elimination — a no-op until a constraint is validated
     // into graft.plans.FkRegistry (see JoinElimination scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.JoinEliminationRule)
+    // row-level security — a no-op until a policy is registered in
+    // graft.plans.PolicyRegistry (see RowPolicy scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.RowPolicyRule)
   }
 }
 

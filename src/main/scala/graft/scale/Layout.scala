@@ -910,11 +910,53 @@ object Layout {
        |FROM est
        |ORDER BY cname""".stripMargin
 
+  /** q238 — ROW-LEVEL SECURITY end-to-end (the third optimizer-rule
+    * surface; [[graft.plans.RowPolicyRule]]): a tenant-isolation
+    * policy (`c_nationkey % 5 <> 0`) is registered against the
+    * customer table, then a query that NEVER MENTIONS the policy —
+    * a segment rollup with its own unrelated balance filter — runs,
+    * and the policy rows are provably absent. The oracle carries the
+    * policy predicate in its WHERE clause, so the driver's hash gate
+    * certifies transparent enforcement; RowPolicySpec additionally
+    * asserts the predicate lands in the scan's PushedFilters (the
+    * policy prunes row groups, it doesn't veil rows post-scan) and
+    * that injection is idempotent across optimizer fixed-point
+    * iterations (no filter stacking after pushdown merges).
+    */
+  private def q238(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{PolicyDescriptor, PolicyRegistry, RowPolicy}
+    RowPolicy.ensureInjected(spark)
+    PolicyRegistry.register(PolicyDescriptor(
+      path = s"$dir/customer.parquet", predicateSql = "c_nationkey % 5 <> 0"))
+    try {
+      val q = Tables.customer(spark, dir)
+        .filter(col("c_acctbal") >= 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_nationkey").cast("long")).as("nation_sum"))
+        .orderBy(col("c_mktsegment"))
+      // materialize UNDER the live policy: unlike q210/q231 (rewrites
+      // that preserve results), the policy CHANGES the result, and a
+      // consumer's fresh plan after clear() would silently skip it —
+      // localCheckpoint pins the enforced rows themselves
+      q.localCheckpoint(true)
+    } finally PolicyRegistry.clear()
+  }
+
+  private val q238Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |       CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum
+      |FROM customer
+      |WHERE c_acctbal >= 0 AND c_nationkey % 5 <> 0
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
     QuerySpec("q231_join_elimination", q231, Some(q231Sql)),
     QuerySpec("q234_encoding_advisor", q234, Some(q234Sql)),
+    QuerySpec("q238_row_policy", q238, Some(q238Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
