@@ -2846,6 +2846,57 @@ object RelationalQueries {
       |GROUP BY 1, 2
       |ORDER BY is_corrupt, has_bal""".stripMargin
 
+  /** q239 — FEDERATED JOIN: one query spanning two storage systems —
+    * the fact side scans parquet, the dimension side is pulled over
+    * JDBC from an embedded Derby database (loaded from the same
+    * nation rows, the JdbcSourceSpec harness promoted to a registered
+    * query) — the lakehouse-meets-OLTP enrichment every warehouse
+    * runs against its operational catalog. The JDBC relation is tiny
+    * and Spark BROADCASTS it (FederatedJoinSpec plan-asserts
+    * BroadcastHashJoin — the dimension drains through one connection
+    * once, never reshuffles the fact side), while the parquet scan
+    * keeps its pushdown. Revenue stays in exact cents.
+    *
+    * Scale judgment: the fact side is arbitrarily large (parquet,
+    * partition-pruned); the JDBC side must stay dimension-sized — a
+    * large JDBC table would need JdbcStore.readPartitioned's range
+    * slices (exercised in JdbcSourceSpec). The oracle reads both
+    * sides from parquet: identical rows, so the hash gate certifies
+    * the JDBC round-trip was lossless.
+    */
+  private def q239(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val dbDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_fedjoin_$tag").getAbsolutePath
+    val url = s"jdbc:derby:$dbDir/dimdb;create=true"
+    val dimTable = "nation_dim"
+    graft.sources.JdbcStore.write(
+      graft.Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name")),
+      url, dimTable)
+    val dim = graft.sources.JdbcStore.read(spark, url, dimTable)
+      // Derby surfaces INTEGER as INT and VARCHAR-from-string fine,
+      // but quote-folded names come back UPPERCASE — normalize
+      .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"))
+    graft.Tables.customer(spark, dir)
+      .join(graft.Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("revenue_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q239Sql =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q215_frequent_itemsets", q215, Some(q215Sql)),
     QuerySpec("q212_cusum_changepoint", q212, Some(q212Sql)),
@@ -2908,5 +2959,6 @@ object RelationalQueries {
     QuerySpec("q28_semi_anti_join",   q28, Some(q28Sql)),
     QuerySpec("q236_nested_pushdown", q236, Some(q236Sql)),
     QuerySpec("q237_csv_robust_parse", q237, Some(q237Sql)),
+    QuerySpec("q239_federated_join", q239, Some(q239Sql)),
   )
 }
