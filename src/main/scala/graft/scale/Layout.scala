@@ -951,12 +951,47 @@ object Layout {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q240 — COLUMN-LEVEL LINEAGE of a representative three-table
+    * pipeline ([[graft.plans.ColumnLineage]]): the revenue rollup
+    * joins customer → orders → nation and derives cents revenue; the
+    * operator emits, for each output column, every physical
+    * (table, column) that feeds it — count(*) correctly traces to no
+    * source (`<literal>`). The ORACLE pins the expected edge list as
+    * SQL literals: lineage is a function of the PLAN, not the data,
+    * so the expected mapping is a static contract (and the hash gate
+    * catches any regression in the extractor's transitive
+    * propagation — e.g. an alias chain or join losing its sources).
+    */
+  private def q240(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("revenue_cents"))
+    val rows = graft.plans.ColumnLineage.lineage(target)
+    import spark.implicits._
+    rows.toDF("out_col", "src_table", "src_col")
+      .orderBy(col("out_col"), col("src_table"), col("src_col"))
+  }
+
+  private val q240Sql =
+    """SELECT * FROM (VALUES
+      |  ('c_mktsegment', 'customer', 'c_mktsegment'),
+      |  ('n_name', 'nation', 'n_name'),
+      |  ('n_orders', '<literal>', '<none>'),
+      |  ('revenue_cents', 'orders', 'o_totalprice'))
+      |  AS t(out_col, src_table, src_col)
+      |ORDER BY out_col, src_table, src_col""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
     QuerySpec("q231_join_elimination", q231, Some(q231Sql)),
     QuerySpec("q234_encoding_advisor", q234, Some(q234Sql)),
     QuerySpec("q238_row_policy", q238, Some(q238Sql)),
+    QuerySpec("q240_column_lineage", q240, Some(q240Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
