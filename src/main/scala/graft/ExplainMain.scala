@@ -47,7 +47,14 @@ object ExplainMain {
         // floor + per-round checkpoints), the ANN eval double
         // pipeline, the MV-rewrite demo, and the blocked linkage join
         "q209_shortest_paths", "q213_kcore", "q211_ann_eval",
-        "q210_mv_rewrite", "q214_record_linkage")
+        "q210_mv_rewrite", "q214_record_linkage",
+        // round-7 sixth-wave: the three registry-driven optimizer
+        // rules (MV rewrite above; elimination + policy here), the
+        // pigeonhole Hamming join, nested pruning, and the federated
+        // broadcast join
+        "q231_join_elimination", "q238_row_policy",
+        "q229_simhash_hamming_join", "q236_nested_pushdown",
+        "q239_federated_join", "q233_link_prediction")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
