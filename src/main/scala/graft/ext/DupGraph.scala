@@ -841,6 +841,89 @@ object DupGraph {
        |ORDER BY core.doc_id""".stripMargin
   }
 
+  /** q241 — GRAPH MODULARITY of the source partition over the
+    * near-dup graph (Newman–Girvan Q): does near-duplication
+    * concentrate WITHIN sources (mirror sites, shared boilerplate) or
+    * cut across them (syndication)? Q = Σ_c [in_c/m − (D_c/2m)²],
+    * computed entirely in exact integers by clearing denominators:
+    * per-cluster contribution numerator 4m·in_c − D_c², global
+    * Q_micro = Σ·10⁶ DIV 4m² — one value both engines agree on
+    * bit-for-bit. Clusters here are the SOURCE attribute (no
+    * iteration — the q59/q91 CC machinery scores a DISCOVERED
+    * partition the same way; this query scores the curator's
+    * partition). Per-source rows carry in/cut edges, degree mass and
+    * doc count; every row repeats the global Q (1-row broadcast, q03
+    * pattern).
+    *
+    * Scale shape: rides the shared q45 pair generator (edges as id
+    * pairs), one groupBy(source) each for degrees and edges, a ≤
+    * |sources|-row rollup — the metric stage adds nothing
+    * data-volume-bound. sf0.001: 28 edges, mostly cross-source (the
+    * planted near-dups deliberately span sources — TESTDATA fact),
+    * so Q lands near zero/negative: the metric DETECTS that sources
+    * are not dup-communities here, which is the honest readout.
+    */
+  private def q241(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val edges = Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
+      .join(docs.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("a_id").as("doc_id")).unionAll(edges.select(col("b_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val degBySource = docs.join(deg, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_c"))
+    val inBySource = edges.filter(col("sa") === col("sb"))
+      .groupBy(col("sa").as("source")).agg(count(lit(1)).as("in_c"))
+    degBySource
+      .join(inBySource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("d_c"),
+        coalesce(col("in_c"), lit(0L)).as("in_c"))
+      .withColumn("cut_c", col("d_c") - col("in_c") * 2)
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_num", expr("4 * m * in_c - d_c * d_c"))
+      .select(col("source"), col("n_docs"), col("in_c"), col("cut_c"), col("d_c"),
+        col("contrib_num"),
+        expr("CAST((SUM(contrib_num) OVER () * 1000000) DIV (4 * m * m) AS BIGINT)")
+          .as("q_total_micro"))
+      .orderBy(col("source"))
+  }
+
+  private val q241Sql =
+    s"""WITH ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |lab AS (
+       |  SELECT p.a_id, p.b_id, da.source AS sa, db.source AS sb
+       |  FROM pairs p JOIN documents da ON p.a_id = da.doc_id
+       |               JOIN documents db ON p.b_id = db.doc_id),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+       |deg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a_id AS doc_id FROM lab UNION ALL SELECT b_id FROM lab)
+       |  GROUP BY 1),
+       |dbs AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(COALESCE(deg, 0)) AS BIGINT) AS d_c
+       |  FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+       |  GROUP BY 1),
+       |ibs AS (
+       |  SELECT sa AS source, CAST(COUNT(*) AS BIGINT) AS in_c
+       |  FROM lab WHERE sa = sb GROUP BY 1),
+       |cells AS (
+       |  SELECT dbs.source, n_docs, COALESCE(in_c, 0) AS in_c,
+       |         d_c - 2 * COALESCE(in_c, 0) AS cut_c, d_c,
+       |         4 * m * COALESCE(in_c, 0) - d_c * d_c AS contrib_num, m
+       |  FROM dbs LEFT JOIN ibs ON dbs.source = ibs.source CROSS JOIN m)
+       |SELECT source, n_docs, in_c, cut_c, d_c, contrib_num,
+       |       CAST((SUM(contrib_num) OVER () * 1000000) // (4 * m * m) AS BIGINT)
+       |         AS q_total_micro
+       |FROM cells
+       |ORDER BY source""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q213_kcore", q213, Some(q213Sql)),
     QuerySpec("q209_shortest_paths", q209, Some(q209Sql)),
@@ -852,5 +935,6 @@ object DupGraph {
     QuerySpec("q116_neardup_contamination", q116, Some(q116Sql)),
     QuerySpec("q142_pagerank_hubs", q142, Some(q142Sql)),
     QuerySpec("q143_triangle_count", q143, Some(q143Sql)),
+    QuerySpec("q241_modularity", q241, Some(q241Sql)),
   )
 }
