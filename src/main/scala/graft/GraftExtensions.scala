@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, CollapseRuns, DotProduct, DotProductLong, MinHashSignature, RollingHash64, SimHash64, WordShingles}
+import graft.functions.{BloomMightContain, CollapseRuns, DotProduct, DotProductLong, HilbertIndex, MinHashSignature, RollingHash64, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * Catalyst expressions as SQL functions, so
@@ -65,6 +65,9 @@ object GraftExtensions {
     (FunctionIdentifier("dot_long"),
       info("dot_long", "dot_long(array<bigint>, array<bigint>) - exact integer dot product"),
       (args: Seq[Expression]) => DotProductLong(args.head, args(1))),
+    (FunctionIdentifier("hilbert_index"),
+      info("hilbert_index", "hilbert_index(x, y) - order-16 Hilbert curve position of (x, y)"),
+      (args: Seq[Expression]) => HilbertIndex(args.head, args(1))),
     (FunctionIdentifier("collapse_runs"),
       info("collapse_runs", "collapse_runs(str) - collapse consecutive repeated tokens"),
       (args: Seq[Expression]) => CollapseRuns(args.head)),

@@ -46,6 +46,12 @@ package object functions {
   def dot_long(a: Column, b: Column): Column =
     SparkBridge.toColumn(DotProductLong(SparkBridge.toExpression(a), SparkBridge.toExpression(b)))
 
+  /** Hilbert-curve index (order 16) of two bigint coordinate columns
+    * — see [[HilbertIndex]].
+    */
+  def hilbert_index(x: Column, y: Column): Column =
+    SparkBridge.toColumn(HilbertIndex(SparkBridge.toExpression(x), SparkBridge.toExpression(y)))
+
   /** Collapse consecutive repeated tokens in a string — see
     * [[CollapseRuns]].
     */
