@@ -2897,6 +2897,55 @@ object RelationalQueries {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** q243 — ORC ROUND-TRIP with predicate pushdown: the engine's
+    * second columnar format (Spark bundles native ORC next to
+    * parquet; warehouses inherit ORC from Hive estates). Lineitem is
+    * written to ORC sorted by ship date (so stripe min/max stats are
+    * selective), read back with a date-range + flag predicate, and
+    * rolled up; OrcRoundTripSpec asserts the predicate lands in the
+    * scan's PushedFilters (ORC row-group skipping) and the ReadSchema
+    * prunes to the referenced columns. The ORACLE answers the same
+    * question from the original parquet table — so the hash gate
+    * certifies the ORC write/read cycle is lossless, type for type
+    * (timestamps included — the cross-format hazard).
+    *
+    * Scale shape: one sorted write (repartitionByRange models the
+    * production layout), one pruned scan, one rollup; format choice
+    * changes encoding, not plan shape.
+    */
+  private def q243(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_orc_lineitem_$tag").getAbsolutePath
+    graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").format("orc").save(path)
+    spark.read.format("orc").load(path)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_returnflag") === "R")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("revenue_cents"))
+      .orderBy(col("month"))
+  }
+
+  private val q243Sql =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q215_frequent_itemsets", q215, Some(q215Sql)),
     QuerySpec("q212_cusum_changepoint", q212, Some(q212Sql)),
@@ -2960,5 +3009,6 @@ object RelationalQueries {
     QuerySpec("q236_nested_pushdown", q236, Some(q236Sql)),
     QuerySpec("q237_csv_robust_parse", q237, Some(q237Sql)),
     QuerySpec("q239_federated_join", q239, Some(q239Sql)),
+    QuerySpec("q243_orc_roundtrip", q243, Some(q243Sql)),
   )
 }
