@@ -1085,6 +1085,91 @@ object Layout {
        |ORDER BY box""".stripMargin
   }
 
+  /** q244 — MANIFEST-SKIPPING SOURCE end to end (the DataSource V2
+    * surface; [[graft.sources.ManifestDataSource]]): lineitem is laid
+    * out as one integer-CSV file per ship-date month — each file
+    * written BY ITS EXECUTOR (mapPartitionsWithIndex after a range
+    * repartition, the production write shape), per-file zone maps
+    * collected into `manifest.csv` — then a 1997 range query runs
+    * through `spark.read.format("graft-manifest")`. The source's own
+    * planning code prunes manifest entries with the pushed ship_us
+    * range BEFORE creating InputPartitions — ManifestSourceSpec pins
+    * planned ≈ 12 of ~80 files — and returns every predicate as a
+    * residual so row-level semantics stay exact at file-boundary
+    * granularity. The oracle answers from the original parquet
+    * table: layout + skipping change I/O, never results.
+    */
+  private def q244(spark: SparkSession, dir: String): DataFrame = {
+    val path = manifestStore(spark, dir)
+    spark.read.format("graft-manifest").option("path", path).load()
+      .filter(col("ship_us") >= lit(ManifestLo) && col("ship_us") < lit(ManifestHi) &&
+        col("flag") === "R")
+      .groupBy(expr("ship_us DIV 2678400000000").as("coarse_month"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"))
+      .orderBy(col("coarse_month"))
+  }
+
+  /** 1997 in epoch micros (UTC) — the q244 pruning window. */
+  private val ManifestLo = 852076800000000L // 1997-01-01T00:00:00Z
+  private val ManifestHi = 883612800000000L // 1998-01-01T00:00:00Z
+
+  /** Write the manifest store: one file per ship month, zone maps to
+    * manifest.csv. Executors write data files; only (file, min, max,
+    * rows) stats return to the driver for the manifest.
+    */
+  private def manifestStore(spark: SparkSession, dir: String): String = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_$tag")
+    root.mkdirs()
+    val rootPath = root.getAbsolutePath
+    val rows0 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("price_cents"))
+      .withColumn("month", expr("ship_us DIV 2678400000000")) // 31-day coarse months
+    // one file per coarse month: EXPLICIT partition count (AQE never
+    // coalesces a user-specified N) + range partitioning, so every
+    // file covers a contiguous ship_us span — zone maps disjoint by
+    // construction even where sampled boundaries aren't month-exact
+    val nMonths = rows0.select(col("month")).distinct().count().toInt.max(1)
+    val rows = rows0
+      .repartitionByRange(nMonths, col("month"), col("ship_us"))
+      .sortWithinPartitions(col("ship_us"))
+    val stats = rows.select("ok", "ship_us", "flag", "qty", "price_cents").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val buf = it.toArray
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val f = s"part-$i.csv"
+          val w = new java.io.PrintWriter(new java.io.File(rootPath, f), "UTF-8")
+          try buf.foreach(r => w.println(
+            s"${r.getLong(0)},${r.getLong(1)},${r.getString(2)},${r.getLong(3)},${r.getLong(4)}"))
+          finally w.close()
+          val us = buf.map(_.getLong(1))
+          Iterator((f, us.min, us.max, buf.length.toLong))
+        }
+      }.collect()
+    val mw = new java.io.PrintWriter(new java.io.File(rootPath, "manifest.csv"), "UTF-8")
+    try stats.foreach { case (f, mn, mx, n) => mw.println(s"$f,$mn,$mx,$n") }
+    finally mw.close()
+    rootPath
+  }
+
+  private val q244Sql =
+    """SELECT epoch_us(l_shipdate) // 2678400000000 AS coarse_month,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM lineitem
+      |WHERE epoch_us(l_shipdate) >= 852076800000000
+      |  AND epoch_us(l_shipdate) < 883612800000000
+      |  AND l_returnflag = 'R'
+      |GROUP BY 1
+      |ORDER BY coarse_month""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
@@ -1093,6 +1178,7 @@ object Layout {
     QuerySpec("q238_row_policy", q238, Some(q238Sql)),
     QuerySpec("q240_column_lineage", q240, Some(q240Sql)),
     QuerySpec("q242_hilbert_layout", q242, Some(q242Sql)),
+    QuerySpec("q244_manifest_skipping", q244, Some(q244Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
