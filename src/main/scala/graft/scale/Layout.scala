@@ -1101,7 +1101,11 @@ object Layout {
     */
   private def q244(spark: SparkSession, dir: String): DataFrame = {
     val path = manifestStore(spark, dir)
-    spark.read.format("graft-manifest").option("path", path).load()
+    // pin the v1 snapshot: q245's compaction commit moves the VERSION
+    // pointer in the same store, and q244's contract is the
+    // many-small-files layout
+    spark.read.format("graft-manifest").option("path", path)
+      .option("manifest", "manifest.csv").load()
       .filter(col("ship_us") >= lit(ManifestLo) && col("ship_us") < lit(ManifestHi) &&
         col("flag") === "R")
       .groupBy(expr("ship_us DIV 2678400000000").as("coarse_month"))
@@ -1170,6 +1174,45 @@ object Layout {
       |GROUP BY 1
       |ORDER BY coarse_month""".stripMargin
 
+  /** q245 — MANIFEST COMPACTION + SNAPSHOT COMMIT: the small-file
+    * maintenance op q127 plans, executed against the live
+    * [[graft.sources.ManifestDataSource]] store — adjacent per-month
+    * files bin-pack into ~8× larger ones, `manifest-v2.csv` commits
+    * via the VERSION pointer (atomic snapshot swap; v1 remains
+    * pinnable for time travel). The readout runs the 1996–1997 range
+    * rollup through the DEFAULT (now compacted) snapshot; the ORACLE
+    * answers from the original parquet table, so the hash gate
+    * certifies the rewrite moved bytes and changed nothing.
+    * ManifestCompactionSpec pins the rest: fewer files, v1 ≡ v2 row
+    * sets, pruning still effective on the fatter zone maps.
+    */
+  private def q245(spark: SparkSession, dir: String): DataFrame = {
+    val path = manifestStore(spark, dir)
+    val perFile = math.max(1L, Tables.lineitem(spark, dir).count() / 80)
+    graft.sources.ManifestSource.compact(spark, path, perFile * 8)
+    spark.read.format("graft-manifest").option("path", path).load()
+      .filter(col("ship_us") >= lit(Manifest96Lo) && col("ship_us") < lit(ManifestHi) &&
+        col("flag") === "A")
+      .groupBy(expr("ship_us DIV 2678400000000").as("coarse_month"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("revenue_cents"))
+      .orderBy(col("coarse_month"))
+  }
+
+  /** 1996-01-01T00:00:00Z in epoch micros — the q245 window start. */
+  private val Manifest96Lo = 820454400000000L
+
+  private val q245Sql =
+    """SELECT epoch_us(l_shipdate) // 2678400000000 AS coarse_month,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM lineitem
+      |WHERE epoch_us(l_shipdate) >= 820454400000000
+      |  AND epoch_us(l_shipdate) < 883612800000000
+      |  AND l_returnflag = 'A'
+      |GROUP BY 1
+      |ORDER BY coarse_month""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
@@ -1179,6 +1222,7 @@ object Layout {
     QuerySpec("q240_column_lineage", q240, Some(q240Sql)),
     QuerySpec("q242_hilbert_layout", q242, Some(q242Sql)),
     QuerySpec("q244_manifest_skipping", q244, Some(q244Sql)),
+    QuerySpec("q245_manifest_compaction", q245, Some(q245Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),

@@ -56,7 +56,8 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new ManifestTable(properties.get("path"))
+    new ManifestTable(properties.get("path"),
+      Option(properties.get("manifest")))
 }
 
 object ManifestSource {
@@ -67,8 +68,68 @@ object ManifestSource {
 
   final case class FileEntry(file: String, min: Long, max: Long, rows: Long)
 
-  def readManifest(dir: String): Seq[FileEntry] = {
-    val src = scala.io.Source.fromFile(new java.io.File(dir, "manifest.csv"))
+  /** Snapshot resolution: an explicit `manifest` option pins a
+    * version (time travel); otherwise the VERSION pointer file names
+    * the current manifest (atomic swap = snapshot isolation — the
+    * Iceberg/Delta commit protocol in one file); otherwise the
+    * original manifest.csv.
+    */
+  def resolveManifest(dir: String, pinned: Option[String]): String =
+    pinned.getOrElse {
+      val vf = new java.io.File(dir, "VERSION")
+      if (vf.exists()) {
+        val src = scala.io.Source.fromFile(vf)
+        try src.getLines().next().trim finally src.close()
+      } else "manifest.csv"
+    }
+
+  /** COMPACTION + snapshot commit: capacity-chunk the current
+    * manifest's entries (sorted by zone-map min — they tile the
+    * clustering axis) into groups of ~`targetRows`, concatenate each
+    * group's files into one (one task per group, executor-side IO,
+    * order preserved so the file stays sorted and its zone map is
+    * the union), write `manifest-v2.csv`, and COMMIT by writing the
+    * VERSION pointer — readers flip atomically from v1 to v2, and a
+    * pinned `.option("manifest", "manifest.csv")` still time-travels
+    * to v1 (old data files are never touched). The grouping rule is
+    * deliberately relational-simple (group = preceding-rows DIV
+    * target), so the small-file problem q127 PLANS for is here
+    * EXECUTED against a live reader. Returns (files before, after).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetRows: Long, from: String = "manifest.csv"): (Int, Int) = {
+    // ALWAYS compact from an explicit source snapshot: resolving the
+    // current pointer would, on a re-run, compact v2 into itself —
+    // reading part-c files while overwriting them (found the hard
+    // way: truncated outputs on the second invocation)
+    val entries = readManifest(dir, from).sortBy(e => (e.min, e.file))
+    require(entries.forall(!_.file.startsWith("part-c")),
+      s"refusing to compact a compacted snapshot ($from)")
+    var cum = 0L
+    val grouped = entries.map { e =>
+      val g = cum / targetRows; cum += e.rows; (g, e)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    val stats = spark.sparkContext
+      .parallelize(grouped.map { case (g, es) => (g, es.map(_._2)) }, grouped.size.max(1))
+      .map { case (g, es) =>
+        val out = s"part-c$g.csv"
+        val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+        try es.foreach { e =>
+          val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
+          try src.getLines().foreach(w.println) finally src.close()
+        } finally w.close()
+        (out, es.map(_.min).min, es.map(_.max).max, es.map(_.rows).sum)
+      }.collect()
+    val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest-v2.csv"), "UTF-8")
+    try stats.foreach { case (f, mn, mx, n) => mw.println(s"$f,$mn,$mx,$n") }
+    finally mw.close()
+    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
+    try vw.println("manifest-v2.csv") finally vw.close()
+    (entries.length, stats.length)
+  }
+
+  def readManifest(dir: String, manifest: String): Seq[FileEntry] = {
+    val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
     try src.getLines().map { l =>
       val a = l.split(',')
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong)
@@ -77,16 +138,17 @@ object ManifestSource {
   }
 }
 
-final class ManifestTable(dir: String) extends Table with SupportsRead {
+final class ManifestTable(dir: String, pinned: Option[String])
+    extends Table with SupportsRead {
   override def name(): String = s"graft-manifest($dir)"
   override def schema(): StructType = ManifestSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(dir)
+    new ManifestScanBuilder(dir, ManifestSource.resolveManifest(dir, pinned))
 }
 
-final class ManifestScanBuilder(dir: String)
+final class ManifestScanBuilder(dir: String, manifest: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = ManifestSource.Schema
@@ -108,7 +170,7 @@ final class ManifestScanBuilder(dir: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ManifestScan(dir, required, pushed)
+  override def build(): Scan = new ManifestScan(dir, manifest, required, pushed)
 }
 
 object ManifestScan {
@@ -118,8 +180,8 @@ object ManifestScan {
   @volatile var lastPlanned: (Int, Int) = (0, 0)
 }
 
-final class ManifestScan(dir: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+final class ManifestScan(dir: String, manifest: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -127,7 +189,7 @@ final class ManifestScan(dir: String, required: StructType, pushed: Array[Filter
     s"graft-manifest $dir pushed=${pushed.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = ManifestSource.readManifest(dir)
+    val entries = ManifestSource.readManifest(dir, manifest)
     val surviving = entries.filter { e =>
       pushed.forall {
         case GreaterThanOrEqual("ship_us", v: Long) => e.max >= v

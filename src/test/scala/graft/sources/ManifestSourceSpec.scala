@@ -17,7 +17,8 @@ class ManifestSourceSpec extends SparkSpec {
     new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_$tag").getAbsolutePath
   }
 
-  private def table = spark.read.format("graft-manifest").option("path", path).load()
+  private def table = spark.read.format("graft-manifest").option("path", path)
+    .option("manifest", "manifest.csv").load()
 
   test("range predicate prunes files at planning; results stay row-exact") {
     val lo = 852076800000000L // 1997-01-01Z
