@@ -1118,9 +1118,10 @@ object Layout {
   private val ManifestLo = 852076800000000L // 1997-01-01T00:00:00Z
   private val ManifestHi = 883612800000000L // 1998-01-01T00:00:00Z
 
-  /** Write the manifest store: one file per ship month, zone maps to
-    * manifest.csv. Executors write data files; only (file, min, max,
-    * rows) stats return to the driver for the manifest.
+  /** Write the manifest store THROUGH the source's own V2 write path
+    * (one file per ship month): tasks stream rows + track zone maps,
+    * the driver's BatchWrite.commit writes the manifest — the
+    * all-or-nothing commit protocol ManifestWriteSpec proves.
     */
   private def manifestStore(spark: SparkSession, dir: String): String = {
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
@@ -1141,23 +1142,9 @@ object Layout {
     val rows = rows0
       .repartitionByRange(nMonths, col("month"), col("ship_us"))
       .sortWithinPartitions(col("ship_us"))
-    val stats = rows.select("ok", "ship_us", "flag", "qty", "price_cents").rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        val buf = it.toArray
-        if (buf.isEmpty) Iterator.empty
-        else {
-          val f = s"part-$i.csv"
-          val w = new java.io.PrintWriter(new java.io.File(rootPath, f), "UTF-8")
-          try buf.foreach(r => w.println(
-            s"${r.getLong(0)},${r.getLong(1)},${r.getString(2)},${r.getLong(3)},${r.getLong(4)}"))
-          finally w.close()
-          val us = buf.map(_.getLong(1))
-          Iterator((f, us.min, us.max, buf.length.toLong))
-        }
-      }.collect()
-    val mw = new java.io.PrintWriter(new java.io.File(rootPath, "manifest.csv"), "UTF-8")
-    try stats.foreach { case (f, mn, mx, n) => mw.println(s"$f,$mn,$mx,$n") }
-    finally mw.close()
+    rows.select("ok", "ship_us", "flag", "qty", "price_cents")
+      .write.format("graft-manifest").option("path", rootPath)
+      .mode("overwrite").save()
     rootPath
   }
 

@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -139,13 +140,104 @@ object ManifestSource {
 }
 
 final class ManifestTable(dir: String, pinned: Option[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-manifest($dir)"
   override def schema(): StructType = ManifestSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(dir, ManifestSource.resolveManifest(dir, pinned))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ManifestWriteBuilder(dir, info)
+}
+
+/** V2 WRITE path — the part of a source users never see but
+  * correctness lives in: each task streams rows to its own file
+  * while tracking the ship_us zone map; the per-task
+  * [[FileCommitMessage]] carries (file, min, max, rows) back to the
+  * driver, and ONLY [[ManifestBatchWrite.commit]] — which fires
+  * after every task succeeded — writes `manifest.csv` and resets the
+  * VERSION pointer. A failed/speculated task's file is deleted in
+  * abort and its message never commits, so readers can never observe
+  * a half-written table: the manifest IS the transaction log
+  * (ManifestWriteSpec proves a poisoned partition leaves no
+  * manifest behind).
+  */
+final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val names = info.schema().fieldNames.toSeq
+      require(names == ManifestSource.Schema.fieldNames.toSeq,
+        s"graft-manifest write schema must be ${ManifestSource.Schema.fieldNames.toSeq}, got $names")
+      new ManifestBatchWrite(dir, doTruncate)
+    }
+  }
+}
+
+final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Long)
+    extends WriterCommitMessage
+
+final class ManifestBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(dir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
+    val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest.csv"), "UTF-8")
+    try entries.foreach(m => mw.println(s"${m.file},${m.min},${m.max},${m.rows}"))
+    finally mw.close()
+    // a fresh base write invalidates any derived snapshot chain
+    val vf = new java.io.File(dir, "VERSION")
+    if (vf.exists()) vf.delete()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: FileCommitMessage => new java.io.File(dir, m.file).delete()
+      case _ => ()
+    }
+}
+
+final class ManifestWriterFactory(dir: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(dir, partitionId)
+}
+
+final class ManifestDataWriter(dir: String, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val file = s"part-w$partitionId.csv"
+  private var w: java.io.PrintWriter = _
+  private var min = Long.MaxValue
+  private var max = Long.MinValue
+  private var rows = 0L
+
+  override def write(r: InternalRow): Unit = {
+    if (w == null) {
+      new java.io.File(dir).mkdirs()
+      w = new java.io.PrintWriter(new java.io.File(dir, file), "UTF-8")
+    }
+    val us = r.getLong(1)
+    if (us < min) min = us
+    if (us > max) max = us
+    rows += 1
+    w.println(s"${r.getLong(0)},$us,${r.getUTF8String(2)},${r.getLong(3)},${r.getLong(4)}")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (w != null) w.close()
+    FileCommitMessage(file, min, max, rows)
+  }
+
+  override def abort(): Unit = {
+    if (w != null) w.close()
+    new java.io.File(dir, file).delete()
+  }
+
+  override def close(): Unit = if (w != null) { w.close(); w = null }
 }
 
 final class ManifestScanBuilder(dir: String, manifest: String)
