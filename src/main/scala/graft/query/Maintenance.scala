@@ -1667,6 +1667,89 @@ object Maintenance {
       |GROUP BY ck
       |ORDER BY ck""".stripMargin
 
+  /** q246 — FD-VIOLATION REPAIR: the actionable half of q206's
+    * dependency discovery. The order feed inherits each customer's
+    * market segment, then an md5-selected 5% of rows arrive CORRUPTED
+    * (segment rotated to the next value — deterministic dirt, the
+    * q68/q214 convention); the FD o_custkey → segment now has
+    * violation mass, and the repair sets every minority value to its
+    * group's PLURALITY value (ties broken by segment string, so the
+    * vote is total). Output: per final segment, the row count after
+    * repair plus the repair telemetry (rows repaired INTO the
+    * segment, rows that were corrupted away from it) — and the
+    * headline audit: repaired ≡ pre-corruption for every group whose
+    * clean majority survived the 5% noise (the spec quantifies the
+    * unrecoverable tail: 1-order customers whose only row was
+    * corrupted are information-theoretically gone).
+    *
+    * Scale shape: corruption + vote are one groupBy(custkey, value)
+    * + one window over the ≤|values|-per-group vote table; repair is
+    * a broadcast-joinable map of violating groups only. No row data
+    * beyond (key, value) ever shuffles.
+    */
+  private def q246(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val rotate = segs.indices.map(i => (segs(i), segs((i + 1) % segs.length)))
+      .toDF("seg_from", "seg_to")
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment").as("seg_true"))
+      .withColumn("corrupt",
+        graft.ext.TrainPrep.md5Bucket(col("o_orderkey"), 20, ":q246") === 0)
+    val dirty = base.join(broadcast(rotate), col("seg_true") === col("seg_from"))
+      .select(col("o_orderkey"), col("o_custkey"), col("seg_true"), col("corrupt"),
+        when(col("corrupt"), col("seg_to")).otherwise(col("seg_true")).as("seg_obs"))
+    // plurality vote per customer: (count desc, value asc) total order
+    val votes = dirty.groupBy(col("o_custkey").as("ck"), col("seg_obs").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val wv = Window.partitionBy(col("ck")).orderBy(col("n").desc, col("v"))
+    val majority = votes.withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1).select(col("ck"), col("v").as("seg_repaired"))
+    dirty.join(broadcast(majority), col("o_custkey") === col("ck"))
+      .groupBy(col("seg_repaired"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("seg_obs") =!= col("seg_repaired")).cast("long")).as("n_repaired_into"),
+        sum((col("corrupt") && col("seg_true") === col("seg_repaired")).cast("long"))
+          .as("n_was_corrupted"),
+        sum((col("seg_repaired") =!= col("seg_true")).cast("long")).as("n_still_wrong"))
+      .orderBy(col("seg_repaired"))
+  }
+
+  private val q246Sql =
+    """WITH segs AS (
+      |  SELECT * FROM (VALUES ('AUTOMOBILE','BUILDING'), ('BUILDING','FURNITURE'),
+      |    ('FURNITURE','HOUSEHOLD'), ('HOUSEHOLD','MACHINERY'),
+      |    ('MACHINERY','AUTOMOBILE')) AS t(seg_from, seg_to)),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, c_mktsegment AS seg_true,
+      |         (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':q246'), 1, 15))::BIGINT
+      |            % 20 = 0) AS corrupt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |dirty AS (
+      |  SELECT o_orderkey, o_custkey, seg_true, corrupt,
+      |         CASE WHEN corrupt THEN seg_to ELSE seg_true END AS seg_obs
+      |  FROM base JOIN segs ON seg_true = seg_from),
+      |votes AS (
+      |  SELECT o_custkey AS ck, seg_obs AS v, COUNT(*) AS n
+      |  FROM dirty GROUP BY 1, 2),
+      |majority AS (
+      |  SELECT ck, v AS seg_repaired FROM (
+      |    SELECT ck, v, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY n DESC, v) AS rk
+      |    FROM votes)
+      |  WHERE rk = 1)
+      |SELECT seg_repaired,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CASE WHEN seg_obs <> seg_repaired THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_repaired_into,
+      |       CAST(SUM(CASE WHEN corrupt AND seg_true = seg_repaired THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_was_corrupted,
+      |       CAST(SUM(CASE WHEN seg_repaired <> seg_true THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_still_wrong
+      |FROM dirty JOIN majority ON o_custkey = ck
+      |GROUP BY seg_repaired
+      |ORDER BY seg_repaired""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q219_t_closeness", q219, Some(q219Sql)),
     QuerySpec("q220_randomized_response", q220, Some(q220Sql)),
@@ -1693,5 +1776,6 @@ object Maintenance {
     QuerySpec("q145_observed_dq", q145, Some(q145Sql)),
     QuerySpec("q158_merkle_diff", q158, Some(q158Sql)),
     QuerySpec("q235_bitemporal_asof", q235, Some(q235Sql)),
+    QuerySpec("q246_fd_repair", q246, Some(q246Sql)),
   )
 }

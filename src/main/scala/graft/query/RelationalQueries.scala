@@ -2946,6 +2946,75 @@ object RelationalQueries {
       |GROUP BY 1
       |ORDER BY month""".stripMargin
 
+  /** q247 — ASSOCIATION RULES from the frequent part pairs (q215's
+    * itemsets promoted to directional rules, the classic
+    * support/confidence/lift readout):
+    *
+    *   conf(a→b) = supp(ab)/supp(a)   lift = supp(ab)·N/(supp(a)·supp(b))
+    *
+    * both in exact integer ppm (cross-multiplied — no division until
+    * the final truncating DIV), emitted in BOTH directions (a→b and
+    * b→a differ in confidence — the directional signal q169's
+    * symmetric lift and q205's cosine can't express). Min support 3
+    * baskets; top-20 by (lift, conf, antecedent, consequent) under a
+    * total order via TakeOrderedAndProject.
+    *
+    * Scale shape: baskets are id sets; the pair generator is the
+    * order-key self-join (q205/q215 shape, map-side distinct); the
+    * rule expansion is 2 rows per surviving pair. The 1-row basket
+    * total broadcasts (q03 pattern, allowlisted).
+    */
+  private def q247(spark: SparkSession, dir: String): DataFrame = {
+    val items = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("s"))
+    val n = items.select(col("basket")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val a = items.select(col("basket"), col("item").as("ia"))
+    val b = items.select(col("basket"), col("item").as("ib"))
+    val pairs = a.join(b, Seq("basket")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("s_ab"))
+      .filter(col("s_ab") >= 3)
+    val rules = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"), col("s_ab"))
+      .unionByName(pairs.select(col("ib").as("antecedent"), col("ia").as("consequent"), col("s_ab")))
+    rules
+      .join(supp.select(col("item").as("antecedent"), col("s").as("s_a")), "antecedent")
+      .join(supp.select(col("item").as("consequent"), col("s").as("s_c")), "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("s_ab"),
+        expr("(s_ab * 1000000) DIV s_a").as("conf_ppm"),
+        expr("(s_ab * n_baskets * 1000000) DIV (s_a * s_c)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+        col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  private val q247Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT o_orderkey AS basket, l_partkey AS item
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM items),
+      |pairs AS (
+      |  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS s_ab
+      |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3),
+      |rules AS (
+      |  SELECT ia AS antecedent, ib AS consequent, s_ab FROM pairs
+      |  UNION ALL
+      |  SELECT ib, ia, s_ab FROM pairs)
+      |SELECT antecedent, consequent, s_ab,
+      |       CAST((s_ab * 1000000) // s_a AS BIGINT) AS conf_ppm,
+      |       CAST((s_ab * n_baskets * 1000000) // (s_a * s_c) AS BIGINT) AS lift_ppm
+      |FROM rules
+      |JOIN (SELECT item AS antecedent, s AS s_a FROM supp) USING (antecedent)
+      |JOIN (SELECT item AS consequent, s AS s_c FROM supp) USING (consequent)
+      |CROSS JOIN n
+      |ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent
+      |LIMIT 20""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q215_frequent_itemsets", q215, Some(q215Sql)),
     QuerySpec("q212_cusum_changepoint", q212, Some(q212Sql)),
@@ -3010,5 +3079,6 @@ object RelationalQueries {
     QuerySpec("q237_csv_robust_parse", q237, Some(q237Sql)),
     QuerySpec("q239_federated_join", q239, Some(q239Sql)),
     QuerySpec("q243_orc_roundtrip", q243, Some(q243Sql)),
+    QuerySpec("q247_association_rules", q247, Some(q247Sql)),
   )
 }

@@ -113,6 +113,15 @@ class PlanGuardSpec extends SparkSpec {
     // q227: broadcasts the 1-row global (N, ΣT) aggregate that the
     // smoothed encoder shrinks toward (the q03/q69 scalar pattern)
     "q227_target_encoding",
+    // q247: broadcasts the 1-row basket total that denominates the
+    // lift (the q03/q69 scalar pattern)
+    "q247_association_rules",
+    // q241: broadcasts the 1-row edge count that denominates the
+    // modularity cells (the q03/q69 scalar pattern)
+    "q241_modularity",
+    // q242: broadcasts the bounded 4-row box table derived from the
+    // 1-row (pmax, smax) aggregate (the q136 bounded-domain pattern)
+    "q242_hilbert_layout",
     // q230: broadcasts the 1-row pooled-moment aggregate that the
     // CUPED adjustment denominates (the q03/q69 scalar pattern)
     "q230_cuped_readout",
