@@ -529,6 +529,92 @@ object CustomerAnalytics {
        |ORDER BY ra_pico DESC, common_parts DESC, ca, cb
        |LIMIT 50""".stripMargin
 
+  /** q248 — ROLLING-ORIGIN FORECAST BACKTEST of the q225 EWMA
+    * forecaster against the naive (yesterday-equals-today) baseline —
+    * the q211 eval-harness pattern applied to time series: every day
+    * with a full history window is a forecast origin, the model
+    * forecasts one step ahead, and the readout is per-type MAE (both
+    * models, exact floor-micros) plus the fraction of origins the
+    * EWMA strictly beats naive (ppm). A forecaster that can't beat
+    * naive on its own training signal shouldn't ship — this query is
+    * the gate that says so, and it's oracle-exact because both error
+    * series are integers.
+    *
+    * Scale shape: rides the q225 per-type windows (partition =
+    * event_type — no global window), then one ≤|types|-row rollup.
+    */
+  private def q248(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lags = (0 until EwmaTerms).map(i => lag(col("n"), i).over(w).as(s"x$i"))
+    val withLags = daily.select(col("event_type") +: col("day") +: col("n") +: lags: _*)
+    val num = (0 until EwmaTerms)
+      .map(i => coalesce(col(s"x$i"), lit(0L)) * lit(1L << (EwmaTerms - 1 - i)))
+      .reduce(_ + _)
+    val den = (0 until EwmaTerms)
+      .map(i => when(col(s"x$i").isNotNull, lit(1L << (EwmaTerms - 1 - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withLags
+      .withColumn("ewma", (num / den).cast("long"))
+      .withColumn("e_model", abs(col("n") - lag(col("ewma"), 1).over(w)))
+      .withColumn("e_naive", abs(col("n") - lag(col("n"), 1).over(w)))
+      // origins: the FORECASTING row (t-1) must have had the full
+      // window — gate on x7 of the previous row, not the current one
+      .withColumn("prev_full", lag(col(s"x${EwmaTerms - 1}"), 1).over(w))
+      .filter(col("prev_full").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_origins"),
+        expr("(SUM(e_model) * 1000000) DIV COUNT(*)").as("mae_model_micro"),
+        expr("(SUM(e_naive) * 1000000) DIV COUNT(*)").as("mae_naive_micro"),
+        expr("(SUM(CASE WHEN e_model < e_naive THEN 1 ELSE 0 END) * 1000000) DIV COUNT(*)")
+          .as("wins_ppm"),
+        expr("(SUM(CASE WHEN e_model = e_naive THEN 1 ELSE 0 END) * 1000000) DIV COUNT(*)")
+          .as("ties_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q248Sql = {
+    val lagDefs = (0 until EwmaTerms)
+      .map(i => s"LAG(n, $i) OVER w AS x$i")
+      .mkString(",\n       |         ")
+    val num = (0 until EwmaTerms)
+      .map(i => s"COALESCE(x$i, 0) * ${1L << (EwmaTerms - 1 - i)}").mkString(" + ")
+    val den = (0 until EwmaTerms)
+      .map(i => s"CASE WHEN x$i IS NOT NULL THEN ${1L << (EwmaTerms - 1 - i)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT event_type, day, n,
+       |         $lagDefs
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |smoothed AS (
+       |  SELECT event_type, day, n, x${EwmaTerms - 1}, ($num) // ($den) AS ewma FROM lagged),
+       |scored AS (
+       |  SELECT event_type,
+       |         LAG(x${EwmaTerms - 1}, 1) OVER w AS prev_full,
+       |         abs(n - LAG(ewma, 1) OVER w) AS e_model,
+       |         abs(n - LAG(n, 1) OVER w) AS e_naive
+       |  FROM smoothed
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_origins,
+       |       CAST((SUM(e_model) * 1000000) // COUNT(*) AS BIGINT) AS mae_model_micro,
+       |       CAST((SUM(e_naive) * 1000000) // COUNT(*) AS BIGINT) AS mae_naive_micro,
+       |       CAST((SUM(CASE WHEN e_model < e_naive THEN 1 ELSE 0 END) * 1000000)
+       |            // COUNT(*) AS BIGINT) AS wins_ppm,
+       |       CAST((SUM(CASE WHEN e_model = e_naive THEN 1 ELSE 0 END) * 1000000)
+       |            // COUNT(*) AS BIGINT) AS ties_ppm
+       |FROM scored
+       |WHERE prev_full IS NOT NULL
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q224_rfm_segments", q224, Some(q224Sql)),
     QuerySpec("q225_ewma_smoothing", q225, Some(q225Sql)),
@@ -536,5 +622,6 @@ object CustomerAnalytics {
     QuerySpec("q230_cuped_readout", q230, Some(q230Sql)),
     QuerySpec("q232_theil_sen", q232, Some(q232Sql)),
     QuerySpec("q233_link_prediction", q233, Some(q233Sql)),
+    QuerySpec("q248_forecast_backtest", q248, Some(q248Sql)),
   )
 }

@@ -198,4 +198,40 @@ class CustomerAnalyticsSpec extends SparkSpec {
       r.getAs[Long]("ca"), r.getAs[Long]("cb"))).toSeq
     assert(got == want)
   }
+
+  test("q248: backtest cells match a driver replay of both forecasters") {
+    val out = rows("q248_forecast_backtest")
+    assert(out.nonEmpty)
+    // rebuild each type's daily series
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type")).view
+      .mapValues(_.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+        .map(_.getAs[Long]("n")).toSeq).toMap
+    out.foreach { r =>
+      val series = daily(r.getAs[String]("event_type"))
+      def ewma(t: Int): Long = {
+        var num = 0L; var den = 0L
+        for (i <- 0 until 8 if t - i >= 0) {
+          num += series(t - i) * (1L << (7 - i)); den += 1L << (7 - i)
+        }
+        (num.toDouble / den).toLong
+      }
+      val origins = (8 until series.length).map { t =>
+        (math.abs(series(t) - ewma(t - 1)), math.abs(series(t) - series(t - 1)))
+      }
+      assert(r.getAs[Long]("n_origins") == origins.length.toLong)
+      assert(r.getAs[Long]("mae_model_micro") ==
+        origins.map(_._1).sum * 1000000 / origins.length)
+      assert(r.getAs[Long]("mae_naive_micro") ==
+        origins.map(_._2).sum * 1000000 / origins.length)
+      assert(r.getAs[Long]("wins_ppm") ==
+        origins.count(o => o._1 < o._2).toLong * 1000000 / origins.length)
+    }
+  }
 }
