@@ -1200,6 +1200,50 @@ object Layout {
       |GROUP BY 1
       |ORDER BY coarse_month""".stripMargin
 
+  /** q249 — APPEND SNAPSHOTS on the manifest table: history loads in
+    * two batches (pre-1997 overwrite, then 1997+ APPENDED through the
+    * V2 write's append commit — new data files under a
+    * queryId-suffixed name, a fresh manifest-genN listing old + new,
+    * VERSION flipped LAST so a reader sees either snapshot, never a
+    * mixture), then the full-range rollup runs against the default
+    * (= latest) snapshot. The oracle reads all of lineitem: the hash
+    * gate certifies the two-batch load reassembled the table exactly.
+    * ManifestAppendSpec covers the isolation half: the pre-append
+    * manifest still reads only batch 1 (time travel across appends).
+    */
+  private def q249(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_manifest_app_$tag").getAbsolutePath
+    val all = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("price_cents"))
+    all.filter(col("ship_us") < lit(ManifestLo))
+      .repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    all.filter(col("ship_us") >= lit(ManifestLo))
+      .repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("append").save()
+    spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        min(col("ship_us")).as("first_us"), max(col("ship_us")).as("last_us"))
+      .orderBy(col("flag"))
+  }
+
+  private val q249Sql =
+    """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS first_us,
+      |       CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS last_us
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY flag""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
@@ -1210,6 +1254,7 @@ object Layout {
     QuerySpec("q242_hilbert_layout", q242, Some(q242Sql)),
     QuerySpec("q244_manifest_skipping", q244, Some(q244Sql)),
     QuerySpec("q245_manifest_compaction", q245, Some(q245Sql)),
+    QuerySpec("q249_manifest_append", q249, Some(q249Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),

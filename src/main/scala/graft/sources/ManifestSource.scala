@@ -173,7 +173,7 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
       val names = info.schema().fieldNames.toSeq
       require(names == ManifestSource.Schema.fieldNames.toSeq,
         s"graft-manifest write schema must be ${ManifestSource.Schema.fieldNames.toSeq}, got $names")
-      new ManifestBatchWrite(dir, doTruncate)
+      new ManifestBatchWrite(dir, doTruncate, info.queryId())
     }
   }
 }
@@ -181,18 +181,43 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
 final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Long)
     extends WriterCommitMessage
 
-final class ManifestBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
+final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String)
+    extends BatchWrite {
+  // append-mode files carry the write's queryId so generations never
+  // collide; overwrite keeps plain names (the manifest governs
+  // visibility either way)
+  private val suffix = if (truncate) "" else s"-${queryId.take(8)}"
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir)
+    new ManifestWriterFactory(dir, suffix)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
-    val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest.csv"), "UTF-8")
-    try entries.foreach(m => mw.println(s"${m.file},${m.min},${m.max},${m.rows}"))
-    finally mw.close()
-    // a fresh base write invalidates any derived snapshot chain
-    val vf = new java.io.File(dir, "VERSION")
-    if (vf.exists()) vf.delete()
+    if (truncate) {
+      val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest.csv"), "UTF-8")
+      try entries.foreach(m => mw.println(s"${m.file},${m.min},${m.max},${m.rows}"))
+      finally mw.close()
+      // a fresh base write invalidates any derived snapshot chain
+      val vf = new java.io.File(dir, "VERSION")
+      if (vf.exists()) vf.delete()
+    } else {
+      // APPEND commit: new snapshot = current entries + this write's,
+      // under a fresh manifest name; the VERSION pointer flips last,
+      // so concurrent readers see either the old or the new snapshot,
+      // never a mixture
+      val current = ManifestSource.resolveManifest(dir, None)
+      val existing = ManifestSource.readManifest(dir, current)
+      val gen = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("manifest")) + 1
+      val name = s"manifest-gen$gen.csv"
+      val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try {
+        existing.foreach(e => mw.println(s"${e.file},${e.min},${e.max},${e.rows}"))
+        entries.foreach(m => mw.println(s"${m.file},${m.min},${m.max},${m.rows}"))
+      } finally mw.close()
+      val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
+      try vw.println(name) finally vw.close()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -202,14 +227,14 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean) extends BatchWrit
     }
 }
 
-final class ManifestWriterFactory(dir: String) extends DataWriterFactory {
+final class ManifestWriterFactory(dir: String, suffix: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partitionId)
+    new ManifestDataWriter(dir, partitionId, suffix)
 }
 
-final class ManifestDataWriter(dir: String, partitionId: Int)
+final class ManifestDataWriter(dir: String, partitionId: Int, suffix: String)
     extends DataWriter[InternalRow] {
-  private val file = s"part-w$partitionId.csv"
+  private val file = s"part-w$partitionId$suffix.csv"
   private var w: java.io.PrintWriter = _
   private var min = Long.MaxValue
   private var max = Long.MinValue
