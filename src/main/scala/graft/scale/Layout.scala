@@ -1213,8 +1213,13 @@ object Layout {
     */
   private def q249(spark: SparkSession, dir: String): DataFrame = {
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_manifest_app_$tag").getAbsolutePath
+    val rootF = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_manifest_app_$tag")
+    // append generations carry the write's queryId in their file
+    // names, so repeated runs (bench reps) would otherwise accumulate
+    // orphaned generations — this is OUR scratch store, reset it
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
     val all = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"),
         unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
