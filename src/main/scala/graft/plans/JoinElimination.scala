@@ -117,6 +117,15 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     FkRegistry.all.view.flatMap { d =>
+      // RULE INTERACTION: a row policy registered on the parent table
+      // makes the join row-FILTERING, not row-preserving — and rule
+      // order in the fixed point could eliminate the join before the
+      // policy's Filter ever appears, silently bypassing row-level
+      // security (caught by JoinEliminationSpec's interaction test).
+      // Elimination must consult the policy registry and back off.
+      if (PolicyRegistry.all.exists(pol => d.parentPath.endsWith(pol.path) ||
+          pol.path.endsWith(d.parentPath))) Nil
+      else
       // orientations: (child side, parent side)
       Seq((j.left, j.right), (j.right, j.left)).flatMap { case (childSide, parentSide) =>
         for {

@@ -68,6 +68,27 @@ class JoinEliminationSpec extends SparkSpec {
     } finally FkRegistry.clear()
   }
 
+  test("a row policy on the PARENT blocks elimination (rule interaction soundness)") {
+    // if nation rows can be filtered by policy, the FK join is no
+    // longer row-preserving — elimination must back off because the
+    // parent side is no longer a bare scan
+    JoinElimination.ensureInjected(spark)
+    RowPolicy.ensureInjected(spark)
+    FkRegistry.validateAndRegister(
+      Tables.customer(spark, sf), Tables.nation(spark, sf), fk)
+    PolicyRegistry.register(PolicyDescriptor(s"$sf/nation.parquet", "n_nationkey < 13"))
+    try {
+      val withPolicy = joined.collect()
+      val joins = joined.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      assert(joins.nonEmpty, "policy-filtered parent must keep the join")
+      // and the policy actually bit: fewer rows than the open join
+      PolicyRegistry.clear()
+      val open = joined.collect()
+      assert(withPolicy.map(_.getAs[Long]("n")).sum < open.map(_.getAs[Long]("n")).sum,
+        "policy should remove some joined rows")
+    } finally { PolicyRegistry.clear(); FkRegistry.clear() }
+  }
+
   test("unsound constraints are refused at registration") {
     // orders.o_custkey -> customer with a DUPLICATED 'parent': parent
     // key not unique => must throw
