@@ -105,6 +105,13 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(_, _, child, _) =>
         scanPaths(child)
           .flatMap(paths => views.find(d => paths.exists(_.endsWith(d.basePath))))
+          // rule interaction (the JoinElimination lesson): a row
+          // policy on the BASE table means the query must NOT read
+          // pre-aggregated MV rows that include policy-hidden data —
+          // and rule order could redirect the scan before the policy
+          // Filter appears. Back off whenever a policy targets the base.
+          .filterNot(d => PolicyRegistry.all.exists(pol =>
+            d.basePath.endsWith(pol.path) || pol.path.endsWith(d.basePath)))
           .flatMap(d => rewrite(agg, d))
           .getOrElse(agg)
     }

@@ -55,27 +55,68 @@ object RowPolicyRule extends Rule[LogicalPlan] with PredicateHelper {
     plan.transformUp {
       case lr: LogicalRelation =>
         policyFor(lr) match {
-          case Some(pred) if !conjuncts.exists(_.semanticEquals(pred)) => Filter(pred, lr)
+          case Some((pred, missing)) =>
+            // analyze FIRST (type coercion), then guard on the
+            // coerced form — the plan only ever contains coerced
+            // conjuncts, so guarding on the raw parse would re-inject
+            // every fixed-point pass
+            val child = if (missing.isEmpty) lr else lr.copy(output = lr.output ++ missing)
+            val analyzed = resolveFilter(pred, child)
+            val cond = analyzed.collectFirst {
+              case Filter(c, _) => c
+            }.getOrElse(pred)
+            if (conjuncts.exists(_.semanticEquals(cond))) lr
+            else if (missing.isEmpty) analyzed
+            else {
+              // column pruning already narrowed this scan past the
+              // policy column — RESTORE it on the relation, filter,
+              // then project the original shape back (never fail
+              // open: a policy must filter even columns the query
+              // doesn't read)
+              org.apache.spark.sql.catalyst.plans.logical.Project(lr.output, analyzed)
+            }
           case _ => lr
         }
     }
   }
 
-  /** Resolve the registered predicate against this scan's own output
-    * attributes (exprId-correct per scan instance).
+  /** The injected Filter must be FULLY analyzed (the optimizer
+    * validates that rules keep plans resolved): attribute
+    * substitution alone leaves type-coercion holes (e.g. bigint %
+    * int-literal), so run the assembled Filter through the catalyst
+    * SimpleAnalyzer before splicing it in.
     */
-  private def policyFor(lr: LogicalRelation): Option[Expression] =
+  private def resolveFilter(pred: Expression, child: LogicalPlan): LogicalPlan =
+    org.apache.spark.sql.catalyst.analysis.SimpleAnalyzer.execute(Filter(pred, child))
+
+  /** Resolve the registered predicate against this scan's own output
+    * attributes (exprId-correct per scan instance); policy columns
+    * the scan no longer carries resolve to FRESH attributes over the
+    * relation schema and are returned as `missing` so the caller can
+    * restore them — failing closed, never skipping the policy.
+    */
+  private def policyFor(
+      lr: LogicalRelation): Option[(Expression, Seq[AttributeReference])] =
     lr.relation match {
       case fs: HadoopFsRelation =>
         PolicyRegistry.all
           .find(p => fs.location.rootPaths.exists(_.toString.endsWith(p.path)))
           .map { p =>
-            CatalystSqlParser.parseExpression(p.predicateSql).transformUp {
+            val added = scala.collection.mutable.ArrayBuffer.empty[AttributeReference]
+            val pred = CatalystSqlParser.parseExpression(p.predicateSql).transformUp {
               case u: UnresolvedAttribute =>
-                lr.output.find(_.name.equalsIgnoreCase(u.name)).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"policy column '${u.name}' not in ${lr.output.map(_.name)}"))
+                lr.output.find(_.name.equalsIgnoreCase(u.name))
+                  .orElse(added.find(_.name.equalsIgnoreCase(u.name)))
+                  .getOrElse {
+                    val f = fs.schema.find(_.name.equalsIgnoreCase(u.name)).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"policy column '${u.name}' not in table schema ${fs.schema.fieldNames.toSeq}"))
+                    val a = AttributeReference(f.name, f.dataType, f.nullable)()
+                    added += a
+                    a
+                  }
             }
+            (pred, added.toSeq)
           }
       case _ => None
     }

@@ -69,4 +69,34 @@ class MvRewriteSpec extends SparkSpec {
       assert(viaMv == direct)
     } finally MvRegistry.unregister(mvPath)
   }
+
+  test("a row policy on the BASE table blocks the MV redirect (rule interaction)") {
+    MvRewrite.ensureInjected(spark)
+    RowPolicy.ensureInjected(spark)
+    val mvPath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_mv_polspec").getAbsolutePath
+    val base = Tables.orders(spark, sf)
+    base.groupBy(col("o_orderpriority"))
+      .agg(sum(expr(measure)).as("rev_c"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(mvPath)
+    MvRegistry.register(MvDescriptor(
+      basePath = s"$sf/orders.parquet", mvPath = mvPath,
+      dims = Set("o_orderpriority"),
+      measures = Map(MvRewrite.measureFingerprint(base, measure) -> "rev_c"),
+      cntCol = "cnt"))
+    PolicyRegistry.register(PolicyDescriptor(s"$sf/orders.parquet", "o_orderkey % 2 = 0"))
+    try {
+      val q = Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(!plannedScans(q).contains("graft_mv_polspec"),
+        "MV redirect would bypass the row policy's filter")
+      // and the policy is live: fewer rows than the open count
+      val guarded = q.agg(sum(col("n"))).collect().head.getLong(0)
+      PolicyRegistry.clear()
+      val open = Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      assert(guarded < open)
+    } finally { PolicyRegistry.clear(); MvRegistry.unregister(mvPath) }
+  }
 }
