@@ -173,7 +173,8 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
       val names = info.schema().fieldNames.toSeq
       require(names == ManifestSource.Schema.fieldNames.toSeq,
         s"graft-manifest write schema must be ${ManifestSource.Schema.fieldNames.toSeq}, got $names")
-      new ManifestBatchWrite(dir, doTruncate, info.queryId())
+      new ManifestBatchWrite(dir, doTruncate, info.queryId(),
+        Option(info.options.get("batchtag")))
     }
   }
 }
@@ -181,12 +182,14 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
 final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Long)
     extends WriterCommitMessage
 
-final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String)
-    extends BatchWrite {
-  // append-mode files carry the write's queryId so generations never
-  // collide; overwrite keeps plain names (the manifest governs
-  // visibility either way)
-  private val suffix = if (truncate) "" else s"-${queryId.take(8)}"
+final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
+    batchTag: Option[String]) extends BatchWrite {
+  // append-mode files carry the write's queryId — or, for streaming
+  // ingestion, the caller's batch tag, which makes replayed batches
+  // DETECTABLE at commit — so generations never collide; overwrite
+  // keeps plain names (the manifest governs visibility either way)
+  private val suffix =
+    batchTag.map(b => s"-bt$b").getOrElse(if (truncate) "" else s"-${queryId.take(8)}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(dir, suffix)
@@ -206,7 +209,15 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String)
       // so concurrent readers see either the old or the new snapshot,
       // never a mixture
       val current = ManifestSource.resolveManifest(dir, None)
-      val existing = ManifestSource.readManifest(dir, current)
+      val existing =
+        if (new java.io.File(dir, current).exists()) ManifestSource.readManifest(dir, current)
+        else Nil // first append into an empty store
+      // IDEMPOTENT REPLAY: a tagged batch that already committed must
+      // not commit twice — the streaming-ingestion exactly-once
+      // contract (q135's batch-id overwrite trick, expressed in the
+      // V2 commit protocol). The re-written data files are orphans
+      // the manifest never references.
+      if (batchTag.exists(b => existing.exists(_.file.contains(s"-bt$b.")))) return
       val gen = new java.io.File(dir).listFiles()
         .count(_.getName.startsWith("manifest")) + 1
       val name = s"manifest-gen$gen.csv"

@@ -1229,6 +1229,70 @@ object StreamingQueries {
       |GROUP BY ag.user_id, ag.n_events, ag.n_types, ag.value_cents, ag.mx
       |ORDER BY ag.user_id""".stripMargin
 
+  /** q250 — STREAMING INGESTION INTO THE LAKEHOUSE STORE: each
+    * micro-batch of the event stream lands in the graft-manifest
+    * table as an ATOMIC APPEND SNAPSHOT through the V2 commit
+    * protocol, with the foreachBatch batchId as the commit's batch
+    * tag — a REPLAYED batch (restart, retry) is detected at commit
+    * time and skipped, so the store is exactly-once end to end
+    * (q135's batch-id trick expressed inside the source's own commit
+    * path; ManifestStreamIngestSpec forces the replay and proves
+    * counts don't move). After the drain, the query answers from the
+    * final snapshot; the ORACLE answers from the raw events table —
+    * the hash gate certifies the whole stream→snapshot-chain→read
+    * pipeline reassembled the data exactly. Money in cents, time in
+    * epoch micros (store house rules).
+    */
+  private def q250(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft_q250_store").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_q250_ck").toString
+    val src = eventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val q = src.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, store)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val result = spark.read.format("graft-manifest").option("path", store).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_events"), sum(col("price_cents")).as("value_cents"),
+        min(col("ship_us")).as("first_us"), max(col("ship_us")).as("last_us"))
+      .orderBy(col("flag"))
+      .localCheckpoint()
+    Seq(store, ck).foreach { d =>
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+    result
+  }
+
+  /** One micro-batch → one tagged append snapshot (exposed so the
+    * spec can force a replay of an already-committed batch).
+    */
+  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long, store: String): Unit =
+    batch.select(
+        col("event_id").cast("long").as("ok"),
+        unix_micros(col("ts").cast("timestamp")).as("ship_us"),
+        col("event_type").as("flag"),
+        lit(1L).as("qty"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("price_cents"))
+      .write.format("graft-manifest").option("path", store)
+      .option("batchtag", batchId.toString)
+      .mode("append").save()
+
+  private val q250Sql =
+    """SELECT event_type AS flag, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS value_cents,
+      |       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+      |       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY flag""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q60_stream_daily",   q60, Some(q60Sql), headline = true),
     QuerySpec("q61_stream_sliding", q61, Some(q61Sql)),
@@ -1251,6 +1315,7 @@ object StreamingQueries {
     QuerySpec("q154_stream_dedup_watermark", q154, Some(q154Sql)),
     QuerySpec("q159_stream_outer_join", q159, Some(q159Sql)),
     QuerySpec("q163_transform_with_state", q163, Some(q163Sql)),
+    QuerySpec("q250_stream_lakehouse_ingest", q250, Some(q250Sql)),
   )
 }
 
