@@ -1249,6 +1249,56 @@ object Layout {
       |GROUP BY 1
       |ORDER BY flag""".stripMargin
 
+  /** q251 — RETENTION DELETE on the manifest table (the DELETE half
+    * of lakehouse DML, after write/append/compact/time-travel): purge
+    * everything shipped before 1996 from a fresh store, touching the
+    * minimum the zone maps allow — wholly-expired files DROP from the
+    * manifest unread, wholly-retained files carry over by reference,
+    * only boundary files rewrite (RetentionDeleteSpec pins all three
+    * classes and that the pre-delete snapshot still reads the full
+    * history — the audit trail). Readout from the post-delete
+    * snapshot; oracle = lineitem WHERE the retention predicate — the
+    * hash gate certifies row-exact deletion at file granularity.
+    */
+  private def q251(spark: SparkSession, dir: String): DataFrame = {
+    val root = retentionStore(spark, dir)
+    graft.sources.ManifestSource.deleteBelow(spark, root, Manifest96Lo)
+    spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        min(col("ship_us")).as("first_us"))
+      .orderBy(col("flag"))
+  }
+
+  /** Fresh store for q251 (its own dir: the delete flips VERSION and
+    * must not race q244/q245's snapshots).
+    */
+  private[graft] def retentionStore(spark: SparkSession, dir: String): String = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_ret_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("price_cents"))
+      .repartitionByRange(32, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    root
+  }
+
+  private val q251Sql =
+    """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS first_us
+      |FROM lineitem
+      |WHERE epoch_us(l_shipdate) >= 820454400000000
+      |GROUP BY 1
+      |ORDER BY flag""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
@@ -1260,6 +1310,7 @@ object Layout {
     QuerySpec("q244_manifest_skipping", q244, Some(q244Sql)),
     QuerySpec("q245_manifest_compaction", q245, Some(q245Sql)),
     QuerySpec("q249_manifest_append", q249, Some(q249Sql)),
+    QuerySpec("q251_manifest_retention", q251, Some(q251Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),

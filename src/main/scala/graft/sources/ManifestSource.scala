@@ -129,6 +129,51 @@ object ManifestSource {
     (entries.length, stats.length)
   }
 
+  /** RETENTION DELETE: remove every row with ship_us < cutoff, doing
+    * the minimum I/O the zone maps allow — files entirely below the
+    * cutoff are DROPPED from the new manifest without being read,
+    * files entirely above are KEPT by reference, and only the
+    * straddlers are rewritten (executor-side, one task each). The
+    * new generation commits via the VERSION pointer; the previous
+    * snapshot still reads every pre-delete row (time travel is also
+    * the delete audit trail — a real purge then garbage-collects
+    * unreferenced files out-of-band). Returns (dropped, rewritten,
+    * kept) file counts.
+    */
+  def deleteBelow(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cutoffUs: Long): (Int, Int, Int) = {
+    val current = resolveManifest(dir, None)
+    val entries = readManifest(dir, current)
+    val (below, rest) = entries.partition(_.max < cutoffUs)
+    val (straddle, above) = rest.partition(_.min < cutoffUs)
+    val rewritten = spark.sparkContext
+      .parallelize(straddle, straddle.size.max(1))
+      .map { e =>
+        val out = s"part-d-${e.file.stripPrefix("part-")}"
+        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
+        val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+        var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        try src.getLines().foreach { l =>
+          val us = l.split(',')(1).toLong
+          if (us >= cutoffUs) {
+            w.println(l); n += 1
+            if (us < mn) mn = us
+            if (us > mx) mx = us
+          }
+        } finally { src.close(); w.close() }
+        FileEntry(out, mn, mx, n)
+      }.collect().filter(_.rows > 0)
+    val gen = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("manifest")) + 1
+    val name = s"manifest-gen$gen.csv"
+    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+    try (above ++ rewritten).foreach(e => mw.println(s"${e.file},${e.min},${e.max},${e.rows}"))
+    finally mw.close()
+    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
+    try vw.println(name) finally vw.close()
+    (below.size, straddle.size, above.size)
+  }
+
   def readManifest(dir: String, manifest: String): Seq[FileEntry] = {
     val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
     try src.getLines().map { l =>
