@@ -615,6 +615,94 @@ object CustomerAnalytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q252 — KAPLAN–MEIER SURVIVAL (churn) curves per market segment:
+    * each customer's "lifetime" is the span from first to last order;
+    * a lifetime ending well before the observation horizon is an
+    * observed CHURN event, one ending near it is CENSORED (the
+    * customer may still be active — the half survival analysis
+    * exists to handle). The KM estimator at each event time t is the
+    * running product Π(1 − dᵢ/nᵢ) over at-risk counts; the product
+    * is evaluated as an EXACT integer fold in micro units —
+    * S ← (S·(nᵢ−dᵢ)) DIV nᵢ over event times ascending — a
+    * deterministic sequential contract both engines replay bit-for-
+    * bit (Spark: a bounded per-segment `aggregate` lambda over the
+    * collected risk table; DuckDB: a recursive CTE stepping rn→rn+1
+    * — the q199/q43c non-window-expressible-fold pattern). Output:
+    * (segment, t, at-risk, events, S_micro) for every event time.
+    *
+    * Scale shape: the risk table is (segment × distinct lifetime
+    * days) — calendar-bounded like q232, so the collected arrays and
+    * the fold are O(days) regardless of customer count; everything
+    * upstream is two keyed aggregates.
+    */
+  private def q252(spark: SparkSession, dir: String): DataFrame = {
+    val Censor = "2001-02-01"
+    val subj = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fo"), max(col("o_orderdate")).as("lo"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        datediff(col("lo"), col("fo")).cast("long").as("dur"),
+        (col("lo") < lit(Censor).cast("timestamp")).cast("long").as("event"))
+    val byDur = subj.groupBy(col("segment"), col("dur"))
+      .agg(count(lit(1)).as("m"), sum(col("event")).as("d"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("segment"))
+    val risk = byDur
+      .withColumn("n", sum(col("m")).over(wAll) - sum(col("m")).over(w) + col("m"))
+      .filter(col("d") >= 1)
+      .select(col("segment"), col("dur").as("t"), col("n"), col("d"))
+    val arr = risk.groupBy(col("segment"))
+      .agg(sort_array(collect_list(struct(col("t"), col("n"), col("d")))).as("a"))
+    arr.select(col("segment"), explode(expr(
+      """aggregate(a,
+        |  named_struct('s', 1000000L,
+        |               'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT, n: BIGINT, d: BIGINT, s: BIGINT>>)),
+        |  (acc, x) -> named_struct(
+        |    's', (acc.s * (x.n - x.d)) DIV x.n,
+        |    'out', concat(acc.out, array(named_struct(
+        |      't', x.t, 'n', x.n, 'd', x.d,
+        |      's', (acc.s * (x.n - x.d)) DIV x.n)))),
+        |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("segment"), col("r.t"), col("r.n").as("n_at_risk"),
+        col("r.d").as("n_events"), col("r.s").as("s_micro"))
+      .orderBy(col("segment"), col("t"))
+  }
+
+  private val q252Sql =
+    """WITH RECURSIVE subj AS (
+      |  SELECT c_mktsegment AS segment,
+      |         CAST(datediff('day', fo, lo) AS BIGINT) AS dur,
+      |         CASE WHEN lo < TIMESTAMP '2001-02-01' THEN 1 ELSE 0 END AS event
+      |  FROM (SELECT o_custkey, MIN(o_orderdate) AS fo, MAX(o_orderdate) AS lo
+      |        FROM orders GROUP BY 1)
+      |  JOIN customer ON o_custkey = c_custkey),
+      |by_dur AS (
+      |  SELECT segment, dur, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(event) AS BIGINT) AS d
+      |  FROM subj GROUP BY 1, 2),
+      |risk AS (
+      |  SELECT segment, dur AS t, d,
+      |         CAST(SUM(m) OVER (PARTITION BY segment) -
+      |              SUM(m) OVER (PARTITION BY segment ORDER BY dur
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              + m AS BIGINT) AS n,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY segment ORDER BY dur) AS BIGINT) AS rn0
+      |  FROM by_dur),
+      |r AS (
+      |  SELECT segment, t, n, d,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY segment ORDER BY t) AS BIGINT) AS rn
+      |  FROM risk WHERE d >= 1),
+      |km AS (
+      |  SELECT segment, rn, t, n, d, (1000000 * (n - d)) // n AS s
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.segment, r.rn, r.t, r.n, r.d, (km.s * (r.n - r.d)) // r.n
+      |  FROM km JOIN r ON r.segment = km.segment AND r.rn = km.rn + 1)
+      |SELECT segment, t, n AS n_at_risk, d AS n_events, CAST(s AS BIGINT) AS s_micro
+      |FROM km
+      |ORDER BY segment, t""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q224_rfm_segments", q224, Some(q224Sql)),
     QuerySpec("q225_ewma_smoothing", q225, Some(q225Sql)),
@@ -623,5 +711,6 @@ object CustomerAnalytics {
     QuerySpec("q232_theil_sen", q232, Some(q232Sql)),
     QuerySpec("q233_link_prediction", q233, Some(q233Sql)),
     QuerySpec("q248_forecast_backtest", q248, Some(q248Sql)),
+    QuerySpec("q252_kaplan_meier", q252, Some(q252Sql)),
   )
 }
