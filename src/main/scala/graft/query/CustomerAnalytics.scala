@@ -703,6 +703,82 @@ object CustomerAnalytics {
       |FROM km
       |ORDER BY segment, t""".stripMargin
 
+  /** q253 — HETEROGENEOUS TREATMENT EFFECT (uplift) BY SEGMENT: the
+    * q137 A/B readout cut by customer market segment — the subgroup
+    * table every experiment review asks for next ("who did the
+    * treatment actually move?"). Unit of analysis stays the USER
+    * (q137's collapse), arms stay the salted-md5 never-migrates
+    * split, and the per-segment uplift is the signed rate difference
+    * in exact micros by cross multiplication:
+    * (conv_b·n_a − conv_a·n_b)·10⁶ DIV (n_a·n_b) — truncation toward
+    * zero on either sign, the q183-verified rule. (Significance per
+    * cell is the same four counts; multiple-comparison discipline is
+    * the reader's job — the table deliberately reports every cell.)
+    *
+    * Scale shape: the q137 funnel stages plus one broadcast
+    * dimension hop (user → segment) and a ≤|segments|-row rollup.
+    */
+  private def q253(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        date_trunc("day", col("ts")).as("day"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id", "day"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("p_ts"))
+    val users = v.join(p, Seq("user_id", "day"), "left")
+      .groupBy(col("user_id"))
+      .agg(max(col("p_ts").isNotNull.cast("long")).as("converted"))
+      .withColumn("arm", graft.ext.TrainPrep.md5Bucket(col("user_id"), 2, ":q253"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+    users.groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("c_mktsegment"), col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("((conv_b * n_a - conv_a * n_b) * 1000000) DIV (n_a * n_b)")
+          .as("uplift_micro"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q253Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, ts, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events),
+      |v AS (SELECT user_id, day, MIN(ts) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (SELECT ev.user_id, ev.day, MIN(ev.ts) AS p_ts
+      |      FROM ev JOIN v ON ev.user_id = v.user_id AND ev.day = v.day
+      |      WHERE ev.event_type = 'purchase' AND ev.ts >= v.v_ts GROUP BY 1, 2),
+      |u AS (
+      |  SELECT v.user_id,
+      |         MAX(CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END) AS converted,
+      |         ('0x' || substr(md5(CAST(v.user_id AS VARCHAR) || ':q253'), 1, 15))::BIGINT % 2
+      |           AS arm
+      |  FROM v LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day
+      |  GROUP BY v.user_id),
+      |cells AS (
+      |  SELECT c_mktsegment,
+      |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u JOIN customer ON user_id = c_custkey
+      |  GROUP BY 1)
+      |SELECT c_mktsegment, n_a, conv_a, n_b, conv_b,
+      |       CAST(((conv_b * n_a - conv_a * n_b) * 1000000) // (n_a * n_b) AS BIGINT)
+      |         AS uplift_micro
+      |FROM cells
+      |WHERE n_a > 0 AND n_b > 0
+      |ORDER BY c_mktsegment""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q224_rfm_segments", q224, Some(q224Sql)),
     QuerySpec("q225_ewma_smoothing", q225, Some(q225Sql)),
@@ -712,5 +788,6 @@ object CustomerAnalytics {
     QuerySpec("q233_link_prediction", q233, Some(q233Sql)),
     QuerySpec("q248_forecast_backtest", q248, Some(q248Sql)),
     QuerySpec("q252_kaplan_meier", q252, Some(q252Sql)),
+    QuerySpec("q253_uplift_segments", q253, Some(q253Sql)),
   )
 }

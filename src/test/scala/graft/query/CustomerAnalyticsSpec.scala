@@ -234,4 +234,22 @@ class CustomerAnalyticsSpec extends SparkSpec {
         origins.count(o => o._1 < o._2).toLong * 1000000 / origins.length)
     }
   }
+
+  test("q253: subgroup cells recombine to the q137 totals; uplift is the exact cross-multiplied difference") {
+    val cells = rows("q253_uplift_segments")
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+      assert(ca <= na && cb <= nb)
+      assert(BigInt(r.getAs[Long]("uplift_micro")) ==
+        BigInt(cb * na - ca * nb) * 1000000 / (BigInt(na) * nb))
+    }
+    // subgroups partition the experiment population (q253 salts its
+    // own arm split, so only the TOTAL population is comparable to
+    // q137's readout; every event user joins a customer row here)
+    val q137 = rows("q137_ab_experiment").head
+    assert(cells.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum ==
+      q137.getAs[Long]("n_a") + q137.getAs[Long]("n_b"))
+  }
 }
