@@ -27,7 +27,7 @@ object Dedup {
     * on every branch of the q45/q46 self-joins; whole-doc docs with
     * <3 words fall back to the whole text as one shingle).
     */
-  private def shingles(text: Column): Column =
+  private[ext] def shingles(text: Column): Column =
     graft.functions.word_shingles(text, 3)
 
   /** q44 — exact dedup: hash-groupBy on the full text (md5 key —

@@ -924,6 +924,169 @@ object DupGraph {
        |FROM cells
        |ORDER BY source""".stripMargin
 
+  /** q254 Borůvka round budget: components at least halve per round,
+    * so ⌈log₂ sources⌉ rounds span any source count this corpus
+    * reaches; the loop breaks early at one component.
+    */
+  private val BoruvkaRounds = 6
+
+  /** q254 — PARALLEL MINIMUM SPANNING TREE (Borůvka) over the
+    * source-similarity graph: edge weight = 10⁶ − shingle-set
+    * Jaccard ppm between two sources (the q53 corpus matrix as a
+    * graph), and the MST is the backbone a curator reads as "which
+    * corpora are closest kin" — single-linkage clustering's
+    * dendrogram skeleton. Borůvka is THE parallel MST algorithm
+    * (each round every component selects its minimum outgoing edge,
+    * selected edges merge components): rounds are relational —
+    * per-component min by a UNIQUE composite key (w·10⁶ + u·10³ + v,
+    * so the MST is unique and any correct algorithm must produce
+    * exactly this edge set), contraction = min-label closure over
+    * the selection graph (the q59 machinery on the component graph).
+    * The ORACLE replays the identical rounds in SQL with a recursive
+    * closure per round — hash-gated algorithm parity, not just
+    * result parity.
+    *
+    * Scale shape: everything after the shingle-index equi-join is
+    * post-aggregation (≤ sources² edges); rounds are O(log sources)
+    * with localCheckpoint per round (the DupGraph loop rule). The
+    * inner label propagation iterates on a ≤|components| frame —
+    * pointer-jumping (q91) is the upgrade path when "sources" means
+    * millions of shards rather than tens of corpora.
+    */
+  private def q254(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.shingles(col("text"))).as("g"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("sa"), col("g"))
+      .join(sh.select(col("source").as("sb"), col("g")), "g")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("i"))
+    val idx = sizes.select(col("source"))
+      .withColumn("node", row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    val edges = inter
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .select(col("sa"), col("sb"),
+        expr("1000000 - (1000000 * i) DIV (na + nb - i)").as("w"))
+      .join(idx.select(col("source").as("sa"), col("node").as("u")), "sa")
+      .join(idx.select(col("source").as("sb"), col("node").as("v")), "sb")
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"), col("w"))
+      .withColumn("key", expr("w * 1000000 + u * 1000 + v"))
+      .localCheckpoint()
+    var comp = idx.select(col("node"), col("node").as("comp")).localCheckpoint()
+    var mst = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "u BIGINT, v BIGINT, w BIGINT, key BIGINT, round INT"))
+    var done = false
+    for (r <- 1 to BoruvkaRounds if !done) {
+      val e2 = edges
+        .join(comp.select(col("node").as("u"), col("comp").as("cu")), "u")
+        .join(comp.select(col("node").as("v"), col("comp").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint()
+      if (e2.isEmpty) done = true
+      else {
+        val both = e2.select(col("cu").as("c"), col("key"))
+          .unionByName(e2.select(col("cv").as("c"), col("key")))
+        val keys = both
+          .withColumn("rn", row_number().over(Window.partitionBy(col("c")).orderBy(col("key"))))
+          .filter(col("rn") === 1).select(col("key")).distinct()
+        val sel = e2.join(keys, "key").localCheckpoint()
+        mst = mst.unionByName(
+          sel.select(col("u"), col("v"), col("w"), col("key")).withColumn("round", lit(r)))
+        // contraction: min-label propagation over the component graph
+        val sym = sel.select(col("cu").as("x"), col("cv").as("y"))
+          .unionByName(sel.select(col("cv").as("x"), col("cu").as("y"))).distinct()
+          .localCheckpoint()
+        var lab = comp.select(col("comp").as("id")).distinct()
+          .withColumn("lab", col("id")).localCheckpoint()
+        var changed = true
+        while (changed) {
+          val contrib = sym
+            .join(lab.select(col("id").as("x"), col("lab").as("xl")), "x")
+            .select(col("y").as("id"), col("xl").as("lab"))
+          val merged = lab.select(col("id"), col("lab")).unionByName(contrib)
+            .groupBy(col("id")).agg(min(col("lab")).as("lab2"))
+          changed = merged.join(lab, "id").filter(col("lab2") < col("lab")).limit(1).count() > 0
+          lab = merged.select(col("id"), col("lab2").as("lab")).localCheckpoint()
+        }
+        comp = comp
+          .join(lab.select(col("id").as("comp"), col("lab").as("newc")), "comp")
+          .select(col("node"), col("newc").as("comp"))
+          .localCheckpoint()
+      }
+    }
+    mst
+      .join(idx.select(col("source").as("a_source"), col("node").as("u")), "u")
+      .join(idx.select(col("source").as("b_source"), col("node").as("v")), "v")
+      .select(col("a_source"), col("b_source"), col("w").as("dist_ppm"), col("round"))
+      .orderBy(col("a_source"), col("b_source"))
+  }
+
+  private val q254Sql = {
+    val rounds = (1 to BoruvkaRounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, e.w, e.key, cu.comp AS cu, cv.comp AS cv
+         |  FROM edges e
+         |  JOIN comp${r - 1} cu ON e.u = cu.node
+         |  JOIN comp${r - 1} cv ON e.v = cv.node
+         |  WHERE cu.comp <> cv.comp),
+         |pick$r AS (
+         |  SELECT DISTINCT key FROM (
+         |    SELECT c, key, ROW_NUMBER() OVER (PARTITION BY c ORDER BY key) AS rn
+         |    FROM (SELECT cu AS c, key FROM e$r UNION ALL SELECT cv, key FROM e$r))
+         |  WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT e$r.* FROM e$r JOIN pick$r USING (key)),
+         |sym$r AS (SELECT cu AS x, cv AS y FROM sel$r UNION SELECT cv, cu FROM sel$r),
+         |reach$r AS (
+         |  SELECT comp AS id, comp AS lab FROM (SELECT DISTINCT comp FROM comp${r - 1})
+         |  UNION
+         |  SELECT s.y, rch.lab FROM reach$r rch JOIN sym$r s ON s.x = rch.id),
+         |newlab$r AS (SELECT id, MIN(lab) AS lab FROM reach$r GROUP BY id),
+         |comp$r AS MATERIALIZED (
+         |  SELECT c.node, n.lab AS comp
+         |  FROM comp${r - 1} c JOIN newlab$r n ON c.comp = n.id)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BoruvkaRounds)
+      .map(r => s"SELECT u, v, w, $r AS round FROM sel$r").mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT source, string_split(text, ' ') AS ws FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT source, s AS g FROM (
+       |    SELECT source,
+       |           CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                ELSE array_to_string(ws, ' ') END AS s
+       |    FROM (SELECT source, ws,
+       |                 unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+       |                             ELSE [1] END) AS i
+       |          FROM w0))),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |idx AS (SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS node
+       |        FROM sizes),
+       |edges AS MATERIALIZED (
+       |  SELECT LEAST(ia.node, ib.node) AS u, GREATEST(ia.node, ib.node) AS v, w,
+       |         w * 1000000 + LEAST(ia.node, ib.node) * 1000 + GREATEST(ia.node, ib.node) AS key
+       |  FROM (
+       |    SELECT sa, sb, 1000000 - (1000000 * i) // (na.n + nb.n - i) AS w
+       |    FROM inter JOIN sizes na ON sa = na.source JOIN sizes nb ON sb = nb.source)
+       |  JOIN idx ia ON sa = ia.source JOIN idx ib ON sb = ib.source),
+       |comp0 AS (SELECT node, node AS comp FROM idx),
+       |$rounds,
+       |mst AS (
+       |  $unions)
+       |SELECT ia.source AS a_source, ib.source AS b_source,
+       |       CAST(w AS BIGINT) AS dist_ppm, CAST(round AS INT) AS round
+       |FROM mst JOIN idx ia ON u = ia.node JOIN idx ib ON v = ib.node
+       |ORDER BY a_source, b_source""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q213_kcore", q213, Some(q213Sql)),
     QuerySpec("q209_shortest_paths", q209, Some(q209Sql)),
@@ -936,5 +1099,6 @@ object DupGraph {
     QuerySpec("q142_pagerank_hubs", q142, Some(q142Sql)),
     QuerySpec("q143_triangle_count", q143, Some(q143Sql)),
     QuerySpec("q241_modularity", q241, Some(q241Sql)),
+    QuerySpec("q254_boruvka_mst", q254, Some(q254Sql)),
   )
 }
