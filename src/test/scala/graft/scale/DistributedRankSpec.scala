@@ -1,0 +1,83 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-pass primitive must be BIT-IDENTICAL to the global-window
+  * forms it replaces (the q217/q224/q228/q203/q242/q178 rewrites all
+  * lean on this), for every key distribution that could trip it:
+  * uniform, heavily tied (ties must share a bucket), skewed (one hot
+  * value straddling many percentile cuts), tiny (n < buckets,
+  * n < tiles), and empty.
+  */
+class DistributedRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, Long)]): DataFrame =
+    rows.toDF("k", "id").repartition(4)
+
+  private val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+    "uniform" -> (1L to 500L).map(i => ((i * 2654435761L) % 1000L, i)),
+    "tied" -> (1L to 500L).map(i => (i % 7L, i)),
+    "skewed" -> (1L to 500L).map(i => (if (i % 10 == 0) i else 42L, i)),
+    "tiny" -> Seq((5L, 1L), (3L, 2L), (5L, 3L)),
+    "single" -> Seq((9L, 1L)))
+
+  test("withRank equals the global-window row_number on every shape") {
+    shapes.foreach { case (label, rows) =>
+      val df = frame(rows)
+      val got = DistributedRank
+        .withRank(df, "r", col("k"), Seq(col("id")), buckets = 8)
+        .select(col("id"), col("r"))
+      val want = df
+        .withColumn("r", row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+        .select(col("id"), col("r"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, label)
+    }
+  }
+
+  test("withNtile equals the global-window ntile on every shape and tile count") {
+    shapes.foreach { case (label, rows) =>
+      Seq(3, 5, 16).foreach { tiles =>
+        val df = frame(rows)
+        val got = DistributedRank
+          .withNtile(df, "t", tiles, col("k"), Seq(col("id")), buckets = 8)
+          .select(col("id"), col("t"))
+        val want = df
+          .withColumn("t", ntile(tiles).over(Window.orderBy(col("k"), col("id"))))
+          .select(col("id"), col("t"))
+        assert(got.except(want).isEmpty && want.except(got).isEmpty, s"$label/$tiles")
+      }
+    }
+  }
+
+  test("explicit uniform bounds skip the percentile pass and stay exact") {
+    val rows = (1L to 300L).map(i => ((i * 48271L) % 1024L, i))
+    val df = frame(rows)
+    val got = DistributedRank
+      .withRank(df, "r", col("k"), Seq(col("id")), buckets = 8,
+        bounds = Some(DistributedRank.uniformBounds(1024L, 8)))
+      .select(col("id"), col("r"))
+    val want = df
+      .withColumn("r", row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select(col("id"), col("r"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("empty input yields an empty ranked frame") {
+    val df = frame(Seq.empty)
+    assert(DistributedRank.withRank(df, "r", col("k"), Seq(col("id"))).count() === 0L)
+    assert(DistributedRank.withNtile(df, "t", 5, col("k"), Seq(col("id"))).count() === 0L)
+  }
+
+  test("the ranking window is bucket-partitioned — never a global sort") {
+    val df = frame((1L to 100L).map(i => (i % 13L, i)))
+    val plan = DistributedRank.withRank(df, "r", col("k"), Seq(col("id")), buckets = 8)
+      .queryExecution.optimizedPlan.toString
+    // the Window's partitionSpec must be non-empty (no
+    // "WindowExec: No Partition Defined" hazard)
+    assert(plan.contains("windowspecdefinition(_drk_b"), plan)
+  }
+}
