@@ -132,23 +132,28 @@ object FeatureEng {
     * replay). Output per bin: size, conversions, raw rate, fitted
     * rate; the fitted column is monotone by construction.
     *
-    * Scale shape: one groupBy(custkey) on orders + one NTILE window
-    * over the customer aggregate (the q224 note applies: at 100 TB
-    * the bin boundaries come from an approx_percentile broadcast and
-    * the readout is unchanged); everything after the ≤16-row bin
-    * aggregate is bounded work.
+    * Scale shape: one groupBy(custkey) on orders + one two-pass
+    * [[graft.scale.DistributedRank]] NTILE over the customer
+    * aggregate (range-bucket → bounded offsets broadcast → local
+    * rank — no single-partition window); everything after the
+    * ≤16-row bin aggregate is bounded work.
     */
   private def q228(spark: SparkSession, dir: String): DataFrame = {
     val target = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(max((col("o_orderpriority") === "1-URGENT").cast("long")).as("urgent"))
-    val binned = Tables.customer(spark, dir)
-      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
-      .join(target, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_custkey"), col("bal_cents"),
-        coalesce(col("urgent"), lit(0L)).as("converted"))
-      .withColumn("bin",
-        ntile(IsoBins).over(Window.orderBy(col("bal_cents"), col("c_custkey"))))
+    // two-pass NTILE (DistributedRank): the q224 note's
+    // approx_percentile-boundary shape as the actual plan — no
+    // single-partition window over the customer join; checkpointed so
+    // the bounded bucket-count pass re-reads rather than re-joins
+    val binned = graft.scale.DistributedRank.withNtile(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+        .join(target, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("bal_cents"),
+          coalesce(col("urgent"), lit(0L)).as("converted"))
+        .localCheckpoint(),
+      "bin", IsoBins, col("bal_cents"), Seq(col("c_custkey")))
     val bins = binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
     val cum = bins.select(col("bin"), col("n"), col("conv"),

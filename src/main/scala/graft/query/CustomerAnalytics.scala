@@ -34,12 +34,15 @@ object CustomerAnalytics {
     * (document the base population).
     *
     * Scale shape: one shuffle to the per-customer rollup (map-side
-    * partial counts/sums), then three NTILE windows over the CUSTOMER
-    * aggregate (n_customers rows, not order rows). The single-
-    * partition window is the honest demo form; at 100 TB the same
-    * scores come from approx_percentile boundary tables broadcast
-    * back (the q123 calibration shape) — the segment readout is
-    * identical. Output is bounded: ≤125 segment rows.
+    * partial counts/sums), then three NTILE scores over the CUSTOMER
+    * aggregate via the two-pass [[graft.scale.DistributedRank]]
+    * (range-bucket → bounded offsets broadcast → local rank + closed
+    * NTILE formula — the approx_percentile-boundary shape the old
+    * scaladoc only promised, now the actual plan; no task ever sorts
+    * the whole customer rollup). The rollup is localCheckpointed once
+    * so the three scores' bounded bucket-count passes re-read it
+    * instead of re-aggregating orders. Output is bounded: ≤125
+    * segment rows.
     */
   private def q224(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(spark, dir)
@@ -47,12 +50,17 @@ object CustomerAnalytics {
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("n_orders"),
         sum(cents(col("o_totalprice"))).as("monetary_cents"))
-    def score(metric: org.apache.spark.sql.Column) =
-      ntile(5).over(Window.orderBy(metric, col("o_custkey")))
-    val scored = perCust
-      .withColumn("r_score", score(col("last_order")))
-      .withColumn("f_score", score(col("n_orders")))
-      .withColumn("m_score", score(col("monetary_cents")))
+      .localCheckpoint()
+    // unix_micros is monotone-bijective on timestamps, so ordering by
+    // it equals ordering by last_order (the rank key must be numeric)
+    val scored = Seq[(String, org.apache.spark.sql.Column)](
+      ("r_score", expr("unix_micros(CAST(last_order AS TIMESTAMP))")),
+      ("f_score", col("n_orders")),
+      ("m_score", col("monetary_cents")))
+      .foldLeft(perCust) { case (df, (out, metric)) =>
+        graft.scale.DistributedRank
+          .withNtile(df, out, 5, metric, Seq(col("o_custkey")))
+      }
     scored
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),

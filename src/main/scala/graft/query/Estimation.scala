@@ -131,9 +131,14 @@ object Estimation {
     // distinct, h < h_(k) ⟺ rank < k — and when the union is smaller
     // than k, θ = 2^60 and every row survives, which `rank < k` also
     // yields. No scalar crossJoin needed (keeps PlanGuard's allowlist
-    // tight).
-    val agg = tagged
-      .withColumn("rk", row_number().over(Window.orderBy(col("h"))))
+    // tight). The rank is the two-pass DISTRIBUTED form over the
+    // uniform 60-bit hash domain (fixed-width range buckets — no
+    // percentile pass), not a single-partition window: the hash table
+    // is fact-scale, and one task sorting every distinct orderkey
+    // hash was the engine's worst 100×-scale hazard.
+    val agg = graft.scale.DistributedRank
+      .withRank(tagged, "rk", col("h"), Seq.empty,
+        bounds = Some(graft.scale.DistributedRank.uniformBounds(HashSpace, 64)))
       .agg(
         coalesce(max(when(col("rk") === KmvK, col("h"))), lit(HashSpace)).as("theta"),
         count(lit(1)).as("n_union_exact"),

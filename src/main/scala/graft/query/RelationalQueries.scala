@@ -1770,17 +1770,20 @@ object RelationalQueries {
     * The forest itself is derived deterministically so the oracle can
     * rebuild it: customers ranked by key; node at rank r ≥ 2 gets
     * parent rank 1 + md5(key) mod (r−1) — a uniform-attachment random
-    * recursive tree, expected height e·ln(n). The one global
-    * row_number is a DIMENSION build (15k rows at sf0.1, a one-off
-    * single-partition window); the closure/rollup stages — the part
-    * that grows with depth×n — are all key-partitioned shuffles.
+    * recursive tree, expected height e·ln(n). The dimension ranking
+    * uses the two-pass [[graft.scale.DistributedRank]] (no
+    * single-partition window even on the dimension build); the
+    * closure/rollup stages — the part that grows with depth×n — are
+    * all key-partitioned shuffles.
     * Oracle: DuckDB recursive CTE over the identical edge list.
     */
   private def q178(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = Tables.customer(spark, dir)
-      .select(col("c_custkey"),
-        (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
-      .withColumn("r", row_number().over(Window.orderBy(col("c_custkey"))))
+    val ranked = graft.scale.DistributedRank
+      .withRank(
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"),
+            (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents")),
+        "r", col("c_custkey"), Seq.empty)
       .localCheckpoint()
     val parentRank = lit(1) + pmod(
       conv(substring(md5(to_binary(col("c_custkey").cast("string"), lit("utf-8"))), 1, 15), 16, 10)
@@ -2418,9 +2421,9 @@ object RelationalQueries {
     * exact integer ppm: Gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over
     * customers sorted by revenue ascending (i = 1..n) — the standard
     * rank formula, which needs no pairwise |xᵢ−xⱼ| join. The rank is
-    * a window over the CUSTOMER dimension (n ≈ rows/40 — a dimension
-    * build, the q178 argument; a fact-sized Gini would rank within
-    * partitioned strata first). Numerator and denominator stay
+    * the two-pass [[graft.scale.DistributedRank]] form (range-bucket
+    * → bounded count broadcast → local rank), so no task ever sorts
+    * the whole customer rollup. Numerator and denominator stay
     * BIGINT/DECIMAL-exact; the ppm division floors identically in
     * both engines (values nonneg). The answer a mixture designer
     * asks of a corpus ("how concentrated is the token mass across
@@ -2428,11 +2431,15 @@ object RelationalQueries {
     * this number triggers.
     */
   private def q203(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the rollup feeds the two-pass rank's bounded
+    // bucket-count pass, its own totals aggregate, AND the final sum —
+    // pin it once instead of re-aggregating orders per action
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("c"))
-    rev
-      .withColumn("i", row_number().over(Window.orderBy(col("c"), col("o_custkey"))))
+      .localCheckpoint()
+    graft.scale.DistributedRank
+      .withRank(rev, "i", col("c"), Seq(col("o_custkey")))
       .crossJoin(broadcast(rev.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))))
       .agg(
         min(col("n")).as("n_customers"),

@@ -1000,10 +1000,11 @@ object Layout {
     * Determinism: NTILE(64) runs over a TOTAL order (curve, p, s) on
     * distinct cells, so duplicate fact rows can't make tie order
     * engine-dependent. Scale shape: one distinct aggregate, map-side
-    * curve expressions, a bounded 4-row box broadcast; the
-    * single-partition NTILE models the file cut — a production write
-    * is repartitionByRange(curve) + sortWithinPartitions (q88/q104
-    * note). HilbertLayoutSpec pins the locality claim honestly:
+    * curve expressions, a bounded 4-row box broadcast; the file cut
+    * is the two-pass [[DistributedRank]] NTILE — the
+    * repartitionByRange-shaped plan a production write uses
+    * (q88/q104 note), not a single-partition window.
+    * HilbertLayoutSpec pins the locality claim honestly:
     * strictly fewer files touched in TOTAL across the box family
     * (individual boxes can tie, and a box straddling a curve seam
     * can cost Hilbert a file — measured: 71 vs 85 at sf0.001), plus
@@ -1011,13 +1012,20 @@ object Layout {
     * curve (bijective + unit-step adjacent).
     */
   private def q242(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = Tables.lineitem(spark, dir)
+    // both file assignments are the two-pass DistributedRank NTILE
+    // (range-bucket the curve value → bounded offsets broadcast →
+    // local rank): the distinct-cell table grows with part×supp, so
+    // the global-window form this replaces was a 100×-scale hazard;
+    // checkpoint the cells once for the two scores' bounded passes
+    val curved = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       .withColumn("z", zValue(col("p"), col("s")))
       .withColumn("h", graft.functions.hilbert_index(col("p"), col("s")))
-      .withColumn("fz", ntile(64).over(Window.orderBy(col("z"), col("p"), col("s"))))
-      .withColumn("fh", ntile(64).over(Window.orderBy(col("h"), col("p"), col("s"))))
+      .localCheckpoint()
+    val cells = Seq(("fz", "z"), ("fh", "h"))
+      .foldLeft(curved) { case (df, (out, curve)) =>
+        DistributedRank.withNtile(df, out, 64, col(curve), Seq(col("p"), col("s")))
+      }
     val mx = Tables.lineitem(spark, dir)
       .agg(max(col("l_partkey")).as("pm"), max(col("l_suppkey")).as("sm"))
     val boxes = mx.select(explode(array(
