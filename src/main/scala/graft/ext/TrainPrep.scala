@@ -833,12 +833,20 @@ object TrainPrep {
     * Kleiner's scalable-bootstrap line): classic bootstrap resampling
     * shuffles the corpus B times, which is a non-starter at 100 TB;
     * the Poisson bootstrap instead gives every (row, replicate) an
-    * independent Poisson(1) weight — HERE derived deterministically
-    * from md5(id:replicate) against fixed cumulative ppb thresholds —
-    * so all B=64 replicates materialize MAP-SIDE as a ×64 fan-out
-    * followed by one (segment, replicate) aggregate. No resampling
-    * shuffle exists; the plan is one explode + one groupBy at any
-    * scale. Replicate means use exact integer cents division; the
+    * independent Poisson(1) weight against fixed cumulative ppb
+    * thresholds — so all B=64 replicates materialize MAP-SIDE as a
+    * ×64 fan-out followed by one (segment, replicate) aggregate. No
+    * resampling shuffle exists; the plan is one explode + one groupBy
+    * at any scale. The replicate uniforms cost ONE md5 PER ROW, not
+    * per (row, replicate): Kirsch–Mitzenmacher double hashing (the
+    * q46b MinHash precedent — "Less Hashing, Same Performance",
+    * ESA'06) splits the digest into two 60-bit halves reduced mod 1e9
+    * and derives replicate b's uniform as (h1 + b·h2) mod 1e9 —
+    * b·h2 ≤ 63·1e9 stays far inside BIGINT, and DuckDB replays the
+    * identical split/fold bit-for-bit. (The degenerate h2 = 0 row —
+    * probability 1e-9 — correlates that row's replicates; harmless
+    * and deterministic.) Replicate means use exact integer cents
+    * division; the
     * 90% CI picks the 4th/61st order statistics of the 64 replicate
     * means (picked-element semantics, tie-broken by replicate id) —
     * everything engine-exact, so the driver hash-verifies a
@@ -854,8 +862,18 @@ object TrainPrep {
         when(col("u") < cum, lit(k.toLong)).otherwise(els)
       }
     val means = base
+      // one digest per row; CollapseProject keeps the non-cheap md5
+      // out of the double-referencing projection, so it is computed
+      // once and the two halves are substring views of it
+      .withColumn("hx",
+        md5(to_binary(concat(col("id").cast("string"), lit(":q208")), lit("utf-8"))))
+      .withColumn("h1", pmod(conv(substring(col("hx"), 1, 15), 16, 10).cast("long"),
+        lit(1000000000L)))
+      .withColumn("h2", pmod(conv(substring(col("hx"), 16, 15), 16, 10).cast("long"),
+        lit(1000000000L)))
+      .drop("hx")
       .withColumn("b", explode(lit((0 until BootReps).toArray)))
-      .withColumn("u", md5Bucket(concat_ws(":", col("id"), col("b")), 1000000000, ":q208"))
+      .withColumn("u", pmod(col("h1") + col("b") * col("h2"), lit(1000000000L)))
       .withColumn("w", wExpr)
       .groupBy(col("segment"), col("b"))
       .agg(sum(col("w") * col("x_c")).as("s1"), sum(col("w")).as("s0"))
@@ -880,11 +898,16 @@ object TrainPrep {
        |  SELECT o_orderpriority AS segment, o_orderkey AS id,
        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x_c
        |  FROM orders),
+       |hashed AS (
+       |  SELECT segment, x_c,
+       |         ('0x' || substr(md5(CAST(id AS VARCHAR) || ':q208'), 1, 15))::BIGINT
+       |           % 1000000000 AS h1,
+       |         ('0x' || substr(md5(CAST(id AS VARCHAR) || ':q208'), 16, 15))::BIGINT
+       |           % 1000000000 AS h2
+       |  FROM base),
        |reps AS (
-       |  SELECT segment, x_c, b,
-       |         ('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR)
-       |                             || ':q208'), 1, 15))::BIGINT % 1000000000 AS u
-       |  FROM base CROSS JOIN (SELECT unnest(range($BootReps)) AS b)),
+       |  SELECT segment, x_c, b, (h1 + b * h2) % 1000000000 AS u
+       |  FROM hashed CROSS JOIN (SELECT unnest(range($BootReps)) AS b)),
        |agg AS (
        |  SELECT segment, b,
        |         CAST(SUM((CASE $cases ELSE ${PoissonCumPpb.length} END) * x_c) AS BIGINT) AS s1,

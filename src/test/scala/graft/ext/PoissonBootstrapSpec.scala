@@ -4,18 +4,21 @@ import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
 /** q208 Poisson bootstrap: the full CI table recomputed driver-side
-  * from first principles (JVM MD5 → ppb uniform → truncated
-  * Poisson(1) weights → replicate means → order statistics).
+  * from first principles (ONE JVM MD5 per row → Kirsch–Mitzenmacher
+  * replicate uniforms (h1 + b·h2) mod 1e9 → truncated Poisson(1)
+  * weights → replicate means → order statistics).
   */
 class PoissonBootstrapSpec extends SparkSpec {
 
   private val cum = Seq(367879441L, 735758882L, 919698602L, 981011843L, 996340153L)
 
   private def u(id: Long, b: Int): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$id:$b:q208".getBytes("UTF-8"))
-    val hex = d.map("%02x".format(_)).mkString.take(15)
-    java.lang.Long.parseLong(hex, 16) % 1000000000L
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:q208".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000000L
+    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16) % 1000000000L
+    (h1 + b * h2) % 1000000000L
   }
 
   private def w(id: Long, b: Int): Long = {
