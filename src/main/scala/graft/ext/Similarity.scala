@@ -456,25 +456,56 @@ object Similarity {
     * order-independent, so the BIGINT is identical and each oracle
     * keeps its per-pos CTE.
     *
-    * Deliberately NOT used by the small-candidate verifies
-    * (q49b/q52b: candidates bounded by NumQueries×bucket) — there the
-    * collect_list shuffle costs more than the 64× inflation it
-    * avoids (measured: q52b 0.24→2.5s, q49b 0.54→1.5s). Also
-    * deliberately LAZY: a localCheckpoint variant (VERDICT r6 task 5
-    * / the ADVICE quantCodes item) was tried and measured SLOWER —
-    * the eager checkpoint job plus the stats-less LogicalRDD scan
-    * (which demotes downstream broadcast decisions) exceeds the
-    * ~0.2s codegen-fused recompute it saves; at 100 TB the
-    * equivalent of "cache the codes" is a persisted codes TABLE, not
-    * a session checkpoint.
+    * Round-8 reversal of the round-7 note that stood here: q49b/q52b
+    * now DO build on this form, checkpointed once per query — the r7
+    * claim that the per-pos join verify was faster did not survive
+    * re-measurement (the r7 bench itself showed the family at the
+    * numbers the note attributed to the rejected variant; the
+    * regression was the UNSHARED quantization chain being recomputed
+    * per reuse, not the collect_list shuffle, which runs once over
+    * one row per vector). The checkpoint is one row per vector —
+    * tiny — and every join against the stats-less scan carries an
+    * explicit broadcast hint ONLY where the build side is
+    * scale-bounded (query rows, bucket keys); corpus-sized sides stay
+    * un-hinted. At 100 TB the equivalent of "checkpoint the codes"
+    * is a persisted codes TABLE; the interpreted HOF assembly below
+    * runs once per vector at build time, never per candidate (the
+    * house hot-loop rule).
     */
-  private def quantCodeVecs(spark: SparkSession, dir: String): DataFrame =
-    quantCodes(spark, dir)
-      .groupBy(col("vec_id"))
-      // struct sort orders by pos (first field), fixing collect_list
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cs"))
+  /** Per-dim quantization range, held driver-side (64 rows — bounded
+    * by the embedding dimension, the boundary-broadcast class).
+    */
+  private case class Rng(mn: Double, mx: Double)
+
+  /** Driver-held integer centroid for q52b (K rows — IvfK-bounded at
+    * any data scale, the MLlib-KMeans centroid-carrying pattern).
+    */
+  private case class Cent(cid: Int, scs: Seq[Long], sn2: Long)
+
+  private def quantCodeVecs(spark: SparkSession, dir: String): DataFrame = {
+    // ranges COLLECTED (bounded: one row per dimension) and embedded
+    // as a literal: quantization becomes a PURE MAP over the scan —
+    // no second explode, no per-vector collect_list shuffle (the bulk
+    // of the r7 q49b/q52b build cost), and no scalar join (a
+    // foldable-constant-key join plans the BNLJ PlanGuard forbids).
+    // The interpreted zip_with runs once per VECTOR, never per
+    // candidate; identical element formula to [[quantCodes]].
+    val rng: Seq[Rng] = Tables.embeddings(spark, dir)
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos"))
+      .collect().map(r => Rng(r.getDouble(1), r.getDouble(2))).toSeq
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("xs"))
+      .withColumn("cs", zip_with(col("xs"), typedlit(rng), (x, r) =>
+        when(r.getField("mx") === r.getField("mn"), lit(0L))
+          .otherwise(least(greatest(
+            (floor((x - r.getField("mn")) * 254.0 /
+              (r.getField("mx") - r.getField("mn"))) - 127).cast("long"),
+            lit(-127L)), lit(127L)))))
+      .select(col("vec_id"), col("cs"))
       .withColumn("n2", graft.functions.dot_long(col("cs"), col("cs")))
+  }
 
   /** (vec_id, pos, c) view of [[quantCodeVecs]] arrays — feeds the
     * bucket/projection generators without recomputing the range scan.
@@ -578,31 +609,35 @@ object Similarity {
        |  FROM pr GROUP BY 1, 2)""".stripMargin
 
   private def q49b(spark: SparkSession, dir: String): DataFrame = {
-    val codes = quantCodes(spark, dir)
+    // ONE materialization of the quantized corpus (2000 one-row-per-
+    // vector arrays — a tiny checkpoint) feeds bucket build, query
+    // side, and verify: the round-7 form recomputed the
+    // scan→explode→range-agg→join chain once per reuse, which was the
+    // whole q49b/q52b regression (the r7 verdict's ANN finding).
+    val vecs = quantCodeVecs(spark, dir).localCheckpoint()
+    val codes = explodeCodes(vecs)
     val buckets = srpBuckets(spark, codes, QbTables, QbPlanes)
     val cand = buckets
-      .join(buckets.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("qid"), col("t"), col("b")),
+      // query side is NumQueries×tables rows — broadcast is the
+      // scale-safe build side (the checkpoint scan has no stats, so
+      // the hint replaces the demoted auto-broadcast)
+      .join(broadcast(buckets.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("t"), col("b"))),
         Seq("t", "b"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .distinct() // ids only — the q49/q51b rule
-    // verify stays the per-pos equi-join here ON PURPOSE: candidates
-    // are bounded by NumQueries×bucket size (small), and the array
-    // form's collect_list shuffle costs more than the 64× inflation
-    // it avoids at this candidate count (measured: 0.54→1.5s). The
-    // array verify is for near-quadratic candidate sets — see
-    // srpNearDupPairs/q121.
-    val norms = codes.groupBy(col("vec_id")).agg(sum(col("c") * col("c")).as("n2"))
-    val pairDot = cand
-      .join(codes.select(col("vec_id").as("qid"), col("pos"), col("c").as("qc")), Seq("qid"))
-      .join(codes.select(col("vec_id"), col("pos"), col("c").as("cc")), Seq("vec_id", "pos"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("qc") * col("cc")).as("dot"))
-    val scored = pairDot
-      .join(norms.select(col("vec_id").as("qid"), col("n2").as("qnorm2")), "qid")
-      .join(norms.select(col("vec_id"), col("n2").as("cnorm2")), "vec_id")
+    // verify on the assembled arrays: one native dot_long per
+    // candidate (the q83b precedent) instead of dragging 64 rows per
+    // pair through two per-pos joins — with the query vectors
+    // (NumQueries rows, scale-bounded) broadcast and the corpus side
+    // a plain id equi-join
+    val scored = cand
+      .join(broadcast(vecs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("cs").as("qcs"), col("n2").as("qnorm2"))), "qid")
+      .join(vecs.select(col("vec_id"), col("cs").as("ccs"), col("n2").as("cnorm2")), "vec_id")
       .filter(col("qnorm2") > 0 && col("cnorm2") > 0)
+      .withColumn("dot", graft.functions.dot_long(col("qcs"), col("ccs")))
       .withColumn("cosine",
         col("dot").cast("double") /
           (sqrt(col("qnorm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
@@ -668,42 +703,59 @@ object Similarity {
     * nprobe/K of the corpus.
     */
   private def q52b(spark: SparkSession, dir: String): DataFrame = {
-    val codes = quantCodes(spark, dir)
-    val norms = codes.groupBy(col("vec_id")).agg(sum(col("c") * col("c")).as("n2"))
+    // one tiny checkpoint of the assembled code vectors feeds every
+    // Lloyd stage (the q49b note: the recomputed quantization chain
+    // WAS the regression); n2 rides the exploded rows so no separate
+    // norms join exists anywhere in the pipeline
+    val vecs = quantCodeVecs(spark, dir).localCheckpoint()
 
-    // cosine of a code vector against a centroid table cent(cid,pos,s)
-    // → (vec_id, cid, sim); exact integers until one double division
-    def simTo(cent: DataFrame, centNorm: DataFrame): DataFrame =
-      codes.join(broadcast(cent), "pos")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(col("c") * col("s")).as("dot"))
-        .join(broadcast(centNorm), "cid")
-        .join(norms, "vec_id")
+    // centroid table HELD ON THE DRIVER (K rows — bounded by IvfK at
+    // any data scale; exactly how MLlib's KMeans carries centroids)
+    // and exploded from a literal: similarity is a MAP-SIDE native
+    // dot_long with no join at all — the r7 per-pos
+    // explode→join→groupBy ran a 2M-row shuffle twice per query and
+    // was most of the q52b regression
+    def simTo(cents: Seq[Cent]): DataFrame =
+      vecs.select(col("vec_id"), col("n2"), col("cs"),
+          explode(typedlit(cents)).as("ct"))
+        .withColumn("dot", graft.functions.dot_long(col("cs"), col("ct.scs")))
         .withColumn("sim",
-          when(col("n2") > 0 && col("sn2") > 0,
+          when(col("n2") > 0 && col("ct.sn2") > 0,
             col("dot").cast("double") /
-              (sqrt(col("n2").cast("double")) * sqrt(col("sn2").cast("double"))))
+              (sqrt(col("n2").cast("double")) * sqrt(col("ct.sn2").cast("double"))))
             .otherwise(lit(-2.0)))
+        .select(col("vec_id"), col("ct.cid").as("cid"), col("sim"))
 
-    def argmax(scored: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-    }
+    // argmax as an ALGEBRAIC max over (sim, -cid): map-side partial,
+    // one compact row per vector through the shuffle, ties → lower
+    // cid — same assignment the oracle's ROW_NUMBER picks
+    def argmax(scored: DataFrame): DataFrame =
+      scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("vec_id"), (-col("m.ncid")).cast("int").as("cid"))
 
-    val seed = codes.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").cast("int").as("cid"), col("pos"), col("c").as("s"))
-    val seedNorm = seed.groupBy(col("cid")).agg(sum(col("s") * col("s")).as("sn2"))
-    val assign0 = argmax(simTo(seed, seedNorm))
+    val seeds: Seq[Cent] = vecs.filter(col("vec_id") < IvfK)
+      .select(col("vec_id"), col("cs"), col("n2"))
+      .collect()
+      .map(r => Cent(r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
+      .toSeq
+    val assign0 = argmax(simTo(seeds))
 
-    // one Lloyd step: integer centroid = SUM of member codes
-    val cent = codes.join(assign0, "vec_id")
+    // one Lloyd step: integer centroid = SUM of member codes over the
+    // (cid, pos) aggregate, collected to the K-bounded driver table
+    val cents1: Seq[Cent] = vecs.join(assign0, "vec_id")
+      .select(col("cid"), posexplode(col("cs")).as(Seq("pos", "c")))
       .groupBy(col("cid"), col("pos")).agg(sum(col("c")).as("s"))
-    val centNorm = cent.groupBy(col("cid")).agg(sum(col("s") * col("s")).as("sn2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) =>
+        val scs = rows.sortBy(_._2).map(_._3).toSeq
+        Cent(cid, scs, scs.map(s => s * s).sum)
+      }
+      .sortBy(_.cid)
 
-    val scored1 = simTo(cent, centNorm)
+    val scored1 = simTo(cents1)
     val ivf = argmax(scored1) // final inverted file
 
     // queries probe their IvfProbe nearest refined centroids
@@ -717,16 +769,15 @@ object Similarity {
     val cand = probed.join(ivf.select(col("vec_id"), col("cid")), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
-    // per-pos verify on purpose — small candidate set, see q49b note
-    val pairDot = cand
-      .join(codes.select(col("vec_id").as("qid"), col("pos"), col("c").as("qc")), Seq("qid"))
-      .join(codes.select(col("vec_id"), col("pos"), col("c").as("cc")), Seq("vec_id", "pos"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("qc") * col("cc")).as("dot"))
-    val scored = pairDot
-      .join(norms.select(col("vec_id").as("qid"), col("n2").as("qnorm2")), "qid")
-      .join(norms.select(col("vec_id"), col("n2").as("cnorm2")), "vec_id")
+    // array verify (the q49b note): one native dot_long per
+    // candidate, query vectors broadcast (NumQueries rows), corpus
+    // side a plain id equi-join
+    val scored = cand
+      .join(broadcast(vecs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("cs").as("qcs"), col("n2").as("qnorm2"))), "qid")
+      .join(vecs.select(col("vec_id"), col("cs").as("ccs"), col("n2").as("cnorm2")), "vec_id")
       .filter(col("qnorm2") > 0 && col("cnorm2") > 0)
+      .withColumn("dot", graft.functions.dot_long(col("qcs"), col("ccs")))
       .withColumn("cosine",
         col("dot").cast("double") /
           (sqrt(col("qnorm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
