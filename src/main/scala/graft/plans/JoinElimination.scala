@@ -130,8 +130,16 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
       Seq((j.left, j.right), (j.right, j.left)).flatMap { case (childSide, parentSide) =>
         for {
           _ <- parentScan(parentSide, d.parentPath, d.parentCol)
-          if childLeafPaths(childSide).exists(_.endsWith(d.childPath))
           (ck, pk) <- keyPair(cond, childSide, parentSide, d)
+          // the child key attribute must TRACE to the registered child
+          // scan through null-preserving, value-preserving operators —
+          // a leaves-contain-the-scan check is not enough: the scan
+          // could sit on the null-producing side of an outer join
+          // (validated non-nullness doesn't survive), or a same-named
+          // column from a DIFFERENT leaf could be the real join key;
+          // either way the inner join filters rows and elimination
+          // would be wrong
+          if keyFromChildScan(childSide, ck, d.childPath)
           if ck.dataType == pk.dataType
           // every referenced parent attribute must BE the parent key
           parentOut = parentSide.outputSet
@@ -160,14 +168,64 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def childLeafPaths(p: LogicalPlan): Seq[String] =
-    p.collectLeaves().flatMap {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-        case _ => Nil
-      }
-      case _ => Nil
+  /** Does `key`'s VALUE SET provably come from the registered child
+    * scan at `path`, with the validated non-null/containment facts
+    * intact? The walk follows the attribute down through operators
+    * that only REMOVE rows or pass the attribute through unchanged
+    * (Filter/Sort/Limit/Distinct/Repartition/alias projections/Window
+    * pass-through, a grouping key of an Aggregate, the PRESERVED and
+    * non-null-producing side of a join). Anything else — an outer
+    * join's null-producing side, Expand, Union, a computed alias —
+    * fails the match and blocks elimination (the rule's
+    * never-approximately-right contract).
+    */
+  private def keyFromChildScan(p: LogicalPlan, key: Attribute, path: String): Boolean = {
+    import org.apache.spark.sql.catalyst.plans._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case lr: LogicalRelation =>
+        lr.output.exists(_.exprId == key.exprId) && (lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.endsWith(path))
+          case _ => false
+        })
+      case Project(pl, child) =>
+        pl.find(_.exprId == key.exprId) match {
+          case Some(a: AttributeReference) => keyFromChildScan(child, a, path)
+          case Some(Alias(a: AttributeReference, _)) => keyFromChildScan(child, a, path)
+          case _ => false
+        }
+      case Aggregate(ge, ae, child, _) =>
+        // a grouping ATTRIBUTE's values are a subset of the child's
+        ae.find(_.exprId == key.exprId) match {
+          case Some(a: AttributeReference)
+              if ge.exists { case g: AttributeReference => g.exprId == a.exprId; case _ => false } =>
+            keyFromChildScan(child, a, path)
+          case _ => false
+        }
+      case jn: Join =>
+        val fromLeft = jn.left.outputSet.contains(key)
+        val fromRight = jn.right.outputSet.contains(key)
+        jn.joinType match {
+          case Inner | Cross => (fromLeft && keyFromChildScan(jn.left, key, path)) ||
+            (fromRight && keyFromChildScan(jn.right, key, path))
+          case LeftOuter | LeftSemi | LeftAnti =>
+            fromLeft && keyFromChildScan(jn.left, key, path)
+          case RightOuter => fromRight && keyFromChildScan(jn.right, key, path)
+          case _ => false // FullOuter / existence joins can null the key
+        }
+      case Filter(_, child) => keyFromChildScan(child, key, path)
+      case Sort(_, _, child, _) => keyFromChildScan(child, key, path)
+      case GlobalLimit(_, child) => keyFromChildScan(child, key, path)
+      case LocalLimit(_, child) => keyFromChildScan(child, key, path)
+      case SubqueryAlias(_, child) => keyFromChildScan(child, key, path)
+      case Deduplicate(_, child) => keyFromChildScan(child, key, path)
+      case r: RepartitionOperation => keyFromChildScan(r.child, key, path)
+      case w: Window => // window only ADDS columns; pass-through attrs survive
+        w.child.outputSet.contains(key) && keyFromChildScan(w.child, key, path)
+      case _ => false
     }
+  }
 
   private def keyPair(
       cond: EqualTo,

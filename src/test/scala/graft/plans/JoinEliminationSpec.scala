@@ -89,6 +89,74 @@ class JoinEliminationSpec extends SparkSpec {
     } finally { PolicyRegistry.clear(); FkRegistry.clear() }
   }
 
+  test("child key behind an outer join: result stays correct either way") {
+    // orders LEFT JOIN customer puts the registered child scan on the
+    // null-producing side. Catalyst's EliminateOuterJoin converts
+    // this to INNER before user rules run (the FK join's own
+    // condition null-rejects c_nationkey), after which elimination is
+    // sound again — so the contract to pin is RESULT EQUALITY, and
+    // the lineage walk is the backstop for shapes Catalyst cannot
+    // convert (see the union test below).
+    JoinElimination.ensureInjected(spark)
+    val cust = Tables.customer(spark, sf)
+    val nat = Tables.nation(spark, sf)
+    val ord = Tables.orders(spark, sf)
+      .select((col("o_custkey") % lit(100000L)).as("o_custkey"), col("o_orderkey"))
+    def df = ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left")
+      .join(nat, col("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_custkey"))
+    FkRegistry.clear()
+    val expected = df.collect().toSeq
+    FkRegistry.validateAndRegister(cust, nat, fk)
+    try assert(df.collect().toSeq == expected, "rewrite changed an outer-join pipeline")
+    finally FkRegistry.clear()
+  }
+
+  test("a union child side never matches (values from an unregistered leaf)") {
+    // customer.c_nationkey UNION ALL supplier.s_nationkey: the column
+    // NAME and half the lineage match the registered child, but union
+    // values can come from supplier, where no containment proof
+    // exists — Catalyst cannot sanitize this shape, so the lineage
+    // walk must refuse it.
+    JoinElimination.ensureInjected(spark)
+    FkRegistry.validateAndRegister(
+      Tables.customer(spark, sf), Tables.nation(spark, sf), fk)
+    try {
+      val nat = Tables.nation(spark, sf)
+      val childSide = Tables.customer(spark, sf).select(col("c_nationkey"))
+        .unionAll(Tables.supplier(spark, sf).select(col("s_nationkey").as("c_nationkey")))
+      val df = childSide.join(nat, col("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      assert(joins.nonEmpty,
+        s"union-sourced key must keep the join:\n${df.queryExecution.optimizedPlan}")
+    } finally FkRegistry.clear()
+  }
+
+  test("a same-named key from a DIFFERENT leaf does not match the registered child") {
+    // supplier also has a column named after the child key once
+    // aliased: build a frame whose c_nationkey really comes from
+    // supplier.s_nationkey — the child scan (customer) is among the
+    // leaves, but the join key's lineage ends at supplier, where no
+    // non-null/containment proof exists. Must NOT eliminate.
+    JoinElimination.ensureInjected(spark)
+    FkRegistry.validateAndRegister(
+      Tables.customer(spark, sf), Tables.nation(spark, sf), fk)
+    try {
+      val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+      val supp = Tables.supplier(spark, sf)
+        .select(col("s_suppkey"), col("s_nationkey").as("c_nationkey"))
+      val nat = Tables.nation(spark, sf)
+      val childSide = cust.join(supp, cust("c_custkey") === supp("s_suppkey"))
+      val df = childSide.join(nat, col("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      assert(joins.size >= 2,
+        s"decoy-named key must keep the join:\n${df.queryExecution.optimizedPlan}")
+    } finally FkRegistry.clear()
+  }
+
   test("unsound constraints are refused at registration") {
     // orders.o_custkey -> customer with a DUPLICATED 'parent': parent
     // key not unique => must throw
