@@ -163,15 +163,33 @@ object ManifestSource {
         } finally { src.close(); w.close() }
         FileEntry(out, mn, mx, n)
       }.collect().filter(_.rows > 0)
-    val gen = new java.io.File(dir).listFiles()
-      .count(_.getName.startsWith("manifest")) + 1
-    val name = s"manifest-gen$gen.csv"
+    val name = s"manifest-gen${nextGeneration(dir)}.csv"
     val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
     try (above ++ rewritten).foreach(e => mw.println(s"${e.file},${e.min},${e.max},${e.rows}"))
     finally mw.close()
     val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
     try vw.println(name) finally vw.close()
     (below.size, straddle.size, above.size)
+  }
+
+  /** Next snapshot generation = max EXISTING generation + 1, never a
+    * file COUNT: counting collides after an external manifest
+    * deletion or an interleaved compact (fixed `manifest-v2.csv`
+    * name), silently overwriting a snapshot that pinned readers may
+    * still reference. `manifest.csv` counts as generation 1 and
+    * `manifest-v2.csv` as 2, so the numbering is monotone across the
+    * whole chain.
+    */
+  private[sources] def nextGeneration(dir: String): Long = {
+    val GenName = """manifest-gen(\d+)\.csv""".r
+    val gens = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect {
+        case "manifest.csv" => 1L
+        case "manifest-v2.csv" => 2L
+        case GenName(n) => n.toLong
+      }
+    (2L +: gens.toSeq).max + 1
   }
 
   def readManifest(dir: String, manifest: String): Seq[FileEntry] = {
@@ -263,9 +281,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // V2 commit protocol). The re-written data files are orphans
       // the manifest never references.
       if (batchTag.exists(b => existing.exists(_.file.contains(s"-bt$b.")))) return
-      val gen = new java.io.File(dir).listFiles()
-        .count(_.getName.startsWith("manifest")) + 1
-      val name = s"manifest-gen$gen.csv"
+      val name = s"manifest-gen${ManifestSource.nextGeneration(dir)}.csv"
       val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
       try {
         existing.foreach(e => mw.println(s"${e.file},${e.min},${e.max},${e.rows}"))
@@ -285,12 +301,17 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
 
 final class ManifestWriterFactory(dir: String, suffix: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partitionId, suffix)
+    new ManifestDataWriter(dir, partitionId, taskId, suffix)
 }
 
-final class ManifestDataWriter(dir: String, partitionId: Int, suffix: String)
+final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suffix: String)
     extends DataWriter[InternalRow] {
-  private val file = s"part-w$partitionId$suffix.csv"
+  // taskId in the name makes every ATTEMPT its own file: a retried or
+  // speculated attempt's abort() deletes only its own output, never
+  // the file a winning attempt already committed into the manifest
+  // (same-name files would let a losing abort clobber a committed
+  // entry — the manifest would then point at a deleted file)
+  private val file = s"part-w$partitionId-t$taskId$suffix.csv"
   private var w: java.io.PrintWriter = _
   private var min = Long.MaxValue
   private var max = Long.MinValue

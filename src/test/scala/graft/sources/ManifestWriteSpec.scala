@@ -36,6 +36,42 @@ class ManifestWriteSpec extends SparkSpec {
     assert(globalMin == trueMin, "zone-map min must equal the data min")
   }
 
+  test("a losing duplicate attempt's abort never touches the winner's committed file") {
+    // speculation/retry: two ATTEMPTS of the same partition run; the
+    // winner commits, the loser aborts. With taskId in the file name
+    // each attempt owns its own file, so the abort deletes only the
+    // loser's output.
+    val dir = freshDir("spec")
+    val factory = new ManifestWriterFactory(dir, "")
+    val winner = factory.createWriter(0, taskId = 7L)
+    val loser = factory.createWriter(0, taskId = 8L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      1L, 1000L, org.apache.spark.unsafe.types.UTF8String.fromString("N"), 2L, 300L)
+    winner.write(row); loser.write(row)
+    val msg = winner.commit().asInstanceOf[FileCommitMessage]
+    loser.abort()
+    assert(new java.io.File(dir, msg.file).exists(),
+      "losing attempt's abort deleted the committed file")
+    assert(msg.file.contains("-t7"), s"attempt id must be in the name: ${msg.file}")
+    assert(!new java.io.File(dir, msg.file.replace("-t7", "-t8")).exists(),
+      "loser's own file must be gone")
+  }
+
+  test("generation numbering is max-based: deletions and compact names never collide") {
+    val dir = freshDir("gen")
+    def touch(n: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, n), "UTF-8")
+      try w.println("") finally w.close()
+    }
+    touch("manifest.csv")
+    assert(ManifestSource.nextGeneration(dir) == 3L) // 1 and v2=2 reserved
+    touch("manifest-gen5.csv") // e.g. survivors of an external cleanup
+    assert(ManifestSource.nextGeneration(dir) == 6L,
+      "must advance past the max generation, not count files")
+    touch("manifest-v2.csv") // an interleaved compact never collides
+    assert(ManifestSource.nextGeneration(dir) == 6L)
+  }
+
   test("a poisoned partition aborts the whole write: no manifest, no committed table") {
     val dir = freshDir("abort")
     val someKey = sample.select("ok").limit(1).collect().head.getLong(0)
