@@ -66,7 +66,7 @@ object GraftExtensions {
       info("dot_long", "dot_long(array<bigint>, array<bigint>) - exact integer dot product"),
       (args: Seq[Expression]) => DotProductLong(args.head, args(1))),
     (FunctionIdentifier("hilbert_index"),
-      info("hilbert_index", "hilbert_index(x, y) - order-16 Hilbert curve position of (x, y)"),
+      info("hilbert_index", "hilbert_index(x, y) - order-21 Hilbert curve position of (x, y)"),
       (args: Seq[Expression]) => HilbertIndex(args.head, args(1))),
     (FunctionIdentifier("collapse_runs"),
       info("collapse_runs", "collapse_runs(str) - collapse consecutive repeated tokens"),

@@ -5,16 +5,20 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Hilbert-curve index of a 2-D point (order 16: coordinates in
-  * [0, 65536)) — the space-filling curve with strictly better
+/** Hilbert-curve index of a 2-D point (order 21: coordinates in
+  * [0, 2^21) — matching the 21-bit-per-dimension Morton interleave it
+  * is benchmarked against in q242, and covering TPC-H part keys to
+  * sf10; order 16 threw on l_partkey past sf≈0.33) — the
+  * space-filling curve with strictly better
   * locality than Morton/Z (no Z-seam jumps: consecutive curve
   * positions are always grid neighbors), which is why Delta/Iceberg
   * offer Hilbert clustering next to Z-ORDER. Standard xy2d bit
   * transform (rotate-and-reflect per quadrant, cf. the public-domain
   * formulation on the Hilbert-curve Wikipedia page); pure integer
   * ops, codegen'd via a static call, and mirrored relationally in
-  * DuckDB as a 17-level recursive CTE over the identical recurrence
-  * (q242's oracle) so the engine value is hash-verified bit-for-bit.
+  * DuckDB as an (Order+1)-level recursive CTE over the identical
+  * recurrence (q242's oracle) so the engine value is hash-verified
+  * bit-for-bit.
   */
 case class HilbertIndex(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,8 +43,10 @@ case class HilbertIndex(left: Expression, right: Expression)
 }
 
 object HilbertIndex {
-  /** Bits per dimension; 2^16 × 2^16 grid, 32-bit curve positions. */
-  val Order = 16
+  /** Bits per dimension; 2^21 × 2^21 grid, 42-bit curve positions
+    * (the same per-dimension width as q104's Morton `Bits`).
+    */
+  val Order = 21
 
   def compute(x0: Long, y0: Long): Long = computeAtOrder(Order, x0, y0)
 
