@@ -1008,10 +1008,20 @@ object DupGraph {
           val contrib = sym
             .join(lab.select(col("id").as("x"), col("lab").as("xl")), "x")
             .select(col("y").as("id"), col("xl").as("lab"))
-          val merged = lab.select(col("id"), col("lab")).unionByName(contrib)
+          // convergence rides the checkpoint job via CollectMetrics
+          // (the outer CC loop's observe piggyback) — one job per
+          // round instead of a separate limit(1).count() probe
+          val obs = org.apache.spark.sql.Observation()
+          val next = lab.select(col("id"), col("lab")).unionByName(contrib)
             .groupBy(col("id")).agg(min(col("lab")).as("lab2"))
-          changed = merged.join(lab, "id").filter(col("lab2") < col("lab")).limit(1).count() > 0
-          lab = merged.select(col("id"), col("lab2").as("lab")).localCheckpoint()
+            .join(lab, "id")
+            .select(col("id"), col("lab2").as("lab"),
+              (col("lab2") < col("lab")).cast("long").as("chg"))
+            .observe(obs, sum(col("chg")).as("n"))
+            .select(col("id"), col("lab"))
+            .localCheckpoint()
+          changed = obs.get("n").asInstanceOf[Long] > 0
+          lab = next
         }
         comp = comp
           .join(lab.select(col("id").as("comp"), col("lab").as("newc")), "comp")
