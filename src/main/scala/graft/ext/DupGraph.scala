@@ -1097,7 +1097,143 @@ object DupGraph {
        |ORDER BY a_source, b_source""".stripMargin
   }
 
+  /** q255 geometry: Hamming radius 5 over the 60-bit simhash → 6
+    * disjoint 10-bit bands (d ≤ 5 differing bits cannot touch all 6
+    * bands, so ≥ 1 band matches exactly — the q229 pigeonhole,
+    * re-cut for the wider radius); MinPts = 2 NEIGHBORS (the classic
+    * "minPts = 3 including the point itself").
+    */
+  private val DbRadius = 5
+  private val DbBands = 6
+  private val DbBandBits = 10 // 6 × 10 = 60
+  private val DbMinNbrs = 2
+
+  /** q255 — DBSCAN DENSITY CLUSTERING over document fingerprints
+    * (Ester et al., KDD'96), the principled upgrade over plain
+    * connected components for near-dup corpus structure: CC (q59)
+    * chains A–B–C into one cluster even when A and C are unrelated —
+    * one accidental bridge merges two dup families. DBSCAN only lets
+    * DENSE points (≥ MinPts neighbors within eps) propagate cluster
+    * membership, so sparse bridges become border/noise instead of
+    * welds. Metric space: 60-bit md5 simhashes (q47b) under Hamming
+    * distance, eps = ≤ 5 bits; the eps-neighborhood join is the
+    * PIGEONHOLE band join (radius 5 → 6 disjoint 10-bit bands),
+    * provably LOSSLESS like q229 — so the clustering is an exact
+    * function of the corpus, and the brute-force oracle hash-verifies
+    * it: roles and labels, not just counts.
+    *
+    * Semantics (deterministic by construction): core = ≥ 2 neighbors
+    * within radius; clusters = connected components over CORE–CORE
+    * eps-edges (label = min core doc_id, the [[connectedComponents]]
+    * contract), isolated cores are singleton clusters; border =
+    * non-core adjacent to ≥ 1 core, attached to the MIN adjacent
+    * core label (classic DBSCAN leaves border assignment
+    * scan-order-dependent; the min rule makes it engine-exact);
+    * everything else — including docs with no eps-neighbor at all —
+    * is noise with a NULL label.
+    *
+    * Scale shape: fingerprints are one groupBy(doc) with map-side bit
+    * tallies; the band join shuffles 6 (band, 10-bit key, id, sh)
+    * rows per doc; degrees/roles are id-only aggregates; the CC
+    * iteration runs on the CORE subgraph only (≪ corpus — density
+    * pruning shrinks the graph before the iterative stage, the
+    * reverse of q59 which iterates on every matched pair). Band-value
+    * heat at corpus scale is the q129 salting case.
+    */
+  private def q255(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.simhash60Frame(spark, dir)
+    val banded = sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until DbBands).map(lit(_)): _*)).as("band"))
+      .withColumn("bv", expr(s"shiftright(sh, band * $DbBandBits)")
+        .bitwiseAND(lit((1L << DbBandBits) - 1)))
+    val pairs = banded.select(col("band"), col("bv"),
+        col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .join(banded.select(col("band"), col("bv"),
+        col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr("bit_count(a_sh ^ b_sh)") <= DbRadius)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+      .localCheckpoint() // feeds degrees, core edges, and border attach
+    val nbrs = pairs.select(explode(array(
+        struct(col("a_id").as("id"), col("b_id").as("nb")),
+        struct(col("b_id").as("id"), col("a_id").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
+    val deg = nbrs.groupBy(col("id")).agg(count(lit(1)).as("n_neighbors"))
+    val core = deg.filter(col("n_neighbors") >= DbMinNbrs).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a_id")), "a_id")
+      .join(core.select(col("id").as("b_id")), "b_id")
+    val comp = connectedComponents(coreEdges)
+    val coreClusters = core
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_id"))
+    val borderAssign = nbrs
+      .join(coreClusters.select(col("id").as("nb"), col("cluster_id")), "nb")
+      .join(core.withColumn("is_core", lit(1)), Seq("id"), "left")
+      .filter(col("is_core").isNull)
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(deg.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(coreClusters.select(col("id").as("doc_id"), col("cluster_id").as("core_cl")),
+        Seq("doc_id"), "left")
+      .join(borderAssign.select(col("id").as("doc_id"), col("cluster_id").as("border_cl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        when(col("core_cl").isNotNull, lit("core"))
+          .when(col("border_cl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cl"), col("border_cl")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q255Sql =
+    s"""WITH RECURSIVE
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT AS h FROM w),
+       |bt AS (SELECT doc_id, j,
+       |              SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |       FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+       |       GROUP BY doc_id, j),
+       |s AS (SELECT doc_id,
+       |             CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh
+       |      FROM bt GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+       |      FROM s a JOIN s b2 ON a.doc_id < b2.doc_id
+       |      WHERE bit_count(xor(a.sh, b2.sh)) <= $DbRadius),
+       |nb AS (SELECT a_id AS id, b_id AS nb FROM p
+       |       UNION ALL SELECT b_id, a_id FROM p),
+       |deg AS (SELECT id, COUNT(*) AS n FROM nb GROUP BY id),
+       |core AS (SELECT id FROM deg WHERE n >= $DbMinNbrs),
+       |ce AS (SELECT a_id AS u, b_id AS v FROM p
+       |       WHERE a_id IN (SELECT id FROM core) AND b_id IN (SELECT id FROM core)),
+       |sym AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+       |reach AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT sy.v AS id, r.comp FROM reach r JOIN sym sy ON sy.u = r.id),
+       |mp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+       |cl AS (SELECT c.id, COALESCE(mp.comp, c.id) AS cluster_id
+       |       FROM core c LEFT JOIN mp ON c.id = mp.id),
+       |bo AS (SELECT nb.id, MIN(cl.cluster_id) AS cluster_id
+       |       FROM nb JOIN cl ON nb.nb = cl.id
+       |       WHERE nb.id NOT IN (SELECT id FROM core)
+       |       GROUP BY nb.id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(deg.n, 0) AS BIGINT) AS n_neighbors,
+       |       CASE WHEN cl.id IS NOT NULL THEN 'core'
+       |            WHEN bo.id IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS role,
+       |       CAST(COALESCE(cl.cluster_id, bo.cluster_id) AS BIGINT) AS cluster_id
+       |FROM documents d
+       |LEFT JOIN deg ON d.doc_id = deg.id
+       |LEFT JOIN cl ON d.doc_id = cl.id
+       |LEFT JOIN bo ON d.doc_id = bo.id
+       |ORDER BY d.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q255_dbscan_clusters", q255, Some(q255Sql)),
     QuerySpec("q213_kcore", q213, Some(q213Sql)),
     QuerySpec("q209_shortest_paths", q209, Some(q209Sql)),
     QuerySpec("q196_bfs_contamination_radius", q196, Some(q196Sql)),
