@@ -1543,6 +1543,102 @@ object Similarity {
        |FROM q x JOIN q y ON y.vec_id = x.vec_id AND x.pos <= y.pos
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q256 — KERNEL TWO-SAMPLE TEST (MMD) between every pair of
+    * embedding labels (Gretton et al., JMLR 2012): "do these two
+    * slices of the corpus come from the same embedding
+    * distribution?" — the domain-shift / mixture-drift detector a
+    * training-data pipeline runs before trusting that a new source
+    * matches an old one. Kernel k(x,y) = (x·y)² over the int8
+    * quantized codes; MMD² = mean k within A + mean k within B −
+    * 2·mean k across.
+    *
+    * The 100 TB point is HOW the pairwise statistic is computed:
+    * never as a pair join. For the quadratic kernel,
+    * Σ_{x∈A,y∈B}(x·y)² = Σ_{ij} M^A_{ij}·M^B_{ij} where M^L is
+    * label L's D×D second-moment (Gram) matrix — so the corpus
+    * reduces MAP-SIDE to |labels|·D² bounded cells (the q187 double-
+    * posexplode, per label), and every O(n²) kernel sum becomes a
+    * D²-cell contraction of two small matrices. Adding a source
+    * never touches the others' data; the statistic is mergeable.
+    *
+    * Exactness: code products are integers, so M is exact BIGINT;
+    * the contraction runs in DECIMAL(38,0)/HUGEINT (cell products
+    * reach ~1e15 and 4096 of them sum well past BIGINT); the
+    * readout is the V-statistic (self-pairs included) with each
+    * mean kernel FLOORED to BIGINT (documented floor-mean
+    * convention — all terms nonnegative, so trunc ≡ floor in both
+    * engines), and mmd2_mean = kaa + kbb − 2·kab over the floored
+    * means. Output: 45 label pairs, hash-gated.
+    */
+  private def q256(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantCodeVecs(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), "vec_id")
+    val moments = vecs
+      .select(col("label"), col("cs"), posexplode(col("cs")).as(Seq("i", "ci")))
+      .select(col("label"), col("i"), col("ci"), posexplode(col("cs")).as(Seq("j", "cj")))
+      .groupBy(col("label"), col("i"), col("j"))
+      .agg(sum(col("ci") * col("cj")).as("m"))
+    val s = moments.select(col("label").as("la"), col("i"), col("j"), col("m").as("ma"))
+      .join(moments.select(col("label").as("lb"), col("i"), col("j"), col("m").as("mb")),
+        Seq("i", "j"))
+      .filter(col("la") <= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(expr("CAST(ma AS DECIMAL(38,0)) * mb")).as("s"))
+    val counts = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    s.filter(col("la") < col("lb"))
+      .select(col("la").as("a_label"), col("lb").as("b_label"), col("s").as("sab"))
+      .join(broadcast(s.filter(col("la") === col("lb"))
+        .select(col("la").as("a_label"), col("s").as("saa"))), "a_label")
+      .join(broadcast(s.filter(col("la") === col("lb"))
+        .select(col("lb").as("b_label"), col("s").as("sbb"))), "b_label")
+      .join(broadcast(counts.select(col("label").as("a_label"), col("n").as("n_a"))), "a_label")
+      .join(broadcast(counts.select(col("label").as("b_label"), col("n").as("n_b"))), "b_label")
+      .select(col("a_label"), col("b_label"), col("n_a"), col("n_b"),
+        expr("CAST(saa DIV (CAST(n_a AS DECIMAL(38,0)) * n_a) AS BIGINT)").as("kaa_mean"),
+        expr("CAST(sbb DIV (CAST(n_b AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("kbb_mean"),
+        expr("CAST(sab DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("kab_mean"))
+      .withColumn("mmd2_mean", expr("kaa_mean + kbb_mean - 2 * kab_mean"))
+      .orderBy(col("a_label"), col("b_label"))
+  }
+
+  private val q256Sql =
+    s"""WITH p AS (
+       |  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |         generate_subscripts(embedding, 1) - 1 AS pos
+       |  FROM embeddings),
+       |r AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM p GROUP BY pos),
+       |q AS (
+       |  SELECT vec_id, label, p.pos,
+       |         CASE WHEN mx = mn THEN 0
+       |              ELSE LEAST(GREATEST(CAST(floor((x - mn) * 254.0 / (mx - mn)) - 127 AS BIGINT), -127), 127)
+       |         END AS c
+       |  FROM p JOIN r ON p.pos = r.pos),
+       |m AS (
+       |  SELECT a.label, a.pos AS i, b.pos AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS m
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT x.label AS la, y.label AS lb,
+       |         CAST(SUM(CAST(x.m AS HUGEINT) * y.m) AS HUGEINT) AS s
+       |  FROM m x JOIN m y ON x.i = y.i AND x.j = y.j AND x.label <= y.label
+       |  GROUP BY 1, 2),
+       |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1)
+       |SELECT ab.la AS a_label, ab.lb AS b_label, na.n AS n_a, nb.n AS n_b,
+       |       CAST(aa.s // (CAST(na.n AS HUGEINT) * na.n) AS BIGINT) AS kaa_mean,
+       |       CAST(bb.s // (CAST(nb.n AS HUGEINT) * nb.n) AS BIGINT) AS kbb_mean,
+       |       CAST(ab.s // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS kab_mean,
+       |       CAST(aa.s // (CAST(na.n AS HUGEINT) * na.n) AS BIGINT)
+       |         + CAST(bb.s // (CAST(nb.n AS HUGEINT) * nb.n) AS BIGINT)
+       |         - 2 * CAST(ab.s // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS mmd2_mean
+       |FROM s ab
+       |JOIN s aa ON aa.la = ab.la AND aa.lb = ab.la
+       |JOIN s bb ON bb.la = ab.lb AND bb.lb = ab.lb
+       |JOIN n na ON na.label = ab.la
+       |JOIN n nb ON nb.label = ab.lb
+       |WHERE ab.la < ab.lb
+       |ORDER BY a_label, b_label""".stripMargin
+
   /** q211 — ANN QUALITY EVALUATION: recall@K and reciprocal rank of
     * the LSH path (q49b's SRP-bucketed retrieval) against exact
     * brute-force ground truth, per query — the eval harness every
@@ -1657,6 +1753,7 @@ object Similarity {
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q211_ann_eval", q211, Some(q211Sql)),
     QuerySpec("q187_gram_matrix", q187, Some(q187Sql)),
+    QuerySpec("q256_mmd_two_sample", q256, Some(q256Sql)),
     QuerySpec("q48_ann_bruteforce", q48, Some(q48Sql), headline = true),
     QuerySpec("q48b_embedding_norms", q48b, Some(q48bSql)),
     QuerySpec("q49_ann_lsh",        q49, None,         headline = true),
