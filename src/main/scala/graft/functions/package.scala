@@ -85,4 +85,10 @@ package object functions {
     SparkBridge.toColumn(BloomMightContain(
       SparkBridge.toExpression(bitmap), SparkBridge.toExpression(h1),
       SparkBridge.toExpression(h2), m, k))
+
+  /** Binary-search bucket index of a bigint key against sorted
+    * distinct literal cuts — see [[SearchSortedLong]].
+    */
+  def search_sorted(key: Column, cuts: Seq[Long]): Column =
+    SparkBridge.toColumn(SearchSortedLong(SparkBridge.toExpression(key), cuts))
 }

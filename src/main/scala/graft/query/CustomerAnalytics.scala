@@ -52,15 +52,14 @@ object CustomerAnalytics {
         sum(cents(col("o_totalprice"))).as("monetary_cents"))
       .localCheckpoint()
     // unix_micros is monotone-bijective on timestamps, so ordering by
-    // it equals ordering by last_order (the rank key must be numeric)
-    val scored = Seq[(String, org.apache.spark.sql.Column)](
-      ("r_score", expr("unix_micros(CAST(last_order AS TIMESTAMP))")),
-      ("f_score", col("n_orders")),
-      ("m_score", col("monetary_cents")))
-      .foldLeft(perCust) { case (df, (out, metric)) =>
-        graft.scale.DistributedRank
-          .withNtile(df, out, 5, metric, Seq(col("o_custkey")))
-      }
+    // it equals ordering by last_order (the rank key must be numeric);
+    // the three scores share ONE percentile action and ONE joint
+    // 16³-cell count action (withNtiles), not two actions per score
+    val scored = graft.scale.DistributedRank.withNtiles(perCust,
+      Seq(("r_score", 5, expr("unix_micros(CAST(last_order AS TIMESTAMP))")),
+        ("f_score", 5, col("n_orders")),
+        ("m_score", 5, col("monetary_cents"))),
+      Seq(col("o_custkey")), buckets = 16)
     scored
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),

@@ -1022,10 +1022,9 @@ object Layout {
       .withColumn("z", zValue(col("p"), col("s")))
       .withColumn("h", graft.functions.hilbert_index(col("p"), col("s")))
       .localCheckpoint()
-    val cells = Seq(("fz", "z"), ("fh", "h"))
-      .foldLeft(curved) { case (df, (out, curve)) =>
-        DistributedRank.withNtile(df, out, 64, col(curve), Seq(col("p"), col("s")))
-      }
+    val cells = DistributedRank.withNtiles(curved,
+      Seq(("fz", 64, col("z")), ("fh", 64, col("h"))),
+      Seq(col("p"), col("s")), buckets = 64)
     val mx = Tables.lineitem(spark, dir)
       .agg(max(col("l_partkey")).as("pm"), max(col("l_suppkey")).as("sm"))
     val boxes = mx.select(explode(array(

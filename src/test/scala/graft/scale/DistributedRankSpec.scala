@@ -66,6 +66,22 @@ class DistributedRankSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("withNtiles (multi-key) equals independent global-window ntiles on every shape") {
+    shapes.foreach { case (label, rows) =>
+      val df = rows.map { case (k, id) => (k, (id * 7919L) % 101L, id) }
+        .toDF("k1", "k2", "id").repartition(4)
+      val got = DistributedRank.withNtiles(df,
+          Seq(("t1", 4, col("k1")), ("t2", 7, col("k2"))),
+          Seq(col("id")), buckets = 8)
+        .select(col("id"), col("t1"), col("t2"))
+      val want = df
+        .withColumn("t1", ntile(4).over(Window.orderBy(col("k1"), col("id"))))
+        .withColumn("t2", ntile(7).over(Window.orderBy(col("k2"), col("id"))))
+        .select(col("id"), col("t1"), col("t2"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, label)
+    }
+  }
+
   test("empty input yields an empty ranked frame") {
     val df = frame(Seq.empty)
     assert(DistributedRank.withRank(df, "r", col("k"), Seq(col("id"))).count() === 0L)
