@@ -207,10 +207,16 @@ object CustomerAnalytics {
       .distinct()
       .localCheckpoint()
 
-    def renorm(df: DataFrame, key: String): DataFrame = df
-      .withColumn("tot", sum(col("s")).over(Window.partitionBy()))
-      .select(col(key),
-        expr(s"CAST(CAST(s AS DECIMAL(38,0)) * $HitsScale DIV tot AS BIGINT)").as("s"))
+    // the normalizing total is ONE bounded driver scalar per
+    // half-round (the DistributedRank offsets class) — the previous
+    // Window.partitionBy() form moved every node's score into a
+    // single task, 2×rounds times (the q217-family hazard, hidden
+    // behind an empty partitionBy instead of a bare orderBy)
+    def renorm(df: DataFrame, key: String): DataFrame = {
+      val tot = df.agg(sum(col("s"))).head().getLong(0)
+      df.select(col(key),
+        expr(s"CAST(CAST(s AS DECIMAL(38,0)) * $HitsScale DIV ${tot}L AS BIGINT)").as("s"))
+    }
 
     var hub = edges.select(col("c")).distinct().withColumn("s", lit(1000000L))
     var auth: DataFrame = null
@@ -221,21 +227,24 @@ object CustomerAnalytics {
     // halves checkpoint (the q209 fixpoint rule, plus fresh stats for
     // the join planner each half-round).
     for (_ <- 1 to HitsRounds) {
+      // checkpoint BEFORE renorm so its scalar-total action reads the
+      // pinned aggregate instead of re-running the round's join
       auth = renorm(
-        edges.join(hub, "c").groupBy(col("p")).agg(sum(col("s")).as("s")), "p")
-        .localCheckpoint()
+        edges.join(hub, "c").groupBy(col("p")).agg(sum(col("s")).as("s"))
+          .localCheckpoint(), "p")
       hub = renorm(
-        edges.join(auth, "p").groupBy(col("c")).agg(sum(col("s")).as("s")), "c")
-        .localCheckpoint()
+        edges.join(auth, "p").groupBy(col("c")).agg(sum(col("s")).as("s"))
+          .localCheckpoint(), "c")
     }
-    val topAuth = auth
+    // top-10 via distributed TakeOrdered (orderBy+limit), THEN the
+    // rank window over the ≤10 surviving rows — the former global
+    // row_number sorted every node in one task
+    val topAuth = auth.orderBy(col("s").desc, col("p")).limit(10)
       .withColumn("rk", row_number().over(Window.orderBy(col("s").desc, col("p"))))
-      .filter(col("rk") <= 10)
       .select(lit("authority").as("side"), col("rk"), col("p").as("key"),
         expr("s DIV 1000000").as("score_ppm"))
-    val topHub = hub
+    val topHub = hub.orderBy(col("s").desc, col("c")).limit(10)
       .withColumn("rk", row_number().over(Window.orderBy(col("s").desc, col("c"))))
-      .filter(col("rk") <= 10)
       .select(lit("hub").as("side"), col("rk"), col("c").as("key"),
         expr("s DIV 1000000").as("score_ppm"))
     topAuth.unionAll(topHub).orderBy("side", "rk")

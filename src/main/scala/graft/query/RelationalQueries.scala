@@ -1866,29 +1866,30 @@ object RelationalQueries {
     * count) — "longest AND most lexically diverse" without collapsing
     * the two criteria into one score. The naive formulation is a
     * quadratic dominance self-join; in 2D the skyline is ORDER-
-    * REDUCIBLE: sort by one axis and a point survives iff its second
-    * coordinate strictly exceeds the running maximum over all points
-    * with a STRICTLY greater first coordinate (value-based RANGE
-    * frame, exact on integer axes) and it attains the maximum within
-    * its own first-coordinate tie group. Two window passes over one
-    * range-partitioned sort — no self-join, no O(n²). At 100 TB the
-    * global sort is Spark's range-partitioned orderBy (the same
-    * machinery as any large ORDER BY); higher dimensions would switch
-    * to the partition-local-skyline ∪ global-refine shape. Both
-    * engines share identical window semantics, so the oracle is the
-    * same construction verified value-exact.
+    * REDUCIBLE: a point survives iff its second coordinate strictly
+    * exceeds the maximum over all points with a STRICTLY greater
+    * first coordinate, and it attains the maximum within its own
+    * first-coordinate tie group. Both maxima live on the DISTINCT-
+    * VALUE SPINE (the q201/q204 shape): one per-nt aggregate off the
+    * scan, a prefix-max window over the spine's one-row-per-value
+    * table (bounded by the token-count domain, not the corpus), and
+    * one spine broadcast back — the former fact-scale running-max
+    * window over every document was the same single-partition hazard
+    * class as the q217 family. Higher dimensions would switch to the
+    * partition-local-skyline ∪ global-refine shape. Identical
+    * results; the oracle keeps the direct window construction, so
+    * the hash gate proves the spine reduction exact.
     */
   private def q182(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("nt"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
-    val wStrict = Window.orderBy(col("nt").desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wTie = Window.partitionBy(col("nt"))
-    docs
-      .withColumn("m1", max(col("nd")).over(wStrict))
-      .withColumn("m2", max(col("nd")).over(wTie))
+    val spine = docs.groupBy(col("nt")).agg(max(col("nd")).as("m2"))
+      // one row per distinct nt ⇒ rows-strict-preceding ≡ value-strict
+      .withColumn("m1", max(col("m2")).over(
+        Window.orderBy(col("nt").desc).rowsBetween(Window.unboundedPreceding, -1)))
+    docs.join(broadcast(spine), "nt")
       .filter(col("nd") === col("m2") &&
         (col("m1").isNull || col("nd") > col("m1")))
       .select(col("doc_id"), col("nt"), col("nd"))

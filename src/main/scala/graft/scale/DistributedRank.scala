@@ -128,6 +128,48 @@ object DistributedRank {
     }
   }
 
+  /** Exact EXCLUSIVE prefix sum of `value` under ascending (key,
+    * tiebreaks…) — Σ value over STRICTLY preceding rows, 0 for the
+    * first — by the same two-pass shape as [[withRank]]: per-bucket
+    * partial sums (≤ `buckets` rows, one bounded action) broadcast as
+    * offsets, running sum local to each bucket. Replaces the
+    * data-proportional `sum().over(Window.orderBy(key))` cumulative
+    * windows on frames that grow with the data (e.g. q184's
+    * distinct-price spine).
+    */
+  def withPrefixSum(
+      df: DataFrame,
+      out: String,
+      value: Column,
+      key: Column,
+      tiebreaks: Seq[Column],
+      buckets: Int = 64,
+      bounds: Option[Seq[Long]] = None): DataFrame = {
+    val keyed = df
+      .withColumn("_drk_k", key.cast("long"))
+      .withColumn("_drk_v", value.cast("long"))
+    val cuts = bounds.getOrElse(percentileBounds(keyed, buckets)).distinct.sorted
+    val bucketed = keyed.withColumn("_drk_b", bucketCol("_drk_k", cuts))
+    val sums = bucketed.groupBy(col("_drk_b"))
+      .agg(sum(col("_drk_v")).as("_drk_s"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = sums
+      .scanLeft((0, 0L, 0L)) { case ((_, cum, c0), (b, c)) => (b, cum + c0, c) }
+      .drop(1)
+      .map { case (b, off, _) => b -> off }
+      .toMap
+    val w = Window.partitionBy(col("_drk_b"))
+      .orderBy(col("_drk_k") +: tiebreaks: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn(out,
+        coalesce(sum(col("_drk_v")).over(w), lit(0L)) +
+          coalesce(element_at(typedlit(offsets), col("_drk_b")), lit(0L)))
+      .drop("_drk_b", "_drk_k", "_drk_v")
+  }
+
   private def bucketCol(keyName: String, cuts: Seq[Long]): Column =
     if (cuts.isEmpty) lit(0)
     else graft.functions.search_sorted(col(keyName), cuts)

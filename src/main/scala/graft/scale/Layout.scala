@@ -448,23 +448,29 @@ object Layout {
     *
     * Scale shape: the only per-ROW stage is the distributed groupBy
     * to (value, count) — everything after runs on the DISTINCT-VALUE
-    * domain (bounded: prices, enum-ish keys — the q89 vocab-build
-    * argument), so the global cumulative window sorts ndv rows, not
-    * N. The exact-NDV/exact-boundary form is the oracle-checkable
+    * domain, and since ndv itself grows with data the rows_below
+    * cumulative runs as the two-pass
+    * [[graft.scale.DistributedRank.withPrefixSum]] (no
+    * single-partition sort of the spine either). The
+    * exact-NDV/exact-boundary form is the oracle-checkable
     * anchor; at genuinely unbounded domains the engine would swap in
     * the mergeable approx_percentile/HLL sketches (q27b/q33b) — same
     * artifact, sketched. The 1-row total broadcasts (q03 scalar
     * pattern, allowlisted).
     */
   private def q184(spark: SparkSession, dir: String): DataFrame = {
+    // pinned once: the prefix-sum's two bounded actions and the final
+    // pass all read the spine instead of re-shuffling the scan
     val counts = Tables.lineitem(spark, dir)
       .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = counts.agg(sum(col("cnt")).as("total"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cents")).rowsBetween(Long.MinValue, -1)
-    counts.crossJoin(broadcast(total))
-      .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // rows_below via the two-pass distributed prefix sum — the
+    // distinct-price spine GROWS with data, so the former global
+    // cumulative window was the q217-family hazard
+    DistributedRank.withPrefixSum(counts, "cum", col("cnt"), col("cents"), Seq.empty)
+      .crossJoin(broadcast(total))
       .withColumn("bucket", expr(s"(cum * $HistBuckets) DIV total"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("ndv"), sum(col("cnt")).as("n_rows"),

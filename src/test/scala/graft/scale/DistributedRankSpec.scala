@@ -82,6 +82,22 @@ class DistributedRankSpec extends SparkSpec {
     }
   }
 
+  test("withPrefixSum equals the global-window exclusive running sum on every shape") {
+    shapes.foreach { case (label, rows) =>
+      val df = rows.map { case (k, id) => (k, id, (id % 11L) + 1L) }
+        .toDF("k", "id", "v").repartition(4)
+      val got = DistributedRank
+        .withPrefixSum(df, "ps", col("v"), col("k"), Seq(col("id")), buckets = 8)
+        .select(col("id"), col("ps"))
+      val want = df
+        .withColumn("ps", coalesce(sum(col("v")).over(
+          Window.orderBy(col("k"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("id"), col("ps"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, label)
+    }
+  }
+
   test("empty input yields an empty ranked frame") {
     val df = frame(Seq.empty)
     assert(DistributedRank.withRank(df, "r", col("k"), Seq(col("id"))).count() === 0L)
