@@ -1131,6 +1131,41 @@ object Layout {
   private val ManifestLo = 852076800000000L // 1997-01-01T00:00:00Z
   private val ManifestHi = 883612800000000L // 1998-01-01T00:00:00Z
 
+  /** q257 — BLOOM-INDEXED POINT LOOKUP through the manifest source:
+    * the needle-in-a-haystack access pattern zone maps CANNOT serve —
+    * `ok` is uncorrelated with the ship_us clustering, so a range
+    * index prunes nothing for `ok = ?` — now served by the per-file
+    * 1024-bit bloom the V2 writer embeds in every manifest entry
+    * (Delta/Iceberg's bloom file index, OR-mergeable under q245's
+    * compaction like the zone-map union). The source's planning
+    * consults the bloom BEFORE creating InputPartitions: a
+    * definitely-absent file never opens (BloomSkipSpec pins hit
+    * pruning AND the ~zero-file plan for an absent key); false
+    * positives cost an open, never a wrong row — every predicate is
+    * re-applied as residual, so the driver's hash gate proves
+    * results identical to the parquet oracle. One present key and
+    * one absent key probe both paths; the absent key contributes no
+    * group, which the oracle mirrors.
+    */
+  private def q257(spark: SparkSession, dir: String): DataFrame = {
+    val path = manifestStore(spark, dir)
+    def side(key: Long) = spark.read.format("graft-manifest").option("path", path)
+      .option("manifest", "manifest.csv").load()
+      .filter(col("ok") === key)
+      .groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("qty_sum"),
+        sum(col("price_cents")).as("revenue_cents"))
+    side(1L).unionAll(side(-1L)).orderBy(col("ok"))
+  }
+
+  private val q257Sql =
+    """SELECT l_orderkey AS ok, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM lineitem WHERE l_orderkey IN (1, -1)
+      |GROUP BY 1 ORDER BY ok""".stripMargin
+
   /** Write the manifest store THROUGH the source's own V2 write path
     * (one file per ship month): tasks stream rows + track zone maps,
     * the driver's BatchWrite.commit writes the manifest — the
@@ -1321,6 +1356,7 @@ object Layout {
     QuerySpec("q240_column_lineage", q240, Some(q240Sql)),
     QuerySpec("q242_hilbert_layout", q242, Some(q242Sql)),
     QuerySpec("q244_manifest_skipping", q244, Some(q244Sql)),
+    QuerySpec("q257_bloom_point_lookup", q257, Some(q257Sql)),
     QuerySpec("q245_manifest_compaction", q245, Some(q245Sql)),
     QuerySpec("q249_manifest_append", q249, Some(q249Sql)),
     QuerySpec("q251_manifest_retention", q251, Some(q251Sql)),

@@ -67,7 +67,55 @@ object ManifestSource {
     StructField("flag", StringType), StructField("qty", LongType),
     StructField("price_cents", LongType)))
 
-  final case class FileEntry(file: String, min: Long, max: Long, rows: Long)
+  /** Per-file BLOOM FILTER over `ok` — the second data-skipping
+    * surface next to the ship_us zone map: zone maps prune RANGE
+    * predicates on the clustering axis; the bloom prunes EQUALITY
+    * lookups on the (non-clustered) key — the needle-in-a-haystack
+    * file pruning Delta/Iceberg ship as bloom/file-index metadata.
+    * 1024 bits, 4 Kirsch–Mitzenmacher probes from one splitmix64;
+    * blooms OR-merge under compaction (a mergeable index, like the
+    * zone-map union).
+    */
+  val BloomWords = 16 // 1024 bits
+  val BloomK = 4
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def bloomInsert(bits: Array[Long], key: Long): Unit = {
+    val h1 = mix64(key); val h2 = mix64(h1) | 1L
+    var i = 0
+    while (i < BloomK) {
+      val b = java.lang.Long.remainderUnsigned(h1 + i * h2, BloomWords * 64L).toInt
+      bits(b >> 6) |= 1L << (b & 63)
+      i += 1
+    }
+  }
+
+  def bloomMightContain(bits: Array[Long], key: Long): Boolean = {
+    val h1 = mix64(key); val h2 = mix64(h1) | 1L
+    var i = 0
+    while (i < BloomK) {
+      val b = java.lang.Long.remainderUnsigned(h1 + i * h2, BloomWords * 64L).toInt
+      if ((bits(b >> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def bloomHex(bits: Array[Long]): String =
+    bits.map(w => f"$w%016x").mkString
+
+  def bloomFromHex(s: String): Array[Long] =
+    (0 until BloomWords).map(i =>
+      java.lang.Long.parseUnsignedLong(s.substring(i * 16, i * 16 + 16), 16)).toArray
+
+  final case class FileEntry(file: String, min: Long, max: Long, rows: Long,
+      bloom: Option[Array[Long]] = None)
 
   /** Snapshot resolution: an explicit `manifest` option pins a
     * version (time travel); otherwise the VERSION pointer file names
@@ -119,10 +167,17 @@ object ManifestSource {
           val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
           try src.getLines().foreach(w.println) finally src.close()
         } finally w.close()
-        (out, es.map(_.min).min, es.map(_.max).max, es.map(_.rows).sum)
+        // bloom union = bitwise OR (mergeable, like the zone-map
+        // union); absent on any input → absent on the output
+        val bloom =
+          if (es.forall(_.bloom.isDefined))
+            Some(es.map(_.bloom.get).reduce((a, b) =>
+              a.zip(b).map { case (x, y) => x | y }))
+          else None
+        FileEntry(out, es.map(_.min).min, es.map(_.max).max, es.map(_.rows).sum, bloom)
       }.collect()
     val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest-v2.csv"), "UTF-8")
-    try stats.foreach { case (f, mn, mx, n) => mw.println(s"$f,$mn,$mx,$n") }
+    try stats.foreach(e => mw.println(entryLine(e)))
     finally mw.close()
     val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
     try vw.println("manifest-v2.csv") finally vw.close()
@@ -153,19 +208,22 @@ object ManifestSource {
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        val bloom = new Array[Long](BloomWords)
         try src.getLines().foreach { l =>
-          val us = l.split(',')(1).toLong
+          val a = l.split(',')
+          val us = a(1).toLong
           if (us >= cutoffUs) {
             w.println(l); n += 1
             if (us < mn) mn = us
             if (us > mx) mx = us
+            bloomInsert(bloom, a(0).toLong) // rewrite reads every row anyway
           }
         } finally { src.close(); w.close() }
-        FileEntry(out, mn, mx, n)
+        FileEntry(out, mn, mx, n, Some(bloom))
       }.collect().filter(_.rows > 0)
     val name = s"manifest-gen${nextGeneration(dir)}.csv"
     val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-    try (above ++ rewritten).foreach(e => mw.println(s"${e.file},${e.min},${e.max},${e.rows}"))
+    try (above ++ rewritten).foreach(e => mw.println(entryLine(e)))
     finally mw.close()
     val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
     try vw.println(name) finally vw.close()
@@ -196,10 +254,15 @@ object ManifestSource {
     val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
     try src.getLines().map { l =>
       val a = l.split(',')
-      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong)
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong,
+        if (a.length > 4 && a(4).nonEmpty) Some(bloomFromHex(a(4))) else None)
     }.toList
     finally src.close()
   }
+
+  def entryLine(e: FileEntry): String =
+    s"${e.file},${e.min},${e.max},${e.rows}" +
+      e.bloom.map("," + bloomHex(_)).getOrElse("")
 }
 
 final class ManifestTable(dir: String, pinned: Option[String])
@@ -242,8 +305,8 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
   }
 }
 
-final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Long)
-    extends WriterCommitMessage
+final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Long,
+    bloomHex: String) extends WriterCommitMessage
 
 final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     batchTag: Option[String]) extends BatchWrite {
@@ -257,11 +320,14 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(dir, suffix)
 
+  private def line(m: FileCommitMessage): String =
+    s"${m.file},${m.min},${m.max},${m.rows},${m.bloomHex}"
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
     if (truncate) {
       val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest.csv"), "UTF-8")
-      try entries.foreach(m => mw.println(s"${m.file},${m.min},${m.max},${m.rows}"))
+      try entries.foreach(m => mw.println(line(m)))
       finally mw.close()
       // a fresh base write invalidates any derived snapshot chain
       val vf = new java.io.File(dir, "VERSION")
@@ -284,8 +350,8 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       val name = s"manifest-gen${ManifestSource.nextGeneration(dir)}.csv"
       val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
       try {
-        existing.foreach(e => mw.println(s"${e.file},${e.min},${e.max},${e.rows}"))
-        entries.foreach(m => mw.println(s"${m.file},${m.min},${m.max},${m.rows}"))
+        existing.foreach(e => mw.println(ManifestSource.entryLine(e)))
+        entries.foreach(m => mw.println(line(m)))
       } finally mw.close()
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
@@ -316,6 +382,7 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suff
   private var min = Long.MaxValue
   private var max = Long.MinValue
   private var rows = 0L
+  private val bloom = new Array[Long](ManifestSource.BloomWords)
 
   override def write(r: InternalRow): Unit = {
     if (w == null) {
@@ -326,12 +393,13 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suff
     if (us < min) min = us
     if (us > max) max = us
     rows += 1
+    ManifestSource.bloomInsert(bloom, r.getLong(0))
     w.println(s"${r.getLong(0)},$us,${r.getUTF8String(2)},${r.getLong(3)},${r.getLong(4)}")
   }
 
   override def commit(): WriterCommitMessage = {
     if (w != null) w.close()
-    FileCommitMessage(file, min, max, rows)
+    FileCommitMessage(file, min, max, rows, ManifestSource.bloomHex(bloom))
   }
 
   override def abort(): Unit = {
@@ -349,12 +417,14 @@ final class ManifestScanBuilder(dir: String, manifest: String)
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // keep the ship_us zone-map-usable ones for pruning; EVERYTHING
-    // is returned as residual (file-granular stats are inexact)
+    // keep the ship_us zone-map-usable ones plus ok-equality (bloom
+    // index) for pruning; EVERYTHING is returned as residual
+    // (file-granular stats and bloom false positives are inexact)
     pushed = filters.filter {
       case GreaterThanOrEqual("ship_us", _) | GreaterThan("ship_us", _) |
            LessThanOrEqual("ship_us", _) | LessThan("ship_us", _) |
            EqualTo("ship_us", _) => true
+      case EqualTo("ok", _) => true
       case _ => false
     }
     filters
@@ -391,6 +461,11 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
         case LessThanOrEqual("ship_us", v: Long) => e.min <= v
         case LessThan("ship_us", v: Long) => e.min < v
         case EqualTo("ship_us", v: Long) => e.min <= v && e.max >= v
+        // bloom says definitely-absent → the file cannot hold the key;
+        // a manifest without a bloom (pre-index generations) never
+        // prunes on it
+        case EqualTo("ok", v: Long) =>
+          e.bloom.forall(ManifestSource.bloomMightContain(_, v))
         case _ => true
       }
     }
