@@ -54,7 +54,12 @@ object ExplainMain {
         // broadcast join
         "q231_join_elimination", "q238_row_policy",
         "q229_simhash_hamming_join", "q236_nested_pushdown",
-        "q239_federated_join", "q233_link_prediction")
+        "q239_federated_join", "q233_link_prediction",
+        // round-8: the six DistributedRank rewrites' plans (the
+        // bucket-partitioned windows), DBSCAN, the moment-matrix MMD,
+        // and the bloom point lookup
+        "q217_theta_set_ops", "q224_rfm_segments", "q242_hilbert_layout",
+        "q255_dbscan_clusters", "q256_mmd_two_sample", "q257_bloom_point_lookup")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
