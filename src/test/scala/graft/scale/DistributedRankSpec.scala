@@ -104,6 +104,40 @@ class DistributedRankSpec extends SparkSpec {
     assert(DistributedRank.withNtile(df, "t", 5, col("k"), Seq(col("id"))).count() === 0L)
   }
 
+  test("randomized shapes: rank/ntile/prefix-sum equal the window forms (seeded fuzz)") {
+    val rng = new scala.util.Random(0x5eed)
+    (1 to 12).foreach { round =>
+      val n = 1 + rng.nextInt(400)
+      val keySpace = 1 + rng.nextInt(if (rng.nextBoolean()) 5 else 5000)
+      val rows = (1L to n.toLong).map(id => (rng.nextInt(keySpace).toLong, id))
+      val buckets = 2 + rng.nextInt(30)
+      val tiles = 1 + rng.nextInt(12)
+      val df = frame(rows)
+      val gotR = DistributedRank
+        .withRank(df, "r", col("k"), Seq(col("id")), buckets)
+        .select(col("id"), col("r"))
+      val wantR = df.withColumn("r",
+          row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+        .select(col("id"), col("r"))
+      assert(gotR.except(wantR).isEmpty && wantR.except(gotR).isEmpty, s"rank round $round")
+      val gotT = DistributedRank
+        .withNtile(df, "t", tiles, col("k"), Seq(col("id")), buckets)
+        .select(col("id"), col("t"))
+      val wantT = df.withColumn("t",
+          ntile(tiles).over(Window.orderBy(col("k"), col("id"))))
+        .select(col("id"), col("t"))
+      assert(gotT.except(wantT).isEmpty && wantT.except(gotT).isEmpty, s"ntile round $round")
+      val gotP = DistributedRank
+        .withPrefixSum(df, "ps", col("id") % 13L + 1L, col("k"), Seq(col("id")), buckets)
+        .select(col("id"), col("ps"))
+      val wantP = df.withColumn("ps", coalesce(sum(col("id") % 13L + 1L).over(
+          Window.orderBy(col("k"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("id"), col("ps"))
+      assert(gotP.except(wantP).isEmpty && wantP.except(gotP).isEmpty, s"psum round $round")
+    }
+  }
+
   test("the ranking window is bucket-partitioned — never a global sort") {
     val df = frame((1L to 100L).map(i => (i % 13L, i)))
     val plan = DistributedRank.withRank(df, "r", col("k"), Seq(col("id")), buckets = 8)
