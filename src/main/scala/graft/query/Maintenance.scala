@@ -516,6 +516,84 @@ object Maintenance {
        |GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT user_id) < $AnonK
        |ORDER BY event_type, day, value_band""".stripMargin
 
+  /** q258 noise tables: cumulative ppb thresholds of the TRUNCATED
+    * two-sided geometric (support [-6, 6], tail mass collapsed into
+    * the extremes) for ε = 1.0 and ε = 0.5 — noise for threshold
+    * index i is i − 6; a draw past the last threshold is +6.
+    */
+  private val DpEps1CumPpb = Seq(
+    1147003L, 4264881L, 12740151L, 35778326L, 98402578L, 268632944L,
+    731367055L, 901597421L, 964221673L, 987259848L, 995735118L, 998852996L)
+  private val DpEpsHalfCumPpb = Seq(
+    12670092L, 33559543L, 68000426L, 124783841L, 218403866L, 372757193L,
+    627242806L, 781596133L, 875216158L, 931999573L, 966440456L, 987329907L)
+
+  /** q258 — DIFFERENTIAL-PRIVACY COUNT RELEASE with budget
+    * accounting: per-language and per-source document counts released
+    * through the (truncated) two-sided-geometric mechanism — the
+    * discrete-Laplace mechanism of Ghosh–Roughgarden–Sundararajan
+    * 2009, the standard integer-valued ε-DP release for
+    * sensitivity-1 counts — plus the sequential-composition
+    * bookkeeping (Σε over the release set) a DP data platform
+    * maintains per dataset. Released values clamp at zero
+    * (post-processing, free under DP).
+    *
+    * HONESTY NOTE (same class as the multimodal decode stub): the
+    * noise draw here is md5-SEEDED — deterministic, therefore not
+    * actually private — because the driver's hash gate needs both
+    * engines to replay the identical mechanism (the q208 seeded-
+    * uniform precedent). Everything AROUND the draw is the real
+    * operator: sensitivity-1 count aggregation, the exact
+    * integer-threshold inverse-CDF mapping (no float noise, no libm
+    * divergence), zero-clamping, and the ε ledger; a production
+    * release swaps the md5 uniform for a CSPRNG draw and nothing
+    * else changes. Truncation at ±6 collapses <0.3% (ε=1) / <2.6%
+    * (ε=0.5) of tail mass into the extremes — the bounded-noise
+    * variant, stated rather than hidden.
+    *
+    * Scale shape: two grouped counts over ids (map-side partial),
+    * noise is a per-GROUP map expression — rows never carry noise
+    * state; output bounded by the released domains.
+    */
+  private def q258(spark: SparkSession, dir: String): DataFrame = {
+    def release(dim: String, key: Column, cumPpb: Seq[Long],
+        epsMicro: Long, salt: String) = {
+      val noise = cumPpb.zipWithIndex.foldRight(lit(6L)) { case ((cum, i), els) =>
+        when(col("u") < cum, lit(i.toLong - 6L)).otherwise(els)
+      }
+      graft.Tables.documents(spark, dir)
+        .groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+        .withColumn("u", graft.ext.TrainPrep.md5Bucket(col("key"), 1000000000, salt))
+        .select(lit(dim).as("dim"), col("key"),
+          greatest(col("n") + noise, lit(0L)).as("released"),
+          lit(epsMicro).as("epsilon_micro"))
+    }
+    release("lang", col("lang"), DpEps1CumPpb, 1000000L, ":dp_lang")
+      .unionAll(release("source", col("source"), DpEpsHalfCumPpb, 500000L, ":dp_source"))
+      .withColumn("budget_total_micro", lit(1500000L)) // sequential composition
+      .orderBy("dim", "key")
+  }
+
+  private val q258Sql = {
+    def cases(cum: Seq[Long]) = cum.zipWithIndex
+      .map { case (c, i) => s"WHEN u < $c THEN ${i - 6}" }.mkString(" ")
+    def rel(dim: String, key: String, cum: Seq[Long], eps: Long, salt: String) =
+      s"""SELECT '$dim' AS dim, key,
+         |       GREATEST(n + CASE ${cases(cum)} ELSE 6 END, 0) AS released,
+         |       CAST($eps AS BIGINT) AS epsilon_micro
+         |FROM (
+         |  SELECT $key AS key, CAST(COUNT(*) AS BIGINT) AS n,
+         |         ('0x' || substr(md5($key || '$salt'), 1, 15))::BIGINT % 1000000000 AS u
+         |  FROM documents GROUP BY 1)""".stripMargin
+    s"""SELECT dim, key, CAST(released AS BIGINT) AS released, epsilon_micro,
+       |       CAST(1500000 AS BIGINT) AS budget_total_micro
+       |FROM (
+       |${rel("lang", "lang", DpEps1CumPpb, 1000000L, ":dp_lang")}
+       |UNION ALL
+       |${rel("source", "source", DpEpsHalfCumPpb, 500000L, ":dp_source")})
+       |ORDER BY dim, key""".stripMargin
+  }
+
   /** q133 cutoff: events at or after this instant arrive "late"; mid-day on purpose, so the cutoff day itself genuinely MERGES base and delta partials. */
   private val IvmCutoff = "2024-01-25 12:00:00"
 
@@ -1772,6 +1850,7 @@ object Maintenance {
     QuerySpec("q106_gdpr_erasure", q106, Some(q106Sql)),
     QuerySpec("q128_table_profile", q128, Some(q128Sql)),
     QuerySpec("q132_k_anonymity", q132, Some(q132Sql)),
+    QuerySpec("q258_dp_release", q258, Some(q258Sql)),
     QuerySpec("q133_incremental_rollup", q133, Some(q133Sql)),
     QuerySpec("q145_observed_dq", q145, Some(q145Sql)),
     QuerySpec("q158_merkle_diff", q158, Some(q158Sql)),
