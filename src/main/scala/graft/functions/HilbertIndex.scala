@@ -55,7 +55,10 @@ object HilbertIndex {
     */
   def computeAtOrder(order: Int, x0: Long, y0: Long): Long = {
     require(x0 >= 0 && x0 < (1L << order) && y0 >= 0 && y0 < (1L << order),
-      s"hilbert_index coordinates must be in [0, ${1L << order}): ($x0, $y0)")
+      s"hilbert_index: coordinate ($x0, $y0) outside [0, 2^$order = ${1L << order}) — " +
+        s"the order-$order grid covers TPC-H part keys to ~sf${(1L << order) / 200000} " +
+        "(200k parts/sf); raise HilbertIndex.Order (≤ 31 for a 62-bit curve position) " +
+        "to cover a larger key domain")
     var x = x0; var y = y0; var d = 0L
     var s = 1L << (order - 1)
     while (s > 0) {

@@ -213,8 +213,14 @@ object CustomerAnalytics {
     // single task, 2×rounds times (the q217-family hazard, hidden
     // behind an empty partitionBy instead of a bare orderBy)
     def renorm(df: DataFrame, key: String): DataFrame = {
-      val tot = df.agg(sum(col("s"))).head().getLong(0)
-      df.select(col(key),
+      // sum() is NULL on an empty (or all-null) frame — read it as an
+      // Option and short-circuit: a degenerate round renormalizes to
+      // the frame itself (empty in, empty out) instead of an NPE, and
+      // tot == 0 would otherwise divide by zero
+      val row = df.agg(sum(col("s"))).head()
+      val tot = if (row.isNullAt(0)) 0L else row.getLong(0)
+      if (tot == 0L) df.select(col(key), col("s"))
+      else df.select(col(key),
         expr(s"CAST(CAST(s AS DECIMAL(38,0)) * $HitsScale DIV ${tot}L AS BIGINT)").as("s"))
     }
 

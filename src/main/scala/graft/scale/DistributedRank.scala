@@ -3,6 +3,7 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 
 /** TWO-PASS DISTRIBUTED RANK / NTILE — the shared primitive that
   * replaces data-proportional `Window.orderBy(...)` (no partition →
@@ -71,12 +72,15 @@ object DistributedRank {
 
   /** SEVERAL independent NTILE columns over the same frame in TWO
     * bounded passes total: one combined percentile action and one
-    * JOINT bucket-count action (cell count ≤ buckets^keys — callers
-    * size `buckets` so the cell table stays driver-bounded; the
-    * marginal offsets per key fall out of the joint cells for free).
-    * Sequential [[withNtile]] calls would pay two actions per key,
-    * each re-evaluating every previous key's rank window inside its
-    * own lineage (measured on q242: 1.7s → 7s before this variant).
+    * GROUPING-SETS bucket-count action that computes every key's
+    * MARGINAL bucket counts in a single scan (≤ keys × buckets rows
+    * driver-side — NOT the joint buckets^keys cell table an earlier
+    * version collected, which capped 3-key use at ~100 buckets; the
+    * marginals are all the offsets need, so 1000+-bucket multi-key
+    * ranks are in range). Sequential [[withNtile]] calls would pay
+    * two actions per key, each re-evaluating every previous key's
+    * rank window inside its own lineage (measured on q242:
+    * 1.7s → 7s before this variant).
     */
   def withNtiles(
       df: DataFrame,
@@ -84,8 +88,10 @@ object DistributedRank {
       tiebreaks: Seq[Column],
       buckets: Int = 16): DataFrame = {
     val m = ntiles.size
-    require(m >= 1 && math.pow(buckets.toDouble, m.toDouble) <= 1e6,
-      s"joint cell table buckets^keys = $buckets^$m must stay driver-bounded")
+    require(m >= 1 && buckets.toLong * m <= 1000000L,
+      s"marginal count table keys × buckets = $m × $buckets must stay driver-bounded")
+    requireNoTempCols(df)
+    ntiles.foreach { case (_, _, key) => requireIntegral(df, key, "ntile key") }
     val keyed = ntiles.zipWithIndex.foldLeft(df) { case (d, ((_, _, key), i)) =>
       d.withColumn(s"_drk_k$i", key.cast("long"))
     }
@@ -102,15 +108,26 @@ object DistributedRank {
         else pctRow.getSeq[Long](i).distinct.sorted
       d.withColumn(s"_drk_b$i", bucketCol(s"_drk_k$i", cuts))
     }
-    val cells = bucketed
-      .groupBy((0 until m).map(i => col(s"_drk_b$i")): _*)
-      .agg(count(lit(1)).as("_drk_c"))
+    // one scan, one shuffle: GROUPING SETS {b0}, {b1}, … {b_{m-1}}
+    // yields each key's marginal bucket counts; grouping_id() tells
+    // the sets apart (bit i set = column i aggregated away)
+    val marginals = bucketed
+      .groupingSets((0 until m).map(i => Seq(col(s"_drk_b$i"))),
+        (0 until m).map(i => col(s"_drk_b$i")): _*)
+      .agg(count(lit(1)).as("_drk_c"), grouping_id().as("_drk_g"))
       .collect()
-    val n = cells.map(_.getLong(m)).sum
+    val full = (1L << m) - 1L
+    def setOf(i: Int): Long = full & ~(1L << (m - 1 - i))
+    val byKey = (0 until m).map { i =>
+      val rows = marginals.filter(_.getLong(m + 1) == setOf(i))
+      rows.foreach(r => require(!r.isNullAt(i),
+        s"DistributedRank: null ntile key for '${ntiles(i)._1}' — ranks over null keys " +
+          "diverge from Window.orderBy; filter or coalesce nulls first"))
+      rows.map(r => r.getInt(i) -> r.getLong(m)).sortBy(_._1)
+    }
+    val n = byKey.head.map(_._2).sum
     val tiled = (0 until m).foldLeft(bucketed) { (d, i) =>
-      val counts = cells.groupBy(_.getInt(i)).view
-        .mapValues(_.map(_.getLong(m)).sum).toSeq.sortBy(_._1)
-      val offsets: Map[Int, Long] = counts
+      val offsets: Map[Int, Long] = byKey(i)
         .scanLeft((0, 0L, 0L)) { case ((_, cum, c0), (b, c)) => (b, cum + c0, c) }
         .drop(1)
         .map { case (b, off, _) => b -> off }
@@ -145,6 +162,9 @@ object DistributedRank {
       tiebreaks: Seq[Column],
       buckets: Int = 64,
       bounds: Option[Seq[Long]] = None): DataFrame = {
+    requireNoTempCols(df)
+    requireIntegral(df, key, "prefix-sum key")
+    requireIntegral(df, value, "prefix-sum value")
     val keyed = df
       .withColumn("_drk_k", key.cast("long"))
       .withColumn("_drk_v", value.cast("long"))
@@ -153,7 +173,11 @@ object DistributedRank {
     val sums = bucketed.groupBy(col("_drk_b"))
       .agg(sum(col("_drk_v")).as("_drk_s"))
       .collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .map { r =>
+        require(!r.isNullAt(0),
+          "DistributedRank: null prefix-sum key — filter or coalesce nulls first")
+        r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
       .sortBy(_._1)
     val offsets: Map[Int, Long] = sums
       .scanLeft((0, 0L, 0L)) { case ((_, cum, c0), (b, c)) => (b, cum + c0, c) }
@@ -170,9 +194,40 @@ object DistributedRank {
       .drop("_drk_b", "_drk_k", "_drk_v")
   }
 
+  /** Null keys map to a NULL bucket in every branch (search_sorted is
+    * null-propagating; the no-cuts branch guards explicitly) so they
+    * surface in the bounded count action as a clear error instead of
+    * an NPE — ranks over null keys have no Window.orderBy-equivalent
+    * contract here.
+    */
   private def bucketCol(keyName: String, cuts: Seq[Long]): Column =
-    if (cuts.isEmpty) lit(0)
+    if (cuts.isEmpty) when(col(keyName).isNotNull, lit(0))
     else graft.functions.search_sorted(col(keyName), cuts)
+
+  /** The caller's frame must not use the reserved `_drk_` staging
+    * prefix — withColumn would silently replace (then drop) the
+    * caller's column.
+    */
+  private def requireNoTempCols(df: DataFrame): Unit = {
+    val clash = df.columns.filter(_.startsWith("_drk_"))
+    require(clash.isEmpty,
+      s"DistributedRank: input columns ${clash.mkString(", ")} use the reserved _drk_ prefix")
+  }
+
+  /** The long cast on the key (and prefix-sum value) is only exact
+    * for integral inputs — a fractional double/decimal would be
+    * silently truncated and the rank would diverge from
+    * `Window.orderBy(key)`. Fail at entry with the contract spelled
+    * out instead (dates go through unix_date/unix_micros, which are
+    * monotone).
+    */
+  private def requireIntegral(df: DataFrame, c: Column, what: String): Unit = {
+    val dt = df.select(c).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"DistributedRank: $what must be integral (Byte/Short/Int/Long), got $dt — " +
+        "fractional keys would be truncated by the long cast and diverge from " +
+        "Window.orderBy(key); map dates through unix_date/unix_micros first")
+  }
 
   private def ntileFromRank(rankCol: String, n: Long, tiles: Int): Column = {
     val q = n / tiles
@@ -192,6 +247,8 @@ object DistributedRank {
       tiebreaks: Seq[Column],
       buckets: Int,
       bounds: Option[Seq[Long]]): (DataFrame, Long) = {
+    requireNoTempCols(df)
+    requireIntegral(df, key, "rank key")
     val keyed = df.withColumn("_drk_k", key.cast("long"))
     val cuts = bounds.getOrElse(percentileBounds(keyed, buckets)).distinct.sorted
     // monotone bucket assignment: equal keys always share a bucket,
@@ -203,7 +260,12 @@ object DistributedRank {
     val counts = bucketed.groupBy(col("_drk_b"))
       .agg(count(lit(1)).as("_drk_c"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
+      .map { r =>
+        require(!r.isNullAt(0),
+          "DistributedRank: null rank key — ranks over null keys diverge from " +
+            "Window.orderBy; filter or coalesce nulls first")
+        r.getInt(0) -> r.getLong(1)
+      }
       .sortBy(_._1)
     val offsets: Map[Int, Long] = counts
       .scanLeft((0, 0L, 0L)) { case ((_, cum, c0), (b, c)) => (b, cum + c0, c) }

@@ -1212,9 +1212,9 @@ object Layout {
   /** q245 — MANIFEST COMPACTION + SNAPSHOT COMMIT: the small-file
     * maintenance op q127 plans, executed against the live
     * [[graft.sources.ManifestDataSource]] store — adjacent per-month
-    * files bin-pack into ~8× larger ones, `manifest-v2.csv` commits
-    * via the VERSION pointer (atomic snapshot swap; v1 remains
-    * pinnable for time travel). The readout runs the 1996–1997 range
+    * files bin-pack into ~8× larger ones, a generation-numbered
+    * manifest commits via the VERSION pointer (atomic snapshot swap;
+    * v1 remains pinnable for time travel). The readout runs the 1996–1997 range
     * rollup through the DEFAULT (now compacted) snapshot; the ORACLE
     * answers from the original parquet table, so the hash gate
     * certifies the rewrite moved bytes and changed nothing.

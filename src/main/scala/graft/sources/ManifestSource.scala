@@ -137,16 +137,22 @@ object ManifestSource {
     * clustering axis) into groups of ~`targetRows`, concatenate each
     * group's files into one (one task per group, executor-side IO,
     * order preserved so the file stays sorted and its zone map is
-    * the union), write `manifest-v2.csv`, and COMMIT by writing the
-    * VERSION pointer — readers flip atomically from v1 to v2, and a
-    * pinned `.option("manifest", "manifest.csv")` still time-travels
-    * to v1 (old data files are never touched). The grouping rule is
+    * the union), write a GENERATION-NUMBERED manifest (via
+    * [[nextGeneration]] — a fixed output name would let a second
+    * compaction, or one interleaved with appends, silently overwrite
+    * a snapshot that pinned readers still reference; the data files
+    * carry the same generation in their names for the same reason),
+    * and COMMIT by writing the VERSION pointer — readers flip
+    * atomically to the new snapshot, and a pinned
+    * `.option("manifest", "manifest.csv")` still time-travels to v1
+    * (old data files are never touched). The grouping rule is
     * deliberately relational-simple (group = preceding-rows DIV
     * target), so the small-file problem q127 PLANS for is here
-    * EXECUTED against a live reader. Returns (files before, after).
+    * EXECUTED against a live reader. Returns (files before, after,
+    * committed manifest name).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetRows: Long, from: String = "manifest.csv"): (Int, Int) = {
+      targetRows: Long, from: String = "manifest.csv"): (Int, Int, String) = {
     // ALWAYS compact from an explicit source snapshot: resolving the
     // current pointer would, on a re-run, compact v2 into itself —
     // reading part-c files while overwriting them (found the hard
@@ -155,13 +161,14 @@ object ManifestSource {
     require(entries.forall(!_.file.startsWith("part-c")),
       s"refusing to compact a compacted snapshot ($from)")
     var cum = 0L
+    val gen = nextGeneration(dir)
     val grouped = entries.map { e =>
       val g = cum / targetRows; cum += e.rows; (g, e)
     }.groupBy(_._1).toSeq.sortBy(_._1)
     val stats = spark.sparkContext
       .parallelize(grouped.map { case (g, es) => (g, es.map(_._2)) }, grouped.size.max(1))
       .map { case (g, es) =>
-        val out = s"part-c$g.csv"
+        val out = s"part-c$gen-$g.csv"
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
         try es.foreach { e =>
           val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
@@ -176,12 +183,13 @@ object ManifestSource {
           else None
         FileEntry(out, es.map(_.min).min, es.map(_.max).max, es.map(_.rows).sum, bloom)
       }.collect()
-    val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest-v2.csv"), "UTF-8")
+    val name = s"manifest-gen$gen.csv"
+    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
     try stats.foreach(e => mw.println(entryLine(e)))
     finally mw.close()
     val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
-    try vw.println("manifest-v2.csv") finally vw.close()
-    (entries.length, stats.length)
+    try vw.println(name) finally vw.close()
+    (entries.length, stats.length, name)
   }
 
   /** RETENTION DELETE: remove every row with ship_us < cutoff, doing
@@ -232,11 +240,12 @@ object ManifestSource {
 
   /** Next snapshot generation = max EXISTING generation + 1, never a
     * file COUNT: counting collides after an external manifest
-    * deletion or an interleaved compact (fixed `manifest-v2.csv`
-    * name), silently overwriting a snapshot that pinned readers may
-    * still reference. `manifest.csv` counts as generation 1 and
-    * `manifest-v2.csv` as 2, so the numbering is monotone across the
-    * whole chain.
+    * deletion, silently overwriting a snapshot that pinned readers
+    * may still reference. Every writer (append, retention, and —
+    * since round 9 — compaction) names its snapshot through this.
+    * `manifest.csv` counts as generation 1 and the legacy fixed-name
+    * `manifest-v2.csv` (pre-round-9 compaction output) as 2, so the
+    * numbering is monotone across the whole chain.
     */
   private[sources] def nextGeneration(dir: String): Long = {
     val GenName = """manifest-gen(\d+)\.csv""".r

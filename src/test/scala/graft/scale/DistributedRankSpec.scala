@@ -82,6 +82,56 @@ class DistributedRankSpec extends SparkSpec {
     }
   }
 
+  test("withNtiles at buckets=1024 × 3 keys — the joint-cell cap is gone") {
+    // the pre-round-9 joint cell table (buckets^keys ≤ 1e6) capped
+    // 3-key use at ~100 buckets; the grouping-sets marginals collect
+    // ≤ 3 × 1024 rows, so 1024 buckets × 3 keys must now work and
+    // stay bit-equal to the window forms
+    val df = (1L to 800L).map(i =>
+        ((i * 2654435761L) % 100000L, (i * 7919L) % 50021L, i % 17L, i))
+      .toDF("k1", "k2", "k3", "id").repartition(4)
+    val got = DistributedRank.withNtiles(df,
+        Seq(("t1", 4, col("k1")), ("t2", 100, col("k2")), ("t3", 7, col("k3"))),
+        Seq(col("id")), buckets = 1024)
+      .select(col("id"), col("t1"), col("t2"), col("t3"))
+    val want = df
+      .withColumn("t1", ntile(4).over(Window.orderBy(col("k1"), col("id"))))
+      .withColumn("t2", ntile(100).over(Window.orderBy(col("k2"), col("id"))))
+      .withColumn("t3", ntile(7).over(Window.orderBy(col("k3"), col("id"))))
+      .select(col("id"), col("t1"), col("t2"), col("t3"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("contract guards: fractional key, null key, and _drk_ columns all fail fast") {
+    val df = frame((1L to 20L).map(i => (i % 5L, i)))
+    // fractional key — would be silently truncated by the long cast
+    val fr = intercept[IllegalArgumentException] {
+      DistributedRank.withRank(df, "r", col("k") / 2.0, Seq(col("id")))
+    }
+    assert(fr.getMessage.contains("integral"), fr.getMessage)
+    // null key — no Window.orderBy-equivalent contract
+    val withNull = df.withColumn("k", when(col("id") === 7L, lit(null)).otherwise(col("k")))
+      .select(col("k").cast("long").as("k"), col("id"))
+    val nl = intercept[IllegalArgumentException] {
+      DistributedRank.withRank(withNull, "r", col("k"), Seq(col("id"))).count()
+    }
+    assert(nl.getMessage.contains("null"), nl.getMessage)
+    // a caller column under the reserved staging prefix would be
+    // silently replaced and dropped
+    val cl = intercept[IllegalArgumentException] {
+      DistributedRank.withRank(df.withColumn("_drk_k", col("k")), "r",
+        col("k"), Seq(col("id")))
+    }
+    assert(cl.getMessage.contains("_drk_"), cl.getMessage)
+    // same guards on the multi-ntile and prefix-sum entry points
+    intercept[IllegalArgumentException] {
+      DistributedRank.withNtiles(df, Seq(("t", 4, col("k") * 0.5)), Seq(col("id")))
+    }
+    intercept[IllegalArgumentException] {
+      DistributedRank.withPrefixSum(df, "ps", lit(1.5), col("k"), Seq(col("id")))
+    }
+  }
+
   test("withPrefixSum equals the global-window exclusive running sum on every shape") {
     shapes.foreach { case (label, rows) =>
       val df = rows.map { case (k, id) => (k, id, (id % 11L) + 1L) }

@@ -51,11 +51,11 @@ class BloomSkipSpec extends SparkSpec {
   test("compaction OR-merges blooms: lookups survive on the v2 snapshot") {
     val d = freshStore("compact")
     val expected = lookup(d, 1L).count()
-    ManifestSource.compact(spark, d, targetRows = 100000L)
+    val (_, _, compacted) = ManifestSource.compact(spark, d, targetRows = 100000L)
     val v2 = spark.read.format("graft-manifest").option("path", d).load()
       .filter(col("ok") === 1L)
     assert(v2.count() == expected, "compacted snapshot must serve the same lookup")
-    val entries = ManifestSource.readManifest(d, "manifest-v2.csv")
+    val entries = ManifestSource.readManifest(d, compacted)
     assert(entries.forall(_.bloom.isDefined), "compacted entries must carry OR-merged blooms")
   }
 

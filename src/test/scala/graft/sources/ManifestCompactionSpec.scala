@@ -15,24 +15,25 @@ class ManifestCompactionSpec extends SparkSpec {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_manifest_$tag").getAbsolutePath
 
+    val compacted = ManifestSource.resolveManifest(path, None)
+    assert(compacted.startsWith("manifest-gen"),
+      s"compaction must commit a generation-numbered snapshot, got $compacted")
     val v1 = ManifestSource.readManifest(path, "manifest.csv")
-    val v2 = ManifestSource.readManifest(path, "manifest-v2.csv")
+    val v2 = ManifestSource.readManifest(path, compacted)
     assert(v2.length < v1.length / 2, s"compaction too weak: ${v1.length} -> ${v2.length}")
     assert(v1.map(_.rows).sum == v2.map(_.rows).sum, "row counts must be conserved")
-    assert(ManifestSource.resolveManifest(path, None) == "manifest-v2.csv",
-      "VERSION pointer must commit v2")
 
     def snap(m: String) = spark.read.format("graft-manifest")
       .option("path", path).option("manifest", m).load()
     val a = snap("manifest.csv").groupBy("flag")
       .agg(count(lit(1)).as("n"), sum("price_cents").as("s")).collect().toSet
-    val b = snap("manifest-v2.csv").groupBy("flag")
+    val b = snap(compacted).groupBy("flag")
       .agg(count(lit(1)).as("n"), sum("price_cents").as("s")).collect().toSet
     assert(a == b, "compaction changed data")
 
     // pruning on the compacted snapshot: a 1-year window must still
     // skip most of the 7-year span
-    snap("manifest-v2.csv")
+    snap(compacted)
       .filter(col("ship_us") >= 852076800000000L && col("ship_us") < 883612800000000L)
       .count()
     val (planned, total) = ManifestScan.lastPlanned
