@@ -59,7 +59,11 @@ object ExplainMain {
         // bucket-partitioned windows), DBSCAN, the moment-matrix MMD,
         // and the bloom point lookup
         "q217_theta_set_ops", "q224_rfm_segments", "q242_hilbert_layout",
-        "q255_dbscan_clusters", "q256_mmd_two_sample", "q257_bloom_point_lookup")
+        "q255_dbscan_clusters", "q256_mmd_two_sample", "q257_bloom_point_lookup",
+        // round-9: the re-geometried DBSCAN blocking measurement, the
+        // incremental quotient-graph CC, and the real-codec batch map
+        "q259_dbscan_blocking_power", "q260_incremental_dup_clusters",
+        "q50e_codec_roundtrip")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

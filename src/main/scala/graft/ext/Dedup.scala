@@ -856,8 +856,153 @@ object Dedup {
     tallies.select(col("doc_id"), simhash.as("sh"))
   }
 
+  /** Shared q255/q259 fingerprint: 120-bit SHINGLE simhash per doc as
+    * two 60-bit words `(w0, w1)` — the q47b majority-vote derivation,
+    * but with two changes that exist for BLOCKING power, both
+    * measured (round 9, DuckDB probes on the driver corpus):
+    *
+    *  - FEATURES ARE 3-WORD SHINGLES (the q45 [[shingles]] set), not
+    *    words. Word-simhash saturates on this corpus's ~31-token
+    *    vocabulary: per-bit equality between two RANDOM docs measures
+    *    median 0.68 (not the 0.5 of uniform bits), so typical
+    *    inter-doc distance is ~20/120 bits and ANY pigeonhole band
+    *    scheme drowns — 6×10-bit bands admit 13.7% of the pair space
+    *    as candidates at sf0.1, and widening to 8×15 over 120 word
+    *    bits still admits 7.6% (entropy-balanced band assignment:
+    *    4.4%). The shingle feature space grows with the corpus, so
+    *    fingerprint bits stay near-uniform and band keys carry their
+    *    nominal entropy: the same corpus measures 23 ppm candidates
+    *    under 6×20-bit shingle bands (q259 keeps both numbers as a
+    *    registered fact).
+    *  - 120 BITS (two md5 halves per shingle, chars 1-15 and 16-30 —
+    *    the q46 h1/h2 scheme) so radius-5 pigeonhole bands carry 20
+    *    bits (1,048,576 block values) instead of 10 (1,024): band
+    *    width is W/(radius+1), so at a fixed eps the fingerprint
+    *    width IS the blocking-power knob.
+    *
+    * One md5 + two hex windows per (doc, distinct shingle); tallies
+    * are map-side partial aggregates (120 small ints per doc through
+    * the shuffle, never text).
+    */
+  private[ext] def shingleSimhash120Frame(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val d = md5(to_binary(col("s"), lit("utf-8")))
+    val withH = sh.select(col("doc_id"),
+      conv(substring(d, 1, 15), 16, 10).cast("long").as("h0"),
+      conv(substring(d, 16, 15), 16, 10).cast("long").as("h1"))
+    def bitSums(src: String, tag: String) = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col(src), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"$tag$j"))
+    val all = bitSums("h0", "a") ++ bitSums("h1", "b")
+    val tallies = withH.groupBy(col("doc_id")).agg(all.head, all.tail: _*)
+    def word(tag: String) = (0 until SimHashBits)
+      .map(j => when(col(s"$tag$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tallies.select(col("doc_id"), word("a").as("w0"), word("b").as("w1"))
+  }
+
+  /** The DuckDB mirror of [[shingleSimhash120Frame]], as a WITH-body
+    * fragment ending in `s120(doc_id, w0, w1)`.
+    */
+  private[ext] val shingleSimhash120Cte: String =
+    s"""sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sg AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id,
+       |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |              ELSE array_to_string(ws, ' ') END AS s
+       |  FROM (SELECT doc_id, ws,
+       |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+       |                           ELSE [1] END) AS i
+       |        FROM sw))),
+       |sh2 AS (SELECT doc_id,
+       |               ('0x' || substr(md5(s), 1, 15))::BIGINT AS h0,
+       |               ('0x' || substr(md5(s), 16, 15))::BIGINT AS h1
+       |        FROM sg),
+       |sbt AS (SELECT doc_id, j,
+       |               SUM(CASE WHEN ((CASE WHEN j < 60 THEN h0 ELSE h1 END)
+       |                              >> (j % 60)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |        FROM sh2 CROSS JOIN (SELECT unnest(range(0, 120)) AS j) bits
+       |        GROUP BY doc_id, j),
+       |s120 AS MATERIALIZED (SELECT doc_id,
+       |                CAST(SUM(CASE WHEN v > 0 AND j < 60 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS w0,
+       |                CAST(SUM(CASE WHEN v > 0 AND j >= 60 THEN 1::BIGINT << (j - 60) ELSE 0 END) AS BIGINT) AS w1
+       |         FROM sbt GROUP BY doc_id)""".stripMargin
+
+  /** Per-source k=[[SqlMinHashK]] MinHash signature of the given docs
+    * frame (`source`, `text`) — the q46b md5/Kirsch–Mitzenmacher
+    * machinery at source granularity. Factored so q261 can run the
+    * STATE and DELTA builds through one code path and the spec can
+    * compute the scratch signature independently.
+    */
+  private[ext] def sourceSignature(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("source"), explode(shingles(col("text"))).as("s"))
+    val d = md5(to_binary(col("s"), lit("utf-8")))
+    val withH = sh.select(col("source"),
+      conv(substring(d, 1, 14), 16, 10).cast("long").as("h1"),
+      conv(substring(d, 15, 14), 16, 10).cast("long").as("h2"))
+    val aggs = (0 until SqlMinHashK)
+      .map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"mh$k"))
+    withH.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** q261 — INCREMENTAL MINHASH MAINTENANCE: the sketch-mergeability
+    * story as a registered incremental operator. Per-source MinHash
+    * signatures are ALGEBRAIC sketches — elementwise MIN is
+    * associative and commutative — so appending an ingest batch (the
+    * q58 md5 split, bucket ≥ 90) never recomputes the corpus: the
+    * engine builds the batch DELTA signature from batch shingles
+    * only and merges it into the materialized STATE signature with
+    * one k-wide `least` per source (a full-outer join on source —
+    * sources appearing only in the state, or born in the batch, pass
+    * through). THE ORACLE IS THE FROM-SCRATCH SIGNATURE over all
+    * docs, so the hash gate proves merge ≡ recompute exactly — the
+    * same IVM bar as q260, here falling straight out of the sketch
+    * algebra (contrast: q260's CC needs the quotient-graph argument).
+    * At 100 TB this is the difference between touching yesterday's
+    * corpus and touching yesterday's 8-long signature row per source.
+    */
+  private def q261(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.ext.TrainPrep.md5Bucket(col("doc_id"), 100)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text"), (bucket >= 90).as("is_batch"))
+    val state = sourceSignature(docs.filter(!col("is_batch")))
+      .select(col("source") +:
+        (0 until SqlMinHashK).map(k => col(s"mh$k").as(s"s$k")): _*)
+    val delta = sourceSignature(docs.filter(col("is_batch")))
+      .select(col("source") +:
+        (0 until SqlMinHashK).map(k => col(s"mh$k").as(s"d$k")): _*)
+    state.join(delta, Seq("source"), "full_outer")
+      .select(col("source") +:
+        // Spark's least() skips nulls: a source absent from one side
+        // keeps the other side's component — the merge identity
+        (0 until SqlMinHashK).map(k => least(col(s"s$k"), col(s"d$k")).as(s"mh$k")): _*)
+      .orderBy("source")
+  }
+
+  private val q261Sql = {
+    val mins = (0 until SqlMinHashK)
+      .map(k => s"MIN(h1 + $k * h2) AS mh$k").mkString(",\n       |       ")
+    s"""WITH w0 AS (SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT source, doc_id, s FROM (
+       |  SELECT source, doc_id,
+       |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |              ELSE array_to_string(ws, ' ') END AS s
+       |  FROM (SELECT source, doc_id, ws,
+       |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+       |                           ELSE [1] END) AS i
+       |        FROM w0))),
+       |h AS (SELECT source, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+       |             ('0x' || substr(md5(s), 15, 14))::BIGINT AS h2
+       |      FROM sh)
+       |SELECT source,
+       |       $mins
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q177_corpus_novelty", q177, Some(q177Sql)),
+    QuerySpec("q261_incremental_minhash", q261, Some(q261Sql)),
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
     QuerySpec("q46_minhash_lsh",    q46, None,         headline = true),

@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * typed metadata, decode/feature-extract as partition-wise batch
   * functions (BASELINE.json north star).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * deterministic fake (seeded from the bytes — clearly marked below);
-  * everything around it — binary column handling, schema, partition
-  * batch shape, feature vector type — is real and tested. On a real
+  * STUB BOUNDARY (round 9): IMAGE decode is REAL — q50e runs genuine
+  * `javax.imageio` PNG and BMP codecs (JDK-stdlib, offline) through
+  * the same partition-batch seam, oracle-checked end to end via the
+  * lossless-round-trip trick documented there. The q50b rolling-hash
+  * "decode" stays as the clearly-marked deterministic stand-in for
+  * the codecs the container truly lacks (audio/video); everything
+  * around it — binary column handling, schema, partition batch
+  * shape, feature vector type — is real and tested. On a real
   * cluster the fake body is swapped for a JNI/library call with the
   * same `Iterator[batch] => Iterator[batch]` shape (the Scala
   * equivalent of a `mapInPandas` batch UDF).
@@ -329,8 +333,139 @@ object Multimodal extends Serializable {
        |FROM fr LEFT JOIN sh ON fr.fh = sh.fh
        |GROUP BY fr.doc_id ORDER BY fr.doc_id""".stripMargin
 
+  /** Pixel-synthesis formula shared by the q50e engine side and its
+    * oracle: channel values of the w×h image for `doc_id` at (x, y).
+    * Pure mod-256 integer arithmetic so DuckDB re-derives each pixel.
+    */
+  private[ext] def q50ePixel(docId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((docId + 3L * x + 5L * y) % 256).toInt,
+    ((2L * docId + x + 7L * y) % 256).toInt,
+    ((x.toLong * y + docId) % 256).toInt)
+
+  /** One decoded q50e row; `thumb` is the canonical string of the 64
+    * nearest-neighbor-sampled pixels ("r,g,b" joined by ";").
+    */
+  final case class DecodedImage(
+      doc_id: Long, fmt: String, w: Int, h: Int, n_png_bytes: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, thumb: String)
+
+  /** q50e — REAL IMAGE CODEC ROUND-TRIP (oracle-checked): per doc,
+    * synthesize a small w×h RGB image from a deterministic pixel
+    * formula, ENCODE it with the genuine `javax.imageio` writer (PNG
+    * for even doc_ids, BMP for odd — two real, lossless, JDK-stdlib
+    * codecs), then DECODE the encoded bytes with `ImageIO.read` and
+    * extract features from the DECODED pixels: exact per-channel
+    * sums and the q50d-style 8×8 nearest-neighbor thumbnail digest.
+    * All of it runs inside one `mapPartitions` batch — the partition
+    * seam q50b demonstrates, now with a real codec in the middle.
+    *
+    * Why this is oracle-checkable without a codec in DuckDB: PNG and
+    * 24-bit BMP are LOSSLESS, so decode(encode(pixels)) == pixels
+    * bit-for-bit, and the oracle can re-derive every feature straight
+    * from the synthesis formula. The hash gate therefore certifies
+    * the full encode→bytes→decode path end to end: any codec
+    * corruption, channel swap, row-order bug, or stride error in the
+    * engine's decode handling would change the sums or the thumbnail
+    * digest and hash-mismatch. The encoded SIZE is deliberately NOT
+    * in the output (PNG byte counts are encoder-implementation
+    * detail); the spec pins it positive instead.
+    *
+    * Scale shape: map-only per-row codec work (the embarrassingly
+    * parallel regime media decode lives in at 100 TB), no shuffle
+    * before the contract sort; image dims are bounded (≤ 31×31) so a
+    * row's working set is constant.
+    */
+  private def q50e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val decoded = ids.mapPartitions { it =>
+      it.map { docId =>
+        val w = (16 + docId % 16).toInt
+        val h = (16 + (docId * 7) % 16).toInt
+        val fmt = if (docId % 2 == 0) "png" else "bmp"
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = q50ePixel(docId, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, fmt, bos),
+          s"no $fmt writer — javax.imageio missing from this JVM")
+        val payload = bos.toByteArray // the opaque binary column
+        // ---- REAL decode: the genuine ImageIO PNG/BMP reader ----
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = back.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val thumb = (0 until ThumbDim * ThumbDim).map { i =>
+          val sx = ((i % ThumbDim) * w) / ThumbDim
+          val sy = ((i / ThumbDim) * h) / ThumbDim
+          val p = back.getRGB(sx, sy)
+          s"${(p >> 16) & 0xff},${(p >> 8) & 0xff},${p & 0xff}"
+        }.mkString(";")
+        DecodedImage(docId, fmt, w, h, payload.length, sr, sg, sb, thumb)
+      }
+    }
+    decoded.toDF()
+      .select(col("doc_id"), col("fmt"), col("w"), col("h"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        md5(to_binary(col("thumb"), lit("utf-8"))).as("thumb_digest"))
+      .orderBy("doc_id")
+  }
+
+  private val q50eSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       |         CAST(16 + doc_id % 16 AS INT) AS w,
+       |         CAST(16 + (doc_id * 7) % 16 AS INT) AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h, x, y,
+       |         (doc_id + 3 * x + 5 * y) % 256 AS r,
+       |         (2 * doc_id + x + 7 * y) % 256 AS g,
+       |         (x * y + doc_id) % 256 AS b
+       |  FROM (SELECT *, unnest(range(0, h)) AS y
+       |        FROM (SELECT *, unnest(range(0, w)) AS x FROM d))),
+       |sums AS (
+       |  SELECT doc_id, CAST(SUM(r) AS BIGINT) AS sum_r,
+       |         CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b
+       |  FROM px GROUP BY doc_id),
+       |th AS (
+       |  SELECT doc_id,
+       |         md5(string_agg(
+       |           ((doc_id + 3 * sx + 5 * sy) % 256) || ',' ||
+       |           ((2 * doc_id + sx + 7 * sy) % 256) || ',' ||
+       |           ((sx * sy + doc_id) % 256), ';' ORDER BY i)) AS thumb_digest
+       |  FROM (SELECT doc_id, i,
+       |               ((i % $ThumbDim) * w) // $ThumbDim AS sx,
+       |               ((i // $ThumbDim) * h) // $ThumbDim AS sy
+       |        FROM (SELECT *, unnest(range(0, ${ThumbDim * ThumbDim})) AS i FROM d))
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, d.fmt, d.w, d.h, sums.sum_r, sums.sum_g, sums.sum_b,
+       |       th.thumb_digest
+       |FROM d JOIN sums USING (doc_id) JOIN th USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q50_multimodal_meta",   q50, Some(q50Sql)),
+    QuerySpec("q50e_codec_roundtrip",  q50e, Some(q50eSql)),
     QuerySpec("q50b_decode_features",  q50b, Some(q50bSql)),
     QuerySpec("q50c_frame_sampling",   q50c, Some(q50cSql)),
     QuerySpec("q50d_resize_thumb",     q50d, Some(q50dSql)),

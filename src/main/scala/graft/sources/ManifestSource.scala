@@ -238,6 +238,48 @@ object ManifestSource {
     (below.size, straddle.size, above.size)
   }
 
+  /** VACUUM — the out-of-band garbage collection every other
+    * lifecycle op defers to (append/compact/retention all write NEW
+    * files and leave the old snapshot readable for time travel; the
+    * deleteBelow scaladoc promises "a real purge garbage-collects
+    * unreferenced files out-of-band" — this is it). Deletes every
+    * manifest generation NOT in `keep` (the CURRENT generation is
+    * always implicitly kept) and every data file not referenced by a
+    * kept manifest.
+    *
+    * Pinned-reader safety contract, spec-pinned by VacuumSpec:
+    *  - the referenced set is the union over ALL kept manifests —
+    *    generations share data files by reference (retention carries
+    *    untouched files forward; appends list old + new), so
+    *    "referenced by current only" would tear files out from under
+    *    a kept pinned snapshot;
+    *  - a reader pinned to a KEPT generation reads byte-identically
+    *    after vacuum;
+    *  - a reader pinned to a VACUUMED generation fails CLEANLY at
+    *    manifest resolution (FileNotFoundException) — it can never
+    *    see partial data, because the manifest disappears atomically
+    *    before any of its exclusive data files.
+    * Returns (manifests deleted, data files deleted).
+    */
+  def vacuum(dir: String, keep: Seq[String] = Nil): (Int, Int) = {
+    val keepSet = (keep :+ resolveManifest(dir, None)).distinct
+    val referenced = keepSet.flatMap(m => readManifest(dir, m).map(_.file)).toSet
+    val d = new java.io.File(dir)
+    val all = Option(d.listFiles()).getOrElse(Array.empty).map(_.getName)
+    val GenName = """manifest-gen\d+\.csv""".r
+    val deadManifests = all.filter {
+      case "manifest.csv" | "manifest-v2.csv" => true
+      case GenName() => true
+      case _ => false
+    }.filterNot(keepSet.contains)
+    val deadData = all.filter(_.startsWith("part-")).filterNot(referenced)
+    // manifests first: a concurrent un-pinned reader resolving a dead
+    // generation fails at the manifest, never mid-file-list
+    deadManifests.foreach(n => new java.io.File(d, n).delete())
+    deadData.foreach(n => new java.io.File(d, n).delete())
+    (deadManifests.length, deadData.length)
+  }
+
   /** Next snapshot generation = max EXISTING generation + 1, never a
     * file COUNT: counting collides after an external manifest
     * deletion, silently overwriting a snapshot that pinned readers

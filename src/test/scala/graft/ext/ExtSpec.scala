@@ -378,6 +378,42 @@ class ExtSpec extends SparkSpec {
     assert(f1 == feats(run("q50b_decode_features").collect()))
   }
 
+  test("q50e real codec: PNG and BMP round-trip losslessly and the query covers every doc") {
+    // losslessness fixture — the assumption the q50e oracle rests on:
+    // decode(encode(pixels)) must be bit-exact for both formats
+    Seq("png", "bmp").foreach { fmt =>
+      val img = new java.awt.image.BufferedImage(
+        4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4)
+        img.setRGB(x, y, ((x * 37 + y) << 16) | ((y * 91 + x) << 8) | (x * y * 53 % 256))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer in this JVM")
+      val bytes = bos.toByteArray
+      assert(bytes.length > 0, s"$fmt encoder produced no bytes")
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until 3; x <- 0 until 4)
+        assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff),
+          s"$fmt not lossless at ($x,$y)")
+    }
+    val rows = run("q50e_codec_roundtrip").collect()
+    assert(rows.length == 500, "every doc must decode")
+    val fmts = rows.map(_.getAs[String]("fmt")).toSet
+    assert(fmts == Set("png", "bmp"), s"both real codecs must be exercised: $fmts")
+    // channel sums must match the synthesis formula exactly — the
+    // decoded-pixel fidelity check, independent of the oracle
+    rows.take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = (r.getAs[Int]("w"), r.getAs[Int]("h"))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (pr, pg, pb) = Multimodal.q50ePixel(id, x, y)
+        sr += pr; sg += pg; sb += pb
+      }
+      assert((r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"))
+        == ((sr, sg, sb)), s"decoded channel sums diverge for doc $id")
+    }
+  }
+
   test("q52 IVF ANN: valid ranked output and nontrivial recall vs exact q48") {
     val exact = run("q48_ann_bruteforce").collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
