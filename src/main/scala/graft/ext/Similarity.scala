@@ -477,10 +477,38 @@ object Similarity {
     */
   private case class Rng(mn: Double, mx: Double)
 
-  /** Driver-held integer centroid for q52b (K rows — IvfK-bounded at
-    * any data scale, the MLlib-KMeans centroid-carrying pattern).
+  /** Driver-held integer centroid for q52b/q262 (K rows —
+    * IvfK-bounded at any data scale, the MLlib-KMeans
+    * centroid-carrying pattern).
     */
   private case class Cent(cid: Int, scs: Seq[Long], sn2: Long)
+
+  /** Map-side exact cosine of every vector in `vecs` (vec_id, cs,
+    * n2, …) against a driver-held centroid table — the q52b scoring
+    * stage, shared with q262's incremental maintenance. One native
+    * dot_long per (vector, centroid), centroids exploded from a
+    * literal, no join.
+    */
+  private def simToCents(vecs: DataFrame, cents: Seq[Cent]): DataFrame =
+    vecs.select(col("vec_id"), col("n2"), col("cs"),
+        explode(typedlit(cents)).as("ct"))
+      .withColumn("dot", graft.functions.dot_long(col("cs"), col("ct.scs")))
+      .withColumn("sim",
+        when(col("n2") > 0 && col("ct.sn2") > 0,
+          col("dot").cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("ct.sn2").cast("double"))))
+          .otherwise(lit(-2.0)))
+      .select(col("vec_id"), col("ct.cid").as("cid"), col("sim"))
+
+  /** Nearest-centroid pick as an ALGEBRAIC max over (sim, -cid):
+    * map-side partial, one compact row per vector through the
+    * shuffle, ties → lower cid — the same assignment the oracles'
+    * ROW_NUMBER picks.
+    */
+  private def argmaxCid(scored: DataFrame): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).cast("int").as("cid"))
 
   private def quantCodeVecs(spark: SparkSession, dir: String): DataFrame = {
     // ranges COLLECTED (bounded: one row per dimension) and embedded
@@ -715,24 +743,8 @@ object Similarity {
     // dot_long with no join at all — the r7 per-pos
     // explode→join→groupBy ran a 2M-row shuffle twice per query and
     // was most of the q52b regression
-    def simTo(cents: Seq[Cent]): DataFrame =
-      vecs.select(col("vec_id"), col("n2"), col("cs"),
-          explode(typedlit(cents)).as("ct"))
-        .withColumn("dot", graft.functions.dot_long(col("cs"), col("ct.scs")))
-        .withColumn("sim",
-          when(col("n2") > 0 && col("ct.sn2") > 0,
-            col("dot").cast("double") /
-              (sqrt(col("n2").cast("double")) * sqrt(col("ct.sn2").cast("double"))))
-            .otherwise(lit(-2.0)))
-        .select(col("vec_id"), col("ct.cid").as("cid"), col("sim"))
-
-    // argmax as an ALGEBRAIC max over (sim, -cid): map-side partial,
-    // one compact row per vector through the shuffle, ties → lower
-    // cid — same assignment the oracle's ROW_NUMBER picks
-    def argmax(scored: DataFrame): DataFrame =
-      scored.groupBy(col("vec_id"))
-        .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("m"))
-        .select(col("vec_id"), (-col("m.ncid")).cast("int").as("cid"))
+    def simTo(cents: Seq[Cent]): DataFrame = simToCents(vecs, cents)
+    def argmax(scored: DataFrame): DataFrame = argmaxCid(scored)
 
     val seeds: Seq[Cent] = vecs.filter(col("vec_id") < IvfK)
       .select(col("vec_id"), col("cs"), col("n2"))
@@ -848,6 +860,149 @@ object Similarity {
        |  FROM s)
        |SELECT qid, rn, vec_id, dot, qnorm2, cnorm2, cosine
        |FROM rk WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+  }
+
+  /** q262 — INCREMENTAL IVF MAINTENANCE: the production append
+    * discipline for a vector index, oracle-gated. An IVF index does
+    * NOT re-run Lloyd when a batch arrives — centroids FREEZE at
+    * build time (here: the q52b recipe on the corpus split only,
+    * seeds = the IvfK lowest corpus vec_ids, one Lloyd step) and
+    * maintenance is pure algebra on the cell state: batch vectors
+    * assign to the frozen centroids MAP-SIDE (broadcast K-row
+    * table, native dot_long, no join), and the per-cell state —
+    * member count + per-dimension BIGINT code sums — updates by
+    * ADDITION (full-outer merge on (cid, pos), absent side = 0).
+    * The readout is each cell's maintained size, the batch's
+    * contribution, and a digest of the 64 exact mean codes
+    * (sum DIV count — both engines truncate toward zero).
+    *
+    * THE ORACLE IS THE FROM-SCRATCH PROTOCOL: build the same frozen
+    * centroids from the corpus, assign ALL vectors in one pass, roll
+    * up cells directly. Merge ≡ scratch because assignment against
+    * FROZEN centroids is per-vector independent and the cell sums
+    * are algebraic — the q260/q261 IVM bar, here for the ANN index.
+    * What this deliberately does NOT claim: centroid re-FITTING
+    * (re-running Lloyd over the grown corpus) is not incremental —
+    * that's a rebuild, scheduled like q127's compaction, and the
+    * maintained mean-code digest is exactly the drift signal that
+    * triggers it.
+    *
+    * Scale shape: the only data-sized operations are one map-side
+    * scoring pass per split and (cid, pos) / (cid) partial
+    * aggregates; the merged state is K×64 rows. At 100 TB the batch
+    * pass touches the BATCH only — yesterday's corpus contributes a
+    * K×64 sum table, not a scan.
+    */
+  private def q262(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.ext.TrainPrep.md5Bucket(col("vec_id"), 100)
+    val vecs = quantCodeVecs(spark, dir)
+      .withColumn("is_batch", bucket >= 90)
+      .localCheckpoint() // feeds seed pick + 3 scoring passes
+    val corpus = vecs.filter(!col("is_batch"))
+    val batch = vecs.filter(col("is_batch"))
+
+    val seeds: Seq[Cent] = corpus.orderBy(col("vec_id")).limit(IvfK)
+      .select(col("vec_id"), col("cs"), col("n2"))
+      .collect()
+      .map(r => Cent(r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
+      .toSeq
+    val a0 = argmaxCid(simToCents(corpus, seeds))
+    val frozen: Seq[Cent] = corpus.join(a0, "vec_id")
+      .select(col("cid"), posexplode(col("cs")).as(Seq("pos", "c")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("c")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) =>
+        val scs = rows.sortBy(_._2).map(_._3).toSeq
+        Cent(cid, scs, scs.map(s => s * s).sum)
+      }
+      .sortBy(_.cid)
+
+    // per-split cell state vs the FROZEN centroids: (cid, pos) code
+    // sums + per-cid member counts
+    def cellState(part: DataFrame): (DataFrame, DataFrame) = {
+      val a = part.join(argmaxCid(simToCents(part, frozen)), "vec_id")
+      val sums = a.select(col("cid"), posexplode(col("cs")).as(Seq("pos", "c")))
+        .groupBy(col("cid"), col("pos")).agg(sum(col("c")).as("s"))
+      val cnt = a.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      (sums, cnt)
+    }
+    val (sSums, sCnt) = cellState(corpus) // the materialized state
+    val (dSums, dCnt) = cellState(batch)  // the append delta
+
+    val mSums = sSums.select(col("cid"), col("pos"), col("s").as("sc"))
+      .join(dSums.select(col("cid"), col("pos"), col("s").as("sb")),
+        Seq("cid", "pos"), "full_outer")
+      .select(col("cid"), col("pos"),
+        (coalesce(col("sc"), lit(0L)) + coalesce(col("sb"), lit(0L))).as("s"))
+    val mCnt = sCnt.select(col("cid"), col("n").as("nc"))
+      .join(dCnt.select(col("cid"), col("n").as("nb")), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        (coalesce(col("nc"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n_members"),
+        coalesce(col("nb"), lit(0L)).as("n_added"))
+
+    mSums.join(mCnt, "cid")
+      .withColumn("mean", expr("s DIV n_members"))
+      .groupBy(col("cid"), col("n_members"), col("n_added"))
+      .agg(md5(to_binary(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          x => x.getField("mean").cast("string"))), lit("utf-8"))).as("mean_digest"))
+      .select(col("cid"), col("n_members"), col("n_added"), col("mean_digest"))
+      .orderBy(col("cid"))
+  }
+
+  private val q262Sql = {
+    def simSql(cent: String, centNorm: String, out: String, filter: String): String =
+      s"""$out AS (
+         |  SELECT q.vec_id, c.cid,
+         |         CASE WHEN n.n2 > 0 AND cn.sn2 > 0
+         |              THEN CAST(SUM(q.c * c.s) AS DOUBLE) /
+         |                   (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.sn2 AS DOUBLE)))
+         |              ELSE -2.0 END AS sim
+         |  FROM q JOIN $cent c ON q.pos = c.pos
+         |  JOIN n ON q.vec_id = n.vec_id JOIN $centNorm cn ON c.cid = cn.cid
+         |  $filter
+         |  GROUP BY q.vec_id, c.cid, n.n2, cn.sn2)""".stripMargin
+    s"""$quantCodesSql,
+       |n AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM q GROUP BY vec_id),
+       |bk AS (SELECT vec_id,
+       |              ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+       |       FROM embeddings),
+       |co AS (SELECT vec_id FROM bk WHERE bucket < 90),
+       |sd AS (SELECT CAST(q.vec_id AS INT) AS cid, q.pos, q.c AS s FROM q
+       |       WHERE q.vec_id IN (SELECT vec_id FROM co ORDER BY vec_id LIMIT $IvfK)),
+       |sdn AS (SELECT cid, CAST(SUM(s * s) AS BIGINT) AS sn2 FROM sd GROUP BY cid),
+       |${simSql("sd", "sdn", "a0s", "WHERE q.vec_id IN (SELECT vec_id FROM co)")},
+       |a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a0s) WHERE rn = 1),
+       |ct AS (
+       |  SELECT a0.cid, q.pos, CAST(SUM(q.c) AS BIGINT) AS s
+       |  FROM q JOIN a0 ON q.vec_id = a0.vec_id GROUP BY 1, 2),
+       |ctn AS (SELECT cid, CAST(SUM(s * s) AS BIGINT) AS sn2 FROM ct GROUP BY cid),
+       |${simSql("ct", "ctn", "a1s", "")},
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a1s) WHERE rn = 1),
+       |cnt AS (
+       |  SELECT a1.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |         CAST(SUM(CASE WHEN bk.bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+       |  FROM a1 JOIN bk USING (vec_id) GROUP BY a1.cid),
+       |ms AS (
+       |  SELECT a1.cid, q.pos, CAST(SUM(q.c) AS BIGINT) AS s
+       |  FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |mn AS (SELECT ms.cid, ms.pos, ms.s // cnt.n_members AS mean
+       |       FROM ms JOIN cnt ON ms.cid = cnt.cid)
+       |SELECT cnt.cid, cnt.n_members, cnt.n_added,
+       |       md5(string_agg(CAST(mn.mean AS VARCHAR), ',' ORDER BY mn.pos)) AS mean_digest
+       |FROM cnt JOIN mn ON cnt.cid = mn.cid
+       |GROUP BY cnt.cid, cnt.n_members, cnt.n_added
+       |ORDER BY cnt.cid""".stripMargin
   }
 
   /** q115 RRF smoothing constant (the standard k=60 from Cormack &
@@ -1762,6 +1917,7 @@ object Similarity {
     QuerySpec("q51b_embedding_neardup_blocked", q51b, None, headline = true),
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
     QuerySpec("q52b_ann_ivf_exact", q52b, Some(q52bSql)),
+    QuerySpec("q262_incremental_ivf", q262, Some(q262Sql)),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
     QuerySpec("q83b_semantic_dedup_sql", q83b, Some(q83bSql)),
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),

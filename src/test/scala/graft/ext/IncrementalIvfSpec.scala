@@ -1,0 +1,35 @@
+package graft.ext
+
+import graft.{SparkEntry, SparkSpec}
+
+/** q262: incremental IVF cell maintenance must be non-vacuous (the
+  * batch actually lands members in existing cells) and internally
+  * consistent; the merge ≡ scratch identity itself is what the
+  * DuckDB oracle hash-proves (the oracle assigns ALL vectors in one
+  * pass against the same frozen centroids). Here we pin the
+  * invariants the hash gate can't phrase: conservation of members
+  * across cells, batch fraction matching the md5 split, and
+  * determinism across runs.
+  */
+class IncrementalIvfSpec extends SparkSpec {
+
+  test("q262: member conservation, real batch contribution, determinism") {
+    val run1 = SparkEntry.queries("q262_incremental_ivf")(spark, sf).collect()
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    // every vector lands in exactly one cell
+    assert(run1.map(_.getLong(1)).sum == nVecs,
+      s"cells hold ${run1.map(_.getLong(1)).sum} of $nVecs vectors")
+    // the batch split contributed, and only to cells it belongs to
+    val added = run1.map(_.getLong(2)).sum
+    assert(added > 0, "no batch vectors — the increment is vacuous")
+    assert(run1.forall(r => r.getLong(2) <= r.getLong(1)))
+    // ~10% md5 split (loose: small-N binomial)
+    assert(added < nVecs / 4, s"batch fraction implausible: $added of $nVecs")
+    // at least one cell MIXES state and batch members — the actual
+    // merge case (not all-batch cells appearing fresh)
+    assert(run1.exists(r => r.getLong(2) > 0 && r.getLong(2) < r.getLong(1)),
+      "no cell mixes corpus and batch members")
+    val run2 = SparkEntry.queries("q262_incremental_ivf")(spark, sf).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq, "nondeterministic")
+  }
+}
