@@ -19,6 +19,7 @@ object SparkEntry {
       graft.ext.FeatureEng.specs ++
       graft.ext.Dedup.specs ++
       graft.ext.DupGraph.specs ++
+      graft.ext.StreamIngest.specs ++
       graft.ext.Decontam.specs ++
       graft.ext.Similarity.specs ++
       graft.ext.Spatial.specs ++

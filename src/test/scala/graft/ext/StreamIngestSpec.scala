@@ -1,0 +1,111 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+/** q263: the streaming ingest fold must be micro-batch-invariant
+  * (1-file-per-trigger == all-at-once — every ingredient of the fold
+  * is order-invariant, see [[StreamIngest]]'s scaladoc) and the
+  * cross-batch MERGE path — a late-arriving doc bridging two clusters
+  * formed in two EARLIER batches — must relabel both clusters to the
+  * global min through the maintained band index, never a corpus
+  * rescan. The driver corpus has no such bridge at any SF (near-dup
+  * pairs are planted pairwise), so the merge runs on a planted
+  * fixture; the real-corpus `fold == scratch` identity is pinned by
+  * the tri-SF DuckDB oracle gate.
+  *
+  * Planted texts are consecutive windows over a shared word line:
+  * A = w1..w10 and B = w5..w14 share 4 of 12 distinct 3-shingles
+  * (J = 1/3, below the 0.5 accept), while bridge D = w3..w12 has
+  * J = 0.6 to each — D must merge A's and B's clusters while A-B
+  * alone must not. Banding is deterministic (md5): the fixture was
+  * validated to produce both D-A and D-B band candidates.
+  */
+class StreamIngestSpec extends SparkSpec {
+
+  private val words = (1 to 14).map(i => s"w$i")
+  private def line(from: Int, until: Int): String =
+    words.slice(from - 1, until).mkString(" ")
+
+  private val textA = line(1, 10)
+  private val textB = line(5, 14)
+  private val textD = line(3, 12)
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("planted").as("source"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Stage each frame as ONE parquet file with ascending mtimes so the
+    * file stream's modification-time ordering delivers them as
+    * batch 1, 2, 3 under maxFilesPerTrigger=1.
+    */
+  private def stage(batches: Seq[DataFrame]): Path = {
+    val dir = Files.createTempDirectory("graft_q263_spec")
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("graft_q263_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(f"b$i%02d.parquet")
+      Files.move(part.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    dir
+  }
+
+  private def run(dir: Path, filesPerTrigger: Int): (Map[Long, (Long, Long)], Int) = {
+    val (out, n) = StreamIngest.ingestClusters(spark, dir.toString, filesPerTrigger)
+    (out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap, n)
+  }
+
+  test("fixture geometry: A-B below the accept threshold, D bridges both") {
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def j(a: Set[String], b: Set[String]) = a.intersect(b).size.toDouble / a.union(b).size
+    assert(j(sh(textA), sh(textB)) < 0.5, "A-B must NOT be near-dups")
+    assert(j(sh(textD), sh(textA)) >= 0.5 && j(sh(textD), sh(textB)) >= 0.5,
+      "D must be a near-dup of both A and B")
+  }
+
+  test("cross-batch merge: a batch-3 doc bridges clusters built in batches 1 and 2") {
+    val dir = stage(Seq(
+      docs(1L -> textA, 2L -> textA),   // batch 1 → cluster {1,2} label 1
+      docs(5L -> textB, 6L -> textB),   // batch 2 → cluster {5,6} label 5
+      docs(9L -> textD, 11L -> "solo doc with its own words entirely")))
+    try {
+      val (got, nBatches) = run(dir, filesPerTrigger = 1)
+      assert(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+      // D bridges A's and B's clusters through the maintained band
+      // index — all five docs collapse to the global min label 1
+      Seq(1L, 2L, 5L, 6L, 9L).foreach { id =>
+        assert(got(id) == ((1L, 5L)), s"doc $id: got ${got(id)}, want (1,5)")
+      }
+      assert(got(11L) == ((11L, 1L)), "edge-free doc stays a singleton")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("micro-batch invariance: 1-file-per-trigger equals all-at-once") {
+    val batches = Seq(
+      docs(1L -> textA, 2L -> textA),
+      docs(5L -> textB, 6L -> textB),
+      docs(9L -> textD, 11L -> "another unrelated text here"))
+    val d1 = stage(batches)
+    val d2 = stage(batches)
+    try {
+      val (perFile, n1) = run(d1, filesPerTrigger = 1)
+      val (allAtOnce, n2) = run(d2, filesPerTrigger = 3)
+      assert(n1 == 3 && n2 == 1)
+      assert(perFile == allAtOnce,
+        s"fold must be batching-invariant: $perFile vs $allAtOnce")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(d1.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(d2.toFile)
+    }
+  }
+}
