@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * STUB BOUNDARY (round 9): IMAGE decode is REAL — q50e runs genuine
   * `javax.imageio` PNG and BMP codecs (JDK-stdlib, offline) through
   * the same partition-batch seam, oracle-checked end to end via the
-  * lossless-round-trip trick documented there. The q50b rolling-hash
-  * "decode" stays as the clearly-marked deterministic stand-in for
-  * the codecs the container truly lacks (audio/video); everything
+  * lossless-round-trip trick documented there — and AUDIO decode is
+  * REAL too: q50f round-trips WAV PCM through
+  * `javax.sound.sampled.AudioSystem` under the same trick. The q50b
+  * rolling-hash "decode" stays as the clearly-marked deterministic
+  * stand-in for the codecs the container truly lacks (VIDEO only
+  * now — no video container/codec ships in the JDK); everything
   * around it — binary column handling, schema, partition batch
   * shape, feature vector type — is real and tested. On a real
   * cluster the fake body is swapped for a JNI/library call with the
@@ -463,9 +466,136 @@ object Multimodal extends Serializable {
        |FROM d JOIN sums USING (doc_id) JOIN th USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Sample-synthesis formula shared by the q50f engine side and its
+    * oracle: signed 16-bit PCM sample i of `doc_id`'s waveform. Pure
+    * non-negative integer arithmetic before the bias so Spark's and
+    * DuckDB's `%` agree exactly.
+    */
+  private[ext] def q50fSample(docId: Long, i: Long): Int =
+    ((docId * 131L + 17L * i + i * i) % 65536L - 32768L).toInt
+
+  /** Strided digest width (samples) for the q50f waveform digest. */
+  private[ext] val WaveDigestN = 64
+
+  /** One decoded q50f row; `wave` is the canonical string of the 64
+    * strided samples joined by ";".
+    */
+  final case class DecodedAudio(
+      doc_id: Long, n_samples: Int, sample_rate: Int, bits: Int,
+      channels: Int, sum_s: Long, energy: Long, zero_x: Long, wave: String)
+
+  /** q50f — REAL AUDIO CODEC ROUND-TRIP (oracle-checked): per doc,
+    * synthesize 800–1600 samples of 16-bit mono PCM from a
+    * deterministic integer formula, ENCODE to a genuine WAV container
+    * with `javax.sound.sampled.AudioSystem` (JDK stdlib — the audio
+    * analog of q50e's `javax.imageio`), then DECODE the WAV bytes
+    * back through `AudioSystem.getAudioInputStream` and extract
+    * features from the DECODED stream: header metadata (rate/bits/
+    * channels — certifies the fmt-chunk parse), exact sample sum,
+    * integer energy (Σs², bounded < 2^41 so BIGINT-exact), signed
+    * zero-crossing count, and an md5 digest of 64 strided samples.
+    *
+    * WAV PCM is LOSSLESS, so decode(encode(samples)) == samples
+    * byte-for-byte and the DuckDB oracle re-derives every feature
+    * straight from the synthesis formula — the hash gate certifies
+    * the full encode→container→decode path (any endianness slip,
+    * header misparse, off-by-one frame, or sign error changes a sum
+    * or the digest). With q50e this narrows the honest stub boundary
+    * to VIDEO only: no container/codec for it ships in the JDK.
+    *
+    * Scale shape: map-only per-row codec work, no shuffle before the
+    * contract sort; ≤1600 samples ⇒ constant per-row working set.
+    */
+  private def q50f(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val decoded = ids.mapPartitions { it =>
+      it.map { docId =>
+        val n = (800L + (docId * 13L) % 801L).toInt
+        val raw = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val s = q50fSample(docId, i)
+          raw(2 * i) = (s & 0xff).toByte
+          raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val payload = bos.toByteArray // the opaque binary column
+        // ---- REAL decode: the genuine JDK WAV reader ----
+        val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val bf = back.getFormat
+        require(bf.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && !bf.isBigEndian, s"unexpected decoded encoding: $bf")
+        val data = back.readAllBytes()
+        val m = data.length / 2
+        var (sum, energy, zeroX) = (0L, 0L, 0L)
+        var prev = 0
+        i = 0
+        while (i < m) {
+          val s = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+          sum += s; energy += s.toLong * s
+          if (i > 0 && (prev < 0) != (s < 0)) zeroX += 1
+          prev = s
+          i += 1
+        }
+        val wave = (0 until WaveDigestN).map { k =>
+          val idx = (k * m) / WaveDigestN
+          (data(2 * idx + 1) << 8) | (data(2 * idx) & 0xff)
+        }.mkString(";")
+        DecodedAudio(docId, m, bf.getSampleRate.toInt, bf.getSampleSizeInBits,
+          bf.getChannels, sum, energy, zeroX, wave)
+      }
+    }
+    decoded.toDF()
+      .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+        col("bits"), col("channels"), col("sum_s"), col("energy"),
+        col("zero_x"), md5(to_binary(col("wave"), lit("utf-8"))).as("wave_digest"))
+      .orderBy("doc_id")
+  }
+
+  private val q50fSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(800 + (doc_id * 13) % 801 AS INT) AS n
+       |  FROM documents),
+       |smp AS (
+       |  SELECT doc_id, n, i,
+       |         (doc_id * 131 + 17 * i + i * i) % 65536 - 32768 AS s
+       |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(s) AS BIGINT) AS sum_s,
+       |         CAST(SUM(s * s) AS BIGINT) AS energy,
+       |         CAST(COUNT(*) FILTER (
+       |           WHERE prev IS NOT NULL AND (prev < 0) != (s < 0)) AS BIGINT) AS zero_x
+       |  FROM (SELECT doc_id, s,
+       |               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       |        FROM smp)
+       |  GROUP BY doc_id),
+       |wv AS (
+       |  SELECT doc_id,
+       |         md5(string_agg(
+       |           (doc_id * 131 + 17 * sidx + sidx * sidx) % 65536 - 32768,
+       |           ';' ORDER BY k)) AS wave_digest
+       |  FROM (SELECT doc_id, k, (k * n) // $WaveDigestN AS sidx
+       |        FROM (SELECT doc_id, n, unnest(range(0, $WaveDigestN)) AS k FROM d))
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, d.n AS n_samples,
+       |       8000 AS sample_rate, 16 AS bits, 1 AS channels,
+       |       agg.sum_s, agg.energy, agg.zero_x, wv.wave_digest
+       |FROM d JOIN agg USING (doc_id) JOIN wv USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q50_multimodal_meta",   q50, Some(q50Sql)),
     QuerySpec("q50e_codec_roundtrip",  q50e, Some(q50eSql)),
+    QuerySpec("q50f_audio_roundtrip",  q50f, Some(q50fSql)),
     QuerySpec("q50b_decode_features",  q50b, Some(q50bSql)),
     QuerySpec("q50c_frame_sampling",   q50c, Some(q50cSql)),
     QuerySpec("q50d_resize_thumb",     q50d, Some(q50dSql)),

@@ -414,6 +414,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q50f real audio codec: WAV PCM round-trips losslessly and features match the formula") {
+    // losslessness fixture — the assumption the q50f oracle rests on:
+    // decode(encode(samples)) must be byte-exact for 16-bit PCM WAV
+    val n = 123
+    val raw = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      val s = Multimodal.q50fSample(7L, i.toLong)
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(wav.length > 2 * n, "WAV container must wrap the data chunk")
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(java.util.Arrays.equals(back.readAllBytes(), raw), "WAV PCM not lossless")
+
+    val rows = run("q50f_audio_roundtrip").collect()
+    assert(rows.length == 500, "every doc must decode")
+    // decoded-stream fidelity, independent of the oracle: sums,
+    // energy, and zero crossings re-derived from the formula
+    rows.take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val m = r.getAs[Int]("n_samples")
+      assert(m == (800L + (id * 13L) % 801L).toInt, s"frame count wrong for doc $id")
+      assert((r.getAs[Int]("sample_rate"), r.getAs[Int]("bits"), r.getAs[Int]("channels"))
+        == ((8000, 16, 1)), s"decoded header wrong for doc $id")
+      var (sum, energy, zeroX) = (0L, 0L, 0L)
+      var prev = 0
+      for (i <- 0 until m) {
+        val s = Multimodal.q50fSample(id, i.toLong)
+        sum += s; energy += s.toLong * s
+        if (i > 0 && (prev < 0) != (s < 0)) zeroX += 1
+        prev = s
+      }
+      assert((r.getAs[Long]("sum_s"), r.getAs[Long]("energy"), r.getAs[Long]("zero_x"))
+        == ((sum, energy, zeroX)), s"decoded features diverge for doc $id")
+    }
+  }
+
   test("q52 IVF ANN: valid ranked output and nontrivial recall vs exact q48") {
     val exact = run("q48_ann_bruteforce").collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
