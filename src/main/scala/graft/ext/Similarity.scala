@@ -3,6 +3,7 @@ package graft.ext
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (64-dim float vectors). Two tiers:
@@ -893,21 +894,30 @@ object Similarity {
     * pass touches the BATCH only — yesterday's corpus contributes a
     * K×64 sum table, not a scan.
     */
-  private def q262(spark: SparkSession, dir: String): DataFrame = {
+  /** The (corpus, batch) 90/10 md5 split of the quantized vectors,
+    * checkpointed once — shared by q262 (one-shot merge) and q264
+    * (the same merge as a streaming fold).
+    */
+  private def ivfSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val bucket = graft.ext.TrainPrep.md5Bucket(col("vec_id"), 100)
     val vecs = quantCodeVecs(spark, dir)
       .withColumn("is_batch", bucket >= 90)
       .localCheckpoint() // feeds seed pick + 3 scoring passes
-    val corpus = vecs.filter(!col("is_batch"))
-    val batch = vecs.filter(col("is_batch"))
+    (vecs.filter(!col("is_batch")), vecs.filter(col("is_batch")))
+  }
 
+  /** Build-time centroid freeze (q52b recipe): seeds = IvfK lowest
+    * corpus vec_ids, one Lloyd step over the CORPUS only. Driver-held
+    * K rows — the MLlib centroid-carrying pattern.
+    */
+  private def frozenCentroids(corpus: DataFrame): Seq[Cent] = {
     val seeds: Seq[Cent] = corpus.orderBy(col("vec_id")).limit(IvfK)
       .select(col("vec_id"), col("cs"), col("n2"))
       .collect()
       .map(r => Cent(r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
       .toSeq
     val a0 = argmaxCid(simToCents(corpus, seeds))
-    val frozen: Seq[Cent] = corpus.join(a0, "vec_id")
+    corpus.join(a0, "vec_id")
       .select(col("cid"), posexplode(col("cs")).as(Seq("pos", "c")))
       .groupBy(col("cid"), col("pos")).agg(sum(col("c")).as("s"))
       .collect()
@@ -918,31 +928,46 @@ object Similarity {
         Cent(cid, scs, scs.map(s => s * s).sum)
       }
       .sortBy(_.cid)
+  }
 
-    // per-split cell state vs the FROZEN centroids: (cid, pos) code
-    // sums + per-cid member counts
-    def cellState(part: DataFrame): (DataFrame, DataFrame) = {
-      val a = part.join(argmaxCid(simToCents(part, frozen)), "vec_id")
-      val sums = a.select(col("cid"), posexplode(col("cs")).as(Seq("pos", "c")))
-        .groupBy(col("cid"), col("pos")).agg(sum(col("c")).as("s"))
-      val cnt = a.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-      (sums, cnt)
-    }
-    val (sSums, sCnt) = cellState(corpus) // the materialized state
-    val (dSums, dCnt) = cellState(batch)  // the append delta
+  /** Per-split cell state vs the FROZEN centroids: (cid, pos) code
+    * sums + per-cid member counts.
+    */
+  private def ivfCellState(part: DataFrame, frozen: Seq[Cent]): (DataFrame, DataFrame) = {
+    val a = part.join(argmaxCid(simToCents(part, frozen)), "vec_id")
+    val sums = a.select(col("cid"), posexplode(col("cs")).as(Seq("pos", "c")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("c")).as("s"))
+    val cnt = a.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    (sums, cnt)
+  }
 
-    val mSums = sSums.select(col("cid"), col("pos"), col("s").as("sc"))
-      .join(dSums.select(col("cid"), col("pos"), col("s").as("sb")),
+  /** Additive merge of two cell states (full-outer on the key,
+    * absent side = 0) — the mergeability both q262's one-shot append
+    * and q264's per-trigger fold ride on.
+    */
+  private def mergeCellSums(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("cid"), col("pos"), col("s").as("sa"))
+      .join(b.select(col("cid"), col("pos"), col("s").as("sb")),
         Seq("cid", "pos"), "full_outer")
       .select(col("cid"), col("pos"),
-        (coalesce(col("sc"), lit(0L)) + coalesce(col("sb"), lit(0L))).as("s"))
-    val mCnt = sCnt.select(col("cid"), col("n").as("nc"))
-      .join(dCnt.select(col("cid"), col("n").as("nb")), Seq("cid"), "full_outer")
-      .select(col("cid"),
-        (coalesce(col("nc"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n_members"),
-        coalesce(col("nb"), lit(0L)).as("n_added"))
+        (coalesce(col("sa"), lit(0L)) + coalesce(col("sb"), lit(0L))).as("s"))
 
-    mSums.join(mCnt, "cid")
+  private def mergeCellCnt(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("cid"), col("n").as("na"))
+      .join(b.select(col("cid"), col("n").as("nb")), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"))
+
+  /** Readout shared by q262/q264: per-cell maintained size, appended
+    * count, and the md5 digest of the 64 exact mean codes.
+    */
+  private def ivfReadout(mSums: DataFrame, mCnt: DataFrame,
+      addedCnt: DataFrame): DataFrame = {
+    val cnt = mCnt.select(col("cid"), col("n").as("n_members"))
+      .join(addedCnt.select(col("cid"), col("n").as("nb")), Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("nb"), lit(0L)).as("n_added"))
+    mSums.join(cnt, "cid")
       .withColumn("mean", expr("s DIV n_members"))
       .groupBy(col("cid"), col("n_members"), col("n_added"))
       .agg(md5(to_binary(concat_ws(",",
@@ -950,6 +975,72 @@ object Similarity {
           x => x.getField("mean").cast("string"))), lit("utf-8"))).as("mean_digest"))
       .select(col("cid"), col("n_members"), col("n_added"), col("mean_digest"))
       .orderBy(col("cid"))
+  }
+
+  private def q262(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = ivfSplit(spark, dir)
+    val frozen = frozenCentroids(corpus)
+    val (sSums, sCnt) = ivfCellState(corpus, frozen) // the materialized state
+    val (dSums, dCnt) = ivfCellState(batch, frozen)  // the append delta
+    ivfReadout(mergeCellSums(sSums, dSums), mergeCellCnt(sCnt, dCnt), dCnt)
+  }
+
+  /** q264 — STREAMING IVF MAINTENANCE: q262's append discipline run
+    * as a production-shaped Structured Streaming fold. The index
+    * bootstraps OFFLINE (frozen centroids + corpus cell state, the
+    * build step), then appended vectors arrive as parquet
+    * micro-batches through a file stream and every foreachBatch does
+    * batch-keyed work only: map-side assignment against the
+    * driver-held K-row centroid table and an additive merge of the
+    * batch's (cid, pos) sums / cid counts into the maintained state
+    * — which is K×64 rows, checkpointed per trigger at constant
+    * cost. No trigger ever rescans the corpus or earlier batches.
+    *
+    * ORACLE = q262's from-scratch SQL, verbatim: the per-trigger
+    * fold must land on exactly the one-shot merge's state because
+    * cell sums are associative+commutative and assignment against
+    * FROZEN centroids is per-vector independent — the hash gate
+    * proves `fold(triggers) == merge(batch) == scratch(all)` for the
+    * 4-file split, and `IncrementalIvfSpec` pins the in-engine
+    * q264 == q262 equality plus trigger-count bookkeeping.
+    */
+  private def q264(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = ivfSplit(spark, dir)
+    val frozen = frozenCentroids(corpus)
+    var (mSums, mCnt) = ivfCellState(corpus, frozen) // bootstrap state
+    var added = corpus.sparkSession.range(0)
+      .select(col("id").cast("int").as("cid"), col("id").as("n"))
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_q264_stage").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_q264_ck").toString
+    batch.select(col("vec_id"), col("cs"), col("n2"))
+      .repartition(4, col("vec_id"))
+      .write.mode("overwrite").parquet(stage)
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("cs", ArrayType(LongType)),
+        StructField("n2", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val q = src.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val bc = b.localCheckpoint()
+          val (dSums, dCnt) = ivfCellState(bc, frozen)
+          mSums = mergeCellSums(mSums, dSums).localCheckpoint()
+          mCnt = mergeCellCnt(mCnt, dCnt).localCheckpoint()
+          added = mergeCellCnt(added, dCnt).localCheckpoint()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = ivfReadout(mSums, mCnt, added).localCheckpoint()
+    Seq(stage, ck).foreach(d => scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))))
+    out
   }
 
   private val q262Sql = {
@@ -1918,6 +2009,7 @@ object Similarity {
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
     QuerySpec("q52b_ann_ivf_exact", q52b, Some(q52bSql)),
     QuerySpec("q262_incremental_ivf", q262, Some(q262Sql)),
+    QuerySpec("q264_stream_ivf_maintenance", q264, Some(q262Sql)),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
     QuerySpec("q83b_semantic_dedup_sql", q83b, Some(q83bSql)),
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),

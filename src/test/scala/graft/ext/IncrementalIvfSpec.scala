@@ -32,4 +32,16 @@ class IncrementalIvfSpec extends SparkSpec {
     val run2 = SparkEntry.queries("q262_incremental_ivf")(spark, sf).collect()
     assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq, "nondeterministic")
   }
+
+  test("q264: the streaming per-trigger fold lands on exactly q262's one-shot merge") {
+    // fold(triggers) == merge(batch) because cell sums are
+    // associative+commutative and assignment against FROZEN
+    // centroids is per-vector independent; both also hash-match the
+    // from-scratch oracle, but the in-engine equality pins it
+    // without the oracle in the loop
+    val oneShot = SparkEntry.queries("q262_incremental_ivf")(spark, sf).collect()
+    val folded = SparkEntry.queries("q264_stream_ivf_maintenance")(spark, sf).collect()
+    assert(folded.map(_.toString).toSeq == oneShot.map(_.toString).toSeq,
+      "streaming fold diverged from the one-shot merge")
+  }
 }
