@@ -952,21 +952,23 @@ object Similarity {
       .select(col("cid"), col("pos"),
         (coalesce(col("sa"), lit(0L)) + coalesce(col("sb"), lit(0L))).as("s"))
 
+  /** Merge a count delta `b` (cid, n) into count state `a`
+    * (cid, n, added): members grow by the delta and — because every
+    * delta after bootstrap IS appended data — so does `added`.
+    */
   private def mergeCellCnt(a: DataFrame, b: DataFrame): DataFrame =
-    a.select(col("cid"), col("n").as("na"))
+    a.select(col("cid"), col("n").as("na"), col("added").as("aa"))
       .join(b.select(col("cid"), col("n").as("nb")), Seq("cid"), "full_outer")
       .select(col("cid"),
-        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"))
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"),
+        (coalesce(col("aa"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("added"))
 
   /** Readout shared by q262/q264: per-cell maintained size, appended
     * count, and the md5 digest of the 64 exact mean codes.
     */
-  private def ivfReadout(mSums: DataFrame, mCnt: DataFrame,
-      addedCnt: DataFrame): DataFrame = {
-    val cnt = mCnt.select(col("cid"), col("n").as("n_members"))
-      .join(addedCnt.select(col("cid"), col("n").as("nb")), Seq("cid"), "left")
-      .select(col("cid"), col("n_members"),
-        coalesce(col("nb"), lit(0L)).as("n_added"))
+  private def ivfReadout(mSums: DataFrame, mCnt: DataFrame): DataFrame = {
+    val cnt = mCnt.select(col("cid"), col("n").as("n_members"),
+      col("added").as("n_added"))
     mSums.join(cnt, "cid")
       .withColumn("mean", expr("s DIV n_members"))
       .groupBy(col("cid"), col("n_members"), col("n_added"))
@@ -982,7 +984,8 @@ object Similarity {
     val frozen = frozenCentroids(corpus)
     val (sSums, sCnt) = ivfCellState(corpus, frozen) // the materialized state
     val (dSums, dCnt) = ivfCellState(batch, frozen)  // the append delta
-    ivfReadout(mergeCellSums(sSums, dSums), mergeCellCnt(sCnt, dCnt), dCnt)
+    ivfReadout(mergeCellSums(sSums, dSums),
+      mergeCellCnt(sCnt.withColumn("added", lit(0L)), dCnt))
   }
 
   /** q264 — STREAMING IVF MAINTENANCE: q262's append discipline run
@@ -1007,9 +1010,9 @@ object Similarity {
   private def q264(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, batch) = ivfSplit(spark, dir)
     val frozen = frozenCentroids(corpus)
-    var (mSums, mCnt) = ivfCellState(corpus, frozen) // bootstrap state
-    var added = corpus.sparkSession.range(0)
-      .select(col("id").cast("int").as("cid"), col("id").as("n"))
+    val (bSums, bCnt) = ivfCellState(corpus, frozen) // bootstrap state
+    var mSums = bSums
+    var mCnt = bCnt.withColumn("added", lit(0L))
 
     val stage = java.nio.file.Files.createTempDirectory("graft_q264_stage").toString
     val ck = java.nio.file.Files.createTempDirectory("graft_q264_ck").toString
@@ -1031,13 +1034,12 @@ object Similarity {
           val (dSums, dCnt) = ivfCellState(bc, frozen)
           mSums = mergeCellSums(mSums, dSums).localCheckpoint()
           mCnt = mergeCellCnt(mCnt, dCnt).localCheckpoint()
-          added = mergeCellCnt(added, dCnt).localCheckpoint()
         }
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    val out = ivfReadout(mSums, mCnt, added).localCheckpoint()
+    val out = ivfReadout(mSums, mCnt).localCheckpoint()
     Seq(stage, ck).foreach(d => scala.util.Try(
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))))
     out
