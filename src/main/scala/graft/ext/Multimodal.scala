@@ -8,18 +8,19 @@ import org.apache.spark.sql.functions._
   * typed metadata, decode/feature-extract as partition-wise batch
   * functions (BASELINE.json north star).
   *
-  * STUB BOUNDARY (round 9): IMAGE decode is REAL — q50e runs genuine
-  * `javax.imageio` PNG and BMP codecs (JDK-stdlib, offline) through
-  * the same partition-batch seam, oracle-checked end to end via the
-  * lossless-round-trip trick documented there — and AUDIO decode is
-  * REAL too: q50f round-trips WAV PCM through
-  * `javax.sound.sampled.AudioSystem` under the same trick. The q50b
-  * rolling-hash "decode" stays as the clearly-marked deterministic
-  * stand-in for the codecs the container truly lacks (VIDEO only
-  * now — no video container/codec ships in the JDK); everything
-  * around it — binary column handling, schema, partition batch
-  * shape, feature vector type — is real and tested. On a real
-  * cluster the fake body is swapped for a JNI/library call with the
+  * STUB BOUNDARY (round 9): every media family now has a REAL
+  * round-trip path. IMAGE — q50e runs genuine `javax.imageio` PNG and
+  * BMP codecs (JDK-stdlib, offline) through the partition-batch seam,
+  * oracle-checked end to end via the lossless-round-trip trick
+  * documented there. AUDIO — q50f round-trips WAV PCM through
+  * `javax.sound.sampled.AudioSystem` under the same trick. VIDEO —
+  * q50g wraps real-codec PNG frames in a genuine AVI RIFF container
+  * (repo-authored encoder/parser per the public RIFF/AVI layout; the
+  * JDK ships no video API) and certifies container parse + per-frame
+  * codec decode through the same lossless gate. The q50b
+  * rolling-hash "decode" remains as the clearly-marked deterministic
+  * stand-in demonstrating the generic feature-vector seam: on a real
+  * cluster its fake body is swapped for a JNI/library call with the
   * same `Iterator[batch] => Iterator[batch]` shape (the Scala
   * equivalent of a `mapInPandas` batch UDF).
   */
@@ -500,8 +501,8 @@ object Multimodal extends Serializable {
     * straight from the synthesis formula — the hash gate certifies
     * the full encode→container→decode path (any endianness slip,
     * header misparse, off-by-one frame, or sign error changes a sum
-    * or the digest). With q50e this narrows the honest stub boundary
-    * to VIDEO only: no container/codec for it ships in the JDK.
+    * or the digest). With q50e this narrowed the honest stub boundary
+    * to VIDEO only — closed in turn by q50g's AVI container path.
     *
     * Scale shape: map-only per-row codec work, no shuffle before the
     * contract sort; ≤1600 samples ⇒ constant per-row working set.
@@ -592,10 +593,342 @@ object Multimodal extends Serializable {
        |FROM d JOIN agg USING (doc_id) JOIN wv USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q50g — VIDEO: a genuine AVI (RIFF) container wrapping real-codec
+  // PNG frames. The JDK ships no video API, so the CONTAINER layer is
+  // repo-authored straight from the public RIFF/AVI layout (chunk
+  // fourCCs + little-endian sizes + even padding + idx1 index); the
+  // per-frame CODEC inside is the genuine `javax.imageio` PNG codec
+  // (same one q50e certifies). Together they close the last stub:
+  // every media family (image/audio/video) now round-trips through a
+  // real container or codec path.
+  // ------------------------------------------------------------------
+
+  /** Per-frame pixel-synthesis formula shared by the q50g engine side
+    * and its oracle: channel values of frame `f` at (x, y). Pure
+    * non-negative mod-256 integer arithmetic so DuckDB re-derives
+    * every pixel of every frame.
+    */
+  private[ext] def q50gPixel(docId: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    ((docId + 3L * x + 5L * y + 11L * f) % 256).toInt,
+    ((2L * docId + x + 7L * y + 13L * f) % 256).toInt,
+    ((x.toLong * y + docId + f.toLong * f) % 256).toInt)
+
+  /** Strided digest width (samples across frames) for q50g. */
+  private[ext] val VideoDigestN = 64
+
+  /** Header metadata recovered by [[aviDecode]]'s container parse:
+    * everything q50g reports about shape/timing comes from HERE (the
+    * parsed avih/strh/strf chunks), not from the synthesis inputs.
+    */
+  private[ext] final case class AviMeta(
+      microSecPerFrame: Long, totalFrames: Int, width: Int, height: Int,
+      handler: String, rate: Int, scale: Int)
+
+  private def leChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(body.length + 9)
+    bos.write(id.getBytes("US-ASCII"))
+    val n = body.length
+    bos.write(n & 0xff); bos.write((n >> 8) & 0xff)
+    bos.write((n >> 16) & 0xff); bos.write((n >> 24) & 0xff)
+    bos.write(body)
+    if ((n & 1) == 1) bos.write(0) // RIFF chunks pad to even sizes
+    bos.toByteArray
+  }
+
+  private def leList(kind: String, body: Array[Byte]): Array[Byte] =
+    leChunk("LIST", kind.getBytes("US-ASCII") ++ body)
+
+  private def le32(vs: Long*): Array[Byte] = {
+    val out = new Array[Byte](4 * vs.length)
+    vs.zipWithIndex.foreach { case (v, i) =>
+      out(4 * i) = (v & 0xff).toByte
+      out(4 * i + 1) = ((v >> 8) & 0xff).toByte
+      out(4 * i + 2) = ((v >> 16) & 0xff).toByte
+      out(4 * i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out
+  }
+
+  private def le16(vs: Int*): Array[Byte] = {
+    val out = new Array[Byte](2 * vs.length)
+    vs.zipWithIndex.foreach { case (v, i) =>
+      out(2 * i) = (v & 0xff).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out
+  }
+
+  /** ENCODE: wrap already-encoded frame payloads in a standard AVI
+    * RIFF container — `RIFF('AVI ' LIST(hdrl avih LIST(strl strh
+    * strf)) LIST(movi 00dc…) idx1)` — with the MPNG (Motion-PNG)
+    * stream handler fourCC, little-endian sizes, even-size chunk
+    * padding (PNG payloads have odd lengths, so the pad path really
+    * runs), and a keyframe idx1 index whose offsets are relative to
+    * the `movi` fourCC per the AVI 1.0 convention.
+    */
+  private[ext] def aviEncode(
+      frames: Seq[Array[Byte]], w: Int, h: Int, rate: Int): Array[Byte] = {
+    val maxF = frames.map(_.length).max
+    val avih = leChunk("avih", le32(
+      1000000L / rate, 0L, 0L, 0x10L /*AVIF_HASINDEX*/, frames.length.toLong,
+      0L, 1L, maxF.toLong, w.toLong, h.toLong, 0L, 0L, 0L, 0L))
+    val strh = leChunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MPNG".getBytes("US-ASCII") ++
+        le32(0L, 0L, 0L, 1L /*scale*/, rate.toLong, 0L, frames.length.toLong,
+          maxF.toLong, 0L, 0L) ++ le16(0, 0, w, h))
+    val strf = leChunk("strf", le32(40L, w.toLong, h.toLong) ++ le16(1, 24) ++
+      "MPNG".getBytes("US-ASCII") ++ le32(w.toLong * h * 3, 0L, 0L, 0L, 0L))
+    val hdrl = leList("hdrl", avih ++ leList("strl", strh ++ strf))
+    // assemble movi, tracking each chunk's offset from the movi fourCC
+    val moviBody = new java.io.ByteArrayOutputStream()
+    moviBody.write("movi".getBytes("US-ASCII"))
+    val idx = new java.io.ByteArrayOutputStream()
+    frames.foreach { fb =>
+      val off = moviBody.size() // == 4 for the first chunk
+      moviBody.write(leChunk("00dc", fb))
+      idx.write("00dc".getBytes("US-ASCII"))
+      idx.write(le32(0x10L /*AVIIF_KEYFRAME*/, off.toLong, fb.length.toLong))
+    }
+    val movi = leChunk("LIST", moviBody.toByteArray)
+    leChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++
+      leChunk("idx1", idx.toByteArray))
+  }
+
+  /** DECODE: parse the RIFF structure back — verify the RIFF/`AVI `
+    * magic, walk the chunk tree honoring little-endian sizes and even
+    * padding, read shape/timing metadata out of avih/strh/strf,
+    * require the vids/MPNG stream header, collect the `00dc` frame
+    * payloads, and cross-check the idx1 index (entry count, per-entry
+    * offsets and sizes) against the frames actually found. Returns
+    * the parsed header metadata and the raw frame payloads (still
+    * codec-encoded; the caller runs the real PNG decoder on each).
+    */
+  private[ext] def aviDecode(b: Array[Byte]): (AviMeta, Vector[Array[Byte]]) = {
+    def u32(o: Int): Long = (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+      (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+    def cc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
+      "not an AVI RIFF stream")
+    require(u32(4) == b.length - 8, "RIFF size does not span the stream")
+
+    var avih: Option[Array[Long]] = None       // the 14 avih dwords
+    var strhHandler: String = ""
+    var strhRate, strhScale = 0L
+    var frames = Vector.empty[Array[Byte]]
+    var frameOffs = Vector.empty[Long]         // offsets from movi fourCC
+    var idx1 = Vector.empty[(String, Long, Long)] // (id, offset, size)
+    // located by a linear top-level pre-scan so 00dc offsets can be
+    // checked against idx1's movi-fourCC-relative convention
+    var moviBodyStart = -1
+    var o = 12
+    while (o + 8 <= b.length && moviBodyStart < 0) {
+      if (cc(o) == "LIST" && cc(o + 8) == "movi") moviBodyStart = o + 12
+      o += 8 + u32(o + 4).toInt + (u32(o + 4).toInt & 1)
+    }
+    require(moviBodyStart > 0, "no movi list in the container")
+
+    def walk(from: Int, to: Int, ctx: String): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = cc(o)
+        val size = u32(o + 4).toInt
+        val body = o + 8
+        require(body + size <= to, s"chunk $id overruns its parent $ctx")
+        id match {
+          case "LIST" =>
+            walk(body + 4, body + size, cc(body))
+          case "avih" =>
+            avih = Some(Array.tabulate(14)(i => u32(body + 4 * i)))
+          case "strh" =>
+            require(cc(body) == "vids", s"unexpected stream type ${cc(body)}")
+            strhHandler = cc(body + 4)
+            strhScale = u32(body + 20); strhRate = u32(body + 24)
+          case "00dc" if ctx == "movi" =>
+            // offset convention: from the movi fourCC, which sits 4
+            // bytes before the list body start
+            frameOffs :+= (o - (moviBodyStart - 4)).toLong
+            frames :+= java.util.Arrays.copyOfRange(b, body, body + size)
+          case "idx1" =>
+            (0 until size / 16).foreach { i =>
+              idx1 :+= ((cc(body + 16 * i), u32(body + 16 * i + 8),
+                u32(body + 16 * i + 12)))
+            }
+          case _ => () // strf and unknown chunks: tolerated, skipped
+        }
+        o = body + size + (size & 1) // even-padding skip
+      }
+    }
+    walk(12, b.length, "AVI ")
+
+    val hdr = avih.getOrElse(sys.error("no avih header chunk"))
+    val meta = AviMeta(hdr(0), hdr(4).toInt, hdr(8).toInt, hdr(9).toInt,
+      strhHandler, strhRate.toInt, strhScale.toInt)
+    require(meta.totalFrames == frames.length,
+      s"avih says ${meta.totalFrames} frames, movi holds ${frames.length}")
+    require(idx1.length == frames.length, "idx1 entry count != frame count")
+    idx1.zip(frameOffs.zip(frames)).foreach { case ((iid, ioff, isz), (off, fb)) =>
+      require(iid == "00dc" && ioff == off && isz == fb.length,
+        s"idx1 entry ($iid,$ioff,$isz) != movi chunk at $off size ${fb.length}")
+    }
+    (meta, frames)
+  }
+
+  /** One decoded q50g row; `strided` is the canonical string of the
+    * 64 strided "r,g,b" samples across frames, joined by ";".
+    */
+  final case class DecodedVideo(
+      doc_id: Long, n_frames: Int, w: Int, h: Int, fps: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, motion: Long, strided: String)
+
+  /** q50g — REAL VIDEO CONTAINER ROUND-TRIP (oracle-checked): per
+    * doc, synthesize 3–6 small RGB frames from a deterministic
+    * per-frame pixel formula, encode each frame with the genuine
+    * `javax.imageio` PNG codec, wrap the encoded frames in a genuine
+    * AVI RIFF container ([[aviEncode]] — MPNG stream, idx1 keyframe
+    * index, even-size padding), then DECODE: parse the container back
+    * ([[aviDecode]] — magic, chunk walk, header metadata, index
+    * cross-check) and run the real PNG decoder on every recovered
+    * frame payload. Features come from the DECODED side only:
+    * shape/timing (frame count, dimensions, fps = rate/scale) from
+    * the parsed headers, exact per-channel sums over all decoded
+    * frames, an inter-frame MOTION metric (Σ |Δred| between
+    * consecutive decoded frames — the temporal feature a video
+    * pipeline computes), and an md5 digest of 64 strided pixels
+    * spread across frames.
+    *
+    * Why this is oracle-checkable without a video stack in DuckDB:
+    * PNG is lossless and the AVI container is a byte-exact framing,
+    * so decode(encode(frames)) == frames pixel-for-pixel and the
+    * oracle re-derives every feature from the synthesis formula. The
+    * hash gate certifies the whole encode→container→parse→decode
+    * path: a size-field slip, a padding bug, frame reordering, an
+    * index mismatch, or any codec corruption changes a sum, the
+    * motion, or the digest.
+    *
+    * Scale shape: map-only per-row container+codec work (the
+    * embarrassingly parallel regime media transcode lives in at
+    * 100 TB), no shuffle before the contract sort; ≤6 frames of
+    * ≤16×16 keep the per-row working set constant.
+    */
+  private def q50g(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val decoded = ids.mapPartitions { it =>
+      it.map { docId =>
+        val w = (8 + docId % 9).toInt
+        val h = (8 + (docId * 5) % 9).toInt
+        val nf = (3 + docId % 4).toInt
+        val encFrames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, bl) = q50gPixel(docId, f, x, y)
+              img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", bos),
+            "no png writer — javax.imageio missing from this JVM")
+          bos.toByteArray
+        }
+        val payload = aviEncode(encFrames, w, h, rate = 10) // the binary column
+        // ---- REAL decode: container parse + genuine PNG codec ----
+        val (meta, rawFrames) = aviDecode(payload)
+        require(meta.handler == "MPNG", s"unexpected handler ${meta.handler}")
+        val imgs = rawFrames.map { fb =>
+          val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+          require(im.getWidth == meta.width && im.getHeight == meta.height,
+            "decoded frame dims != container header dims")
+          im
+        }
+        var (sr, sg, sb, motion) = (0L, 0L, 0L, 0L)
+        imgs.zipWithIndex.foreach { case (im, f) =>
+          var y = 0
+          while (y < meta.height) {
+            var x = 0
+            while (x < meta.width) {
+              val p = im.getRGB(x, y)
+              val r = (p >> 16) & 0xff
+              sr += r; sg += (p >> 8) & 0xff; sb += p & 0xff
+              if (f > 0)
+                motion += math.abs(r - ((imgs(f - 1).getRGB(x, y) >> 16) & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+        }
+        val strided = (0 until VideoDigestN).map { k =>
+          val f = k % meta.totalFrames
+          val pix = (k * 131) % (meta.width * meta.height)
+          val p = imgs(f).getRGB(pix % meta.width, pix / meta.width)
+          s"${(p >> 16) & 0xff},${(p >> 8) & 0xff},${p & 0xff}"
+        }.mkString(";")
+        DecodedVideo(docId, meta.totalFrames, meta.width, meta.height,
+          meta.rate / meta.scale, sr, sg, sb, motion, strided)
+      }
+    }
+    decoded.toDF()
+      .select(col("doc_id"), col("n_frames"), col("w"), col("h"), col("fps"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("motion"),
+        md5(to_binary(col("strided"), lit("utf-8"))).as("frame_digest"))
+      .orderBy("doc_id")
+  }
+
+  private val q50gSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(8 + doc_id % 9 AS INT) AS w,
+       |         CAST(8 + (doc_id * 5) % 9 AS INT) AS h,
+       |         CAST(3 + doc_id % 4 AS INT) AS nf
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, f, x, y,
+       |         (doc_id + 3 * x + 5 * y + 11 * f) % 256 AS r,
+       |         (2 * doc_id + x + 7 * y + 13 * f) % 256 AS g,
+       |         (x * y + doc_id + f * f) % 256 AS b
+       |  FROM (SELECT *, unnest(range(0, nf)) AS f
+       |        FROM (SELECT *, unnest(range(0, h)) AS y
+       |              FROM (SELECT *, unnest(range(0, w)) AS x FROM d)))),
+       |sums AS (
+       |  SELECT doc_id, CAST(SUM(r) AS BIGINT) AS sum_r,
+       |         CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b
+       |  FROM px GROUP BY doc_id),
+       |mot AS (
+       |  SELECT doc_id, CAST(SUM(ABS(
+       |           (doc_id + 3 * x + 5 * y + 11 * f) % 256 -
+       |           (doc_id + 3 * x + 5 * y + 11 * (f - 1)) % 256)) AS BIGINT) AS motion
+       |  FROM (SELECT doc_id, x, y, unnest(range(1, nf)) AS f
+       |        FROM (SELECT *, unnest(range(0, h)) AS y
+       |              FROM (SELECT *, unnest(range(0, w)) AS x FROM d)))
+       |  GROUP BY doc_id),
+       |dig AS (
+       |  SELECT doc_id,
+       |         md5(string_agg(
+       |           ((doc_id + 3 * sx + 5 * sy + 11 * f) % 256) || ',' ||
+       |           ((2 * doc_id + sx + 7 * sy + 13 * f) % 256) || ',' ||
+       |           ((sx * sy + doc_id + f * f) % 256), ';' ORDER BY k)) AS frame_digest
+       |  FROM (SELECT doc_id, k, k % nf AS f,
+       |               ((k * 131) % (w * h)) % w AS sx,
+       |               ((k * 131) % (w * h)) // w AS sy
+       |        FROM (SELECT *, unnest(range(0, $VideoDigestN)) AS k FROM d))
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, d.nf AS n_frames, d.w, d.h, 10 AS fps,
+       |       sums.sum_r, sums.sum_g, sums.sum_b, mot.motion, dig.frame_digest
+       |FROM d JOIN sums USING (doc_id) JOIN mot USING (doc_id)
+       |       JOIN dig USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q50_multimodal_meta",   q50, Some(q50Sql)),
     QuerySpec("q50e_codec_roundtrip",  q50e, Some(q50eSql)),
     QuerySpec("q50f_audio_roundtrip",  q50f, Some(q50fSql)),
+    QuerySpec("q50g_video_roundtrip",  q50g, Some(q50gSql)),
     QuerySpec("q50b_decode_features",  q50b, Some(q50bSql)),
     QuerySpec("q50c_frame_sampling",   q50c, Some(q50cSql)),
     QuerySpec("q50d_resize_thumb",     q50d, Some(q50dSql)),

@@ -459,6 +459,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q50g real video container: AVI round-trips losslessly and features match the formula") {
+    // container fixture — the assumption the q50g oracle rests on:
+    // aviDecode(aviEncode(frames)) must return the header metadata
+    // and the exact frame payloads (including odd-size pad handling)
+    val f0 = Array[Byte](1, 2, 3)            // odd size — exercises padding
+    val f1 = Array[Byte](4, 5, 6, 7)
+    val f2 = Array[Byte](8)
+    val avi = Multimodal.aviEncode(Seq(f0, f1, f2), w = 5, h = 4, rate = 10)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    val (meta, back) = Multimodal.aviDecode(avi)
+    assert(meta == Multimodal.AviMeta(100000L, 3, 5, 4, "MPNG", 10, 1))
+    assert(back.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq, f2.toSeq),
+      "frame payloads must survive the container byte-exactly")
+    // a corrupted size field must be rejected, not silently misparsed
+    val bad = avi.clone(); bad(4) = (bad(4) + 1).toByte
+    assertThrows[IllegalArgumentException](Multimodal.aviDecode(bad))
+
+    val rows = run("q50g_video_roundtrip").collect()
+    assert(rows.length == 500, "every doc must decode")
+    // decoded-frame fidelity, independent of the oracle: channel sums
+    // and motion re-derived from the per-frame formula
+    rows.take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h, nf) = (r.getAs[Int]("w"), r.getAs[Int]("h"), r.getAs[Int]("n_frames"))
+      assert((w, h, nf) ==
+        (((8 + id % 9).toInt, (8 + id * 5 % 9).toInt, (3 + id % 4).toInt)))
+      assert(r.getAs[Int]("fps") == 10, "fps must come from the parsed strh")
+      var (sr, sg, sb, motion) = (0L, 0L, 0L, 0L)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val (pr, pg, pb) = Multimodal.q50gPixel(id, f, x, y)
+        sr += pr; sg += pg; sb += pb
+        if (f > 0) motion += math.abs(pr - Multimodal.q50gPixel(id, f - 1, x, y)._1)
+      }
+      assert((r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"),
+        r.getAs[Long]("motion")) == ((sr, sg, sb, motion)),
+        s"decoded video features diverge for doc $id")
+    }
+  }
+
   test("q52 IVF ANN: valid ranked output and nontrivial recall vs exact q48") {
     val exact = run("q48_ann_bruteforce").collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
