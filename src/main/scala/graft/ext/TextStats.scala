@@ -1013,17 +1013,14 @@ object TextStats {
     * (q03/q69 scalar pattern); the final top-k is
     * TakeOrderedAndProject — per-partition heaps, no global sort.
     */
-  private def q108(spark: SparkSession, dir: String): DataFrame = {
+  /** The BM25 readout shared by q108 (scratch) and q265/q266 (index
+    * maintenance): exact integer scoring from (doc, term, tf) +
+    * per-term df + per-doc dl + 1-row corpus totals, top-k via
+    * TakeOrdered, rank over the bounded top-k rows only.
+    */
+  private def bm25Readout(tf: DataFrame, df: DataFrame,
+      dl: DataFrame, totals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
-    val totals = dl.agg(sum(col("dl")).as("t_tokens"), count(lit(1)).as("n_docs"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(Bm25Query: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
@@ -1047,6 +1044,19 @@ object TextStats {
         row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("score_micro"), col("n_terms_matched"))
       .orderBy("rank")
+  }
+
+  private def q108(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("t_tokens"), count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Readout(tf, df, dl, totals)
   }
 
   private val q108Sql = {
@@ -1075,6 +1085,164 @@ object TextStats {
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
        |       doc_id, score_micro, n_terms_matched
        |FROM agg ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q265/q266 — INCREMENTAL INVERTED-INDEX (BM25) MAINTENANCE: the
+  // retrieval member of the round-9 incremental family (q260 clusters,
+  // q261 minhash, q262 IVF). A search index does not re-tokenize its
+  // corpus when documents arrive: postings are append-only (new docs
+  // are new postings rows), document frequencies and corpus totals
+  // are ADDITIVE sketches, and scoring probes the merged state.
+  // ------------------------------------------------------------------
+
+  /** Per-split inverted-index state: full postings (term, doc_id,
+    * tf) — the index proper — plus the per-term df table, per-doc
+    * lengths, and the 1-row corpus totals.
+    */
+  private final case class Bm25State(
+      postings: DataFrame, dfS: DataFrame, dlS: DataFrame, totals: DataFrame)
+
+  /** Build index state from a split's documents only — the tokenize
+    * pass a batch pays on arrival.
+    */
+  private def bm25IndexState(docs: DataFrame): Bm25State = {
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dfS = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(
+      coalesce(sum(col("dl")), lit(0L)).as("t_tokens"),
+      count(lit(1)).as("n_docs"))
+    Bm25State(postings, dfS, dl, totals)
+  }
+
+  /** Merge a batch delta into maintained state: postings/dl APPEND
+    * (batch docs are disjoint new doc_ids), df merges by ADDITION
+    * (full-outer on term — the batch may introduce new terms or grow
+    * existing ones), totals add. No operation here rescans the
+    * corpus side: at 100 TB yesterday's index contributes its
+    * aggregated tables, not a tokenize pass.
+    */
+  private def mergeBm25(a: Bm25State, b: Bm25State): Bm25State = Bm25State(
+    a.postings.unionByName(b.postings),
+    a.dfS.select(col("term"), col("df").as("da"))
+      .join(b.dfS.select(col("term"), col("df").as("db")), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("da"), lit(0L)) + coalesce(col("db"), lit(0L))).as("df")),
+    a.dlS.unionByName(b.dlS),
+    a.totals.select(col("t_tokens").as("ta"), col("n_docs").as("na"))
+      .crossJoin(b.totals)
+      .select((col("ta") + col("t_tokens")).as("t_tokens"),
+        (col("na") + col("n_docs")).as("n_docs")))
+
+  /** Score the fixed query against maintained state: the postings
+    * probe fetches only the query terms' lists (the index lookup),
+    * df comes from the maintained per-term table, and the math is
+    * [[bm25Readout]] verbatim.
+    */
+  private def bm25FromState(st: Bm25State): DataFrame =
+    bm25Readout(
+      st.postings.filter(col("term").isin(Bm25Query: _*))
+        .select(col("doc_id"), col("term"), col("tf")),
+      st.dfS.filter(col("term").isin(Bm25Query: _*)),
+      st.dlS, st.totals)
+
+  /** q265 — INCREMENTAL BM25 INDEX MAINTENANCE (oracle-gated): 90/10
+    * md5 split of the documents table into corpus (the materialized
+    * index) and batch (the append); the batch pays one tokenize pass
+    * over ITSELF only, every merge is append/addition, and the fixed
+    * query scores against the merged state.
+    *
+    * THE ORACLE IS q108's FROM-SCRATCH SQL VERBATIM: corpus ∪ batch
+    * is the whole table, so maintained-index scoring must equal the
+    * one-shot index build — merge ≡ scratch holds because postings
+    * rows are per-doc independent and df/dl/totals are algebraic
+    * (additive) summaries. A double-counted df, a dropped posting,
+    * or a stale total shifts a score and hash-mismatches.
+    *
+    * Scale shape: batch-sized tokenize + (term,doc) partial aggs;
+    * the df merge is vocabulary-bounded; totals are 1 row; the
+    * scoring probe filters postings to the query's terms BEFORE any
+    * join (the postings-fetch of a real index serving path).
+    */
+  private def q265(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("is_batch", TrainPrep.md5Bucket(col("doc_id"), 100) >= 90)
+    val corpus = docs.filter(!col("is_batch")).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("is_batch")).select(col("doc_id"), col("text"))
+    bm25FromState(mergeBm25(bm25IndexState(corpus), bm25IndexState(batch)))
+  }
+
+  /** Run q266's streaming fold over a staged directory of document
+    * parquet files: each foreachBatch tokenizes the batch only and
+    * merges its delta into the maintained index state — postings and
+    * dl APPEND per-batch checkpointed pieces (batch N+1 never
+    * re-derives or re-copies batch ≤N's rows), df and totals
+    * re-checkpoint at vocabulary-bounded / 1-row cost. Returns the
+    * readout plus the number of non-empty micro-batches (spec hook).
+    */
+  private[ext] def streamBm25(spark: SparkSession, stagedDir: String,
+      filesPerTrigger: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val ck = java.nio.file.Files.createTempDirectory("graft_q266_ck").toString
+    val empty = spark.range(0)
+      .select(col("id").as("doc_id"), lit("x").as("text"))
+    var st = bm25IndexState(empty)
+    var nBatches = 0
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(stagedDir)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = bm25IndexState(batch.select(col("doc_id"), col("text")))
+        val deltaCk = Bm25State(
+          delta.postings.localCheckpoint(), delta.dfS,
+          delta.dlS.localCheckpoint(), delta.totals)
+        if (!deltaCk.dlS.isEmpty) {
+          val m = mergeBm25(st, deltaCk)
+          // append arms stay as unions of already-checkpointed
+          // pieces; only the BOUNDED tables re-checkpoint per trigger
+          st = Bm25State(m.postings, m.dfS.localCheckpoint(),
+            m.dlS, m.totals.localCheckpoint())
+          nBatches += 1
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = bm25FromState(st).localCheckpoint()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ck)))
+    (out, nBatches)
+  }
+
+  /** q266 — STREAMING BM25 INDEX MAINTENANCE: q265's append
+    * discipline as a Structured Streaming fold — the documents table
+    * staged as 4 parquet files arrives one file per trigger, each
+    * foreachBatch merges a batch-only delta, and the final maintained
+    * state answers the fixed query. ORACLE = q108's from-scratch SQL
+    * verbatim: fold(triggers) ≡ one-shot merge ≡ scratch, by
+    * associativity of the additive df/dl/totals merges and per-doc
+    * independence of postings rows. Bm25Spec additionally pins the
+    * in-engine q266 == q108 equality and batching invariance.
+    */
+  private def q266(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_q266_stage").toString
+    Tables.documents(spark, dir)
+      .repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    val (out, _) = streamBm25(spark, stage, filesPerTrigger = 1)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(stage)))
+    out
   }
 
   /** q111 classifier vocabulary width — 16 of the corpus's 31 distinct
@@ -1603,6 +1771,8 @@ object TextStats {
     QuerySpec("q101_bpe_pair_stats", q101, Some(q101Sql)),
     QuerySpec("q103_bpe_merge_apply", q103, Some(q103Sql)),
     QuerySpec("q108_bm25_retrieval", q108, Some(q108Sql), headline = true),
+    QuerySpec("q265_incremental_bm25", q265, Some(q108Sql)),
+    QuerySpec("q266_stream_bm25_maintenance", q266, Some(q108Sql)),
     QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),
     QuerySpec("q114_bigram_lm_score", q114, Some(q114Sql)),
     QuerySpec("q119_source_ngrams", q119, Some(q119Sql)),

@@ -42,4 +42,41 @@ class Bm25Spec extends SparkSpec {
     // the rare term dominates: top-ranked docs must contain 'dup'
     assert(got.take(3).forall { case (id, _, _) => docs(id).contains("dup") })
   }
+
+  test("q265/q266 index maintenance: merged and folded state equal the scratch build") {
+    val scratch = SparkEntry.queries("q108_bm25_retrieval")(spark, sf).collect().toSeq
+
+    // the df-merge path must be genuinely exercised: every query term
+    // must appear on BOTH sides of the 90/10 split, so its merged df
+    // is a real sum of two nonzero partials
+    val sides = Tables.documents(spark, sf)
+      .withColumn("is_batch", TrainPrep.md5Bucket(col("doc_id"), 100) >= 90)
+      .select(col("is_batch"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin("fast", "hash", "join", "dup"))
+      .groupBy(col("term")).agg(countDistinct(col("is_batch")).as("sides"))
+      .collect()
+    assert(sides.length == 4 && sides.forall(_.getLong(1) == 2L),
+      s"fixture drift: a query term no longer spans both splits — ${sides.toSeq}")
+
+    assert(SparkEntry.queries("q265_incremental_bm25")(spark, sf).collect().toSeq
+      == scratch, "incremental merge != scratch index")
+    assert(SparkEntry.queries("q266_stream_bm25_maintenance")(spark, sf).collect().toSeq
+      == scratch, "streaming fold != scratch index")
+  }
+
+  test("q266 batching invariance: 1 file per trigger == all files at once") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_bm25spec").toString
+    try {
+      Tables.documents(spark, sf).repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val (perFile, n1) = TextStats.streamBm25(spark, stage, filesPerTrigger = 1)
+      val (allAtOnce, n2) = TextStats.streamBm25(spark, stage, filesPerTrigger = 4)
+      assert(n1 > n2, s"staging must actually split the stream ($n1 vs $n2 batches)")
+      assert(perFile.collect().toSeq == allAtOnce.collect().toSeq,
+        "fold result depends on batching — the merge is not associative")
+    } finally {
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(stage)))
+    }
+  }
 }
