@@ -1347,6 +1347,90 @@ object Layout {
       |GROUP BY 1
       |ORDER BY flag""".stripMargin
 
+  /** The (ok, ship_us, flag, qty, price_cents) projection of ORDERS —
+    * the merge store's base relation. Orders, not lineitem: MERGE is
+    * keyed DML and `o_orderkey` is unique (l_orderkey is not).
+    */
+  private def ordersBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("ok"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ship_us"),
+      col("o_orderstatus").as("flag"),
+      col("o_custkey").as("qty"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("price_cents"))
+
+  /** q267 — COPY-ON-WRITE MERGE (upsert) on the manifest table: the
+    * UPDATE/INSERT half of lakehouse DML, completing the lifecycle
+    * next to append (q249), compaction (q245), retention DELETE
+    * (q251), time travel, bloom skipping (q257), and vacuum. A fresh
+    * store loads from ORDERS (unique `ok`); the MERGE source is a
+    * deterministic batch — every `ok % 97 = 0` row updates (flag→'U',
+    * price doubled) and every `ok % 997 = 0` row re-keys to
+    * `ok + 10⁷` as an insert (flag→'N') — applied through
+    * [[graft.sources.ManifestSource.merge]]: candidate files found by
+    * per-file `ok`-bloom probe, matched rows replaced in an
+    * executor-side rewrite (zone map + bloom recomputed),
+    * bloom-false-positive candidates carried forward by REFERENCE,
+    * unmatched source rows appended as one new file, the new
+    * generation committed via the VERSION pointer. The readout
+    * aggregates the POST-MERGE snapshot by flag; the oracle applies
+    * the same MERGE semantics relationally over orders (CASE for the
+    * update arm, UNION ALL for the insert arm), so the hash gate
+    * certifies row-exact upsert at file granularity.
+    *
+    * Bounded-batch note: the MERGE source collects ~orders/97 +
+    * orders/997 rows (≈1.7k at sf0.1) to the driver — the documented
+    * bounded-batch contract of `merge`; a table-sized source is the
+    * join-strategy variant, out of scope.
+    */
+  private def q267(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_mrg_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val batch = base
+      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
+      .collect()
+      .toSeq
+      .flatMap { r =>
+        val (ok, us, fl, q, pc) =
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
+        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
+        up ++ ins
+      }
+    graft.sources.ManifestSource.merge(spark, root, batch)
+    spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q267Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 97 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM merged GROUP BY flag ORDER BY flag""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
@@ -1360,6 +1444,7 @@ object Layout {
     QuerySpec("q245_manifest_compaction", q245, Some(q245Sql)),
     QuerySpec("q249_manifest_append", q249, Some(q249Sql)),
     QuerySpec("q251_manifest_retention", q251, Some(q251Sql)),
+    QuerySpec("q267_manifest_merge", q267, Some(q267Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),

@@ -238,6 +238,108 @@ object ManifestSource {
     (below.size, straddle.size, above.size)
   }
 
+  /** COPY-ON-WRITE MERGE (upsert) — the UPDATE/INSERT half of
+    * lakehouse DML, next to append (q249), compaction (q245),
+    * retention DELETE (q251), time travel, and vacuum. `updates` is
+    * a batch of full rows keyed by `ok` (unique keys required — SQL
+    * MERGE errors on multi-match sources): a target row with a
+    * matching key is REPLACED (WHEN MATCHED THEN UPDATE SET *), an
+    * unmatched source row is APPENDED (WHEN NOT MATCHED THEN INSERT
+    * *). The Delta/Iceberg copy-on-write protocol, at file
+    * granularity:
+    *
+    *   1. CANDIDATE files = those whose per-file `ok` bloom might
+    *      contain ANY update key (bloom-less files are always
+    *      candidates) — the stats-based touched-file pruning a MERGE
+    *      does before moving data;
+    *   2. candidates rewrite EXECUTOR-SIDE (one task per file),
+    *      replacing matched rows in-stream and recomputing the zone
+    *      map + bloom; a bloom FALSE POSITIVE (no row actually
+    *      matched) discards its copy and carries the ORIGINAL file
+    *      forward by reference — no spurious rewrite commits;
+    *   3. source rows matched by NO file append as one new data
+    *      file;
+    *   4. untouched + rewritten + inserted entries commit as a new
+    *      generation via the VERSION pointer — readers flip
+    *      atomically, the pre-merge snapshot stays pinnable.
+    *
+    * The update batch is DRIVER-HELD and broadcast into the rewrite
+    * closure — the bounded-batch contract (the K-row centroid / 64-row
+    * quantization-range class: an upsert batch is bounded relative to
+    * the table). A huge-source merge degrades to the join strategy
+    * (stage the source, inner-join to find touched files, shuffle-join
+    * the rewrite) — out of scope here, noted for the cluster build.
+    * Returns (files rewritten, kept by reference, rows inserted,
+    * committed manifest).
+    */
+  def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
+      updates: Seq[(Long, Long, String, Long, Long)]): (Int, Int, Int, String) = {
+    val current = resolveManifest(dir, None)
+    val entries = readManifest(dir, current)
+    val keys = updates.map(_._1)
+    require(keys.distinct.size == keys.size,
+      "MERGE source has duplicate keys — multi-match is an error, like SQL MERGE")
+    val keySet = keys.toSet
+    val (candidates, untouched) = entries.partition(e =>
+      e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+    val gen = nextGeneration(dir)
+    val upMap = updates.map(u => u._1 -> u).toMap
+    val rewritten = spark.sparkContext
+      .parallelize(candidates, candidates.size.max(1))
+      .map { e =>
+        val out = s"part-m$gen-${e.file.stripPrefix("part-")}"
+        val outF = new java.io.File(dir, out)
+        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
+        val w = new java.io.PrintWriter(outF, "UTF-8")
+        var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        val bloom = new Array[Long](BloomWords)
+        var matchedHere = List.empty[Long]
+        try src.getLines().foreach { l =>
+          val a = l.split(',')
+          val ok = a(0).toLong
+          val (row, us) = upMap.get(ok) match {
+            case Some((_, uus, fl, q, pc)) =>
+              matchedHere ::= ok
+              (s"$ok,$uus,$fl,$q,$pc", uus)
+            case None => (l, a(1).toLong)
+          }
+          w.println(row); n += 1
+          if (us < mn) mn = us
+          if (us > mx) mx = us
+          bloomInsert(bloom, ok)
+        } finally { src.close(); w.close() }
+        if (matchedHere.isEmpty) {
+          // bloom false positive — keep the original file by reference
+          outF.delete()
+          (e, matchedHere)
+        } else (FileEntry(out, mn, mx, n, Some(bloom)), matchedHere)
+      }.collect()
+    val matched = rewritten.flatMap(_._2).toSet
+    val inserts = updates.filterNot(u => matched(u._1))
+    val insertEntry =
+      if (inserts.isEmpty) None
+      else {
+        val out = s"part-m$gen-insert.csv"
+        val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+        val bloom = new Array[Long](BloomWords)
+        try inserts.foreach { case (ok, us, fl, q, pc) =>
+          w.println(s"$ok,$us,$fl,$q,$pc")
+          bloomInsert(bloom, ok)
+        } finally w.close()
+        Some(FileEntry(out, inserts.map(_._2).min, inserts.map(_._2).max,
+          inserts.size.toLong, Some(bloom)))
+      }
+    val name = s"manifest-gen$gen.csv"
+    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+    try (untouched ++ rewritten.map(_._1) ++ insertEntry)
+      .foreach(e => mw.println(entryLine(e)))
+    finally mw.close()
+    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
+    try vw.println(name) finally vw.close()
+    val nRewritten = rewritten.count(_._2.nonEmpty)
+    (nRewritten, entries.size - nRewritten, inserts.size, name)
+  }
+
   /** VACUUM — the out-of-band garbage collection every other
     * lifecycle op defers to (append/compact/retention all write NEW
     * files and leave the old snapshot readable for time travel; the
