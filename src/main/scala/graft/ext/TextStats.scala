@@ -1019,7 +1019,7 @@ object TextStats {
     * TakeOrdered, rank over the bounded top-k rows only.
     */
   private def bm25Readout(tf: DataFrame, df: DataFrame,
-      dl: DataFrame, totals: DataFrame): DataFrame = {
+      dl: DataFrame, totals: DataFrame, k: Int = Bm25TopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = tf.join(broadcast(df), "term")
       .join(dl, "doc_id")
@@ -1037,7 +1037,7 @@ object TextStats {
       .agg(sum(col("term_score_micro")).as("score_micro"),
         count(lit(1)).as("n_terms_matched"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-      .limit(Bm25TopK)
+      .limit(k)
     // rank over the already-reduced top-k rows (bounded input, not a
     // global single-partition window)
     top.withColumn("rank",
@@ -1046,7 +1046,10 @@ object TextStats {
       .orderBy("rank")
   }
 
-  private def q108(spark: SparkSession, dir: String): DataFrame = {
+  /** One-shot BM25 scoring over the whole table at top-`k` — q108's
+    * body, shared with q268's recall stage.
+    */
+  private def bm25Scratch(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
@@ -1056,8 +1059,11 @@ object TextStats {
       .filter(col("term").isin(Bm25Query: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    bm25Readout(tf, df, dl, totals)
+    bm25Readout(tf, df, dl, totals, k)
   }
+
+  private def q108(spark: SparkSession, dir: String): DataFrame =
+    bm25Scratch(spark, dir, Bm25TopK)
 
   private val q108Sql = {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
@@ -1243,6 +1249,92 @@ object TextStats {
     scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(stage)))
     out
+  }
+
+  /** Recall-stage width for q268's cascade. */
+  private val RecallK = 100
+
+  /** q268 — TWO-STAGE RETRIEVAL (retrieve-then-rerank, the RAG
+    * serving cascade, complementing q115's rank FUSION): stage 1 is
+    * the cheap lexical recall pass — BM25 over the fixed term query,
+    * top [[RecallK]] — and stage 2 re-ranks ONLY that recall set by
+    * exact dense cosine against a fixed query embedding (vec_id 0;
+    * documents and embeddings align on id), returning the top
+    * [[Bm25TopK]] with both stage ranks and the cosine. The cascade's
+    * economics are the point: the expensive dense scoring touches
+    * RecallK rows, never the corpus — the 100-row recall set
+    * broadcasts into an id-equi-join against the embeddings table (at
+    * 100 TB that's an id-keyed point fetch against the vector store,
+    * the q257 bloom-lookup shape, not a scan).
+    *
+    * Exactness: cosine in doubles via the native sequential-fold
+    * dot_product (bit-identical to DuckDB's list_dot_product — the
+    * q48 discipline), ties broken by doc_id, so the raw double column
+    * hash-matches.
+    */
+  private def q268(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recall = bm25Scratch(spark, dir, RecallK)
+      .select(col("rank").as("bm25_rank"), col("doc_id"))
+    val asDouble = (c: Column) => transform(c, x => x.cast("double"))
+    val qe = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qe"))
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), asDouble(col("embedding")).as("ce"))
+      .join(broadcast(recall), "doc_id")
+      .crossJoin(broadcast(qe))
+      .withColumn("cos",
+        graft.functions.dot_product(col("qe"), col("ce")) /
+          (sqrt(graft.functions.dot_product(col("qe"), col("qe"))) *
+            sqrt(graft.functions.dot_product(col("ce"), col("ce")))))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(Bm25TopK)
+    // rank over the already-reduced top-k rows (bounded input)
+    scored.withColumn("rerank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("rerank"), col("doc_id"), col("bm25_rank"), col("cos"))
+      .orderBy("rerank")
+  }
+
+  private val q268Sql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |totals AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1)) AS idf_micro,
+       |         (44 * tf * t_tokens * 1000000 //
+       |          (20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs)) AS tfsat_micro
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN totals),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(idf_micro * tfsat_micro // 1000000) AS BIGINT) AS score_micro
+       |  FROM scored GROUP BY doc_id),
+       |recall AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS bm25_rank,
+       |         doc_id
+       |  FROM agg ORDER BY score_micro DESC, doc_id LIMIT $RecallK),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+       |s AS (
+       |  SELECT r.bm25_rank, r.doc_id,
+       |         list_dot_product(qe, ce) /
+       |           (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+       |  FROM recall r
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) e
+       |    ON e.vec_id = r.doc_id
+       |  CROSS JOIN q),
+       |top AS (SELECT * FROM s ORDER BY cos DESC, doc_id LIMIT $Bm25TopK)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rerank,
+       |       doc_id, bm25_rank, cos
+       |FROM top ORDER BY rerank""".stripMargin
   }
 
   /** q111 classifier vocabulary width — 16 of the corpus's 31 distinct
@@ -1773,6 +1865,7 @@ object TextStats {
     QuerySpec("q108_bm25_retrieval", q108, Some(q108Sql), headline = true),
     QuerySpec("q265_incremental_bm25", q265, Some(q108Sql)),
     QuerySpec("q266_stream_bm25_maintenance", q266, Some(q108Sql)),
+    QuerySpec("q268_two_stage_retrieval", q268, Some(q268Sql)),
     QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),
     QuerySpec("q114_bigram_lm_score", q114, Some(q114Sql)),
     QuerySpec("q119_source_ngrams", q119, Some(q119Sql)),

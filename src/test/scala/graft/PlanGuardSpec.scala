@@ -128,7 +128,14 @@ class PlanGuardSpec extends SparkSpec {
     // q228: the isotonic minimax joins bounded bin-aggregate frames
     // (≤16 rows each) on range predicates (the q136 bounded
     // derived-domain pattern)
-    "q228_isotonic_calibration")
+    "q228_isotonic_calibration",
+    // q265: broadcasts the 1-row merged corpus-totals aggregate for
+    // BM25 normalization (q108's scalar pattern through the
+    // maintained-index state)
+    "q265_incremental_bm25",
+    // q268: broadcasts the 1-row merged totals (recall stage, q108's
+    // pattern) and the 1-row fixed query embedding (rerank stage)
+    "q268_two_stage_retrieval")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
