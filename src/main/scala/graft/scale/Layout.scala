@@ -1347,6 +1347,31 @@ object Layout {
       |GROUP BY 1
       |ORDER BY flag""".stripMargin
 
+  /** q269 — STATS-ANSWERED AGGREGATES through the manifest source's
+    * THIRD pushdown surface (filters q244, columns, now aggregates):
+    * global COUNT(*) / MIN(ship_us) / MAX(ship_us) answer from the
+    * manifest's per-file statistics — exact write-time row counts and
+    * zone maps — so the scan opens ZERO data files
+    * (`ManifestScan.lastPlanned` records 0 of N; StatsPushdownSpec
+    * asserts it). The metadata-only query path Iceberg/Delta serve
+    * from manifests: at 100 TB, a manifest read instead of a table
+    * scan. The oracle computes the same three aggregates from
+    * lineitem, so the hash gate certifies the recorded statistics
+    * agree with the data they describe.
+    */
+  private def q269(spark: SparkSession, dir: String): DataFrame = {
+    val path = manifestStore(spark, dir)
+    spark.read.format("graft-manifest").option("path", path).load()
+      .agg(count(lit(1)).as("n_rows"), min(col("ship_us")).as("first_us"),
+        max(col("ship_us")).as("last_us"))
+  }
+
+  private val q269Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS first_us,
+      |       CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS last_us
+      |FROM lineitem""".stripMargin
+
   /** The (ok, ship_us, flag, qty, price_cents) projection of ORDERS —
     * the merge store's base relation. Orders, not lineitem: MERGE is
     * keyed DML and `o_orderkey` is unique (l_orderkey is not).
@@ -1445,6 +1470,7 @@ object Layout {
     QuerySpec("q249_manifest_append", q249, Some(q249Sql)),
     QuerySpec("q251_manifest_retention", q251, Some(q251Sql)),
     QuerySpec("q267_manifest_merge", q267, Some(q267Sql)),
+    QuerySpec("q269_stats_pushdown", q269, Some(q269Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),

@@ -564,10 +564,47 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suff
 }
 
 final class ManifestScanBuilder(dir: String, manifest: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = ManifestSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAggs: Option[Seq[String]] = None
+
+  /** The THIRD pushdown surface (next to filters and columns):
+    * global COUNT(*) / MIN(ship_us) / MAX(ship_us) answer straight
+    * from the manifest's per-file statistics — rows are exact counts
+    * recorded at write time and the zone maps are exact min/max — so
+    * the scan opens ZERO data files (a metadata-only query, the
+    * Iceberg/Delta stats-answered path; at 100 TB this is the
+    * difference between a manifest read and a table scan). Accepted
+    * only in the shape the stats can answer EXACTLY: no grouping, no
+    * pushed-down-able filters in play (Spark only attempts aggregate
+    * pushdown with no Filter above the scan; rejecting when `pushed`
+    * is nonempty belt-and-suspenders that), and every aggregate one
+    * of the three supported funcs. Complete pushdown stays `false`:
+    * Spark plans its final merge over the single returned row
+    * (SUM of counts / MIN of mins), which is exact and keeps the
+    * contract simple.
+    */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isShipUs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("ship_us"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
+    val toks = agg.aggregateExpressions.map {
+      case _: CountStar => Some("count")
+      case m: Min if isShipUs(m.column) => Some("min")
+      case m: Max if isShipUs(m.column) => Some("max")
+      case _ => None
+    }
+    if (toks.contains(None)) false
+    else { pushedAggs = Some(toks.toSeq.flatten); true }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // keep the ship_us zone-map-usable ones plus ok-equality (bloom
@@ -587,8 +624,58 @@ final class ManifestScanBuilder(dir: String, manifest: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ManifestScan(dir, manifest, required, pushed)
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new ManifestStatsScan(dir, manifest, aggs)
+    case None => new ManifestScan(dir, manifest, required, pushed)
+  }
 }
+
+/** Stats-answered scan for pushed aggregates: ONE partition, ONE
+  * pre-aggregated row computed from the manifest entries alone — no
+  * data file opens (`lastPlanned` records 0 of N). Spark's partial
+  * final-merge over the row (SUM of the count / MIN of the min / MAX
+  * of the max) is identity on a single row.
+  */
+final class ManifestStatsScan(dir: String, manifest: String, aggs: Seq[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-manifest $dir stats-answered aggs=${aggs.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = ManifestSource.readManifest(dir, manifest)
+    ManifestScan.lastPlanned = (0, entries.length)
+    val values: Array[java.lang.Long] = aggs.map {
+      case "count" => java.lang.Long.valueOf(entries.map(_.rows).sum)
+      case "min" =>
+        if (entries.isEmpty) null else java.lang.Long.valueOf(entries.map(_.min).min)
+      case "max" =>
+        if (entries.isEmpty) null else java.lang.Long.valueOf(entries.map(_.max).max)
+    }.toArray
+    Array(ManifestStatsPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vs = p.asInstanceOf[ManifestStatsPartition].values
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(vs.toSeq.map(v => if (v == null) null else v.longValue()))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class ManifestStatsPartition(values: Array[java.lang.Long])
+    extends InputPartition
 
 object ManifestScan {
   /** (planned files, total files) of the most recent scan planning in
