@@ -1349,13 +1349,14 @@ object Layout {
 
   /** q269 — STATS-ANSWERED AGGREGATES through the manifest source's
     * THIRD pushdown surface (filters q244, columns, now aggregates):
-    * global COUNT(*) / MIN(ship_us) / MAX(ship_us) answer from the
-    * manifest's per-file statistics — exact write-time row counts and
-    * zone maps — so the scan opens ZERO data files
+    * global COUNT(*) / MIN(ship_us) / MAX(ship_us) / SUM(qty) /
+    * SUM(price_cents) answer from the manifest's per-file
+    * statistics — exact write-time row counts, zone maps, and the
+    * additive sums pair — so the scan opens ZERO data files
     * (`ManifestScan.lastPlanned` records 0 of N; StatsPushdownSpec
     * asserts it). The metadata-only query path Iceberg/Delta serve
     * from manifests: at 100 TB, a manifest read instead of a table
-    * scan. The oracle computes the same three aggregates from
+    * scan. The oracle computes the same five aggregates from
     * lineitem, so the hash gate certifies the recorded statistics
     * agree with the data they describe.
     */
@@ -1363,13 +1364,17 @@ object Layout {
     val path = manifestStore(spark, dir)
     spark.read.format("graft-manifest").option("path", path).load()
       .agg(count(lit(1)).as("n_rows"), min(col("ship_us")).as("first_us"),
-        max(col("ship_us")).as("last_us"))
+        max(col("ship_us")).as("last_us"), sum(col("qty")).as("qty_sum"),
+        sum(col("price_cents")).as("revenue_cents"))
   }
 
   private val q269Sql =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
       |       CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS first_us,
-      |       CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS last_us
+      |       CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS last_us,
+      |       CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
       |FROM lineitem""".stripMargin
 
   /** The (ok, ship_us, flag, qty, price_cents) projection of ORDERS —

@@ -114,8 +114,16 @@ object ManifestSource {
     (0 until BloomWords).map(i =>
       java.lang.Long.parseUnsignedLong(s.substring(i * 16, i * 16 + 16), 16)).toArray
 
+  /** `sums` = exact per-file (Σqty, Σprice_cents), the additive
+    * statistics pair that extends [[ManifestStatsScan]]'s
+    * stats-answered surface to SUM. Written together with the bloom
+    * (arity-based back-compat: 4-field legacy rows parse with
+    * neither, 5-field with bloom only, 7-field with both — sums are
+    * never present without a bloom because every writer produces
+    * both).
+    */
   final case class FileEntry(file: String, min: Long, max: Long, rows: Long,
-      bloom: Option[Array[Long]] = None)
+      bloom: Option[Array[Long]] = None, sums: Option[(Long, Long)] = None)
 
   /** Snapshot resolution: an explicit `manifest` option pins a
     * version (time travel); otherwise the VERSION pointer file names
@@ -174,14 +182,20 @@ object ManifestSource {
           val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
           try src.getLines().foreach(w.println) finally src.close()
         } finally w.close()
-        // bloom union = bitwise OR (mergeable, like the zone-map
-        // union); absent on any input → absent on the output
+        // bloom union = bitwise OR, sums = addition (both mergeable,
+        // like the zone-map union); absent on any input → absent on
+        // the output
         val bloom =
           if (es.forall(_.bloom.isDefined))
             Some(es.map(_.bloom.get).reduce((a, b) =>
               a.zip(b).map { case (x, y) => x | y }))
           else None
-        FileEntry(out, es.map(_.min).min, es.map(_.max).max, es.map(_.rows).sum, bloom)
+        val sums =
+          if (es.forall(_.sums.isDefined))
+            Some((es.map(_.sums.get._1).sum, es.map(_.sums.get._2).sum))
+          else None
+        FileEntry(out, es.map(_.min).min, es.map(_.max).max, es.map(_.rows).sum,
+          bloom, sums)
       }.collect()
     val name = s"manifest-gen$gen.csv"
     val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
@@ -216,6 +230,7 @@ object ManifestSource {
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
         try src.getLines().foreach { l =>
           val a = l.split(',')
@@ -225,9 +240,10 @@ object ManifestSource {
             if (us < mn) mn = us
             if (us > mx) mx = us
             bloomInsert(bloom, a(0).toLong) // rewrite reads every row anyway
+            qs += a(3).toLong; ps += a(4).toLong
           }
         } finally { src.close(); w.close() }
-        FileEntry(out, mn, mx, n, Some(bloom))
+        FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)))
       }.collect().filter(_.rows > 0)
     val name = s"manifest-gen${nextGeneration(dir)}.csv"
     val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
@@ -292,27 +308,29 @@ object ManifestSource {
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(outF, "UTF-8")
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
         var matchedHere = List.empty[Long]
         try src.getLines().foreach { l =>
           val a = l.split(',')
           val ok = a(0).toLong
-          val (row, us) = upMap.get(ok) match {
-            case Some((_, uus, fl, q, pc)) =>
+          val (row, us, q, pc) = upMap.get(ok) match {
+            case Some((_, uus, fl, uq, upc)) =>
               matchedHere ::= ok
-              (s"$ok,$uus,$fl,$q,$pc", uus)
-            case None => (l, a(1).toLong)
+              (s"$ok,$uus,$fl,$uq,$upc", uus, uq, upc)
+            case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
           }
           w.println(row); n += 1
           if (us < mn) mn = us
           if (us > mx) mx = us
+          qs += q; ps += pc
           bloomInsert(bloom, ok)
         } finally { src.close(); w.close() }
         if (matchedHere.isEmpty) {
           // bloom false positive — keep the original file by reference
           outF.delete()
           (e, matchedHere)
-        } else (FileEntry(out, mn, mx, n, Some(bloom)), matchedHere)
+        } else (FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps))), matchedHere)
       }.collect()
     val matched = rewritten.flatMap(_._2).toSet
     val inserts = updates.filterNot(u => matched(u._1))
@@ -327,7 +345,8 @@ object ManifestSource {
           bloomInsert(bloom, ok)
         } finally w.close()
         Some(FileEntry(out, inserts.map(_._2).min, inserts.map(_._2).max,
-          inserts.size.toLong, Some(bloom)))
+          inserts.size.toLong, Some(bloom),
+          Some((inserts.map(_._4).sum, inserts.map(_._5).sum))))
       }
     val name = s"manifest-gen$gen.csv"
     val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
@@ -408,14 +427,19 @@ object ManifestSource {
     try src.getLines().map { l =>
       val a = l.split(',')
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong,
-        if (a.length > 4 && a(4).nonEmpty) Some(bloomFromHex(a(4))) else None)
+        if (a.length > 4 && a(4).nonEmpty) Some(bloomFromHex(a(4))) else None,
+        if (a.length > 6) Some((a(5).toLong, a(6).toLong)) else None)
     }.toList
     finally src.close()
   }
 
   def entryLine(e: FileEntry): String =
     s"${e.file},${e.min},${e.max},${e.rows}" +
-      e.bloom.map("," + bloomHex(_)).getOrElse("")
+      // sums ride only behind a bloom: the arity-based parse (5 =
+      // bloom, 7 = bloom + sums) cannot place sums without one
+      e.bloom.map { b =>
+        "," + bloomHex(b) + e.sums.map { case (q, p) => s",$q,$p" }.getOrElse("")
+      }.getOrElse("")
 }
 
 final class ManifestTable(dir: String, pinned: Option[String])
@@ -459,7 +483,7 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
 }
 
 final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Long,
-    bloomHex: String) extends WriterCommitMessage
+    bloomHex: String, qtySum: Long, priceSum: Long) extends WriterCommitMessage
 
 final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     batchTag: Option[String]) extends BatchWrite {
@@ -474,7 +498,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     new ManifestWriterFactory(dir, suffix)
 
   private def line(m: FileCommitMessage): String =
-    s"${m.file},${m.min},${m.max},${m.rows},${m.bloomHex}"
+    s"${m.file},${m.min},${m.max},${m.rows},${m.bloomHex},${m.qtySum},${m.priceSum}"
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
@@ -535,6 +559,8 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suff
   private var min = Long.MaxValue
   private var max = Long.MinValue
   private var rows = 0L
+  private var qtySum = 0L
+  private var priceSum = 0L
   private val bloom = new Array[Long](ManifestSource.BloomWords)
 
   override def write(r: InternalRow): Unit = {
@@ -546,13 +572,16 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suff
     if (us < min) min = us
     if (us > max) max = us
     rows += 1
+    qtySum += r.getLong(3)
+    priceSum += r.getLong(4)
     ManifestSource.bloomInsert(bloom, r.getLong(0))
     w.println(s"${r.getLong(0)},$us,${r.getUTF8String(2)},${r.getLong(3)},${r.getLong(4)}")
   }
 
   override def commit(): WriterCommitMessage = {
     if (w != null) w.close()
-    FileCommitMessage(file, min, max, rows, ManifestSource.bloomHex(bloom))
+    FileCommitMessage(file, min, max, rows, ManifestSource.bloomHex(bloom),
+      qtySum, priceSum)
   }
 
   override def abort(): Unit = {
@@ -572,37 +601,50 @@ final class ManifestScanBuilder(dir: String, manifest: String)
   private var pushedAggs: Option[Seq[String]] = None
 
   /** The THIRD pushdown surface (next to filters and columns):
-    * global COUNT(*) / MIN(ship_us) / MAX(ship_us) answer straight
-    * from the manifest's per-file statistics — rows are exact counts
-    * recorded at write time and the zone maps are exact min/max — so
-    * the scan opens ZERO data files (a metadata-only query, the
-    * Iceberg/Delta stats-answered path; at 100 TB this is the
+    * global COUNT(*) / MIN(ship_us) / MAX(ship_us) / SUM(qty) /
+    * SUM(price_cents) answer straight from the manifest's per-file
+    * statistics — rows are exact counts recorded at write time, the
+    * zone maps are exact min/max, and the sums pair is additive
+    * (compaction adds it; retention and MERGE rewrites recompute
+    * it) — so the scan opens ZERO data files (a metadata-only query,
+    * the Iceberg/Delta stats-answered path; at 100 TB this is the
     * difference between a manifest read and a table scan). Accepted
     * only in the shape the stats can answer EXACTLY: no grouping, no
     * pushed-down-able filters in play (Spark only attempts aggregate
     * pushdown with no Filter above the scan; rejecting when `pushed`
-    * is nonempty belt-and-suspenders that), and every aggregate one
-    * of the three supported funcs. Complete pushdown stays `false`:
-    * Spark plans its final merge over the single returned row
-    * (SUM of counts / MIN of mins), which is exact and keeps the
-    * contract simple.
+    * is nonempty belt-and-suspenders that), every aggregate one of
+    * the five supported funcs, and — for SUM — every entry of the
+    * current manifest carrying the sums pair (legacy manifests fall
+    * back to a real scan). Complete pushdown stays `false`: Spark
+    * plans its final merge over the single returned row (SUM of
+    * counts / MIN of mins), which is exact and keeps the contract
+    * simple.
     */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    def isShipUs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    def named(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
-        case nr: NamedReference => nr.fieldNames.sameElements(Array("ship_us"))
-        case _ => false
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
       }
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
     val toks = agg.aggregateExpressions.map {
       case _: CountStar => Some("count")
-      case m: Min if isShipUs(m.column) => Some("min")
-      case m: Max if isShipUs(m.column) => Some("max")
+      case m: Min if named(m.column).contains("ship_us") => Some("min")
+      case m: Max if named(m.column).contains("ship_us") => Some("max")
+      case s: Sum if !s.isDistinct && named(s.column).contains("qty") => Some("sum_qty")
+      case s: Sum if !s.isDistinct && named(s.column).contains("price_cents") =>
+        Some("sum_price")
       case _ => None
     }
+    // SUM answers from the per-file (Σqty, Σprice_cents) pair, which
+    // legacy manifests lack — accept it only when EVERY current entry
+    // carries sums (else fall back to a real scan)
+    val needsSums = toks.exists(t => t.contains("sum_qty") || t.contains("sum_price"))
     if (toks.contains(None)) false
+    else if (needsSums && !ManifestSource
+        .readManifest(dir, manifest).forall(_.sums.isDefined)) false
     else { pushedAggs = Some(toks.toSeq.flatten); true }
   }
 
@@ -656,6 +698,12 @@ final class ManifestStatsScan(dir: String, manifest: String, aggs: Seq[String])
         if (entries.isEmpty) null else java.lang.Long.valueOf(entries.map(_.min).min)
       case "max" =>
         if (entries.isEmpty) null else java.lang.Long.valueOf(entries.map(_.max).max)
+      case "sum_qty" =>
+        if (entries.isEmpty) null
+        else java.lang.Long.valueOf(entries.map(_.sums.get._1).sum)
+      case "sum_price" =>
+        if (entries.isEmpty) null
+        else java.lang.Long.valueOf(entries.map(_.sums.get._2).sum)
     }.toArray
     Array(ManifestStatsPartition(values))
   }
