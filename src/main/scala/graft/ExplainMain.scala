@@ -63,7 +63,12 @@ object ExplainMain {
         // round-9: the re-geometried DBSCAN blocking measurement, the
         // incremental quotient-graph CC, and the real-codec batch map
         "q259_dbscan_blocking_power", "q260_incremental_dup_clusters",
-        "q50e_codec_roundtrip")
+        "q50e_codec_roundtrip",
+        // round 9: incremental index maintenance, the retrieval
+        // cascade, lakehouse MERGE, stats-answered aggregates
+        "q262_incremental_ivf", "q265_incremental_bm25",
+        "q268_two_stage_retrieval", "q267_manifest_merge",
+        "q269_stats_pushdown", "q50g_video_roundtrip")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

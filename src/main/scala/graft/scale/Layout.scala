@@ -1461,6 +1461,132 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM merged GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q270 — STREAMING CDC MERGE APPLY: q267's copy-on-write MERGE
+    * driven by a change-data stream — the lakehouse CDC-apply loop
+    * (Delta's MERGE-per-microbatch pattern), completing the write
+    * side next to q250's exactly-once APPEND ingest. Sequenced CDC
+    * batches (seq 0: bulk update; seq 1: overriding update + insert;
+    * seq 2: update OF a previously inserted row — the full
+    * last-wins matrix) arrive as parquet micro-batches through a
+    * file stream; every foreachBatch applies its events GROUPED BY
+    * SEQUENCE in ascending order, one `merge` generation per
+    * sequence, so any trigger batching that respects log order —
+    * one file per trigger or all files at once — folds to the same
+    * final table (out-of-order delivery needs a sequence buffer
+    * upstream, the standard CDC contract, noted not built). The
+    * oracle applies the same last-wins semantics relationally
+    * (nested CASE on the update classes + the insert arm), so the
+    * hash gate certifies the whole fold: stale overwrite, lost
+    * insert, or mis-ordered apply all shift a flag group.
+    *
+    * Bounded-batch note: each foreachBatch collects its CDC events
+    * (bounded change batches, the q267 contract).
+    */
+  private def q270(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_scm_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+
+    // the sequenced CDC log, staged one file per sequence
+    val e0 = base.filter(col("ok") % 50 === 0)
+      .select(lit(0).as("seq"), col("ok"), col("ship_us"), lit("U").as("flag"),
+        col("qty"), (col("price_cents") * 2).as("price_cents"))
+    val e1 = base.filter(col("ok") % 100 === 0)
+      .select(lit(1).as("seq"), col("ok"), col("ship_us"), lit("V").as("flag"),
+        col("qty"), (col("price_cents") * 3).as("price_cents"))
+      .unionByName(base.filter(col("ok") % 250 === 0)
+        .select(lit(1).as("seq"), (col("ok") + 10000000L).as("ok"), col("ship_us"),
+          lit("N").as("flag"), col("qty"), col("price_cents")))
+    val e2 = base.filter(col("ok") % 500 === 0)
+      .select(lit(2).as("seq"), (col("ok") + 10000000L).as("ok"), col("ship_us"),
+        lit("W").as("flag"), col("qty"), (col("price_cents") + 7).as("price_cents"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_q270_stage").toString
+    Seq(e0, e1, e2).zipWithIndex.foreach { case (df, i) =>
+      val sub = s"$stage/b$i"
+      df.coalesce(1).write.mode("overwrite").parquet(sub)
+      // distinct ascending mtimes: the file stream processes oldest
+      // first, so trigger order follows log order
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(1000000L * (i + 1)))
+    }
+    streamCdcApply(spark, root, s"$stage/*", filesPerTrigger = 1)
+    val out = spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+      .localCheckpoint()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(stage)))
+    out
+  }
+
+  /** The q270 fold: stream staged CDC parquet, each foreachBatch
+    * applying its events grouped by sequence ascending — one merge
+    * generation per sequence. Any trigger batching that respects log
+    * order folds identically (Q270CdcSpec pins 1-per-trigger ==
+    * all-at-once).
+    */
+  private[graft] def streamCdcApply(spark: SparkSession, root: String,
+      stagedGlob: String, filesPerTrigger: Int): Unit = {
+    val ck = java.nio.file.Files.createTempDirectory("graft_q270_ck").toString
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ship_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price_cents", org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(stagedGlob)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect() // bounded CDC batch
+        rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+          graft.sources.ManifestSource.merge(spark, root, rs.toSeq.map(r =>
+            (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5))))
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ck)))
+  }
+
+  private val q270Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |final AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 100 = 0 THEN 'V'
+      |              WHEN ok % 50 = 0 THEN 'U' ELSE flag END AS flag,
+      |         qty,
+      |         CASE WHEN ok % 100 = 0 THEN price_cents * 3
+      |              WHEN ok % 50 = 0 THEN price_cents * 2
+      |              ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us,
+      |         CASE WHEN ok % 500 = 0 THEN 'W' ELSE 'N' END,
+      |         qty,
+      |         CASE WHEN ok % 500 = 0 THEN price_cents + 7 ELSE price_cents END
+      |  FROM base WHERE ok % 250 = 0)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM final GROUP BY flag ORDER BY flag""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
@@ -1476,6 +1602,7 @@ object Layout {
     QuerySpec("q251_manifest_retention", q251, Some(q251Sql)),
     QuerySpec("q267_manifest_merge", q267, Some(q267Sql)),
     QuerySpec("q269_stats_pushdown", q269, Some(q269Sql)),
+    QuerySpec("q270_stream_cdc_merge_apply", q270, Some(q270Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
