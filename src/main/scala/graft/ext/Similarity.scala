@@ -1045,7 +1045,62 @@ object Similarity {
     out
   }
 
-  private val q262Sql = {
+  /** q271 — IVF DELETE MAINTENANCE: the vector index's other write
+    * path. q262 proved appends are ADDITIVE on the cell state; this
+    * proves deletes are SUBTRACTIVE — the (count, per-dim code sums)
+    * summary is not just a mergeable monoid but an ABELIAN GROUP, so
+    * removing a vector is `state − its contribution`, computed from
+    * the DELETE BATCH alone (re-assign the doomed vectors map-side
+    * against the same frozen centroids — deterministic, so each
+    * lands in exactly the cell it originally joined — then subtract
+    * its codes and count). No corpus rescan, no tombstone compaction
+    * pass: one batch-sized scoring pass and a K×64 algebraic update,
+    * exactly the append cost. The maintained readout reports each
+    * cell's surviving size, the append and delete contributions, and
+    * the digest of the surviving exact means.
+    *
+    * THE ORACLE IS THE FROM-SCRATCH PROTOCOL over the SURVIVING
+    * membership: same frozen corpus centroids, one-pass assignment,
+    * cells rolled up over (corpus ∖ deleted) ∪ batch — so the hash
+    * gate proves subtract ≡ rebuild. Deleted = md5 buckets 0–4 (a
+    * 5% slice of the corpus the state was built WITH — that's the
+    * point), appended = buckets 90–99 (q262's split).
+    */
+  private def q271(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = ivfSplit(spark, dir)
+    val frozen = frozenCentroids(corpus)
+    val (sSums, sCnt) = ivfCellState(corpus, frozen) // the materialized state
+    val (dSums, dCnt) = ivfCellState(batch, frozen)  // the append delta
+    val doomed = corpus.filter(graft.ext.TrainPrep.md5Bucket(col("vec_id"), 100) < 5)
+    val (xSums, xCnt) = ivfCellState(doomed, frozen) // the delete delta
+    val counts = sCnt.select(col("cid"), col("n").as("ns"))
+      .join(dCnt.select(col("cid"), col("n").as("na")), Seq("cid"), "full_outer")
+      .join(xCnt.select(col("cid"), col("n").as("nd")), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        (coalesce(col("ns"), lit(0L)) + coalesce(col("na"), lit(0L))
+          - coalesce(col("nd"), lit(0L))).as("n_members"),
+        coalesce(col("na"), lit(0L)).as("n_added"),
+        coalesce(col("nd"), lit(0L)).as("n_deleted"))
+      .filter(col("n_members") > 0) // a fully-emptied cell leaves the readout
+    val sums = mergeCellSums(mergeCellSums(sSums, dSums),
+      xSums.withColumn("s", -col("s")))
+    sums.join(counts, "cid")
+      .withColumn("mean", expr("s DIV n_members"))
+      .groupBy(col("cid"), col("n_members"), col("n_added"), col("n_deleted"))
+      .agg(md5(to_binary(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          x => x.getField("mean").cast("string"))), lit("utf-8"))).as("mean_digest"))
+      .select(col("cid"), col("n_members"), col("n_added"), col("n_deleted"),
+        col("mean_digest"))
+      .orderBy(col("cid"))
+  }
+
+  /** Shared oracle core for q262/q264/q271: quantized codes, the
+    * md5 split buckets, frozen corpus centroids (seed pick + one
+    * Lloyd step), and the one-pass frozen assignment `a1` of EVERY
+    * vector.
+    */
+  private val ivfScratchCoreSql = {
     def simSql(cent: String, centNorm: String, out: String, filter: String): String =
       s"""$out AS (
          |  SELECT q.vec_id, c.cid,
@@ -1081,7 +1136,11 @@ object Similarity {
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
        |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-       |    FROM a1s) WHERE rn = 1),
+       |    FROM a1s) WHERE rn = 1)""".stripMargin
+  }
+
+  private val q262Sql =
+    s"""$ivfScratchCoreSql,
        |cnt AS (
        |  SELECT a1.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
        |         CAST(SUM(CASE WHEN bk.bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_added
@@ -1096,7 +1155,33 @@ object Similarity {
        |FROM cnt JOIN mn ON cnt.cid = mn.cid
        |GROUP BY cnt.cid, cnt.n_members, cnt.n_added
        |ORDER BY cnt.cid""".stripMargin
-  }
+
+  /** q271's oracle: the from-scratch protocol over the SURVIVING
+    * membership — same frozen corpus centroids and one-pass
+    * assignment as q262 (the shared core), cells rolled up over
+    * (corpus ∖ deleted) ∪ batch, with the per-cell delete
+    * contribution reported from the doomed vectors' assignments.
+    */
+  private val q271Sql =
+    s"""$ivfScratchCoreSql,
+       |cnt AS (
+       |  SELECT a1.cid,
+       |         CAST(COUNT(*) FILTER (WHERE bk.bucket >= 5) AS BIGINT) AS n_members,
+       |         CAST(COUNT(*) FILTER (WHERE bk.bucket >= 90) AS BIGINT) AS n_added,
+       |         CAST(COUNT(*) FILTER (WHERE bk.bucket < 5) AS BIGINT) AS n_deleted
+       |  FROM a1 JOIN bk USING (vec_id) GROUP BY a1.cid
+       |  HAVING COUNT(*) FILTER (WHERE bk.bucket >= 5) > 0),
+       |ms AS (
+       |  SELECT a1.cid, q.pos, CAST(SUM(q.c) AS BIGINT) AS s
+       |  FROM q JOIN a1 USING (vec_id) JOIN bk ON a1.vec_id = bk.vec_id
+       |  WHERE bk.bucket >= 5 GROUP BY 1, 2),
+       |mn AS (SELECT ms.cid, ms.pos, ms.s // cnt.n_members AS mean
+       |       FROM ms JOIN cnt ON ms.cid = cnt.cid)
+       |SELECT cnt.cid, cnt.n_members, cnt.n_added, cnt.n_deleted,
+       |       md5(string_agg(CAST(mn.mean AS VARCHAR), ',' ORDER BY mn.pos)) AS mean_digest
+       |FROM cnt JOIN mn ON cnt.cid = mn.cid
+       |GROUP BY cnt.cid, cnt.n_members, cnt.n_added, cnt.n_deleted
+       |ORDER BY cnt.cid""".stripMargin
 
   /** q115 RRF smoothing constant (the standard k=60 from Cormack &
     * Clarke's reciprocal-rank-fusion formulation).
@@ -2012,6 +2097,7 @@ object Similarity {
     QuerySpec("q52b_ann_ivf_exact", q52b, Some(q52bSql)),
     QuerySpec("q262_incremental_ivf", q262, Some(q262Sql)),
     QuerySpec("q264_stream_ivf_maintenance", q264, Some(q262Sql)),
+    QuerySpec("q271_ivf_delete_maintenance", q271, Some(q271Sql)),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
     QuerySpec("q83b_semantic_dedup_sql", q83b, Some(q83bSql)),
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),

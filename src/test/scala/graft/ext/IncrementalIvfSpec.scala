@@ -33,6 +33,22 @@ class IncrementalIvfSpec extends SparkSpec {
     assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq, "nondeterministic")
   }
 
+  test("q271: subtractive delete conserves members and really deletes from mixed cells") {
+    val rows = SparkEntry.queries("q271_ivf_delete_maintenance")(spark, sf).collect()
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    val (members, added, deleted) = (rows.map(_.getLong(1)).sum,
+      rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    // survivors + deleted account for every vector exactly once
+    assert(members + deleted == nVecs,
+      s"$members surviving + $deleted deleted != $nVecs vectors")
+    assert(deleted > 0, "no deletions — the subtract path is vacuous")
+    assert(added > 0 && rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    // the delete batch must hit a cell that also KEEPS members —
+    // the genuine subtract-from-state case, not a whole-cell drop
+    assert(rows.exists(r => r.getLong(3) > 0 && r.getLong(1) > 0),
+      "no cell mixes surviving and deleted members")
+  }
+
   test("q264: the streaming per-trigger fold lands on exactly q262's one-shot merge") {
     // fold(triggers) == merge(batch) because cell sums are
     // associative+commutative and assignment against FROZEN
