@@ -32,9 +32,12 @@ import org.apache.spark.sql.types._
   *   - the accept rule is exact Jaccard ≥ 0.5 on the full distinct
   *     shingle sets (banding bounds candidate generation; it never
   *     decides similarity);
-  *   - cluster labels merge through [[DupGraph.incrementalClusters]]'
-  *     quotient graph, exact because a label IS its component's min
-  *     doc_id (min is associative over any batching).
+  *   - cluster labels merge through the quotient graph (the
+  *     [[DupGraph.incrementalClusters]] algebra: nodes are batch docs
+  *     plus TOUCHED corpus cluster labels), exact because a label IS
+  *     its component's min doc_id (min is associative over any
+  *     batching) — and the trigger's assignment write is an OVERLAY
+  *     of only the batch + touched-cluster rows (see IngestState).
   * `StreamIngestSpec` additionally pins batching-invariance in-engine
   * (1-file-per-trigger == all-at-once) and forces the cross-batch
   * cluster-MERGE path on a planted corpus.
@@ -101,30 +104,69 @@ object StreamIngest {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** The maintained state, carried across micro-batches: cluster
-    * assignment, per-doc features (shingle sets + signatures), and
-    * the derived band index. `assign` is localCheckpointed on update
-    * (the DupGraph loop rule — the merge rewrites labels corpus-wide);
+  /** The maintained state, carried across micro-batches: the cluster
+    * assignment as a stack of per-trigger OVERLAYS, per-doc features
+    * (shingle sets + signatures), and the derived band index.
+    *
+    * KEPT-BY-REFERENCE DISCIPLINE (the q267 MERGE rule applied to
+    * streaming state): a trigger writes (checkpoints) ONLY the rows it
+    * changes — the arriving batch's assignments plus the member rows
+    * of the corpus clusters the batch actually touches. Every
+    * untouched cluster row stays in the overlay where it was last
+    * written, carried by reference; nothing corpus-wide is ever
+    * re-copied or re-checkpointed. A later overlay row supersedes an
+    * earlier one for the same doc_id (resolved by max `gen`), so the
+    * current assignment of any doc is its latest overlay row.
+    *
+    * Supersession is SOUND under the label algebra: components only
+    * ever merge, and a component's label is the min doc_id of its
+    * member set, so labels only decrease over a doc's lifetime. Hence
+    * a stale overlay row whose comp_id is still a CURRENT label can
+    * only belong to a doc whose current label is that same value
+    * (if the label had decreased past it, the old label is retired
+    * forever — its min-member doc moved to the smaller component), so
+    * semi-joining the overlay union on touched labels never drags an
+    * unrelated doc into a rewrite, and max-gen resolution is exact.
+    *
     * `feats`/`bands` grow as unions of per-batch checkpointed pieces,
-    * so batch N+1's plans never re-derive OR re-copy batch ≤N's work.
+    * same as before. At 100 TB the overlay union / band index are a
+    * comp_id- / band-keyed state store (point lookups); here the
+    * semi-join probes stand in for those lookups — the WRITE path,
+    * which is what a trigger amortizes, is strictly
+    * O(batch + touched clusters).
     */
   private final case class IngestState(
-      assign: DataFrame, feats: DataFrame, bands: DataFrame, nBatches: Int)
+      overlays: Vector[DataFrame], // (doc_id, comp_id, gen) — each checkpointed
+      feats: DataFrame, bands: DataFrame, nBatches: Int,
+      overlayRows: Vector[Long],   // per-trigger rewritten-row counts (spec hook)
+      batchRows: Vector[Long])     // per-trigger arriving-row counts (spec hook)
+
+  /** Result of [[ingestClusters]]: final assignment plus the
+    * per-trigger write-size record the spec asserts on.
+    */
+  private[ext] final case class IngestRun(
+      assign: DataFrame, nBatches: Int,
+      overlayRows: Seq[Long], batchRows: Seq[Long])
 
   /** Run the streaming fold over a staged directory of document
     * parquet files: one foreachBatch call per trigger maintains the
-    * state; returns the final (doc_id, comp_id, comp_size) plus the
-    * number of non-empty micro-batches processed (spec hook).
+    * state; returns the final (doc_id, comp_id, comp_size), the
+    * number of non-empty micro-batches processed, and per-trigger
+    * overlay/batch row counts (spec hooks).
     */
   private[ext] def ingestClusters(spark: SparkSession, stagedDir: String,
-      filesPerTrigger: Int): (DataFrame, Int) = {
+      filesPerTrigger: Int): IngestRun = {
     val ck = java.nio.file.Files.createTempDirectory("graft_q263_ck").toString
     val empty = spark.range(0)
     var st = IngestState(
-      assign = empty.select(col("id").as("doc_id"), col("id").as("comp_id")),
+      overlays = Vector.empty,
       feats = docFeatures(empty.select(col("id").as("doc_id"), lit("x").as("text"))),
       bands = bandRows(docFeatures(empty.select(col("id").as("doc_id"), lit("x").as("text")))),
-      nBatches = 0)
+      nBatches = 0, overlayRows = Vector.empty, batchRows = Vector.empty)
+    def overlayUnion: DataFrame = st.overlays
+      .reduceOption(_ unionByName _)
+      .getOrElse(empty.select(col("id").as("doc_id"), col("id").as("comp_id"),
+        col("id").cast("int").as("gen")))
     val src = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(stagedDir)
@@ -148,36 +190,72 @@ object StreamIngest {
                 col("x.v2") === col("y.v2"))
             .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
             .distinct()
-          val assign = DupGraph.incrementalClusters(
-              st.assign, bf.select(col("doc_id")),
-              verified(bb, bf, bf, "a_id", "b_id"),
-              verified(bc, bf, st.feats, "batch_id", "corpus_id"))
-            .select(col("doc_id"), col("comp_id"))
+          val bbV = verified(bb, bf, bf, "a_id", "b_id")
+            .localCheckpoint(false)
+          val bcV = verified(bc, bf, st.feats, "batch_id", "corpus_id")
+            .localCheckpoint(false)
+          val prior = overlayUnion
+          // current labels of the corpus docs the batch touches —
+          // batch-keyed: a semi-join probe of the overlay stack, then
+          // max-gen resolution over only those docs' rows
+          val cur = prior
+            .join(bcV.select(col("corpus_id")).distinct(),
+              col("doc_id") === col("corpus_id"), "leftsemi")
+            .groupBy(col("doc_id"))
+            .agg(max_by(col("comp_id"), col("gen")).as("comp_id"))
+          val bcQuotient = bcV
+            .join(cur.select(col("doc_id").as("corpus_id"), col("comp_id")), "corpus_id")
+            .select(col("batch_id").as("a_id"), col("comp_id").as("b_id"))
+            .localCheckpoint(false)
+          // quotient CC: nodes are batch docs + TOUCHED cluster labels
+          // — size bounded by the batch degree, never the corpus
+          val quotient = DupGraph.connectedComponents(
+              bbV.select(col("a_id"), col("b_id")).unionAll(bcQuotient))
+            .localCheckpoint(false)
+          val touchedLabels = bcQuotient.select(col("b_id").as("lbl")).distinct()
+          // member rows of touched clusters only (see supersession
+          // soundness in the state scaladoc); distinct folds duplicate
+          // appearances across overlay generations — they provably
+          // carry the same (current) label
+          val touchedRows = prior
+            .join(touchedLabels, col("comp_id") === col("lbl"), "leftsemi")
+            .select(col("doc_id"), col("comp_id")).distinct()
+          val relabeled = touchedRows
+            .join(quotient, col("comp_id") === col("id"), "left")
+            .select(col("doc_id"), coalesce(col("comp"), col("comp_id")).as("comp_id"))
+          val batchAssign = bf.select(col("doc_id"))
+            .join(quotient, col("doc_id") === col("id"), "left")
+            .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
+          // THE trigger's only assignment write: batch + touched rows.
+          // The createDataFrame rewrap is a constraint barrier: the
+          // checkpointed LogicalRDD otherwise carries origin
+          // constraints referencing attrs from inside the overlay
+          // plan, which breaks constraint rewriting in the downstream
+          // overlay-stack Union (key-not-found during analysis).
+          val overlayCk = relabeled.unionByName(batchAssign)
+            .withColumn("gen", lit(st.nBatches).cast("int"))
             .localCheckpoint()
-          // Feature and band state are maintained INCREMENTALLY —
-          // append the batch's checkpointed rows; never re-derive (or
-          // re-copy) the corpus side. Each union arm is already
-          // materialized (bf is checkpointed; bandRows of it is
-          // map-only), so per-batch state work is batch-sized. A
-          // cluster deployment appends to a keyed state store / Delta
-          // table instead of growing a union plan; assign IS
-          // re-checkpointed because the quotient merge rewrites
-          // corpus labels, the one genuinely corpus-wide update.
-          st = IngestState(assign, st.feats.unionByName(bf),
-            st.bands.unionByName(bandRows(bf)), st.nBatches + 1)
+          val overlay = spark.createDataFrame(overlayCk.rdd, overlayCk.schema)
+          st = IngestState(st.overlays :+ overlay,
+            st.feats.unionByName(bf), st.bands.unionByName(bandRows(bf)),
+            st.nBatches + 1,
+            st.overlayRows :+ overlay.count(), st.batchRows :+ bf.count())
         }
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    val sizes = st.assign.groupBy(col("comp_id")).agg(count(lit(1)).as("comp_size"))
-    val out = st.assign.join(sizes, "comp_id")
+    // final read: one max-gen resolution over the overlay stack
+    val assign = overlayUnion.groupBy(col("doc_id"))
+      .agg(max_by(col("comp_id"), col("gen")).as("comp_id"))
+    val sizes = assign.groupBy(col("comp_id")).agg(count(lit(1)).as("comp_size"))
+    val out = assign.join(sizes, "comp_id")
       .select(col("doc_id"), col("comp_id"), col("comp_size"))
       .orderBy(col("doc_id"))
       .localCheckpoint()
     scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(ck)))
-    (out, st.nBatches)
+    IngestRun(out, st.nBatches, st.overlayRows, st.batchRows)
   }
 
   /** q263 — the registered form: stage the documents table as 4
@@ -190,10 +268,10 @@ object StreamIngest {
     Tables.documents(spark, dir)
       .repartition(4, col("doc_id"))
       .write.mode("overwrite").parquet(stage)
-    val (out, _) = ingestClusters(spark, stage, filesPerTrigger = 1)
+    val run = ingestClusters(spark, stage, filesPerTrigger = 1)
     scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(stage)))
-    out
+    run.assign
   }
 
   /** Scratch replay: the same features, candidate rule, exact verify,

@@ -60,9 +60,10 @@ class StreamIngestSpec extends SparkSpec {
     dir
   }
 
-  private def run(dir: Path, filesPerTrigger: Int): (Map[Long, (Long, Long)], Int) = {
-    val (out, n) = StreamIngest.ingestClusters(spark, dir.toString, filesPerTrigger)
-    (out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap, n)
+  private def run(dir: Path, filesPerTrigger: Int)
+      : (Map[Long, (Long, Long)], StreamIngest.IngestRun) = {
+    val r = StreamIngest.ingestClusters(spark, dir.toString, filesPerTrigger)
+    (r.assign.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap, r)
   }
 
   test("fixture geometry: A-B below the accept threshold, D bridges both") {
@@ -75,18 +76,30 @@ class StreamIngestSpec extends SparkSpec {
 
   test("cross-batch merge: a batch-3 doc bridges clusters built in batches 1 and 2") {
     val dir = stage(Seq(
-      docs(1L -> textA, 2L -> textA),   // batch 1 → cluster {1,2} label 1
+      // batch 1 → cluster {1,2} label 1, plus untouched bystander 3
+      docs(1L -> textA, 2L -> textA,
+        3L -> "totally separate bystander content never touched again"),
       docs(5L -> textB, 6L -> textB),   // batch 2 → cluster {5,6} label 5
       docs(9L -> textD, 11L -> "solo doc with its own words entirely")))
     try {
-      val (got, nBatches) = run(dir, filesPerTrigger = 1)
-      assert(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+      val (got, r) = run(dir, filesPerTrigger = 1)
+      assert(r.nBatches == 3, s"expected 3 micro-batches, got ${r.nBatches}")
       // D bridges A's and B's clusters through the maintained band
       // index — all five docs collapse to the global min label 1
       Seq(1L, 2L, 5L, 6L, 9L).foreach { id =>
         assert(got(id) == ((1L, 5L)), s"doc $id: got ${got(id)}, want (1,5)")
       }
+      assert(got(3L) == ((3L, 1L)), "bystander stays a singleton")
       assert(got(11L) == ((11L, 1L)), "edge-free doc stays a singleton")
+      // KEPT-BY-REFERENCE: each trigger's assignment write (overlay)
+      // covers ONLY the arriving batch plus the member rows of the
+      // clusters it touches. Trigger 3 (2 batch docs, bridging the
+      // 2-doc clusters {1,2} and {5,6}) must rewrite 2 + 4 = 6 rows —
+      // NOT the 7-doc corpus: bystander doc 3 is never re-written
+      // after its own arrival.
+      assert(r.batchRows == Seq(3L, 2L, 2L), s"batch rows: ${r.batchRows}")
+      assert(r.overlayRows == Seq(3L, 2L, 6L),
+        s"overlay must rewrite only batch + touched clusters: ${r.overlayRows}")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
@@ -98,9 +111,9 @@ class StreamIngestSpec extends SparkSpec {
     val d1 = stage(batches)
     val d2 = stage(batches)
     try {
-      val (perFile, n1) = run(d1, filesPerTrigger = 1)
-      val (allAtOnce, n2) = run(d2, filesPerTrigger = 3)
-      assert(n1 == 3 && n2 == 1)
+      val (perFile, r1) = run(d1, filesPerTrigger = 1)
+      val (allAtOnce, r2) = run(d2, filesPerTrigger = 3)
+      assert(r1.nBatches == 3 && r2.nBatches == 1)
       assert(perFile == allAtOnce,
         s"fold must be batching-invariant: $perFile vs $allAtOnce")
     } finally {
