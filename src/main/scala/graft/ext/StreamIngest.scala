@@ -134,6 +134,14 @@ object StreamIngest {
     * semi-join probes stand in for those lookups — the WRITE path,
     * which is what a trigger amortizes, is strictly
     * O(batch + touched clusters).
+    *
+    * Measured trade at bench scale (sf0.1, 4 triggers): ~10.4s vs
+    * ~8s for the old full-rewrite fold — the overlay bookkeeping adds
+    * a couple of small jobs per trigger, which dominates when the
+    * whole corpus assignment is 5k rows and a full rewrite is nearly
+    * free. The trade inverts at scale: the old design re-checkpointed
+    * O(corpus) rows EVERY trigger (the 100 TB killer), the overlay
+    * writes only what changed.
     */
   private final case class IngestState(
       overlays: Vector[DataFrame], // (doc_id, comp_id, gen) — each checkpointed
@@ -155,7 +163,7 @@ object StreamIngest {
     * overlay/batch row counts (spec hooks).
     */
   private[ext] def ingestClusters(spark: SparkSession, stagedDir: String,
-      filesPerTrigger: Int): IngestRun = {
+      filesPerTrigger: Int, trackSizes: Boolean = false): IngestRun = {
     val ck = java.nio.file.Files.createTempDirectory("graft_q263_ck").toString
     val empty = spark.range(0)
     var st = IngestState(
@@ -191,7 +199,6 @@ object StreamIngest {
             .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
             .distinct()
           val bbV = verified(bb, bf, bf, "a_id", "b_id")
-            .localCheckpoint(false)
           val bcV = verified(bc, bf, st.feats, "batch_id", "corpus_id")
             .localCheckpoint(false)
           val prior = overlayUnion
@@ -236,10 +243,13 @@ object StreamIngest {
             .withColumn("gen", lit(st.nBatches).cast("int"))
             .localCheckpoint()
           val overlay = spark.createDataFrame(overlayCk.rdd, overlayCk.schema)
+          // size hooks are spec-only: two extra jobs per trigger the
+          // registered query doesn't pay
           st = IngestState(st.overlays :+ overlay,
             st.feats.unionByName(bf), st.bands.unionByName(bandRows(bf)),
             st.nBatches + 1,
-            st.overlayRows :+ overlay.count(), st.batchRows :+ bf.count())
+            if (trackSizes) st.overlayRows :+ overlay.count() else st.overlayRows,
+            if (trackSizes) st.batchRows :+ bf.count() else st.batchRows)
         }
       }
       .start()

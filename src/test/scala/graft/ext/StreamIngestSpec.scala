@@ -62,7 +62,7 @@ class StreamIngestSpec extends SparkSpec {
 
   private def run(dir: Path, filesPerTrigger: Int)
       : (Map[Long, (Long, Long)], StreamIngest.IngestRun) = {
-    val r = StreamIngest.ingestClusters(spark, dir.toString, filesPerTrigger)
+    val r = StreamIngest.ingestClusters(spark, dir.toString, filesPerTrigger, trackSizes = true)
     (r.assign.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap, r)
   }
 
