@@ -185,7 +185,7 @@ object DupGraph {
       spark: SparkSession, dir: String,
       cc: DataFrame => DataFrame = connectedComponents): DataFrame = {
     val comp = cc(
-      Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")))
+      Dedup.materializedPairs(spark, dir).select(col("a_id"), col("b_id")))
     Tables.documents(spark, dir)
       .select(col("doc_id"))
       .join(comp, col("doc_id") === col("id"), "left")
@@ -386,7 +386,7 @@ object DupGraph {
     * over the shared [[Dedup.jaccardScoredCte]] edge derivation.
     */
   private def q142(spark: SparkSession, dir: String): DataFrame = {
-    val sym = Dedup.jaccardPairs(spark, dir)
+    val sym = Dedup.materializedPairs(spark, dir)
       .select(explode(array(
         struct(col("a_id").as("u"), col("b_id").as("v")),
         struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
@@ -463,7 +463,7 @@ object DupGraph {
     * engines truncate positive BIGINTs identically).
     */
   private def q143(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.jaccardPairs(spark, dir)
+    val e = Dedup.materializedPairs(spark, dir)
       .select(col("a_id").as("u"), col("b_id").as("v"))
       .localCheckpoint(false)
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
@@ -621,7 +621,7 @@ object DupGraph {
     * (id, dist) pairs — labels through the shuffle, never documents.
     */
   private def q196(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
+    val edges = Dedup.materializedPairs(spark, dir).select(col("a_id"), col("b_id"))
     val sym = edges
       .select(explode(array(
         struct(col("a_id").as("u"), col("b_id").as("v")),
@@ -707,7 +707,7 @@ object DupGraph {
     * sums. Nothing crosses to the driver.
     */
   private def q209(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairs(spark, dir)
+    val pairs = Dedup.materializedPairs(spark, dir)
       .select(col("a_id"), col("b_id"),
         expr("1000000 - (CAST(inter AS BIGINT) * 1000000) DIV CAST(na + nb - inter AS BIGINT)")
           .as("w"))
@@ -785,7 +785,7 @@ object DupGraph {
     * The oracle unrolls the same rounds as MATERIALIZED CTEs.
     */
   private def q213(spark: SparkSession, dir: String): DataFrame = {
-    val canon = Dedup.jaccardPairs(spark, dir)
+    val canon = Dedup.materializedPairs(spark, dir)
       .select(col("a_id").as("u"), col("b_id").as("v"))
       .localCheckpoint()
     var edges = canon
@@ -865,7 +865,7 @@ object DupGraph {
     */
   private def q241(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val edges = Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
+    val edges = Dedup.materializedPairs(spark, dir).select(col("a_id"), col("b_id"))
       .join(docs.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
     val m = edges.agg(count(lit(1)).as("m"))
@@ -1446,7 +1446,7 @@ object DupGraph {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), (bucket >= 90).as("is_batch"))
       .localCheckpoint() // feeds the split twice + the final join
-    val pairs = Dedup.jaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
+    val pairs = Dedup.materializedPairs(spark, dir).select(col("a_id"), col("b_id"))
       .join(docs.select(col("doc_id").as("a_id"), col("is_batch").as("a_batch")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("is_batch").as("b_batch")), "b_id")
       .localCheckpoint() // consumed by three disjoint filters
