@@ -1106,13 +1106,13 @@ object TextStats {
     * tf) — the index proper — plus the per-term df table, per-doc
     * lengths, and the 1-row corpus totals.
     */
-  private final case class Bm25State(
+  private[ext] final case class Bm25State(
       postings: DataFrame, dfS: DataFrame, dlS: DataFrame, totals: DataFrame)
 
   /** Build index state from a split's documents only — the tokenize
     * pass a batch pays on arrival.
     */
-  private def bm25IndexState(docs: DataFrame): Bm25State = {
+  private[ext] def bm25IndexState(docs: DataFrame): Bm25State = {
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
     val postings = docs
@@ -1149,12 +1149,41 @@ object TextStats {
     * df comes from the maintained per-term table, and the math is
     * [[bm25Readout]] verbatim.
     */
-  private def bm25FromState(st: Bm25State): DataFrame =
+  private[ext] def bm25FromState(st: Bm25State): DataFrame =
     bm25Readout(
       st.postings.filter(col("term").isin(Bm25Query: _*))
         .select(col("doc_id"), col("term"), col("tf")),
       st.dfS.filter(col("term").isin(Bm25Query: _*)),
       st.dlS, st.totals)
+
+  /** Subtract a delete batch's contribution from maintained index
+    * state — the OTHER write path of the inverted index (q271's IVF
+    * delete discipline applied to retrieval). The index summaries
+    * form an abelian group, so deletion = state minus the doomed
+    * docs' contribution, computed by tokenizing the DELETE BATCH
+    * alone: df subtracts per term (a term whose df reaches 0 leaves
+    * the table), totals subtract as a 1-row scalar pair, and the
+    * per-doc relations (postings, dl) apply the batch-sized doomed-id
+    * set as a TOMBSTONE anti-join — Catalyst pushes the query-term
+    * fetch below the tombstone filter at probe time, so serving stays
+    * fetch-then-filter (the Lucene delete-bitset shape); a real
+    * deployment folds tombstones into its next segment compaction.
+    * No corpus rescan anywhere: one batch-sized tokenize pass plus
+    * vocabulary-bounded / 1-row algebraic updates.
+    */
+  private[ext] def subtractBm25(a: Bm25State, del: Bm25State): Bm25State = {
+    val doomed = del.dlS.select(col("doc_id"))
+    Bm25State(
+      a.postings.join(doomed, Seq("doc_id"), "left_anti"),
+      a.dfS.join(del.dfS.select(col("term"), col("df").as("df_del")), Seq("term"), "left")
+        .select(col("term"), (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+        .filter(col("df") > 0),
+      a.dlS.join(doomed, Seq("doc_id"), "left_anti"),
+      a.totals.crossJoin(del.totals
+          .select(col("t_tokens").as("tt_del"), col("n_docs").as("nd_del")))
+        .select((col("t_tokens") - col("tt_del")).as("t_tokens"),
+          (col("n_docs") - col("nd_del")).as("n_docs")))
+  }
 
   /** q265 — INCREMENTAL BM25 INDEX MAINTENANCE (oracle-gated): 90/10
     * md5 split of the documents table into corpus (the materialized
@@ -1249,6 +1278,60 @@ object TextStats {
     scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(stage)))
     out
+  }
+
+  /** q273 — BM25 DELETE MAINTENANCE (oracle-gated): the maintained
+    * index (built over the whole documents table — standing in for
+    * the pre-existing materialized index, q265's convention) takes a
+    * DELETE of the md5 bucket ≥ 90 docs; the update is
+    * [[subtractBm25]], so the delete pays one tokenize pass over the
+    * doomed batch alone plus algebraic subtraction — never a corpus
+    * re-tokenize or rebuild. THE ORACLE IS q108's FROM-SCRATCH SQL
+    * OVER THE SURVIVING CORPUS, so the hash gate proves
+    * delete-maintained ≡ rebuilt-from-survivors tri-SF (subtract ==
+    * rebuild, the q271/q133 incremental-maintenance bar). Bm25Spec
+    * additionally pins the in-engine equality against a driver-side
+    * survivor reference and survivors + deleted == total conservation
+    * on df and totals.
+    */
+  private def q273(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("doomed", TrainPrep.md5Bucket(col("doc_id"), 100) >= 90)
+    val full = bm25IndexState(docs.select(col("doc_id"), col("text")))
+    val del = bm25IndexState(
+      docs.filter(col("doomed")).select(col("doc_id"), col("text")))
+    bm25FromState(subtractBm25(full, del))
+  }
+
+  private val q273Sql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH s_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM s_docs),
+       |totals AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM s_docs)
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1)) AS idf_micro,
+       |         (44 * tf * t_tokens * 1000000 //
+       |          (20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs)) AS tfsat_micro
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN totals),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(idf_micro * tfsat_micro // 1000000) AS BIGINT) AS score_micro,
+       |         COUNT(*) AS n_terms_matched
+       |  FROM scored GROUP BY doc_id)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       |       doc_id, score_micro, n_terms_matched
+       |FROM agg ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
   /** Recall-stage width for q268's cascade. */
@@ -1961,6 +2044,7 @@ object TextStats {
     QuerySpec("q108_bm25_retrieval", q108, Some(q108Sql), headline = true),
     QuerySpec("q265_incremental_bm25", q265, Some(q108Sql)),
     QuerySpec("q266_stream_bm25_maintenance", q266, Some(q108Sql)),
+    QuerySpec("q273_bm25_delete_maintenance", q273, Some(q273Sql)),
     QuerySpec("q268_two_stage_retrieval", q268, Some(q268Sql)),
     QuerySpec("q272_cascade_recall", q272, Some(q272Sql)),
     QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),

@@ -64,6 +64,53 @@ class Bm25Spec extends SparkSpec {
       == scratch, "streaming fold != scratch index")
   }
 
+  test("q273 delete maintenance: subtract == rebuild over the survivors") {
+    // the delete path must be genuinely exercised: the doomed bucket
+    // must be non-empty and must contain at least one query term
+    // occurrence, so df/totals subtraction moves real numbers
+    val doomed = Tables.documents(spark, sf)
+      .filter(TrainPrep.md5Bucket(col("doc_id"), 100) >= 90)
+    assert(!doomed.isEmpty, "fixture drift: doomed bucket is empty")
+    val doomedTerms = doomed
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin("fast", "hash", "join", "dup"))
+    assert(!doomedTerms.isEmpty,
+      "fixture drift: doomed docs carry no query terms — df subtraction untested")
+    // rebuild from scratch over the SURVIVORS only (the in-engine
+    // mirror of q273's DuckDB oracle)
+    val survivors = Tables.documents(spark, sf)
+      .filter(TrainPrep.md5Bucket(col("doc_id"), 100) < 90)
+      .select(col("doc_id"), col("text"))
+    val rebuilt = TextStats.bm25FromState(TextStats.bm25IndexState(survivors))
+      .collect().toSeq
+    val maintained = SparkEntry.queries("q273_bm25_delete_maintenance")(spark, sf)
+      .collect().toSeq
+    assert(maintained == rebuilt, "delete-maintained != rebuilt-from-survivors")
+  }
+
+  test("q273 conservation: survivors + deleted == total on df and totals") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val doomed = docs.filter(TrainPrep.md5Bucket(col("doc_id"), 100) >= 90)
+    val full = TextStats.bm25IndexState(docs)
+    val del = TextStats.bm25IndexState(doomed)
+    val kept = TextStats.subtractBm25(full, del)
+    // totals: surviving + deleted must reassemble the full corpus
+    val Seq(tk, nk) = kept.totals.collect().head.toSeq.map(_.asInstanceOf[Long])
+    val Seq(td, nd) = del.totals.collect().head.toSeq.map(_.asInstanceOf[Long])
+    val Seq(tf0, nf) = full.totals.collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(tk + td == tf0 && nk + nd == nf,
+      s"totals not conserved: kept=($tk,$nk) del=($td,$nd) full=($tf0,$nf)")
+    assert(nd > 0, "fixture drift: nothing deleted")
+    // df: per-term surviving + deleted == full, over the whole vocab
+    val mismatch = kept.dfS.select(col("term"), col("df").as("df_k"))
+      .join(del.dfS.select(col("term"), col("df").as("df_d")), Seq("term"), "full_outer")
+      .join(full.dfS.select(col("term"), col("df").as("df_f")), Seq("term"), "full_outer")
+      .filter(coalesce(col("df_k"), lit(0L)) + coalesce(col("df_d"), lit(0L))
+        =!= coalesce(col("df_f"), lit(0L)))
+    assert(mismatch.isEmpty,
+      s"df not conserved for terms: ${mismatch.limit(5).collect().mkString(",")}")
+  }
+
   test("q266 batching invariance: 1 file per trigger == all files at once") {
     val stage = java.nio.file.Files.createTempDirectory("graft_bm25spec").toString
     try {
