@@ -1560,6 +1560,145 @@ object Layout {
       .deleteDirectory(new java.io.File(ck)))
   }
 
+  /** Row schema of the manifest store's data files. */
+  private val manifestRowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ship_us", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("price_cents", org.apache.spark.sql.types.LongType)))
+
+  /** MANIFEST CHANGE FEED — the READ side of CDC (q270 applies CDC;
+    * this EMITS it): row-level changes between two pinned manifest
+    * generations, classified Delta-CDF-style as `insert` /
+    * `update_preimage` / `update_postimage` / `delete`.
+    *
+    * Scale shape — the diff never scans the table. Data files are
+    * immutable and generations share untouched files BY REFERENCE
+    * (the kept-by-reference discipline of merge/retention/
+    * compaction), so the file sets' difference IS the change
+    * boundary: a metadata-only manifest comparison picks the files
+    * dropped from / added to the snapshot, only THOSE files are
+    * read, and one key-equi full-outer join classifies their rows
+    * (rows carried unchanged through a rewrite — the bloom-false-
+    * positive and straddle-kept rows — compare equal and emit
+    * nothing). At 100 TB a generation that touched k files costs a
+    * k-file read, exactly how Delta computes CDF when no explicit
+    * change files were written.
+    */
+  private[graft] def manifestChangeFeed(spark: SparkSession, root: String,
+      fromManifest: String, toManifest: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val a = ManifestSource.readManifest(root, fromManifest).map(_.file).toSet
+    val b = ManifestSource.readManifest(root, toManifest).map(_.file).toSet
+    def load(files: Set[String]): DataFrame =
+      if (files.isEmpty)
+        spark.range(0).select(col("id").as("ok"), col("id").as("ship_us"),
+          lit("x").as("flag"), col("id").as("qty"), col("id").as("price_cents"))
+      else spark.read.schema(manifestRowSchema)
+        .csv(files.toSeq.sorted.map(f => new java.io.File(root, f).getAbsolutePath): _*)
+    val o = load(a -- b).select(col("ok"), col("ship_us").as("o_us"),
+      col("flag").as("o_fl"), col("qty").as("o_q"), col("price_cents").as("o_pc"))
+    val n = load(b -- a).select(col("ok").as("ok_n"), col("ship_us").as("n_us"),
+      col("flag").as("n_fl"), col("qty").as("n_q"), col("price_cents").as("n_pc"))
+    val j = o.join(n, col("ok") === col("ok_n"), "full_outer")
+      .localCheckpoint(false) // three classification branches below
+    val sameRow = col("o_us") === col("n_us") && col("o_fl") === col("n_fl") &&
+      col("o_q") === col("n_q") && col("o_pc") === col("n_pc")
+    def oldImage(ct: String) = Seq(lit(ct).as("change_type"), col("ok"),
+      col("o_us").as("ship_us"), col("o_fl").as("flag"),
+      col("o_q").as("qty"), col("o_pc").as("price_cents"))
+    def newImage(ct: String) = Seq(lit(ct).as("change_type"), col("ok_n").as("ok"),
+      col("n_us").as("ship_us"), col("n_fl").as("flag"),
+      col("n_q").as("qty"), col("n_pc").as("price_cents"))
+    val ins = j.filter(col("ok").isNull).select(newImage("insert"): _*)
+    val del = j.filter(col("ok_n").isNull).select(oldImage("delete"): _*)
+    val upd = j.filter(col("ok").isNotNull && col("ok_n").isNotNull && !sameRow)
+    ins.unionByName(del)
+      .unionByName(upd.select(oldImage("update_preimage"): _*))
+      .unionByName(upd.select(newImage("update_postimage"): _*))
+  }
+
+  /** q274 — MANIFEST CHANGE FEED over a real generation chain: a
+    * fresh store from orders takes q267's MERGE batch (generation 1:
+    * updates + inserts) and then a retention DELETE below 1996-01-01
+    * (generation 2: whole-file drops + straddle rewrites), and the
+    * feed emits both generations' row-level changes from the manifest
+    * file-set diffs alone. THE ORACLE REPLAYS THE SAME TWO
+    * GENERATIONS RELATIONALLY over orders — update pre/post images
+    * from the merge rules, the insert arm, then deletes as every
+    * post-merge row below the cutoff — so the hash gate certifies the
+    * emitted feed row-for-row tri-SF. ManifestChangeFeedSpec
+    * additionally pins CDC's defining property: replaying the feed
+    * onto snapshot A reconstructs snapshot C exactly, plus per-class
+    * image consistency against the pinned snapshots.
+    */
+  private def q274(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_cdf_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val m0 = ManifestSource.resolveManifest(root, None)
+    val batch = base
+      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
+      .collect().toSeq
+      .flatMap { r =>
+        val (ok, us, fl, q, pc) =
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
+        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
+        up ++ ins
+      }
+    val (_, _, _, m1) = ManifestSource.merge(spark, root, batch)
+    ManifestSource.deleteBelow(spark, root, Q274CutoffUs)
+    val m2 = ManifestSource.resolveManifest(root, None)
+    manifestChangeFeed(spark, root, m0, m1).withColumn("gen", lit(1))
+      .unionByName(manifestChangeFeed(spark, root, m1, m2).withColumn("gen", lit(2)))
+      .select(col("gen"), col("change_type"), col("ok"), col("ship_us"),
+        col("flag"), col("qty"), col("price_cents"))
+      .orderBy(col("gen"), col("change_type"), col("ok"))
+  }
+
+  /** Retention cutoff for q274's generation 2: 1996-01-01 UTC in
+    * epoch micros (q251's retention convention) — deletes the oldest
+    * ~15% of orders, so generation 2 exercises both whole-file drops
+    * and straddle rewrites.
+    */
+  private val Q274CutoffUs = 820454400000000L
+
+  private val q274Sql =
+    s"""WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 97 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0),
+      |ev AS (
+      |  SELECT 1 AS gen, 'update_preimage' AS change_type, ok, ship_us, flag, qty, price_cents
+      |  FROM base WHERE ok % 97 = 0
+      |  UNION ALL
+      |  SELECT 1, 'update_postimage', ok, ship_us, 'U', qty, price_cents * 2
+      |  FROM base WHERE ok % 97 = 0
+      |  UNION ALL
+      |  SELECT 1, 'insert', ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0
+      |  UNION ALL
+      |  SELECT 2, 'delete', ok, ship_us, flag, qty, price_cents
+      |  FROM merged WHERE ship_us < $Q274CutoffUs)
+      |SELECT CAST(gen AS INT) AS gen, change_type, ok, ship_us, flag, qty, price_cents
+      |FROM ev ORDER BY gen, change_type, ok""".stripMargin
+
   private val q270Sql =
     """WITH base AS (
       |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
@@ -1603,6 +1742,7 @@ object Layout {
     QuerySpec("q267_manifest_merge", q267, Some(q267Sql)),
     QuerySpec("q269_stats_pushdown", q269, Some(q269Sql)),
     QuerySpec("q270_stream_cdc_merge_apply", q270, Some(q270Sql)),
+    QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
