@@ -68,7 +68,11 @@ object ExplainMain {
         // cascade, lakehouse MERGE, stats-answered aggregates
         "q262_incremental_ivf", "q265_incremental_bm25",
         "q268_two_stage_retrieval", "q267_manifest_merge",
-        "q269_stats_pushdown", "q50g_video_roundtrip")
+        "q269_stats_pushdown", "q50g_video_roundtrip",
+        // round 11: BM25 delete maintenance, the manifest change
+        // feed, and the IVF probe-recall measurement
+        "q273_bm25_delete_maintenance", "q274_manifest_change_feed",
+        "q275_ivf_probe_recall")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -863,6 +863,170 @@ object Similarity {
        |FROM rk WHERE rn <= $K ORDER BY qid, rn""".stripMargin
   }
 
+  /** q275 — IVF PROBE-RECALL, measured (the q272/q259 discipline
+    * applied to the vector index's SERVING knob): recall@[[K]] of the
+    * q52b IVF against the exact top-[[K]] for nprobe ∈ {1, 2, 4}, one
+    * hash-gated fact row per setting. The exact list — every
+    * (query, corpus) cosine — is affordable only at bench scale,
+    * which is the point: it is the ground truth the measurement
+    * needs, and at 100 TB its absence is exactly why the index
+    * exists. The fact rows make "how many cells must a query probe"
+    * a measurement instead of a claim: nprobe is THE latency/recall
+    * trade every IVF deployment tunes, and this query is the tuning
+    * table. Candidate cosines are served from the same exact pair
+    * set (a semi-join restriction), so the comparison isolates the
+    * index's RETRIEVAL loss — identical arithmetic on both sides.
+    *
+    * Scale shape: the IVF build is q52b's (K-row driver centroids,
+    * map-side scoring); each probe variant adds only a cid equi-join
+    * candidate fetch + a per-query top-k — the exact leg is the one
+    * deliberately bench-only stage, and the oracle replays all of it.
+    * The exact leg's broadcast cross join (NumQueries rows × corpus,
+    * the q48 class) sits behind the materialized pair checkpoint, so
+    * PlanGuard's explain sweep cannot see it — it is documented in
+    * the allowlist comment instead.
+    */
+  private def q275(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = quantCodeVecs(spark, dir).localCheckpoint()
+    val seeds: Seq[Cent] = vecs.filter(col("vec_id") < IvfK)
+      .select(col("vec_id"), col("cs"), col("n2"))
+      .collect()
+      .map(r => Cent(r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
+      .toSeq
+    val assign0 = argmaxCid(simToCents(vecs, seeds))
+    val cents1: Seq[Cent] = vecs.join(assign0, "vec_id")
+      .select(col("cid"), posexplode(col("cs")).as(Seq("pos", "c")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("c")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) =>
+        val scs = rows.sortBy(_._2).map(_._3).toSeq
+        Cent(cid, scs, scs.map(s => s * s).sum)
+      }
+      .sortBy(_.cid)
+    val scored1 = simToCents(vecs, cents1).localCheckpoint(false)
+    val ivf = argmaxCid(scored1).localCheckpoint(false)
+    // exact ground truth: all (query, corpus) cosines — NumQueries-row
+    // broadcast, map-side native dot (the q48 baseline pattern)
+    val qvecs = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("cs").as("qcs"), col("n2").as("qn2"))
+    val allPairs = vecs.select(col("vec_id"), col("cs").as("ccs"), col("n2").as("cn2"))
+      .crossJoin(broadcast(qvecs))
+      .filter(col("vec_id") =!= col("qid") && col("qn2") > 0 && col("cn2") > 0)
+      .withColumn("cosine",
+        graft.functions.dot_long(col("qcs"), col("ccs")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      .select(col("qid"), col("vec_id"), col("cosine"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    val exactTop = allPairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K).select(col("qid"), col("vec_id"))
+      .localCheckpoint(false)
+    val probeW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val qProbe = scored1.filter(col("vec_id") < NumQueries)
+      .withColumn("prn", row_number().over(probeW))
+      .localCheckpoint(false)
+    val facts = Seq(1, 2, 4).map { np =>
+      val probed = qProbe.filter(col("prn") <= np)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cand = probed.join(ivf.select(col("vec_id"), col("cid")), "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+      val ivfTop = allPairs.join(cand, Seq("qid", "vec_id"), "leftsemi")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K).select(col("qid"), col("vec_id"))
+      ivfTop.join(exactTop, Seq("qid", "vec_id"), "leftsemi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(np).as("nprobe"), lit(K).as("k"),
+          lit(NumQueries).as("n_queries"), col("n_overlap"),
+          expr(s"n_overlap * 1000000 div ${K * NumQueries}").as("recall_micro"))
+    }
+    facts.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
+  private val q275Sql = {
+    def simSql(cent: String, centNorm: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT q.vec_id, c.cid, CAST(SUM(q.c * c.s) AS BIGINT) AS dot,
+         |         CASE WHEN n.n2 > 0 AND cn.sn2 > 0
+         |              THEN CAST(SUM(q.c * c.s) AS DOUBLE) /
+         |                   (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.sn2 AS DOUBLE)))
+         |              ELSE -2.0 END AS sim
+         |  FROM q JOIN $cent c ON q.pos = c.pos
+         |  JOIN n ON q.vec_id = n.vec_id JOIN $centNorm cn ON c.cid = cn.cid
+         |  GROUP BY q.vec_id, c.cid, n.n2, cn.sn2)""".stripMargin
+    def probeBlock(np: Int): String =
+      s"""pb$np AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+         |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM a1s WHERE vec_id < $NumQueries) WHERE rn <= $np),
+         |cd$np AS (
+         |  SELECT pb$np.qid, a1.vec_id
+         |  FROM pb$np JOIN a1 ON pb$np.cid = a1.cid WHERE a1.vec_id <> pb$np.qid),
+         |tp$np AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT e.qid, e.vec_id, ROW_NUMBER() OVER (
+         |             PARTITION BY e.qid ORDER BY e.cosine DESC, e.vec_id) AS rn
+         |    FROM exs e JOIN cd$np c ON e.qid = c.qid AND e.vec_id = c.vec_id)
+         |  WHERE rn <= $K),
+         |ov$np AS (SELECT COUNT(*) AS n_overlap FROM tp$np JOIN ext USING (qid, vec_id))""".stripMargin
+    def factRow(np: Int): String =
+      s"""SELECT CAST($np AS INT) AS nprobe, CAST($K AS INT) AS k,
+         |       CAST($NumQueries AS INT) AS n_queries,
+         |       CAST(n_overlap AS BIGINT) AS n_overlap,
+         |       CAST(n_overlap * 1000000 // ${K * NumQueries} AS BIGINT) AS recall_micro
+         |FROM ov$np""".stripMargin
+    s"""$quantCodesSql,
+       |n AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM q GROUP BY vec_id),
+       |sd AS (SELECT CAST(vec_id AS INT) AS cid, pos, c AS s FROM q WHERE vec_id < $IvfK),
+       |sdn AS (SELECT cid, CAST(SUM(s * s) AS BIGINT) AS sn2 FROM sd GROUP BY cid),
+       |${simSql("sd", "sdn", "a0s")},
+       |a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a0s) WHERE rn = 1),
+       |ct AS (
+       |  SELECT a0.cid, q.pos, CAST(SUM(q.c) AS BIGINT) AS s
+       |  FROM q JOIN a0 ON q.vec_id = a0.vec_id GROUP BY 1, 2),
+       |ctn AS (SELECT cid, CAST(SUM(s * s) AS BIGINT) AS sn2 FROM ct GROUP BY cid),
+       |${simSql("ct", "ctn", "a1s")},
+       |a1 AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a1s) WHERE rn = 1),
+       |exd AS MATERIALIZED (
+       |  SELECT qc.vec_id AS qid, cc.vec_id, CAST(SUM(qc.c * cc.c) AS BIGINT) AS dot
+       |  FROM q qc JOIN q cc ON cc.pos = qc.pos
+       |   AND qc.vec_id < $NumQueries AND cc.vec_id <> qc.vec_id
+       |  GROUP BY 1, 2),
+       |exs AS MATERIALIZED (
+       |  SELECT exd.qid, exd.vec_id,
+       |         CAST(exd.dot AS DOUBLE) /
+       |           (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+       |  FROM exd JOIN n nq ON exd.qid = nq.vec_id JOIN n nc ON exd.vec_id = nc.vec_id
+       |  WHERE nq.n2 > 0 AND nc.n2 > 0),
+       |ext AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+       |             PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM exs) WHERE rn <= $K),
+       |${probeBlock(1)},
+       |${probeBlock(2)},
+       |${probeBlock(4)}
+       |SELECT * FROM (
+       |${factRow(1)}
+       |UNION ALL
+       |${factRow(2)}
+       |UNION ALL
+       |${factRow(4)})
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** q262 — INCREMENTAL IVF MAINTENANCE: the production append
     * discipline for a vector index, oracle-gated. An IVF index does
     * NOT re-run Lloyd when a batch arrives — centroids FREEZE at
@@ -2095,6 +2259,7 @@ object Similarity {
     QuerySpec("q51b_embedding_neardup_blocked", q51b, None, headline = true),
     QuerySpec("q52_ann_ivf",        q52, None,         headline = true),
     QuerySpec("q52b_ann_ivf_exact", q52b, Some(q52bSql)),
+    QuerySpec("q275_ivf_probe_recall", q275, Some(q275Sql)),
     QuerySpec("q262_incremental_ivf", q262, Some(q262Sql)),
     QuerySpec("q264_stream_ivf_maintenance", q264, Some(q262Sql)),
     QuerySpec("q271_ivf_delete_maintenance", q271, Some(q271Sql)),

@@ -136,6 +136,15 @@ class PlanGuardSpec extends SparkSpec {
     // q268: broadcasts the 1-row merged totals (recall stage, q108's
     // pattern) and the 1-row fixed query embedding (rerank stage)
     "q268_two_stage_retrieval",
+    // q273: broadcasts the 1-row totals-minus-delete-totals scalar
+    // pair for BM25 normalization (q265's scalar pattern on the
+    // subtract path). NOTE q275 also runs a q48-class broadcast cross
+    // join (NumQueries-row query vectors × corpus, the bench-only
+    // exact ground-truth leg) but it sits behind a lazy checkpoint,
+    // which cuts the logical plan the sweep explains — justified for
+    // the same reason as q48/q272, documented here since the guard
+    // cannot see it
+    "q273_bm25_delete_maintenance",
     // q272: the same two 1-row broadcasts as q268, plus the exact
     // ground-truth leg's 1-row query-embedding broadcast over the
     // corpus (the q48 baseline pattern — affordable only at bench
