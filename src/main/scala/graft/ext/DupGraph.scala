@@ -1467,6 +1467,105 @@ object DupGraph {
       .orderBy(col("doc_id"))
   }
 
+  /** DELETE update for the maintained cluster assignment — the
+    * NON-ABELIAN case of the incremental family (q271's IVF cells and
+    * q273's BM25 summaries subtract algebraically; connectivity does
+    * not: removing a doc can SPLIT its component). The locality that
+    * replaces algebra: a delete only ever affects components that
+    * CONTAIN a doomed doc — every edge it removes is incident to a
+    * doomed doc, so components without one keep their exact member
+    * set, edges, label (min member, still alive), and size. The
+    * update is therefore:
+    *
+    *   1. touched components = the doomed ids' labels (batch-keyed
+    *      point lookups against the assignment);
+    *   2. KEPT: every row of an untouched component is carried BY
+    *      REFERENCE — label and size unchanged (the q263/q267
+    *      discipline);
+    *   3. RELABELED: CC re-runs on the pair subgraph induced on the
+    *      touched components' SURVIVING members only (served from the
+    *      maintained pair table — no re-shingling), labels = min
+    *      surviving member, sizes recounted within this bounded set.
+    *
+    * Cost is O(batch + touched components), never the corpus; the
+    * localized CC equals the global survivors-only CC because no
+    * verified pair crosses components. The `origin` column tags
+    * kept vs relabeled rows for the spec; q276 drops it.
+    */
+  private[ext] def deleteFromClusters(corpusAssign: DataFrame,
+      doomedDocs: DataFrame, pairs: DataFrame): DataFrame = {
+    val touched = corpusAssign
+      .join(doomedDocs, Seq("doc_id"), "leftsemi")
+      .select(col("comp_id")).distinct()
+    val kept = corpusAssign.join(touched, Seq("comp_id"), "left_anti")
+      .select(col("doc_id"), col("comp_id"), col("comp_size"),
+        lit("kept").as("origin"))
+    val survivors = corpusAssign.join(touched, Seq("comp_id"), "leftsemi")
+      .join(doomedDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .localCheckpoint(false) // feeds both edge semi-joins + relabel
+    val sub = pairs
+      .join(survivors.select(col("doc_id").as("a_id")), Seq("a_id"), "leftsemi")
+      .join(survivors.select(col("doc_id").as("b_id")), Seq("b_id"), "leftsemi")
+      .select(col("a_id"), col("b_id"))
+    val rec = connectedComponents(sub)
+    val relabeled = survivors
+      .join(rec, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
+    val sizes = relabeled.groupBy(col("comp_id")).agg(count(lit(1)).as("comp_size"))
+    kept.unionByName(relabeled.join(sizes, "comp_id")
+      .select(col("doc_id"), col("comp_id"), col("comp_size"),
+        lit("relabeled").as("origin")))
+  }
+
+  /** q276 — DUP-CLUSTER DELETE MAINTENANCE (oracle-gated): the
+    * materialized q59 assignment takes a delete of the md5
+    * bucket ≥ 90 docs and updates through [[deleteFromClusters]] —
+    * the component-splitting case the append path (q260) never
+    * faces. THE ORACLE IS THE FROM-SCRATCH CLOSURE OVER THE
+    * SURVIVORS ONLY (q59's reach CTE on the survivor-filtered pair
+    * set), so the hash gate proves localized-recompute ≡
+    * survivors-rebuild tri-SF, including every split's new labels
+    * and sizes. ClusterDeleteSpec pins the split itself on a planted
+    * chain (deleting the middle doc must break one cluster into two)
+    * and that untouched clusters ride through as `kept` rows.
+    */
+  private def q276(spark: SparkSession, dir: String): DataFrame = {
+    val doomed = Tables.documents(spark, dir)
+      .filter(graft.ext.TrainPrep.md5Bucket(col("doc_id"), 100) >= 90)
+      .select(col("doc_id"))
+    val pairs = Dedup.materializedPairs(spark, dir).select(col("a_id"), col("b_id"))
+    deleteFromClusters(assignments(spark, dir), doomed, pairs)
+      .select(col("doc_id"), col("comp_id"), col("comp_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q276Sql =
+    s"""WITH RECURSIVE ${Dedup.jaccardScoredCte},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM scored
+       |  WHERE inter / (na + nb - inter) >= 0.5),
+       |surv AS MATERIALIZED (
+       |  SELECT doc_id FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90),
+       |sp AS (
+       |  SELECT p.a_id, p.b_id FROM pairs p
+       |  JOIN surv sa ON sa.doc_id = p.a_id
+       |  JOIN surv sb ON sb.doc_id = p.b_id),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM sp
+       |        UNION ALL SELECT b_id, a_id FROM sp),
+       |reach AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT s.v AS id, r.comp FROM reach r JOIN sym s ON s.u = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp_id FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT s.doc_id, COALESCE(c.comp_id, s.doc_id) AS comp_id
+       |  FROM surv s LEFT JOIN comp c ON s.doc_id = c.id)
+       |SELECT doc_id, comp_id,
+       |       CAST(COUNT(*) OVER (PARTITION BY comp_id) AS BIGINT) AS comp_size
+       |FROM asg ORDER BY doc_id""".stripMargin
+
   private val q260Sql =
     s"""WITH RECURSIVE ${Dedup.jaccardScoredCte},
        |pairs AS (
@@ -1492,6 +1591,7 @@ object DupGraph {
     QuerySpec("q255_dbscan_clusters", q255, Some(q255Sql)),
     QuerySpec("q259_dbscan_blocking_power", q259, Some(q259Sql)),
     QuerySpec("q260_incremental_dup_clusters", q260, Some(q260Sql)),
+    QuerySpec("q276_cluster_delete_maintenance", q276, Some(q276Sql)),
     QuerySpec("q213_kcore", q213, Some(q213Sql)),
     QuerySpec("q209_shortest_paths", q209, Some(q209Sql)),
     QuerySpec("q196_bfs_contamination_radius", q196, Some(q196Sql)),
