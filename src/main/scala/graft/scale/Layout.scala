@@ -1560,6 +1560,57 @@ object Layout {
       .deleteDirectory(new java.io.File(ck)))
   }
 
+  /** q277 — KEYED DELETE on the manifest table
+    * ([[graft.sources.ManifestSource.deleteKeys]]): `DELETE WHERE ok
+    * IN (batch)`, the DML verb between MERGE upsert (q267) and range
+    * retention (q251) — the shape of a right-to-be-forgotten or
+    * contamination purge. Candidate files come from the per-file
+    * `ok`-bloom probe, matched rows drop in an executor-side rewrite
+    * (zone map + bloom + sums recomputed), bloom false positives
+    * carry the original file by reference, and the new generation
+    * commits via the VERSION pointer — the pre-delete snapshot stays
+    * pinnable (the audit trail) until vacuum. The delete batch is
+    * every `ok % 131 = 0` row; the readout aggregates the
+    * POST-DELETE snapshot by flag, and the oracle computes the same
+    * aggregates over orders minus those keys, so the hash gate
+    * certifies row-exact keyed deletion at file granularity.
+    * ManifestDeleteSpec pins the file-level mechanics (false-positive
+    * kept-by-reference, emptied-file removal, post-delete stats
+    * exactness) and the q274 composition: the change feed between the
+    * pre- and post-delete generations emits exactly the deleted rows
+    * as `delete` events.
+    */
+  private def q277(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_del_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    graft.sources.ManifestSource.deleteKeys(spark, root, keys)
+    spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q277Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |kept AS (SELECT * FROM base WHERE ok % 131 <> 0)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM kept GROUP BY flag ORDER BY flag""".stripMargin
+
   /** Row schema of the manifest store's data files. */
   private val manifestRowSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.LongType),
@@ -1743,6 +1794,7 @@ object Layout {
     QuerySpec("q269_stats_pushdown", q269, Some(q269Sql)),
     QuerySpec("q270_stream_cdc_merge_apply", q270, Some(q270Sql)),
     QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
+    QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),

@@ -359,6 +359,72 @@ object ManifestSource {
     (nRewritten, entries.size - nRewritten, inserts.size, name)
   }
 
+  /** KEYED DELETE — `DELETE WHERE ok IN (keys)`, the DML verb between
+    * MERGE (upsert, [[merge]]) and range retention ([[deleteBelow]]):
+    * candidate files are found by the per-file `ok`-bloom probe
+    * (bloom-less files are always candidates), each candidate
+    * rewrites executor-side dropping matched rows (zone map, bloom,
+    * and sums recomputed), a bloom FALSE POSITIVE (no row matched)
+    * discards its copy and carries the ORIGINAL file by reference, a
+    * fully-emptied file leaves the manifest, and the new generation
+    * commits via the VERSION pointer. The key batch is driver-held
+    * and shipped in the task closure — the same bounded-batch
+    * contract as `merge` (a right-to-be-forgotten / contamination
+    * purge batch is bounded relative to the table; a table-sized
+    * delete is the join-strategy variant). Returns
+    * (files rewritten, kept by reference, rows deleted, manifest).
+    */
+  def deleteKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keys: Seq[Long]): (Int, Int, Long, String) = {
+    val current = resolveManifest(dir, None)
+    val entries = readManifest(dir, current)
+    val keySet = keys.toSet
+    val (candidates, untouched) = entries.partition(e =>
+      e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+    val gen = nextGeneration(dir)
+    val rewritten = spark.sparkContext
+      .parallelize(candidates, candidates.size.max(1))
+      .map { e =>
+        val out = s"part-k$gen-${e.file.stripPrefix("part-")}"
+        val outF = new java.io.File(dir, out)
+        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
+        val w = new java.io.PrintWriter(outF, "UTF-8")
+        var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        var qs = 0L; var ps = 0L; var dropped = 0L
+        val bloom = new Array[Long](BloomWords)
+        try src.getLines().foreach { l =>
+          val a = l.split(',')
+          val ok = a(0).toLong
+          if (keySet.contains(ok)) dropped += 1
+          else {
+            w.println(l); n += 1
+            val us = a(1).toLong
+            if (us < mn) mn = us
+            if (us > mx) mx = us
+            qs += a(3).toLong; ps += a(4).toLong
+            bloomInsert(bloom, ok)
+          }
+        } finally { src.close(); w.close() }
+        if (dropped == 0) {
+          // bloom false positive — keep the original file by reference
+          outF.delete()
+          (Some(e), 0L)
+        } else if (n == 0) {
+          // fully emptied — the file leaves the manifest
+          outF.delete()
+          (None, dropped)
+        } else (Some(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)))), dropped)
+      }.collect()
+    val name = s"manifest-gen$gen.csv"
+    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+    try (untouched ++ rewritten.flatMap(_._1)).foreach(e => mw.println(entryLine(e)))
+    finally mw.close()
+    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
+    try vw.println(name) finally vw.close()
+    val nRewritten = rewritten.count(_._2 > 0)
+    (nRewritten, entries.size - nRewritten, rewritten.map(_._2).sum, name)
+  }
+
   /** VACUUM — the out-of-band garbage collection every other
     * lifecycle op defers to (append/compact/retention all write NEW
     * files and leave the old snapshot readable for time travel; the
