@@ -1750,6 +1750,147 @@ object Layout {
       |SELECT CAST(gen AS INT) AS gen, change_type, ok, ship_us, flag, qty, price_cents
       |FROM ev ORDER BY gen, change_type, ok""".stripMargin
 
+  /** The q278 fold: stream a staged change feed, each foreachBatch
+    * applying its events to the REPLICA store grouped by generation
+    * ascending — `update_postimage`/`insert` rows apply as one MERGE
+    * upsert per generation, `delete` rows as one keyed DELETE, and
+    * `update_preimage` rows are informational (the postimage carries
+    * the new row). Any trigger batching that respects feed order
+    * folds identically (Q278ReplicationSpec pins it).
+    */
+  private[graft] def streamFeedApply(spark: SparkSession, replicaRoot: String,
+      stagedGlob: String, filesPerTrigger: Int): Unit = {
+    val ck = java.nio.file.Files.createTempDirectory("graft_q278_ck").toString
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gen", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("change_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ship_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price_cents", org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(stagedGlob)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect() // bounded change batches (the q267/q270 contract)
+        rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+          val ups = rs.filter(r => r.getString(1) == "update_postimage" ||
+              r.getString(1) == "insert")
+            .map(r => (r.getLong(2), r.getLong(3), r.getString(4),
+              r.getLong(5), r.getLong(6))).toSeq
+          if (ups.nonEmpty) graft.sources.ManifestSource.merge(spark, replicaRoot, ups)
+          val dels = rs.filter(_.getString(1) == "delete").map(_.getLong(2)).toSeq
+          if (dels.nonEmpty) graft.sources.ManifestSource.deleteKeys(spark, replicaRoot, dels)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ck)))
+  }
+
+  /** q278 — CDC REPLICATION LOOP: the change feed SERVED AS A STREAM
+    * and applied to a replica — the cross-store replication pattern
+    * that closes the CDC set (q274 emits, q270 applies an external
+    * log, q278 pipes one store's feed into another). The SOURCE store
+    * runs a real three-generation chain — q267's MERGE batch, q277's
+    * keyed delete (`ok % 131`), then a 1996-01-01 retention — and
+    * each generation's change feed (computed from manifest file-set
+    * diffs alone, the q274 path) stages as one parquet file. The
+    * REPLICA bootstraps from the base snapshot (standard replication
+    * bootstrap) and consumes the staged feed through a file stream,
+    * one generation's events per MERGE/DELETE apply. The readout
+    * aggregates the REPLICA's final snapshot; the oracle replays the
+    * three DML ops relationally over orders, so the hash gate
+    * certifies emit → stream → apply end to end: a dropped event, a
+    * mis-classified image, or an out-of-order apply shifts a flag
+    * group. Q278ReplicationSpec additionally pins replica ≡ source
+    * row-for-row and trigger-batching invariance.
+    */
+  private def q278(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    def freshRoot(kind: String): String = {
+      val f = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_${kind}_$tag")
+      if (f.exists()) f.listFiles().foreach(_.delete())
+      f.getAbsolutePath
+    }
+    val src = freshRoot("rsrc")
+    val rep = freshRoot("rrep")
+    val base = ordersBase(spark, dir)
+    Seq(src, rep).foreach { r =>
+      base.repartitionByRange(8, col("ship_us"))
+        .write.format("graft-manifest").option("path", r).mode("overwrite").save()
+    }
+    // the source generation chain: MERGE, keyed delete, retention
+    val m0 = ManifestSource.resolveManifest(src, None)
+    val batch = base
+      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
+      .collect().toSeq
+      .flatMap { r =>
+        val (ok, us, fl, q, pc) =
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
+        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
+        up ++ ins
+      }
+    val (_, _, _, m1) = ManifestSource.merge(spark, src, batch)
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    val (_, _, _, m2) = ManifestSource.deleteKeys(spark, src, keys)
+    ManifestSource.deleteBelow(spark, src, Q274CutoffUs)
+    val m3 = ManifestSource.resolveManifest(src, None)
+    // stage the per-generation feeds in feed order
+    val stage = java.nio.file.Files.createTempDirectory("graft_q278_stage").toString
+    Seq((1, m0, m1), (2, m1, m2), (3, m2, m3)).foreach { case (g, a, b) =>
+      val sub = s"$stage/b$g"
+      manifestChangeFeed(spark, src, a, b)
+        .select(lit(g).as("gen"), col("change_type"), col("ok"), col("ship_us"),
+          col("flag"), col("qty"), col("price_cents"))
+        .coalesce(1).write.mode("overwrite").parquet(sub)
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(1000000L * g))
+    }
+    streamFeedApply(spark, rep, s"$stage/*", filesPerTrigger = 1)
+    val out = spark.read.format("graft-manifest").option("path", rep).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+      .localCheckpoint()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(stage)))
+    out
+  }
+
+  private val q278Sql =
+    s"""WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 97 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0),
+      |kept AS (
+      |  SELECT * FROM merged
+      |  WHERE NOT (ok % 131 = 0 AND ok < 10000000)),
+      |final AS (SELECT * FROM kept WHERE ship_us >= $Q274CutoffUs)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM final GROUP BY flag ORDER BY flag""".stripMargin
+
   private val q270Sql =
     """WITH base AS (
       |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
@@ -1795,6 +1936,7 @@ object Layout {
     QuerySpec("q270_stream_cdc_merge_apply", q270, Some(q270Sql)),
     QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
+    QuerySpec("q278_cdc_replication", q278, Some(q278Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
