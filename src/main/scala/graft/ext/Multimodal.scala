@@ -381,7 +381,13 @@ object Multimodal extends Serializable {
     */
   private def q50e(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the codec map is CPU-heavy and embarrassingly parallel, but the
+    // testdata table is ONE parquet file = one scan partition — fan the
+    // bounded id column out to every core before the per-row codec
+    // work (at 100 TB the scan has thousands of partitions and this
+    // repartition of an 8-byte column is noise)
     val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val decoded = ids.mapPartitions { it =>
       it.map { docId =>
         val w = (16 + docId % 16).toInt
@@ -509,7 +515,13 @@ object Multimodal extends Serializable {
     */
   private def q50f(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the codec map is CPU-heavy and embarrassingly parallel, but the
+    // testdata table is ONE parquet file = one scan partition — fan the
+    // bounded id column out to every core before the per-row codec
+    // work (at 100 TB the scan has thousands of partitions and this
+    // repartition of an 8-byte column is noise)
     val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val decoded = ids.mapPartitions { it =>
       it.map { docId =>
         val n = (800L + (docId * 13L) % 801L).toInt
@@ -813,7 +825,13 @@ object Multimodal extends Serializable {
     */
   private def q50g(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the codec map is CPU-heavy and embarrassingly parallel, but the
+    // testdata table is ONE parquet file = one scan partition — fan the
+    // bounded id column out to every core before the per-row codec
+    // work (at 100 TB the scan has thousands of partitions and this
+    // repartition of an 8-byte column is noise)
     val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val decoded = ids.mapPartitions { it =>
       it.map { docId =>
         val w = (8 + docId % 9).toInt
