@@ -1013,6 +1013,92 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Per-DOC k=[[SqlMinHashK]] MinHash signature rows
+    * (`source`, `doc_id`, mh0..mhK-1) — the doc-granular index q279's
+    * delete path folds from. min is duplicate-insensitive, so the
+    * per-source min of these rows equals [[sourceSignature]] exactly.
+    */
+  private[ext] def docSignature(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("source"), col("doc_id"),
+      explode(shingles(col("text"))).as("s"))
+    val d = md5(to_binary(col("s"), lit("utf-8")))
+    val withH = sh.select(col("source"), col("doc_id"),
+      conv(substring(d, 1, 14), 16, 10).cast("long").as("h1"),
+      conv(substring(d, 15, 14), 16, 10).cast("long").as("h2"))
+    val aggs = (0 until SqlMinHashK)
+      .map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"mh$k"))
+    withH.groupBy(col("source"), col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** q279 — MINHASH DELETE MAINTENANCE: the sketch member of the
+    * delete matrix (clusters q276, IVF q271, BM25 q273), and the one
+    * where the TEXTBOOK LIMIT bites: elementwise MIN has no inverse,
+    * so a min-sketch cannot subtract a departing doc's contribution
+    * the way q271's sums or q273's counts do. The replacement is the
+    * q276 locality discipline at GROUP granularity, served from a
+    * maintained DOC-LEVEL sketch index:
+    *
+    *   1. touched sources = the doomed doc_ids' index rows
+    *      (batch-keyed lookups);
+    *   2. KEPT: untouched sources' signatures carry BY REFERENCE —
+    *      a delete elsewhere cannot change their min;
+    *   3. RECOMPUTED: each touched source re-folds the per-doc
+    *      signature rows of its SURVIVORS (elementwise min, exact by
+    *      min's associativity over the doc partition) — 8-long sketch
+    *      rows, never raw text: no re-shingling anywhere. A source
+    *      whose docs all die leaves the table.
+    *
+    * Cost is O(batch + touched groups' sketch rows). This is exactly
+    * why log-structured systems keep fine-grained sketches next to
+    * coarse ones: the fine level is the recompute substrate that
+    * makes deletion affordable. THE ORACLE IS THE FROM-SCRATCH
+    * SIGNATURE OVER THE SURVIVORS (q261's SQL, survivor-filtered), so
+    * the hash gate proves refold ≡ rebuild tri-SF; MinHashDeleteSpec
+    * pins kept-by-reference rows, the refolded group against scratch,
+    * and whole-source disappearance.
+    */
+  private def q279(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.ext.TrainPrep.md5Bucket(col("doc_id"), 100)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"), (bucket >= 90).as("doomed"))
+    // the maintained artifacts: per-source state + the doc-level index
+    val state = sourceSignature(docs.select(col("source"), col("text")))
+    val docSigs = docSignature(docs.select(col("source"), col("doc_id"), col("text")))
+      .localCheckpoint(false) // probed by touched-lookup AND refold
+    val doomed = docs.filter(col("doomed")).select(col("doc_id"))
+    val touched = docSigs.join(doomed, Seq("doc_id"), "leftsemi")
+      .select(col("source")).distinct()
+    val kept = state.join(touched, Seq("source"), "left_anti")
+    val refolded = docSigs.join(touched, Seq("source"), "leftsemi")
+      .join(doomed, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(min(col("mh0")).as("mh0"),
+        (1 until SqlMinHashK).map(k => min(col(s"mh$k")).as(s"mh$k")): _*)
+    kept.unionByName(refolded).orderBy("source")
+  }
+
+  private val q279Sql = {
+    val mins = (0 until SqlMinHashK)
+      .map(k => s"MIN(h1 + $k * h2) AS mh$k").mkString(",\n       |       ")
+    s"""WITH w0 AS (
+       |  SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90),
+       |sh AS (SELECT DISTINCT source, doc_id, s FROM (
+       |  SELECT source, doc_id,
+       |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |              ELSE array_to_string(ws, ' ') END AS s
+       |  FROM (SELECT source, doc_id, ws,
+       |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+       |                           ELSE [1] END) AS i
+       |        FROM w0))),
+       |h AS (SELECT source, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+       |             ('0x' || substr(md5(s), 15, 14))::BIGINT AS h2
+       |      FROM sh)
+       |SELECT source,
+       |       $mins
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private val q261Sql = {
     val mins = (0 until SqlMinHashK)
       .map(k => s"MIN(h1 + $k * h2) AS mh$k").mkString(",\n       |       ")
@@ -1036,6 +1122,7 @@ object Dedup {
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q177_corpus_novelty", q177, Some(q177Sql)),
     QuerySpec("q261_incremental_minhash", q261, Some(q261Sql)),
+    QuerySpec("q279_minhash_delete_maintenance", q279, Some(q279Sql)),
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
     QuerySpec("q46_minhash_lsh",    q46, None,         headline = true),
