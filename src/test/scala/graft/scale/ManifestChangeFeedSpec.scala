@@ -90,6 +90,48 @@ class ManifestChangeFeedSpec extends SparkSpec {
     }
   }
 
+  test("a compaction generation emits NOTHING; a net diff collapses intermediate churn") {
+    import graft.sources.ManifestSource
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_net").toString
+    try {
+      import spark.implicits._
+      val base = (1L to 8L).map(i => (i, i * 1000L, "A", i, i * 10L))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      base.repartitionByRange(4, col("ship_us"))
+        .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+      val m0 = ManifestSource.resolveManifest(root, None)
+      // compaction rewrites files but changes NO rows — the feed
+      // across it must be empty (every row compares equal)
+      ManifestSource.compact(spark, root, targetRows = 4L)
+      val m1 = ManifestSource.resolveManifest(root, None)
+      assert(m1 != m0, "compaction must commit a new generation")
+      assert(Layout.manifestChangeFeed(spark, root, m0, m1).isEmpty,
+        "a compaction generation must emit no change events")
+      // churn: update ok=3 in gen2, then DELETE it in gen3 — the net
+      // m1→m3 diff must collapse to a single delete of the ORIGINAL
+      // row (the intermediate update image never existed at either
+      // endpoint), plus gen2's surviving insert
+      val (_, _, _, m2) = ManifestSource.merge(spark, root,
+        Seq((3L, 3000L, "U", 3L, 60L), (100L, 9000L, "N", 1L, 5L)))
+      val (_, _, _, m3) = ManifestSource.deleteKeys(spark, root, Seq(3L))
+      val net = Layout.manifestChangeFeed(spark, root, m1, m3)
+        .collect().map(_.toSeq).toSet
+      assert(net == Set(
+        Seq[Any]("delete", 3L, 3000L, "A", 3L, 30L),
+        Seq[Any]("insert", 100L, 9000L, "N", 1L, 5L)),
+        s"net diff must collapse update-then-delete: $net")
+      // and the net feed still replays A → C exactly
+      val a = rows(snapshot(root, m1))
+      val c = rows(snapshot(root, m3))
+      assert(apply(a, Layout.manifestChangeFeed(spark, root, m1, m3)) == c,
+        "net-feed replay must reconstruct the final snapshot")
+      assert(m2 != m3, "chain sanity")
+    } finally {
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root)))
+    }
+  }
+
   test("sf0.001 chain replay: the q274 feed reconstructs the final snapshot") {
     import graft.sources.ManifestSource
     // rebuild the q274 store (same tag convention) and replay its feed
