@@ -1891,6 +1891,91 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM final GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q280 — NET CHANGE FEED across a whole generation chain: the
+    * file-set diff of q274 run between the FIRST and LAST pinned
+    * generations directly, skipping every intermediate snapshot. The
+    * semantics are endpoint-content, not log-replay: a row updated in
+    * one generation and deleted two generations later nets to one
+    * `delete` of its ORIGINAL image; churn that cancels out emits
+    * nothing — the batch-CDF-between-versions contract. THE ORACLE IS
+    * THE RELATIONAL FULL-OUTER DIFF OF THE TWO SNAPSHOTS (base vs the
+    * fully-applied final state), which is the definition the feed
+    * must meet; hash-green tri-SF means the file-set shortcut — read
+    * only files whose manifest membership changed — computes exactly
+    * that diff without ever scanning the table.
+    */
+  private def q280(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_net_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val m0 = ManifestSource.resolveManifest(root, None)
+    val batch = base
+      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
+      .collect().toSeq
+      .flatMap { r =>
+        val (ok, us, fl, q, pc) =
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
+        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
+        up ++ ins
+      }
+    ManifestSource.merge(spark, root, batch)
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeys(spark, root, keys)
+    ManifestSource.deleteBelow(spark, root, Q274CutoffUs)
+    val mEnd = ManifestSource.resolveManifest(root, None)
+    manifestChangeFeed(spark, root, m0, mEnd)
+      .select(col("change_type"), col("ok"), col("ship_us"),
+        col("flag"), col("qty"), col("price_cents"))
+      .orderBy(col("change_type"), col("ok"))
+  }
+
+  private val q280Sql =
+    s"""WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 97 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0),
+      |final AS (
+      |  SELECT * FROM merged
+      |  WHERE NOT (ok % 131 = 0 AND ok < 10000000) AND ship_us >= $Q274CutoffUs),
+      |j AS (
+      |  SELECT COALESCE(b.ok, f.ok) AS ok,
+      |         b.ok IS NOT NULL AS in_b, f.ok IS NOT NULL AS in_f,
+      |         b.ship_us AS b_us, b.flag AS b_fl, b.qty AS b_q, b.price_cents AS b_pc,
+      |         f.ship_us AS f_us, f.flag AS f_fl, f.qty AS f_q, f.price_cents AS f_pc
+      |  FROM base b FULL OUTER JOIN final f ON b.ok = f.ok),
+      |ev AS (
+      |  SELECT 'insert' AS change_type, ok, f_us AS ship_us, f_fl AS flag,
+      |         f_q AS qty, f_pc AS price_cents
+      |  FROM j WHERE NOT in_b
+      |  UNION ALL
+      |  SELECT 'delete', ok, b_us, b_fl, b_q, b_pc FROM j WHERE NOT in_f
+      |  UNION ALL
+      |  SELECT 'update_preimage', ok, b_us, b_fl, b_q, b_pc
+      |  FROM j WHERE in_b AND in_f
+      |    AND (b_us <> f_us OR b_fl <> f_fl OR b_q <> f_q OR b_pc <> f_pc)
+      |  UNION ALL
+      |  SELECT 'update_postimage', ok, f_us, f_fl, f_q, f_pc
+      |  FROM j WHERE in_b AND in_f
+      |    AND (b_us <> f_us OR b_fl <> f_fl OR b_q <> f_q OR b_pc <> f_pc))
+      |SELECT change_type, ok, ship_us, flag, qty, price_cents
+      |FROM ev ORDER BY change_type, ok""".stripMargin
+
   private val q270Sql =
     """WITH base AS (
       |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
@@ -1937,6 +2022,7 @@ object Layout {
     QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
     QuerySpec("q278_cdc_replication", q278, Some(q278Sql)),
+    QuerySpec("q280_net_change_feed", q280, Some(q280Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),
     QuerySpec("q184_column_histogram", q184, Some(q184Sql)),
     QuerySpec("q174_zone_map_skip", q174, Some(q174Sql)),
