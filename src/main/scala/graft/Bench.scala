@@ -98,8 +98,17 @@ object Bench {
     val repsJson = reps.toSeq.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Metric provenance (round-11 advice): "value" changed meaning in
+    // round 11 from median-total to min-of-reps total (the judge's
+    // prescribed co-tenancy-robust headline). Name the metric version
+    // IN the artifact, and label WHICH sweep produced it (the driver's
+    // co-tenanted run vs the builder's committed quiet sweep silently
+    // shadowed each other in round 11) — builders set
+    // SPARK_GRAFT_BENCH_PROVENANCE=builder-quiet-sweep before a
+    // committed run; an unlabeled artifact is the driver's.
+    val provenance = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROVENANCE", "unlabeled-driver-sweep")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":${jmap(bests)},"medians":${jmap(results)},"spreads":${jmap(spreads)},"reps":$repsJson,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","metric_version":"min_of_reps_v2","provenance":"$provenance","value":$total,"unit":"sec","median_total":$medianTotal,"queries":${jmap(bests)},"medians":${jmap(results)},"spreads":${jmap(spreads)},"reps":$repsJson,"sf":"$sfDir","cpus":$cpus}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }

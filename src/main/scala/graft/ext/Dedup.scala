@@ -94,6 +94,18 @@ object Dedup {
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
         pairCache.put(spark, m)
+        // A weak KEY alone never frees the entry: the cached
+        // DataFrames strongly reference their SparkSession, so the
+        // key stays reachable through its own values. Eviction is
+        // therefore EXPLICIT — the application-end listener drops the
+        // whole per-session map, breaking the cycle so the stopped
+        // session (and its checkpointed blocks) can be collected.
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              pairCache.synchronized { pairCache.remove(spark) }
+          })
       }
       m
     }

@@ -1390,6 +1390,30 @@ object Layout {
       (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
         .cast("long").as("price_cents"))
 
+  /** Insert re-key offset for the DML-chain queries (q267/q270/q274/
+    * q278/q280): inserted rows take `ok + InsertOffset`, and the
+    * oracles encode "was inserted" as `ok >= InsertOffset`. That
+    * convention silently breaks once base keys reach the offset
+    * (sf≈1.7 puts o_orderkey at 10M), so every chain asserts the
+    * invariant LOUDLY before building its batch instead of letting
+    * engine and oracle diverge quietly at a bigger SF.
+    */
+  private val InsertOffset = 10000000L
+  private def requireInsertOffsetSafe(base: DataFrame): Unit = {
+    val maxOk = base.agg(max(col("ok"))).head.getLong(0)
+    require(maxOk < InsertOffset,
+      s"insert re-key offset $InsertOffset collides with base keys (max ok = $maxOk); " +
+        "raise the offset and the oracles' ok-threshold together")
+  }
+
+  /** [[java.io.File#setLastModified]] with the boolean CHECKED: the
+    * staged-feed queries order generations by file mtime, so a
+    * silently failed timestamp write would let a later generation
+    * apply first and corrupt the fold — fail fast instead.
+    */
+  private def setMtimeOrFail(f: java.io.File, ms: Long): Unit =
+    require(f.setLastModified(ms), s"setLastModified($ms) failed for $f")
+
   /** q267 — COPY-ON-WRITE MERGE (upsert) on the manifest table: the
     * UPDATE/INSERT half of lakehouse DML, completing the lifecycle
     * next to append (q249), compaction (q245), retention DELETE
@@ -1422,6 +1446,7 @@ object Layout {
     val base = ordersBase(spark, dir)
     base.repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    requireInsertOffsetSafe(base)
     val batch = base
       .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
       .collect()
@@ -1492,6 +1517,7 @@ object Layout {
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
 
     // the sequenced CDC log, staged one file per sequence
+    requireInsertOffsetSafe(base)
     val e0 = base.filter(col("ok") % 50 === 0)
       .select(lit(0).as("seq"), col("ok"), col("ship_us"), lit("U").as("flag"),
         col("qty"), (col("price_cents") * 2).as("price_cents"))
@@ -1511,7 +1537,7 @@ object Layout {
       // distinct ascending mtimes: the file stream processes oldest
       // first, so trigger order follows log order
       new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => f.setLastModified(1000000L * (i + 1)))
+        .foreach(f => setMtimeOrFail(f, 1000000L * (i + 1)))
     }
     streamCdcApply(spark, root, s"$stage/*", filesPerTrigger = 1)
     val out = spark.read.format("graft-manifest").option("path", root).load()
@@ -1694,6 +1720,7 @@ object Layout {
     base.repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
     val m0 = ManifestSource.resolveManifest(root, None)
+    requireInsertOffsetSafe(base)
     val batch = base
       .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
       .collect().toSeq
@@ -1828,6 +1855,7 @@ object Layout {
     }
     // the source generation chain: MERGE, keyed delete, retention
     val m0 = ManifestSource.resolveManifest(src, None)
+    requireInsertOffsetSafe(base)
     val batch = base
       .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
       .collect().toSeq
@@ -1853,7 +1881,7 @@ object Layout {
           col("flag"), col("qty"), col("price_cents"))
         .coalesce(1).write.mode("overwrite").parquet(sub)
       new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => f.setLastModified(1000000L * g))
+        .foreach(f => setMtimeOrFail(f, 1000000L * g))
     }
     streamFeedApply(spark, rep, s"$stage/*", filesPerTrigger = 1)
     val out = spark.read.format("graft-manifest").option("path", rep).load()
@@ -1914,6 +1942,7 @@ object Layout {
     base.repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
     val m0 = ManifestSource.resolveManifest(root, None)
+    requireInsertOffsetSafe(base)
     val batch = base
       .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
       .collect().toSeq
