@@ -103,6 +103,64 @@ class StreamIngestSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  private val mergeBatches = Seq(
+    // batch 1 → cluster {1,2} label 1, plus untouched bystander 3
+    (1L -> textA) :: (2L -> textA) ::
+      (3L -> "totally separate bystander content never touched again") :: Nil,
+    (5L -> textB) :: (6L -> textB) :: Nil, // batch 2 → cluster {5,6} label 5
+    (9L -> textD) :: (11L -> "solo doc with its own words entirely") :: Nil)
+
+  test("log-structured compaction: depth bounded by k, resolution preserved " +
+      "across the boundary, write sizes between compactions unchanged") {
+    val d1 = stage(mergeBatches.map(b => docs(b: _*)))
+    val d2 = stage(mergeBatches.map(b => docs(b: _*)))
+    try {
+      // compactEvery=2: the stack folds after trigger 2, so the
+      // trigger-3 bridge must find cluster membership in the
+      // COMPACTED base — the hardest path (the pre-compaction
+      // per-generation rows are gone)
+      val r2 = StreamIngest.ingestClusters(spark, d1.toString, 1,
+        trackSizes = true, compactEvery = 2)
+      val rN = StreamIngest.ingestClusters(spark, d2.toString, 1,
+        trackSizes = true, compactEvery = 99)
+      assert(r2.nCompactions == 1 && rN.nCompactions == 0)
+      // depth after each trigger: fold re-bounds the stack to 1
+      assert(r2.depths == Seq(1, 1, 2), s"depths: ${r2.depths}")
+      assert(rN.depths == Seq(1, 2, 3), s"depths: ${rN.depths}")
+      assert(r2.depths.forall(_ <= 2), "stack depth must stay <= compactEvery")
+      // a compaction changes no visible row: final assignments are
+      // row-identical with and without it — including the post-
+      // compaction merge relabel
+      def m(r: StreamIngest.IngestRun): Map[Long, (Long, Long)] =
+        r.assign.collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      val (a2, aN) = (m(r2), m(rN))
+      assert(a2 == aN, s"compaction must preserve the resolution: $a2 vs $aN")
+      assert(a2(9L) == ((1L, 5L)), "bridge must merge through the compacted base")
+      // kept-by-reference write sizes hold on BOTH cadences: trigger 3
+      // rewrites batch(2) + touched clusters(4), never the corpus
+      assert(r2.overlayRows == Seq(3L, 2L, 6L), s"overlay rows: ${r2.overlayRows}")
+      assert(rN.overlayRows == Seq(3L, 2L, 6L), s"overlay rows: ${rN.overlayRows}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(d1.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(d2.toFile)
+    }
+  }
+
+  test("point-lookup probe over base + tail equals the full resolution") {
+    val dir = stage(mergeBatches.map(b => docs(b: _*)))
+    try {
+      val r = StreamIngest.ingestClusters(spark, dir.toString, 1,
+        trackSizes = false, compactEvery = 2)
+      assert(r.stack.size == 2, "expected compacted base + one tail overlay")
+      val probe = StreamIngest.probeAssignment(r.stack, Seq(1L, 3L, 5L, 9L))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      // full resolution ground truth from the run's own assignment
+      val full = r.assign.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(probe == Seq(1L, 3L, 5L, 9L).map(id => id -> full(id)).toMap,
+        s"probe must equal the full resolution on the probed ids: $probe")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("micro-batch invariance: 1-file-per-trigger equals all-at-once") {
     val batches = Seq(
       docs(1L -> textA, 2L -> textA),
