@@ -343,14 +343,17 @@ object StreamIngest {
     * and min-label closure, computed over the whole corpus at once.
     * Heavy pair CTEs are AS MATERIALIZED (the round-9 lesson: DuckDB
     * re-inlines un-materialized CTEs per reference and re-runs the
-    * shingle pipeline).
+    * shingle pipeline). Parameterized by the corpus relation so the
+    * event-fold oracle (q281) can replay its DML chain relationally
+    * and cluster the FINAL corpus with the identical pipeline.
     */
-  private val q263Sql = {
+  private[ext] def scratchClusterSql(corpusSql: String): String = {
     val mins = (0 until K).map(k => s"MIN(h1 + $k * h2) AS mh$k").mkString(", ")
     val bandSel = (0 until Bands)
       .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} AS v1, mh${2 * b + 1} AS v2 FROM sig")
       .mkString("\n       |  UNION ALL ")
-    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH RECURSIVE corpus AS ($corpusSql),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
        |shl AS (
        |  SELECT doc_id,
        |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -391,12 +394,394 @@ object StreamIngest {
        |comp AS (SELECT id, MIN(comp) AS comp_id FROM reach GROUP BY id),
        |asg AS (
        |  SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS comp_id
-       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+       |  FROM corpus d LEFT JOIN comp c ON d.doc_id = c.id)
        |SELECT doc_id, comp_id,
        |       CAST(COUNT(*) OVER (PARTITION BY comp_id) AS BIGINT) AS comp_size
        |FROM asg ORDER BY doc_id""".stripMargin
   }
 
+  private val q263Sql = scratchClusterSql("SELECT doc_id, text FROM documents")
+
+  // ------------------------------------------------------------------
+  // q281 — CDC FEED → INDEX MAINTENANCE: the loop closure. q274 emits
+  // a change feed from the manifest store's generation chain; q281
+  // CONSUMES that feed as a stream and folds every insert / update /
+  // delete event into a maintained dup-cluster state. This welds the
+  // round-9..11 pieces into the pipeline they were built for: a 100 TB
+  // corpus store takes DML (merge / keyed delete), the file-set-diff
+  // change feed ships row-level events, and the derived index stays
+  // fresh incrementally — no rebuild, no corpus rescan, O(batch +
+  // touched state) per generation.
+  // ------------------------------------------------------------------
+
+  /** State of the EVENT fold — [[IngestState]] generalized to deletes:
+    *
+    *   - `overlays`: (doc_id, comp_id, gen) with comp_id = -1 as the
+    *     DELETION MARKER; a doc's current assignment is its max-gen
+    *     row, and a -1 winner means "not in the corpus".
+    *   - `feats`/`bands`/`pairs` carry the gen they were written at;
+    *     `tombs` (doc_id, tgen) marks doc-state written BEFORE tgen as
+    *     dead. A re-inserted doc (the update path) gets fresh rows at
+    *     a LATER gen, which the tombstone does not mask — so update =
+    *     delete + insert composes without rewriting any index row.
+    *   - `pairs` is the maintained accepted-pair table ([[Dedup]]'s
+    *     materializedPairs as STREAMING STATE): deletes need the edge
+    *     set among touched-component survivors to re-derive labels,
+    *     because a deleted cut vertex SPLITS its cluster (the q276
+    *     delete algebra, here driven by the feed).
+    *
+    * Label algebra under deletes: labels are no longer monotone (a
+    * deleted min-member RAISES its component's label), so the
+    * insert path's round-11 supersession shortcut (semi-join member
+    * rows by label across all generations) would be UNSOUND here — a
+    * retired label can be reborn on an unrelated doc. Membership is
+    * therefore resolved in TWO bounded passes: candidate rows by
+    * label (superset), then each candidate's CURRENT label by max-gen
+    * resolution, keeping only true members. Both passes are semi-join
+    * probes keyed by the touched set — never a corpus resolution.
+    *
+    * Gens advance PER PHASE (delete phase, then insert phase, per
+    * feed generation), so a same-generation update's tombstone (gen
+    * g) sits strictly below its re-insert (gen g+1) and max-gen
+    * resolution is unambiguous. Same log-structured compaction as
+    * [[IngestState]]: every `compactEvery` feed generations the
+    * overlay stack folds to one live base, tombstones apply
+    * physically to feats/bands/pairs, and the tombstone set resets.
+    */
+  private final case class EvState(
+      overlays: Vector[DataFrame], feats: DataFrame, bands: DataFrame,
+      pairs: DataFrame, tombs: DataFrame,
+      gen: Int, nGens: Int, depths: Vector[Int], nCompactions: Int)
+
+  private[ext] final case class EventRun(
+      assign: DataFrame, nGens: Int, depths: Seq[Int], nCompactions: Int)
+
+  /** Fold a staged change feed (parquet files of
+    * (gen, change_type, ok=doc_id, ship_us, flag=text, qty, price_cents),
+    * the q274/q278 event shape carrying documents) into a maintained
+    * dup-cluster state, bootstrapping from `bootstrap` (doc_id, text)
+    * processed as the first insert batch — the q278 replica-bootstrap
+    * pattern. Events apply grouped by feed generation ascending
+    * within each trigger, deletes before inserts and an update as its
+    * preimage-delete + postimage-insert, so any trigger batching that
+    * respects feed order folds identically (the spec pins it).
+    */
+  private[ext] def ingestEventFeed(spark: SparkSession, stagedGlob: String,
+      bootstrap: DataFrame, filesPerTrigger: Int,
+      compactEvery: Int = 4): EventRun = {
+    val ck = java.nio.file.Files.createTempDirectory("graft_q281_ck").toString
+    val empty = spark.range(0)
+    def materialize(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      spark.createDataFrame(c.rdd, c.schema)
+    }
+    val emptyFeat = docFeatures(empty.select(col("id").as("doc_id"), lit("x").as("text")))
+    var st = EvState(
+      overlays = Vector.empty,
+      feats = emptyFeat.withColumn("fgen", lit(0)),
+      bands = bandRows(emptyFeat).withColumn("fgen", lit(0)),
+      pairs = empty.select(col("id").as("a_id"), col("id").as("b_id"),
+        col("id").cast("int").as("pgen")),
+      tombs = empty.select(col("id").as("t_id"), col("id").cast("int").as("tgen")),
+      gen = 0, nGens = 0, depths = Vector.empty, nCompactions = 0)
+    def overlayUnion: DataFrame = st.overlays
+      .reduceOption(_ unionByName _)
+      .getOrElse(empty.select(col("id").as("doc_id"), col("id").as("comp_id"),
+        col("id").cast("int").as("gen")))
+    // current live assignment of a bounded id set: probe the stack,
+    // resolve max-gen, drop deletion markers
+    def resolveIds(ids: DataFrame): DataFrame =
+      overlayUnion.join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("comp_id"), col("gen")).as("comp_id"))
+        .filter(col("comp_id") >= 0)
+    // two-pass membership of touched labels (see the EvState scaladoc)
+    def membersOf(labels: DataFrame): DataFrame = {
+      val cand = overlayUnion
+        .join(labels, col("comp_id") === col("lbl"), "left_semi")
+        .select(col("doc_id")).distinct()
+      resolveIds(cand).join(labels, col("comp_id") === col("lbl"), "left_semi")
+    }
+    // index rows masked by tombstones: a row is dead iff a tombstone
+    // for its doc sits at a LATER gen (broadcast anti-join — the
+    // tombstone set is bounded by deletes since the last compaction)
+    def live(df: DataFrame, idCol: String): DataFrame =
+      df.join(st.tombs,
+        col(idCol) === col("t_id") && col("tgen") > col("fgen"), "left_anti")
+    def livePairs: DataFrame = {
+      val p = st.pairs.withColumnRenamed("pgen", "fgen")
+      live(live(p, "a_id"), "b_id").withColumnRenamed("fgen", "pgen")
+    }
+
+    def applyDeletes(del: DataFrame): Unit = {
+      val d = del.select(col("doc_id")).distinct().localCheckpoint(false)
+      if (!d.isEmpty) {
+        val g = st.gen
+        val touched = resolveIds(d).select(col("comp_id").as("lbl")).distinct()
+        val surv = membersOf(touched).select(col("doc_id"))
+          .join(d, Seq("doc_id"), "left_anti")
+          .localCheckpoint(false)
+        // edges among survivors of the touched components: accepted
+        // pairs stay within a component, so this is the complete edge
+        // set needed to re-derive their labels — a deleted cut vertex
+        // splits its cluster here
+        val edges = livePairs
+          .join(surv.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+          .join(surv.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+          .select(col("a_id"), col("b_id"))
+        val cc = DupGraph.connectedComponents(edges)
+        val relabeled = surv.join(cc, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
+        val overlay = materialize(relabeled
+          .unionByName(d.select(col("doc_id"), lit(-1L).as("comp_id")))
+          .withColumn("gen", lit(g).cast("int")))
+        st = st.copy(overlays = st.overlays :+ overlay,
+          tombs = st.tombs.unionByName(
+            d.select(col("doc_id").as("t_id"), lit(g).cast("int").as("tgen"))),
+          gen = g + 1)
+      }
+    }
+
+    def applyInserts(ins: DataFrame): Unit = {
+      val bf = materialize(docFeatures(ins.select(col("doc_id"), col("text"))))
+      if (!bf.isEmpty) {
+        val g = st.gen
+        val bb0 = bandRows(bf).localCheckpoint(false)
+        val bb = bb0.as("x").join(bb0.as("y"),
+            col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
+              col("x.v2") === col("y.v2") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
+          .distinct()
+        val corpusBands = live(st.bands, "doc_id")
+        val bc = bb0.as("x").join(corpusBands.as("y"),
+            col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
+              col("x.v2") === col("y.v2"))
+          .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
+          .distinct()
+        val bbV = verified(bb, bf, bf, "a_id", "b_id").localCheckpoint(false)
+        val bcV = verified(bc, bf, live(st.feats, "doc_id"), "batch_id", "corpus_id")
+          .localCheckpoint(false)
+        val cur = resolveIds(bcV.select(col("corpus_id").as("doc_id")))
+        val bcQuotient = bcV
+          .join(cur.select(col("doc_id").as("corpus_id"), col("comp_id")), "corpus_id")
+          .select(col("batch_id").as("a_id"), col("comp_id").as("b_id"))
+          .localCheckpoint(false)
+        val quotient = DupGraph.connectedComponents(
+            bbV.select(col("a_id"), col("b_id")).unionAll(bcQuotient))
+          .localCheckpoint(false)
+        val touchedRows = membersOf(
+          bcQuotient.select(col("b_id").as("lbl")).distinct())
+        val relabeled = touchedRows
+          .join(quotient, col("comp_id") === col("id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("comp_id")).as("comp_id"))
+        val batchAssign = bf.select(col("doc_id"))
+          .join(quotient, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
+        val overlay = materialize(relabeled.unionByName(batchAssign)
+          .withColumn("gen", lit(g).cast("int")))
+        st = st.copy(overlays = st.overlays :+ overlay,
+          feats = st.feats.unionByName(bf.withColumn("fgen", lit(g).cast("int"))),
+          bands = st.bands.unionByName(
+            bandRows(bf).withColumn("fgen", lit(g).cast("int"))),
+          pairs = st.pairs.unionByName(
+            bbV.unionByName(bcV.select(col("batch_id").as("a_id"),
+                col("corpus_id").as("b_id")))
+              .withColumn("pgen", lit(g).cast("int"))),
+          gen = g + 1)
+      }
+    }
+
+    def maybeCompact(): Unit =
+      if (st.nGens % compactEvery == 0 && st.overlays.size > 1) {
+        val base = materialize(overlayUnion
+          .groupBy(col("doc_id"))
+          .agg(max_by(col("comp_id"), col("gen")).as("comp_id"))
+          .filter(col("comp_id") >= 0)
+          .withColumn("gen", lit(st.gen - 1).cast("int")))
+        st = st.copy(overlays = Vector(base),
+          feats = materialize(live(st.feats, "doc_id")),
+          bands = materialize(live(st.bands, "doc_id")),
+          pairs = materialize(livePairs),
+          tombs = materialize(st.tombs.limit(0)),
+          nCompactions = st.nCompactions + 1)
+      }
+
+    // bootstrap = the base snapshot processed as the first insert
+    // batch (order-invariant fold ⇒ identical to a scratch build)
+    applyInserts(bootstrap)
+    st = st.copy(nGens = 1)
+    maybeCompact()
+    st = st.copy(depths = st.depths :+ st.overlays.size)
+
+    val sch = StructType(Seq(
+      StructField("gen", IntegerType), StructField("change_type", StringType),
+      StructField("ok", LongType), StructField("ship_us", LongType),
+      StructField("flag", StringType), StructField("qty", LongType),
+      StructField("price_cents", LongType)))
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(stagedGlob)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ev = batch.select(col("gen").as("fg"), col("change_type"),
+          col("ok").as("doc_id"), col("flag").as("text")).localCheckpoint()
+        // apply grouped by feed generation ascending — a trigger may
+        // carry several generations; log order decides, not arrival
+        val gens = ev.select(col("fg")).distinct()
+          .collect().map(_.getInt(0)).sorted // bounded: generations, not rows
+        gens.foreach { fg =>
+          val e = ev.filter(col("fg") === fg)
+          applyDeletes(e.filter(
+            col("change_type").isin("delete", "update_preimage")))
+          applyInserts(e.filter(
+            col("change_type").isin("insert", "update_postimage")))
+          st = st.copy(nGens = st.nGens + 1)
+          maybeCompact()
+          st = st.copy(depths = st.depths :+ st.overlays.size)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val assign = overlayUnion.groupBy(col("doc_id"))
+      .agg(max_by(col("comp_id"), col("gen")).as("comp_id"))
+      .filter(col("comp_id") >= 0)
+    val sizes = assign.groupBy(col("comp_id")).agg(count(lit(1)).as("comp_size"))
+    val out = assign.join(sizes, "comp_id")
+      .select(col("doc_id"), col("comp_id"), col("comp_size"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ck)))
+    EventRun(out, st.nGens, st.depths, st.nCompactions)
+  }
+
+  /** Insert re-key offset for the document DML chain; doc_ids are
+    * asserted below it so engine and oracle can never silently
+    * diverge on the "was inserted" convention (the q267-family rule).
+    */
+  private val DocInsertOffset = 1000000L
+
+  /** q281 — THE CDC→INDEX LOOP CLOSED: a manifest store holds the
+    * documents corpus (doc payload riding the string column:
+    * ok = ship_us = doc_id, flag = text, qty = n_chars), a real DML
+    * chain runs against it —
+    *
+    *   gen 1  MERGE: every doc_id % 17 = 0 is REWRITTEN to the text
+    *          of doc (doc_id+1) % n (updates that move docs between
+    *          clusters), and every doc_id % 29 = 0 re-keys to
+    *          doc_id + 10⁶ as an INSERTED copy (new exact-dup pairs);
+    *   gen 2  keyed DELETE of every base doc_id % 13 = 0 (hits
+    *          planted pairs and updated docs — shrinks and splits
+    *          clusters);
+    *   gen 3  MERGE: previously-INSERTED docs (d % 58 = 0) rewritten
+    *          to the text of (d+3) % n — update-of-insert;
+    *
+    * — and each generation's change feed (computed from manifest
+    * file-set diffs alone, the q274 path) streams into
+    * [[ingestEventFeed]], which folds every insert / update / delete
+    * event into the maintained dup-cluster state with compaction
+    * firing mid-stream (compactEvery = 2). THE ORACLE NEVER SEES THE
+    * FEED: it replays the three DML generations relationally over
+    * documents and clusters the FINAL corpus from scratch with the
+    * identical pipeline — so the hash gate certifies emit → stream →
+    * fold end to end: `fold(bootstrap, feed) == scratch(final)`. A
+    * dropped event, a mis-ordered apply, a tombstone that failed to
+    * mask stale index rows, or a delete that failed to split a
+    * cluster all shift the assignment. This is the SURVEY §7 north
+    * star: at 100 TB the corpus store takes DML, the file-set-diff
+    * feed ships O(changed-files) events, and the derived index stays
+    * fresh at O(batch + touched state) per generation — no rebuild.
+    */
+  private def q281(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_docs_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .localCheckpoint(false)
+    // the encoding rides text in the manifest's CSV string column —
+    // guard the delimiter loudly rather than corrupting rows
+    require(docs.filter(col("text").contains(",")).isEmpty,
+      "document texts must be comma-free to ride the manifest row encoding")
+    val n = docs.count()
+    require(n < DocInsertOffset,
+      s"insert re-key offset $DocInsertOffset collides with doc_ids (n=$n)")
+    docs.select(col("doc_id").as("ok"), col("doc_id").as("ship_us"),
+        col("text").as("flag"), length(col("text")).cast("long").as("qty"),
+        lit(0L).as("price_cents"))
+      .repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val m0 = ManifestSource.resolveManifest(root, None)
+    def asRow(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column) =
+      Seq(id.as("ok"), id.as("ship_us"), text.as("flag"),
+        length(text).cast("long").as("qty"), lit(0L).as("price_cents"))
+    def collectBatch(df: DataFrame): Seq[(Long, Long, String, Long, Long)] =
+      df.collect().toSeq.map(r => // bounded DML batches (the q267 contract)
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val donor = docs.select(col("doc_id").as("d_id"), col("text").as("d_text"))
+    val upd1 = docs.filter(col("doc_id") % 17 === 0)
+      .join(donor, (col("doc_id") + 1) % n === col("d_id"))
+      .select(asRow(col("doc_id"), col("d_text")): _*)
+    val ins1 = docs.filter(col("doc_id") % 29 === 0)
+      .select(asRow(col("doc_id") + DocInsertOffset, col("text")): _*)
+    ManifestSource.merge(spark, root, collectBatch(upd1.unionByName(ins1)))
+    val m1 = ManifestSource.resolveManifest(root, None)
+    val delKeys = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeys(spark, root, delKeys)
+    val m2 = ManifestSource.resolveManifest(root, None)
+    val upd2 = docs.filter(col("doc_id") % 58 === 0)
+      .join(donor, (col("doc_id") + 3) % n === col("d_id"))
+      .select(asRow(col("doc_id") + DocInsertOffset, col("d_text")): _*)
+    ManifestSource.merge(spark, root, collectBatch(upd2))
+    val m3 = ManifestSource.resolveManifest(root, None)
+    // stage the per-generation feeds in feed order (ascending mtimes,
+    // checked — the q278 ordering contract)
+    val stage = java.nio.file.Files.createTempDirectory("graft_q281_stage").toString
+    Seq((1, m0, m1), (2, m1, m2), (3, m2, m3)).foreach { case (g, a, b) =>
+      val sub = s"$stage/b$g"
+      graft.scale.Layout.manifestChangeFeed(spark, root, a, b)
+        .select(lit(g).as("gen"), col("change_type"), col("ok"), col("ship_us"),
+          col("flag"), col("qty"), col("price_cents"))
+        .coalesce(1).write.mode("overwrite").parquet(sub)
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => require(f.setLastModified(1000000L * g),
+          s"setLastModified failed for $f"))
+    }
+    val run = ingestEventFeed(spark, s"$stage/*", docs,
+      filesPerTrigger = 1, compactEvery = 2)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(stage)))
+    run.assign
+  }
+
+  /** The q281 oracle corpus: the three DML generations replayed
+    * relationally (the feed never appears); [[scratchClusterSql]]
+    * then clusters this final corpus from scratch.
+    */
+  private val q281Sql = scratchClusterSql(
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |  cnt AS (SELECT COUNT(*) AS n FROM base),
+       |  upd AS (SELECT b.doc_id, d.text FROM base b, cnt, base d
+       |          WHERE b.doc_id % 17 = 0 AND d.doc_id = (b.doc_id + 1) % cnt.n),
+       |  g1 AS (SELECT b.doc_id, COALESCE(u.text, b.text) AS text
+       |         FROM base b LEFT JOIN upd u ON u.doc_id = b.doc_id
+       |         UNION ALL
+       |         SELECT b.doc_id + $DocInsertOffset, b.text FROM base b
+       |         WHERE b.doc_id % 29 = 0),
+       |  g2 AS (SELECT * FROM g1
+       |         WHERE NOT (doc_id % 13 = 0 AND doc_id < $DocInsertOffset)),
+       |  upd2 AS (SELECT i.doc_id, d.text FROM g2 i, cnt, base d
+       |           WHERE i.doc_id >= $DocInsertOffset
+       |             AND (i.doc_id - $DocInsertOffset) % 58 = 0
+       |             AND d.doc_id = (i.doc_id - $DocInsertOffset + 3) % cnt.n)
+       |  SELECT g.doc_id, COALESCE(u2.text, g.text) AS text
+       |  FROM g2 g LEFT JOIN upd2 u2 ON u2.doc_id = g.doc_id""".stripMargin)
+
   def specs: Seq[QuerySpec] = Seq(
-    QuerySpec("q263_stream_cluster_maintenance", q263, Some(q263Sql)))
+    QuerySpec("q263_stream_cluster_maintenance", q263, Some(q263Sql)),
+    QuerySpec("q281_cdc_index_maintenance", q281, Some(q281Sql)))
 }
