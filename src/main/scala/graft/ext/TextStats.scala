@@ -1065,16 +1065,22 @@ object TextStats {
   private def q108(spark: SparkSession, dir: String): DataFrame =
     bm25Scratch(spark, dir, Bm25TopK)
 
-  private val q108Sql = {
+  /** q108's from-scratch BM25 SQL parameterized by the corpus
+    * relation, so maintenance oracles (q282) can replay a DML batch
+    * relationally and score the FINAL corpus with the identical
+    * pipeline.
+    */
+  private def bm25ScratchSql(corpusSql: String): String = {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""WITH dl AS (
+    s"""WITH corpus AS ($corpusSql),
+       |dl AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-       |  FROM documents),
+       |  FROM corpus),
        |totals AS (
        |  SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs FROM dl),
        |tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus)
        |  WHERE term IN ($terms) GROUP BY 1, 2),
        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
        |scored AS (
@@ -1092,6 +1098,8 @@ object TextStats {
        |       doc_id, score_micro, n_terms_matched
        |FROM agg ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
+
+  private val q108Sql = bm25ScratchSql("SELECT doc_id, text FROM documents")
 
   // ------------------------------------------------------------------
   // q265/q266 — INCREMENTAL INVERTED-INDEX (BM25) MAINTENANCE: the
@@ -1333,6 +1341,68 @@ object TextStats {
        |       doc_id, score_micro, n_terms_matched
        |FROM agg ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
+
+  /** q282 — MIXED UPSERT BATCH against the maintained BM25 index
+    * (oracle-gated): the missing composition between pure append
+    * (q265) and pure delete (q273) — one batch carrying all three
+    * event classes, the upsert shape q267 applies to the STORE, here
+    * applied to the derived INDEX:
+    *
+    *   - DELETES: the md5-bucket ≥ 90 docs (q273's doomed set);
+    *   - UPDATES: every surviving doc_id % 17 = 0 doc's text is
+    *     REPLACED by doc (doc_id+1) % n's text — applied as
+    *     preimage-subtract + postimage-add, the delete+insert
+    *     composition;
+    *   - INSERTS: every doc_id % 29 = 0 doc re-keys to doc_id + 10⁶
+    *     as a new copy.
+    *
+    * The whole batch costs two batch-sized tokenize passes (the
+    * outgoing rows and the incoming rows) plus vocabulary-bounded /
+    * 1-row algebraic updates — never a corpus re-tokenize. THE ORACLE
+    * REPLAYS THE BATCH RELATIONALLY and runs q108's from-scratch
+    * scoring over the FINAL corpus, so the hash gate proves
+    * subtract-then-add ≡ rebuild: a df under- or over-count from the
+    * update composition, a surviving posting of a deleted doc, or a
+    * stale total all shift a score.
+    */
+  private def q282(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .localCheckpoint(false)
+    val n = docs.count()
+    require(n < 1000000L, s"insert re-key offset collides with doc_ids (n=$n)")
+    val doomedP = TrainPrep.md5Bucket(col("doc_id"), 100) >= 90
+    val full = bm25IndexState(docs)
+    val donor = docs.select(col("doc_id").as("d_id"), col("text").as("d_text"))
+    val updPre = docs.filter(!doomedP && col("doc_id") % 17 === 0)
+    val updPost = updPre.select(col("doc_id"))
+      .join(donor, (col("doc_id") + 1) % n === col("d_id"))
+      .select(col("doc_id"), col("d_text").as("text"))
+    val outgoing = docs.filter(doomedP).unionByName(updPre)
+    val incoming = updPost.unionByName(docs.filter(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    bm25FromState(mergeBm25(
+      subtractBm25(full, bm25IndexState(outgoing)),
+      bm25IndexState(incoming)))
+  }
+
+  private val q282Sql = bm25ScratchSql(
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |  cnt AS (SELECT COUNT(*) AS n FROM base),
+      |  doomed AS (
+      |    SELECT doc_id FROM base
+      |    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90),
+      |  upd AS (
+      |    SELECT b.doc_id, d.text FROM base b, cnt, base d
+      |    WHERE b.doc_id % 17 = 0
+      |      AND b.doc_id NOT IN (SELECT doc_id FROM doomed)
+      |      AND d.doc_id = (b.doc_id + 1) % cnt.n),
+      |  kept AS (
+      |    SELECT b.doc_id, COALESCE(u.text, b.text) AS text
+      |    FROM base b LEFT JOIN upd u ON u.doc_id = b.doc_id
+      |    WHERE b.doc_id NOT IN (SELECT doc_id FROM doomed))
+      |  SELECT doc_id, text FROM kept
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 29 = 0""".stripMargin)
 
   /** Recall-stage width for q268's cascade. */
   private val RecallK = 100
@@ -2045,6 +2115,7 @@ object TextStats {
     QuerySpec("q265_incremental_bm25", q265, Some(q108Sql)),
     QuerySpec("q266_stream_bm25_maintenance", q266, Some(q108Sql)),
     QuerySpec("q273_bm25_delete_maintenance", q273, Some(q273Sql)),
+    QuerySpec("q282_bm25_mixed_batch", q282, Some(q282Sql)),
     QuerySpec("q268_two_stage_retrieval", q268, Some(q268Sql)),
     QuerySpec("q272_cascade_recall", q272, Some(q272Sql)),
     QuerySpec("q111_quality_classifier", q111, Some(q111Sql)),
