@@ -140,6 +140,89 @@ object ManifestSource {
       } else "manifest.csv"
     }
 
+  /** Thrown when an optimistic commit loses a race it cannot rebase
+    * over (see [[commitSnapshot]]); the store is left exactly as the
+    * winning writer committed it — the loser's data files are
+    * unreferenced orphans for [[vacuum]].
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Serializes snapshot commits within this JVM — the local stand-in
+    * for the storage primitive every lakehouse commit protocol leans
+    * on (Delta: atomic put-if-absent of the next log file; Iceberg:
+    * atomic pointer swap). Only the COMMIT (read pointer → classify →
+    * write manifest + pointer) is under the lock; the expensive
+    * rewrite work runs unlocked and optimistically.
+    */
+  private[sources] val commitLock = new Object
+
+  /** Per-invocation writer epoch embedded in output data-file names:
+    * two OPTIMISTIC writers that both resolved generation g would
+    * otherwise emit identically-named rewrites of the same input file
+    * and clobber each other's bytes BEFORE either commit ran its
+    * conflict check. Names are opaque to every reader; uniqueness is
+    * all that matters.
+    */
+  private val writerEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[sources] def nextEpoch(): Long = writerEpoch.incrementAndGet()
+
+  /** OPTIMISTIC-CONCURRENCY COMMIT — the one gate every DML writer
+    * (merge, keyed delete, retention, compaction) funnels through. A
+    * writer records the snapshot it READ (`base`), does its rewrite
+    * work unlocked, then commits `(removed, added)` RELATIVE TO BASE:
+    *
+    *   - pointer still at `base` → plain commit (the single-writer
+    *     fast path, byte-identical to the old behavior);
+    *   - pointer moved → CLASSIFY against the concurrent commit(s):
+    *       * another writer removed a file we also rewrote/dropped →
+    *         [[CommitConflictException]] (overlapping rewrite — the
+    *         two ops touched the same rows; Delta's
+    *         ConcurrentDeleteDeleteException class);
+    *       * another writer ADDED a file our operation should have
+    *         read — judged by `conflictsWithAdded`, which each verb
+    *         instantiates with its own visibility predicate (merge /
+    *         keyed delete: the new file's key BLOOM might contain one
+    *         of our keys; retention: its zone map dips below our
+    *         cutoff; compaction / append: never) → conflict
+    *         (ConcurrentAppendException class);
+    *       * otherwise the operations commute on disjoint files →
+    *         REBASE: replay our (removed, added) on top of the
+    *         CURRENT entries, so both writers' effects land.
+    *
+    * On conflict nothing is written — the winner's snapshot stays
+    * intact and the loser's data files are unreferenced orphans. The
+    * data-skipping indexes double as the conflict test: the same
+    * bloom/zone-map metadata that prunes reads proves two writers
+    * disjoint, so rebases need no data IO at all.
+    */
+  private[sources] def commitSnapshot(dir: String, base: String,
+      removed: Set[String], added: Seq[FileEntry],
+      conflictsWithAdded: FileEntry => Option[String]): String =
+    commitLock.synchronized {
+      val current = resolveManifest(dir, None)
+      val curEntries = readManifest(dir, current)
+      if (current != base) {
+        val baseFiles = readManifest(dir, base).map(_.file).toSet
+        val curFiles = curEntries.map(_.file).toSet
+        val clash = removed.intersect(baseFiles -- curFiles)
+        if (clash.nonEmpty) throw new CommitConflictException(
+          s"concurrent rewrite of ${clash.toSeq.sorted.mkString(", ")} " +
+            s"(base $base, current $current) — overlapping file sets cannot rebase")
+        curEntries.filterNot(e => baseFiles.contains(e.file))
+          .flatMap(conflictsWithAdded(_)).headOption
+          .foreach(r => throw new CommitConflictException(
+            s"concurrent append conflicts (base $base, current $current): $r"))
+      }
+      val finalEntries = curEntries.filterNot(e => removed.contains(e.file)) ++ added
+      val name = s"manifest-gen${nextGeneration(dir)}.csv"
+      val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try finalEntries.foreach(e => mw.println(entryLine(e)))
+      finally mw.close()
+      val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
+      try vw.println(name) finally vw.close()
+      name
+    }
+
   /** COMPACTION + snapshot commit: capacity-chunk the current
     * manifest's entries (sorted by zone-map min — they tile the
     * clustering axis) into groups of ~`targetRows`, concatenate each
@@ -170,13 +253,14 @@ object ManifestSource {
       s"refusing to compact a compacted snapshot ($from)")
     var cum = 0L
     val gen = nextGeneration(dir)
+    val ep = nextEpoch()
     val grouped = entries.map { e =>
       val g = cum / targetRows; cum += e.rows; (g, e)
     }.groupBy(_._1).toSeq.sortBy(_._1)
     val stats = spark.sparkContext
       .parallelize(grouped.map { case (g, es) => (g, es.map(_._2)) }, grouped.size.max(1))
       .map { case (g, es) =>
-        val out = s"part-c$gen-$g.csv"
+        val out = s"part-c$gen-e$ep-$g.csv"
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
         try es.foreach { e =>
           val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
@@ -197,12 +281,14 @@ object ManifestSource {
         FileEntry(out, es.map(_.min).min, es.map(_.max).max, es.map(_.rows).sum,
           bloom, sums)
       }.collect()
-    val name = s"manifest-gen$gen.csv"
-    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-    try stats.foreach(e => mw.println(entryLine(e)))
-    finally mw.close()
-    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
-    try vw.println(name) finally vw.close()
+    // compaction's read snapshot IS `from`: commits since `from` are
+    // "concurrent" by definition (this also closes the old silent
+    // double-include when compacting a stale snapshot). Compaction
+    // changes no rows, so appends never conflict and rebase next to
+    // the compacted files; a rewrite of any INPUT aborts — which is
+    // exactly how two racing compactions resolve (first wins).
+    val name = commitSnapshot(dir, from, entries.map(_.file).toSet,
+      stats.toSeq, _ => None)
     (entries.length, stats.length, name)
   }
 
@@ -221,12 +307,13 @@ object ManifestSource {
       cutoffUs: Long): (Int, Int, Int) = {
     val current = resolveManifest(dir, None)
     val entries = readManifest(dir, current)
+    val ep = nextEpoch()
     val (below, rest) = entries.partition(_.max < cutoffUs)
     val (straddle, above) = rest.partition(_.min < cutoffUs)
     val rewritten = spark.sparkContext
       .parallelize(straddle, straddle.size.max(1))
       .map { e =>
-        val out = s"part-d-${e.file.stripPrefix("part-")}"
+        val out = s"part-d$ep-${e.file.stripPrefix("part-")}"
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
@@ -245,12 +332,14 @@ object ManifestSource {
         } finally { src.close(); w.close() }
         FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)))
       }.collect().filter(_.rows > 0)
-    val name = s"manifest-gen${nextGeneration(dir)}.csv"
-    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-    try (above ++ rewritten).foreach(e => mw.println(entryLine(e)))
-    finally mw.close()
-    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
-    try vw.println(name) finally vw.close()
+    // a concurrent append whose zone map dips below the cutoff holds
+    // rows this retention should have purged — conflict; entirely-
+    // above appends commute and rebase
+    commitSnapshot(dir, current, (below ++ straddle).map(_.file).toSet,
+      rewritten.toSeq, e =>
+        if (e.min < cutoffUs)
+          Some(s"${e.file} zone-min ${e.min} < retention cutoff $cutoffUs")
+        else None)
     (below.size, straddle.size, above.size)
   }
 
@@ -289,8 +378,9 @@ object ManifestSource {
     * committed manifest).
     */
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
-      updates: Seq[(Long, Long, String, Long, Long)]): (Int, Int, Int, String) = {
-    val current = resolveManifest(dir, None)
+      updates: Seq[(Long, Long, String, Long, Long)],
+      base: Option[String] = None): (Int, Int, Int, String) = {
+    val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val keys = updates.map(_._1)
     require(keys.distinct.size == keys.size,
@@ -299,11 +389,12 @@ object ManifestSource {
     val (candidates, untouched) = entries.partition(e =>
       e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
     val gen = nextGeneration(dir)
+    val ep = nextEpoch()
     val upMap = updates.map(u => u._1 -> u).toMap
     val rewritten = spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
-        val out = s"part-m$gen-${e.file.stripPrefix("part-")}"
+        val out = s"part-m$gen-e$ep-${e.file.stripPrefix("part-")}"
         val outF = new java.io.File(dir, out)
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(outF, "UTF-8")
@@ -329,15 +420,15 @@ object ManifestSource {
         if (matchedHere.isEmpty) {
           // bloom false positive — keep the original file by reference
           outF.delete()
-          (e, matchedHere)
-        } else (FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps))), matchedHere)
+          (e.file, e, matchedHere)
+        } else (e.file, FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps))), matchedHere)
       }.collect()
-    val matched = rewritten.flatMap(_._2).toSet
+    val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry =
       if (inserts.isEmpty) None
       else {
-        val out = s"part-m$gen-insert.csv"
+        val out = s"part-m$gen-e$ep-insert.csv"
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
         val bloom = new Array[Long](BloomWords)
         try inserts.foreach { case (ok, us, fl, q, pc) =>
@@ -348,14 +439,17 @@ object ManifestSource {
           inserts.size.toLong, Some(bloom),
           Some((inserts.map(_._4).sum, inserts.map(_._5).sum))))
       }
-    val name = s"manifest-gen$gen.csv"
-    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-    try (untouched ++ rewritten.map(_._1) ++ insertEntry)
-      .foreach(e => mw.println(entryLine(e)))
-    finally mw.close()
-    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
-    try vw.println(name) finally vw.close()
-    val nRewritten = rewritten.count(_._2.nonEmpty)
+    val real = rewritten.filter(_._3.nonEmpty)
+    // a concurrent append whose key bloom might hold one of OUR keys
+    // means this merge could have missed a matching row — conflict;
+    // bloom-clean appends commute and rebase (the skipping index
+    // doubling as the serializability test)
+    val name = commitSnapshot(dir, current, real.map(_._1).toSet,
+      real.map(_._2).toSeq ++ insertEntry, e =>
+        if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+          Some(s"${e.file} may contain merge keys")
+        else None)
+    val nRewritten = real.length
     (nRewritten, entries.size - nRewritten, inserts.size, name)
   }
 
@@ -375,17 +469,18 @@ object ManifestSource {
     * (files rewritten, kept by reference, rows deleted, manifest).
     */
   def deleteKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
-      keys: Seq[Long]): (Int, Int, Long, String) = {
-    val current = resolveManifest(dir, None)
+      keys: Seq[Long], base: Option[String] = None): (Int, Int, Long, String) = {
+    val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val keySet = keys.toSet
     val (candidates, untouched) = entries.partition(e =>
       e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
     val gen = nextGeneration(dir)
+    val ep = nextEpoch()
     val rewritten = spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
-        val out = s"part-k$gen-${e.file.stripPrefix("part-")}"
+        val out = s"part-k$gen-e$ep-${e.file.stripPrefix("part-")}"
         val outF = new java.io.File(dir, out)
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(outF, "UTF-8")
@@ -408,21 +503,25 @@ object ManifestSource {
         if (dropped == 0) {
           // bloom false positive — keep the original file by reference
           outF.delete()
-          (Some(e), 0L)
+          (e.file, None: Option[FileEntry], 0L)
         } else if (n == 0) {
           // fully emptied — the file leaves the manifest
           outF.delete()
-          (None, dropped)
-        } else (Some(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)))), dropped)
+          (e.file, None: Option[FileEntry], dropped)
+        } else (e.file, Some(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)))),
+          dropped)
       }.collect()
-    val name = s"manifest-gen$gen.csv"
-    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-    try (untouched ++ rewritten.flatMap(_._1)).foreach(e => mw.println(entryLine(e)))
-    finally mw.close()
-    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
-    try vw.println(name) finally vw.close()
-    val nRewritten = rewritten.count(_._2 > 0)
-    (nRewritten, entries.size - nRewritten, rewritten.map(_._2).sum, name)
+    val touched = rewritten.filter(_._3 > 0)
+    // same append-visibility rule as merge: a concurrent append whose
+    // bloom might hold one of our keys could carry a row this delete
+    // should have dropped — conflict; bloom-clean appends rebase
+    val name = commitSnapshot(dir, current, touched.map(_._1).toSet,
+      touched.flatMap(_._2).toSeq, e =>
+        if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+          Some(s"${e.file} may contain delete keys")
+        else None)
+    val nRewritten = touched.length
+    (nRewritten, entries.size - nRewritten, rewritten.map(_._3).sum, name)
   }
 
   /** VACUUM — the out-of-band garbage collection every other
@@ -575,11 +674,14 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // a fresh base write invalidates any derived snapshot chain
       val vf = new java.io.File(dir, "VERSION")
       if (vf.exists()) vf.delete()
-    } else {
+    } else ManifestSource.commitLock.synchronized {
       // APPEND commit: new snapshot = current entries + this write's,
       // under a fresh manifest name; the VERSION pointer flips last,
       // so concurrent readers see either the old or the new snapshot,
-      // never a mixture
+      // never a mixture. An append introduces only new files, so it
+      // rebases over ANY concurrent commit by construction — it
+      // re-reads the pointer under the same commit lock the DML verbs
+      // serialize through (the optimistic-concurrency fast lane).
       val current = ManifestSource.resolveManifest(dir, None)
       val existing =
         if (new java.io.File(dir, current).exists()) ManifestSource.readManifest(dir, current)

@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Optimistic concurrency on the manifest store
+  * ([[ManifestSource.commitSnapshot]]): every DML verb records the
+  * snapshot it read and commits compare-and-swap style — a moved
+  * pointer triggers conflict CLASSIFICATION, not blind last-wins (the
+  * round-11 gap: two racing writers would silently clobber the
+  * VERSION pointer). Races are staged deterministically by letting
+  * writer B run to completion and then committing writer A against
+  * its stale base (`base = Some(m0)`), which is exactly the state an
+  * interleaved execution reaches at A's commit point.
+  *
+  * Pins, in Delta's conflict taxonomy:
+  *   1. disjoint-file ops REBASE — both writers' effects land;
+  *   2. overlapping rewrites ABORT the loser cleanly, store intact
+  *      (ConcurrentDeleteDelete class);
+  *   3. a concurrent append the loser SHOULD HAVE SEEN (key bloom
+  *      may contain its keys) aborts it (ConcurrentAppend class) —
+  *      the skipping index doubling as the serializability test;
+  *   4. the loser's orphaned data files are invisible to readers and
+  *      vacuum-collectable.
+  */
+class ConcurrencySpec extends SparkSpec {
+
+  private def freshStore(n: Long): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_occ").toString
+    (1L to n).map(i => (i, i * 1000L, "A", i, i * 10L))
+      .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      .repartitionByRange(4, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    root
+  }
+
+  private def snapshot(root: String): Set[Seq[Any]] =
+    spark.read.format("graft-manifest").option("path", root).load()
+      .collect().map(_.toSeq).toSet
+
+  test("disjoint writers rebase: delete against a stale base keeps a racing merge's rows") {
+    val root = freshStore(40L)
+    try {
+      val m0 = ManifestSource.resolveManifest(root, None)
+      // writer B wins the race: inserts brand-new keys (new file only)
+      ManifestSource.merge(spark, root, Seq((100L, 50000L, "N", 1L, 5L)))
+      // writer A committed against m0: deletes keys disjoint from B's
+      // insert — file-level disjoint + bloom-clean ⇒ REBASE
+      val (_, _, dropped, _) =
+        ManifestSource.deleteKeys(spark, root, Seq(7L, 23L), base = Some(m0))
+      assert(dropped == 2L)
+      val rows = snapshot(root)
+      assert(rows.exists(_.head == 100L), "the racing merge's insert must survive the rebase")
+      assert(!rows.exists(_.head == 7L) && !rows.exists(_.head == 23L),
+        "the rebased delete must still apply")
+      assert(rows.size == 40 - 2 + 1)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
+  test("overlapping rewrites abort the loser cleanly, store intact") {
+    val root = freshStore(40L)
+    try {
+      val m0 = ManifestSource.resolveManifest(root, None)
+      // writer B rewrites the file holding ok=5
+      ManifestSource.deleteKeys(spark, root, Seq(5L))
+      val afterB = snapshot(root)
+      // writer A updates ok=6 — same data file as 5 — against m0:
+      // its rewrite set intersects B's ⇒ conflict, nothing committed
+      val ex = intercept[ManifestSource.CommitConflictException] {
+        ManifestSource.merge(spark, root, Seq((6L, 6000L, "U", 6L, 999L)),
+          base = Some(m0))
+      }
+      assert(ex.getMessage.contains("concurrent rewrite"))
+      assert(snapshot(root) == afterB, "a conflicted commit must not mutate the store")
+      // the loser's orphaned rewrite files are unreferenced: vacuum
+      // collects them and the surviving snapshot is untouched
+      ManifestSource.vacuum(root)
+      assert(snapshot(root) == afterB)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
+  test("a concurrent append the merge should have seen aborts it (bloom as the test)") {
+    val root = freshStore(40L)
+    try {
+      val m0 = ManifestSource.resolveManifest(root, None)
+      // writer B appends a NEW row with key 500
+      ManifestSource.merge(spark, root, Seq((500L, 70000L, "N", 1L, 5L)))
+      val afterB = snapshot(root)
+      // writer A merges key 500 against m0 — it classified 500 as an
+      // INSERT (no file held it at m0), but B's append now does: the
+      // new file's bloom flags the overlap ⇒ conflict, else the store
+      // would end with two ok=500 rows
+      val ex = intercept[ManifestSource.CommitConflictException] {
+        ManifestSource.merge(spark, root, Seq((500L, 70000L, "X", 2L, 6L)),
+          base = Some(m0))
+      }
+      assert(ex.getMessage.contains("conflicts"))
+      assert(snapshot(root) == afterB)
+      // and the SAME stale-base merge on a key B's append cannot
+      // contain rebases fine
+      val (_, _, ins, _) = ManifestSource.merge(spark, root,
+        Seq((900L, 80000L, "Z", 1L, 1L)), base = Some(m0))
+      assert(ins == 1)
+      assert(snapshot(root).exists(_.head == 900L))
+      assert(snapshot(root).exists(r => r.head == 500L && r(2) == "N"),
+        "B's committed row must be untouched")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
+  test("two compactions race: the loser aborts; compaction rebases over an append") {
+    val root = freshStore(40L)
+    try {
+      // B compacts first (from the base manifest)
+      ManifestSource.compact(spark, root, targetRows = 20L)
+      val afterB = snapshot(root)
+      // A's identical compaction now reads inputs B already replaced
+      val ex = intercept[ManifestSource.CommitConflictException] {
+        ManifestSource.compact(spark, root, targetRows = 10L)
+      }
+      assert(ex.getMessage.contains("concurrent rewrite"))
+      assert(snapshot(root) == afterB)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+}
