@@ -1637,6 +1637,67 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM kept GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q283 — SCHEMA EVOLUTION on the manifest store: `ALTER TABLE ADD
+    * COLUMN discount_cents BIGINT` as a METADATA-ONLY commit
+    * ([[graft.sources.ManifestSource.addColumn]] — no data file is
+    * touched, the Iceberg model), then an APPEND of new rows THAT
+    * CARRY the column (every `ok % 7 = 0` order re-keyed to
+    * `ok + 10⁷` with a 10% discount). The readout aggregates the
+    * MIXED-GENERATION snapshot by flag: pre-evolution rows surface
+    * NULL discounts (the reader pads short lines — q147's
+    * `mergeSchema` contract at the manifest level), post-evolution
+    * rows real ones, and SUM skips the NULLs. The oracle replays the
+    * append relationally with `NULL AS discount_cents` on the base
+    * arm, so the hash gate certifies the evolved read end to end.
+    * SchemaEvolutionSpec pins the rest: time travel to the
+    * pre-evolution generation reads the OLD shape, SUM(discount)
+    * answers from per-file extras stats with ZERO files opened
+    * (exact across mixed generations; NULL on old-only scans), and a
+    * DML rewrite of an evolved file carries extension values and
+    * recomputes their stats.
+    */
+  private def q283(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_evo_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    ManifestSource.addColumn(root, "discount_cents")
+    base.filter(col("ok") % 7 === 0)
+      .select((col("ok") + InsertOffset).as("ok"), col("ship_us"), col("flag"),
+        col("qty"), col("price_cents"),
+        expr("price_cents DIV 10").as("discount_cents"))
+      .repartitionByRange(4, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("append").save()
+    spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("discount_cents")).as("discount_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q283Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, flag, price_cents, CAST(NULL AS BIGINT) AS discount_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, flag, price_cents, price_cents // 10
+      |  FROM base WHERE ok % 7 = 0)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(discount_cents) AS BIGINT) AS discount_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM merged GROUP BY flag ORDER BY flag""".stripMargin
+
   /** Row schema of the manifest store's data files. */
   private val manifestRowSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.LongType),
@@ -2050,6 +2111,7 @@ object Layout {
     QuerySpec("q270_stream_cdc_merge_apply", q270, Some(q270Sql)),
     QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
+    QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q278_cdc_replication", q278, Some(q278Sql)),
     QuerySpec("q280_net_change_feed", q280, Some(q280Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),

@@ -50,8 +50,18 @@ import org.apache.spark.unsafe.types.UTF8String
 class ManifestDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestSource.Schema
+  // schema is PER GENERATION (the evolution contract): resolve the
+  // pinned-or-current manifest and read its header; a store that does
+  // not exist yet (first write) presents the base shape
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = options.get("path")
+    if (dir == null) ManifestSource.Schema
+    else {
+      val m = ManifestSource.resolveManifest(dir, Option(options.get("manifest")))
+      if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
+      else ManifestSource.Schema
+    }
+  }
 
   override def getTable(
       schema: StructType,
@@ -66,6 +76,37 @@ object ManifestSource {
     StructField("ok", LongType), StructField("ship_us", LongType),
     StructField("flag", StringType), StructField("qty", LongType),
     StructField("price_cents", LongType)))
+
+  /** The immutable base column set; SCHEMA EVOLUTION ([[addColumn]])
+    * appends nullable BIGINT extension columns after these, recorded
+    * as a `#schema:` header line in the manifest — a generation's
+    * manifest IS its schema (the Iceberg model: schema lives in table
+    * metadata, so evolution is a metadata-only commit and time travel
+    * to a pre-evolution snapshot reads the old shape).
+    */
+  val BaseCols: Seq[String] = Schema.fieldNames.toSeq
+
+  /** Column names of a pinned manifest generation: the `#schema:`
+    * header if present, else the five base columns. (Extension columns
+    * are always nullable BIGINT — the one evolution shape this store
+    * supports, documented rather than half-general.)
+    */
+  def manifestSchema(dir: String, manifest: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
+    try {
+      val it = src.getLines()
+      if (it.hasNext) {
+        val l = it.next()
+        if (l.startsWith("#schema:")) l.stripPrefix("#schema:").split(',').toSeq
+        else BaseCols
+      } else BaseCols
+    } finally src.close()
+  }
+
+  /** Spark schema of a manifest generation (base + BIGINT extras). */
+  def sparkSchema(dir: String, manifest: String): StructType =
+    StructType(Schema.fields ++ manifestSchema(dir, manifest)
+      .drop(BaseCols.size).map(n => StructField(n, LongType)))
 
   /** Per-file BLOOM FILTER over `ok` — the second data-skipping
     * surface next to the ship_us zone map: zone maps prune RANGE
@@ -123,7 +164,8 @@ object ManifestSource {
     * both).
     */
   final case class FileEntry(file: String, min: Long, max: Long, rows: Long,
-      bloom: Option[Array[Long]] = None, sums: Option[(Long, Long)] = None)
+      bloom: Option[Array[Long]] = None, sums: Option[(Long, Long)] = None,
+      extras: Seq[Option[Long]] = Nil)
 
   /** Snapshot resolution: an explicit `manifest` option pins a
     * version (time travel); otherwise the VERSION pointer file names
@@ -197,7 +239,8 @@ object ManifestSource {
     */
   private[sources] def commitSnapshot(dir: String, base: String,
       removed: Set[String], added: Seq[FileEntry],
-      conflictsWithAdded: FileEntry => Option[String]): String =
+      conflictsWithAdded: FileEntry => Option[String],
+      schemaOverride: Option[Seq[String]] = None): String =
     commitLock.synchronized {
       val current = resolveManifest(dir, None)
       val curEntries = readManifest(dir, current)
@@ -214,14 +257,46 @@ object ManifestSource {
             s"concurrent append conflicts (base $base, current $current): $r"))
       }
       val finalEntries = curEntries.filterNot(e => removed.contains(e.file)) ++ added
+      // the schema header carries forward from the CURRENT snapshot
+      // (evolution is add-only, so the latest schema always wins —
+      // a rebase over a concurrent addColumn keeps the new column)
+      val cols = schemaOverride.getOrElse(manifestSchema(dir, current))
       val name = s"manifest-gen${nextGeneration(dir)}.csv"
-      val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-      try finalEntries.foreach(e => mw.println(entryLine(e)))
-      finally mw.close()
+      writeManifestFile(dir, name, cols, finalEntries)
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
       name
     }
+
+  private[sources] def writeManifestFile(dir: String, name: String,
+      cols: Seq[String], entries: Seq[FileEntry]): Unit = {
+    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+    try {
+      if (cols != BaseCols) mw.println("#schema:" + cols.mkString(","))
+      entries.foreach(e => mw.println(entryLine(e)))
+    } finally mw.close()
+  }
+
+  /** SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMN <name> BIGINT` as a
+    * METADATA-ONLY commit (the Iceberg/Delta model): a new generation
+    * with the SAME file entries and an extended `#schema:` header. No
+    * data file is touched; rows from files written before the
+    * evolution surface NULL for the new column (the reader pads), a
+    * pinned pre-evolution manifest still reads the old shape, and
+    * per-file SUM stats for the new column appear only in entries of
+    * files that actually hold non-null values — which keeps stats-
+    * answered SUM pushdown exact across mixed generations (old-only
+    * scans answer NULL straight from the manifest).
+    */
+  def addColumn(dir: String, colName: String): String = {
+    val current = resolveManifest(dir, None)
+    val cols = manifestSchema(dir, current)
+    require(!cols.contains(colName), s"column $colName already exists")
+    require(colName.nonEmpty && !colName.contains(",") && !colName.contains("#"),
+      s"invalid column name: $colName")
+    commitSnapshot(dir, current, Set.empty, Nil, _ => None,
+      schemaOverride = Some(cols :+ colName))
+  }
 
   /** COMPACTION + snapshot commit: capacity-chunk the current
     * manifest's entries (sorted by zone-map min — they tile the
@@ -278,8 +353,16 @@ object ManifestSource {
           if (es.forall(_.sums.isDefined))
             Some((es.map(_.sums.get._1).sum, es.map(_.sums.get._2).sum))
           else None
+        // extension-column sums are positional and null-skipping, so
+        // the merge is "sum of the defined" (an input whose file holds
+        // no value contributes null — exactly SUM semantics)
+        val k = es.map(_.extras.size).max
+        val extras = (0 until k).map { j =>
+          val vs = es.flatMap(_.extras.lift(j).flatten)
+          if (vs.nonEmpty) Some(vs.sum) else None
+        }
         FileEntry(out, es.map(_.min).min, es.map(_.max).max, es.map(_.rows).sum,
-          bloom, sums)
+          bloom, sums, extras)
       }.collect()
     // compaction's read snapshot IS `from`: commits since `from` are
     // "concurrent" by definition (this also closes the old silent
@@ -290,6 +373,27 @@ object ManifestSource {
     val name = commitSnapshot(dir, from, entries.map(_.file).toSet,
       stats.toSeq, _ => None)
     (entries.length, stats.length, name)
+  }
+
+  /** Accumulates per-file extension-column SUM stats inside the
+    * executor-side rewrite loops: fields 5+ of each surviving row,
+    * null-skipping (empty field = null), growable because a rewrite
+    * discovers the file's arity from its own lines.
+    */
+  private[sources] final class ExtrasTracker {
+    private val sums = scala.collection.mutable.ArrayBuffer[Long]()
+    private val has = scala.collection.mutable.ArrayBuffer[Boolean]()
+    def track(a: Array[String]): Unit = {
+      var i = 5
+      while (i < a.length) {
+        val j = i - 5
+        while (sums.size <= j) { sums += 0L; has += false }
+        if (a(i).nonEmpty) { sums(j) += a(i).toLong; has(j) = true }
+        i += 1
+      }
+    }
+    def result: Seq[Option[Long]] =
+      sums.indices.map(j => if (has(j)) Some(sums(j)) else None).toSeq
   }
 
   /** RETENTION DELETE: remove every row with ship_us < cutoff, doing
@@ -319,8 +423,9 @@ object ManifestSource {
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
+        val ex = new ExtrasTracker
         try src.getLines().foreach { l =>
-          val a = l.split(',')
+          val a = l.split(",", -1)
           val us = a(1).toLong
           if (us >= cutoffUs) {
             w.println(l); n += 1
@@ -328,9 +433,10 @@ object ManifestSource {
             if (us > mx) mx = us
             bloomInsert(bloom, a(0).toLong) // rewrite reads every row anyway
             qs += a(3).toLong; ps += a(4).toLong
+            ex.track(a)
           }
         } finally { src.close(); w.close() }
-        FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)))
+        FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result)
       }.collect().filter(_.rows > 0)
     // a concurrent append whose zone map dips below the cutoff holds
     // rows this retention should have purged — conflict; entirely-
@@ -401,14 +507,19 @@ object ManifestSource {
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
+        val ex = new ExtrasTracker
         var matchedHere = List.empty[Long]
         try src.getLines().foreach { l =>
-          val a = l.split(',')
+          val a = l.split(",", -1)
           val ok = a(0).toLong
           val (row, us, q, pc) = upMap.get(ok) match {
             case Some((_, uus, fl, uq, upc)) =>
               matchedHere ::= ok
-              (s"$ok,$uus,$fl,$uq,$upc", uus, uq, upc)
+              // MERGE updates the BASE columns; extension-column
+              // values of the matched row CARRY (the trailing fields
+              // are preserved verbatim — evolution-safe DML)
+              val tail = if (a.length > 5) "," + a.drop(5).mkString(",") else ""
+              (s"$ok,$uus,$fl,$uq,$upc$tail", uus, uq, upc)
             case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
           }
           w.println(row); n += 1
@@ -416,12 +527,15 @@ object ManifestSource {
           if (us > mx) mx = us
           qs += q; ps += pc
           bloomInsert(bloom, ok)
+          ex.track(a)
         } finally { src.close(); w.close() }
         if (matchedHere.isEmpty) {
           // bloom false positive — keep the original file by reference
           outF.delete()
           (e.file, e, matchedHere)
-        } else (e.file, FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps))), matchedHere)
+        } else (e.file,
+          FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result),
+          matchedHere)
       }.collect()
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
@@ -487,8 +601,9 @@ object ManifestSource {
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L; var dropped = 0L
         val bloom = new Array[Long](BloomWords)
+        val ex = new ExtrasTracker
         try src.getLines().foreach { l =>
-          val a = l.split(',')
+          val a = l.split(",", -1)
           val ok = a(0).toLong
           if (keySet.contains(ok)) dropped += 1
           else {
@@ -498,6 +613,7 @@ object ManifestSource {
             if (us > mx) mx = us
             qs += a(3).toLong; ps += a(4).toLong
             bloomInsert(bloom, ok)
+            ex.track(a)
           }
         } finally { src.close(); w.close() }
         if (dropped == 0) {
@@ -508,7 +624,8 @@ object ManifestSource {
           // fully emptied — the file leaves the manifest
           outF.delete()
           (e.file, None: Option[FileEntry], dropped)
-        } else (e.file, Some(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)))),
+        } else (e.file,
+          Some(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result)),
           dropped)
       }.collect()
     val touched = rewritten.filter(_._3 > 0)
@@ -589,11 +706,18 @@ object ManifestSource {
 
   def readManifest(dir: String, manifest: String): Seq[FileEntry] = {
     val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
-    try src.getLines().map { l =>
-      val a = l.split(',')
+    try src.getLines().filterNot(_.startsWith("#")).map { l =>
+      val a = l.split(",", -1)
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong,
         if (a.length > 4 && a(4).nonEmpty) Some(bloomFromHex(a(4))) else None,
-        if (a.length > 6) Some((a(5).toLong, a(6).toLong)) else None)
+        if (a.length > 6) Some((a(5).toLong, a(6).toLong)) else None,
+        // fields 8+ = per-extension-column SUM stats, positional with
+        // the schema header's extras; empty = the file holds no
+        // non-null value for that column (its exact SUM contribution
+        // is null), so SUM pushdown over extras is ALWAYS exact
+        if (a.length > 7) a.drop(7).toSeq
+          .map(s => if (s.isEmpty) None else Some(s.toLong))
+        else Nil)
     }.toList
     finally src.close()
   }
@@ -601,21 +725,31 @@ object ManifestSource {
   def entryLine(e: FileEntry): String =
     s"${e.file},${e.min},${e.max},${e.rows}" +
       // sums ride only behind a bloom: the arity-based parse (5 =
-      // bloom, 7 = bloom + sums) cannot place sums without one
+      // bloom, 7 = bloom + sums, 8+ = extension-column sums) cannot
+      // place sums without one
       e.bloom.map { b =>
-        "," + bloomHex(b) + e.sums.map { case (q, p) => s",$q,$p" }.getOrElse("")
+        "," + bloomHex(b) + e.sums.map { case (q, p) => s",$q,$p" }.getOrElse("") +
+          (if (e.sums.isDefined && e.extras.nonEmpty)
+            e.extras.map(o => "," + o.map(_.toString).getOrElse("")).mkString
+          else "")
       }.getOrElse("")
 }
 
 final class ManifestTable(dir: String, pinned: Option[String])
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-manifest($dir)"
-  override def schema(): StructType = ManifestSource.Schema
+  override def schema(): StructType = {
+    val m = ManifestSource.resolveManifest(dir, pinned)
+    if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
+    else ManifestSource.Schema
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(dir, ManifestSource.resolveManifest(dir, pinned))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = ManifestSource.resolveManifest(dir, pinned)
+    new ManifestScanBuilder(dir, m, ManifestSource.manifestSchema(dir, m))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info)
 }
@@ -639,19 +773,37 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val names = info.schema().fieldNames.toSeq
-      require(names == ManifestSource.Schema.fieldNames.toSeq,
-        s"graft-manifest write schema must be ${ManifestSource.Schema.fieldNames.toSeq}, got $names")
+      val base = ManifestSource.BaseCols
+      require(names.take(base.size) == base,
+        s"graft-manifest write schema must start with $base, got $names")
+      info.schema().fields.drop(base.size).foreach(f =>
+        require(f.dataType == LongType,
+          s"extension column ${f.name} must be BIGINT, got ${f.dataType}"))
+      if (!doTruncate) {
+        // APPEND must fit the store's CURRENT schema: the write's
+        // columns are a prefix of it (missing extras surface NULL);
+        // a column the store lacks needs addColumn first — appending
+        // cannot evolve the schema implicitly
+        val current = ManifestSource.resolveManifest(dir, None)
+        if (new java.io.File(dir, current).exists()) {
+          val cur = ManifestSource.manifestSchema(dir, current)
+          require(names == cur.take(names.size),
+            s"append schema $names is not a prefix of the table schema $cur — " +
+              "run addColumn to evolve first")
+        }
+      }
       new ManifestBatchWrite(dir, doTruncate, info.queryId(),
-        Option(info.options.get("batchtag")))
+        Option(info.options.get("batchtag")), names)
     }
   }
 }
 
 final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Long,
-    bloomHex: String, qtySum: Long, priceSum: Long) extends WriterCommitMessage
+    bloomHex: String, qtySum: Long, priceSum: Long,
+    extras: Seq[Option[Long]] = Nil) extends WriterCommitMessage
 
 final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
-    batchTag: Option[String]) extends BatchWrite {
+    batchTag: Option[String], cols: Seq[String]) extends BatchWrite {
   // append-mode files carry the write's queryId — or, for streaming
   // ingestion, the caller's batch tag, which makes replayed batches
   // DETECTABLE at commit — so generations never collide; overwrite
@@ -660,17 +812,21 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     batchTag.map(b => s"-bt$b").getOrElse(if (truncate) "" else s"-${queryId.take(8)}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir, suffix)
+    new ManifestWriterFactory(dir, suffix, cols.size)
 
   private def line(m: FileCommitMessage): String =
-    s"${m.file},${m.min},${m.max},${m.rows},${m.bloomHex},${m.qtySum},${m.priceSum}"
+    s"${m.file},${m.min},${m.max},${m.rows},${m.bloomHex},${m.qtySum},${m.priceSum}" +
+      m.extras.map(o => "," + o.map(_.toString).getOrElse("")).mkString
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
     if (truncate) {
       val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest.csv"), "UTF-8")
-      try entries.foreach(m => mw.println(line(m)))
-      finally mw.close()
+      try {
+        // a truncate's write schema BECOMES the table schema
+        if (cols != ManifestSource.BaseCols) mw.println("#schema:" + cols.mkString(","))
+        entries.foreach(m => mw.println(line(m)))
+      } finally mw.close()
       // a fresh base write invalidates any derived snapshot chain
       val vf = new java.io.File(dir, "VERSION")
       if (vf.exists()) vf.delete()
@@ -692,9 +848,17 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // V2 commit protocol). The re-written data files are orphans
       // the manifest never references.
       if (batchTag.exists(b => existing.exists(_.file.contains(s"-bt$b.")))) return
+      // the schema header carries the STORE's shape (the write's
+      // columns were validated as a prefix of it)
+      val curCols =
+        if (new java.io.File(dir, current).exists())
+          ManifestSource.manifestSchema(dir, current)
+        else cols
       val name = s"manifest-gen${ManifestSource.nextGeneration(dir)}.csv"
       val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
       try {
+        if (curCols != ManifestSource.BaseCols)
+          mw.println("#schema:" + curCols.mkString(","))
         existing.foreach(e => mw.println(ManifestSource.entryLine(e)))
         entries.foreach(m => mw.println(line(m)))
       } finally mw.close()
@@ -710,13 +874,14 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     }
 }
 
-final class ManifestWriterFactory(dir: String, suffix: String) extends DataWriterFactory {
+final class ManifestWriterFactory(dir: String, suffix: String, nCols: Int)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partitionId, taskId, suffix)
+    new ManifestDataWriter(dir, partitionId, taskId, suffix, nCols)
 }
 
-final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suffix: String)
-    extends DataWriter[InternalRow] {
+final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
+    suffix: String, nCols: Int) extends DataWriter[InternalRow] {
   // taskId in the name makes every ATTEMPT its own file: a retried or
   // speculated attempt's abort() deletes only its own output, never
   // the file a winning attempt already committed into the manifest
@@ -730,6 +895,9 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suff
   private var qtySum = 0L
   private var priceSum = 0L
   private val bloom = new Array[Long](ManifestSource.BloomWords)
+  private val nExtras = nCols - ManifestSource.BaseCols.size
+  private val exSums = new Array[Long](nExtras.max(0))
+  private val exHas = new Array[Boolean](nExtras.max(0))
 
   override def write(r: InternalRow): Unit = {
     if (w == null) {
@@ -743,13 +911,34 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suff
     qtySum += r.getLong(3)
     priceSum += r.getLong(4)
     ManifestSource.bloomInsert(bloom, r.getLong(0))
-    w.println(s"${r.getLong(0)},$us,${r.getUTF8String(2)},${r.getLong(3)},${r.getLong(4)}")
+    val baseLine =
+      s"${r.getLong(0)},$us,${r.getUTF8String(2)},${r.getLong(3)},${r.getLong(4)}"
+    val lineOut = if (nExtras <= 0) baseLine else {
+      val sb = new StringBuilder(baseLine)
+      var j = 0
+      while (j < nExtras) {
+        sb.append(',')
+        // nullable extension columns: a null writes an EMPTY field
+        // (readers split with -1 and surface null), non-null values
+        // feed the per-file SUM stat
+        if (!r.isNullAt(5 + j)) {
+          val v = r.getLong(5 + j)
+          sb.append(v)
+          exSums(j) += v
+          exHas(j) = true
+        }
+        j += 1
+      }
+      sb.toString
+    }
+    w.println(lineOut)
   }
 
   override def commit(): WriterCommitMessage = {
     if (w != null) w.close()
     FileCommitMessage(file, min, max, rows, ManifestSource.bloomHex(bloom),
-      qtySum, priceSum)
+      qtySum, priceSum,
+      (0 until nExtras.max(0)).map(j => if (exHas(j)) Some(exSums(j)) else None))
   }
 
   override def abort(): Unit = {
@@ -760,13 +949,14 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long, suff
   override def close(): Unit = if (w != null) { w.close(); w = null }
 }
 
-final class ManifestScanBuilder(dir: String, manifest: String)
+final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private var required: StructType = ManifestSource.Schema
+  private var required: StructType = ManifestSource.sparkSchema(dir, manifest)
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Option[Seq[String]] = None
+  private val extraCols = cols.drop(ManifestSource.BaseCols.size)
 
   /** The THIRD pushdown surface (next to filters and columns):
     * global COUNT(*) / MIN(ship_us) / MAX(ship_us) / SUM(qty) /
@@ -804,6 +994,13 @@ final class ManifestScanBuilder(dir: String, manifest: String)
       case s: Sum if !s.isDistinct && named(s.column).contains("qty") => Some("sum_qty")
       case s: Sum if !s.isDistinct && named(s.column).contains("price_cents") =>
         Some("sum_price")
+      // extension-column SUM answers from the per-file extras stats —
+      // exact across MIXED generations: a pre-evolution file holds no
+      // value for the column, its entry has no stat, and its true SUM
+      // contribution is null — the same null the stats path skips
+      case s: Sum if !s.isDistinct &&
+          named(s.column).exists(extraCols.contains) =>
+        Some(s"xsum:${extraCols.indexOf(named(s.column).get)}")
       case _ => None
     }
     // SUM answers from the per-file (Σqty, Σprice_cents) pair, which
@@ -836,7 +1033,7 @@ final class ManifestScanBuilder(dir: String, manifest: String)
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new ManifestStatsScan(dir, manifest, aggs)
-    case None => new ManifestScan(dir, manifest, required, pushed)
+    case None => new ManifestScan(dir, manifest, required, pushed, cols)
   }
 }
 
@@ -860,6 +1057,7 @@ final class ManifestStatsScan(dir: String, manifest: String, aggs: Seq[String])
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = ManifestSource.readManifest(dir, manifest)
     ManifestScan.lastPlanned = (0, entries.length)
+    val XSum = """xsum:(\d+)""".r
     val values: Array[java.lang.Long] = aggs.map {
       case "count" => java.lang.Long.valueOf(entries.map(_.rows).sum)
       case "min" =>
@@ -872,6 +1070,12 @@ final class ManifestStatsScan(dir: String, manifest: String, aggs: Seq[String])
       case "sum_price" =>
         if (entries.isEmpty) null
         else java.lang.Long.valueOf(entries.map(_.sums.get._2).sum)
+      case XSum(j) =>
+        // sum of the files that hold non-null values; none anywhere
+        // (e.g. an old-only scan right after addColumn) → NULL, which
+        // is the exact SUM over an all-null column
+        val vs = entries.flatMap(_.extras.lift(j.toInt).flatten)
+        if (vs.isEmpty) null else java.lang.Long.valueOf(vs.sum)
     }.toArray
     Array(ManifestStatsPartition(values))
   }
@@ -901,7 +1105,7 @@ object ManifestScan {
 }
 
 final class ManifestScan(dir: String, manifest: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], cols: Seq[String]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -931,37 +1135,44 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required.fieldNames)
+    new ManifestReaderFactory(required.fieldNames, cols)
 }
 
 final case class ManifestInputPartition(path: String) extends InputPartition
 
-final class ManifestReaderFactory(fields: Array[String])
+final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ManifestPartitionReader(p.asInstanceOf[ManifestInputPartition].path, fields)
+    new ManifestPartitionReader(p.asInstanceOf[ManifestInputPartition].path,
+      fields, cols)
 }
 
-/** Line reader: integer CSV `ok,ship_us,flag,qty,price_cents`,
-  * projecting only the required fields.
+/** Line reader: integer CSV `ok,ship_us,flag,qty,price_cents[,extras…]`,
+  * projecting only the required fields. Field positions come from the
+  * GENERATION's schema; a line shorter than the schema (a file written
+  * before an [[ManifestSource.addColumn]] evolution) or an empty field
+  * surfaces NULL — the mergeSchema contract at the manifest level.
   */
-final class ManifestPartitionReader(path: String, fields: Array[String])
-    extends PartitionReader[InternalRow] {
+final class ManifestPartitionReader(path: String, fields: Array[String],
+    cols: Seq[String]) extends PartitionReader[InternalRow] {
   private val src = scala.io.Source.fromFile(path)
   private val it = src.getLines()
   private var row: InternalRow = _
 
-  private val idx = fields.map {
-    case "ok" => 0; case "ship_us" => 1; case "flag" => 2
-    case "qty" => 3; case "price_cents" => 4
+  private val idx = fields.map { f =>
+    val i = cols.indexOf(f)
+    require(i >= 0, s"column $f not in manifest schema $cols")
+    i
   }
 
   override def next(): Boolean =
     if (!it.hasNext) false
     else {
-      val a = it.next().split(',')
+      val a = it.next().split(",", -1)
       row = InternalRow.fromSeq(idx.toSeq.map { i =>
-        if (i == 2) UTF8String.fromString(a(2)) else a(i).toLong
+        if (i == 2) UTF8String.fromString(a(2))
+        else if (i >= a.length || a(i).isEmpty) null
+        else a(i).toLong
       })
       true
     }
