@@ -1698,6 +1698,80 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM merged GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q284 — SORT-BASED COMPACTION under DML degradation
+    * ([[graft.sources.ManifestSource.compactSorted]]): q267's MERGE
+    * leaves the store with an INSERT file spanning the whole
+    * clustering range (every post-DML table's disease — zone maps
+    * overlap, range scans stop pruning), then the sorted compaction
+    * re-clusters the snapshot into tiled files. The readout runs a
+    * 1996 range rollup through the compacted snapshot; the oracle
+    * replays the MERGE relationally and filters the same window, so
+    * the hash gate certifies the re-sort moved every row and changed
+    * none. SortedCompactionSpec pins the SKIPPING improvement (the
+    * same predicate prunes to fewer candidate files post-compaction),
+    * row-set identity, and the empty change feed across the
+    * compaction generation.
+    */
+  private def q284(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_srt_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    requireInsertOffsetSafe(base)
+    val batch = base
+      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
+      .collect().toSeq
+      .flatMap { r =>
+        val (ok, us, fl, q, pc) =
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
+        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
+        up ++ ins
+      }
+    ManifestSource.merge(spark, root, batch)
+    val total = ManifestSource
+      .readManifest(root, ManifestSource.resolveManifest(root, None)).map(_.rows).sum
+    ManifestSource.compactSorted(spark, root, math.max(1L, total / 6))
+    spark.read.format("graft-manifest").option("path", root).load()
+      .filter(col("ship_us") >= lit(Q284Lo) && col("ship_us") < lit(Q284Hi))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  /** 1996 calendar-year window in epoch micros (q274's cutoff + one
+    * year) for q284's range readout.
+    */
+  private val Q284Lo = 820454400000000L
+  private val Q284Hi = 852076800000000L
+
+  private val q284Sql =
+    s"""WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 97 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0),
+      |win AS (SELECT * FROM merged
+      |        WHERE ship_us >= $Q284Lo AND ship_us < $Q284Hi)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM win GROUP BY flag ORDER BY flag""".stripMargin
+
   /** Row schema of the manifest store's data files. */
   private val manifestRowSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.LongType),
@@ -2112,6 +2186,7 @@ object Layout {
     QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
+    QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
     QuerySpec("q278_cdc_replication", q278, Some(q278Sql)),
     QuerySpec("q280_net_change_feed", q280, Some(q280Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),

@@ -396,6 +396,75 @@ object ManifestSource {
       sums.indices.map(j => if (has(j)) Some(sums(j)) else None).toSeq
   }
 
+  /** SORT-BASED COMPACTION — [[compact]] re-BINS files as-is (cheap,
+    * correct when inputs already tile the clustering axis); this one
+    * re-CLUSTERS: it reads the snapshot through the source itself,
+    * globally range-repartitions + sorts by `ship_us`, and writes
+    * tiled output files executor-side — so a snapshot whose zone maps
+    * have DEGRADED under DML (a MERGE's insert file spans the whole
+    * key range; interleaved appends overlap) comes out with disjoint,
+    * tight zone maps again. This composes q245's bin-packing with
+    * q104/q242's layout discipline: the spec asserts the same range
+    * predicate prunes to FEWER candidate files after, and content is
+    * row-identical (a compaction changes no rows — the q274 feed
+    * across it stays empty). Commit is the standard CAS: inputs are
+    * the removed set, concurrent appends rebase, a concurrent rewrite
+    * of any input aborts. At 100 TB this is Delta's OPTIMIZE ZORDER /
+    * Iceberg's sort-order rewrite, running as table-maintenance with
+    * the same optimistic commit.
+    */
+  def compactSorted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetRows: Long, from: Option[String] = None): (Int, Int, String) = {
+    import org.apache.spark.sql.functions.col
+    val snap = from.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, snap)
+    val cols = manifestSchema(dir, snap)
+    val nExtras = cols.size - BaseCols.size
+    val totalRows = entries.map(_.rows).sum
+    val nGroups = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val rows = spark.read.format("graft-manifest")
+      .option("path", dir).option("manifest", snap).load()
+      .select(cols.map(col): _*)
+      .repartitionByRange(nGroups, col("ship_us"))
+      .sortWithinPartitions(col("ship_us"))
+    val stats = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val out = s"part-s$gen-e$ep-$pid.csv"
+      val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+      var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+      var qs = 0L; var ps = 0L
+      val bloom = new Array[Long](BloomWords)
+      val exSums = new Array[Long](nExtras); val exHas = new Array[Boolean](nExtras)
+      try it.foreach { r =>
+        val us = r.getLong(1)
+        if (us < mn) mn = us
+        if (us > mx) mx = us
+        n += 1
+        qs += r.getLong(3); ps += r.getLong(4)
+        bloomInsert(bloom, r.getLong(0))
+        val sb = new StringBuilder(
+          s"${r.getLong(0)},$us,${r.getString(2)},${r.getLong(3)},${r.getLong(4)}")
+        var j = 0
+        while (j < nExtras) {
+          sb.append(',')
+          if (!r.isNullAt(5 + j)) {
+            val v = r.getLong(5 + j)
+            sb.append(v); exSums(j) += v; exHas(j) = true
+          }
+          j += 1
+        }
+        w.println(sb.toString)
+      } finally w.close()
+      if (n == 0) { new java.io.File(dir, out).delete(); Iterator.empty }
+      else Iterator.single(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)),
+        (0 until nExtras).map(j => if (exHas(j)) Some(exSums(j)) else None)))
+    }.collect()
+    val name = commitSnapshot(dir, snap, entries.map(_.file).toSet,
+      stats.toSeq.sortBy(_.min), _ => None)
+    (entries.length, stats.length, name)
+  }
+
   /** RETENTION DELETE: remove every row with ship_us < cutoff, doing
     * the minimum I/O the zone maps allow — files entirely below the
     * cutoff are DROPPED from the new manifest without being read,
