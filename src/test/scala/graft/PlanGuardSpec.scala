@@ -145,6 +145,10 @@ class PlanGuardSpec extends SparkSpec {
     // the same reason as q48/q272, documented here since the guard
     // cannot see it
     "q273_bm25_delete_maintenance",
+    // q282: the mixed batch composes subtract + merge, so the 1-row
+    // totals scalar crosses twice (q265's pattern on the subtract
+    // path then the add path) before q108's normalization broadcast
+    "q282_bm25_mixed_batch",
     // q272: the same two 1-row broadcasts as q268, plus the exact
     // ground-truth leg's 1-row query-embedding broadcast over the
     // corpus (the q48 baseline pattern — affordable only at bench
