@@ -1259,6 +1259,117 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** q285 — IVF MIXED UPSERT BATCH (oracle-gated): the last cell of
+    * the maintenance matrix — one batch carrying all three event
+    * classes against the maintained IVF state, the q282/q281 upsert
+    * shape applied to the VECTOR index:
+    *
+    *   - DELETES: md5 buckets 0–4 (q271's doomed slice);
+    *   - UPDATES: every surviving corpus vector with vec_id % 11 = 0
+    *     takes the EMBEDDING of vec (vec_id+1) % n — applied as
+    *     subtract-old-contribution + add-new-contribution, so an
+    *     updated vector MOVES CELLS when its new codes assign
+    *     elsewhere (re-assignment against the same frozen centroids
+    *     is deterministic, so both arms land exactly);
+    *   - INSERTS: buckets 90–99 (q262's append batch).
+    *
+    * The whole batch costs batch-sized scoring passes plus K×64
+    * algebraic updates — the abelian-group property of the
+    * (count, code-sum) summary doing all the work; no corpus rescan.
+    * THE ORACLE IS THE FROM-SCRATCH PROTOCOL over the FINAL
+    * membership (survivors with their final codes: own, or the
+    * donor's for updated rows), so the hash gate proves
+    * subtract-then-add ≡ rebuild, including the cell moves. Readout
+    * adds `n_updated` (counted at each vector's NEW cell) to q271's
+    * per-cell ledger.
+    */
+  private def q285(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.ext.TrainPrep.md5Bucket(col("vec_id"), 100)
+    val vecs = quantCodeVecs(spark, dir)
+      .withColumn("bucket", bucket)
+      .localCheckpoint()
+    val nVecs = vecs.count()
+    val corpus = vecs.filter(col("bucket") < 90)
+    val batch = vecs.filter(col("bucket") >= 90)
+    val frozen = frozenCentroids(corpus)
+    val doomed = corpus.filter(col("bucket") < 5)
+    val updPre = corpus.filter(col("bucket") >= 5 && col("vec_id") % 11 === 0)
+    val donor = vecs.select(col("vec_id").as("d_id"), col("cs").as("d_cs"),
+      col("n2").as("d_n2"))
+    val updPost = updPre.select(col("vec_id"))
+      .join(donor, (col("vec_id") + 1) % nVecs === col("d_id"))
+      .select(col("vec_id"), col("d_cs").as("cs"), col("d_n2").as("n2"))
+    val (sSums, sCnt) = ivfCellState(corpus, frozen)  // materialized state
+    val (aSums, aCnt) = ivfCellState(batch, frozen)   // insert arm
+    val (xSums, xCnt) = ivfCellState(doomed, frozen)  // delete arm
+    val (pSums, pCnt) = ivfCellState(updPre, frozen)  // update: old contribution
+    val (uSums, uCnt) = ivfCellState(updPost, frozen) // update: new contribution
+    def n(df: DataFrame, as: String) = df.select(col("cid"), col("n").as(as))
+    val counts = n(sCnt, "ns")
+      .join(n(aCnt, "na"), Seq("cid"), "full_outer")
+      .join(n(xCnt, "nd"), Seq("cid"), "full_outer")
+      .join(n(pCnt, "np"), Seq("cid"), "full_outer")
+      .join(n(uCnt, "nu"), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        (coalesce(col("ns"), lit(0L)) + coalesce(col("na"), lit(0L))
+          - coalesce(col("nd"), lit(0L)) - coalesce(col("np"), lit(0L))
+          + coalesce(col("nu"), lit(0L))).as("n_members"),
+        coalesce(col("na"), lit(0L)).as("n_added"),
+        coalesce(col("nd"), lit(0L)).as("n_deleted"),
+        coalesce(col("nu"), lit(0L)).as("n_updated"))
+      .filter(col("n_members") > 0) // a fully-emptied cell leaves the readout
+    val sums = mergeCellSums(
+      mergeCellSums(mergeCellSums(sSums, aSums), uSums),
+      mergeCellSums(xSums, pSums).withColumn("s", -col("s")))
+    sums.join(counts, "cid")
+      .withColumn("mean", expr("s DIV n_members"))
+      .groupBy(col("cid"), col("n_members"), col("n_added"), col("n_deleted"),
+        col("n_updated"))
+      .agg(md5(to_binary(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          x => x.getField("mean").cast("string"))), lit("utf-8"))).as("mean_digest"))
+      .select(col("cid"), col("n_members"), col("n_added"), col("n_deleted"),
+        col("n_updated"), col("mean_digest"))
+      .orderBy(col("cid"))
+  }
+
+  // lazy: ivfScratchCoreSql is declared below (init-order)
+  private lazy val q285Sql =
+    s"""$ivfScratchCoreSql,
+       |members AS (
+       |  SELECT vec_id, vec_id AS src FROM bk
+       |  WHERE bucket >= 5 AND NOT (bucket < 90 AND vec_id % 11 = 0)
+       |  UNION ALL
+       |  SELECT vec_id,
+       |         (vec_id + 1) % (SELECT COUNT(*) FROM embeddings) AS src
+       |  FROM bk WHERE bucket >= 5 AND bucket < 90 AND vec_id % 11 = 0),
+       |mem2 AS (SELECT m.vec_id, m.src, bk.bucket
+       |         FROM members m JOIN bk ON bk.vec_id = m.vec_id),
+       |cnt AS (
+       |  SELECT a1.cid,
+       |         CAST(COUNT(*) AS BIGINT) AS n_members,
+       |         CAST(COUNT(*) FILTER (WHERE m.bucket >= 90) AS BIGINT) AS n_added,
+       |         CAST(COUNT(*) FILTER (WHERE m.src <> m.vec_id) AS BIGINT) AS n_updated
+       |  FROM mem2 m JOIN a1 ON a1.vec_id = m.src GROUP BY a1.cid),
+       |del AS (SELECT a1.cid, CAST(COUNT(*) AS BIGINT) AS n_deleted
+       |        FROM bk JOIN a1 USING (vec_id) WHERE bucket < 5 GROUP BY a1.cid),
+       |cnt2 AS (
+       |  SELECT cnt.cid, n_members, n_added,
+       |         COALESCE(del.n_deleted, 0) AS n_deleted, n_updated
+       |  FROM cnt LEFT JOIN del ON cnt.cid = del.cid
+       |  WHERE n_members > 0),
+       |ms AS (
+       |  SELECT a1.cid, q.pos, CAST(SUM(q.c) AS BIGINT) AS s
+       |  FROM mem2 m JOIN a1 ON a1.vec_id = m.src JOIN q ON q.vec_id = m.src
+       |  GROUP BY 1, 2),
+       |mn AS (SELECT ms.cid, ms.pos, ms.s // cnt2.n_members AS mean
+       |       FROM ms JOIN cnt2 ON ms.cid = cnt2.cid)
+       |SELECT cnt2.cid, cnt2.n_members, cnt2.n_added, cnt2.n_deleted, cnt2.n_updated,
+       |       md5(string_agg(CAST(mn.mean AS VARCHAR), ',' ORDER BY mn.pos)) AS mean_digest
+       |FROM cnt2 JOIN mn ON cnt2.cid = mn.cid
+       |GROUP BY cnt2.cid, cnt2.n_members, cnt2.n_added, cnt2.n_deleted, cnt2.n_updated
+       |ORDER BY cnt2.cid""".stripMargin
+
   /** Shared oracle core for q262/q264/q271: quantized codes, the
     * md5 split buckets, frozen corpus centroids (seed pick + one
     * Lloyd step), and the one-pass frozen assignment `a1` of EVERY
@@ -2263,6 +2374,7 @@ object Similarity {
     QuerySpec("q262_incremental_ivf", q262, Some(q262Sql)),
     QuerySpec("q264_stream_ivf_maintenance", q264, Some(q262Sql)),
     QuerySpec("q271_ivf_delete_maintenance", q271, Some(q271Sql)),
+    QuerySpec("q285_ivf_mixed_batch", q285, Some(q285Sql)),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
     QuerySpec("q83b_semantic_dedup_sql", q83b, Some(q83bSql)),
     QuerySpec("q93_centroid_similarity", q93, Some(q93Sql)),
