@@ -1111,6 +1111,102 @@ object Dedup {
        |FROM h GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q286 — MINHASH MIXED UPSERT BATCH (oracle-gated): the sketch
+    * family's missing composition (append q261, delete q279 — this is
+    * both plus UPDATES in one batch), completing the mixed-batch
+    * matrix across all four incremental index families (clusters
+    * q281, BM25 q282, IVF q285):
+    *
+    *   - DELETES: md5 buckets ≥ 90 (q279's doomed slice);
+    *   - UPDATES: every surviving doc_id % 17 = 0 doc re-texted to
+    *     doc (doc_id+1) % n — min has no inverse, so the update is
+    *     index-row REPLACEMENT (drop the old per-doc sketch row, add
+    *     the re-shingled new one) followed by the q279 group refold;
+    *   - INSERTS: doc_id % 29 = 0 re-keyed copies joining their
+    *     origin source's group.
+    *
+    * Costs one batch-sized shingle pass (the incoming texts) plus
+    * refolds over TOUCHED sources' 8-long sketch rows; untouched
+    * sources carry by reference. THE ORACLE IS THE FROM-SCRATCH
+    * SIGNATURE over the relationally-replayed FINAL corpus, so the
+    * hash gate proves replace-then-refold ≡ rebuild: a stale sketch
+    * row surviving the update, a refold that missed an incoming doc,
+    * or an un-touched group wrongly refolded all shift a min.
+    */
+  private def q286(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.ext.TrainPrep.md5Bucket(col("doc_id"), 100)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .localCheckpoint(false)
+    val n = docs.count()
+    require(n < 1000000L, s"insert re-key offset collides with doc_ids (n=$n)")
+    val doomedP = bucket >= 90
+    // maintained artifacts: per-source state + the doc-level index
+    val state = sourceSignature(docs.select(col("source"), col("text")))
+    val docSigs = docSignature(docs).localCheckpoint(false)
+    val doomed = docs.filter(doomedP).select(col("doc_id"))
+    val updPre = docs.filter(!doomedP && col("doc_id") % 17 === 0)
+    val donor = docs.select(col("doc_id").as("d_id"), col("text").as("d_text"))
+    val updPost = updPre.select(col("source"), col("doc_id"))
+      .join(donor, (col("doc_id") + 1) % n === col("d_id"))
+      .select(col("source"), col("doc_id"), col("d_text").as("text"))
+    val ins = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("source"), (col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // one batch-sized shingle pass over the INCOMING texts only
+    val incoming = docSignature(updPost.unionByName(ins)).localCheckpoint(false)
+    val outgoing = doomed.unionByName(updPre.select(col("doc_id")))
+    val touched = docSigs.join(outgoing, Seq("doc_id"), "leftsemi")
+      .select(col("source"))
+      .unionByName(incoming.select(col("source")))
+      .distinct()
+    val kept = state.join(touched, Seq("source"), "left_anti")
+    val newDocSigs = docSigs.join(outgoing, Seq("doc_id"), "left_anti")
+      .unionByName(incoming)
+    val refolded = newDocSigs.join(touched, Seq("source"), "leftsemi")
+      .groupBy(col("source"))
+      .agg(min(col("mh0")).as("mh0"),
+        (1 until SqlMinHashK).map(k => min(col(s"mh$k")).as(s"mh$k")): _*)
+    kept.unionByName(refolded).orderBy("source")
+  }
+
+  private val q286Sql = {
+    val mins = (0 until SqlMinHashK)
+      .map(k => s"MIN(h1 + $k * h2) AS mh$k").mkString(",\n       |       ")
+    s"""WITH corpus AS (
+       |  WITH base AS (SELECT source, doc_id, text FROM documents),
+       |  cnt AS (SELECT COUNT(*) AS n FROM base),
+       |  bk AS (SELECT doc_id,
+       |                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+       |                  AS bucket
+       |         FROM base),
+       |  upd AS (SELECT b.doc_id, d.text
+       |          FROM base b, cnt, base d, bk
+       |          WHERE bk.doc_id = b.doc_id AND bk.bucket < 90
+       |            AND b.doc_id % 17 = 0 AND d.doc_id = (b.doc_id + 1) % cnt.n),
+       |  kept AS (SELECT b.source, b.doc_id, COALESCE(u.text, b.text) AS text
+       |           FROM base b JOIN bk ON bk.doc_id = b.doc_id
+       |           LEFT JOIN upd u ON u.doc_id = b.doc_id
+       |           WHERE bk.bucket < 90)
+       |  SELECT source, doc_id, text FROM kept
+       |  UNION ALL
+       |  SELECT source, doc_id + 1000000, text FROM base WHERE doc_id % 29 = 0),
+       |w0 AS (SELECT source, doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |sh AS (SELECT DISTINCT source, doc_id, s FROM (
+       |  SELECT source, doc_id,
+       |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |              ELSE array_to_string(ws, ' ') END AS s
+       |  FROM (SELECT source, doc_id, ws,
+       |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+       |                           ELSE [1] END) AS i
+       |        FROM w0))),
+       |h AS (SELECT source, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+       |             ('0x' || substr(md5(s), 15, 14))::BIGINT AS h2
+       |      FROM sh)
+       |SELECT source,
+       |       $mins
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private val q261Sql = {
     val mins = (0 until SqlMinHashK)
       .map(k => s"MIN(h1 + $k * h2) AS mh$k").mkString(",\n       |       ")
@@ -1135,6 +1231,7 @@ object Dedup {
     QuerySpec("q177_corpus_novelty", q177, Some(q177Sql)),
     QuerySpec("q261_incremental_minhash", q261, Some(q261Sql)),
     QuerySpec("q279_minhash_delete_maintenance", q279, Some(q279Sql)),
+    QuerySpec("q286_minhash_mixed_batch", q286, Some(q286Sql)),
     QuerySpec("q44_exact_dedup",    q44, Some(q44Sql), headline = true),
     QuerySpec("q45_ngram_jaccard",  q45, Some(q45Sql), headline = true),
     QuerySpec("q46_minhash_lsh",    q46, None,         headline = true),
