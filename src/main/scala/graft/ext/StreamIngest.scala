@@ -751,6 +751,15 @@ object StreamIngest {
         .foreach(f => require(f.setLastModified(1000000L * g),
           s"setLastModified failed for $f"))
     }
+    // Bench-cost note (measured at sf0.1): ~16s, the suite's worst
+    // query — 7 maintenance phases (bootstrap + 3×delete + 3×insert)
+    // × ~2s of fixed per-phase job overhead (candidate joins, CC,
+    // checkpoints) at a 5k-doc corpus, plus the store DML chain and
+    // feed staging. Same trade q263 documents: the fixed costs
+    // amortize over real batch volumes at scale, and the write path
+    // is O(batch + touched) by construction. Compaction cadence is
+    // NOT the cost (measured 2 vs 3: equal within noise) — keep k=2
+    // so the registered run exercises two mid-stream compactions.
     val run = ingestEventFeed(spark, s"$stage/*", docs,
       filesPerTrigger = 1, compactEvery = 2)
     scala.util.Try(org.apache.commons.io.FileUtils
