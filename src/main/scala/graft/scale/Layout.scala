@@ -1772,6 +1772,62 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM win GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q287 — WRITE–AUDIT–PUBLISH on the manifest store: q267's MERGE
+    * staged as an UNPUBLISHED BRANCH
+    * ([[graft.sources.ManifestSource.stageMerge]] — the full
+    * copy-on-write work lands as a generation no reader resolves),
+    * AUDITED through the time-travel pin (two metadata-only checks:
+    * the staged row count equals base + inserts via the
+    * stats-answered scan, and the CURRENT snapshot still resolves to
+    * the base — the branch leaked to nobody), then PUBLISHED
+    * atomically ([[graft.sources.ManifestSource.publishBranch]] —
+    * the change set recovered from the two manifests' file-set diff,
+    * committed through the standard optimistic CAS). The readout is
+    * q267's post-merge rollup and THE ORACLE IS q267's relational
+    * MERGE replay, so the hash gate certifies stage → audit →
+    * publish lands exactly where a direct merge does. WapSpec pins
+    * the rest: branch invisibility, the abort path (an unpublished
+    * branch vacuums away leaving the store byte-identical), rebase
+    * over a concurrent disjoint commit, and conflict abort.
+    */
+  private def q287(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_wap_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val batch = base
+      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
+      .collect().toSeq
+      .flatMap { r =>
+        val (ok, us, fl, q, pc) =
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
+        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
+        up ++ ins
+      }
+    val (staged, baseM, nIns) = ManifestSource.stageMerge(spark, root, batch)
+    // AUDIT (metadata-only, the stats-answered scan): conservation on
+    // the branch, and branch invisibility on the trunk
+    def snapCount(m: String): Long = spark.read.format("graft-manifest")
+      .option("path", root).option("manifest", m).load()
+      .agg(count(lit(1))).head.getLong(0)
+    require(snapCount(staged) == snapCount(baseM) + nIns,
+      "WAP audit failed: staged row count != base + inserts")
+    require(ManifestSource.resolveManifest(root, None) == baseM,
+      "WAP audit failed: the staged branch leaked to the current pointer")
+    ManifestSource.publishBranch(root, staged, baseM, batch.map(_._1))
+    spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
   /** Row schema of the manifest store's data files. */
   private val manifestRowSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.LongType),
@@ -2187,6 +2243,7 @@ object Layout {
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
+    QuerySpec("q287_write_audit_publish", q287, Some(q267Sql)),
     QuerySpec("q278_cdc_replication", q278, Some(q278Sql)),
     QuerySpec("q280_net_change_feed", q280, Some(q280Sql)),
     QuerySpec("q197_frequency_moments", q197, Some(q197Sql)),

@@ -396,6 +396,144 @@ object ManifestSource {
       sums.indices.map(j => if (has(j)) Some(sums(j)) else None).toSeq
   }
 
+  /** WRITE–AUDIT–PUBLISH, stage step: run [[merge]]'s full
+    * copy-on-write work — candidate blooms, executor rewrites,
+    * false-positive keep-by-reference, insert file — but write the
+    * resulting generation WITHOUT flipping the VERSION pointer: a
+    * BRANCH HEAD no reader sees until publish (the Iceberg WAP / Delta
+    * shadow-branch pattern — audit jobs read the staged snapshot via
+    * the existing time-travel pin, then [[publishBranch]] promotes it
+    * atomically or the orphaned generation is simply vacuumed).
+    * Returns (staged manifest, base manifest it was computed against,
+    * rows inserted). The staged manifest takes a real generation
+    * number (under the commit lock), so concurrent committers can
+    * never collide with its name.
+    */
+  def stageMerge(spark: org.apache.spark.sql.SparkSession, dir: String,
+      updates: Seq[(Long, Long, String, Long, Long)]): (String, String, Int) = {
+    val base = resolveManifest(dir, None)
+    val entries = readManifest(dir, base)
+    val keys = updates.map(_._1)
+    require(keys.distinct.size == keys.size,
+      "MERGE source has duplicate keys — multi-match is an error, like SQL MERGE")
+    val keySet = keys.toSet
+    val (candidates, untouched) = entries.partition(e =>
+      e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val upMap = updates.map(u => u._1 -> u).toMap
+    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep)
+    val matched = rewritten.flatMap(_._3).toSet
+    val inserts = updates.filterNot(u => matched(u._1))
+    val insertEntry = writeInsertFile(dir, inserts, gen, ep)
+    // _2 is the rewrite for matched candidates and the ORIGINAL entry
+    // for bloom false positives, so the staged snapshot is just
+    // untouched ++ every candidate's resulting entry ++ the inserts
+    val stagedEntries = untouched ++ rewritten.map(_._2) ++ insertEntry
+    commitLock.synchronized {
+      // gen was resolved optimistically; re-resolve under the lock so
+      // a commit that landed in between cannot share the name
+      val name = s"manifest-gen${nextGeneration(dir)}.csv"
+      writeManifestFile(dir, name, manifestSchema(dir, base), stagedEntries)
+      (name, base, inserts.size)
+    }
+  }
+
+  /** WRITE–AUDIT–PUBLISH, publish step: promote a staged branch head
+    * to the current snapshot. The change set is RECOVERED FROM THE
+    * MANIFESTS THEMSELVES (removed = base ∖ staged, added = staged ∖
+    * base — sound because data files are immutable), then the
+    * standard optimistic commit runs: pointer still at base → plain
+    * flip; moved → classify (overlap aborts; a concurrent append is
+    * checked against `mergeKeys` through its bloom, the [[merge]]
+    * rule) and rebase onto current. An audit that fails simply never
+    * publishes — the staged generation is an unreferenced orphan
+    * [[vacuum]] collects, and the store was never touched.
+    */
+  def publishBranch(dir: String, staged: String, base: String,
+      mergeKeys: Seq[Long] = Nil): String = {
+    val baseFiles = readManifest(dir, base).map(_.file).toSet
+    val stagedEntries = readManifest(dir, staged)
+    val stagedFiles = stagedEntries.map(_.file).toSet
+    val keySet = mergeKeys.toSet
+    commitSnapshot(dir, base, baseFiles -- stagedFiles,
+      stagedEntries.filterNot(e => baseFiles.contains(e.file)),
+      e =>
+        if (keySet.nonEmpty &&
+            e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+          Some(s"${e.file} may contain staged merge keys")
+        else None,
+      schemaOverride = Some(manifestSchema(dir, staged)))
+  }
+
+  /** The executor-side copy-on-write rewrite shared by [[merge]] and
+    * [[stageMerge]]: one task per candidate file, matched rows
+    * replaced (extension fields carried), stats recomputed, bloom
+    * false positives discarding their copy. Returns
+    * (original file, rewritten-or-original entry, matched keys).
+    */
+  private def rewriteForMerge(spark: org.apache.spark.sql.SparkSession,
+      dir: String, candidates: Seq[FileEntry],
+      upMap: Map[Long, (Long, Long, String, Long, Long)],
+      gen: Long, ep: Long): Array[(String, FileEntry, List[Long])] =
+    spark.sparkContext
+      .parallelize(candidates, candidates.size.max(1))
+      .map { e =>
+        val out = s"part-m$gen-e$ep-${e.file.stripPrefix("part-")}"
+        val outF = new java.io.File(dir, out)
+        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
+        val w = new java.io.PrintWriter(outF, "UTF-8")
+        var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        var qs = 0L; var ps = 0L
+        val bloom = new Array[Long](BloomWords)
+        val ex = new ExtrasTracker
+        var matchedHere = List.empty[Long]
+        try src.getLines().foreach { l =>
+          val a = l.split(",", -1)
+          val ok = a(0).toLong
+          val (row, us, q, pc) = upMap.get(ok) match {
+            case Some((_, uus, fl, uq, upc)) =>
+              matchedHere ::= ok
+              val tail = if (a.length > 5) "," + a.drop(5).mkString(",") else ""
+              (s"$ok,$uus,$fl,$uq,$upc$tail", uus, uq, upc)
+            case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
+          }
+          w.println(row); n += 1
+          if (us < mn) mn = us
+          if (us > mx) mx = us
+          qs += q; ps += pc
+          bloomInsert(bloom, ok)
+          ex.track(a)
+        } finally { src.close(); w.close() }
+        if (matchedHere.isEmpty) {
+          // bloom false positive — keep the original file by reference
+          outF.delete()
+          (e.file, e, matchedHere)
+        } else (e.file,
+          FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result),
+          matchedHere)
+      }.collect()
+
+  /** Write the unmatched-source insert file (shared by [[merge]] and
+    * [[stageMerge]]); None when the batch fully matched.
+    */
+  private def writeInsertFile(dir: String,
+      inserts: Seq[(Long, Long, String, Long, Long)],
+      gen: Long, ep: Long): Option[FileEntry] =
+    if (inserts.isEmpty) None
+    else {
+      val out = s"part-m$gen-e$ep-insert.csv"
+      val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+      val bloom = new Array[Long](BloomWords)
+      try inserts.foreach { case (ok, us, fl, q, pc) =>
+        w.println(s"$ok,$us,$fl,$q,$pc")
+        bloomInsert(bloom, ok)
+      } finally w.close()
+      Some(FileEntry(out, inserts.map(_._2).min, inserts.map(_._2).max,
+        inserts.size.toLong, Some(bloom),
+        Some((inserts.map(_._4).sum, inserts.map(_._5).sum))))
+    }
+
   /** SORT-BASED COMPACTION — [[compact]] re-BINS files as-is (cheap,
     * correct when inputs already tile the clustering axis); this one
     * re-CLUSTERS: it reads the snapshot through the source itself,
@@ -566,62 +704,10 @@ object ManifestSource {
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val upMap = updates.map(u => u._1 -> u).toMap
-    val rewritten = spark.sparkContext
-      .parallelize(candidates, candidates.size.max(1))
-      .map { e =>
-        val out = s"part-m$gen-e$ep-${e.file.stripPrefix("part-")}"
-        val outF = new java.io.File(dir, out)
-        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
-        val w = new java.io.PrintWriter(outF, "UTF-8")
-        var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
-        var qs = 0L; var ps = 0L
-        val bloom = new Array[Long](BloomWords)
-        val ex = new ExtrasTracker
-        var matchedHere = List.empty[Long]
-        try src.getLines().foreach { l =>
-          val a = l.split(",", -1)
-          val ok = a(0).toLong
-          val (row, us, q, pc) = upMap.get(ok) match {
-            case Some((_, uus, fl, uq, upc)) =>
-              matchedHere ::= ok
-              // MERGE updates the BASE columns; extension-column
-              // values of the matched row CARRY (the trailing fields
-              // are preserved verbatim — evolution-safe DML)
-              val tail = if (a.length > 5) "," + a.drop(5).mkString(",") else ""
-              (s"$ok,$uus,$fl,$uq,$upc$tail", uus, uq, upc)
-            case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
-          }
-          w.println(row); n += 1
-          if (us < mn) mn = us
-          if (us > mx) mx = us
-          qs += q; ps += pc
-          bloomInsert(bloom, ok)
-          ex.track(a)
-        } finally { src.close(); w.close() }
-        if (matchedHere.isEmpty) {
-          // bloom false positive — keep the original file by reference
-          outF.delete()
-          (e.file, e, matchedHere)
-        } else (e.file,
-          FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result),
-          matchedHere)
-      }.collect()
+    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep)
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
-    val insertEntry =
-      if (inserts.isEmpty) None
-      else {
-        val out = s"part-m$gen-e$ep-insert.csv"
-        val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
-        val bloom = new Array[Long](BloomWords)
-        try inserts.foreach { case (ok, us, fl, q, pc) =>
-          w.println(s"$ok,$us,$fl,$q,$pc")
-          bloomInsert(bloom, ok)
-        } finally w.close()
-        Some(FileEntry(out, inserts.map(_._2).min, inserts.map(_._2).max,
-          inserts.size.toLong, Some(bloom),
-          Some((inserts.map(_._4).sum, inserts.map(_._5).sum))))
-      }
+    val insertEntry = writeInsertFile(dir, inserts, gen, ep)
     val real = rewritten.filter(_._3.nonEmpty)
     // a concurrent append whose key bloom might hold one of OUR keys
     // means this merge could have missed a matching row — conflict;

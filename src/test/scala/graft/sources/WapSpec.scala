@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Write–audit–publish branching
+  * ([[ManifestSource.stageMerge]] / [[ManifestSource.publishBranch]]):
+  * a staged generation is a BRANCH HEAD — fully written, readable via
+  * the time-travel pin, invisible to every unpinned reader — and
+  * publish is the standard optimistic commit over the file-set diff
+  * recovered from the two manifests. Pins:
+  *
+  *   1. invisibility + audit + publish ≡ direct merge;
+  *   2. the ABORT path: an unpublished branch vacuums away and the
+  *      store is row-identical to never having staged;
+  *   3. publish REBASES over a concurrent disjoint commit;
+  *   4. publish ABORTS cleanly when a concurrent writer rewrote a
+  *      file the branch also rewrote.
+  */
+class WapSpec extends SparkSpec {
+
+  private def freshStore(n: Long): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    (1L to n).map(i => (i, i * 1000L, "A", i, i * 10L))
+      .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      .repartitionByRange(4, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    root
+  }
+
+  private def rows(root: String, pin: Option[String] = None): Set[Seq[Any]] = {
+    val r = spark.read.format("graft-manifest").option("path", root)
+    pin.fold(r)(m => r.option("manifest", m)).load().collect().map(_.toSeq).toSet
+  }
+
+  private val batch = Seq((5L, 5000L, "U", 5L, 999L), (100L, 50000L, "N", 1L, 7L))
+
+  test("staged branch is invisible, auditable via pin, and publish ≡ direct merge") {
+    val rootA = freshStore(20L)
+    val rootB = freshStore(20L)
+    try {
+      val before = rows(rootA)
+      val (staged, base, nIns) = ManifestSource.stageMerge(spark, rootA, batch)
+      assert(nIns == 1)
+      assert(rows(rootA) == before, "unpublished branch must be invisible")
+      val branch = rows(rootA, Some(staged))
+      assert(branch.exists(r => r.head == 5L && r(2) == "U") &&
+        branch.exists(_.head == 100L), "the pin must read the staged merge")
+      ManifestSource.publishBranch(rootA, staged, base, batch.map(_._1))
+      // reference: the same merge committed directly
+      ManifestSource.merge(spark, rootB, batch)
+      assert(rows(rootA) == rows(rootB), "publish must land exactly where a direct merge does")
+    } finally Seq(rootA, rootB).foreach(r => scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))))
+  }
+
+  test("abort: an unpublished branch vacuums away, store untouched") {
+    val root = freshStore(20L)
+    try {
+      val before = rows(root)
+      val filesBefore = new java.io.File(root).listFiles().map(_.getName).toSet
+      val (staged, _, _) = ManifestSource.stageMerge(spark, root, batch)
+      // audit failed — never publish; GC the branch
+      val (deadM, deadD) = ManifestSource.vacuum(root)
+      assert(deadM >= 1, "the staged manifest must be collected")
+      assert(deadD >= 1, "the branch's exclusive data files must be collected")
+      assert(rows(root) == before, "abort must leave the store row-identical")
+      assert(new java.io.File(root).listFiles().map(_.getName).toSet == filesBefore,
+        "abort + vacuum must restore the exact file set")
+      assert(!new java.io.File(root, staged).exists())
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
+  test("publish rebases over a concurrent disjoint commit") {
+    val root = freshStore(40L)
+    try {
+      // branch updates ok=5 (file 1) and inserts 100
+      val (staged, base, _) = ManifestSource.stageMerge(spark, root, batch)
+      // trunk moves: a concurrent delete in a DIFFERENT file,
+      // bloom-disjoint from the branch's keys
+      ManifestSource.deleteKeys(spark, root, Seq(33L))
+      ManifestSource.publishBranch(root, staged, base, batch.map(_._1))
+      val got = rows(root)
+      assert(got.exists(r => r.head == 5L && r(2) == "U"), "branch update must land")
+      assert(got.exists(_.head == 100L), "branch insert must land")
+      assert(!got.exists(_.head == 33L), "the concurrent delete must survive the rebase")
+      assert(got.size == 40 - 1 + 1)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
+  test("publish aborts cleanly when the trunk rewrote a branch file") {
+    val root = freshStore(40L)
+    try {
+      val (staged, base, _) = ManifestSource.stageMerge(spark, root, batch)
+      // trunk rewrites the SAME file the branch rewrote (ok=6 sits
+      // with ok=5)
+      ManifestSource.deleteKeys(spark, root, Seq(6L))
+      val afterTrunk = rows(root)
+      val ex = intercept[ManifestSource.CommitConflictException] {
+        ManifestSource.publishBranch(root, staged, base, batch.map(_._1))
+      }
+      assert(ex.getMessage.contains("concurrent rewrite"))
+      assert(rows(root) == afterTrunk, "a conflicted publish must not mutate the store")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+}
