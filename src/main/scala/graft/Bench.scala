@@ -107,6 +107,8 @@ object Bench {
     // SPARK_GRAFT_BENCH_PROVENANCE=builder-quiet-sweep before a
     // committed run; an unlabeled artifact is the driver's.
     val provenance = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROVENANCE", "unlabeled-driver-sweep")
+      .flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => ""
+                 case c => c.toString } // keep the artifact parseable JSON
     val fullJson =
       s"""{"metric":"total","metric_version":"min_of_reps_v2","provenance":"$provenance","value":$total,"unit":"sec","median_total":$medianTotal,"queries":${jmap(bests)},"medians":${jmap(results)},"spreads":${jmap(spreads)},"reps":$repsJson,"sf":"$sfDir","cpus":$cpus}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

@@ -55,6 +55,17 @@ object StreamIngest {
   private val K = 8
   private val Bands = 4
 
+  /** Checkpoint + constraint-barrier rewrap, shared by both folds:
+    * the LogicalRDD otherwise carries origin constraints referencing
+    * attrs from inside the folded plan, which breaks constraint
+    * rewriting in a later Union (key-not-found during analysis — the
+    * round-11 q263 landmine, see NOTES.md).
+    */
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    spark.createDataFrame(c.rdd, c.schema)
+  }
+
   /** Per-document features from raw (doc_id, text): the distinct
     * 3-shingle set (exact-verify side) and the K-slot md5 minhash
     * signature (candidate side). Pure map + one per-doc aggregate —
@@ -203,14 +214,7 @@ object StreamIngest {
       bands = bandRows(docFeatures(empty.select(col("id").as("doc_id"), lit("x").as("text")))),
       nBatches = 0, overlayRows = Vector.empty, batchRows = Vector.empty,
       depths = Vector.empty, nCompactions = 0)
-    // checkpoint + rewrap: the LogicalRDD otherwise carries origin
-    // constraints referencing attrs from inside the folded plan,
-    // which breaks constraint rewriting in a later Union (the q263
-    // barrier, applied to every materialized state frame)
-    def materialize(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
-      spark.createDataFrame(c.rdd, c.schema)
-    }
+    def materialize(df: DataFrame): DataFrame = StreamIngest.materialize(spark, df)
     def overlayUnion: DataFrame = st.overlays
       .reduceOption(_ unionByName _)
       .getOrElse(empty.select(col("id").as("doc_id"), col("id").as("comp_id"),
@@ -471,10 +475,7 @@ object StreamIngest {
       compactEvery: Int = 4): EventRun = {
     val ck = java.nio.file.Files.createTempDirectory("graft_q281_ck").toString
     val empty = spark.range(0)
-    def materialize(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
-      spark.createDataFrame(c.rdd, c.schema)
-    }
+    def materialize(df: DataFrame): DataFrame = StreamIngest.materialize(spark, df)
     val emptyFeat = docFeatures(empty.select(col("id").as("doc_id"), lit("x").as("text")))
     var st = EvState(
       overlays = Vector.empty,
@@ -748,8 +749,7 @@ object StreamIngest {
           col("flag"), col("qty"), col("price_cents"))
         .coalesce(1).write.mode("overwrite").parquet(sub)
       new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => require(f.setLastModified(1000000L * g),
-          s"setLastModified failed for $f"))
+        .foreach(f => graft.scale.Layout.setMtimeOrFail(f, 1000000L * g))
     }
     // Bench-cost note (measured at sf0.1): ~16s, the suite's worst
     // query — 7 maintenance phases (bootstrap + 3×delete + 3×insert)

@@ -1411,8 +1411,27 @@ object Layout {
     * silently failed timestamp write would let a later generation
     * apply first and corrupt the fold — fail fast instead.
     */
-  private def setMtimeOrFail(f: java.io.File, ms: Long): Unit =
+  private[graft] def setMtimeOrFail(f: java.io.File, ms: Long): Unit =
     require(f.setLastModified(ms), s"setLastModified($ms) failed for $f")
+
+  /** The shared %97-update / %997-insert MERGE batch the DML-chain
+    * queries (q267/q274/q278/q280/q284/q287) all apply — ONE builder
+    * so an engine-side tweak can never silently diverge from the six
+    * oracles that replay exactly these rules (bounded collect, the
+    * q267 contract).
+    */
+  private[graft] def mergeBatch97(base: DataFrame): Seq[(Long, Long, String, Long, Long)] = {
+    requireInsertOffsetSafe(base)
+    base.filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
+      .collect().toSeq
+      .flatMap { r =>
+        val (ok, us, fl, q, pc) =
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
+        val ins = if (ok % 997 == 0) Seq((ok + InsertOffset, us, "N", q, pc)) else Nil
+        up ++ ins
+      }
+  }
 
   /** q267 — COPY-ON-WRITE MERGE (upsert) on the manifest table: the
     * UPDATE/INSERT half of lakehouse DML, completing the lifecycle
@@ -1446,18 +1465,7 @@ object Layout {
     val base = ordersBase(spark, dir)
     base.repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
-    requireInsertOffsetSafe(base)
-    val batch = base
-      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
-      .collect()
-      .toSeq
-      .flatMap { r =>
-        val (ok, us, fl, q, pc) =
-          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
-        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
-        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
-        up ++ ins
-      }
+    val batch = mergeBatch97(base)
     graft.sources.ManifestSource.merge(spark, root, batch)
     spark.read.format("graft-manifest").option("path", root).load()
       .groupBy(col("flag"))
@@ -1721,17 +1729,7 @@ object Layout {
     val base = ordersBase(spark, dir)
     base.repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
-    requireInsertOffsetSafe(base)
-    val batch = base
-      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
-      .collect().toSeq
-      .flatMap { r =>
-        val (ok, us, fl, q, pc) =
-          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
-        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
-        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
-        up ++ ins
-      }
+    val batch = mergeBatch97(base)
     ManifestSource.merge(spark, root, batch)
     val total = ManifestSource
       .readManifest(root, ManifestSource.resolveManifest(root, None)).map(_.rows).sum
@@ -1797,19 +1795,9 @@ object Layout {
     if (rootF.exists()) rootF.listFiles().foreach(_.delete())
     val root = rootF.getAbsolutePath
     val base = ordersBase(spark, dir)
-    requireInsertOffsetSafe(base)
     base.repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
-    val batch = base
-      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
-      .collect().toSeq
-      .flatMap { r =>
-        val (ok, us, fl, q, pc) =
-          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
-        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
-        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
-        up ++ ins
-      }
+    val batch = mergeBatch97(base)
     val (staged, baseM, nIns) = ManifestSource.stageMerge(spark, root, batch)
     // AUDIT (metadata-only, the stats-answered scan): conservation on
     // the branch, and branch invisibility on the trunk
@@ -1911,17 +1899,7 @@ object Layout {
     base.repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
     val m0 = ManifestSource.resolveManifest(root, None)
-    requireInsertOffsetSafe(base)
-    val batch = base
-      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
-      .collect().toSeq
-      .flatMap { r =>
-        val (ok, us, fl, q, pc) =
-          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
-        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
-        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
-        up ++ ins
-      }
+    val batch = mergeBatch97(base)
     val (_, _, _, m1) = ManifestSource.merge(spark, root, batch)
     ManifestSource.deleteBelow(spark, root, Q274CutoffUs)
     val m2 = ManifestSource.resolveManifest(root, None)
@@ -2046,17 +2024,7 @@ object Layout {
     }
     // the source generation chain: MERGE, keyed delete, retention
     val m0 = ManifestSource.resolveManifest(src, None)
-    requireInsertOffsetSafe(base)
-    val batch = base
-      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
-      .collect().toSeq
-      .flatMap { r =>
-        val (ok, us, fl, q, pc) =
-          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
-        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
-        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
-        up ++ ins
-      }
+    val batch = mergeBatch97(base)
     val (_, _, _, m1) = ManifestSource.merge(spark, src, batch)
     val keys = base.filter(col("ok") % 131 === 0)
       .select(col("ok")).collect().map(_.getLong(0)).toSeq
@@ -2133,17 +2101,7 @@ object Layout {
     base.repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
     val m0 = ManifestSource.resolveManifest(root, None)
-    requireInsertOffsetSafe(base)
-    val batch = base
-      .filter(col("ok") % 97 === 0 || col("ok") % 997 === 0)
-      .collect().toSeq
-      .flatMap { r =>
-        val (ok, us, fl, q, pc) =
-          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
-        val up = if (ok % 97 == 0) Seq((ok, us, "U", q, pc * 2)) else Nil
-        val ins = if (ok % 997 == 0) Seq((ok + 10000000L, us, "N", q, pc)) else Nil
-        up ++ ins
-      }
+    val batch = mergeBatch97(base)
     ManifestSource.merge(spark, root, batch)
     val keys = base.filter(col("ok") % 131 === 0)
       .select(col("ok")).collect().map(_.getLong(0)).toSeq

@@ -257,10 +257,24 @@ object ManifestSource {
             s"concurrent append conflicts (base $base, current $current): $r"))
       }
       val finalEntries = curEntries.filterNot(e => removed.contains(e.file)) ++ added
-      // the schema header carries forward from the CURRENT snapshot
-      // (evolution is add-only, so the latest schema always wins —
-      // a rebase over a concurrent addColumn keeps the new column)
-      val cols = schemaOverride.getOrElse(manifestSchema(dir, current))
+      // Schema rule: without an override, the CURRENT snapshot's
+      // header carries forward (a rebase over a concurrent addColumn
+      // keeps the new column). WITH an override (addColumn, WAP
+      // publish), the override must EXTEND the current schema —
+      // extras stats are positional, so a snapshot staged against a
+      // pre-evolution schema would mis-align every entry's stats
+      // with the concurrently-added column: that is a conflict, not
+      // a rebase (and two racing addColumns resolve first-wins
+      // instead of silently clobbering each other).
+      val curCols = manifestSchema(dir, current)
+      val cols = schemaOverride match {
+        case None => curCols
+        case Some(o) if o.take(curCols.size) == curCols => o
+        case Some(o) => throw new CommitConflictException(
+          s"concurrent schema evolution: committed schema $curCols is not a " +
+            s"prefix of the staged schema $o — positional extras stats would " +
+            "mis-align; re-stage against the current snapshot")
+      }
       val name = s"manifest-gen${nextGeneration(dir)}.csv"
       writeManifestFile(dir, name, cols, finalEntries)
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
@@ -407,7 +421,10 @@ object ManifestSource {
     * Returns (staged manifest, base manifest it was computed against,
     * rows inserted). The staged manifest takes a real generation
     * number (under the commit lock), so concurrent committers can
-    * never collide with its name.
+    * never collide with its name. NOTE a staged branch is an
+    * unreferenced generation by design: a [[vacuum]] run during the
+    * audit window must list it in `keep` (Iceberg's retained-ref
+    * rule) — vacuum without it IS the abort verb.
     */
   def stageMerge(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: Seq[(Long, Long, String, Long, Long)]): (String, String, Int) = {
@@ -459,8 +476,14 @@ object ManifestSource {
     commitSnapshot(dir, base, baseFiles -- stagedFiles,
       stagedEntries.filterNot(e => baseFiles.contains(e.file)),
       e =>
-        if (keySet.nonEmpty &&
-            e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+        // without the staged operation's key set we cannot prove a
+        // concurrent append disjoint — CONSERVATIVE conflict (a
+        // silent rebase here is exactly the duplicate-key race a
+        // direct merge aborts on); with keys, the merge bloom rule
+        if (keySet.isEmpty)
+          Some(s"${e.file} appended concurrently and no key set was " +
+            "provided to prove it disjoint — pass the staged batch's keys")
+        else if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
           Some(s"${e.file} may contain staged merge keys")
         else None,
       schemaOverride = Some(manifestSchema(dir, staged)))
@@ -819,7 +842,15 @@ object ManifestSource {
     *    before any of its exclusive data files.
     * Returns (manifests deleted, data files deleted).
     */
-  def vacuum(dir: String, keep: Seq[String] = Nil): (Int, Int) = {
+  def vacuum(dir: String, keep: Seq[String] = Nil): (Int, Int) = commitLock.synchronized {
+    // under the commit lock: the referenced set and the deletions are
+    // atomic w.r.t. every commit (otherwise a publish landing between
+    // the two would leave the NEW current snapshot pointing at files
+    // this sweep just computed as dead). A LIVE STAGED BRANCH
+    // ([[stageMerge]]) is by design an unreferenced generation — an
+    // operator running vacuum while a branch is in audit must pass it
+    // in `keep`, exactly Iceberg's retained-ref rule; vacuum with no
+    // keep IS the branch-abort verb (WapSpec pins it).
     val keepSet = (keep :+ resolveManifest(dir, None)).distinct
     val referenced = keepSet.flatMap(m => readManifest(dir, m).map(_.file)).toSet
     val d = new java.io.File(dir)

@@ -111,7 +111,7 @@ class ConcurrencySpec extends SparkSpec {
       .deleteDirectory(new java.io.File(root)))
   }
 
-  test("two compactions race: the loser aborts; compaction rebases over an append") {
+  test("two compactions race: the loser aborts") {
     val root = freshStore(40L)
     try {
       // B compacts first (from the base manifest)
@@ -123,6 +123,30 @@ class ConcurrencySpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("concurrent rewrite"))
       assert(snapshot(root) == afterB)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
+  test("compaction rebases over a concurrent append: both effects land") {
+    import spark.implicits._
+    val root = freshStore(40L)
+    try {
+      // the append commits AFTER the compaction's read snapshot
+      // (compact reads `from` = the base manifest), so at commit time
+      // the pointer has moved — appends never conflict with a
+      // compaction, the rebase keeps the new file next to the
+      // compacted ones
+      Seq((100L, 50000L, "N", 1L, 5L))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+        .coalesce(1)
+        .write.format("graft-manifest").option("path", root).mode("append").save()
+      val (nIn, nOut, m) = ManifestSource.compact(spark, root, targetRows = 20L)
+      assert(nIn == 4 && nOut == 2, s"4 base files -> 2 compacted: $nIn -> $nOut")
+      val rows = snapshot(root)
+      assert(rows.size == 41, "compacted rows + the concurrently-appended row")
+      assert(rows.exists(_.head == 100L), "the append must survive the rebase")
+      assert(ManifestSource.readManifest(root, m).size == 3,
+        "final manifest = 2 compacted files + the appended file")
     } finally scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root)))
   }

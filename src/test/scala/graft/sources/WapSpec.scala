@@ -91,6 +91,28 @@ class WapSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(root)))
   }
 
+  test("publish aborts when the trunk's schema evolved after staging") {
+    val root = freshStore(20L)
+    try {
+      val (staged, base, _) = ManifestSource.stageMerge(spark, root, batch)
+      // a concurrent evolution commits: the branch's entries were
+      // staged against the pre-evolution schema, so its positional
+      // extras stats cannot be trusted against the new column —
+      // publish must CONFLICT, never silently drop the column
+      ManifestSource.addColumn(root, "disc")
+      val afterTrunk = rows(root)
+      val ex = intercept[ManifestSource.CommitConflictException] {
+        ManifestSource.publishBranch(root, staged, base, batch.map(_._1))
+      }
+      assert(ex.getMessage.contains("schema evolution"))
+      assert(rows(root) == afterTrunk)
+      assert(ManifestSource.manifestSchema(root,
+        ManifestSource.resolveManifest(root, None)) == ManifestSource.BaseCols :+ "disc",
+        "the concurrently-added column must survive")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
   test("publish aborts cleanly when the trunk rewrote a branch file") {
     val root = freshStore(40L)
     try {
