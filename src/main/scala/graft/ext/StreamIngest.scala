@@ -664,41 +664,18 @@ object StreamIngest {
     */
   private val DocInsertOffset = 1000000L
 
-  /** q281 — THE CDC→INDEX LOOP CLOSED: a manifest store holds the
-    * documents corpus (doc payload riding the string column:
-    * ok = ship_us = doc_id, flag = text, qty = n_chars), a real DML
-    * chain runs against it —
-    *
-    *   gen 1  MERGE: every doc_id % 17 = 0 is REWRITTEN to the text
-    *          of doc (doc_id+1) % n (updates that move docs between
-    *          clusters), and every doc_id % 29 = 0 re-keys to
-    *          doc_id + 10⁶ as an INSERTED copy (new exact-dup pairs);
-    *   gen 2  keyed DELETE of every base doc_id % 13 = 0 (hits
-    *          planted pairs and updated docs — shrinks and splits
-    *          clusters);
-    *   gen 3  MERGE: previously-INSERTED docs (d % 58 = 0) rewritten
-    *          to the text of (d+3) % n — update-of-insert;
-    *
-    * — and each generation's change feed (computed from manifest
-    * file-set diffs alone, the q274 path) streams into
-    * [[ingestEventFeed]], which folds every insert / update / delete
-    * event into the maintained dup-cluster state with compaction
-    * firing mid-stream (compactEvery = 2). THE ORACLE NEVER SEES THE
-    * FEED: it replays the three DML generations relationally over
-    * documents and clusters the FINAL corpus from scratch with the
-    * identical pipeline — so the hash gate certifies emit → stream →
-    * fold end to end: `fold(bootstrap, feed) == scratch(final)`. A
-    * dropped event, a mis-ordered apply, a tombstone that failed to
-    * mask stale index rows, or a delete that failed to split a
-    * cluster all shift the assignment. This is the SURVEY §7 north
-    * star: at 100 TB the corpus store takes DML, the file-set-diff
-    * feed ships O(changed-files) events, and the derived index stays
-    * fresh at O(batch + touched state) per generation — no rebuild.
+  /** The shared document-store DML chain + staged feed behind q281
+    * (clusters) and q288 (BM25): build the manifest store carrying
+    * the documents corpus, run the three DML generations, compute
+    * each generation's file-set-diff change feed, and stage it as
+    * ordered parquet. Returns (staged feed glob, staging dir to
+    * clean, bootstrap docs).
     */
-  private def q281(spark: SparkSession, dir: String): DataFrame = {
+  private[ext] def stageDocChain(spark: SparkSession, dir: String,
+      kind: String): (String, String, DataFrame) = {
     import graft.sources.ManifestSource
     val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_docs_$tag")
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_$kind$tag")
     if (rootF.exists()) rootF.listFiles().foreach(_.delete())
     val root = rootF.getAbsolutePath
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -751,6 +728,42 @@ object StreamIngest {
       new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
         .foreach(f => graft.scale.Layout.setMtimeOrFail(f, 1000000L * g))
     }
+    (s"$stage/*", stage, docs)
+  }
+
+  /** q281 — THE CDC→INDEX LOOP CLOSED: a manifest store holds the
+    * documents corpus (doc payload riding the string column:
+    * ok = ship_us = doc_id, flag = text, qty = n_chars), a real DML
+    * chain runs against it —
+    *
+    *   gen 1  MERGE: every doc_id % 17 = 0 is REWRITTEN to the text
+    *          of doc (doc_id+1) % n (updates that move docs between
+    *          clusters), and every doc_id % 29 = 0 re-keys to
+    *          doc_id + 10⁶ as an INSERTED copy (new exact-dup pairs);
+    *   gen 2  keyed DELETE of every base doc_id % 13 = 0 (hits
+    *          planted pairs and updated docs — shrinks and splits
+    *          clusters);
+    *   gen 3  MERGE: previously-INSERTED docs (d % 58 = 0) rewritten
+    *          to the text of (d+3) % n — update-of-insert;
+    *
+    * — and each generation's change feed (computed from manifest
+    * file-set diffs alone, the q274 path) streams into
+    * [[ingestEventFeed]], which folds every insert / update / delete
+    * event into the maintained dup-cluster state with compaction
+    * firing mid-stream (compactEvery = 2). THE ORACLE NEVER SEES THE
+    * FEED: it replays the three DML generations relationally over
+    * documents and clusters the FINAL corpus from scratch with the
+    * identical pipeline — so the hash gate certifies emit → stream →
+    * fold end to end: `fold(bootstrap, feed) == scratch(final)`. A
+    * dropped event, a mis-ordered apply, a tombstone that failed to
+    * mask stale index rows, or a delete that failed to split a
+    * cluster all shift the assignment. This is the SURVEY §7 north
+    * star: at 100 TB the corpus store takes DML, the file-set-diff
+    * feed ships O(changed-files) events, and the derived index stays
+    * fresh at O(batch + touched state) per generation — no rebuild.
+    */
+  private def q281(spark: SparkSession, dir: String): DataFrame = {
+    val (glob, stage, docs) = stageDocChain(spark, dir, "docs_")
     // Bench-cost note (measured at sf0.1): ~16s, the suite's worst
     // query — 7 maintenance phases (bootstrap + 3×delete + 3×insert)
     // × ~2s of fixed per-phase job overhead (candidate joins, CC,
@@ -760,18 +773,18 @@ object StreamIngest {
     // is O(batch + touched) by construction. Compaction cadence is
     // NOT the cost (measured 2 vs 3: equal within noise) — keep k=2
     // so the registered run exercises two mid-stream compactions.
-    val run = ingestEventFeed(spark, s"$stage/*", docs,
+    val run = ingestEventFeed(spark, glob, docs,
       filesPerTrigger = 1, compactEvery = 2)
     scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(stage)))
     run.assign
   }
 
-  /** The q281 oracle corpus: the three DML generations replayed
-    * relationally (the feed never appears); [[scratchClusterSql]]
-    * then clusters this final corpus from scratch.
+  /** The document DML chain replayed relationally — the shared oracle
+    * corpus for every feed consumer (q281 clusters it, q288 scores
+    * BM25 over it); the feed itself never appears in any oracle.
     */
-  private val q281Sql = scratchClusterSql(
+  private[ext] val docChainCorpusSql =
     s"""WITH base AS (SELECT doc_id, text FROM documents),
        |  cnt AS (SELECT COUNT(*) AS n FROM base),
        |  upd AS (SELECT b.doc_id, d.text FROM base b, cnt, base d
@@ -788,9 +801,96 @@ object StreamIngest {
        |             AND (i.doc_id - $DocInsertOffset) % 58 = 0
        |             AND d.doc_id = (i.doc_id - $DocInsertOffset + 3) % cnt.n)
        |  SELECT g.doc_id, COALESCE(u2.text, g.text) AS text
-       |  FROM g2 g LEFT JOIN upd2 u2 ON u2.doc_id = g.doc_id""".stripMargin)
+       |  FROM g2 g LEFT JOIN upd2 u2 ON u2.doc_id = g.doc_id""".stripMargin
+
+  private val q281Sql = scratchClusterSql(docChainCorpusSql)
+
+  /** Fold the staged document change feed into maintained BM25 state
+    * — q288's engine, the ABELIAN sibling of [[ingestEventFeed]]
+    * (q273/q282's subtract/merge algebra driven by the stream): per
+    * feed generation, outgoing rows (deletes + update preimages —
+    * the preimage event CARRIES the old text, which is exactly what
+    * the subtract side must tokenize) subtract their contribution
+    * and incoming rows (inserts + update postimages) add theirs.
+    * Each generation costs two batch-sized tokenize passes plus
+    * vocabulary-bounded / 1-row updates; the postings/dl stacks
+    * (unions + tombstone anti-joins) fold into materialized frames
+    * every `compactEvery` generations — the same log-structured
+    * cadence as the cluster fold. Returns (readout, generations).
+    */
+  private[ext] def ingestBm25Feed(spark: SparkSession, stagedGlob: String,
+      bootstrap: DataFrame, filesPerTrigger: Int,
+      compactEvery: Int = 4): (DataFrame, Int) = {
+    import TextStats.{Bm25State, bm25FromState, bm25IndexState, mergeBm25, subtractBm25}
+    val ck = java.nio.file.Files.createTempDirectory("graft_q288_ck").toString
+    def matSt(s: Bm25State): Bm25State = Bm25State(
+      materialize(spark, s.postings), materialize(spark, s.dfS),
+      materialize(spark, s.dlS), materialize(spark, s.totals))
+    var st = matSt(bm25IndexState(bootstrap.select(col("doc_id"), col("text"))))
+    var nGens = 1
+    val sch = StructType(Seq(
+      StructField("gen", IntegerType), StructField("change_type", StringType),
+      StructField("ok", LongType), StructField("ship_us", LongType),
+      StructField("flag", StringType), StructField("qty", LongType),
+      StructField("price_cents", LongType)))
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(stagedGlob)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ev = batch.select(col("gen").as("fg"), col("change_type"),
+          col("ok").as("doc_id"), col("flag").as("text")).localCheckpoint()
+        val gens = ev.select(col("fg")).distinct()
+          .collect().map(_.getInt(0)).sorted // bounded: generations, not rows
+        gens.foreach { fg =>
+          val e = ev.filter(col("fg") === fg)
+          val out = e.filter(col("change_type").isin("delete", "update_preimage"))
+            .select(col("doc_id"), col("text"))
+          val inn = e.filter(col("change_type").isin("insert", "update_postimage"))
+            .select(col("doc_id"), col("text"))
+          val m = mergeBm25(subtractBm25(st, bm25IndexState(out)), bm25IndexState(inn))
+          nGens += 1
+          st =
+            if (nGens % compactEvery == 0) matSt(m) // fold the union/anti-join stacks
+            else Bm25State(m.postings, m.dfS.localCheckpoint(),
+              m.dlS, m.totals.localCheckpoint()) // bounded tables only
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val outDf = bm25FromState(st).localCheckpoint()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ck)))
+    (outDf, nGens)
+  }
+
+  /** q288 — THE CDC→INDEX LOOP, SECOND FAMILY: the SAME document
+    * store, DML chain, and file-set-diff feed as q281, consumed by
+    * the BM25 index instead of the cluster index — one change feed
+    * fanning out to every derived structure, which is precisely how
+    * a production pipeline amortizes CDC (emit once, maintain many).
+    * Where q281's fold needs tombstones and two-pass membership
+    * (labels are non-monotone), BM25's state is an abelian group, so
+    * the same events apply as pure subtract/add. ORACLE: the shared
+    * relational chain replay ([[docChainCorpusSql]]) scored by
+    * q108's from-scratch pipeline — hash-green means the streamed
+    * subtract/add fold lands exactly on the rebuilt index.
+    */
+  private def q288(spark: SparkSession, dir: String): DataFrame = {
+    val (glob, stage, docs) = stageDocChain(spark, dir, "bm25f_")
+    val (out, _) = ingestBm25Feed(spark, glob, docs,
+      filesPerTrigger = 1, compactEvery = 2)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(stage)))
+    out
+  }
+
+  private val q288Sql = TextStats.bm25ScratchSql(docChainCorpusSql)
 
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q263_stream_cluster_maintenance", q263, Some(q263Sql)),
-    QuerySpec("q281_cdc_index_maintenance", q281, Some(q281Sql)))
+    QuerySpec("q281_cdc_index_maintenance", q281, Some(q281Sql)),
+    QuerySpec("q288_cdc_bm25_maintenance", q288, Some(q288Sql)))
 }

@@ -1070,7 +1070,7 @@ object TextStats {
     * relationally and score the FINAL corpus with the identical
     * pipeline.
     */
-  private def bm25ScratchSql(corpusSql: String): String = {
+  private[ext] def bm25ScratchSql(corpusSql: String): String = {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
     s"""WITH corpus AS ($corpusSql),
        |dl AS (
@@ -1140,7 +1140,7 @@ object TextStats {
     * corpus side: at 100 TB yesterday's index contributes its
     * aggregated tables, not a tokenize pass.
     */
-  private def mergeBm25(a: Bm25State, b: Bm25State): Bm25State = Bm25State(
+  private[ext] def mergeBm25(a: Bm25State, b: Bm25State): Bm25State = Bm25State(
     a.postings.unionByName(b.postings),
     a.dfS.select(col("term"), col("df").as("da"))
       .join(b.dfS.select(col("term"), col("df").as("db")), Seq("term"), "full_outer")
