@@ -127,6 +127,43 @@ class ConcurrencySpec extends SparkSpec {
       .deleteDirectory(new java.io.File(root)))
   }
 
+  test("four truly parallel writers all land, retrying on classified conflicts") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = freshStore(40L)
+    try {
+      // the staged races above are deterministic; this drives REAL
+      // thread interleavings through the commit lock — each writer
+      // merges its own key range and retries when the optimistic
+      // commit classifies a genuine overlap (a bloom hit against a
+      // racer's fresh file, or a shared candidate rewrite); a retry
+      // re-reads the moved pointer, so it must terminate
+      val futures = (0 until 4).map { w =>
+        Future {
+          val rows = (1 to 5).map(i =>
+            (1000L + w * 100 + i, 60000L + w * 1000 + i, s"W$w", 1L, 1L))
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try { ManifestSource.merge(spark, root, rows); done = true }
+            catch {
+              case _: ManifestSource.CommitConflictException =>
+                attempts += 1
+                assert(attempts < 20, "conflict retry must converge")
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 180.seconds)
+      val got = snapshot(root)
+      assert(got.size == 40 + 20, s"all four writers' inserts must land: ${got.size}")
+      for (w <- 0 until 4; i <- 1 to 5)
+        assert(got.exists(_.head == 1000L + w * 100 + i), s"missing writer $w row $i")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
   test("compaction rebases over a concurrent append: both effects land") {
     import spark.implicits._
     val root = freshStore(40L)
