@@ -1645,6 +1645,104 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM kept GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q289 — MERGE-ON-READ DELETE (deletion vectors) on the manifest
+    * store, q277's copy-on-write verb with the rewrite DEFERRED
+    * ([[graft.sources.ManifestSource.deleteKeysMoR]]): two keyed
+    * delete batches (`ok % 131` then `ok % 173`) commit as
+    * METADATA-ONLY generations — each writes one equality-delete
+    * sidecar and attaches it to the bloom-candidate files via `#dv:`
+    * manifest lines; no data file is opened, so at 100 TB the delete
+    * commits in manifest time while q277 pays a file rewrite per
+    * candidate. Masks STACK (shared candidates carry both refs).
+    * Phase `mor` aggregates THROUGH the masks — the reader drops
+    * masked rows in-stream, and the scan builder refuses the
+    * stats-answered shortcut while any mask exists (physical stats
+    * are upper bounds). Then q267's MERGE runs against the masked
+    * store — its copy-on-write rewrites apply the masks of the files
+    * they touch physically, and an update key whose target row is
+    * masked falls through to the INSERT arm (upsert-over-deleted
+    * resurrects with the source row, the SQL MERGE contract over LIVE
+    * rows — the oracle pins exactly this at sf0.1 where `%97`
+    * intersects the delete sets) — and
+    * [[graft.sources.ManifestSource.rewriteDeletes]] materializes the
+    * remaining masks as table maintenance (zero-drop bloom false
+    * positives keep their file by reference and just clear refs).
+    * Phase `final` aggregates the materialized store; the query
+    * REQUIREs the mask set nonempty between the phases and empty
+    * after. The oracle replays the whole chain relationally, so the
+    * hash gate certifies scan-time masking, DV-aware MERGE, and
+    * materialization land exactly where copy-on-write would.
+    * MorDeleteSpec pins the file mechanics (no data file touched by
+    * the MoR commit, stacking, feed events, empty materialization
+    * feed, stats refusal/re-enable, vacuum keeping sidecars,
+    * concurrency classes).
+    */
+  private def q289(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_mor_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    def keysMod(m: Int): Seq[Long] = base.filter(col("ok") % m === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeysMoR(root, keysMod(131))
+    ManifestSource.deleteKeysMoR(root, keysMod(173))
+    val mMor = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mMor).nonEmpty,
+      "MoR deletes committed no deletion-vector masks")
+    val batch = mergeBatch97(base)
+    ManifestSource.merge(spark, root, batch)
+    ManifestSource.rewriteDeletes(spark, root)
+    val mFin = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mFin).isEmpty,
+      "rewriteDeletes left deletion-vector masks behind")
+    def aggAt(m: String, phase: String): DataFrame = spark.read
+      .format("graft-manifest").option("path", root).option("manifest", m).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .select(lit(phase).as("phase"), col("flag"), col("n_rows"),
+        col("revenue_cents"), col("qty_sum"), col("max_ok"))
+    aggAt(mMor, "mor").unionByName(aggAt(mFin, "final"))
+      .orderBy(col("phase"), col("flag"))
+  }
+
+  private val q289Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |kept AS (SELECT * FROM base WHERE ok % 131 <> 0 AND ok % 173 <> 0),
+      |mor AS (
+      |  SELECT 'mor' AS phase, flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |         CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |         CAST(MAX(ok) AS BIGINT) AS max_ok
+      |  FROM kept GROUP BY flag),
+      |merged AS (
+      |  -- an updated key survives even if MoR-deleted: MERGE over the
+      |  -- LIVE table re-inserts an unmatched source row (resurrection)
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 97 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  WHERE ok % 97 = 0 OR (ok % 131 <> 0 AND ok % 173 <> 0)
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0),
+      |fin AS (
+      |  SELECT 'final' AS phase, flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |         CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |         CAST(MAX(ok) AS BIGINT) AS max_ok
+      |  FROM merged GROUP BY flag)
+      |SELECT * FROM mor UNION ALL SELECT * FROM fin
+      |ORDER BY phase, flag""".stripMargin
+
   /** q283 — SCHEMA EVOLUTION on the manifest store: `ALTER TABLE ADD
     * COLUMN discount_cents BIGINT` as a METADATA-ONLY commit
     * ([[graft.sources.ManifestSource.addColumn]] — no data file is
@@ -1845,17 +1943,37 @@ object Layout {
   private[graft] def manifestChangeFeed(spark: SparkSession, root: String,
       fromManifest: String, toManifest: String): DataFrame = {
     import graft.sources.ManifestSource
-    val a = ManifestSource.readManifest(root, fromManifest).map(_.file).toSet
-    val b = ManifestSource.readManifest(root, toManifest).map(_.file).toSet
-    def load(files: Set[String]): DataFrame =
-      if (files.isEmpty)
+    // a file's LIVE-ROW identity is (bytes, deletion-vector stack): a
+    // merge-on-read delete changes live rows while the file set stands
+    // still, so the diff keys on (file, dv refs) — sidecar names are
+    // append-only, so ref-list equality ⇔ mask equality — and a side's
+    // changed files load with THEIR mask applied (bounded key sets,
+    // the MoR batch contract). A materialization generation
+    // (rewriteDeletes) changes refs AND bytes but no live row — its
+    // rows compare equal through the diff and emit nothing, same as
+    // compaction.
+    def sig(m: String): Map[String, Seq[String]] = {
+      val dv = ManifestSource.readDvMap(root, m)
+      ManifestSource.readManifest(root, m)
+        .map(e => e.file -> dv.getOrElse(e.file, Nil)).toMap
+    }
+    val a = sig(fromManifest)
+    val b = sig(toManifest)
+    def load(side: Map[String, Seq[String]], other: Map[String, Seq[String]]): DataFrame = {
+      val changed = side.filter { case (f, d) => !other.get(f).contains(d) }
+      if (changed.isEmpty)
         spark.range(0).select(col("id").as("ok"), col("id").as("ship_us"),
           lit("x").as("flag"), col("id").as("qty"), col("id").as("price_cents"))
-      else spark.read.schema(manifestRowSchema)
-        .csv(files.toSeq.sorted.map(f => new java.io.File(root, f).getAbsolutePath): _*)
-    val o = load(a -- b).select(col("ok"), col("ship_us").as("o_us"),
+      else changed.groupBy(_._2).toSeq.sortBy(_._2.keys.min).map { case (dvs, fs) =>
+        val df = spark.read.schema(manifestRowSchema)
+          .csv(fs.keys.toSeq.sorted.map(f => new java.io.File(root, f).getAbsolutePath): _*)
+        val keys = ManifestSource.readDvKeys(root, dvs)
+        if (keys.isEmpty) df else df.filter(!col("ok").isInCollection(keys))
+      }.reduce(_.unionByName(_))
+    }
+    val o = load(a, b).select(col("ok"), col("ship_us").as("o_us"),
       col("flag").as("o_fl"), col("qty").as("o_q"), col("price_cents").as("o_pc"))
-    val n = load(b -- a).select(col("ok").as("ok_n"), col("ship_us").as("n_us"),
+    val n = load(b, a).select(col("ok").as("ok_n"), col("ship_us").as("n_us"),
       col("flag").as("n_fl"), col("qty").as("n_q"), col("price_cents").as("n_pc"))
     val j = o.join(n, col("ok") === col("ok_n"), "full_outer")
       .localCheckpoint(false) // three classification branches below
@@ -2199,6 +2317,7 @@ object Layout {
     QuerySpec("q270_stream_cdc_merge_apply", q270, Some(q270Sql)),
     QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
+    QuerySpec("q289_mor_delete", q289, Some(q289Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
     QuerySpec("q287_write_audit_publish", q287, Some(q267Sql)),

@@ -189,6 +189,46 @@ object ManifestSource {
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** MERGE-ON-READ DELETION VECTORS — the deferred half of row-level
+    * DELETE. The copy-on-write verb ([[deleteKeys]]) pays the file
+    * rewrite at delete time; [[deleteKeysMoR]] instead records the
+    * deletion as metadata: ONE equality-delete sidecar (`part-dv…`,
+    * the key batch, one per line, written BLIND — no data file opens,
+    * so delete latency is independent of data size) attached to every
+    * bloom-candidate file through `#dv:` manifest lines. Readers load
+    * the bounded key set and MASK matching rows at scan time;
+    * [[rewriteDeletes]] later applies the masks physically as table
+    * maintenance — the Iceberg equality-delete / Delta deletion-vector
+    * split of commit latency from rewrite cost. Sidecars STACK (a
+    * second MoR delete on the same file appends a ref), and the
+    * mapping is per-snapshot metadata: a pinned pre-delete manifest
+    * has no `#dv:` lines and reads the original rows (time travel is
+    * still the audit trail).
+    *
+    * Line format: `#dv:<datafile>,<dv1>[,<dv2>…]` — a `#`-prefixed
+    * manifest line, so [[readManifest]]'s entry parse skips it and
+    * pre-DV readers of a DV-free store are byte-compatible.
+    */
+  def readDvMap(dir: String, manifest: String): Map[String, Seq[String]] = {
+    val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
+    try src.getLines().filter(_.startsWith("#dv:")).map { l =>
+      val a = l.stripPrefix("#dv:").split(",", -1)
+      a(0) -> a.drop(1).toSeq
+    }.toMap
+    finally src.close()
+  }
+
+  /** Union key set of a file's deletion-vector sidecars — bounded:
+    * each sidecar is one driver-held delete batch (the [[merge]]
+    * bounded-batch contract), so loading it per task / per rewrite is
+    * metadata-class IO, never data-class.
+    */
+  def readDvKeys(dir: String, dvFiles: Seq[String]): Set[Long] =
+    dvFiles.flatMap { f =>
+      val src = scala.io.Source.fromFile(new java.io.File(dir, f))
+      try src.getLines().map(_.trim.toLong).toList finally src.close()
+    }.toSet
+
   /** Serializes snapshot commits within this JVM — the local stand-in
     * for the storage primitive every lakehouse commit protocol leans
     * on (Delta: atomic put-if-absent of the next log file; Iceberg:
@@ -240,10 +280,13 @@ object ManifestSource {
   private[sources] def commitSnapshot(dir: String, base: String,
       removed: Set[String], added: Seq[FileEntry],
       conflictsWithAdded: FileEntry => Option[String],
-      schemaOverride: Option[Seq[String]] = None): String =
+      schemaOverride: Option[Seq[String]] = None,
+      dvAttach: Map[String, Seq[String]] = Map.empty,
+      dvClear: Set[String] = Set.empty): String =
     commitLock.synchronized {
       val current = resolveManifest(dir, None)
       val curEntries = readManifest(dir, current)
+      val curDv = readDvMap(dir, current)
       if (current != base) {
         val baseFiles = readManifest(dir, base).map(_.file).toSet
         val curFiles = curEntries.map(_.file).toSet
@@ -251,6 +294,27 @@ object ManifestSource {
         if (clash.nonEmpty) throw new CommitConflictException(
           s"concurrent rewrite of ${clash.toSeq.sorted.mkString(", ")} " +
             s"(base $base, current $current) — overlapping file sets cannot rebase")
+        // deletion vectors are part of a file's READ identity: an op
+        // that rewrote a file (removed) or physically applied /
+        // verified-empty its mask (dvClear) did that work against the
+        // BASE's live rows — a mask that moved underneath it would be
+        // silently resurrected by the rewrite or lost by the clear.
+        // A blind ATTACH ([[deleteKeysMoR]]) reads nothing, so two
+        // concurrent mask attaches on the same file COMMUTE (set
+        // union) and are deliberately NOT in this check.
+        val baseDv = readDvMap(dir, base)
+        (removed ++ dvClear).find(f =>
+          curDv.getOrElse(f, Nil) != baseDv.getOrElse(f, Nil))
+          .foreach(f => throw new CommitConflictException(
+            s"concurrent row-level delete on $f (base $base, current $current) — " +
+              "its deletion-vector set moved; the staged rewrite read stale live rows"))
+        // a mask can only attach to a file still in the snapshot: a
+        // concurrent rewrite of the target already carries different
+        // bytes the blind delete never probed
+        val gone = dvAttach.keySet -- curFiles
+        if (gone.nonEmpty) throw new CommitConflictException(
+          s"deletion-vector target ${gone.toSeq.sorted.mkString(", ")} was " +
+            s"rewritten concurrently (base $base, current $current)")
         curEntries.filterNot(e => baseFiles.contains(e.file))
           .flatMap(conflictsWithAdded(_)).headOption
           .foreach(r => throw new CommitConflictException(
@@ -275,18 +339,34 @@ object ManifestSource {
             s"prefix of the staged schema $o — positional extras stats would " +
             "mis-align; re-stage against the current snapshot")
       }
+      // DV carry: surviving files keep their CURRENT masks (a rebase
+      // over a concurrent MoR delete on an untouched file keeps it), a
+      // rewritten/dropped file's refs leave with it (the rewrite
+      // applied them — guarded by the dv-diff conflict above), a
+      // materialization clears, and new attachments APPEND (stacking)
+      val finalFiles = finalEntries.map(_.file).toSet
+      val dvCarried = (curDv -- dvClear).filter { case (f, _) => finalFiles.contains(f) }
+      val dvFinal = dvAttach.foldLeft(dvCarried) { case (m, (f, dvs)) =>
+        m.updated(f, m.getOrElse(f, Nil) ++ dvs)
+      }
       val name = s"manifest-gen${nextGeneration(dir)}.csv"
-      writeManifestFile(dir, name, cols, finalEntries)
+      writeManifestFile(dir, name, cols, finalEntries, dvFinal)
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
       name
     }
 
   private[sources] def writeManifestFile(dir: String, name: String,
-      cols: Seq[String], entries: Seq[FileEntry]): Unit = {
+      cols: Seq[String], entries: Seq[FileEntry],
+      dv: Map[String, Seq[String]] = Map.empty): Unit = {
     val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
     try {
+      // `#schema:` must stay the FIRST line ([[manifestSchema]] reads
+      // only line one); `#dv:` lines follow, then the file entries
       if (cols != BaseCols) mw.println("#schema:" + cols.mkString(","))
+      dv.toSeq.sortBy(_._1).foreach { case (f, dvs) =>
+        if (dvs.nonEmpty) mw.println("#dv:" + (f +: dvs).mkString(","))
+      }
       entries.foreach(e => mw.println(entryLine(e)))
     } finally mw.close()
   }
@@ -340,6 +420,14 @@ object ManifestSource {
     val entries = readManifest(dir, from).sortBy(e => (e.min, e.file))
     require(entries.forall(!_.file.startsWith("part-c")),
       s"refusing to compact a compacted snapshot ($from)")
+    // bin-pack concatenation copies lines and ADDS stats without
+    // parsing rows — a deletion-vector mask would be resurrected and
+    // its carried stats stale; materialize first (rewriteDeletes), or
+    // use compactSorted, which reads through the source (masks apply)
+    // and recomputes every stat
+    require(readDvMap(dir, from).isEmpty,
+      s"refusing to bin-pack a snapshot carrying deletion vectors ($from) — " +
+        "run rewriteDeletes or compactSorted instead")
     var cum = 0L
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
@@ -439,7 +527,10 @@ object ManifestSource {
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val upMap = updates.map(u => u._1 -> u).toMap
-    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep)
+    val dvm = readDvMap(dir, base)
+    val dvKeys = candidates.flatMap(e =>
+      dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
+    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep, dvKeys)
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry = writeInsertFile(dir, inserts, gen, ep)
@@ -451,7 +542,11 @@ object ManifestSource {
       // gen was resolved optimistically; re-resolve under the lock so
       // a commit that landed in between cannot share the name
       val name = s"manifest-gen${nextGeneration(dir)}.csv"
-      writeManifestFile(dir, name, manifestSchema(dir, base), stagedEntries)
+      // the branch carries the base's masks for files it did NOT
+      // rewrite (rewrites applied theirs physically)
+      val stagedFiles = stagedEntries.map(_.file).toSet
+      writeManifestFile(dir, name, manifestSchema(dir, base), stagedEntries,
+        dvm.filter { case (f, _) => stagedFiles.contains(f) })
       (name, base, inserts.size)
     }
   }
@@ -492,16 +587,24 @@ object ManifestSource {
   /** The executor-side copy-on-write rewrite shared by [[merge]] and
     * [[stageMerge]]: one task per candidate file, matched rows
     * replaced (extension fields carried), stats recomputed, bloom
-    * false positives discarding their copy. Returns
+    * false positives discarding their copy. A row masked by a
+    * deletion vector (`dvKeys`) is LOGICALLY ABSENT: it neither
+    * matches nor survives — the rewrite applies the mask physically
+    * (the commit drops the file's `#dv:` refs with it), and a merge
+    * key that only hits masked rows falls through to the INSERT arm
+    * (upsert-over-deleted resurrects with the source row, exactly the
+    * SQL MERGE contract over the live table). Returns
     * (original file, rewritten-or-original entry, matched keys).
     */
   private def rewriteForMerge(spark: org.apache.spark.sql.SparkSession,
       dir: String, candidates: Seq[FileEntry],
       upMap: Map[Long, (Long, Long, String, Long, Long)],
-      gen: Long, ep: Long): Array[(String, FileEntry, List[Long])] =
+      gen: Long, ep: Long,
+      dvKeys: Map[String, Set[Long]]): Array[(String, FileEntry, List[Long])] =
     spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
+        val masked = dvKeys.getOrElse(e.file, Set.empty)
         val out = s"part-m$gen-e$ep-${e.file.stripPrefix("part-")}"
         val outF = new java.io.File(dir, out)
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
@@ -514,19 +617,21 @@ object ManifestSource {
         try src.getLines().foreach { l =>
           val a = l.split(",", -1)
           val ok = a(0).toLong
-          val (row, us, q, pc) = upMap.get(ok) match {
-            case Some((_, uus, fl, uq, upc)) =>
-              matchedHere ::= ok
-              val tail = if (a.length > 5) "," + a.drop(5).mkString(",") else ""
-              (s"$ok,$uus,$fl,$uq,$upc$tail", uus, uq, upc)
-            case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
+          if (!masked.contains(ok)) {
+            val (row, us, q, pc) = upMap.get(ok) match {
+              case Some((_, uus, fl, uq, upc)) =>
+                matchedHere ::= ok
+                val tail = if (a.length > 5) "," + a.drop(5).mkString(",") else ""
+                (s"$ok,$uus,$fl,$uq,$upc$tail", uus, uq, upc)
+              case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
+            }
+            w.println(row); n += 1
+            if (us < mn) mn = us
+            if (us > mx) mx = us
+            qs += q; ps += pc
+            bloomInsert(bloom, ok)
+            ex.track(a)
           }
-          w.println(row); n += 1
-          if (us < mn) mn = us
-          if (us > mx) mx = us
-          qs += q; ps += pc
-          bloomInsert(bloom, ok)
-          ex.track(a)
         } finally { src.close(); w.close() }
         if (matchedHere.isEmpty) {
           // bloom false positive — keep the original file by reference
@@ -644,9 +749,13 @@ object ManifestSource {
     val ep = nextEpoch()
     val (below, rest) = entries.partition(_.max < cutoffUs)
     val (straddle, above) = rest.partition(_.min < cutoffUs)
+    val dvm = readDvMap(dir, current)
+    val dvKeysLocal = straddle.flatMap(e =>
+      dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
     val rewritten = spark.sparkContext
       .parallelize(straddle, straddle.size.max(1))
       .map { e =>
+        val masked = dvKeysLocal.getOrElse(e.file, Set.empty)
         val out = s"part-d$ep-${e.file.stripPrefix("part-")}"
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
@@ -657,7 +766,9 @@ object ManifestSource {
         try src.getLines().foreach { l =>
           val a = l.split(",", -1)
           val us = a(1).toLong
-          if (us >= cutoffUs) {
+          // masked rows are already deleted; the straddle rewrite
+          // applies the mask physically alongside the range purge
+          if (us >= cutoffUs && !masked.contains(a(0).toLong)) {
             w.println(l); n += 1
             if (us < mn) mn = us
             if (us > mx) mx = us
@@ -727,7 +838,10 @@ object ManifestSource {
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val upMap = updates.map(u => u._1 -> u).toMap
-    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep)
+    val dvm = readDvMap(dir, current)
+    val dvKeys = candidates.flatMap(e =>
+      dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
+    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep, dvKeys)
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry = writeInsertFile(dir, inserts, gen, ep)
@@ -769,9 +883,13 @@ object ManifestSource {
       e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
+    val dvm = readDvMap(dir, current)
+    val dvKeysLocal = candidates.flatMap(e =>
+      dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
     val rewritten = spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
+        val masked = dvKeysLocal.getOrElse(e.file, Set.empty)
         val out = s"part-k$gen-e$ep-${e.file.stripPrefix("part-")}"
         val outF = new java.io.File(dir, out)
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
@@ -783,7 +901,12 @@ object ManifestSource {
         try src.getLines().foreach { l =>
           val a = l.split(",", -1)
           val ok = a(0).toLong
-          if (keySet.contains(ok)) dropped += 1
+          // a deletion-vector-masked row is ALREADY deleted: it
+          // neither counts as dropped-by-this-delete nor survives —
+          // the rewrite applies the mask physically (the commit drops
+          // the file's refs with the removed original)
+          if (masked.contains(ok)) ()
+          else if (keySet.contains(ok)) dropped += 1
           else {
             w.println(l); n += 1
             val us = a(1).toLong
@@ -819,6 +942,133 @@ object ManifestSource {
     (nRewritten, entries.size - nRewritten, rewritten.map(_._3).sum, name)
   }
 
+  /** MERGE-ON-READ KEYED DELETE — `DELETE WHERE ok IN (keys)` as a
+    * METADATA-ONLY commit: no data file opens (note the signature —
+    * no SparkSession; nothing distributes because nothing is read).
+    * The key batch writes ONE equality-delete sidecar and attaches it
+    * (`#dv:` lines) to every file whose `ok` bloom might contain any
+    * key — the same candidate set the copy-on-write verb would
+    * rewrite, here just annotated. Readers mask matching rows at scan
+    * time; [[rewriteDeletes]] materializes later. This is the
+    * Iceberg equality-delete / Delta deletion-vector trade: delete
+    * commit latency independent of data size, read-side work bounded
+    * by the mask (each sidecar is one bounded driver-held batch), and
+    * the rewrite cost moved to table maintenance. A bloom FALSE
+    * POSITIVE gets a harmless mask (no row matches; rewriteDeletes
+    * later discovers zero drops and keeps the file by reference).
+    * Attaching the SAME sidecar to many files is sound because the
+    * mask is key-equality: a key absent from a file masks nothing.
+    *
+    * Concurrency: a concurrent append whose bloom might contain our
+    * keys conflicts (it could carry a row this delete should mask —
+    * the [[deleteKeys]] rule); a concurrent rewrite of an attach
+    * target conflicts (its bytes were never probed); two MoR deletes
+    * COMMUTE (masks union, [[commitSnapshot]]'s attach rule). Stats
+    * note: per-file rows/sums stay PHYSICAL — the scan builder
+    * refuses stats-answered aggregates while any mask exists, and
+    * zone-map/bloom pruning stays sound (masks only remove rows).
+    * Returns (files masked, files total, sidecar, manifest).
+    */
+  def deleteKeysMoR(dir: String, keys: Seq[Long],
+      base: Option[String] = None): (Int, Int, Option[String], String) = {
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val keySet = keys.toSet
+    val candidates = entries.filter(e =>
+      e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+    val dvFile =
+      if (candidates.isEmpty) None // provably no row matches: empty-change commit
+      else {
+        val name = s"part-dv${nextGeneration(dir)}-e${nextEpoch()}.csv"
+        val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+        try keys.sorted.foreach(w.println) finally w.close()
+        Some(name)
+      }
+    val manifest = commitSnapshot(dir, current, Set.empty, Nil,
+      e =>
+        if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+          Some(s"${e.file} may contain delete keys")
+        else None,
+      dvAttach = dvFile
+        .map(d => candidates.map(_.file -> Seq(d)).toMap)
+        .getOrElse(Map.empty))
+    (candidates.size, entries.size, dvFile, manifest)
+  }
+
+  /** DELETION-VECTOR MATERIALIZATION — the table-maintenance verb
+    * that pays the rewrite [[deleteKeysMoR]] deferred (Iceberg's
+    * rewrite-deletes action / Delta's PURGE). Every file carrying a
+    * `#dv:` mask rewrites executor-side dropping masked rows (zone
+    * map, bloom, sums, extras recomputed); a mask that was all bloom
+    * false positives (zero rows dropped) keeps the original file by
+    * reference and just CLEARS its refs; a fully-masked file leaves
+    * the manifest. Unmasked files are untouched metadata. Live rows
+    * are unchanged by construction, so the change feed across a
+    * materialization generation is EMPTY (the compaction invariant),
+    * concurrent appends never conflict and rebase, and a concurrent
+    * rewrite or new mask on a target aborts cleanly (the
+    * [[commitSnapshot]] dv-diff rule). Afterwards the store's stats
+    * are exact again: stats-answered aggregate pushdown re-enables.
+    * Returns (files rewritten, masks cleared in place, rows dropped,
+    * manifest).
+    */
+  def rewriteDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Long, String) = {
+    val current = resolveManifest(dir, None)
+    val entries = readManifest(dir, current)
+    val dvm = readDvMap(dir, current)
+    val targets = entries.filter(e => dvm.contains(e.file))
+    val dvKeysLocal = targets.map(e => e.file -> readDvKeys(dir, dvm(e.file))).toMap
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val rewritten = spark.sparkContext
+      .parallelize(targets, targets.size.max(1))
+      .map { e =>
+        val masked = dvKeysLocal(e.file)
+        val out = s"part-r$gen-e$ep-${e.file.stripPrefix("part-")}"
+        val outF = new java.io.File(dir, out)
+        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
+        val w = new java.io.PrintWriter(outF, "UTF-8")
+        var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        var qs = 0L; var ps = 0L; var dropped = 0L
+        val bloom = new Array[Long](BloomWords)
+        val ex = new ExtrasTracker
+        try src.getLines().foreach { l =>
+          val a = l.split(",", -1)
+          val ok = a(0).toLong
+          if (masked.contains(ok)) dropped += 1
+          else {
+            w.println(l); n += 1
+            val us = a(1).toLong
+            if (us < mn) mn = us
+            if (us > mx) mx = us
+            qs += a(3).toLong; ps += a(4).toLong
+            bloomInsert(bloom, ok)
+            ex.track(a)
+          }
+        } finally { src.close(); w.close() }
+        if (dropped == 0) {
+          // the mask was all bloom false positives for THIS file —
+          // keep the original by reference, clear the refs
+          outF.delete()
+          (e.file, None: Option[FileEntry], 0L)
+        } else if (n == 0) {
+          // fully masked — the file leaves the manifest
+          outF.delete()
+          (e.file, None: Option[FileEntry], dropped)
+        } else (e.file,
+          Some(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result)),
+          dropped)
+      }.collect()
+    val touched = rewritten.filter(_._3 > 0)
+    val cleared = rewritten.filter(_._3 == 0)
+    val name = commitSnapshot(dir, current, touched.map(_._1).toSet,
+      touched.flatMap(_._2).toSeq,
+      _ => None, // live rows unchanged: appends never conflict
+      dvClear = cleared.map(_._1).toSet)
+    (touched.length, cleared.length, rewritten.map(_._3).sum, name)
+  }
+
   /** VACUUM — the out-of-band garbage collection every other
     * lifecycle op defers to (append/compact/retention all write NEW
     * files and leave the old snapshot readable for time travel; the
@@ -852,7 +1102,10 @@ object ManifestSource {
     // in `keep`, exactly Iceberg's retained-ref rule; vacuum with no
     // keep IS the branch-abort verb (WapSpec pins it).
     val keepSet = (keep :+ resolveManifest(dir, None)).distinct
-    val referenced = keepSet.flatMap(m => readManifest(dir, m).map(_.file)).toSet
+    // deletion-vector sidecars are referenced state like data files:
+    // a kept manifest's masks must survive (its reads depend on them)
+    val referenced = keepSet.flatMap(m =>
+      readManifest(dir, m).map(_.file) ++ readDvMap(dir, m).values.flatten).toSet
     val d = new java.io.File(dir)
     val all = Option(d.listFiles()).getOrElse(Array.empty).map(_.getName)
     val GenName = """manifest-gen\d+\.csv""".r
@@ -1040,11 +1293,20 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
         if (new java.io.File(dir, current).exists())
           ManifestSource.manifestSchema(dir, current)
         else cols
+      // an append changes no existing file, so the current snapshot's
+      // deletion-vector lines carry forward verbatim
+      val curDv =
+        if (new java.io.File(dir, current).exists())
+          ManifestSource.readDvMap(dir, current)
+        else Map.empty[String, Seq[String]]
       val name = s"manifest-gen${ManifestSource.nextGeneration(dir)}.csv"
       val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
       try {
         if (curCols != ManifestSource.BaseCols)
           mw.println("#schema:" + curCols.mkString(","))
+        curDv.toSeq.sortBy(_._1).foreach { case (f, dvs) =>
+          if (dvs.nonEmpty) mw.println("#dv:" + (f +: dvs).mkString(","))
+        }
         existing.foreach(e => mw.println(ManifestSource.entryLine(e)))
         entries.foreach(m => mw.println(line(m)))
       } finally mw.close()
@@ -1143,6 +1405,7 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Option[Seq[String]] = None
   private val extraCols = cols.drop(ManifestSource.BaseCols.size)
+  private val dvMap = ManifestSource.readDvMap(dir, manifest)
 
   /** The THIRD pushdown surface (next to filters and columns):
     * global COUNT(*) / MIN(ship_us) / MAX(ship_us) / SUM(qty) /
@@ -1172,7 +1435,12 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
         case _ => None
       }
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
+    // per-file rows/sums are PHYSICAL counts: an unmaterialized
+    // deletion-vector mask makes every stat an upper bound, so the
+    // stats-answered path refuses and the scan reads (and masks) rows
+    // until rewriteDeletes restores exactness
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || dvMap.nonEmpty)
+      return false
     val toks = agg.aggregateExpressions.map {
       case _: CountStar => Some("count")
       case m: Min if named(m.column).contains("ship_us") => Some("min")
@@ -1219,7 +1487,7 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new ManifestStatsScan(dir, manifest, aggs)
-    case None => new ManifestScan(dir, manifest, required, pushed, cols)
+    case None => new ManifestScan(dir, manifest, required, pushed, cols, dvMap)
   }
 }
 
@@ -1291,7 +1559,8 @@ object ManifestScan {
 }
 
 final class ManifestScan(dir: String, manifest: String, required: StructType,
-    pushed: Array[Filter], cols: Seq[String]) extends Scan with Batch {
+    pushed: Array[Filter], cols: Seq[String],
+    dvMap: Map[String, Seq[String]] = Map.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1316,7 +1585,12 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
       }
     }
     ManifestScan.lastPlanned = (surviving.length, entries.length)
-    surviving.map(e => ManifestInputPartition(new java.io.File(dir, e.file).getPath)
+    // zone-map + bloom pruning stay SOUND under deletion vectors
+    // (masks only remove rows); a pruned-in file ships its dv paths so
+    // the reader masks at scan time
+    surviving.map(e => ManifestInputPartition(
+      new java.io.File(dir, e.file).getPath,
+      dvMap.getOrElse(e.file, Nil).map(d => new java.io.File(dir, d).getPath))
       : InputPartition).toArray
   }
 
@@ -1324,26 +1598,37 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
     new ManifestReaderFactory(required.fieldNames, cols)
 }
 
-final case class ManifestInputPartition(path: String) extends InputPartition
+final case class ManifestInputPartition(path: String,
+    dvPaths: Seq[String] = Nil) extends InputPartition
 
 final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ManifestPartitionReader(p.asInstanceOf[ManifestInputPartition].path,
-      fields, cols)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[ManifestInputPartition]
+    new ManifestPartitionReader(mp.path, mp.dvPaths, fields, cols)
+  }
 }
 
 /** Line reader: integer CSV `ok,ship_us,flag,qty,price_cents[,extras…]`,
   * projecting only the required fields. Field positions come from the
   * GENERATION's schema; a line shorter than the schema (a file written
   * before an [[ManifestSource.addColumn]] evolution) or an empty field
-  * surfaces NULL — the mergeSchema contract at the manifest level.
+  * surfaces NULL — the mergeSchema contract at the manifest level. A
+  * row whose key is in the partition's deletion-vector mask
+  * ([[ManifestSource.deleteKeysMoR]]) is skipped — merge-on-read: the
+  * mask is a bounded key set loaded once per task, applied in-stream.
   */
-final class ManifestPartitionReader(path: String, fields: Array[String],
-    cols: Seq[String]) extends PartitionReader[InternalRow] {
+final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
+    fields: Array[String], cols: Seq[String]) extends PartitionReader[InternalRow] {
   private val src = scala.io.Source.fromFile(path)
   private val it = src.getLines()
   private var row: InternalRow = _
+
+  private val masked: Set[Long] =
+    dvPaths.flatMap { p =>
+      val s = scala.io.Source.fromFile(p)
+      try s.getLines().map(_.trim.toLong).toList finally s.close()
+    }.toSet
 
   private val idx = fields.map { f =>
     val i = cols.indexOf(f)
@@ -1351,17 +1636,20 @@ final class ManifestPartitionReader(path: String, fields: Array[String],
     i
   }
 
-  override def next(): Boolean =
-    if (!it.hasNext) false
-    else {
+  override def next(): Boolean = {
+    while (it.hasNext) {
       val a = it.next().split(",", -1)
-      row = InternalRow.fromSeq(idx.toSeq.map { i =>
-        if (i == 2) UTF8String.fromString(a(2))
-        else if (i >= a.length || a(i).isEmpty) null
-        else a(i).toLong
-      })
-      true
+      if (masked.isEmpty || !masked.contains(a(0).toLong)) {
+        row = InternalRow.fromSeq(idx.toSeq.map { i =>
+          if (i == 2) UTF8String.fromString(a(2))
+          else if (i >= a.length || a(i).isEmpty) null
+          else a(i).toLong
+        })
+        return true
+      }
     }
+    false
+  }
 
   override def get(): InternalRow = row
   override def close(): Unit = src.close()
