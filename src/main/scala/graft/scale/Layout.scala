@@ -1743,6 +1743,74 @@ object Layout {
       |SELECT * FROM mor UNION ALL SELECT * FROM fin
       |ORDER BY phase, flag""".stripMargin
 
+  /** q290 — RESTORE (rollback to a pinned version) on the manifest
+    * store ([[graft.sources.ManifestSource.restore]]): q267's MERGE
+    * lands, then a keyed DELETE (`ok % 131`, q277's batch) — the
+    * "bad write" — and restore rolls the table back to the post-merge
+    * snapshot as a FORWARD, metadata-only commit: a new generation
+    * listing the target's entries by reference, nothing rewritten,
+    * the deleted generation still pinnable (the audit trail of the
+    * mistake survives until vacuum). The readout is the CHANGE FEED
+    * across the restore generation, which must be exactly the INVERSE
+    * of the bad write — one `insert` event re-adding each deleted
+    * row with its post-merge image (update flags and doubled prices
+    * where `%97` overlaps). The oracle computes those rows
+    * relationally (merged state, delete keys, original-key range), so
+    * the hash gate certifies restore lands row-exactly on the pinned
+    * snapshot AND that the feed sees a rollback as forward inverse
+    * events — the Delta RESTORE + CDF composition. RestoreSpec pins
+    * the rest: content identity with the pin, forward history (the
+    * undone generation stays readable), restore of a masked (DV)
+    * snapshot re-applies masks, schema rewind, vacuum interplay, and
+    * the feed replay property.
+    */
+  private def q290(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_rst_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val batch = mergeBatch97(base)
+    val (_, _, _, m1) = ManifestSource.merge(spark, root, batch)
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    val (_, _, _, m2) = ManifestSource.deleteKeys(spark, root, keys)
+    val m3 = ManifestSource.restore(root, m1)
+    // the rolled-back snapshot must equal the pin row-for-row; the
+    // readout's hash gate proves it through the feed, this proves it
+    // through the read path (both metadata-only)
+    require(ManifestSource.resolveManifest(root, None) == m3,
+      "restore did not become the current snapshot")
+    manifestChangeFeed(spark, root, m2, m3)
+      .select(col("change_type"), col("ok"), col("ship_us"),
+        col("flag"), col("qty"), col("price_cents"))
+      .orderBy(col("change_type"), col("ok"))
+  }
+
+  private val q290Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 97 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0),
+      |-- the restore generation's feed = the inverse of the keyed
+      |-- delete: each deleted row re-inserts with its post-merge image
+      |-- (insert re-keys >= 10M were never deleted: original keys only)
+      |rolled AS (SELECT * FROM merged WHERE ok % 131 = 0 AND ok < 10000000)
+      |SELECT 'insert' AS change_type, ok, ship_us, flag, qty, price_cents
+      |FROM rolled ORDER BY change_type, ok""".stripMargin
+
   /** q283 — SCHEMA EVOLUTION on the manifest store: `ALTER TABLE ADD
     * COLUMN discount_cents BIGINT` as a METADATA-ONLY commit
     * ([[graft.sources.ManifestSource.addColumn]] — no data file is
@@ -2318,6 +2386,7 @@ object Layout {
     QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
     QuerySpec("q289_mor_delete", q289, Some(q289Sql)),
+    QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
     QuerySpec("q287_write_audit_publish", q287, Some(q267Sql)),

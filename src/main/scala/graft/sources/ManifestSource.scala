@@ -1069,6 +1069,43 @@ object ManifestSource {
     (touched.length, cleared.length, rewritten.map(_._3).sum, name)
   }
 
+  /** RESTORE — roll the table back to a pinned snapshot as a FORWARD
+    * commit (Delta RESTORE / Iceberg rollback): a new generation whose
+    * entries, schema header, and deletion-vector lines are the
+    * TARGET's, every data file by reference — metadata-only, nothing
+    * rewritten. Because restore moves forward, the undone generations
+    * stay pinnable (the mis-write being rolled back remains auditable
+    * until [[vacuum]]), and the change feed across the restore
+    * generation emits exactly the INVERSE of the net changes being
+    * undone — a delete rolls back as inserts, an update as the
+    * reverse update (RestoreSpec pins the replay property). The whole
+    * verb runs under the commit lock: it reads no data, so unlike the
+    * optimistic rewriting verbs there is no work window for a race —
+    * restore never conflicts, it simply becomes the next snapshot
+    * (concurrent committers serialize before or after it, exactly the
+    * Delta semantics). Restoring across a schema evolution reinstates
+    * the TARGET's schema (entries and header travel together, so
+    * positional extras stats stay aligned); a later append must match
+    * the restored shape. Fails loudly if the target generation or any
+    * file it references was vacuumed. Returns the committed manifest.
+    */
+  def restore(dir: String, toManifest: String): String = commitLock.synchronized {
+    require(new java.io.File(dir, toManifest).exists(),
+      s"restore target $toManifest does not exist (vacuumed?)")
+    val entries = readManifest(dir, toManifest)
+    val dv = readDvMap(dir, toManifest)
+    val missing = (entries.map(_.file) ++ dv.values.flatten)
+      .filterNot(f => new java.io.File(dir, f).exists())
+    require(missing.isEmpty,
+      s"restore target $toManifest references vacuumed files: " +
+        missing.sorted.mkString(", "))
+    val name = s"manifest-gen${nextGeneration(dir)}.csv"
+    writeManifestFile(dir, name, manifestSchema(dir, toManifest), entries, dv)
+    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
+    try vw.println(name) finally vw.close()
+    name
+  }
+
   /** VACUUM — the out-of-band garbage collection every other
     * lifecycle op defers to (append/compact/retention all write NEW
     * files and leave the old snapshot readable for time travel; the
