@@ -1811,6 +1811,50 @@ object Layout {
       |SELECT 'insert' AS change_type, ok, ship_us, flag, qty, price_cents
       |FROM rolled ORDER BY change_type, ok""".stripMargin
 
+  /** q291 — NAMED REFS (Iceberg tags) on the manifest store
+    * ([[graft.sources.ManifestSource.setRef]]): q267's MERGE lands
+    * and the snapshot is TAGGED `approved`; destructive history then
+    * piles on top (q277's keyed delete, a retention purge), and
+    * vacuum runs with NO keep list — the tag alone must protect the
+    * approved generation and every file it references (vacuum keeps
+    * refs automatically, the declarative retained-ref rule that
+    * replaces the WAP keep-list footgun). The readout aggregates the
+    * table THROUGH the ref pin (`manifest = ref:approved`) AFTER the
+    * vacuum, and THE ORACLE IS q267's relational merge replay — so
+    * the hash gate certifies the tag still reads the exact approved
+    * snapshot while the trunk has deleted a third of its rows. This
+    * is the reproducibility primitive a training pipeline needs: "the
+    * snapshot run 7 trained on" survives table maintenance by name,
+    * not by operator discipline. RefsSpec pins the mechanics (update,
+    * drop-then-collect, branch-protects-WAP-audit, loud resolution
+    * failures).
+    */
+  private def q291(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_ref_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val batch = mergeBatch97(base)
+    val (_, _, _, m1) = ManifestSource.merge(spark, root, batch)
+    ManifestSource.setRef(root, "approved", m1)
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeys(spark, root, keys)
+    ManifestSource.deleteBelow(spark, root, Q274CutoffUs)
+    // no keep list: the tag alone must hold the approved snapshot
+    ManifestSource.vacuum(root)
+    spark.read.format("graft-manifest").option("path", root)
+      .option("manifest", "ref:approved").load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
   /** q283 — SCHEMA EVOLUTION on the manifest store: `ALTER TABLE ADD
     * COLUMN discount_cents BIGINT` as a METADATA-ONLY commit
     * ([[graft.sources.ManifestSource.addColumn]] — no data file is
@@ -2387,6 +2431,7 @@ object Layout {
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
     QuerySpec("q289_mor_delete", q289, Some(q289Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
+    QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
     QuerySpec("q287_write_audit_publish", q287, Some(q267Sql)),

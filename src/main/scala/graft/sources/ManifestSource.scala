@@ -168,19 +168,63 @@ object ManifestSource {
       extras: Seq[Option[Long]] = Nil)
 
   /** Snapshot resolution: an explicit `manifest` option pins a
-    * version (time travel); otherwise the VERSION pointer file names
+    * version (time travel) — or, with a `ref:` prefix, resolves a
+    * NAMED REF ([[setRef]]); otherwise the VERSION pointer file names
     * the current manifest (atomic swap = snapshot isolation — the
     * Iceberg/Delta commit protocol in one file); otherwise the
     * original manifest.csv.
     */
   def resolveManifest(dir: String, pinned: Option[String]): String =
-    pinned.getOrElse {
-      val vf = new java.io.File(dir, "VERSION")
-      if (vf.exists()) {
-        val src = scala.io.Source.fromFile(vf)
-        try src.getLines().next().trim finally src.close()
-      } else "manifest.csv"
+    pinned match {
+      case Some(p) if p.startsWith("ref:") =>
+        val name = p.stripPrefix("ref:")
+        listRefs(dir).getOrElse(name,
+          throw new IllegalArgumentException(
+            s"named ref '$name' does not exist in $dir"))
+      case Some(p) => p
+      case None =>
+        val vf = new java.io.File(dir, "VERSION")
+        if (vf.exists()) {
+          val src = scala.io.Source.fromFile(vf)
+          try src.getLines().next().trim finally src.close()
+        } else "manifest.csv"
     }
+
+  /** NAMED REFS — Iceberg tags/branches as first-class pointers: a
+    * `ref-<name>` file naming a manifest generation. A TAG pins an
+    * immutable audit point ("the snapshot we trained run 7 on"); a
+    * BRANCH names a moving head (the write–audit–publish staged
+    * generation, so an in-audit branch no longer depends on every
+    * vacuum caller remembering a `keep` list). [[vacuum]] keeps every
+    * ref'd generation AND its files automatically — retention becomes
+    * declarative: `dropRef` then vacuum collects. Readers address a
+    * ref through the existing pin: `.option("manifest", "ref:name")`.
+    * Writes serialize under the commit lock (atomic vs a racing
+    * vacuum's referenced-set computation).
+    */
+  def setRef(dir: String, name: String, manifest: String): Unit =
+    commitLock.synchronized {
+      require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"invalid ref name: $name")
+      require(new java.io.File(dir, manifest).exists(),
+        s"ref target $manifest does not exist")
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"ref-$name"), "UTF-8")
+      try w.println(manifest) finally w.close()
+    }
+
+  def dropRef(dir: String, name: String): Unit = commitLock.synchronized {
+    new java.io.File(dir, s"ref-$name").delete(): Unit
+  }
+
+  def listRefs(dir: String): Map[String, String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("ref-"))
+      .map { f =>
+        val src = scala.io.Source.fromFile(f)
+        try f.getName.stripPrefix("ref-") -> src.getLines().next().trim
+        finally src.close()
+      }.toMap
 
   /** Thrown when an optimistic commit loses a race it cannot rebase
     * over (see [[commitSnapshot]]); the store is left exactly as the
@@ -510,9 +554,10 @@ object ManifestSource {
     * rows inserted). The staged manifest takes a real generation
     * number (under the commit lock), so concurrent committers can
     * never collide with its name. NOTE a staged branch is an
-    * unreferenced generation by design: a [[vacuum]] run during the
-    * audit window must list it in `keep` (Iceberg's retained-ref
-    * rule) — vacuum without it IS the abort verb.
+    * unreferenced generation by design: protect it through the audit
+    * window with a NAMED REF ([[setRef]] — vacuum keeps refs
+    * automatically) or by listing it in vacuum's `keep` (Iceberg's
+    * retained-ref rule) — vacuum with neither IS the abort verb.
     */
   def stageMerge(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: Seq[(Long, Long, String, Long, Long)]): (String, String, Int) = {
@@ -1134,11 +1179,15 @@ object ManifestSource {
     // atomic w.r.t. every commit (otherwise a publish landing between
     // the two would leave the NEW current snapshot pointing at files
     // this sweep just computed as dead). A LIVE STAGED BRANCH
-    // ([[stageMerge]]) is by design an unreferenced generation — an
-    // operator running vacuum while a branch is in audit must pass it
-    // in `keep`, exactly Iceberg's retained-ref rule; vacuum with no
-    // keep IS the branch-abort verb (WapSpec pins it).
-    val keepSet = (keep :+ resolveManifest(dir, None)).distinct
+    // ([[stageMerge]]) is by design an unreferenced generation — give
+    // it a named ref ([[setRef]], kept automatically below) or pass
+    // it in `keep`, exactly Iceberg's retained-ref rule; vacuum with
+    // neither IS the branch-abort verb (WapSpec pins it).
+    // named refs ([[setRef]]) are kept AUTOMATICALLY — tags and
+    // in-audit branches survive without every vacuum caller carrying
+    // a keep list (the Iceberg retained-ref rule, now declarative)
+    val keepSet =
+      (keep ++ listRefs(dir).values :+ resolveManifest(dir, None)).distinct
     // deletion-vector sidecars are referenced state like data files:
     // a kept manifest's masks must survive (its reads depend on them)
     val referenced = keepSet.flatMap(m =>
