@@ -253,7 +253,7 @@ object Dedup {
   }
 
   /** Width of the SQL-mirrored reduced MinHash signature (q46b). */
-  private val SqlMinHashK = 8
+  private[ext] val SqlMinHashK = 8
 
   /** q46b — reduced-width MinHash signature, ORACLE-CHECKED: the
     * rows-only q46/q53 sketches rest on Spark-internal murmur3, which

@@ -665,11 +665,17 @@ object StreamIngest {
   private val DocInsertOffset = 1000000L
 
   /** The shared document-store DML chain + staged feed behind q281
-    * (clusters) and q288 (BM25): build the manifest store carrying
-    * the documents corpus, run the three DML generations, compute
-    * each generation's file-set-diff change feed, and stage it as
-    * ordered parquet. Returns (staged feed glob, staging dir to
-    * clean, bootstrap docs).
+    * (clusters), q288 (BM25), and q292 (MinHash): build the manifest
+    * store carrying the documents corpus, run the three DML
+    * generations, compute each generation's file-set-diff change
+    * feed, and stage it as ordered parquet. The doc's SOURCE rides
+    * the store's spare integer column as a 60-bit md5 id
+    * (`price_cents = sid`) — a document's source is part of its row,
+    * so feed events carry it and a per-source consumer (q292) never
+    * has to guess group membership; updates keep the doc's own sid
+    * and re-keyed inserts carry their origin's (the q286 convention).
+    * Returns (staged feed glob, staging dir to clean, bootstrap docs
+    * with `doc_id, text, source, sid`).
     */
   private[ext] def stageDocChain(spark: SparkSession, dir: String,
       kind: String): (String, String, DataFrame) = {
@@ -678,7 +684,10 @@ object StreamIngest {
     val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_$kind$tag")
     if (rootF.exists()) rootF.listFiles().foreach(_.delete())
     val root = rootF.getAbsolutePath
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sidCol = conv(substring(md5(to_binary(col("source"), lit("utf-8"))), 1, 15),
+      16, 10).cast("long")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"), sidCol.as("sid"))
       .localCheckpoint(false)
     // the encoding rides text in the manifest's CSV string column —
     // guard the delimiter loudly rather than corrupting rows
@@ -687,24 +696,30 @@ object StreamIngest {
     val n = docs.count()
     require(n < DocInsertOffset,
       s"insert re-key offset $DocInsertOffset collides with doc_ids (n=$n)")
+    // sid must be injective over the corpus's sources (md5-60bit — a
+    // collision would silently merge two signature groups)
+    require(docs.select(col("source")).distinct().count() ==
+      docs.select(col("sid")).distinct().count(),
+      "source-id hash collision — widen the sid derivation")
     docs.select(col("doc_id").as("ok"), col("doc_id").as("ship_us"),
         col("text").as("flag"), length(col("text")).cast("long").as("qty"),
-        lit(0L).as("price_cents"))
+        col("sid").as("price_cents"))
       .repartitionByRange(8, col("ship_us"))
       .write.format("graft-manifest").option("path", root).mode("overwrite").save()
     val m0 = ManifestSource.resolveManifest(root, None)
-    def asRow(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column) =
+    def asRow(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
+        sid: org.apache.spark.sql.Column) =
       Seq(id.as("ok"), id.as("ship_us"), text.as("flag"),
-        length(text).cast("long").as("qty"), lit(0L).as("price_cents"))
+        length(text).cast("long").as("qty"), sid.as("price_cents"))
     def collectBatch(df: DataFrame): Seq[(Long, Long, String, Long, Long)] =
       df.collect().toSeq.map(r => // bounded DML batches (the q267 contract)
         (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
     val donor = docs.select(col("doc_id").as("d_id"), col("text").as("d_text"))
     val upd1 = docs.filter(col("doc_id") % 17 === 0)
       .join(donor, (col("doc_id") + 1) % n === col("d_id"))
-      .select(asRow(col("doc_id"), col("d_text")): _*)
+      .select(asRow(col("doc_id"), col("d_text"), col("sid")): _*)
     val ins1 = docs.filter(col("doc_id") % 29 === 0)
-      .select(asRow(col("doc_id") + DocInsertOffset, col("text")): _*)
+      .select(asRow(col("doc_id") + DocInsertOffset, col("text"), col("sid")): _*)
     ManifestSource.merge(spark, root, collectBatch(upd1.unionByName(ins1)))
     val m1 = ManifestSource.resolveManifest(root, None)
     val delKeys = docs.filter(col("doc_id") % 13 === 0)
@@ -713,7 +728,7 @@ object StreamIngest {
     val m2 = ManifestSource.resolveManifest(root, None)
     val upd2 = docs.filter(col("doc_id") % 58 === 0)
       .join(donor, (col("doc_id") + 3) % n === col("d_id"))
-      .select(asRow(col("doc_id") + DocInsertOffset, col("d_text")): _*)
+      .select(asRow(col("doc_id") + DocInsertOffset, col("d_text"), col("sid")): _*)
     ManifestSource.merge(spark, root, collectBatch(upd2))
     val m3 = ManifestSource.resolveManifest(root, None)
     // stage the per-generation feeds in feed order (ascending mtimes,
@@ -889,8 +904,173 @@ object StreamIngest {
 
   private val q288Sql = TextStats.bm25ScratchSql(docChainCorpusSql)
 
+  /** [[docChainCorpusSql]] with each doc's SOURCE carried through the
+    * replay (updates keep the doc's source, re-keyed inserts carry
+    * their origin's — exactly the sid rules the staged store encodes),
+    * as a WITH-prefix ending in `corpus(doc_id, source, text)` — the
+    * oracle corpus for per-source feed consumers (q292).
+    */
+  private[ext] val docChainCorpusSourcedSql =
+    s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+       |  cnt AS (SELECT COUNT(*) AS n FROM base),
+       |  upd AS (SELECT b.doc_id, d.text FROM base b, cnt, base d
+       |          WHERE b.doc_id % 17 = 0 AND d.doc_id = (b.doc_id + 1) % cnt.n),
+       |  g1 AS (SELECT b.doc_id, b.source, COALESCE(u.text, b.text) AS text
+       |         FROM base b LEFT JOIN upd u ON u.doc_id = b.doc_id
+       |         UNION ALL
+       |         SELECT b.doc_id + $DocInsertOffset, b.source, b.text FROM base b
+       |         WHERE b.doc_id % 29 = 0),
+       |  g2 AS (SELECT * FROM g1
+       |         WHERE NOT (doc_id % 13 = 0 AND doc_id < $DocInsertOffset)),
+       |  upd2 AS (SELECT i.doc_id, d.text FROM g2 i, cnt, base d
+       |           WHERE i.doc_id >= $DocInsertOffset
+       |             AND (i.doc_id - $DocInsertOffset) % 58 = 0
+       |             AND d.doc_id = (i.doc_id - $DocInsertOffset + 3) % cnt.n),
+       |  corpus AS (SELECT g.doc_id, g.source, COALESCE(u2.text, g.text) AS text
+       |             FROM g2 g LEFT JOIN upd2 u2 ON u2.doc_id = g.doc_id)""".stripMargin
+
+  /** Fold the staged document change feed into maintained per-source
+    * MINHASH state — q292's engine, the SKETCH sibling of
+    * [[ingestBm25Feed]] driven by q279/q286's replace-then-refold
+    * algebra (elementwise MIN has no inverse, so deletes cannot
+    * subtract: the maintained DOC-LEVEL sketch index is the recompute
+    * substrate). Per feed generation:
+    *
+    *   1. outgoing doc_ids (deletes + update preimages) DROP their
+    *      index rows; incoming docs (inserts + update postimages)
+    *      shingle ONCE into new rows — update = row replacement;
+    *   2. touched sources = the outgoing rows' sids ∪ the incoming
+    *      sids (events carry the sid — the store encodes it, the
+    *      consumer never guesses group membership);
+    *   3. untouched sources' signatures carry BY REFERENCE; touched
+    *      sources refold from their survivors' 8-long sketch rows —
+    *      no re-shingling anywhere, O(batch + touched groups).
+    *
+    * The index/signature stacks (unions + anti-joins) fold into
+    * materialized frames every `compactEvery` generations — the same
+    * log-structured cadence as the cluster and BM25 folds. Returns
+    * (readout joined back to source names, generations).
+    */
+  private[ext] def ingestMinHashFeed(spark: SparkSession, stagedGlob: String,
+      bootstrap: DataFrame, filesPerTrigger: Int,
+      compactEvery: Int = 4): (DataFrame, Int) = {
+    import Dedup.{SqlMinHashK, docSignature}
+    val ck = java.nio.file.Files.createTempDirectory("graft_q292_ck").toString
+    def refold(rows: DataFrame): DataFrame =
+      rows.groupBy(col("source"))
+        .agg(min(col("mh0")).as("mh0"),
+          (1 until SqlMinHashK).map(k => min(col(s"mh$k")).as(s"mh$k")): _*)
+    // maintained state, both keyed by sid (riding the `source` column
+    // name so Dedup's sketch builders apply unchanged)
+    var docSigs = materialize(spark, docSignature(
+      bootstrap.select(col("sid").as("source"), col("doc_id"), col("text"))))
+    var srcSig = materialize(spark, refold(docSigs))
+    var nGens = 1
+    val sch = StructType(Seq(
+      StructField("gen", IntegerType), StructField("change_type", StringType),
+      StructField("ok", LongType), StructField("ship_us", LongType),
+      StructField("flag", StringType), StructField("qty", LongType),
+      StructField("price_cents", LongType)))
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(stagedGlob)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ev = batch.select(col("gen").as("fg"), col("change_type"),
+          col("ok").as("doc_id"), col("flag").as("text"),
+          col("price_cents").as("source")).localCheckpoint()
+        val gens = ev.select(col("fg")).distinct()
+          .collect().map(_.getInt(0)).sorted // bounded: generations, not rows
+        gens.foreach { fg =>
+          val e = ev.filter(col("fg") === fg)
+          val outgoing = e.filter(col("change_type")
+            .isin("delete", "update_preimage")).select(col("doc_id"))
+          val incoming = e.filter(col("change_type")
+            .isin("insert", "update_postimage"))
+            .select(col("source"), col("doc_id"), col("text"))
+          val incSigs = docSignature(incoming) // ONE batch-sized shingle pass
+          val touched = docSigs.join(outgoing, Seq("doc_id"), "leftsemi")
+            .select(col("source"))
+            .unionByName(incSigs.select(col("source"))).distinct()
+          val newDocSigs = docSigs.join(outgoing, Seq("doc_id"), "left_anti")
+            .unionByName(incSigs)
+          val kept = srcSig.join(touched, Seq("source"), "left_anti")
+          val refolded = refold(newDocSigs.join(touched, Seq("source"), "leftsemi"))
+          nGens += 1
+          docSigs = newDocSigs
+          srcSig = kept.unionByName(refolded)
+          if (nGens % compactEvery == 0) {
+            docSigs = materialize(spark, docSigs) // fold the union/anti-join stack
+            srcSig = materialize(spark, srcSig)
+          } else srcSig = srcSig.localCheckpoint() // bounded (one row per source)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the readout speaks source NAMES: join the sid dictionary from
+    // the bootstrap (the chain never mints a new source)
+    val dict = bootstrap.select(col("sid"), col("source").as("src")).distinct()
+    val out = srcSig.join(dict, srcSig("source") === dict("sid"))
+      .select(col("src").as("source") +:
+        (0 until SqlMinHashK).map(k => col(s"mh$k")): _*)
+      .orderBy("source")
+      .localCheckpoint()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ck)))
+    (out, nGens)
+  }
+
+  /** q292 — THE CDC→INDEX LOOP, THIRD FAMILY: the SAME document
+    * store, DML chain, and file-set-diff feed as q281 (clusters) and
+    * q288 (BM25), consumed by the per-source MINHASH index — emit
+    * once, maintain many, now spanning all three index algebras: the
+    * non-abelian fold (clusters: tombstones + two-pass membership),
+    * the abelian group (BM25: subtract/add), and the SEMILATTICE
+    * (MinHash: min has no inverse, so maintenance is replace-then-
+    * refold from the doc-level sketch substrate, q279/q286's
+    * discipline driven by the stream). ORACLE: the sourced relational
+    * chain replay ([[docChainCorpusSourcedSql]]) signed from scratch
+    * by q261's SQL machinery — hash-green means the streamed fold
+    * lands min-for-min on the rebuilt index. CdcMinHashSpec pins
+    * trigger-batching and compaction-cadence invariance on the real
+    * chain.
+    */
+  private def q292(spark: SparkSession, dir: String): DataFrame = {
+    val (glob, stage, docs) = stageDocChain(spark, dir, "mhf_")
+    val (out, _) = ingestMinHashFeed(spark, glob, docs,
+      filesPerTrigger = 1, compactEvery = 2)
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(stage)))
+    out
+  }
+
+  private val q292Sql = {
+    import Dedup.SqlMinHashK
+    val mins = (0 until SqlMinHashK)
+      .map(k => s"MIN(h1 + $k * h2) AS mh$k").mkString(",\n       |       ")
+    s"""$docChainCorpusSourcedSql,
+       |w0 AS (SELECT source, string_split(text, ' ') AS ws FROM corpus),
+       |shg AS (SELECT DISTINCT source, s FROM (
+       |  SELECT source,
+       |         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |              ELSE array_to_string(ws, ' ') END AS s
+       |  FROM (SELECT source, ws,
+       |               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+       |                           ELSE [1] END) AS i
+       |        FROM w0))),
+       |h AS (SELECT source, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+       |             ('0x' || substr(md5(s), 15, 14))::BIGINT AS h2
+       |      FROM shg)
+       |SELECT source,
+       |       $mins
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q263_stream_cluster_maintenance", q263, Some(q263Sql)),
     QuerySpec("q281_cdc_index_maintenance", q281, Some(q281Sql)),
-    QuerySpec("q288_cdc_bm25_maintenance", q288, Some(q288Sql)))
+    QuerySpec("q288_cdc_bm25_maintenance", q288, Some(q288Sql)),
+    QuerySpec("q292_cdc_minhash_maintenance", q292, Some(q292Sql)))
 }
