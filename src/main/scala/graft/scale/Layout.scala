@@ -2411,6 +2411,88 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM final GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q293 — THE TABLE AS A STREAM: `readStream` directly on the
+    * manifest source (TableCapability.MICRO_BATCH_READ — the Delta
+    * streaming-source role), no hand-staged feed anywhere. A store
+    * loads from orders (trunk commit 1) and three re-keyed append
+    * slices land as commits 2–4; the stream tails the COMMIT LOG from
+    * offset 0 with `maxCommitsPerTrigger = 1`, so each trigger's
+    * batch is exactly one commit's added files (the initial snapshot
+    * streams as the first inserts — metadata-only planning, the
+    * change-feed shortcut as a live source). Each micro-batch folds
+    * to a bounded per-flag partial aggregate and the readout
+    * re-aggregates the partials — every row arrives EXACTLY ONCE
+    * across batches or the totals shift. THE ORACLE aggregates the
+    * relational union of base + the three slices, so the hash gate
+    * certifies offsets, per-commit planning, and batch boundaries end
+    * to end. StreamSourceSpec pins the rest: per-commit batch sizes,
+    * batching invariance, startingCommit, and the append-only
+    * contract (a rewrite or MoR commit fails the stream loudly unless
+    * ignoreChanges opts into re-emission).
+    */
+  private def q293(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_tail_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    Seq((101, 10000000L), (103, 20000000L), (107, 30000000L)).foreach {
+      case (m, off) =>
+        base.filter(col("ok") % m === 0)
+          .select((col("ok") + off).as("ok"), col("ship_us"), col("flag"),
+            col("qty"), col("price_cents"))
+          .write.format("graft-manifest").option("path", root).mode("append").save()
+    }
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", root).option("maxcommitspertrigger", 1)
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // bounded: one row per flag per micro-batch
+        parts.synchronized {
+          parts += b.groupBy(col("flag"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("pc"),
+              sum(col("qty")).as("q"), max(col("ok")).as("mo"))
+            .localCheckpoint()
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    require(parts.size >= 4,
+      s"expected one micro-batch per trunk commit (4), got ${parts.size}")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("flag"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("pc")).as("revenue_cents"),
+        sum(col("q")).as("qty_sum"), max(col("mo")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q293Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |streamed AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, flag, qty, price_cents FROM base WHERE ok % 101 = 0
+      |  UNION ALL
+      |  SELECT ok + 20000000, ship_us, flag, qty, price_cents FROM base WHERE ok % 103 = 0
+      |  UNION ALL
+      |  SELECT ok + 30000000, ship_us, flag, qty, price_cents FROM base WHERE ok % 107 = 0)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM streamed GROUP BY flag ORDER BY flag""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
@@ -2432,6 +2514,7 @@ object Layout {
     QuerySpec("q289_mor_delete", q289, Some(q289Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
+    QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
     QuerySpec("q287_write_audit_publish", q287, Some(q267Sql)),

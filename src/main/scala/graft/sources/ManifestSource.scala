@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -282,6 +283,32 @@ object ManifestSource {
     */
   private[sources] val commitLock = new Object
 
+  /** COMMIT LOG — `commits.log`, one line per TRUNK pointer flip in
+    * commit order (the Delta `_delta_log` role): generation numbers
+    * alone cannot reconstruct history, because staged WAP branches
+    * consume numbers without ever becoming the trunk and numbering
+    * has gaps. Every pointer-flipping site (the CAS gate, V2
+    * append/truncate, restore) appends under the commit lock; a
+    * truncate resets the log (a fresh table). This is what makes the
+    * table TAILABLE: the streaming source's offsets are INDICES into
+    * this log, and batch (i-1, i] is the file-set diff of lines i-1
+    * and i.
+    */
+  private[sources] def appendCommitLog(dir: String, name: String): Unit = {
+    val w = new java.io.FileWriter(new java.io.File(dir, "commits.log"), true)
+    try w.write(name + "\n") finally w.close()
+  }
+
+  def readCommitLog(dir: String): Seq[String] = {
+    val f = new java.io.File(dir, "commits.log")
+    if (!f.exists()) Nil
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally src.close()
+    }
+  }
+
   /** Per-invocation writer epoch embedded in output data-file names:
     * two OPTIMISTIC writers that both resolved generation g would
     * otherwise emit identically-named rewrites of the same input file
@@ -397,6 +424,7 @@ object ManifestSource {
       writeManifestFile(dir, name, cols, finalEntries, dvFinal)
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
+      appendCommitLog(dir, name)
       name
     }
 
@@ -1148,6 +1176,7 @@ object ManifestSource {
     writeManifestFile(dir, name, manifestSchema(dir, toManifest), entries, dv)
     val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
     try vw.println(name) finally vw.close()
+    appendCommitLog(dir, name)
     name
   }
 
@@ -1270,10 +1299,15 @@ final class ManifestTable(dir: String, pinned: Option[String])
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = ManifestSource.resolveManifest(dir, pinned)
-    new ManifestScanBuilder(dir, m, ManifestSource.manifestSchema(dir, m))
+    new ManifestScanBuilder(dir, m, ManifestSource.manifestSchema(dir, m),
+      startingCommit = Option(options.get("startingcommit")).map(_.toLong).getOrElse(0L),
+      maxCommitsPerTrigger =
+        Option(options.get("maxcommitspertrigger")).map(_.toInt).getOrElse(Int.MaxValue),
+      ignoreChanges =
+        Option(options.get("ignorechanges")).exists(_.toBoolean))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info)
@@ -1355,6 +1389,9 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // a fresh base write invalidates any derived snapshot chain
       val vf = new java.io.File(dir, "VERSION")
       if (vf.exists()) vf.delete()
+      // ... and restarts the commit log (a NEW table's history)
+      val lw = new java.io.PrintWriter(new java.io.File(dir, "commits.log"), "UTF-8")
+      try lw.println("manifest.csv") finally lw.close()
     } else ManifestSource.commitLock.synchronized {
       // APPEND commit: new snapshot = current entries + this write's,
       // under a fresh manifest name; the VERSION pointer flips last,
@@ -1398,6 +1435,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       } finally mw.close()
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
+      ManifestSource.appendCommitLog(dir, name)
     }
   }
 
@@ -1483,7 +1521,9 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
   override def close(): Unit = if (w != null) { w.close(); w = null }
 }
 
-final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String])
+final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String],
+    startingCommit: Long = 0L, maxCommitsPerTrigger: Int = Int.MaxValue,
+    ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -1573,7 +1613,8 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new ManifestStatsScan(dir, manifest, aggs)
-    case None => new ManifestScan(dir, manifest, required, pushed, cols, dvMap)
+    case None => new ManifestScan(dir, manifest, required, pushed, cols, dvMap,
+      startingCommit, maxCommitsPerTrigger, ignoreChanges)
   }
 }
 
@@ -1646,10 +1687,15 @@ object ManifestScan {
 
 final class ManifestScan(dir: String, manifest: String, required: StructType,
     pushed: Array[Filter], cols: Seq[String],
-    dvMap: Map[String, Seq[String]] = Map.empty) extends Scan with Batch {
+    dvMap: Map[String, Seq[String]] = Map.empty,
+    startingCommit: Long = 0L, maxCommitsPerTrigger: Int = Int.MaxValue,
+    ignoreChanges: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ManifestMicroBatchStream(dir, required, cols,
+      startingCommit, maxCommitsPerTrigger, ignoreChanges)
   override def description(): String =
     s"graft-manifest $dir pushed=${pushed.mkString(",")}"
 
@@ -1739,4 +1785,93 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
 
   override def get(): InternalRow = row
   override def close(): Unit = src.close()
+}
+
+/** Streaming offset = INDEX INTO THE COMMIT LOG (count of trunk
+  * commits consumed) — contiguous and monotone where generation
+  * numbers are neither (staged WAP branches consume numbers without
+  * ever joining the trunk).
+  */
+final case class ManifestOffset(idx: Long) extends Offset {
+  override def json(): String = idx.toString
+}
+
+/** STRUCTURED STREAMING SOURCE on the manifest table — the Delta
+  * streaming-source role: the table is TAILABLE. Offsets index the
+  * commit log ([[ManifestSource.readCommitLog]]); micro-batch
+  * (a, b] emits, for each trunk commit in the range, the rows of the
+  * files that commit ADDED (the file-set diff of consecutive log
+  * lines — metadata-only planning, exactly the change-feed shortcut;
+  * offset 0 → the initial snapshot streams as the first inserts).
+  * Append-only by contract: a commit that REMOVED a file or moved a
+  * deletion-vector mask is not expressible as inserts, so the stream
+  * fails loudly — unless `ignoreChanges=true`, which emits just the
+  * commit's added files (rewritten survivors re-emit; the documented
+  * Delta `ignoreChanges` trade). `maxCommitsPerTrigger` rate-limits
+  * through [[SupportsAdmissionControl]] (one commit per trigger =
+  * per-generation batches); any batching folds to the same rows —
+  * StreamSourceSpec pins it. At 100 TB this is how downstream
+  * maintenance tails the table without staging feeds by hand: the
+  * q281/q288/q292 consumers read `readStream` directly instead of
+  * exported parquet.
+  */
+final class ManifestMicroBatchStream(dir: String, required: StructType,
+    cols: Seq[String], startingCommit: Long, maxCommitsPerTrigger: Int,
+    ignoreChanges: Boolean)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def log: Seq[String] = ManifestSource.readCommitLog(dir)
+
+  override def initialOffset(): Offset = ManifestOffset(startingCommit)
+
+  override def deserializeOffset(json: String): Offset =
+    ManifestOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset = ManifestOffset(log.size.toLong)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ManifestOffset].idx
+    ManifestOffset(math.min(log.size.toLong, s + maxCommitsPerTrigger))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[ManifestOffset].idx
+    val b = end.asInstanceOf[ManifestOffset].idx
+    val lines = log
+    require(b <= lines.size, s"offset $b beyond commit log (${lines.size})")
+    (a until b).flatMap { i =>
+      val prev = if (i == 0) None else Some(lines((i - 1).toInt))
+      val cur = lines(i.toInt)
+      val prevEntries = prev.map(m => ManifestSource.readManifest(dir, m))
+        .getOrElse(Nil)
+      val curEntries = ManifestSource.readManifest(dir, cur)
+      val prevFiles = prevEntries.map(_.file).toSet
+      val curFiles = curEntries.map(_.file).toSet
+      if (!ignoreChanges) {
+        val removed = prevFiles -- curFiles
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"commit ${i + 1} ($cur) removed files ${removed.toSeq.sorted.mkString(", ")} — " +
+            "not an append; restart past it or set ignoreChanges=true")
+        val prevDv = prev.map(m => ManifestSource.readDvMap(dir, m))
+          .getOrElse(Map.empty[String, Seq[String]])
+        if (ManifestSource.readDvMap(dir, cur) != prevDv)
+          throw new IllegalStateException(
+            s"commit ${i + 1} ($cur) changed deletion-vector state — " +
+              "not an append; restart past it or set ignoreChanges=true")
+      }
+      val dv = ManifestSource.readDvMap(dir, cur)
+      curEntries.filterNot(e => prevFiles.contains(e.file)).map(e =>
+        ManifestInputPartition(new java.io.File(dir, e.file).getPath,
+          dv.getOrElse(e.file, Nil).map(d => new java.io.File(dir, d).getPath))
+          : InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(required.fieldNames, cols)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

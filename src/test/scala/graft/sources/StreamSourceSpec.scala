@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The manifest table as a STREAMING SOURCE
+  * ([[ManifestMicroBatchStream]] — offsets index the commit log,
+  * batch (a, b] = each trunk commit's added files). Planted 12-row
+  * store (ok = 1..12, 3 range files). Pins the q293 contract:
+  *   - tailing from commit 0 with maxCommitsPerTrigger = 1 yields one
+  *     batch per trunk commit with exactly that commit's added rows
+  *     (the initial snapshot streams as the first inserts);
+  *   - trigger batching is content-invariant (all-at-once == per
+  *     commit as a multiset);
+  *   - startingCommit skips history;
+  *   - the APPEND-ONLY contract: a copy-on-write rewrite or a
+  *     merge-on-read mask commit fails the stream loudly;
+  *     `ignoreChanges=true` opts into Delta's re-emission semantics
+  *     (a rewrite's output file re-emits its surviving rows; a
+  *     mask-only commit emits nothing).
+  */
+class StreamSourceSpec extends SparkSpec {
+
+  private def plant(): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tail").toString
+    (1L to 12L).map(i => (i, i * 1000L, "A", i, i * 10L))
+      .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      .repartitionByRange(3, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    root
+  }
+
+  private def append(root: String, rows: Seq[(Long, Long, String, Long, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      .coalesce(1)
+      .write.format("graft-manifest").option("path", root).mode("append").save()
+  }
+
+  /** Run the stream to exhaustion, returning each micro-batch's ok
+    * set in trigger order.
+    */
+  private def tail(root: String, opts: Map[String, String]): Seq[Set[Long]] = {
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    var r = spark.readStream.format("graft-manifest").option("path", root)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ks = b.select(col("ok")).collect().map(_.getLong(0)).toSet
+        batches.synchronized { if (ks.nonEmpty) batches += ks }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable(); q.stop() }
+    finally scala.util.Try(q.stop())
+    batches.toSeq
+  }
+
+  private def cleanup(root: String): Unit =
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+
+  test("per-commit batches: initial snapshot, then each append, exactly once") {
+    val root = plant()
+    try {
+      append(root, Seq((100L, 50000L, "N", 1L, 5L)))
+      append(root, Seq((200L, 60000L, "N", 2L, 6L), (201L, 61000L, "N", 2L, 7L)))
+      val perCommit = tail(root, Map("maxcommitspertrigger" -> "1"))
+      assert(perCommit == Seq((1L to 12L).toSet, Set(100L), Set(200L, 201L)),
+        s"one batch per trunk commit with its added rows, got $perCommit")
+      val oneShot = tail(root, Map())
+      assert(oneShot.flatten.toSet == (1L to 12L).toSet ++ Set(100L, 200L, 201L))
+      assert(oneShot.map(_.size).sum == 15, "batching must not duplicate or drop rows")
+    } finally cleanup(root)
+  }
+
+  test("startingCommit skips history") {
+    val root = plant()
+    try {
+      append(root, Seq((100L, 50000L, "N", 1L, 5L)))
+      append(root, Seq((200L, 60000L, "N", 2L, 6L)))
+      val fromSecond = tail(root,
+        Map("startingcommit" -> "1", "maxcommitspertrigger" -> "1"))
+      assert(fromSecond == Seq(Set(100L), Set(200L)),
+        "startingCommit=1 must skip the initial snapshot")
+    } finally cleanup(root)
+  }
+
+  test("append-only contract: a rewrite fails the stream; ignoreChanges re-emits survivors") {
+    val root = plant()
+    try {
+      ManifestSource.deleteKeys(spark, root, Seq(5L)) // rewrites the 5-8 file
+      val ex = intercept[Exception] { tail(root, Map()) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("not an append")))
+      // ignoreChanges: the delete commit's output file re-emits its
+      // surviving rows 6,7,8 next to the initial snapshot
+      val got = tail(root, Map("ignorechanges" -> "true",
+        "maxcommitspertrigger" -> "1"))
+      assert(got == Seq((1L to 12L).toSet, Set(6L, 7L, 8L)))
+    } finally cleanup(root)
+  }
+
+  test("a merge-on-read mask commit is flagged as non-append; ignoreChanges emits nothing for it") {
+    val root = plant()
+    try {
+      ManifestSource.deleteKeysMoR(root, Seq(5L))
+      val ex = intercept[Exception] { tail(root, Map()) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("deletion-vector")))
+      val got = tail(root, Map("ignorechanges" -> "true"))
+      assert(got.flatten.toSet == (1L to 12L).toSet,
+        "a mask-only commit adds no file — nothing re-emits")
+    } finally cleanup(root)
+  }
+}
