@@ -2411,6 +2411,94 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM final GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q294 — REPLICATION OFF THE LIVE CHANGE FEED: q278's
+    * cross-region loop with ZERO staged files — the replica tails the
+    * source store's own streaming CDF (`readChangeFeed = true`, the
+    * Delta CDF read on our source). The source runs the same chain
+    * (MERGE, keyed DELETE, retention); the stream emits CDF-LITE
+    * events per commit — removed files' live rows as `delete`, added
+    * files' as `insert`, per-file partitions with no join at emit
+    * time — and the APPLY nets the redundant carried-row pairs
+    * DISTRIBUTIVELY (one key-equi full-outer join per commit, rows
+    * that compare equal cancel) before collecting only the TRUE
+    * changes as bounded DML batches: net deletes apply as one keyed
+    * DELETE, net upserts as one MERGE, per commit in log order. The
+    * replica bootstraps from the commit-1 snapshot and the stream
+    * starts at `startingCommit = 1`, one commit per trigger. ORACLE:
+    * q278's relational replay of the same chain — hash-green means
+    * emit → net → apply reconstructs the source exactly. The trade vs
+    * q274's netted feed is documented: CDF-lite amortizes ZERO diff
+    * cost at emit (pure file reads) against read amplification that
+    * the consumer's net join absorbs; the netted batch feed remains
+    * the export path.
+    */
+  private def q294(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    def freshRoot(kind: String): String = {
+      val f = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_${kind}_$tag")
+      if (f.exists()) f.listFiles().foreach(_.delete())
+      f.getAbsolutePath
+    }
+    val src = freshRoot("csrc")
+    val rep = freshRoot("crep")
+    val base = ordersBase(spark, dir)
+    Seq(src, rep).foreach { r =>
+      base.repartitionByRange(8, col("ship_us"))
+        .write.format("graft-manifest").option("path", r).mode("overwrite").save()
+    }
+    val batch = mergeBatch97(base)
+    ManifestSource.merge(spark, src, batch)
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeys(spark, src, keys)
+    ManifestSource.deleteBelow(spark, src, Q274CutoffUs)
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", src).option("readchangefeed", "true")
+      .option("startingcommit", 1).option("maxcommitspertrigger", 1)
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ev = b.localCheckpoint()
+        val commits = ev.select(col("_commit")).distinct()
+          .collect().map(_.getLong(0)).sorted // bounded: commits, not rows
+        commits.foreach { c =>
+          val e = ev.filter(col("_commit") === c)
+          val del = e.filter(col("_change_type") === "delete")
+            .select(col("ok"), col("ship_us").as("d_us"), col("flag").as("d_fl"),
+              col("qty").as("d_q"), col("price_cents").as("d_pc"))
+          val ins = e.filter(col("_change_type") === "insert")
+            .select(col("ok").as("ok_i"), col("ship_us"), col("flag"),
+              col("qty"), col("price_cents"))
+          // net the carried-row pairs distributively; only TRUE
+          // changes reach the driver (the bounded-batch contract)
+          val j = del.join(ins, col("ok") === col("ok_i"), "full_outer")
+            .localCheckpoint()
+          val same = col("d_us") === col("ship_us") && col("d_fl") === col("flag") &&
+            col("d_q") === col("qty") && col("d_pc") === col("price_cents")
+          val delOnly = j.filter(col("ok_i").isNull)
+            .select(col("ok")).collect().map(_.getLong(0)).toSeq
+          val upserts = j.filter(col("ok_i").isNotNull && (col("ok").isNull || !same))
+            .select(col("ok_i"), col("ship_us"), col("flag"), col("qty"),
+              col("price_cents"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+              r.getLong(3), r.getLong(4)))
+          if (delOnly.nonEmpty) ManifestSource.deleteKeys(spark, rep, delOnly)
+          if (upserts.nonEmpty) ManifestSource.merge(spark, rep, upserts)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.format("graft-manifest").option("path", rep).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
   /** q293 — THE TABLE AS A STREAM: `readStream` directly on the
     * manifest source (TableCapability.MICRO_BATCH_READ — the Delta
     * streaming-source role), no hand-staged feed anywhere. A store
@@ -2515,6 +2603,7 @@ object Layout {
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),
+    QuerySpec("q294_stream_cdf_replication", q294, Some(q278Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
     QuerySpec("q287_write_audit_publish", q287, Some(q267Sql)),

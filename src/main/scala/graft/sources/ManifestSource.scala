@@ -56,12 +56,15 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
   // not exist yet (first write) presents the base shape
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
-    if (dir == null) ManifestSource.Schema
-    else {
-      val m = ManifestSource.resolveManifest(dir, Option(options.get("manifest")))
-      if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
-      else ManifestSource.Schema
-    }
+    val cdf = Option(options.get("readchangefeed")).exists(_.toBoolean)
+    val base =
+      if (dir == null) ManifestSource.Schema
+      else {
+        val m = ManifestSource.resolveManifest(dir, Option(options.get("manifest")))
+        if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
+        else ManifestSource.Schema
+      }
+    if (cdf) ManifestSource.withCdfCols(base) else base
   }
 
   override def getTable(
@@ -69,7 +72,8 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new ManifestTable(properties.get("path"),
-      Option(properties.get("manifest")))
+      Option(properties.get("manifest")),
+      Option(properties.get("readchangefeed")).exists(_.toBoolean))
 }
 
 object ManifestSource {
@@ -108,6 +112,14 @@ object ManifestSource {
   def sparkSchema(dir: String, manifest: String): StructType =
     StructType(Schema.fields ++ manifestSchema(dir, manifest)
       .drop(BaseCols.size).map(n => StructField(n, LongType)))
+
+  /** The change-feed read shape: table columns plus the event class
+    * and the commit-log index it came from (Delta CDF's
+    * `_change_type`/`_commit_version` pair).
+    */
+  def withCdfCols(base: StructType): StructType =
+    StructType(base.fields ++ Seq(StructField("_change_type", StringType),
+      StructField("_commit", LongType)))
 
   /** Per-file BLOOM FILTER over `ok` — the second data-skipping
     * surface next to the ship_us zone map: zone maps prune RANGE
@@ -1289,13 +1301,16 @@ object ManifestSource {
       }.getOrElse("")
 }
 
-final class ManifestTable(dir: String, pinned: Option[String])
+final class ManifestTable(dir: String, pinned: Option[String],
+    cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-manifest($dir)"
   override def schema(): StructType = {
     val m = ManifestSource.resolveManifest(dir, pinned)
-    if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
-    else ManifestSource.Schema
+    val base =
+      if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
+      else ManifestSource.Schema
+    if (cdf) ManifestSource.withCdfCols(base) else base
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -1307,7 +1322,8 @@ final class ManifestTable(dir: String, pinned: Option[String])
       maxCommitsPerTrigger =
         Option(options.get("maxcommitspertrigger")).map(_.toInt).getOrElse(Int.MaxValue),
       ignoreChanges =
-        Option(options.get("ignorechanges")).exists(_.toBoolean))
+        Option(options.get("ignorechanges")).exists(_.toBoolean),
+      cdf = cdf)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info)
@@ -1523,11 +1539,14 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
 
 final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String],
     startingCommit: Long = 0L, maxCommitsPerTrigger: Int = Int.MaxValue,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false, cdf: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private var required: StructType = ManifestSource.sparkSchema(dir, manifest)
+  private var required: StructType = {
+    val base = ManifestSource.sparkSchema(dir, manifest)
+    if (cdf) ManifestSource.withCdfCols(base) else base
+  }
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Option[Seq[String]] = None
   private val extraCols = cols.drop(ManifestSource.BaseCols.size)
@@ -1565,7 +1584,7 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
     // deletion-vector mask makes every stat an upper bound, so the
     // stats-answered path refuses and the scan reads (and masks) rows
     // until rewriteDeletes restores exactness
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || dvMap.nonEmpty)
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || dvMap.nonEmpty || cdf)
       return false
     val toks = agg.aggregateExpressions.map {
       case _: CountStar => Some("count")
@@ -1614,7 +1633,7 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new ManifestStatsScan(dir, manifest, aggs)
     case None => new ManifestScan(dir, manifest, required, pushed, cols, dvMap,
-      startingCommit, maxCommitsPerTrigger, ignoreChanges)
+      startingCommit, maxCommitsPerTrigger, ignoreChanges, cdf)
   }
 }
 
@@ -1689,13 +1708,18 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
     pushed: Array[Filter], cols: Seq[String],
     dvMap: Map[String, Seq[String]] = Map.empty,
     startingCommit: Long = 0L, maxCommitsPerTrigger: Int = Int.MaxValue,
-    ignoreChanges: Boolean = false) extends Scan with Batch {
+    ignoreChanges: Boolean = false, cdf: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (cdf) throw new UnsupportedOperationException(
+      "readChangeFeed is a streaming read — use readStream (batch CDF " +
+        "between two pinned versions is the q274/q280 change-feed path)")
+    this
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, required, cols,
-      startingCommit, maxCommitsPerTrigger, ignoreChanges)
+      startingCommit, maxCommitsPerTrigger, ignoreChanges, cdf)
   override def description(): String =
     s"graft-manifest $dir pushed=${pushed.mkString(",")}"
 
@@ -1731,13 +1755,17 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
 }
 
 final case class ManifestInputPartition(path: String,
-    dvPaths: Seq[String] = Nil) extends InputPartition
+    dvPaths: Seq[String] = Nil,
+    cdf: Option[(String, Long)] = None) extends InputPartition
 
 final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[ManifestInputPartition]
-    new ManifestPartitionReader(mp.path, mp.dvPaths, fields, cols)
+    new ManifestPartitionReader(mp.path, mp.dvPaths, fields, cols,
+      mp.cdf.map { case (ct, ci) => Map[String, Any](
+        "_change_type" -> UTF8String.fromString(ct), "_commit" -> ci)
+      }.getOrElse(Map.empty))
   }
 }
 
@@ -1751,7 +1779,8 @@ final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
   * mask is a bounded key set loaded once per task, applied in-stream.
   */
 final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
-    fields: Array[String], cols: Seq[String]) extends PartitionReader[InternalRow] {
+    fields: Array[String], cols: Seq[String],
+    constants: Map[String, Any] = Map.empty) extends PartitionReader[InternalRow] {
   private val src = scala.io.Source.fromFile(path)
   private val it = src.getLines()
   private var row: InternalRow = _
@@ -1762,20 +1791,27 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
       try s.getLines().map(_.trim.toLong).toList finally s.close()
     }.toSet
 
-  private val idx = fields.map { f =>
-    val i = cols.indexOf(f)
-    require(i >= 0, s"column $f not in manifest schema $cols")
-    i
+  // a cell is a data-column index or a partition-constant (the CDF
+  // mode's _change_type/_commit ride every row of a partition)
+  private val cells: Array[Either[Int, Any]] = fields.map { f =>
+    if (constants.contains(f)) Right(constants(f))
+    else {
+      val i = cols.indexOf(f)
+      require(i >= 0, s"column $f not in manifest schema $cols")
+      Left(i)
+    }
   }
 
   override def next(): Boolean = {
     while (it.hasNext) {
       val a = it.next().split(",", -1)
       if (masked.isEmpty || !masked.contains(a(0).toLong)) {
-        row = InternalRow.fromSeq(idx.toSeq.map { i =>
-          if (i == 2) UTF8String.fromString(a(2))
-          else if (i >= a.length || a(i).isEmpty) null
-          else a(i).toLong
+        row = InternalRow.fromSeq(cells.toSeq.map {
+          case Right(v) => v
+          case Left(2) => UTF8String.fromString(a(2))
+          case Left(i) =>
+            if (i >= a.length || a(i).isEmpty) null
+            else a(i).toLong
         })
         return true
       }
@@ -1817,7 +1853,7 @@ final case class ManifestOffset(idx: Long) extends Offset {
   */
 final class ManifestMicroBatchStream(dir: String, required: StructType,
     cols: Seq[String], startingCommit: Long, maxCommitsPerTrigger: Int,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, cdf: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def log: Seq[String] = ManifestSource.readCommitLog(dir)
@@ -1849,23 +1885,45 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
       val curEntries = ManifestSource.readManifest(dir, cur)
       val prevFiles = prevEntries.map(_.file).toSet
       val curFiles = curEntries.map(_.file).toSet
-      if (!ignoreChanges) {
-        val removed = prevFiles -- curFiles
-        if (removed.nonEmpty) throw new IllegalStateException(
-          s"commit ${i + 1} ($cur) removed files ${removed.toSeq.sorted.mkString(", ")} — " +
-            "not an append; restart past it or set ignoreChanges=true")
-        val prevDv = prev.map(m => ManifestSource.readDvMap(dir, m))
-          .getOrElse(Map.empty[String, Seq[String]])
-        if (ManifestSource.readDvMap(dir, cur) != prevDv)
-          throw new IllegalStateException(
+      val prevDv = prev.map(m => ManifestSource.readDvMap(dir, m))
+        .getOrElse(Map.empty[String, Seq[String]])
+      val dv = ManifestSource.readDvMap(dir, cur)
+      def part(e: ManifestSource.FileEntry, m: Map[String, Seq[String]],
+          tag: Option[(String, Long)]): InputPartition =
+        ManifestInputPartition(new java.io.File(dir, e.file).getPath,
+          m.getOrElse(e.file, Nil).map(d => new java.io.File(dir, d).getPath), tag)
+      if (cdf) {
+        // CDF-LITE: a commit's removed files emit their live rows as
+        // `delete` events (read with the PREVIOUS masks) and its added
+        // files as `insert` events — per-file partitions need no join,
+        // and delete-then-insert per commit replays the table exactly
+        // (a carried row cancels; the netted q274/q280 diff is the
+        // read-amplification-free batch path)
+        val out = prevEntries.filterNot(e => curFiles.contains(e.file))
+          .map(e => part(e, prevDv, Some(("delete", i + 1))))
+        val inn = curEntries.filterNot(e => prevFiles.contains(e.file))
+          .map(e => part(e, dv, Some(("insert", i + 1))))
+        // a mask-only commit moves rows without moving files: emit the
+        // masked file's before/after images the same way
+        val maskMoved = curEntries.filter(e => curFiles.contains(e.file) &&
+          prevFiles.contains(e.file) &&
+          dv.getOrElse(e.file, Nil) != prevDv.getOrElse(e.file, Nil))
+        val maskOut = maskMoved.map(e => part(e, prevDv, Some(("delete", i + 1))))
+        val maskIn = maskMoved.map(e => part(e, dv, Some(("insert", i + 1))))
+        out ++ inn ++ maskOut ++ maskIn
+      } else {
+        if (!ignoreChanges) {
+          val removed = prevFiles -- curFiles
+          if (removed.nonEmpty) throw new IllegalStateException(
+            s"commit ${i + 1} ($cur) removed files ${removed.toSeq.sorted.mkString(", ")} — " +
+              "not an append; restart past it or set ignoreChanges=true")
+          if (dv != prevDv) throw new IllegalStateException(
             s"commit ${i + 1} ($cur) changed deletion-vector state — " +
               "not an append; restart past it or set ignoreChanges=true")
+        }
+        curEntries.filterNot(e => prevFiles.contains(e.file))
+          .map(e => part(e, dv, None))
       }
-      val dv = ManifestSource.readDvMap(dir, cur)
-      curEntries.filterNot(e => prevFiles.contains(e.file)).map(e =>
-        ManifestInputPartition(new java.io.File(dir, e.file).getPath,
-          dv.getOrElse(e.file, Nil).map(d => new java.io.File(dir, d).getPath))
-          : InputPartition)
     }.toArray
   }
 

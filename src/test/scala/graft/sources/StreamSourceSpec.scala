@@ -104,6 +104,47 @@ class StreamSourceSpec extends SparkSpec {
     } finally cleanup(root)
   }
 
+  test("CDF mode: delete-then-insert per commit replays the table; a mask-only commit nets to the masked row") {
+    val root = plant()
+    try {
+      ManifestSource.merge(spark, root, Seq((5L, 5000L, "U", 5L, 999L))) // commit 2
+      ManifestSource.deleteKeys(spark, root, Seq(9L)) // commit 3
+      ManifestSource.deleteKeysMoR(root, Seq(10L)) // commit 4: mask only, no file moves
+      val events = scala.collection.mutable.ArrayBuffer[(Long, String, Seq[Any])]()
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", root).option("readchangefeed", "true")
+        .load().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getAs[Long]("_commit"),
+            r.getAs[String]("_change_type"),
+            Seq[Any](r.getAs[Long]("ok"), r.getAs[Long]("ship_us"),
+              r.getAs[String]("flag"), r.getAs[Long]("qty"),
+              r.getAs[Long]("price_cents"))))
+          events.synchronized { events ++= rows }
+          ()
+        }.start()
+      try { q.processAllAvailable(); q.stop() } finally scala.util.Try(q.stop())
+      // replay: per commit ascending, remove delete images then add
+      // insert images — must land exactly on the live table
+      var state = Set.empty[Seq[Any]]
+      events.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, evs) =>
+        val dels = evs.filter(_._2 == "delete").map(_._3).toSet
+        val inss = evs.filter(_._2 == "insert").map(_._3).toSet
+        state = (state -- dels) ++ inss
+      }
+      val live = spark.read.format("graft-manifest").option("path", root)
+        .load().collect().map(_.toSeq).toSet
+      assert(state == live, "CDF replay must reconstruct the live table exactly")
+      assert(!live.exists(_.head == 10L), "the mask must hold in the live read")
+      // the mask-only commit's images net to exactly the masked row
+      val c4 = events.filter(_._1 == 4L)
+      val net = c4.filter(_._2 == "delete").map(_._3).toSet --
+        c4.filter(_._2 == "insert").map(_._3).toSet
+      assert(net.map(_.head) == Set(10L),
+        "a mask-only commit must net to the masked row alone")
+    } finally cleanup(root)
+  }
+
   test("a merge-on-read mask commit is flagged as non-append; ignoreChanges emits nothing for it") {
     val root = plant()
     try {
