@@ -2411,6 +2411,133 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM final GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q295 — SHALLOW CLONE
+    * ([[graft.sources.ManifestSource.cloneShallow]]): a zero-copy
+    * table whose manifest lists the source snapshot's files by
+    * RELATIVE path — metadata-only, instant at any size, with every
+    * per-file statistic traveling along (Delta SHALLOW CLONE). The
+    * query REQUIREs the clone directory holds ZERO data files after
+    * cloning, then diverges the two tables: q267's MERGE runs on the
+    * CLONE while q277's keyed DELETE runs on the SOURCE, and the
+    * readout aggregates both under a phase tag. The oracle computes
+    * the merged state (clone) and the deleted state (source)
+    * relationally — hash-green certifies bidirectional isolation:
+    * the clone's copy-on-write rewrites land locally while untouched
+    * entries keep referencing source bytes, and the source's rewrite
+    * cannot leak into the clone because the clone still references
+    * the IMMUTABLE pre-delete files (CloneAsOfSpec pins the rest,
+    * including the documented source-vacuum hazard failing loudly).
+    */
+  private def q295(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    def freshRoot(kind: String): String = {
+      val f = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_${kind}_$tag")
+      if (f.exists()) {
+        f.listFiles().foreach(_.delete())
+        f.delete()
+      }
+      f.getAbsolutePath
+    }
+    val src = freshRoot("clsrc")
+    val cln = freshRoot("clcln")
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", src).mode("overwrite").save()
+    ManifestSource.cloneShallow(src, cln)
+    require(!new java.io.File(cln).listFiles()
+      .exists(_.getName.startsWith("part-")),
+      "a shallow clone must copy ZERO data files")
+    ManifestSource.merge(spark, cln, mergeBatch97(base))
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeys(spark, src, keys)
+    def aggAt(root: String, phase: String): DataFrame = spark.read
+      .format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .select(lit(phase).as("phase"), col("flag"), col("n_rows"),
+        col("revenue_cents"), col("qty_sum"), col("max_ok"))
+    aggAt(cln, "clone").unionByName(aggAt(src, "source"))
+      .orderBy(col("phase"), col("flag"))
+  }
+
+  private val q295Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 97 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 997 = 0),
+      |cl AS (
+      |  SELECT 'clone' AS phase, flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |         CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |         CAST(MAX(ok) AS BIGINT) AS max_ok
+      |  FROM merged GROUP BY flag),
+      |kept AS (SELECT * FROM base WHERE ok % 131 <> 0),
+      |sr AS (
+      |  SELECT 'source' AS phase, flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |         CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |         CAST(MAX(ok) AS BIGINT) AS max_ok
+      |  FROM kept GROUP BY flag)
+      |SELECT * FROM cl UNION ALL SELECT * FROM sr
+      |ORDER BY phase, flag""".stripMargin
+
+  /** q296 — TIMESTAMP AS OF: time travel by WALL CLOCK instead of
+    * version pin. The commit log records each trunk commit's epoch
+    * millis, and `manifest = asof:<ms>` resolves the latest commit at
+    * or before the timestamp (Delta's TIMESTAMP AS OF on our log).
+    * The chain runs MERGE then keyed DELETE with a strict clock tick
+    * between commits; the query reads the table AS OF the merge
+    * commit's own timestamp — after the delete already committed —
+    * and the oracle is q267's merged state: hash-green certifies the
+    * timestamp pin selects exactly the pre-delete snapshot.
+    * CloneAsOfSpec pins boundary semantics (between-commit
+    * timestamps, loud pre-history failure, content identity with the
+    * version pin).
+    */
+  private def q296(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_asof_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    // strict tick so consecutive commits can never share a millisecond
+    def tick(): Unit = {
+      val t = System.currentTimeMillis()
+      while (System.currentTimeMillis() <= t) Thread.sleep(1)
+    }
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    tick()
+    ManifestSource.merge(spark, root, mergeBatch97(base))
+    tick()
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeys(spark, root, keys)
+    val log = ManifestSource.readCommitLogTimed(root)
+    require(log.size == 3 && log.map(_._2).distinct.size == 3,
+      s"expected 3 distinctly-timestamped commits, got $log")
+    val tsMerge = log(1)._2
+    spark.read.format("graft-manifest").option("path", root)
+      .option("manifest", s"asof:$tsMerge").load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
   /** q294 — REPLICATION OFF THE LIVE CHANGE FEED: q278's
     * cross-region loop with ZERO staged files — the replica tails the
     * source store's own streaming CDF (`readChangeFeed = true`, the
@@ -2604,6 +2731,8 @@ object Layout {
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),
     QuerySpec("q294_stream_cdf_replication", q294, Some(q278Sql)),
+    QuerySpec("q295_shallow_clone", q295, Some(q295Sql)),
+    QuerySpec("q296_time_travel_asof", q296, Some(q267Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
     QuerySpec("q287_write_audit_publish", q287, Some(q267Sql)),

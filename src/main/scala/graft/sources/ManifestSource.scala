@@ -194,6 +194,15 @@ object ManifestSource {
         listRefs(dir).getOrElse(name,
           throw new IllegalArgumentException(
             s"named ref '$name' does not exist in $dir"))
+      case Some(p) if p.startsWith("asof:") =>
+        // TIMESTAMP AS OF: the latest trunk commit at or before the
+        // given epoch millis (Delta's timestamp pin on our commit
+        // log); a timestamp before the table existed fails loudly
+        val ts = p.stripPrefix("asof:").trim.toLong
+        val hits = readCommitLogTimed(dir).filter(_._2 <= ts)
+        if (hits.isEmpty) throw new IllegalArgumentException(
+          s"no commit at or before epoch-ms $ts in $dir")
+        hits.last._1
       case Some(p) => p
       case None =>
         val vf = new java.io.File(dir, "VERSION")
@@ -308,15 +317,25 @@ object ManifestSource {
     */
   private[sources] def appendCommitLog(dir: String, name: String): Unit = {
     val w = new java.io.FileWriter(new java.io.File(dir, "commits.log"), true)
-    try w.write(name + "\n") finally w.close()
+    try w.write(s"$name,${System.currentTimeMillis()}\n") finally w.close()
   }
 
-  def readCommitLog(dir: String): Seq[String] = {
+  def readCommitLog(dir: String): Seq[String] =
+    readCommitLogTimed(dir).map(_._1)
+
+  /** Commit log with per-commit wall-clock epoch millis — the
+    * substrate for TIMESTAMP AS OF ([[resolveManifest]]'s `asof:`
+    * pin). Lines written before timestamps existed parse as ts 0.
+    */
+  def readCommitLogTimed(dir: String): Seq[(String, Long)] = {
     val f = new java.io.File(dir, "commits.log")
     if (!f.exists()) Nil
     else {
       val src = scala.io.Source.fromFile(f)
-      try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+      try src.getLines().map(_.trim).filter(_.nonEmpty).map { l =>
+        val a = l.split(",", -1)
+        (a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L)
+      }.toList
       finally src.close()
     }
   }
@@ -502,7 +521,7 @@ object ManifestSource {
     // reading part-c files while overwriting them (found the hard
     // way: truncated outputs on the second invocation)
     val entries = readManifest(dir, from).sortBy(e => (e.min, e.file))
-    require(entries.forall(!_.file.startsWith("part-c")),
+    require(entries.forall(e => !baseName(e.file).startsWith("part-c")),
       s"refusing to compact a compacted snapshot ($from)")
     // bin-pack concatenation copies lines and ADDS stats without
     // parsing rows — a deletion-vector mask would be resurrected and
@@ -690,7 +709,7 @@ object ManifestSource {
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
         val masked = dvKeys.getOrElse(e.file, Set.empty)
-        val out = s"part-m$gen-e$ep-${e.file.stripPrefix("part-")}"
+        val out = s"part-m$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
         val outF = new java.io.File(dir, out)
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(outF, "UTF-8")
@@ -841,7 +860,7 @@ object ManifestSource {
       .parallelize(straddle, straddle.size.max(1))
       .map { e =>
         val masked = dvKeysLocal.getOrElse(e.file, Set.empty)
-        val out = s"part-d$ep-${e.file.stripPrefix("part-")}"
+        val out = s"part-d$ep-${baseName(e.file).stripPrefix("part-")}"
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
@@ -975,7 +994,7 @@ object ManifestSource {
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
         val masked = dvKeysLocal.getOrElse(e.file, Set.empty)
-        val out = s"part-k$gen-e$ep-${e.file.stripPrefix("part-")}"
+        val out = s"part-k$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
         val outF = new java.io.File(dir, out)
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(outF, "UTF-8")
@@ -1110,7 +1129,7 @@ object ManifestSource {
       .parallelize(targets, targets.size.max(1))
       .map { e =>
         val masked = dvKeysLocal(e.file)
-        val out = s"part-r$gen-e$ep-${e.file.stripPrefix("part-")}"
+        val out = s"part-r$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
         val outF = new java.io.File(dir, out)
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(outF, "UTF-8")
@@ -1152,6 +1171,49 @@ object ManifestSource {
       _ => None, // live rows unchanged: appends never conflict
       dvClear = cleared.map(_._1).toSet)
     (touched.length, cleared.length, rewritten.map(_._3).sum, name)
+  }
+
+  /** Basename of a (possibly relative-path) manifest entry — rewrite
+    * output names derive from it so a SHALLOW CLONE's `../src/part-x`
+    * entries rewrite to valid LOCAL names.
+    */
+  private[sources] def baseName(f: String): String =
+    f.substring(f.lastIndexOf('/') + 1)
+
+  /** SHALLOW CLONE — a zero-copy table at `dstDir` whose manifest
+    * lists the SOURCE snapshot's data files (and deletion-vector
+    * sidecars) by RELATIVE path: metadata-only, instant at any size
+    * (Delta SHALLOW CLONE). Every per-file statistic travels with the
+    * entries, so zone-map/bloom pruning and stats-answered aggregates
+    * work on the clone immediately. The clone is a REAL table from
+    * then on: DML rewrites write LOCAL files (names derive from
+    * [[baseName]]) while untouched entries keep referencing the
+    * source; the clone's vacuum never deletes source files (relative
+    * paths are invisible to its directory sweep). The documented
+    * Delta hazard holds here too: a SOURCE vacuum that collects files
+    * the clone references breaks the clone LOUDLY at read
+    * (FileNotFoundException) — protect the source snapshot with a
+    * named ref ([[setRef]]) for as long as clones depend on it.
+    */
+  def cloneShallow(srcDir: String, dstDir: String,
+      pinned: Option[String] = None): String = {
+    val m = resolveManifest(srcDir, pinned)
+    val entries = readManifest(srcDir, m)
+    val dv = readDvMap(srcDir, m)
+    val dst = new java.io.File(dstDir)
+    dst.mkdirs()
+    require(Option(dst.listFiles()).getOrElse(Array.empty).isEmpty,
+      s"clone destination $dstDir is not empty")
+    val rel = dst.toPath.toAbsolutePath.normalize.relativize(
+      new java.io.File(srcDir).toPath.toAbsolutePath.normalize).toString
+    def reref(f: String) = s"$rel/$f"
+    writeManifestFile(dstDir, "manifest.csv", manifestSchema(srcDir, m),
+      entries.map(e => e.copy(file = reref(e.file))),
+      dv.map { case (f, ds) => reref(f) -> ds.map(reref) })
+    val lw = new java.io.PrintWriter(new java.io.File(dstDir, "commits.log"), "UTF-8")
+    try lw.println(s"manifest.csv,${System.currentTimeMillis()}")
+    finally lw.close()
+    "manifest.csv"
   }
 
   /** RESTORE — roll the table back to a pinned snapshot as a FORWARD
@@ -1407,7 +1469,8 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       if (vf.exists()) vf.delete()
       // ... and restarts the commit log (a NEW table's history)
       val lw = new java.io.PrintWriter(new java.io.File(dir, "commits.log"), "UTF-8")
-      try lw.println("manifest.csv") finally lw.close()
+      try lw.println(s"manifest.csv,${System.currentTimeMillis()}")
+      finally lw.close()
     } else ManifestSource.commitLock.synchronized {
       // APPEND commit: new snapshot = current entries + this write's,
       // under a fresh manifest name; the VERSION pointer flips last,
