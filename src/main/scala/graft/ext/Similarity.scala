@@ -1431,6 +1431,137 @@ object Similarity {
        |GROUP BY cnt.cid, cnt.n_members, cnt.n_added
        |ORDER BY cnt.cid""".stripMargin
 
+  /** q297 — IVF MAINTENANCE OFF THE LIVE CHANGE FEED: the fourth
+    * index family joins the emit-once-maintain-many set (clusters
+    * q281, BM25 q288, MinHash q292 consume the document chain; the
+    * VECTOR index consumes the table's own STREAMING CDF — the q294
+    * mode — so this is also the first maintained index with zero
+    * staged feed files). The quantized embedding codes ride the
+    * manifest store as schema-evolution extras columns (`c0..c63`,
+    * one BIGINT each; stats/blooms/zone maps all work unchanged), and
+    * the chain is: trunk commit 1 writes the corpus (md5 buckets
+    * < 90), commit 2 appends buckets ≥ 90, commit 3 is a
+    * MERGE-ON-READ delete of buckets 0–4 (metadata-only — the CDF
+    * emits the masked files' before/after images), commit 4
+    * materializes ([[graft.sources.ManifestSource.rewriteDeletes]] —
+    * its images cancel). The consumer tails `readChangeFeed` from
+    * commit 0, NETS each commit's redundant carried pairs
+    * distributively, freezes centroids on the bootstrap commit (the
+    * build step, q264's convention), and folds net inserts/deletes
+    * as the abelian (count, code-sum) algebra — K×64 rows of state,
+    * batch-sized scoring passes, no corpus rescan ever. THE ORACLE
+    * IS q271's from-scratch SQL VERBATIM (same buckets, same frozen
+    * protocol, survivors' cells + append/delete ledger): hash-green
+    * proves stream → net → subtract/add lands exactly on the rebuilt
+    * index. CdcIvfSpec pins trigger-batching invariance.
+    */
+  private[ext] def q297Run(spark: SparkSession, dir: String,
+      maxCommitsPerTrigger: Int): DataFrame = {
+    import graft.sources.ManifestSource
+    val bucket = graft.ext.TrainPrep.md5Bucket(col("vec_id"), 100)
+    val vecs = quantCodeVecs(spark, dir)
+      .withColumn("bucket", bucket).localCheckpoint()
+    val dim = vecs.select(size(col("cs"))).head.getInt(0)
+    val tag = java.lang.Long.toHexString(
+      (dir.hashCode.toLong * 31 + maxCommitsPerTrigger) & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_ivfcdf_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    def asStore(df: DataFrame): DataFrame =
+      df.select(Seq(col("vec_id").as("ok"), col("vec_id").as("ship_us"),
+        lit("v").as("flag"), col("n2").as("qty"), lit(0L).as("price_cents")) ++
+        (0 until dim).map(j => col("cs").getItem(j).as(s"c$j")): _*)
+    asStore(vecs.filter(col("bucket") < 90))
+      .repartitionByRange(4, col("ship_us"))
+      .write.format("graft-manifest").option("path", root)
+      .option("extracols", (0 until dim).map(j => s"c$j").mkString(","))
+      .mode("overwrite").save()
+    asStore(vecs.filter(col("bucket") >= 90))
+      .write.format("graft-manifest").option("path", root).mode("append").save()
+    val delKeys = vecs.filter(col("bucket") < 5).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeysMoR(root, delKeys)
+    ManifestSource.rewriteDeletes(spark, root)
+
+    var frozen: Seq[Cent] = Seq.empty
+    var mSums: DataFrame = null
+    var mCnt: DataFrame = null // (cid, n, added, deleted)
+    def asVecs(e: DataFrame): DataFrame =
+      e.select(col("ok").as("vec_id"),
+        array((0 until dim).map(j => col(s"c$j")): _*).as("cs"),
+        col("qty").as("n2"))
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", root).option("readchangefeed", "true")
+      .option("maxcommitspertrigger", maxCommitsPerTrigger)
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ev = b.localCheckpoint()
+        val commits = ev.select(col("_commit")).distinct()
+          .collect().map(_.getLong(0)).sorted // bounded: commits, not rows
+        commits.foreach { c =>
+          val e = ev.filter(col("_commit") === c)
+          val del = asVecs(e.filter(col("_change_type") === "delete"))
+            .select(col("vec_id"), col("cs").as("d_cs"), col("n2").as("d_n2"))
+          val ins = asVecs(e.filter(col("_change_type") === "insert"))
+            .select(col("vec_id").as("vi"), col("cs"), col("n2"))
+          // net the CDF-lite carried pairs distributively (q294's
+          // discipline); only true changes reach the algebra
+          val j = del.join(ins, col("vec_id") === col("vi"), "full_outer")
+            .localCheckpoint()
+          val same = col("d_cs") === col("cs") && col("d_n2") === col("n2")
+          val netIns = j.filter(col("vi").isNotNull && (col("vec_id").isNull || !same))
+            .select(col("vi").as("vec_id"), col("cs"), col("n2"))
+          val netDel = j.filter(col("vec_id").isNotNull && (col("vi").isNull || !same))
+            .select(col("vec_id"), col("d_cs").as("cs"), col("d_n2").as("n2"))
+          if (frozen.isEmpty) {
+            // the first trunk commit IS the bootstrap corpus — freeze
+            // centroids and build the base cell state (q264's
+            // offline-build convention, arriving through the feed)
+            val boot = netIns.localCheckpoint()
+            frozen = frozenCentroids(boot)
+            val (s0, c0) = ivfCellState(boot, frozen)
+            mSums = s0.localCheckpoint()
+            mCnt = c0.select(col("cid"), col("n"),
+              lit(0L).as("added"), lit(0L).as("deleted")).localCheckpoint()
+          } else {
+            val (iS, iC) = ivfCellState(netIns, frozen)
+            val (dS, dC) = ivfCellState(netDel, frozen)
+            mSums = mergeCellSums(mergeCellSums(mSums, iS),
+              dS.withColumn("s", -col("s"))).localCheckpoint()
+            mCnt = mCnt
+              .join(iC.select(col("cid"), col("n").as("ni")), Seq("cid"), "full_outer")
+              .join(dC.select(col("cid"), col("n").as("nd")), Seq("cid"), "full_outer")
+              .select(col("cid"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("ni"), lit(0L))
+                  - coalesce(col("nd"), lit(0L))).as("n"),
+                (coalesce(col("added"), lit(0L)) + coalesce(col("ni"), lit(0L))).as("added"),
+                (coalesce(col("deleted"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("deleted"))
+              .localCheckpoint()
+          }
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val counts = mCnt.select(col("cid"), col("n").as("n_members"),
+      col("added").as("n_added"), col("deleted").as("n_deleted"))
+      .filter(col("n_members") > 0) // a fully-emptied cell leaves the readout
+    mSums.join(counts, "cid")
+      .withColumn("mean", expr("s DIV n_members"))
+      .groupBy(col("cid"), col("n_members"), col("n_added"), col("n_deleted"))
+      .agg(md5(to_binary(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          x => x.getField("mean").cast("string"))), lit("utf-8"))).as("mean_digest"))
+      .select(col("cid"), col("n_members"), col("n_added"), col("n_deleted"),
+        col("mean_digest"))
+      .orderBy(col("cid"))
+  }
+
+  private def q297(spark: SparkSession, dir: String): DataFrame =
+    q297Run(spark, dir, maxCommitsPerTrigger = 1)
+
   /** q271's oracle: the from-scratch protocol over the SURVIVING
     * membership — same frozen corpus centroids and one-pass
     * assignment as q262 (the shared core), cells rolled up over
@@ -2374,6 +2505,7 @@ object Similarity {
     QuerySpec("q262_incremental_ivf", q262, Some(q262Sql)),
     QuerySpec("q264_stream_ivf_maintenance", q264, Some(q262Sql)),
     QuerySpec("q271_ivf_delete_maintenance", q271, Some(q271Sql)),
+    QuerySpec("q297_cdf_ivf_maintenance", q297, Some(q271Sql)),
     QuerySpec("q285_ivf_mixed_batch", q285, Some(q285Sql)),
     QuerySpec("q83_semantic_dedup_corpus", q83, None),
     QuerySpec("q83b_semantic_dedup_sql", q83b, Some(q83bSql)),

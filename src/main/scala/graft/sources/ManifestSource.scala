@@ -62,7 +62,15 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
       else {
         val m = ManifestSource.resolveManifest(dir, Option(options.get("manifest")))
         if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
-        else ManifestSource.Schema
+        else
+          // a FRESH store's truncate write may declare extension
+          // columns up front (`extracols=c0,c1,…`) — the write schema
+          // becomes the table schema, but Spark validates arity
+          // against inferSchema BEFORE the write builds, so the hint
+          // has to surface here
+          StructType(ManifestSource.Schema.fields ++
+            Option(options.get("extracols")).toSeq.flatMap(_.split(','))
+              .filter(_.nonEmpty).map(n => StructField(n, LongType)))
       }
     if (cdf) ManifestSource.withCdfCols(base) else base
   }
@@ -73,7 +81,9 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table =
     new ManifestTable(properties.get("path"),
       Option(properties.get("manifest")),
-      Option(properties.get("readchangefeed")).exists(_.toBoolean))
+      Option(properties.get("readchangefeed")).exists(_.toBoolean),
+      Option(properties.get("extracols")).toSeq.flatMap(_.split(','))
+        .filter(_.nonEmpty))
 }
 
 object ManifestSource {
@@ -1364,14 +1374,15 @@ object ManifestSource {
 }
 
 final class ManifestTable(dir: String, pinned: Option[String],
-    cdf: Boolean = false)
+    cdf: Boolean = false, extraColsHint: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-manifest($dir)"
   override def schema(): StructType = {
     val m = ManifestSource.resolveManifest(dir, pinned)
     val base =
       if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
-      else ManifestSource.Schema
+      else StructType(ManifestSource.Schema.fields ++
+        extraColsHint.map(n => StructField(n, LongType)))
     if (cdf) ManifestSource.withCdfCols(base) else base
   }
   override def capabilities(): java.util.Set[TableCapability] =
