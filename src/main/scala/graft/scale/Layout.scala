@@ -2538,6 +2538,68 @@ object Layout {
       .orderBy(col("flag"))
   }
 
+  /** q298 — DESCRIBE HISTORY
+    * ([[graft.sources.ManifestSource.history]]): the commit log as an
+    * audit view — one row per trunk commit with its OPERATION tag
+    * (every DML verb stamps the log through the CAS gate), wall
+    * clock, and the snapshot's row count read from the manifest
+    * alone. The chain is create → MERGE → keyed DELETE → retention;
+    * the readout is (commit_idx, op, n_rows) and THE ORACLE COMPUTES
+    * EACH COMMIT'S EXPECTED ROW COUNT RELATIONALLY over orders — so
+    * the hash gate certifies the log records the right operations in
+    * the right order AND that every intermediate snapshot's manifest
+    * carries exact row counts (a mis-tagged verb, a lost commit, or a
+    * stats drift all shift a row). The query also REQUIREs commit
+    * timestamps nondecreasing. Metadata-only end to end: no data file
+    * opens to answer it.
+    */
+  private def q298(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_hist_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    ManifestSource.merge(spark, root, mergeBatch97(base))
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeys(spark, root, keys)
+    ManifestSource.deleteBelow(spark, root, Q274CutoffUs)
+    val h = ManifestSource.history(root)
+    require(h.map(_._3).sliding(2).forall(p => p.size < 2 || p(0) <= p(1)),
+      "commit timestamps must be nondecreasing")
+    import spark.implicits._
+    h.map(e => (e._1, e._2, e._6.getOrElse(-1L)))
+      .toDF("commit_idx", "op", "n_rows")
+      .orderBy(col("commit_idx"))
+  }
+
+  private val q298Sql =
+    s"""WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us FROM base WHERE ok % 997 = 0),
+      |deleted AS (
+      |  SELECT * FROM merged WHERE NOT (ok % 131 = 0 AND ok < 10000000)),
+      |retained AS (SELECT * FROM deleted WHERE ship_us >= $Q274CutoffUs)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS commit_idx, 'create' AS op,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_rows
+      |  UNION ALL
+      |  SELECT 2, 'merge', (SELECT COUNT(*) FROM merged)
+      |  UNION ALL
+      |  SELECT 3, 'delete', (SELECT COUNT(*) FROM deleted)
+      |  UNION ALL
+      |  SELECT 4, 'retention', (SELECT COUNT(*) FROM retained))
+      |ORDER BY commit_idx""".stripMargin
+
   /** q294 — REPLICATION OFF THE LIVE CHANGE FEED: q278's
     * cross-region loop with ZERO staged files — the replica tails the
     * source store's own streaming CDF (`readChangeFeed = true`, the
@@ -2733,6 +2795,7 @@ object Layout {
     QuerySpec("q294_stream_cdf_replication", q294, Some(q278Sql)),
     QuerySpec("q295_shallow_clone", q295, Some(q295Sql)),
     QuerySpec("q296_time_travel_asof", q296, Some(q267Sql)),
+    QuerySpec("q298_table_history", q298, Some(q298Sql)),
     QuerySpec("q283_schema_evolution_manifest", q283, Some(q283Sql)),
     QuerySpec("q284_sorted_compaction", q284, Some(q284Sql)),
     QuerySpec("q287_write_audit_publish", q287, Some(q267Sql)),

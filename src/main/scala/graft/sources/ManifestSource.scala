@@ -325,9 +325,10 @@ object ManifestSource {
     * this log, and batch (i-1, i] is the file-set diff of lines i-1
     * and i.
     */
-  private[sources] def appendCommitLog(dir: String, name: String): Unit = {
+  private[sources] def appendCommitLog(dir: String, name: String,
+      op: String = "commit"): Unit = {
     val w = new java.io.FileWriter(new java.io.File(dir, "commits.log"), true)
-    try w.write(s"$name,${System.currentTimeMillis()}\n") finally w.close()
+    try w.write(s"$name,${System.currentTimeMillis()},$op\n") finally w.close()
   }
 
   def readCommitLog(dir: String): Seq[String] =
@@ -337,18 +338,43 @@ object ManifestSource {
     * substrate for TIMESTAMP AS OF ([[resolveManifest]]'s `asof:`
     * pin). Lines written before timestamps existed parse as ts 0.
     */
-  def readCommitLogTimed(dir: String): Seq[(String, Long)] = {
+  def readCommitLogTimed(dir: String): Seq[(String, Long)] =
+    readCommitLogFull(dir).map(e => (e._1, e._2))
+
+  /** The full log: (manifest, epoch ms, operation) per trunk commit —
+    * lines written before the op field existed parse as "commit".
+    */
+  def readCommitLogFull(dir: String): Seq[(String, Long, String)] = {
     val f = new java.io.File(dir, "commits.log")
     if (!f.exists()) Nil
     else {
       val src = scala.io.Source.fromFile(f)
       try src.getLines().map(_.trim).filter(_.nonEmpty).map { l =>
         val a = l.split(",", -1)
-        (a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L)
+        (a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L,
+          if (a.length > 2 && a(2).nonEmpty) a(2) else "commit")
       }.toList
       finally src.close()
     }
   }
+
+  /** DESCRIBE HISTORY — the audit view of the commit log: one row per
+    * trunk commit with its operation, wall-clock, and the snapshot's
+    * file/row counts read from the (still-present) manifest —
+    * metadata only, no data file opens. A vacuumed generation's
+    * counts surface as None; the current generation is always
+    * readable. Returns (commit index 1-based, op, epoch ms, manifest,
+    * n_files, n_rows).
+    */
+  def history(dir: String): Seq[(Long, String, Long, String, Option[Long], Option[Long])] =
+    readCommitLogFull(dir).zipWithIndex.map { case ((m, ts, op), i) =>
+      val stats =
+        if (new java.io.File(dir, m).exists()) {
+          val es = readManifest(dir, m)
+          Some((es.size.toLong, es.map(_.rows).sum))
+        } else None
+      (i + 1L, op, ts, m, stats.map(_._1), stats.map(_._2))
+    }
 
   /** Per-invocation writer epoch embedded in output data-file names:
     * two OPTIMISTIC writers that both resolved generation g would
@@ -394,7 +420,8 @@ object ManifestSource {
       conflictsWithAdded: FileEntry => Option[String],
       schemaOverride: Option[Seq[String]] = None,
       dvAttach: Map[String, Seq[String]] = Map.empty,
-      dvClear: Set[String] = Set.empty): String =
+      dvClear: Set[String] = Set.empty,
+      op: String = "commit"): String =
     commitLock.synchronized {
       val current = resolveManifest(dir, None)
       val curEntries = readManifest(dir, current)
@@ -465,7 +492,7 @@ object ManifestSource {
       writeManifestFile(dir, name, cols, finalEntries, dvFinal)
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
-      appendCommitLog(dir, name)
+      appendCommitLog(dir, name, op)
       name
     }
 
@@ -502,7 +529,7 @@ object ManifestSource {
     require(colName.nonEmpty && !colName.contains(",") && !colName.contains("#"),
       s"invalid column name: $colName")
     commitSnapshot(dir, current, Set.empty, Nil, _ => None,
-      schemaOverride = Some(cols :+ colName))
+      schemaOverride = Some(cols :+ colName), op = "add-column")
   }
 
   /** COMPACTION + snapshot commit: capacity-chunk the current
@@ -586,7 +613,7 @@ object ManifestSource {
     // the compacted files; a rewrite of any INPUT aborts — which is
     // exactly how two racing compactions resolve (first wins).
     val name = commitSnapshot(dir, from, entries.map(_.file).toSet,
-      stats.toSeq, _ => None)
+      stats.toSeq, _ => None, op = "compact")
     (entries.length, stats.length, name)
   }
 
@@ -695,7 +722,7 @@ object ManifestSource {
         else if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
           Some(s"${e.file} may contain staged merge keys")
         else None,
-      schemaOverride = Some(manifestSchema(dir, staged)))
+      schemaOverride = Some(manifestSchema(dir, staged)), op = "publish")
   }
 
   /** The executor-side copy-on-write rewrite shared by [[merge]] and
@@ -841,7 +868,7 @@ object ManifestSource {
         (0 until nExtras).map(j => if (exHas(j)) Some(exSums(j)) else None)))
     }.collect()
     val name = commitSnapshot(dir, snap, entries.map(_.file).toSet,
-      stats.toSeq.sortBy(_.min), _ => None)
+      stats.toSeq.sortBy(_.min), _ => None, op = "compact-sorted")
     (entries.length, stats.length, name)
   }
 
@@ -900,7 +927,7 @@ object ManifestSource {
       rewritten.toSeq, e =>
         if (e.min < cutoffUs)
           Some(s"${e.file} zone-min ${e.min} < retention cutoff $cutoffUs")
-        else None)
+        else None, op = "retention")
     (below.size, straddle.size, above.size)
   }
 
@@ -968,7 +995,7 @@ object ManifestSource {
       real.map(_._2).toSeq ++ insertEntry, e =>
         if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
           Some(s"${e.file} may contain merge keys")
-        else None)
+        else None, op = "merge")
     val nRewritten = real.length
     (nRewritten, entries.size - nRewritten, inserts.size, name)
   }
@@ -1051,7 +1078,7 @@ object ManifestSource {
       touched.flatMap(_._2).toSeq, e =>
         if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
           Some(s"${e.file} may contain delete keys")
-        else None)
+        else None, op = "delete")
     val nRewritten = touched.length
     (nRewritten, entries.size - nRewritten, rewritten.map(_._3).sum, name)
   }
@@ -1105,7 +1132,7 @@ object ManifestSource {
         else None,
       dvAttach = dvFile
         .map(d => candidates.map(_.file -> Seq(d)).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty), op = "delete-mor")
     (candidates.size, entries.size, dvFile, manifest)
   }
 
@@ -1179,7 +1206,7 @@ object ManifestSource {
     val name = commitSnapshot(dir, current, touched.map(_._1).toSet,
       touched.flatMap(_._2).toSeq,
       _ => None, // live rows unchanged: appends never conflict
-      dvClear = cleared.map(_._1).toSet)
+      dvClear = cleared.map(_._1).toSet, op = "rewrite-deletes")
     (touched.length, cleared.length, rewritten.map(_._3).sum, name)
   }
 
@@ -1221,7 +1248,7 @@ object ManifestSource {
       entries.map(e => e.copy(file = reref(e.file))),
       dv.map { case (f, ds) => reref(f) -> ds.map(reref) })
     val lw = new java.io.PrintWriter(new java.io.File(dstDir, "commits.log"), "UTF-8")
-    try lw.println(s"manifest.csv,${System.currentTimeMillis()}")
+    try lw.println(s"manifest.csv,${System.currentTimeMillis()},clone")
     finally lw.close()
     "manifest.csv"
   }
@@ -1260,7 +1287,7 @@ object ManifestSource {
     writeManifestFile(dir, name, manifestSchema(dir, toManifest), entries, dv)
     val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
     try vw.println(name) finally vw.close()
-    appendCommitLog(dir, name)
+    appendCommitLog(dir, name, "restore")
     name
   }
 
@@ -1480,7 +1507,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       if (vf.exists()) vf.delete()
       // ... and restarts the commit log (a NEW table's history)
       val lw = new java.io.PrintWriter(new java.io.File(dir, "commits.log"), "UTF-8")
-      try lw.println(s"manifest.csv,${System.currentTimeMillis()}")
+      try lw.println(s"manifest.csv,${System.currentTimeMillis()},create")
       finally lw.close()
     } else ManifestSource.commitLock.synchronized {
       // APPEND commit: new snapshot = current entries + this write's,
@@ -1525,7 +1552,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       } finally mw.close()
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
-      ManifestSource.appendCommitLog(dir, name)
+      ManifestSource.appendCommitLog(dir, name, "append")
     }
   }
 

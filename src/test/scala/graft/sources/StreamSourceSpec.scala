@@ -104,6 +104,38 @@ class StreamSourceSpec extends SparkSpec {
     } finally cleanup(root)
   }
 
+  test("checkpoint restart: a second run resumes from the persisted offset — no replays, no gaps") {
+    val root = plant()
+    val ck = java.nio.file.Files.createTempDirectory("graft_tail_ck").toString
+    try {
+      append(root, Seq((100L, 50000L, "N", 1L, 5L)))
+      val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-manifest").option("path", root)
+          .option("maxcommitspertrigger", "1")
+          .load().writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val ks = b.select(col("ok")).collect().map(_.getLong(0)).toSet
+            batches.synchronized { if (ks.nonEmpty) batches += ks }
+            ()
+          }.start()
+        try { q.processAllAvailable(); q.stop() }
+        finally scala.util.Try(q.stop())
+      }
+      runOnce() // consumes commits 1-2, offsets persist in the checkpoint
+      assert(batches.toSeq == Seq((1L to 12L).toSet, Set(100L)))
+      append(root, Seq((200L, 60000L, "N", 2L, 6L)))
+      runOnce() // restart: deserializeOffset resumes PAST commit 2
+      assert(batches.toSeq == Seq((1L to 12L).toSet, Set(100L), Set(200L)),
+        "the restarted stream must emit only the new commit — no replay, no gap")
+    } finally {
+      cleanup(root)
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ck)))
+    }
+  }
+
   test("CDF mode: delete-then-insert per commit replays the table; a mask-only commit nets to the masked row") {
     val root = plant()
     try {
