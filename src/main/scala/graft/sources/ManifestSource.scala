@@ -322,14 +322,97 @@ object ManifestSource {
     * append/truncate, restore) appends under the commit lock; a
     * truncate resets the log (a fresh table). This is what makes the
     * table TAILABLE: the streaming source's offsets are INDICES into
-    * this log, and batch (i-1, i] is the file-set diff of lines i-1
-    * and i.
+    * this log.
+    *
+    * Since round 13 each line also carries the commit's FILE-SET DIFF
+    * (field 4: files added, files removed with their pre-commit
+    * deletion-vector refs, mask-moved files with before/after refs) —
+    * the Delta model where the log records ACTIONS, not just
+    * pointers. Stream planning reads ONLY the log: it never opens a
+    * historical generation manifest, so [[vacuum]] collecting old
+    * generations can no longer kill a live or restarted stream
+    * mid-planning (the data files a historical batch READS can still
+    * be vacuumed — the planner checks and fails with an explicit
+    * "vacuumed history" error; protect tailed history with a named
+    * ref). Lines written before the diff existed fall back to the
+    * manifest-diff path.
+    *
+    * Timestamps are CLAMPED MONOTONE against the last logged line
+    * (Delta canonicalizes commit times the same way): `asof:`
+    * resolution takes the last line with ts <= t in log order, so a
+    * wall-clock step backwards must not let an later commit
+    * advertise an earlier time.
     */
   private[sources] def appendCommitLog(dir: String, name: String,
-      op: String = "commit"): Unit = {
+      op: String = "commit", diff: String = ""): Unit = {
+    val last = readCommitLogTimed(dir).lastOption.map(_._2).getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), last)
     val w = new java.io.FileWriter(new java.io.File(dir, "commits.log"), true)
-    try w.write(s"$name,${System.currentTimeMillis()},$op\n") finally w.close()
+    try w.write(s"$name,$ts,$op,${if (diff.isEmpty) "=" else diff}\n")
+    finally w.close()
   }
+
+  /** A trunk commit's file-set diff as recorded in its log line:
+    * `added` files each with the deletion-vector refs they carry in
+    * the POST-commit snapshot (nonempty only for a clone's create
+    * line — DML-added files are always fresh and mask-free);
+    * `removed` files each with the refs they carried in the
+    * PRE-commit snapshot (the before-image's masks); `maskMoved`
+    * files present on both sides whose mask set changed (before refs,
+    * after refs). Data-file and sidecar names never contain `,;:|>`,
+    * so the encoding needs no quoting.
+    */
+  final case class CommitDiff(added: Seq[(String, Seq[String])],
+      removed: Seq[(String, Seq[String])],
+      maskMoved: Seq[(String, Seq[String], Seq[String])])
+
+  object CommitDiff {
+    def plainAdd(files: Seq[String]): CommitDiff =
+      CommitDiff(files.map(_ -> Seq.empty[String]), Nil, Nil)
+  }
+
+  private[sources] def encodeDiff(d: CommitDiff): String = {
+    def withDvs(xs: Seq[(String, Seq[String])]): String =
+      xs.map { case (f, dvs) => (f +: dvs).mkString(":") }.mkString(";")
+    val a = if (d.added.isEmpty) None else Some("A:" + withDvs(d.added))
+    val r = if (d.removed.isEmpty) None else Some("R:" + withDvs(d.removed))
+    val m = if (d.maskMoved.isEmpty) None
+      else Some("M:" + d.maskMoved.map { case (f, pre, post) =>
+        (f +: pre).mkString(":") + ">" + post.mkString(":") }.mkString(";"))
+    val s = Seq(a, r, m).flatten.mkString("|")
+    if (s.isEmpty) "=" else s
+  }
+
+  private[sources] def parseDiff(s: String): CommitDiff =
+    if (s == "=") CommitDiff(Nil, Nil, Nil)
+    else {
+      def parseDvs(body: String): Seq[(String, Seq[String])] =
+        body.split(';').filter(_.nonEmpty).toSeq.map { e =>
+          val p = e.split(':')
+          (p(0), p.drop(1).toSeq)
+        }
+      var added = Seq.empty[(String, Seq[String])]
+      var removed = Seq.empty[(String, Seq[String])]
+      var moved = Seq.empty[(String, Seq[String], Seq[String])]
+      s.split('|').filter(_.nonEmpty).foreach { sec =>
+        val body = sec.drop(2)
+        sec.take(2) match {
+          case "A:" => added = parseDvs(body)
+          case "R:" => removed = parseDvs(body)
+          case "M:" => moved = body.split(';').filter(_.nonEmpty).toSeq.map { e =>
+            val Array(pre, post) = e.split('>') match {
+              case Array(x) => Array(x, "")
+              case x => x
+            }
+            val pp = pre.split(':')
+            (pp(0), pp.drop(1).toSeq.filter(_.nonEmpty),
+              post.split(':').filter(_.nonEmpty).toSeq)
+          }
+          case other => throw new IllegalStateException(s"bad diff section $other")
+        }
+      }
+      CommitDiff(added, removed, moved)
+    }
 
   def readCommitLog(dir: String): Seq[String] =
     readCommitLogTimed(dir).map(_._1)
@@ -344,15 +427,27 @@ object ManifestSource {
   /** The full log: (manifest, epoch ms, operation) per trunk commit —
     * lines written before the op field existed parse as "commit".
     */
-  def readCommitLogFull(dir: String): Seq[(String, Long, String)] = {
+  def readCommitLogFull(dir: String): Seq[(String, Long, String)] =
+    readCommitLogEntries(dir).map(e => (e.manifest, e.ts, e.op))
+
+  /** One parsed trunk-commit line; `diff` is None for lines written
+    * before file-diff logging (pre-round-13 stores) — consumers fall
+    * back to reading the generation manifests, which may have been
+    * vacuumed.
+    */
+  final case class LogEntry(manifest: String, ts: Long, op: String,
+      diff: Option[CommitDiff])
+
+  def readCommitLogEntries(dir: String): Seq[LogEntry] = {
     val f = new java.io.File(dir, "commits.log")
     if (!f.exists()) Nil
     else {
       val src = scala.io.Source.fromFile(f)
       try src.getLines().map(_.trim).filter(_.nonEmpty).map { l =>
         val a = l.split(",", -1)
-        (a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L,
-          if (a.length > 2 && a(2).nonEmpty) a(2) else "commit")
+        LogEntry(a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L,
+          if (a.length > 2 && a(2).nonEmpty) a(2) else "commit",
+          if (a.length > 3 && a(3).nonEmpty) Some(parseDiff(a(3))) else None)
       }.toList
       finally src.close()
     }
@@ -363,8 +458,15 @@ object ManifestSource {
     * file/row counts read from the (still-present) manifest —
     * metadata only, no data file opens. A vacuumed generation's
     * counts surface as None; the current generation is always
-    * readable. Returns (commit index 1-based, op, epoch ms, manifest,
-    * n_files, n_rows).
+    * readable. `n_rows` is the sum of the manifest's PHYSICAL per-file
+    * row stats — while a snapshot carries unmaterialized deletion-
+    * vector masks it is an UPPER BOUND on live rows (the same
+    * physical-stats semantics under which the scan builder refuses
+    * stats-answered aggregates; a mask key is not guaranteed to match
+    * a row — blooms false-positive — so subtracting key counts would
+    * be wrong in the other direction. [[rewriteDeletes]] restores
+    * exactness). Returns (commit index 1-based, op, epoch ms,
+    * manifest, n_files, n_rows).
     */
   def history(dir: String): Seq[(Long, String, Long, String, Option[Long], Option[Long])] =
     readCommitLogFull(dir).zipWithIndex.map { case ((m, ts, op), i) =>
@@ -492,7 +594,18 @@ object ManifestSource {
       writeManifestFile(dir, name, cols, finalEntries, dvFinal)
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
-      appendCommitLog(dir, name, op)
+      // the logged diff is vs the PREVIOUS TRUNK LINE (= current): on
+      // a rebase, `removed` names base files that survived into
+      // current, so intersecting with current's entries is exact
+      val addedNames = added.map(_.file)
+      val removedActual = curEntries.filter(e => removed.contains(e.file))
+        .map(e => e.file -> curDv.getOrElse(e.file, Nil))
+      val movedMasks = finalEntries.map(_.file).filterNot(addedNames.contains)
+        .filter(f => dvFinal.getOrElse(f, Nil) != curDv.getOrElse(f, Nil))
+        .map(f => (f, curDv.getOrElse(f, Nil), dvFinal.getOrElse(f, Nil)))
+      appendCommitLog(dir, name, op,
+        encodeDiff(CommitDiff(addedNames.map(_ -> Seq.empty[String]),
+          removedActual, movedMasks)))
       name
     }
 
@@ -1112,6 +1225,11 @@ object ManifestSource {
     */
   def deleteKeysMoR(dir: String, keys: Seq[Long],
       base: Option[String] = None): (Int, Int, Option[String], String) = {
+    // an empty batch would INVERT candidate selection (forall over an
+    // empty keySet is false for bloom-carrying files but true for
+    // bloom-less legacy entries), attaching spurious zero-key masks —
+    // and an empty DELETE has nothing to commit anyway
+    require(keys.nonEmpty, "deleteKeysMoR: empty key batch")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val keySet = keys.toSet
@@ -1248,7 +1366,9 @@ object ManifestSource {
       entries.map(e => e.copy(file = reref(e.file))),
       dv.map { case (f, ds) => reref(f) -> ds.map(reref) })
     val lw = new java.io.PrintWriter(new java.io.File(dstDir, "commits.log"), "UTF-8")
-    try lw.println(s"manifest.csv,${System.currentTimeMillis()},clone")
+    try lw.println(s"manifest.csv,${System.currentTimeMillis()},clone," +
+      encodeDiff(CommitDiff(entries.map(e =>
+        reref(e.file) -> dv.getOrElse(e.file, Nil).map(reref)), Nil, Nil)))
     finally lw.close()
     "manifest.csv"
   }
@@ -1283,11 +1403,25 @@ object ManifestSource {
     require(missing.isEmpty,
       s"restore target $toManifest references vacuumed files: " +
         missing.sorted.mkString(", "))
+    // the snapshot this restore supersedes — read BEFORE the pointer
+    // flips (it is current until then, so always readable)
+    val cur = resolveManifest(dir, None)
+    val curE = readManifest(dir, cur)
+    val curD = readDvMap(dir, cur)
     val name = s"manifest-gen${nextGeneration(dir)}.csv"
     writeManifestFile(dir, name, manifestSchema(dir, toManifest), entries, dv)
     val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
     try vw.println(name) finally vw.close()
-    appendCommitLog(dir, name, "restore")
+    val tgtFiles = entries.map(_.file).toSet
+    val curFiles = curE.map(_.file).toSet
+    appendCommitLog(dir, name, "restore", encodeDiff(CommitDiff(
+      entries.map(_.file).filterNot(curFiles.contains)
+        .map(f => f -> dv.getOrElse(f, Nil)),
+      curE.filterNot(e => tgtFiles.contains(e.file))
+        .map(e => e.file -> curD.getOrElse(e.file, Nil)),
+      entries.map(_.file).filter(f => curFiles.contains(f) &&
+        dv.getOrElse(f, Nil) != curD.getOrElse(f, Nil))
+        .map(f => (f, curD.getOrElse(f, Nil), dv.getOrElse(f, Nil))))))
     name
   }
 
@@ -1495,7 +1629,10 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
-    if (truncate) {
+    if (truncate) ManifestSource.commitLock.synchronized {
+      // under the same lock the DML verbs commit through: a racing
+      // locked append must never read a half-written manifest.csv or
+      // slip its log line around the reset
       val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest.csv"), "UTF-8")
       try {
         // a truncate's write schema BECOMES the table schema
@@ -1505,9 +1642,12 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // a fresh base write invalidates any derived snapshot chain
       val vf = new java.io.File(dir, "VERSION")
       if (vf.exists()) vf.delete()
-      // ... and restarts the commit log (a NEW table's history)
+      // ... and restarts the commit log (a NEW table's history); the
+      // create line carries the initial file set as its diff
       val lw = new java.io.PrintWriter(new java.io.File(dir, "commits.log"), "UTF-8")
-      try lw.println(s"manifest.csv,${System.currentTimeMillis()},create")
+      try lw.println(s"manifest.csv,${System.currentTimeMillis()},create," +
+        ManifestSource.encodeDiff(ManifestSource.CommitDiff.plainAdd(
+          entries.map(_.file).toSeq)))
       finally lw.close()
     } else ManifestSource.commitLock.synchronized {
       // APPEND commit: new snapshot = current entries + this write's,
@@ -1552,7 +1692,9 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       } finally mw.close()
       val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
       try vw.println(name) finally vw.close()
-      ManifestSource.appendCommitLog(dir, name, "append")
+      ManifestSource.appendCommitLog(dir, name, "append",
+        ManifestSource.encodeDiff(ManifestSource.CommitDiff.plainAdd(
+          entries.map(_.file).toSeq)))
     }
   }
 
@@ -1976,56 +2118,91 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[ManifestOffset].idx
     val b = end.asInstanceOf[ManifestOffset].idx
-    val lines = log
+    val lines = ManifestSource.readCommitLogEntries(dir)
     require(b <= lines.size, s"offset $b beyond commit log (${lines.size})")
+
+    // a planned data file or sidecar must still exist — a vacuumed
+    // history fails HERE with the remedy, not mid-task with a bare
+    // FileNotFoundException
+    def checked(i: Long, f: String): String = {
+      val p = new java.io.File(dir, f)
+      if (!p.exists()) throw new IllegalStateException(
+        s"commit ${i + 1}'s file $f was vacuumed — this stream needs " +
+          "history the table no longer holds; protect tailed history " +
+          "with a named ref (setRef) or restart at a later startingCommit")
+      p.getPath
+    }
+    def part(i: Long, f: String, dvs: Seq[String],
+        tag: Option[(String, Long)]): InputPartition =
+      ManifestInputPartition(checked(i, f), dvs.map(checked(i, _)), tag)
+
     (a until b).flatMap { i =>
-      val prev = if (i == 0) None else Some(lines((i - 1).toInt))
       val cur = lines(i.toInt)
-      val prevEntries = prev.map(m => ManifestSource.readManifest(dir, m))
-        .getOrElse(Nil)
-      val curEntries = ManifestSource.readManifest(dir, cur)
-      val prevFiles = prevEntries.map(_.file).toSet
-      val curFiles = curEntries.map(_.file).toSet
-      val prevDv = prev.map(m => ManifestSource.readDvMap(dir, m))
-        .getOrElse(Map.empty[String, Seq[String]])
-      val dv = ManifestSource.readDvMap(dir, cur)
-      def part(e: ManifestSource.FileEntry, m: Map[String, Seq[String]],
-          tag: Option[(String, Long)]): InputPartition =
-        ManifestInputPartition(new java.io.File(dir, e.file).getPath,
-          m.getOrElse(e.file, Nil).map(d => new java.io.File(dir, d).getPath), tag)
+      val diff = cur.diff.getOrElse {
+        // pre-diff log line: reconstruct from the generation manifests
+        // (the legacy path); a vacuumed manifest fails with the remedy
+        legacyDiff(i, if (i == 0) None else Some(lines((i - 1).toInt).manifest),
+          cur.manifest)
+      }
       if (cdf) {
         // CDF-LITE: a commit's removed files emit their live rows as
         // `delete` events (read with the PREVIOUS masks) and its added
         // files as `insert` events — per-file partitions need no join,
         // and delete-then-insert per commit replays the table exactly
         // (a carried row cancels; the netted q274/q280 diff is the
-        // read-amplification-free batch path)
-        val out = prevEntries.filterNot(e => curFiles.contains(e.file))
-          .map(e => part(e, prevDv, Some(("delete", i + 1))))
-        val inn = curEntries.filterNot(e => prevFiles.contains(e.file))
-          .map(e => part(e, dv, Some(("insert", i + 1))))
-        // a mask-only commit moves rows without moving files: emit the
-        // masked file's before/after images the same way
-        val maskMoved = curEntries.filter(e => curFiles.contains(e.file) &&
-          prevFiles.contains(e.file) &&
-          dv.getOrElse(e.file, Nil) != prevDv.getOrElse(e.file, Nil))
-        val maskOut = maskMoved.map(e => part(e, prevDv, Some(("delete", i + 1))))
-        val maskIn = maskMoved.map(e => part(e, dv, Some(("insert", i + 1))))
+        // read-amplification-free batch path). A mask-only commit
+        // moves rows without moving files: the masked file's
+        // before/after images emit the same way.
+        val out = diff.removed.map { case (f, dvs) =>
+          part(i, f, dvs, Some(("delete", i + 1))) }
+        val inn = diff.added.map { case (f, dvs) =>
+          part(i, f, dvs, Some(("insert", i + 1))) }
+        val maskOut = diff.maskMoved.map { case (f, pre, _) =>
+          part(i, f, pre, Some(("delete", i + 1))) }
+        val maskIn = diff.maskMoved.map { case (f, _, post) =>
+          part(i, f, post, Some(("insert", i + 1))) }
         out ++ inn ++ maskOut ++ maskIn
       } else {
         if (!ignoreChanges) {
-          val removed = prevFiles -- curFiles
-          if (removed.nonEmpty) throw new IllegalStateException(
-            s"commit ${i + 1} ($cur) removed files ${removed.toSeq.sorted.mkString(", ")} — " +
+          if (diff.removed.nonEmpty) throw new IllegalStateException(
+            s"commit ${i + 1} (${cur.manifest}) removed files " +
+              s"${diff.removed.map(_._1).sorted.mkString(", ")} — " +
               "not an append; restart past it or set ignoreChanges=true")
-          if (dv != prevDv) throw new IllegalStateException(
-            s"commit ${i + 1} ($cur) changed deletion-vector state — " +
+          if (diff.maskMoved.nonEmpty) throw new IllegalStateException(
+            s"commit ${i + 1} (${cur.manifest}) changed deletion-vector state — " +
               "not an append; restart past it or set ignoreChanges=true")
         }
-        curEntries.filterNot(e => prevFiles.contains(e.file))
-          .map(e => part(e, dv, None))
+        diff.added.map { case (f, dvs) => part(i, f, dvs, None) }
       }
     }.toArray
+  }
+
+  /** Fallback for log lines that predate file-diff logging: the diff
+    * of the two generation MANIFESTS. Vacuum may have collected them —
+    * fail with the explicit remedy instead of a bare file error.
+    */
+  private def legacyDiff(i: Long, prev: Option[String],
+      cur: String): ManifestSource.CommitDiff = {
+    def entriesOf(m: String): (Seq[ManifestSource.FileEntry], Map[String, Seq[String]]) = {
+      if (!new java.io.File(dir, m).exists()) throw new IllegalStateException(
+        s"commit ${i + 1}: generation manifest $m was vacuumed and its log " +
+          "line predates file-diff logging — restart the stream at a later " +
+          "startingCommit or protect tailed history with a named ref (setRef)")
+      (ManifestSource.readManifest(dir, m), ManifestSource.readDvMap(dir, m))
+    }
+    val (prevEntries, prevDv) = prev.map(entriesOf)
+      .getOrElse((Nil, Map.empty[String, Seq[String]]))
+    val (curEntries, dv) = entriesOf(cur)
+    val prevFiles = prevEntries.map(_.file).toSet
+    val curFiles = curEntries.map(_.file).toSet
+    ManifestSource.CommitDiff(
+      curEntries.filterNot(e => prevFiles.contains(e.file))
+        .map(e => e.file -> dv.getOrElse(e.file, Nil)),
+      prevEntries.filterNot(e => curFiles.contains(e.file))
+        .map(e => e.file -> prevDv.getOrElse(e.file, Nil)),
+      curEntries.map(_.file).filter(f => prevFiles.contains(f) &&
+        dv.getOrElse(f, Nil) != prevDv.getOrElse(f, Nil))
+        .map(f => (f, prevDv.getOrElse(f, Nil), dv.getOrElse(f, Nil))))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

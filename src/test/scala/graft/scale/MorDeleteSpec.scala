@@ -228,6 +228,21 @@ class MorDeleteSpec extends SparkSpec {
     } finally cleanup(root)
   }
 
+  test("an empty MoR key batch is rejected — it would invert candidate selection") {
+    val root = plant()
+    try {
+      val before = ManifestSource.readCommitLog(root).size
+      intercept[IllegalArgumentException] {
+        ManifestSource.deleteKeysMoR(root, Nil)
+      }
+      assert(ManifestSource.readCommitLog(root).size == before,
+        "a rejected empty delete must commit nothing")
+      assert(ManifestSource.readDvMap(root,
+        ManifestSource.resolveManifest(root, None)).isEmpty,
+        "no spurious zero-key masks may attach")
+    } finally cleanup(root)
+  }
+
   test("two blind mask attaches commute: a stale-base MoR delete rebases, both masks land") {
     val root = plant()
     try {

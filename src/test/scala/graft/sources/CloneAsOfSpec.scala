@@ -127,4 +127,21 @@ class CloneAsOfSpec extends SparkSpec {
       assert(ManifestSource.resolveManifest(src, Some(s"asof:$t0")) == m0)
     } finally cleanup(src)
   }
+
+  test("commit timestamps clamp monotone across a wall-clock step backwards") {
+    val src = plant()
+    try {
+      // simulate a clock step: hand-write a log line stamped in the
+      // future, then commit normally — the new line must clamp to it,
+      // keeping asof's filter-by-ts-take-last resolution sound
+      val future = System.currentTimeMillis() + 3600000L
+      val cur = ManifestSource.resolveManifest(src, None)
+      val w = new java.io.FileWriter(new java.io.File(src, "commits.log"), true)
+      try w.write(s"$cur,$future,commit,=\n") finally w.close()
+      ManifestSource.deleteKeys(spark, src, Seq(5L))
+      val ts = ManifestSource.readCommitLogTimed(src).map(_._2)
+      assert(ts == ts.sorted, s"commit timestamps must be nondecreasing, got $ts")
+      assert(ts.last >= future, "the post-step commit must clamp up to the last logged ts")
+    } finally cleanup(src)
+  }
 }

@@ -177,6 +177,66 @@ class StreamSourceSpec extends SparkSpec {
     } finally cleanup(root)
   }
 
+  test("vacuum between commits no longer breaks the stream: planning is log-diff-driven") {
+    val root = plant()
+    val ck = java.nio.file.Files.createTempDirectory("graft_tail_vac_ck").toString
+    try {
+      val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-manifest").option("path", root)
+          .option("maxcommitspertrigger", "1")
+          .load().writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val ks = b.select(col("ok")).collect().map(_.getLong(0)).toSet
+            batches.synchronized { if (ks.nonEmpty) batches += ks }
+            ()
+          }.start()
+        try { q.processAllAvailable(); q.stop() }
+        finally scala.util.Try(q.stop())
+      }
+      runOnce() // consumes the initial snapshot (commit 1)
+      append(root, Seq((100L, 50000L, "N", 1L, 5L))) // commit 2
+      // routine maintenance: vacuum collects every non-current
+      // generation manifest (commit 1's). Pre-round-13, planning batch
+      // (1, 2] read commit 1's manifest by name for the file-set diff
+      // and died with FileNotFoundException — the advertised 'table as
+      // a stream' capability broke under normal maintenance. Planning
+      // now reads the commit log's own file-diff field.
+      val (dm, dd) = ManifestSource.vacuum(root)
+      assert(dm >= 1, "fixture must actually vacuum a generation manifest")
+      assert(dd == 0, "all data files are still referenced by current")
+      runOnce() // restart past the vacuum: plans from the log alone
+      assert(batches.toSeq == Seq((1L to 12L).toSet, Set(100L)),
+        "the restarted stream must emit the post-vacuum commit — no replay, no crash")
+    } finally {
+      cleanup(root)
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ck)))
+    }
+  }
+
+  test("vacuumed DATA history fails planning with the named-ref remedy, not a bare file error") {
+    val root = plant()
+    try {
+      // compact rewrites every initial file into one; vacuum then
+      // collects the originals — commit 1's added files are GONE
+      ManifestSource.compact(spark, root, targetRows = 100L)
+      ManifestSource.vacuum(root)
+      val ex = intercept[Exception] {
+        tail(root, Map("ignorechanges" -> "true"))
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(m => m.contains("was vacuumed") && m.contains("named ref")),
+        s"planning must name the vacuumed file and the remedy, got: ${msgs(ex)}")
+      // tailing only the live suffix still works
+      val got = tail(root, Map("startingcommit" -> "1", "ignorechanges" -> "true"))
+      assert(got.flatten.toSet == (1L to 12L).toSet,
+        "the compacted commit's file re-emits the full content")
+    } finally cleanup(root)
+  }
+
   test("a merge-on-read mask commit is flagged as non-append; ignoreChanges emits nothing for it") {
     val root = plant()
     try {
