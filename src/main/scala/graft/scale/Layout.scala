@@ -1645,6 +1645,142 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM kept GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q299 — JOIN-STRATEGY MERGE
+    * ([[graft.sources.ManifestSource.mergeDF]]): q267's upsert with
+    * the source as a DATAFRAME — the table-scale path that removes the
+    * driver-held bounded-batch contract (q267's documented "out of
+    * scope" variant, now in scope). The source is a ~24% slice of
+    * orders built RELATIONALLY (every `ok % 5 = 0` row updates —
+    * flag→'U', price doubled — and every `ok % 25 = 0` row re-keys to
+    * `ok + 10⁷` as an insert, flag→'N'); nothing about it ever
+    * touches the driver: candidate files come from a DISTRIBUTED
+    * bloom probe over the source keys (which also OR-aggregates the
+    * source-key bloom the commit's conflict predicate classifies
+    * concurrent appends against — executor-computed, no driver key
+    * set), the rewrite is one FULL OUTER shuffle join over the
+    * candidate subset (matched rows take source values, unmatched
+    * targets carry, unmatched sources insert), and the output
+    * range-repartitions on `ship_us` into tiled zone maps — a
+    * join-strategy MERGE doubles as a local re-cluster, where the
+    * Seq path's insert file spans the whole key axis. At 100 TB this
+    * is THE upsert shape: a CDC day-batch or dedup-backfill source is
+    * a relation, not a driver list. The readout aggregates the
+    * post-merge snapshot by flag; the oracle replays the MERGE
+    * relationally (CASE update arm + UNION ALL insert arm), so
+    * hash-green certifies row-exact table-scale upsert.
+    */
+  private def q299(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_jsm_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    requireInsertOffsetSafe(base)
+    val source = base.filter(col("ok") % 5 === 0)
+      .select(col("ok"), col("ship_us"), lit("U").as("flag"), col("qty"),
+        (col("price_cents") * 2).as("price_cents"))
+      .unionByName(base.filter(col("ok") % 25 === 0)
+        .select((col("ok") + InsertOffset).as("ok"), col("ship_us"),
+          lit("N").as("flag"), col("qty"), col("price_cents")))
+    graft.sources.ManifestSource.mergeDF(spark, root, source)
+    spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q299Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us,
+      |         CASE WHEN ok % 5 = 0 THEN 'U' ELSE flag END AS flag, qty,
+      |         CASE WHEN ok % 5 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, 'N', qty, price_cents
+      |  FROM base WHERE ok % 25 = 0)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM merged GROUP BY flag ORDER BY flag""".stripMargin
+
+  /** q300 — JOIN-STRATEGY KEYED DELETE, copy-on-write AND merge-on-
+    * read, with the key sets as DATAFRAMES
+    * ([[graft.sources.ManifestSource.deleteKeysDF]] /
+    * [[deleteKeysMoRDF]]): the table-scale purge shape (a
+    * right-to-be-forgotten sweep or contamination blacklist IS a
+    * relation). Chain: a CoW DF delete of every `ok % 7 = 0` row
+    * (candidates via the distributed bloom probe, survivors via LEFT
+    * ANTI shuffle join, tiled rewrite) — then a MoR DF delete of
+    * every `ok % 11 = 0` row, METADATA-ONLY: the deletion-vector
+    * sidecars are built EXECUTOR-SIDE, one grouped write per
+    * candidate file, each holding only the keys that bloom-probe that
+    * file (per-task mask loads stay bounded by the file's true
+    * candidates as the batch grows — what keeps merge-on-read
+    * metadata-class at table-scale key counts). Phase `mor`
+    * aggregates THROUGH the masks (the query REQUIREs masks exist);
+    * [[rewriteDeletes]] then materializes (REQUIREd clear) and phase
+    * `final` re-aggregates — both phases must land on the same
+    * relational answer, certifying scan-time masking ≡ physical
+    * rewrite over DataFrame-built sidecars.
+    */
+  private def q300(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_jsd_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    ManifestSource.deleteKeysDF(spark, root,
+      base.filter(col("ok") % 7 === 0).select(col("ok")))
+    ManifestSource.deleteKeysMoRDF(spark, root,
+      base.filter(col("ok") % 11 === 0).select(col("ok")))
+    val mMor = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mMor).nonEmpty,
+      "the DF MoR delete committed no deletion-vector masks")
+    ManifestSource.rewriteDeletes(spark, root)
+    val mFin = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mFin).isEmpty,
+      "rewriteDeletes left deletion-vector masks behind")
+    def aggAt(m: String, phase: String): DataFrame = spark.read
+      .format("graft-manifest").option("path", root).option("manifest", m).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .select(lit(phase).as("phase"), col("flag"), col("n_rows"),
+        col("revenue_cents"), col("qty_sum"), col("max_ok"))
+    aggAt(mMor, "mor").unionByName(aggAt(mFin, "final"))
+      .orderBy(col("phase"), col("flag"))
+  }
+
+  private val q300Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |kept AS (SELECT * FROM base WHERE ok % 7 <> 0 AND ok % 11 <> 0),
+      |agg AS (
+      |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |         CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |         CAST(MAX(ok) AS BIGINT) AS max_ok
+      |  FROM kept GROUP BY flag)
+      |SELECT 'mor' AS phase, * FROM agg
+      |UNION ALL
+      |SELECT 'final' AS phase, * FROM agg
+      |ORDER BY phase, flag""".stripMargin
+
   /** q289 — MERGE-ON-READ DELETE (deletion vectors) on the manifest
     * store, q277's copy-on-write verb with the rewrite DEFERRED
     * ([[graft.sources.ManifestSource.deleteKeysMoR]]): two keyed
@@ -2789,6 +2925,8 @@ object Layout {
     QuerySpec("q274_manifest_change_feed", q274, Some(q274Sql)),
     QuerySpec("q277_manifest_keyed_delete", q277, Some(q277Sql)),
     QuerySpec("q289_mor_delete", q289, Some(q289Sql)),
+    QuerySpec("q299_merge_join_strategy", q299, Some(q299Sql)),
+    QuerySpec("q300_delete_join_strategy", q300, Some(q300Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),

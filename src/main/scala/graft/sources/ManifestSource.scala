@@ -1113,6 +1113,326 @@ object ManifestSource {
     (nRewritten, entries.size - nRewritten, inserts.size, name)
   }
 
+  /** Physical plan of the most recent DataFrame-source DML rewrite in
+    * this JVM — observability for the join-strategy contract: specs
+    * assert the rewrite is a real distributed join (no driver
+    * materialization of the source anywhere in the plan).
+    */
+  @volatile private[graft] var lastDmlPlan: String = ""
+
+  /** Distributed CANDIDATE PROBE shared by the DataFrame-source DML
+    * verbs ([[mergeDF]], [[deleteKeysDF]], [[deleteKeysMoRDF]]): one
+    * pass over the source keys — executor-side, nothing collected but
+    * metadata — producing
+    *
+    *   1. the candidate file set: every file whose per-file `ok` bloom
+    *      might contain ANY source key (bloom-less legacy files are
+    *      always candidates), exactly the Seq-path rule but with the
+    *      per-key probe distributed over the source instead of looping
+    *      a driver-held batch;
+    *   2. the OR-merge of all source keys' bloom bits — the SOURCE-KEY
+    *      BLOOM the commit's conflict predicate tests concurrent
+    *      appends against (two blooms with a shared key always share
+    *      that key's probe bits, so all-zero AND proves disjointness;
+    *      nonzero is a conservative conflict — same classes as the
+    *      Seq path's per-key probe, never a false rebase).
+    *
+    * Probe cost is |keys| x |files| bloom probes, spread across the
+    * source's partitions; at extreme file counts the candidate probe
+    * becomes a join against a file-stats relation (the Delta
+    * findTouchedFiles shape) — noted, not needed at this table's
+    * metadata scale.
+    */
+  private[sources] def probeCandidates(spark: org.apache.spark.sql.SparkSession,
+      keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      entries: Seq[FileEntry]): (Seq[String], Array[Long]) = {
+    import org.apache.spark.sql.functions.col
+    val blooms = entries.map(_.bloom).toArray
+    val n = entries.size
+    val bc = spark.sparkContext.broadcast(blooms)
+    val zero = (new Array[Boolean](math.max(n, 1)), new Array[Long](BloomWords))
+    val (cand, srcBloom) = keys.select(col(keyCol)).rdd.map(_.getLong(0))
+      .treeAggregate(zero)(
+        { case ((c, b), k) =>
+          bloomInsert(b, k)
+          val bs = bc.value
+          var i = 0
+          while (i < n) {
+            if (!c(i) && bs(i).forall(bloomMightContain(_, k))) c(i) = true
+            i += 1
+          }
+          (c, b)
+        },
+        { case ((c1, b1), (c2, b2)) =>
+          var i = 0
+          while (i < n) { c1(i) |= c2(i); i += 1 }
+          i = 0
+          while (i < BloomWords) { b1(i) |= b2(i); i += 1 }
+          (c1, b1)
+        })
+    (entries.zipWithIndex.collect { case (e, i) if cand(i) => e.file }, srcBloom)
+  }
+
+  /** True iff the two blooms share no set bit — then the key sets are
+    * PROVABLY disjoint (a shared key sets the same probe bits in
+    * both). The conflict predicate of the DataFrame-source verbs.
+    */
+  private[sources] def bloomsDisjoint(a: Array[Long], b: Array[Long]): Boolean = {
+    var i = 0
+    while (i < BloomWords) {
+      if ((a(i) & b(i)) != 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** The conflict rule every DataFrame-source verb instantiates: a
+    * concurrent append is safe to rebase over only when its key bloom
+    * is provably disjoint from the source-key bloom.
+    */
+  private def dfConflict(srcBloom: Array[Long], what: String)(e: FileEntry): Option[String] =
+    e.bloom match {
+      case Some(b) if bloomsDisjoint(b, srcBloom) => None
+      case _ => Some(s"${e.file} may contain $what keys (source-key bloom overlap)")
+    }
+
+  /** JOIN-STRATEGY MERGE — [[merge]] with the source as a DATAFRAME:
+    * the table-scale upsert path, removing the driver-held
+    * bounded-batch contract. Nothing about the source ever
+    * materializes on the driver:
+    *
+    *   1. [[probeCandidates]] finds touched files with a distributed
+    *      bloom probe and aggregates the source-key bloom for the
+    *      commit's conflict predicate;
+    *   2. the candidate subset (with its deletion-vector lines) is
+    *      pinned as a TEMP manifest and read back through the source
+    *      itself — masked rows are logically absent, so a merge key
+    *      that only hits masked rows falls through to the insert arm
+    *      (upsert-over-deleted resurrects, the SQL MERGE contract);
+    *   3. a FULL OUTER shuffle join on `ok` produces the merged
+    *      relation in one pass: matched rows take the source's base
+    *      columns and KEEP the target's extension columns, unmatched
+    *      target rows carry, unmatched source rows insert (extras
+    *      null) — Spark picks the join strategy (a small source
+    *      broadcasts under AQE; a table-sized source shuffle-joins);
+    *   4. the result range-repartitions on `ship_us` and writes tiled
+    *      files executor-side with recomputed zone maps/blooms/sums —
+    *      a join-strategy MERGE doubles as a local re-cluster (the
+    *      Seq path's insert file spans the whole key range; this one
+    *      never degrades the layout);
+    *   5. the standard CAS commit: candidates removed, new files
+    *      added, concurrent appends classified through the source-key
+    *      bloom (computed executor-side — no driver key set).
+    *
+    * vs the Seq path: bloom FALSE-POSITIVE candidates are rewritten
+    * (their rows ride the join) instead of kept by reference — the
+    * Delta copy-on-write trade; the per-file matched check that
+    * enables keep-by-reference is exactly the driver-side state this
+    * variant exists to avoid. The source must carry exactly the five
+    * base columns with unique keys (multi-match errors, like SQL
+    * MERGE — checked DISTRIBUTED, one aggregate over the source).
+    * Returns (files rewritten+written, kept untouched, rows inserted,
+    * manifest).
+    */
+  def mergeDF(spark: org.apache.spark.sql.SparkSession, dir: String,
+      source: org.apache.spark.sql.DataFrame, base: Option[String] = None,
+      outFiles: Int = 0): (Int, Int, Long, String) = {
+    import org.apache.spark.sql.functions._
+    require(source.columns.toSeq == BaseCols,
+      s"mergeDF source must carry exactly $BaseCols, got ${source.columns.toSeq} — " +
+        "extension columns are target-carried")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val cols = manifestSchema(dir, current)
+    val nExtras = cols.size - BaseCols.size
+    // multi-match is an error, like SQL MERGE — checked distributed
+    val maxDup = source.groupBy(col("ok")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(maxDup <= 1L,
+      "MERGE source has duplicate keys — multi-match is an error, like SQL MERGE")
+    val (candNames, srcBloom) = probeCandidates(spark, source, "ok", entries)
+    val candSet = candNames.toSet
+    val candidates = entries.filter(e => candSet.contains(e.file))
+    val dvm = readDvMap(dir, current)
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val tmp = s"manifest-tmp$gen-e$ep.csv"
+    writeManifestFile(dir, tmp, cols, candidates,
+      dvm.filter { case (f, _) => candSet.contains(f) })
+    try {
+      val target = spark.read.format("graft-manifest").option("path", dir)
+        .option("manifest", tmp).load()
+        .withColumn("_t", lit(1))
+      val s = source.select(col("ok"), col("ship_us").as("_s_us"),
+        col("flag").as("_s_flag"), col("qty").as("_s_qty"),
+        col("price_cents").as("_s_pc"), lit(1).as("_s"))
+      val sel: Seq[org.apache.spark.sql.Column] =
+        Seq(col("ok"),
+          when(col("_s") === 1, col("_s_us")).otherwise(col("ship_us")).as("ship_us"),
+          when(col("_s") === 1, col("_s_flag")).otherwise(col("flag")).as("flag"),
+          when(col("_s") === 1, col("_s_qty")).otherwise(col("qty")).as("qty"),
+          when(col("_s") === 1, col("_s_pc")).otherwise(col("price_cents")).as("price_cents")) ++
+          cols.drop(BaseCols.size).map(col) :+
+          (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
+      val merged = target.join(s, Seq("ok"), "full_outer").select(sel: _*)
+      val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
+      val shaped = merged.repartitionByRange(nOut, col("ship_us"))
+        .sortWithinPartitions(col("ship_us"))
+      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", nExtras,
+        insMarker = true)
+      lastDmlPlan = shaped.queryExecution.executedPlan.toString
+      val inserted = written.map(_._2).sum
+      val name = commitSnapshot(dir, current, candSet,
+        written.map(_._1).toSeq.sortBy(_.min),
+        dfConflict(srcBloom, "merge"), op = "merge")
+      (candidates.size, entries.size - candidates.size, inserted, name)
+    } finally { new java.io.File(dir, tmp).delete(): Unit }
+  }
+
+  /** JOIN-STRATEGY KEYED DELETE — [[deleteKeys]] with the key set as
+    * a DATAFRAME (one `ok` column): candidates via the distributed
+    * bloom probe, survivors via a LEFT ANTI shuffle join over the
+    * candidate subset (read through a temp-manifest pin, so masks
+    * apply and masked rows neither count as deleted nor survive),
+    * output range-repartitioned and written executor-side, CAS commit
+    * with the source-key-bloom conflict rule. Duplicate keys are
+    * harmless (anti-join semantics). Returns (files rewritten, kept
+    * untouched, rows deleted, manifest).
+    */
+  def deleteKeysDF(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keys: org.apache.spark.sql.DataFrame, base: Option[String] = None,
+      outFiles: Int = 0): (Int, Int, Long, String) = {
+    import org.apache.spark.sql.functions._
+    require(keys.columns.toSeq == Seq("ok"),
+      s"deleteKeysDF keys must be a single `ok` column, got ${keys.columns.toSeq}")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val cols = manifestSchema(dir, current)
+    val nExtras = cols.size - BaseCols.size
+    val (candNames, srcBloom) = probeCandidates(spark, keys, "ok", entries)
+    val candSet = candNames.toSet
+    val candidates = entries.filter(e => candSet.contains(e.file))
+    val dvm = readDvMap(dir, current)
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val tmp = s"manifest-tmp$gen-e$ep.csv"
+    writeManifestFile(dir, tmp, cols, candidates,
+      dvm.filter { case (f, _) => candSet.contains(f) })
+    try {
+      val target = spark.read.format("graft-manifest").option("path", dir)
+        .option("manifest", tmp).load()
+      val deleted = target.join(keys, Seq("ok"), "left_semi").count()
+      val survivors = target.join(keys, Seq("ok"), "left_anti")
+      val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 1)
+      val shaped = survivors.repartitionByRange(nOut, col("ship_us"))
+        .sortWithinPartitions(col("ship_us"))
+      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", nExtras,
+        insMarker = false)
+      lastDmlPlan = shaped.queryExecution.executedPlan.toString
+      val name = commitSnapshot(dir, current, candSet,
+        written.map(_._1).toSeq.sortBy(_.min),
+        dfConflict(srcBloom, "delete"), op = "delete")
+      (candidates.size, entries.size - candidates.size, deleted, name)
+    } finally { new java.io.File(dir, tmp).delete(): Unit }
+  }
+
+  /** JOIN-STRATEGY MERGE-ON-READ DELETE — [[deleteKeysMoR]] with the
+    * key set as a DATAFRAME: the metadata-only delete at table-scale
+    * key counts. The deletion-vector sidecars are built EXECUTOR-SIDE
+    * with one grouped write per candidate file — each key probes the
+    * broadcast per-file blooms, (file, key) pairs group by file, and
+    * each group's task writes that file's sidecar holding ONLY the
+    * keys that bloom-probe it (so per-task mask loads at read time
+    * stay bounded by the file's true candidate keys, not the whole
+    * batch — the property that keeps merge-on-read reads
+    * metadata-class as the batch grows). The commit attaches one
+    * sidecar per candidate file through the standard CAS gate with
+    * the source-key-bloom conflict rule; no data file opens anywhere.
+    * Returns (files masked, files total, sidecars, manifest).
+    */
+  def deleteKeysMoRDF(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keys: org.apache.spark.sql.DataFrame,
+      base: Option[String] = None): (Int, Int, Seq[String], String) = {
+    import org.apache.spark.sql.functions.col
+    require(keys.columns.toSeq == Seq("ok"),
+      s"deleteKeysMoRDF keys must be a single `ok` column, got ${keys.columns.toSeq}")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val (_, srcBloom) = probeCandidates(spark, keys, "ok", entries)
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val n = entries.size
+    val bc = spark.sparkContext.broadcast(entries.map(_.bloom).toArray)
+    val dirB = dir
+    val sidecars = keys.select(col("ok")).distinct().rdd.map(_.getLong(0))
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.flatMap { k =>
+          (0 until n).iterator
+            .filter(i => bs(i).forall(bloomMightContain(_, k)))
+            .map(i => (i, k))
+        }
+      }
+      .groupByKey(math.max(1, math.min(n, 64)))
+      .map { case (i, ks) =>
+        val name = s"part-dv$gen-e$ep-f$i.csv"
+        val w = new java.io.PrintWriter(new java.io.File(dirB, name), "UTF-8")
+        try ks.toSeq.sorted.foreach(w.println) finally w.close()
+        (i, name)
+      }.collect()
+    val manifest = commitSnapshot(dir, current, Set.empty, Nil,
+      dfConflict(srcBloom, "delete"),
+      dvAttach = sidecars.map { case (i, s) => entries(i).file -> Seq(s) }.toMap,
+      op = "delete-mor")
+    (sidecars.length, entries.size, sidecars.map(_._2).toSeq, manifest)
+  }
+
+  /** Executor-side tiled write shared by the DataFrame-source verbs:
+    * each partition of `shaped` (already range-partitioned + sorted on
+    * `ship_us`) streams to one data file, tracking zone map, bloom,
+    * sums, and per-extension-column sums; empty partitions vanish.
+    * With `insMarker` the trailing `_ins` column (not written) counts
+    * inserted rows per partition — returned exactly (no accumulator
+    * double-count on task retries). Returns (entry, inserts) pairs.
+    */
+  private def writeShaped(spark: org.apache.spark.sql.SparkSession, dir: String,
+      shaped: org.apache.spark.sql.DataFrame, prefix: String, nExtras: Int,
+      insMarker: Boolean): Array[(FileEntry, Long)] =
+    shaped.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val out = s"$prefix-$pid.csv"
+      val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+      var mn = Long.MaxValue; var mx = Long.MinValue; var nRows = 0L
+      var qs = 0L; var ps = 0L; var ins = 0L
+      val bloom = new Array[Long](BloomWords)
+      val exSums = new Array[Long](nExtras)
+      val exHas = new Array[Boolean](nExtras)
+      try it.foreach { r =>
+        val us = r.getLong(1)
+        if (us < mn) mn = us
+        if (us > mx) mx = us
+        nRows += 1
+        qs += r.getLong(3); ps += r.getLong(4)
+        bloomInsert(bloom, r.getLong(0))
+        if (insMarker && !r.isNullAt(5 + nExtras) && r.getLong(5 + nExtras) == 1L)
+          ins += 1
+        val sb = new StringBuilder(
+          s"${r.getLong(0)},$us,${r.getString(2)},${r.getLong(3)},${r.getLong(4)}")
+        var j = 0
+        while (j < nExtras) {
+          sb.append(',')
+          if (!r.isNullAt(5 + j)) {
+            val v = r.getLong(5 + j)
+            sb.append(v); exSums(j) += v; exHas(j) = true
+          }
+          j += 1
+        }
+        w.println(sb.toString)
+      } finally w.close()
+      if (nRows == 0) { new java.io.File(dir, out).delete(); Iterator.empty }
+      else Iterator.single((FileEntry(out, mn, mx, nRows, Some(bloom), Some((qs, ps)),
+        (0 until nExtras).map(j => if (exHas(j)) Some(exSums(j)) else None)), ins))
+    }.collect()
+
   /** KEYED DELETE — `DELETE WHERE ok IN (keys)`, the DML verb between
     * MERGE (upsert, [[merge]]) and range retention ([[deleteBelow]]):
     * candidate files are found by the per-file `ok`-bloom probe
