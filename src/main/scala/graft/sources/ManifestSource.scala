@@ -305,14 +305,71 @@ object ManifestSource {
       try src.getLines().map(_.trim.toLong).toList finally src.close()
     }.toSet
 
-  /** Serializes snapshot commits within this JVM — the local stand-in
-    * for the storage primitive every lakehouse commit protocol leans
-    * on (Delta: atomic put-if-absent of the next log file; Iceberg:
-    * atomic pointer swap). Only the COMMIT (read pointer → classify →
-    * write manifest + pointer) is under the lock; the expensive
-    * rewrite work runs unlocked and optimistically.
+  /** Serializes snapshot commits within this JVM — the FAST PATH in
+    * front of the cross-process token below. Only the COMMIT (read
+    * pointer → classify → write manifest + pointer) is under the
+    * lock; the expensive rewrite work runs unlocked and
+    * optimistically.
     */
   private[sources] val commitLock = new Object
+
+  /** CROSS-PROCESS COMMIT TOKEN — the storage-level primitive every
+    * lakehouse commit protocol leans on (Delta: atomic put-if-absent
+    * of the next log file; Iceberg: atomic pointer CAS), here an
+    * atomic `Files.createFile` of `commit.lock` in the table
+    * directory: exactly one committer holds it at a time ACROSS JVMs,
+    * where [[commitLock]] only serializes within one. Every
+    * pointer-flipping or generation-naming site runs its
+    * read-current → classify → write → flip sequence inside the
+    * token, so two processes can never (a) allocate the same
+    * generation name from the same directory listing, or (b)
+    * classify against the same `current` and each flip the pointer,
+    * silently dropping one commit.
+    *
+    * Crash recovery: a holder that dies leaves the token behind; a
+    * later committer STEALS it once its mtime is older than
+    * [[TokenStaleMs]] (commits are metadata-class — the heavy rewrite
+    * work happens BEFORE the token, so a healthy hold is milliseconds;
+    * the documented Delta/Iceberg stale-lock trade). Because every
+    * body RE-READS the current pointer after claiming, a steal can
+    * never resurrect the dead holder's half-staged state — its
+    * unflipped manifest is just an orphan for [[vacuum]].
+    */
+  private[sources] val TokenStaleMs = 60000L
+
+  private[sources] def withCommitToken[T](dir: String)(body: => T): T = {
+    new java.io.File(dir).mkdirs()
+    val token = new java.io.File(dir, "commit.lock")
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.createFile(token.toPath)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val lm = token.lastModified()
+          if (lm > 0L && System.currentTimeMillis() - lm > TokenStaleMs)
+            token.delete(): Unit // stale steal: the holder died mid-commit
+          else Thread.sleep(5)
+      }
+    }
+    try body finally { token.delete(): Unit }
+  }
+
+  /** Atomic VERSION flip: stage + ATOMIC_MOVE, so a reader in ANOTHER
+    * process can never observe a half-written pointer (the in-place
+    * PrintWriter rewrite had a torn-read window invisible under the
+    * single-JVM monitor).
+    */
+  private[sources] def flipPointer(dir: String, name: String): Unit = {
+    val tmp = new java.io.File(dir, s"VERSION.tmp${nextEpoch()}")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try w.println(name) finally w.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "VERSION").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 
   /** COMMIT LOG — `commits.log`, one line per TRUNK pointer flip in
     * commit order (the Delta `_delta_log` role): generation numbers
@@ -525,6 +582,23 @@ object ManifestSource {
       dvClear: Set[String] = Set.empty,
       op: String = "commit"): String =
     commitLock.synchronized {
+      commitCore(dir, base, removed, added, conflictsWithAdded,
+        schemaOverride, dvAttach, dvClear, op)
+    }
+
+  /** [[commitSnapshot]] without the JVM monitor — the cross-process
+    * token alone serializes it (ConcurrencySpec drives this directly
+    * from racing threads to prove exactly one committer wins each
+    * pointer transition with no monitor in play).
+    */
+  private[sources] def commitCore(dir: String, base: String,
+      removed: Set[String], added: Seq[FileEntry],
+      conflictsWithAdded: FileEntry => Option[String],
+      schemaOverride: Option[Seq[String]] = None,
+      dvAttach: Map[String, Seq[String]] = Map.empty,
+      dvClear: Set[String] = Set.empty,
+      op: String = "commit"): String =
+    withCommitToken(dir) {
       val current = resolveManifest(dir, None)
       val curEntries = readManifest(dir, current)
       val curDv = readDvMap(dir, current)
@@ -592,8 +666,7 @@ object ManifestSource {
       }
       val name = s"manifest-gen${nextGeneration(dir)}.csv"
       writeManifestFile(dir, name, cols, finalEntries, dvFinal)
-      val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
-      try vw.println(name) finally vw.close()
+      flipPointer(dir, name)
       // the logged diff is vs the PREVIOUS TRUNK LINE (= current): on
       // a rebase, `removed` names base files that survived into
       // current, so intersecting with current's entries is exact
@@ -792,9 +865,10 @@ object ManifestSource {
     // for bloom false positives, so the staged snapshot is just
     // untouched ++ every candidate's resulting entry ++ the inserts
     val stagedEntries = untouched ++ rewritten.map(_._2) ++ insertEntry
-    commitLock.synchronized {
-      // gen was resolved optimistically; re-resolve under the lock so
-      // a commit that landed in between cannot share the name
+    commitLock.synchronized { withCommitToken(dir) {
+      // gen was resolved optimistically; re-resolve under the token so
+      // a commit that landed in between - in ANY process - cannot
+      // share the name
       val name = s"manifest-gen${nextGeneration(dir)}.csv"
       // the branch carries the base's masks for files it did NOT
       // rewrite (rewrites applied theirs physically)
@@ -802,7 +876,7 @@ object ManifestSource {
       writeManifestFile(dir, name, manifestSchema(dir, base), stagedEntries,
         dvm.filter { case (f, _) => stagedFiles.contains(f) })
       (name, base, inserts.size)
-    }
+    } }
   }
 
   /** WRITE–AUDIT–PUBLISH, publish step: promote a staged branch head
@@ -1713,7 +1787,8 @@ object ManifestSource {
     * the restored shape. Fails loudly if the target generation or any
     * file it references was vacuumed. Returns the committed manifest.
     */
-  def restore(dir: String, toManifest: String): String = commitLock.synchronized {
+  def restore(dir: String, toManifest: String): String =
+    commitLock.synchronized { withCommitToken(dir) {
     require(new java.io.File(dir, toManifest).exists(),
       s"restore target $toManifest does not exist (vacuumed?)")
     val entries = readManifest(dir, toManifest)
@@ -1730,8 +1805,7 @@ object ManifestSource {
     val curD = readDvMap(dir, cur)
     val name = s"manifest-gen${nextGeneration(dir)}.csv"
     writeManifestFile(dir, name, manifestSchema(dir, toManifest), entries, dv)
-    val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
-    try vw.println(name) finally vw.close()
+    flipPointer(dir, name)
     val tgtFiles = entries.map(_.file).toSet
     val curFiles = curE.map(_.file).toSet
     appendCommitLog(dir, name, "restore", encodeDiff(CommitDiff(
@@ -1743,7 +1817,7 @@ object ManifestSource {
         dv.getOrElse(f, Nil) != curD.getOrElse(f, Nil))
         .map(f => (f, curD.getOrElse(f, Nil), dv.getOrElse(f, Nil))))))
     name
-  }
+  } }
 
   /** VACUUM — the out-of-band garbage collection every other
     * lifecycle op defers to (append/compact/retention all write NEW
@@ -1768,7 +1842,8 @@ object ManifestSource {
     *    before any of its exclusive data files.
     * Returns (manifests deleted, data files deleted).
     */
-  def vacuum(dir: String, keep: Seq[String] = Nil): (Int, Int) = commitLock.synchronized {
+  def vacuum(dir: String, keep: Seq[String] = Nil): (Int, Int) =
+    commitLock.synchronized { withCommitToken(dir) {
     // under the commit lock: the referenced set and the deletions are
     // atomic w.r.t. every commit (otherwise a publish landing between
     // the two would leave the NEW current snapshot pointing at files
@@ -1800,7 +1875,7 @@ object ManifestSource {
     deadManifests.foreach(n => new java.io.File(d, n).delete())
     deadData.foreach(n => new java.io.File(d, n).delete())
     (deadManifests.length, deadData.length)
-  }
+  } }
 
   /** Next snapshot generation = max EXISTING generation + 1, never a
     * file COUNT: counting collides after an external manifest
@@ -1950,6 +2025,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
     if (truncate) ManifestSource.commitLock.synchronized {
+      ManifestSource.withCommitToken(dir) {
       // under the same lock the DML verbs commit through: a racing
       // locked append must never read a half-written manifest.csv or
       // slip its log line around the reset
@@ -1969,7 +2045,9 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
         ManifestSource.encodeDiff(ManifestSource.CommitDiff.plainAdd(
           entries.map(_.file).toSeq)))
       finally lw.close()
+      }
     } else ManifestSource.commitLock.synchronized {
+      ManifestSource.withCommitToken(dir) {
       // APPEND commit: new snapshot = current entries + this write's,
       // under a fresh manifest name; the VERSION pointer flips last,
       // so concurrent readers see either the old or the new snapshot,
@@ -2010,11 +2088,11 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
         existing.foreach(e => mw.println(ManifestSource.entryLine(e)))
         entries.foreach(m => mw.println(line(m)))
       } finally mw.close()
-      val vw = new java.io.PrintWriter(new java.io.File(dir, "VERSION"), "UTF-8")
-      try vw.println(name) finally vw.close()
+      ManifestSource.flipPointer(dir, name)
       ManifestSource.appendCommitLog(dir, name, "append",
         ManifestSource.encodeDiff(ManifestSource.CommitDiff.plainAdd(
           entries.map(_.file).toSeq)))
+      }
     }
   }
 

@@ -164,6 +164,69 @@ class ConcurrencySpec extends SparkSpec {
       .deleteDirectory(new java.io.File(root)))
   }
 
+  test("cross-process CAS: racing committers with the JVM monitor bypassed — every commit lands, exactly one per transition") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = freshStore(12L)
+    try {
+      // drive commitCore DIRECTLY (no commitLock.synchronized): only
+      // the commit.lock token - an atomic Files.createFile, the
+      // primitive that also holds across JVMs - serializes these.
+      // Each "process" appends one fresh file (appends never
+      // conflict), so without the token two committers could allocate
+      // the same generation name from the same directory listing or
+      // classify against the same current and drop a commit.
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val futures = (0 until 8).map { w =>
+        Future {
+          val f = s"part-xp$w.csv"
+          val bloom = new Array[Long](ManifestSource.BloomWords)
+          val k = 5000L + w
+          ManifestSource.bloomInsert(bloom, k)
+          val pw = new java.io.PrintWriter(new java.io.File(root, f), "UTF-8")
+          try pw.println(s"$k,${90000L + w},X,1,1") finally pw.close()
+          val base = ManifestSource.resolveManifest(root, None)
+          start.await()
+          ManifestSource.commitCore(root, base, Set.empty,
+            Seq(ManifestSource.FileEntry(f, 90000L + w, 90000L + w, 1L,
+              Some(bloom), Some((1L, 1L)))),
+            _ => None, op = "append")
+        }
+      }
+      start.countDown()
+      Await.result(Future.sequence(futures), 180.seconds)
+      val rows = snapshot(root)
+      assert(rows.size == 12 + 8, s"every racing commit must land, got ${rows.size}")
+      for (w <- 0 until 8)
+        assert(rows.exists(_.head == 5000L + w), s"missing committer $w's row")
+      // one trunk line per commit, all generation names distinct
+      val log = ManifestSource.readCommitLog(root)
+      assert(log.size == 1 + 8, s"exactly one log line per commit, got ${log.size}")
+      assert(log.distinct.size == log.size, "no two commits may share a generation name")
+      assert(!new java.io.File(root, "commit.lock").exists(),
+        "the token must be released after the last commit")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
+  test("a stale commit token (crashed holder) is stolen; a fresh one blocks until released") {
+    val root = freshStore(12L)
+    try {
+      // a holder that died mid-commit: plant the token with an old
+      // mtime - the next committer must steal it and proceed
+      val token = new java.io.File(root, "commit.lock")
+      assert(token.createNewFile())
+      assert(token.setLastModified(
+        System.currentTimeMillis() - ManifestSource.TokenStaleMs - 5000L))
+      ManifestSource.merge(spark, root, Seq((100L, 50000L, "N", 1L, 5L)))
+      assert(snapshot(root).exists(_.head == 100L),
+        "the commit must steal the stale token and land")
+      assert(!token.exists(), "the stealing committer must release the token")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
   test("compaction rebases over a concurrent append: both effects land") {
     import spark.implicits._
     val root = freshStore(40L)
