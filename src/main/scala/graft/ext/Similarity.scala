@@ -1501,9 +1501,11 @@ object Similarity {
           .collect().map(_.getLong(0)).sorted // bounded: commits, not rows
         commits.foreach { c =>
           val e = ev.filter(col("_commit") === c)
-          val del = asVecs(e.filter(col("_change_type") === "delete"))
+          // update images compose as delete+insert — the preimage /
+          // postimage pairing is a strict refinement of CDF-lite
+          val del = asVecs(e.filter(col("_change_type").isin("delete", "update_preimage")))
             .select(col("vec_id"), col("cs").as("d_cs"), col("n2").as("d_n2"))
-          val ins = asVecs(e.filter(col("_change_type") === "insert"))
+          val ins = asVecs(e.filter(col("_change_type").isin("insert", "update_postimage")))
             .select(col("vec_id").as("vi"), col("cs"), col("n2"))
           // net the CDF-lite carried pairs distributively (q294's
           // discipline); only true changes reach the algebra

@@ -1781,6 +1781,101 @@ object Layout {
       |SELECT 'final' AS phase, * FROM agg
       |ORDER BY phase, flag""".stripMargin
 
+  /** q301 — CDF UPDATE IMAGES (Delta CDF's
+    * `update_preimage`/`update_postimage` pairing): a MERGE commit no
+    * longer dissolves its in-place updates into anonymous
+    * delete+insert churn — the commit writes per-file `updk-` key
+    * sidecars (executor-side bloom-grouped on the
+    * [[graft.sources.ManifestSource.mergeDF]] path, one bounded set
+    * per file), the commit-log diff references them in a `U:`
+    * section, and the streaming change feed's per-file partitions
+    * refine matched rows' `_change_type` in-stream — no join at emit
+    * time, carried churn still cancels. This is what a downstream
+    * auditor needs to answer "what changed IN PLACE" without
+    * re-joining images by key. The chain: q299's relational source
+    * (every `ok % 5 = 0` row updates, every `ok % 25 = 0` re-keys as
+    * an insert) MERGEs via the join strategy; the feed tails from the
+    * merge commit and the readout aggregates each class — preimages
+    * (old values), postimages (new values), and the NET of the
+    * remaining delete/insert events (churn cancels under a signed
+    * sum; what survives must be exactly the true inserts, and the
+    * query REQUIREs no negative net survives). The oracle computes
+    * all three classes relationally from orders — hash-green
+    * certifies the pairing is exact row-for-row, value-for-value.
+    */
+  private def q301(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_cdfu_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val source = base.filter(col("ok") % 5 === 0)
+      .select(col("ok"), col("ship_us"), lit("U").as("flag"), col("qty"),
+        (col("price_cents") * 2).as("price_cents"))
+      .unionByName(base.filter(col("ok") % 25 === 0)
+        .select((col("ok") + InsertOffset).as("ok"), col("ship_us"),
+          lit("N").as("flag"), col("qty"), col("price_cents")))
+    ManifestSource.mergeDF(spark, root, source) // commit 2
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", root).option("readchangefeed", "true")
+      .option("startingcommit", 1) // skip the bootstrap snapshot
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        parts.synchronized { parts += b.localCheckpoint() }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val ev = parts.toSeq.reduce(_.unionByName(_))
+    def classAgg(d: DataFrame, name: org.apache.spark.sql.Column): DataFrame =
+      d.groupBy(name.as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+          sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+    val updates = classAgg(
+      ev.filter(col("_change_type").isin("update_preimage", "update_postimage")),
+      col("_change_type"))
+    // churn cancels under a signed sum per full row image; the
+    // survivors are the true inserts (a negative net would be a pure
+    // delete — impossible in a MERGE, REQUIREd below)
+    val img = Seq("ok", "ship_us", "flag", "qty", "price_cents")
+    val net = ev.filter(col("_change_type").isin("insert", "delete"))
+      .groupBy(img.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("net"))
+    require(net.filter(col("net") < 0).isEmpty,
+      "a MERGE commit's change feed must never net a pure delete")
+    val inserts = classAgg(net.filter(col("net") > 0), lit("insert_net"))
+    updates.unionByName(inserts).orderBy(col("change_type"))
+  }
+
+  private val q301Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders)
+      |SELECT 'update_preimage' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum, CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM base WHERE ok % 5 = 0
+      |UNION ALL
+      |SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(price_cents * 2) AS BIGINT),
+      |       CAST(SUM(qty) AS BIGINT), CAST(MAX(ok) AS BIGINT)
+      |FROM base WHERE ok % 5 = 0
+      |UNION ALL
+      |SELECT 'insert_net', CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(price_cents) AS BIGINT),
+      |       CAST(SUM(qty) AS BIGINT), CAST(MAX(ok + 10000000) AS BIGINT)
+      |FROM base WHERE ok % 25 = 0
+      |ORDER BY change_type""".stripMargin
+
   /** q289 — MERGE-ON-READ DELETE (deletion vectors) on the manifest
     * store, q277's copy-on-write verb with the rewrite DEFERRED
     * ([[graft.sources.ManifestSource.deleteKeysMoR]]): two keyed
@@ -2789,10 +2884,12 @@ object Layout {
           .collect().map(_.getLong(0)).sorted // bounded: commits, not rows
         commits.foreach { c =>
           val e = ev.filter(col("_commit") === c)
-          val del = e.filter(col("_change_type") === "delete")
+          // update images compose as delete+insert — the preimage /
+          // postimage pairing is a strict refinement of CDF-lite
+          val del = e.filter(col("_change_type").isin("delete", "update_preimage"))
             .select(col("ok"), col("ship_us").as("d_us"), col("flag").as("d_fl"),
               col("qty").as("d_q"), col("price_cents").as("d_pc"))
-          val ins = e.filter(col("_change_type") === "insert")
+          val ins = e.filter(col("_change_type").isin("insert", "update_postimage"))
             .select(col("ok").as("ok_i"), col("ship_us"), col("flag"),
               col("qty"), col("price_cents"))
           // net the carried-row pairs distributively; only TRUE
@@ -2906,6 +3003,93 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM streamed GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q302 — STREAMING SINK through the CAS gate
+    * ([[graft.sources.ManifestStreamingWrite]] —
+    * TableCapability.STREAMING_WRITE): q293's table-as-a-stream piped
+    * INTO a second manifest store with `writeStream.format
+    * ("graft-manifest")` — a table-to-table streaming replication
+    * with ZERO foreachBatch plumbing and ZERO staged files, the Delta
+    * stream-stream pattern. Every non-empty epoch appends one trunk
+    * commit whose log line records the (queryId, epochId) TRANSACTION
+    * (field 5 — Delta's `txn` action), so exactly-once is a ledger
+    * property, not a file-naming trick: the query runs the pipe,
+    * lands two more source commits, then RESTARTS the stream from the
+    * same checkpoint — the restarted query replays nothing (the
+    * resumed offset plus txn dedup both hold; a replayed epoch would
+    * double rows and shift every aggregate below). The destination
+    * must then read as the exact relational union of all five source
+    * commits — the oracle computes it from orders, so hash-green
+    * certifies offsets, per-epoch commits, restart, and the commit
+    * ledger end to end. StreamSinkSpec pins the rest: re-delivered
+    * epochs commit nothing even after compaction renames every file,
+    * and complete/truncate modes are refused. At 100 TB this is the
+    * lakehouse ingest shape: CDC landing as per-epoch atomic commits,
+    * restartable from the checkpoint, concurrent-safe against batch
+    * DML through the one shared gate.
+    */
+  private def q302(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    def freshRoot(kind: String): String = {
+      val f = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_${kind}_$tag")
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      f.getAbsolutePath
+    }
+    val src = freshRoot("sksrc")
+    val dst = freshRoot("skdst")
+    val ck = freshRoot("skck")
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", src).mode("overwrite").save()
+    def appendSlice(m: Int, off: Long): Unit =
+      base.filter(col("ok") % m === 0)
+        .select((col("ok") + off).as("ok"), col("ship_us"), col("flag"),
+          col("qty"), col("price_cents"))
+        .write.format("graft-manifest").option("path", src).mode("append").save()
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", src).option("maxcommitspertrigger", 1)
+        .load()
+        .writeStream.format("graft-manifest")
+        .option("path", dst).option("checkpointLocation", ck)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    appendSlice(101, 10000000L)
+    appendSlice(103, 20000000L)
+    pipe() // epochs for commits 1-3
+    appendSlice(107, 30000000L)
+    appendSlice(109, 40000000L)
+    pipe() // RESTART from the checkpoint: only commits 4-5 stream
+    spark.read.format("graft-manifest").option("path", dst).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q302Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us,
+      |         o_orderstatus AS flag, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |streamed AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us, flag, qty, price_cents FROM base WHERE ok % 101 = 0
+      |  UNION ALL
+      |  SELECT ok + 20000000, ship_us, flag, qty, price_cents FROM base WHERE ok % 103 = 0
+      |  UNION ALL
+      |  SELECT ok + 30000000, ship_us, flag, qty, price_cents FROM base WHERE ok % 107 = 0
+      |  UNION ALL
+      |  SELECT ok + 40000000, ship_us, flag, qty, price_cents FROM base WHERE ok % 109 = 0)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(ok) AS BIGINT) AS max_ok
+      |FROM streamed GROUP BY flag ORDER BY flag""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q222_consistent_hash", q222, Some(q222Sql)),
     QuerySpec("q210_mv_rewrite", q210, Some(q210Sql)),
@@ -2927,6 +3111,8 @@ object Layout {
     QuerySpec("q289_mor_delete", q289, Some(q289Sql)),
     QuerySpec("q299_merge_join_strategy", q299, Some(q299Sql)),
     QuerySpec("q300_delete_join_strategy", q300, Some(q300Sql)),
+    QuerySpec("q301_cdf_update_images", q301, Some(q301Sql)),
+    QuerySpec("q302_stream_sink_cas", q302, Some(q302Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -401,11 +402,17 @@ object ManifestSource {
     * advertise an earlier time.
     */
   private[sources] def appendCommitLog(dir: String, name: String,
-      op: String = "commit", diff: String = ""): Unit = {
+      op: String = "commit", diff: String = "",
+      txn: Option[(String, Long)] = None): Unit = {
     val last = readCommitLogTimed(dir).lastOption.map(_._2).getOrElse(0L)
     val ts = math.max(System.currentTimeMillis(), last)
     val w = new java.io.FileWriter(new java.io.File(dir, "commits.log"), true)
-    try w.write(s"$name,$ts,$op,${if (diff.isEmpty) "=" else diff}\n")
+    // field 5, when present, is the STREAMING TRANSACTION identity
+    // (Delta's txn action): writer queryId + epoch, the ledger
+    // [[ManifestStreamingWrite]] dedups re-delivered epochs against —
+    // in the LOG, not in file names, so it survives compaction
+    val t = txn.map { case (q, b) => s",$q:$b" }.getOrElse("")
+    try w.write(s"$name,$ts,$op,${if (diff.isEmpty) "=" else diff}$t\n")
     finally w.close()
   }
 
@@ -421,7 +428,8 @@ object ManifestSource {
     */
   final case class CommitDiff(added: Seq[(String, Seq[String])],
       removed: Seq[(String, Seq[String])],
-      maskMoved: Seq[(String, Seq[String], Seq[String])])
+      maskMoved: Seq[(String, Seq[String], Seq[String])],
+      updKeys: Seq[(String, String)] = Nil)
 
   object CommitDiff {
     def plainAdd(files: Seq[String]): CommitDiff =
@@ -436,7 +444,9 @@ object ManifestSource {
     val m = if (d.maskMoved.isEmpty) None
       else Some("M:" + d.maskMoved.map { case (f, pre, post) =>
         (f +: pre).mkString(":") + ">" + post.mkString(":") }.mkString(";"))
-    val s = Seq(a, r, m).flatten.mkString("|")
+    val u = if (d.updKeys.isEmpty) None
+      else Some("U:" + d.updKeys.map { case (f, s) => s"$f:$s" }.mkString(";"))
+    val s = Seq(a, r, m, u).flatten.mkString("|")
     if (s.isEmpty) "=" else s
   }
 
@@ -451,6 +461,7 @@ object ManifestSource {
       var added = Seq.empty[(String, Seq[String])]
       var removed = Seq.empty[(String, Seq[String])]
       var moved = Seq.empty[(String, Seq[String], Seq[String])]
+      var upd = Seq.empty[(String, String)]
       s.split('|').filter(_.nonEmpty).foreach { sec =>
         val body = sec.drop(2)
         sec.take(2) match {
@@ -465,10 +476,14 @@ object ManifestSource {
             (pp(0), pp.drop(1).toSeq.filter(_.nonEmpty),
               post.split(':').filter(_.nonEmpty).toSeq)
           }
+          case "U:" => upd = body.split(';').filter(_.nonEmpty).toSeq.map { e =>
+            val p = e.split(':')
+            (p(0), p(1))
+          }
           case other => throw new IllegalStateException(s"bad diff section $other")
         }
       }
-      CommitDiff(added, removed, moved)
+      CommitDiff(added, removed, moved, upd)
     }
 
   def readCommitLog(dir: String): Seq[String] =
@@ -493,7 +508,7 @@ object ManifestSource {
     * vacuumed.
     */
   final case class LogEntry(manifest: String, ts: Long, op: String,
-      diff: Option[CommitDiff])
+      diff: Option[CommitDiff], txn: Option[(String, Long)] = None)
 
   def readCommitLogEntries(dir: String): Seq[LogEntry] = {
     val f = new java.io.File(dir, "commits.log")
@@ -504,7 +519,11 @@ object ManifestSource {
         val a = l.split(",", -1)
         LogEntry(a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L,
           if (a.length > 2 && a(2).nonEmpty) a(2) else "commit",
-          if (a.length > 3 && a(3).nonEmpty) Some(parseDiff(a(3))) else None)
+          if (a.length > 3 && a(3).nonEmpty) Some(parseDiff(a(3))) else None,
+          if (a.length > 4 && a(4).nonEmpty) {
+            val i = a(4).lastIndexOf(':')
+            Some((a(4).take(i), a(4).drop(i + 1).toLong))
+          } else None)
       }.toList
       finally src.close()
     }
@@ -580,10 +599,11 @@ object ManifestSource {
       schemaOverride: Option[Seq[String]] = None,
       dvAttach: Map[String, Seq[String]] = Map.empty,
       dvClear: Set[String] = Set.empty,
-      op: String = "commit"): String =
+      op: String = "commit",
+      updSidecars: Map[String, String] = Map.empty): String =
     commitLock.synchronized {
       commitCore(dir, base, removed, added, conflictsWithAdded,
-        schemaOverride, dvAttach, dvClear, op)
+        schemaOverride, dvAttach, dvClear, op, updSidecars)
     }
 
   /** [[commitSnapshot]] without the JVM monitor — the cross-process
@@ -597,7 +617,8 @@ object ManifestSource {
       schemaOverride: Option[Seq[String]] = None,
       dvAttach: Map[String, Seq[String]] = Map.empty,
       dvClear: Set[String] = Set.empty,
-      op: String = "commit"): String =
+      op: String = "commit",
+      updSidecars: Map[String, String] = Map.empty): String =
     withCommitToken(dir) {
       val current = resolveManifest(dir, None)
       val curEntries = readManifest(dir, current)
@@ -676,11 +697,65 @@ object ManifestSource {
       val movedMasks = finalEntries.map(_.file).filterNot(addedNames.contains)
         .filter(f => dvFinal.getOrElse(f, Nil) != curDv.getOrElse(f, Nil))
         .map(f => (f, curDv.getOrElse(f, Nil), dvFinal.getOrElse(f, Nil)))
+      // update-image refinement ([[merge]]/[[mergeDF]]): files whose
+      // CDF emission splits matched keys into update_preimage /
+      // update_postimage reference their key sidecar from the log line
+      val diffFiles = (addedNames ++ removedActual.map(_._1)).toSet
+      val updLogged = updSidecars.toSeq
+        .filter { case (f, _) => diffFiles.contains(f) }.sortBy(_._1)
       appendCommitLog(dir, name, op,
         encodeDiff(CommitDiff(addedNames.map(_ -> Seq.empty[String]),
-          removedActual, movedMasks)))
+          removedActual, movedMasks, updLogged)))
       name
     }
+
+  /** Locked APPEND commit shared by the batch and streaming V2 write
+    * paths: new snapshot = current entries + this write's, under a
+    * fresh manifest name; the VERSION pointer flips last, so
+    * concurrent readers see either the old or the new snapshot, never
+    * a mixture. An append introduces only new files, so it rebases
+    * over ANY concurrent commit by construction — it re-reads the
+    * pointer under the same commit lock + cross-process token the DML
+    * verbs serialize through (the optimistic-concurrency fast lane).
+    * Dedup fires BEFORE anything is written: `skip(existing)` is the
+    * batch path's tag-in-filename check, and `txn` is the streaming
+    * ledger — an epoch already recorded in the commit log (field 5)
+    * commits nothing, even after compaction renamed every data file.
+    * Returns false when dedup fired (caller owns the orphan files).
+    */
+  private[sources] def commitAppend(dir: String, writeCols: Seq[String],
+      entryLines: Seq[String], files: Seq[String], op: String,
+      txn: Option[(String, Long)] = None,
+      skip: Seq[FileEntry] => Boolean = _ => false): Boolean =
+    commitLock.synchronized { withCommitToken(dir) {
+      val current = resolveManifest(dir, None)
+      val exists = new java.io.File(dir, current).exists()
+      val existing = if (exists) readManifest(dir, current) else Nil
+      if (skip(existing) ||
+          txn.exists(t => readCommitLogEntries(dir).exists(_.txn.contains(t)))) false
+      else {
+        // the schema header carries the STORE's shape (the write's
+        // columns were validated as a prefix of it)
+        val curCols = if (exists) manifestSchema(dir, current) else writeCols
+        // an append changes no existing file, so the current
+        // snapshot's deletion-vector lines carry forward verbatim
+        val curDv = if (exists) readDvMap(dir, current)
+          else Map.empty[String, Seq[String]]
+        val name = s"manifest-gen${nextGeneration(dir)}.csv"
+        val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+        try {
+          if (curCols != BaseCols) mw.println("#schema:" + curCols.mkString(","))
+          curDv.toSeq.sortBy(_._1).foreach { case (f, dvs) =>
+            if (dvs.nonEmpty) mw.println("#dv:" + (f +: dvs).mkString(","))
+          }
+          existing.foreach(e => mw.println(entryLine(e)))
+          entryLines.foreach(mw.println)
+        } finally mw.close()
+        flipPointer(dir, name)
+        appendCommitLog(dir, name, op, encodeDiff(CommitDiff.plainAdd(files)), txn)
+        true
+      }
+    } }
 
   private[sources] def writeManifestFile(dir: String, name: String,
       cols: Seq[String], entries: Seq[FileEntry],
@@ -970,6 +1045,66 @@ object ManifestSource {
           matchedHere)
       }.collect()
 
+  /** One update-key sidecar: the matched (updated) keys of a MERGE
+    * commit, one per line — CDF metadata referenced from the commit
+    * log's `U:` diff section, NOT from any manifest. The streaming
+    * change feed loads it per task to split a rewritten file's rows
+    * into `update_preimage`/`update_postimage` vs carried
+    * `delete`/`insert` churn. `updk-` names are outside vacuum's
+    * sweep (they are log-owned metadata, like `commits.log` itself);
+    * a key listed here that matches no row in the file — a bloom
+    * false positive on the DataFrame path, or a masked row — is
+    * harmless: the split only refines rows that actually emit.
+    */
+  private[sources] def writeUpdSidecar(dir: String, name: String,
+      keys: Iterable[Long]): Unit = {
+    val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+    try keys.toSeq.sorted.foreach(w.println) finally w.close()
+  }
+
+  private[sources] def readUpdKeys(path: String): Set[Long] = {
+    val s = scala.io.Source.fromFile(path)
+    try s.getLines().filter(_.nonEmpty).map(_.trim.toLong).toSet finally s.close()
+  }
+
+  /** DataFrame-path update-key sidecars ([[mergeDF]]): group the
+    * distributed matched-key relation by the files whose blooms might
+    * hold each key (the [[deleteKeysMoRDF]] broadcast-probe grouping)
+    * and write one `updk-` sidecar per file EXECUTOR-SIDE — each
+    * sidecar is bounded by that file's true candidate keys, never the
+    * whole batch, and no key set ever materializes on the driver. A
+    * bloom false positive lists a key the file never emits — harmless
+    * by the [[writeUpdSidecar]] contract. Returns file → sidecar.
+    */
+  private def updSidecarsDF(spark: org.apache.spark.sql.SparkSession,
+      dir: String, matched: org.apache.spark.sql.DataFrame,
+      entries: Seq[FileEntry], tag: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    val n = entries.size
+    if (n == 0) Map.empty
+    else {
+      val bc = spark.sparkContext.broadcast(entries.map(_.bloom).toArray)
+      val dirB = dir
+      matched.select(col("ok")).distinct().rdd.map(_.getLong(0))
+        .mapPartitions { it =>
+          val bs = bc.value
+          it.flatMap { k =>
+            (0 until n).iterator
+              .filter(i => bs(i).forall(bloomMightContain(_, k)))
+              .map(i => (i, k))
+          }
+        }
+        .groupByKey(math.max(1, math.min(n, 64)))
+        .map { case (i, ks) =>
+          val name = s"updk-$tag-f$i.keys"
+          val w = new java.io.PrintWriter(new java.io.File(dirB, name), "UTF-8")
+          try ks.toSeq.sorted.foreach(w.println) finally w.close()
+          (i, name)
+        }.collect()
+        .map { case (i, name) => entries(i).file -> name }.toMap
+    }
+  }
+
   /** Write the unmatched-source insert file (shared by [[merge]] and
     * [[stageMerge]]); None when the batch fully matched.
     */
@@ -1174,6 +1309,16 @@ object ManifestSource {
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry = writeInsertFile(dir, inserts, gen, ep)
     val real = rewritten.filter(_._3.nonEmpty)
+    // CDF update images: each really-rewritten file's matched keys go
+    // to one `updk-` sidecar referenced (via the commit-log diff) by
+    // BOTH its removed original (preimage split) and its rewritten
+    // output (postimage split); the insert file carries none — its
+    // rows are true inserts
+    val updSidecars = real.zipWithIndex.flatMap { case ((orig, entry, ks), i) =>
+      val sc = s"updk-g$gen-e$ep-$i.keys"
+      writeUpdSidecar(dir, sc, ks)
+      Seq(orig -> sc, entry.file -> sc)
+    }.toMap
     // a concurrent append whose key bloom might hold one of OUR keys
     // means this merge could have missed a matching row — conflict;
     // bloom-clean appends commute and rebase (the skipping index
@@ -1182,7 +1327,7 @@ object ManifestSource {
       real.map(_._2).toSeq ++ insertEntry, e =>
         if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
           Some(s"${e.file} may contain merge keys")
-        else None, op = "merge")
+        else None, op = "merge", updSidecars = updSidecars)
     val nRewritten = real.length
     (nRewritten, entries.size - nRewritten, inserts.size, name)
   }
@@ -1356,9 +1501,21 @@ object ManifestSource {
         insMarker = true)
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val inserted = written.map(_._2).sum
+      // CDF update images, fully distributed: the matched-key relation
+      // (source keys present in the live target subset) bloom-groups
+      // into per-file `updk-` sidecars on BOTH sides of the rewrite —
+      // candidates carry the preimage split, written files the
+      // postimage split. A merge key that only hit masked rows is NOT
+      // matched (it re-inserted), so it correctly stays `insert`.
+      val matchedKeys = target.select(col("ok"))
+        .join(source.select(col("ok")), Seq("ok"), "left_semi")
+      val updSc =
+        updSidecarsDF(spark, dir, matchedKeys, candidates, s"g$gen-e$ep-pre") ++
+        updSidecarsDF(spark, dir, matchedKeys, written.map(_._1).toSeq,
+          s"g$gen-e$ep-post")
       val name = commitSnapshot(dir, current, candSet,
         written.map(_._1).toSeq.sortBy(_.min),
-        dfConflict(srcBloom, "merge"), op = "merge")
+        dfConflict(srcBloom, "merge"), op = "merge", updSidecars = updSc)
       (candidates.size, entries.size - candidates.size, inserted, name)
     } finally { new java.io.File(dir, tmp).delete(): Unit }
   }
@@ -1943,7 +2100,8 @@ final class ManifestTable(dir: String, pinned: Option[String],
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = ManifestSource.resolveManifest(dir, pinned)
     new ManifestScanBuilder(dir, m, ManifestSource.manifestSchema(dir, m),
@@ -1974,37 +2132,57 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val names = info.schema().fieldNames.toSeq
-      val base = ManifestSource.BaseCols
-      require(names.take(base.size) == base,
-        s"graft-manifest write schema must start with $base, got $names")
-      info.schema().fields.drop(base.size).foreach(f =>
-        require(f.dataType == LongType,
-          s"extension column ${f.name} must be BIGINT, got ${f.dataType}"))
-      if (!doTruncate) {
-        // APPEND must fit the store's CURRENT schema: the write's
-        // columns are a prefix of it (missing extras surface NULL);
-        // a column the store lacks needs addColumn first — appending
-        // cannot evolve the schema implicitly
-        val current = ManifestSource.resolveManifest(dir, None)
-        if (new java.io.File(dir, current).exists()) {
-          val cur = ManifestSource.manifestSchema(dir, current)
-          require(names == cur.take(names.size),
-            s"append schema $names is not a prefix of the table schema $cur — " +
-              "run addColumn to evolve first")
-        }
+
+  /** Shared batch/streaming write validation; returns the write's
+    * column names.
+    */
+  private def validated(): Seq[String] = {
+    val names = info.schema().fieldNames.toSeq
+    val base = ManifestSource.BaseCols
+    require(names.take(base.size) == base,
+      s"graft-manifest write schema must start with $base, got $names")
+    info.schema().fields.drop(base.size).foreach(f =>
+      require(f.dataType == LongType,
+        s"extension column ${f.name} must be BIGINT, got ${f.dataType}"))
+    if (!doTruncate) {
+      // APPEND must fit the store's CURRENT schema: the write's
+      // columns are a prefix of it (missing extras surface NULL);
+      // a column the store lacks needs addColumn first — appending
+      // cannot evolve the schema implicitly
+      val current = ManifestSource.resolveManifest(dir, None)
+      if (new java.io.File(dir, current).exists()) {
+        val cur = ManifestSource.manifestSchema(dir, current)
+        require(names == cur.take(names.size),
+          s"append schema $names is not a prefix of the table schema $cur — " +
+            "run addColumn to evolve first")
       }
+    }
+    names
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
       new ManifestBatchWrite(dir, doTruncate, info.queryId(),
-        Option(info.options.get("batchtag")), names)
+        Option(info.options.get("batchtag")), validated())
+    override def toStreaming: StreamingWrite = {
+      require(!doTruncate,
+        "graft-manifest streaming write is APPEND-ONLY — complete/truncate " +
+          "output modes would rewrite history the commit log already serves")
+      new ManifestStreamingWrite(dir, info.queryId(), validated())
     }
   }
 }
 
 final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Long,
     bloomHex: String, qtySum: Long, priceSum: Long,
-    extras: Seq[Option[Long]] = Nil) extends WriterCommitMessage
+    extras: Seq[Option[Long]] = Nil) extends WriterCommitMessage {
+  /** This file's manifest entry line — shared by the batch and
+    * streaming commit paths.
+    */
+  def entryLine: String =
+    s"$file,$min,$max,$rows,$bloomHex,$qtySum,$priceSum" +
+      extras.map(o => "," + o.map(_.toString).getOrElse("")).mkString
+}
 
 final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     batchTag: Option[String], cols: Seq[String]) extends BatchWrite {
@@ -2018,9 +2196,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(dir, suffix, cols.size)
 
-  private def line(m: FileCommitMessage): String =
-    s"${m.file},${m.min},${m.max},${m.rows},${m.bloomHex},${m.qtySum},${m.priceSum}" +
-      m.extras.map(o => "," + o.map(_.toString).getOrElse("")).mkString
+  private def line(m: FileCommitMessage): String = m.entryLine
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
@@ -2046,53 +2222,17 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
           entries.map(_.file).toSeq)))
       finally lw.close()
       }
-    } else ManifestSource.commitLock.synchronized {
-      ManifestSource.withCommitToken(dir) {
-      // APPEND commit: new snapshot = current entries + this write's,
-      // under a fresh manifest name; the VERSION pointer flips last,
-      // so concurrent readers see either the old or the new snapshot,
-      // never a mixture. An append introduces only new files, so it
-      // rebases over ANY concurrent commit by construction — it
-      // re-reads the pointer under the same commit lock the DML verbs
-      // serialize through (the optimistic-concurrency fast lane).
-      val current = ManifestSource.resolveManifest(dir, None)
-      val existing =
-        if (new java.io.File(dir, current).exists()) ManifestSource.readManifest(dir, current)
-        else Nil // first append into an empty store
+    } else {
       // IDEMPOTENT REPLAY: a tagged batch that already committed must
       // not commit twice — the streaming-ingestion exactly-once
       // contract (q135's batch-id overwrite trick, expressed in the
       // V2 commit protocol). The re-written data files are orphans
       // the manifest never references.
-      if (batchTag.exists(b => existing.exists(_.file.contains(s"-bt$b.")))) return
-      // the schema header carries the STORE's shape (the write's
-      // columns were validated as a prefix of it)
-      val curCols =
-        if (new java.io.File(dir, current).exists())
-          ManifestSource.manifestSchema(dir, current)
-        else cols
-      // an append changes no existing file, so the current snapshot's
-      // deletion-vector lines carry forward verbatim
-      val curDv =
-        if (new java.io.File(dir, current).exists())
-          ManifestSource.readDvMap(dir, current)
-        else Map.empty[String, Seq[String]]
-      val name = s"manifest-gen${ManifestSource.nextGeneration(dir)}.csv"
-      val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-      try {
-        if (curCols != ManifestSource.BaseCols)
-          mw.println("#schema:" + curCols.mkString(","))
-        curDv.toSeq.sortBy(_._1).foreach { case (f, dvs) =>
-          if (dvs.nonEmpty) mw.println("#dv:" + (f +: dvs).mkString(","))
-        }
-        existing.foreach(e => mw.println(ManifestSource.entryLine(e)))
-        entries.foreach(m => mw.println(line(m)))
-      } finally mw.close()
-      ManifestSource.flipPointer(dir, name)
-      ManifestSource.appendCommitLog(dir, name, "append",
-        ManifestSource.encodeDiff(ManifestSource.CommitDiff.plainAdd(
-          entries.map(_.file).toSeq)))
-      }
+      ManifestSource.commitAppend(dir, cols, entries.map(line).toSeq,
+        entries.map(_.file).toSeq, "append",
+        skip = existing =>
+          batchTag.exists(b => existing.exists(_.file.contains(s"-bt$b."))))
+      ()
     }
   }
 
@@ -2101,6 +2241,61 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       case m: FileCommitMessage => new java.io.File(dir, m.file).delete()
       case _ => ()
     }
+}
+
+/** STREAMING SINK into the manifest store through the same CAS gate
+  * every batch writer uses (TableCapability.STREAMING_WRITE — the
+  * Delta streaming-sink role): `df.writeStream.format("graft-manifest")`
+  * appends one trunk commit per non-empty epoch, and the commit-log
+  * line records the writer's TRANSACTION identity (queryId + epochId,
+  * field 5 — Delta's `txn` action). Exactly-once falls out of the
+  * ledger, not file naming: a re-delivered epoch (foreachBatch retry,
+  * checkpoint restart replaying the last batch, a zombie driver's
+  * late commit) finds its txn already logged UNDER THE COMMIT LOCK +
+  * cross-process token and commits nothing — its orphan task files
+  * are deleted on the spot. Unlike the `batchtag` filename trick
+  * (which a compaction's renames erase), the log ledger survives
+  * every rewrite, so dedup holds for the table's whole history. Each
+  * task writes its own attempt-unique file ([[ManifestDataWriter]]);
+  * the pointer flips only after every task of the epoch succeeded —
+  * a crashed epoch leaves unreferenced orphans, never a torn
+  * snapshot. At 100 TB this is how a pipeline lands CDC or ingest
+  * streams in the lakehouse: per-epoch atomic commits, restartable
+  * from the checkpoint, concurrent-safe against batch DML through the
+  * one shared gate.
+  */
+final class ManifestStreamingWrite(dir: String, queryId: String,
+    cols: Seq[String]) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestStreamingWriterFactory(dir, queryId.take(8), cols.size)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
+    if (entries.nonEmpty) {
+      val committed = ManifestSource.commitAppend(dir, cols,
+        entries.map(_.entryLine).toSeq, entries.map(_.file).toSeq,
+        "stream-append", txn = Some((queryId, epochId)))
+      if (!committed)
+        entries.foreach(m => new java.io.File(dir, m.file).delete())
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: FileCommitMessage => new java.io.File(dir, m.file).delete()
+      case _ => ()
+    }
+}
+
+final class ManifestStreamingWriterFactory(dir: String, qtag: String,
+    nCols: Int) extends StreamingDataWriterFactory {
+  // epoch in the name keeps two epochs' task attempts distinct; the
+  // qtag keeps two concurrent streams' files distinct
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(dir, partitionId, taskId, s"-sq$qtag-ep$epochId", nCols)
 }
 
 final class ManifestWriterFactory(dir: String, suffix: String, nCols: Int)
@@ -2397,7 +2592,8 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
 
 final case class ManifestInputPartition(path: String,
     dvPaths: Seq[String] = Nil,
-    cdf: Option[(String, Long)] = None) extends InputPartition
+    cdf: Option[(String, Long)] = None,
+    upd: Option[(String, String)] = None) extends InputPartition
 
 final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
     extends PartitionReaderFactory {
@@ -2406,7 +2602,7 @@ final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
     new ManifestPartitionReader(mp.path, mp.dvPaths, fields, cols,
       mp.cdf.map { case (ct, ci) => Map[String, Any](
         "_change_type" -> UTF8String.fromString(ct), "_commit" -> ci)
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty), mp.upd)
   }
 }
 
@@ -2421,7 +2617,8 @@ final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
   */
 final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
     fields: Array[String], cols: Seq[String],
-    constants: Map[String, Any] = Map.empty) extends PartitionReader[InternalRow] {
+    constants: Map[String, Any] = Map.empty,
+    upd: Option[(String, String)] = None) extends PartitionReader[InternalRow] {
   private val src = scala.io.Source.fromFile(path)
   private val it = src.getLines()
   private var row: InternalRow = _
@@ -2431,6 +2628,19 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
       val s = scala.io.Source.fromFile(p)
       try s.getLines().map(_.trim.toLong).toList finally s.close()
     }.toSet
+
+  // UPDATE-IMAGE SPLIT: a MERGE commit's rewritten file carries an
+  // `updk-` sidecar of its matched keys (bounded: one file's matched
+  // set); a row whose key is listed refines its partition-constant
+  // `_change_type` (delete/insert) into update_preimage /
+  // update_postimage. Keys that match no emitted row (bloom false
+  // positives on the DataFrame path, masked rows) never fire.
+  private val updKeys: Set[Long] =
+    upd.map(u => ManifestSource.readUpdKeys(u._1)).getOrElse(Set.empty)
+  private val updCt: Any =
+    upd.map(u => UTF8String.fromString(u._2)).orNull
+  private val ctIdx: Int =
+    if (upd.isEmpty) -1 else fields.indexOf("_change_type")
 
   // a cell is a data-column index or a partition-constant (the CDF
   // mode's _change_type/_commit ride every row of a partition)
@@ -2447,13 +2657,15 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
     while (it.hasNext) {
       val a = it.next().split(",", -1)
       if (masked.isEmpty || !masked.contains(a(0).toLong)) {
-        row = InternalRow.fromSeq(cells.toSeq.map {
+        val vals: Array[Any] = cells.map {
           case Right(v) => v
           case Left(2) => UTF8String.fromString(a(2))
           case Left(i) =>
             if (i >= a.length || a(i).isEmpty) null
             else a(i).toLong
-        })
+        }
+        if (ctIdx >= 0 && updKeys.contains(a(0).toLong)) vals(ctIdx) = updCt
+        row = InternalRow.fromSeq(vals.toIndexedSeq)
         return true
       }
     }
@@ -2531,8 +2743,10 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
       p.getPath
     }
     def part(i: Long, f: String, dvs: Seq[String],
-        tag: Option[(String, Long)]): InputPartition =
-      ManifestInputPartition(checked(i, f), dvs.map(checked(i, _)), tag)
+        tag: Option[(String, Long)],
+        upd: Option[(String, String)] = None): InputPartition =
+      ManifestInputPartition(checked(i, f), dvs.map(checked(i, _)), tag,
+        upd.map { case (sc, ct) => (checked(i, sc), ct) })
 
     (a until b).flatMap { i =>
       val cur = lines(i.toInt)
@@ -2550,11 +2764,17 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
         // (a carried row cancels; the netted q274/q280 diff is the
         // read-amplification-free batch path). A mask-only commit
         // moves rows without moving files: the masked file's
-        // before/after images emit the same way.
+        // before/after images emit the same way. A MERGE commit's
+        // `U:` sidecars refine matched rows into update_preimage /
+        // update_postimage PAIRS (Delta CDF's update images) — carried
+        // file-churn rows stay delete/insert and still cancel.
+        val updMap = diff.updKeys.toMap
         val out = diff.removed.map { case (f, dvs) =>
-          part(i, f, dvs, Some(("delete", i + 1))) }
+          part(i, f, dvs, Some(("delete", i + 1)),
+            updMap.get(f).map(sc => (sc, "update_preimage"))) }
         val inn = diff.added.map { case (f, dvs) =>
-          part(i, f, dvs, Some(("insert", i + 1))) }
+          part(i, f, dvs, Some(("insert", i + 1)),
+            updMap.get(f).map(sc => (sc, "update_postimage"))) }
         val maskOut = diff.maskMoved.map { case (f, pre, _) =>
           part(i, f, pre, Some(("delete", i + 1))) }
         val maskIn = diff.maskMoved.map { case (f, _, post) =>

@@ -157,11 +157,14 @@ class StreamSourceSpec extends SparkSpec {
         }.start()
       try { q.processAllAvailable(); q.stop() } finally scala.util.Try(q.stop())
       // replay: per commit ascending, remove delete images then add
-      // insert images — must land exactly on the live table
+      // insert images — must land exactly on the live table. Update
+      // images compose as delete+insert (a strict refinement).
       var state = Set.empty[Seq[Any]]
       events.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, evs) =>
-        val dels = evs.filter(_._2 == "delete").map(_._3).toSet
-        val inss = evs.filter(_._2 == "insert").map(_._3).toSet
+        val dels = evs.filter(e => e._2 == "delete" || e._2 == "update_preimage")
+          .map(_._3).toSet
+        val inss = evs.filter(e => e._2 == "insert" || e._2 == "update_postimage")
+          .map(_._3).toSet
         state = (state -- dels) ++ inss
       }
       val live = spark.read.format("graft-manifest").option("path", root)
@@ -234,6 +237,89 @@ class StreamSourceSpec extends SparkSpec {
       val got = tail(root, Map("startingcommit" -> "1", "ignorechanges" -> "true"))
       assert(got.flatten.toSet == (1L to 12L).toSet,
         "the compacted commit's file re-emits the full content")
+    } finally cleanup(root)
+  }
+
+  /** Drain the change feed, returning (commit, change_type, row image). */
+  private def collectCdf(root: String): Seq[(Long, String, Seq[Any])] = {
+    val events = scala.collection.mutable.ArrayBuffer[(Long, String, Seq[Any])]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", root).option("readchangefeed", "true")
+      .load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getAs[Long]("_commit"),
+          r.getAs[String]("_change_type"),
+          Seq[Any](r.getAs[Long]("ok"), r.getAs[Long]("ship_us"),
+            r.getAs[String]("flag"), r.getAs[Long]("qty"),
+            r.getAs[Long]("price_cents"))))
+        events.synchronized { events ++= rows }
+        ()
+      }.start()
+    try { q.processAllAvailable(); q.stop() } finally scala.util.Try(q.stop())
+    events.toSeq
+  }
+
+  test("CDF update images (Seq merge): matched rows pair as preimage/postimage; churn and true inserts stay delete/insert") {
+    val root = plant()
+    try {
+      ManifestSource.merge(spark, root,
+        Seq((5L, 5000L, "U", 50L, 999L), (100L, 50000L, "N", 1L, 5L))) // commit 2
+      val events = collectCdf(root).filter(_._1 == 2L)
+      val pre = events.filter(_._2 == "update_preimage").map(_._3)
+      val post = events.filter(_._2 == "update_postimage").map(_._3)
+      assert(pre == Seq(Seq(5L, 5000L, "A", 5L, 50L)),
+        s"exactly the matched row's OLD image as update_preimage, got $pre")
+      assert(post == Seq(Seq(5L, 5000L, "U", 50L, 999L)),
+        s"exactly the matched row's NEW image as update_postimage, got $post")
+      val dels = events.filter(_._2 == "delete").map(_._3.head).toSet
+      val inss = events.filter(_._2 == "insert").map(_._3.head).toSet
+      assert(dels == Set(6L, 7L, 8L), "carried file churn stays delete")
+      assert(inss == Set(6L, 7L, 8L, 100L),
+        "churn cancels against its delete; the unmatched source row is a true insert")
+      // the sidecar is log-owned metadata like commits.log: vacuum
+      // must not collect it
+      ManifestSource.vacuum(root)
+      assert(Option(new java.io.File(root).listFiles()).get
+        .exists(_.getName.startsWith("updk-")),
+        "update-key sidecars must survive vacuum")
+    } finally cleanup(root)
+  }
+
+  test("CDF update images (join-strategy mergeDF): distributed sidecars produce the same pairing") {
+    import spark.implicits._
+    val root = plant()
+    try {
+      val src = Seq((5L, 5000L, "U", 50L, 999L), (6L, 6000L, "V", 60L, 888L),
+        (100L, 50000L, "N", 1L, 5L))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      ManifestSource.mergeDF(spark, root, src) // commit 2
+      val events = collectCdf(root).filter(_._1 == 2L)
+      val pre = events.filter(_._2 == "update_preimage").map(_._3).toSet
+      val post = events.filter(_._2 == "update_postimage").map(_._3).toSet
+      assert(pre == Set(Seq(5L, 5000L, "A", 5L, 50L), Seq(6L, 6000L, "A", 6L, 60L)),
+        s"both matched rows' OLD images as update_preimage, got $pre")
+      assert(post == Set(Seq(5L, 5000L, "U", 50L, 999L), Seq(6L, 6000L, "V", 60L, 888L)),
+        s"both matched rows' NEW images as update_postimage, got $post")
+      val delKeys = events.filter(_._2 == "delete").map(_._3.head).toSet
+      val insKeys = events.filter(_._2 == "insert").map(_._3.head).toSet
+      // the DF path rewrites bloom-FP candidates too — churn varies,
+      // but it must cancel exactly, never touch the matched keys, and
+      // leave precisely the true insert
+      assert(insKeys -- delKeys == Set(100L),
+        s"churn must cancel leaving only the true insert, del=$delKeys ins=$insKeys")
+      assert(delKeys -- insKeys == Set.empty[Long])
+      assert((delKeys ++ insKeys).intersect(Set(5L, 6L)).isEmpty,
+        "matched keys must never leak into delete/insert events")
+      // refinement replay still reconstructs the live table
+      var state = Set.empty[Seq[Any]]
+      collectCdf(root).groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, evs) =>
+        val d = evs.filter(e => e._2 == "delete" || e._2 == "update_preimage").map(_._3).toSet
+        val i = evs.filter(e => e._2 == "insert" || e._2 == "update_postimage").map(_._3).toSet
+        state = (state -- d) ++ i
+      }
+      val live = spark.read.format("graft-manifest").option("path", root)
+        .load().collect().map(_.toSeq).toSet
+      assert(state == live, "update-image replay must reconstruct the live table exactly")
     } finally cleanup(root)
   }
 
