@@ -2211,6 +2211,54 @@ object Layout {
       |       CAST(MAX(ok) AS BIGINT) AS max_ok
       |FROM win GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q303 — AUTO-OPTIMIZE ([[graft.sources.ManifestSource
+    * .autoOptimize]]): q284's sorted compaction fired by the
+    * METADATA-ONLY advisor instead of by hand. The advisor reads
+    * nothing but the manifest's zone maps and scores the layout as
+    * interval stabbing depth over the clustering axis — a fresh tiled
+    * store reads mean depth 1.0 (the query REQUIREs no
+    * recommendation), q267's MERGE leaves an insert file spanning the
+    * whole axis and the score jumps past the 1.5 threshold (REQUIREd
+    * recommended), [[graft.sources.ManifestSource.autoOptimize]] runs
+    * the re-cluster exactly then, and the post-compaction poll drops
+    * back under threshold (REQUIREd not recommended — the verb is an
+    * idempotent maintenance daemon step). The readout is q284's 1996
+    * range rollup through the advisor-triggered snapshot with q284's
+    * relational oracle, so hash-green certifies the trigger fired, the
+    * re-sort moved every row, and changed none. At 100 TB this is
+    * Delta's auto-OPTIMIZE loop: one manifest read per poll decides
+    * whether a table pays a re-cluster — no data IO until the answer
+    * is yes.
+    */
+  private def q303(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_aopt_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    val a0 = ManifestSource.adviseOptimize(root)
+    require(!a0.recommend,
+      s"a fresh range-tiled store must not recommend OPTIMIZE, got $a0")
+    ManifestSource.merge(spark, root, mergeBatch97(base))
+    val total = ManifestSource
+      .readManifest(root, ManifestSource.resolveManifest(root, None)).map(_.rows).sum
+    val (a1, ran) = ManifestSource.autoOptimize(spark, root, math.max(1L, total / 6))
+    require(a1.recommend && ran.isDefined,
+      s"the post-MERGE layout must trigger the advisor-gated compaction, got $a1")
+    val a2 = ManifestSource.adviseOptimize(root)
+    require(!a2.recommend,
+      s"the re-tiled layout must drop back under threshold, got $a2")
+    spark.read.format("graft-manifest").option("path", root).load()
+      .filter(col("ship_us") >= lit(Q284Lo) && col("ship_us") < lit(Q284Hi))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
   /** q287 — WRITE–AUDIT–PUBLISH on the manifest store: q267's MERGE
     * staged as an UNPUBLISHED BRANCH
     * ([[graft.sources.ManifestSource.stageMerge]] — the full
@@ -3113,6 +3161,7 @@ object Layout {
     QuerySpec("q300_delete_join_strategy", q300, Some(q300Sql)),
     QuerySpec("q301_cdf_update_images", q301, Some(q301Sql)),
     QuerySpec("q302_stream_sink_cas", q302, Some(q302Sql)),
+    QuerySpec("q303_auto_optimize", q303, Some(q284Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),

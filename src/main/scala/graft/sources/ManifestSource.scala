@@ -1205,6 +1205,76 @@ object ManifestSource {
     * unreferenced files out-of-band). Returns (dropped, rewritten,
     * kept) file counts.
     */
+  /** The advisor's readout: file count, worst stabbing depth (max
+    * number of zone maps covering any single clustering-key point),
+    * length-weighted mean depth over the covered axis, and the
+    * verdict. A perfectly tiled layout reads 1.0 mean depth; a MERGE's
+    * insert file spanning the whole axis reads ~2.0.
+    */
+  final case class LayoutAdvice(nFiles: Int, maxDepth: Int,
+      avgDepth: Double, recommend: Boolean)
+
+  /** AUTO-OPTIMIZE ADVISOR — metadata-only: reads ONLY the manifest's
+    * zone maps and measures clustering degradation on `ship_us` as
+    * interval STABBING DEPTH via one sweep over the 2·N file
+    * endpoints. This is the q284 degrade signal quantified: every
+    * post-DML table's disease is a file whose [min, max] spans ranges
+    * other files tile (a MERGE's insert file, interleaved appends), at
+    * which point a range predicate stops pruning — depth IS the
+    * read-amplification factor a point lookup pays. `recommend` fires
+    * when the length-weighted mean depth crosses `threshold` (default
+    * 1.5: halfway between a tiled layout's 1.0 and the fully-shadowed
+    * 2.0). At 100 TB this is Delta's auto-OPTIMIZE trigger: the
+    * decision costs one manifest read — no data IO — so a maintenance
+    * daemon can poll it per table per commit.
+    */
+  def adviseOptimize(dir: String, threshold: Double = 1.5,
+      manifest: Option[String] = None): LayoutAdvice = {
+    val m = manifest.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, m).filter(_.rows > 0)
+    if (entries.size <= 1)
+      return LayoutAdvice(entries.size, entries.size.min(1), entries.size.min(1).toDouble,
+        recommend = false)
+    // sweep: +1 at min, -1 at max+1 (inclusive ranges — files sharing
+    // a boundary point DO overlap there)
+    val events = entries.flatMap(e => Seq((e.min, 1), (e.max + 1, -1)))
+      .sortBy(identity)
+    var depth = 0
+    var maxDepth = 0
+    var covered = 0L  // total axis length under >=1 file
+    var weighted = 0.0 // integral of depth over the covered axis
+    var prev = 0L
+    events.foreach { case (x, d) =>
+      if (depth > 0) {
+        val len = x - prev
+        covered += len
+        weighted += len.toDouble * depth
+      }
+      depth += d
+      maxDepth = math.max(maxDepth, depth)
+      prev = x
+    }
+    val avg = if (covered == 0) 1.0 else weighted / covered
+    LayoutAdvice(entries.size, maxDepth, avg, recommend = avg > threshold)
+  }
+
+  /** AUTO-OPTIMIZE — the advisor-gated maintenance verb: measure the
+    * layout from the manifest alone and run [[compactSorted]] only
+    * when degradation crossed the threshold. Idempotent by
+    * construction: the compaction re-tiles the axis, the advice drops
+    * back to ~1.0, and the next poll is a metadata-only no-op.
+    * Returns the advice and the new manifest when compaction ran.
+    */
+  def autoOptimize(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetRows: Long, threshold: Double = 1.5): (LayoutAdvice, Option[String]) = {
+    val advice = adviseOptimize(dir, threshold)
+    if (!advice.recommend) (advice, None)
+    else {
+      val (_, _, name) = compactSorted(spark, dir, targetRows)
+      (advice, Some(name))
+    }
+  }
+
   def deleteBelow(spark: org.apache.spark.sql.SparkSession, dir: String,
       cutoffUs: Long): (Int, Int, Int) = {
     val current = resolveManifest(dir, None)
