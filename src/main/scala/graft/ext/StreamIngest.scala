@@ -444,10 +444,14 @@ object StreamIngest {
     * resolution, keeping only true members. Both passes are semi-join
     * probes keyed by the touched set — never a corpus resolution.
     *
-    * Gens advance PER PHASE (delete phase, then insert phase, per
-    * feed generation), so a same-generation update's tombstone (gen
-    * g) sits strictly below its re-insert (gen g+1) and max-gen
-    * resolution is unambiguous. Same log-structured compaction as
+    * Gens advance once per FEED GENERATION — deletes and inserts fuse
+    * into one maintenance pass (one touched-set resolution, one CC,
+    * one overlay; the round-13 overhead shave). A same-generation
+    * update's tombstone (tgen g) masks only STRICTLY older index rows
+    * (`tgen > fgen`), so its re-inserted state at fgen g survives its
+    * own tombstone, and the overlay carries one row per doc per gen
+    * (the marker is suppressed for re-inserted docs) — max-gen
+    * resolution stays unambiguous. Same log-structured compaction as
     * [[IngestState]]: every `compactEvery` feed generations the
     * overlay stack folds to one live base, tombstones apply
     * physically to feats/bands/pairs, and the tombstone set resets.
@@ -514,82 +518,96 @@ object StreamIngest {
       live(live(p, "a_id"), "b_id").withColumnRenamed("fgen", "pgen")
     }
 
-    def applyDeletes(del: DataFrame): Unit = {
+    /** One FUSED maintenance pass per feed generation — deletes and
+      * inserts share a single touched-set resolution, a single
+      * connected-components run, and a single overlay write (the
+      * round-13 q281 overhead shave: the phased fold paid each fixed
+      * job cost twice per generation). Semantics are unchanged:
+      *
+      *   - the insert probe sees the corpus MINUS this generation's
+      *     deletes (the phased fold tombstoned them first; here they
+      *     are anti-joined out of the band/feature index explicitly);
+      *   - ONE CC runs over the doc-level graph of every touched
+      *     component's survivors — maintained pairs among survivors
+      *     (a deleted cut vertex splits its cluster here) plus the
+      *     batch's verified new edges. Labels = component minima over
+      *     survivor∪batch ids, exactly what the phased delete-CC +
+      *     insert-quotient-CC composition produced;
+      *   - an UPDATE (preimage-delete + postimage-insert of the same
+      *     doc in one generation) writes fresh index rows at the SAME
+      *     gen as its tombstone — the strict `tgen > fgen` mask keeps
+      *     them live while rows from earlier gens die — and its
+      *     deletion marker is suppressed (the overlay carries one row
+      *     per doc per gen, the new assignment).
+      */
+    def applyGeneration(del: DataFrame, ins: DataFrame): Unit = {
       val d = del.select(col("doc_id")).distinct().localCheckpoint(false)
-      if (!d.isEmpty) {
-        val g = st.gen
-        val touched = resolveIds(d).select(col("comp_id").as("lbl")).distinct()
-        val surv = membersOf(touched).select(col("doc_id"))
-          .join(d, Seq("doc_id"), "left_anti")
-          .localCheckpoint(false)
-        // edges among survivors of the touched components: accepted
-        // pairs stay within a component, so this is the complete edge
-        // set needed to re-derive their labels — a deleted cut vertex
-        // splits its cluster here
-        val edges = livePairs
-          .join(surv.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
-          .join(surv.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
-          .select(col("a_id"), col("b_id"))
-        val cc = DupGraph.connectedComponents(edges)
-        val relabeled = surv.join(cc, col("doc_id") === col("id"), "left")
-          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
-        val overlay = materialize(relabeled
-          .unionByName(d.select(col("doc_id"), lit(-1L).as("comp_id")))
-          .withColumn("gen", lit(g).cast("int")))
-        st = st.copy(overlays = st.overlays :+ overlay,
-          tombs = st.tombs.unionByName(
-            d.select(col("doc_id").as("t_id"), lit(g).cast("int").as("tgen"))),
-          gen = g + 1)
-      }
-    }
-
-    def applyInserts(ins: DataFrame): Unit = {
       val bf = materialize(docFeatures(ins.select(col("doc_id"), col("text"))))
-      if (!bf.isEmpty) {
-        val g = st.gen
-        val bb0 = bandRows(bf).localCheckpoint(false)
-        val bb = bb0.as("x").join(bb0.as("y"),
-            col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
-              col("x.v2") === col("y.v2") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
-          .distinct()
-        val corpusBands = live(st.bands, "doc_id")
-        val bc = bb0.as("x").join(corpusBands.as("y"),
-            col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
-              col("x.v2") === col("y.v2"))
-          .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
-          .distinct()
-        val bbV = verified(bb, bf, bf, "a_id", "b_id").localCheckpoint(false)
-        val bcV = verified(bc, bf, live(st.feats, "doc_id"), "batch_id", "corpus_id")
-          .localCheckpoint(false)
-        val cur = resolveIds(bcV.select(col("corpus_id").as("doc_id")))
-        val bcQuotient = bcV
-          .join(cur.select(col("doc_id").as("corpus_id"), col("comp_id")), "corpus_id")
-          .select(col("batch_id").as("a_id"), col("comp_id").as("b_id"))
-          .localCheckpoint(false)
-        val quotient = DupGraph.connectedComponents(
-            bbV.select(col("a_id"), col("b_id")).unionAll(bcQuotient))
-          .localCheckpoint(false)
-        val touchedRows = membersOf(
-          bcQuotient.select(col("b_id").as("lbl")).distinct())
-        val relabeled = touchedRows
-          .join(quotient, col("comp_id") === col("id"), "left")
-          .select(col("doc_id"), coalesce(col("comp"), col("comp_id")).as("comp_id"))
-        val batchAssign = bf.select(col("doc_id"))
-          .join(quotient, col("doc_id") === col("id"), "left")
-          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
-        val overlay = materialize(relabeled.unionByName(batchAssign)
-          .withColumn("gen", lit(g).cast("int")))
-        st = st.copy(overlays = st.overlays :+ overlay,
-          feats = st.feats.unionByName(bf.withColumn("fgen", lit(g).cast("int"))),
-          bands = st.bands.unionByName(
+      val hasDel = !d.isEmpty
+      val hasIns = !bf.isEmpty
+      if (!hasDel && !hasIns) return
+      val g = st.gen
+      // the corpus as the insert probe must see it: live index rows
+      // minus this generation's deletes
+      val corpusBands = live(st.bands, "doc_id").join(d, Seq("doc_id"), "left_anti")
+      val corpusFeats = live(st.feats, "doc_id").join(d, Seq("doc_id"), "left_anti")
+      val bb0 = bandRows(bf).localCheckpoint(false)
+      val bb = bb0.as("x").join(bb0.as("y"),
+          col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
+            col("x.v2") === col("y.v2") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
+        .distinct()
+      val bc = bb0.as("x").join(corpusBands.as("y"),
+          col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
+            col("x.v2") === col("y.v2"))
+        .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
+        .distinct()
+      val bbV = verified(bb, bf, bf, "a_id", "b_id").localCheckpoint(false)
+      val bcV = verified(bc, bf, corpusFeats, "batch_id", "corpus_id")
+        .localCheckpoint(false)
+      // every component touched by a delete OR an insert-match, by its
+      // pre-generation label — ONE resolution pass over the stack
+      val touched = resolveIds(
+          d.unionByName(bcV.select(col("corpus_id").as("doc_id"))))
+        .select(col("comp_id").as("lbl")).distinct()
+      val members = membersOf(touched).select(col("doc_id"))
+      val surv = members.join(d, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      // edges among survivors of the touched components (accepted
+      // pairs stay within a component, so this is the complete edge
+      // set needed to re-derive their labels) plus the batch's new
+      // verified edges — one CC over the whole touched neighborhood
+      val survEdges = livePairs
+        .join(surv.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+        .join(surv.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+        .select(col("a_id"), col("b_id"))
+      val cc = DupGraph.connectedComponents(survEdges
+        .unionAll(bbV.select(col("a_id"), col("b_id")))
+        .unionAll(bcV.select(col("batch_id").as("a_id"),
+          col("corpus_id").as("b_id"))))
+      val assignees = surv.unionByName(bf.select(col("doc_id"))).distinct()
+      val relabeled = assignees.join(cc, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
+      // deletion markers only for docs NOT re-inserted this generation
+      val markers = d.join(bf.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(-1L).as("comp_id"))
+      val overlay = materialize(relabeled.unionByName(markers)
+        .withColumn("gen", lit(g).cast("int")))
+      st = st.copy(overlays = st.overlays :+ overlay,
+        feats = if (!hasIns) st.feats
+          else st.feats.unionByName(bf.withColumn("fgen", lit(g).cast("int"))),
+        bands = if (!hasIns) st.bands
+          else st.bands.unionByName(
             bandRows(bf).withColumn("fgen", lit(g).cast("int"))),
-          pairs = st.pairs.unionByName(
+        pairs = if (!hasIns) st.pairs
+          else st.pairs.unionByName(
             bbV.unionByName(bcV.select(col("batch_id").as("a_id"),
                 col("corpus_id").as("b_id")))
               .withColumn("pgen", lit(g).cast("int"))),
-          gen = g + 1)
-      }
+        tombs = if (!hasDel) st.tombs
+          else st.tombs.unionByName(
+            d.select(col("doc_id").as("t_id"), lit(g).cast("int").as("tgen"))),
+        gen = g + 1)
     }
 
     def maybeCompact(): Unit =
@@ -609,7 +627,7 @@ object StreamIngest {
 
     // bootstrap = the base snapshot processed as the first insert
     // batch (order-invariant fold ⇒ identical to a scratch build)
-    applyInserts(bootstrap)
+    applyGeneration(empty.select(col("id").as("doc_id")), bootstrap)
     st = st.copy(nGens = 1)
     maybeCompact()
     st = st.copy(depths = st.depths :+ st.overlays.size)
@@ -633,10 +651,10 @@ object StreamIngest {
           .collect().map(_.getInt(0)).sorted // bounded: generations, not rows
         gens.foreach { fg =>
           val e = ev.filter(col("fg") === fg)
-          applyDeletes(e.filter(
-            col("change_type").isin("delete", "update_preimage")))
-          applyInserts(e.filter(
-            col("change_type").isin("insert", "update_postimage")))
+          applyGeneration(
+            e.filter(col("change_type").isin("delete", "update_preimage")),
+            e.filter(col("change_type").isin("insert", "update_postimage"))
+              .select(col("doc_id"), col("text")))
           st = st.copy(nGens = st.nGens + 1)
           maybeCompact()
           st = st.copy(depths = st.depths :+ st.overlays.size)
@@ -779,15 +797,18 @@ object StreamIngest {
     */
   private def q281(spark: SparkSession, dir: String): DataFrame = {
     val (glob, stage, docs) = stageDocChain(spark, dir, "docs_")
-    // Bench-cost note (measured at sf0.1): ~16s, the suite's worst
-    // query — 7 maintenance phases (bootstrap + 3×delete + 3×insert)
-    // × ~2s of fixed per-phase job overhead (candidate joins, CC,
-    // checkpoints) at a 5k-doc corpus, plus the store DML chain and
-    // feed staging. Same trade q263 documents: the fixed costs
-    // amortize over real batch volumes at scale, and the write path
-    // is O(batch + touched) by construction. Compaction cadence is
-    // NOT the cost (measured 2 vs 3: equal within noise) — keep k=2
-    // so the registered run exercises two mid-stream compactions.
+    // Bench-cost note (measured at sf0.1): the round-12 phased fold
+    // paid 7 maintenance passes (bootstrap + 3×delete + 3×insert) ×
+    // ~2s fixed job overhead → 16-20s quiet. The round-13 FUSED fold
+    // (one touched-set resolution + one CC + one overlay per feed
+    // generation — 4 passes total) roughly HALVED the query's
+    // end-to-end wall on the same box (single-query Verify run:
+    // ~31s → ~15s including the store DML chain and feed staging).
+    // Same trade q263 documents: the remaining fixed costs amortize
+    // over real batch volumes at scale, and the write path is
+    // O(batch + touched) by construction. Compaction cadence is NOT
+    // the cost (measured 2 vs 3: equal within noise) — keep k=2 so
+    // the registered run exercises two mid-stream compactions.
     val run = ingestEventFeed(spark, glob, docs,
       filesPerTrigger = 1, compactEvery = 2)
     scala.util.Try(org.apache.commons.io.FileUtils
