@@ -2259,6 +2259,106 @@ object Layout {
       .orderBy(col("flag"))
   }
 
+  /** q304 — STRING-KEYED LIFECYCLE
+    * ([[graft.sources.ManifestSource.keyCol]] = `flag`): the manifest
+    * store with row identity carried by a STRING column — the
+    * first-class form of what the round-12 document chains smuggled
+    * through md5'd spare ints, closing the "key system is mono-typed"
+    * gap. The store is created with `keycol=flag` (keys `k<ok>`), so
+    * every file's bloom indexes
+    * [[graft.sources.ManifestSource.strKeyHash]] of the key; the
+    * chain then runs the full DML lifecycle ON STRING IDENTITY:
+    * [[graft.sources.ManifestSource.mergeStr]] (every `k<ok>` with
+    * ok % 97 = 0 updates in place — price doubled; every ok % 997 = 0
+    * inserts as a fresh `n<ok>` key re-keyed +10⁷),
+    * [[graft.sources.ManifestSource.deleteKeysStrMoR]] (every
+    * `k<ok>` with ok % 131 = 0 masks METADATA-ONLY — the sidecar
+    * carries raw string keys behind a `#key:flag` header; readers
+    * match the `flag` field exactly, so hash collisions can never
+    * delete a wrong row), phase `mor` aggregates THROUGH the string
+    * masks, [[graft.sources.ManifestSource.rewriteDeletes]]
+    * materializes them physically (REQUIREd cleared), and phase
+    * `final` re-aggregates. Hash-green against the relational replay
+    * certifies scan-time string masking ≡ physical rewrite, and that
+    * updates matched by RAW key hit exactly the right rows. At 100 TB
+    * this is the contract a document/URL-keyed corpus store needs:
+    * identity is the natural string key, blooms stay 64-bit via the
+    * hash (collisions only widen candidate sets), zone maps stay on
+    * the clustering column. StrKeySpec pins pruning (one key → one
+    * file), keyed-bloom survival across compaction, key-type
+    * enforcement, and clone inheritance.
+    */
+  private def q304(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_skey_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.select(col("ok"), col("ship_us"),
+        concat(lit("k"), col("ok")).as("flag"), col("qty"), col("price_cents"))
+      .repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root)
+      .option("keycol", "flag").mode("overwrite").save()
+    // bounded DML batches (the documented Seq-path contract)
+    val updates = base.filter(col("ok") % 97 === 0)
+      .select(concat(lit("k"), col("ok")), col("ok"), col("ship_us"),
+        col("qty"), col("price_cents") * 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val inserts = base.filter(col("ok") % 997 === 0)
+      .select(concat(lit("n"), col("ok")), col("ok") + InsertOffset,
+        col("ship_us"), col("qty"), col("price_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val (rewritten, _, nIns, _) = ManifestSource.mergeStr(spark, root,
+      updates ++ inserts)
+    require(rewritten > 0 && nIns == inserts.size,
+      s"mergeStr must rewrite candidates and insert the new keys ($rewritten, $nIns)")
+    val delKeys = base.filter(col("ok") % 131 === 0)
+      .select(concat(lit("k"), col("ok"))).collect().map(_.getString(0)).toSeq
+    ManifestSource.deleteKeysStrMoR(root, delKeys)
+    val mMor = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mMor).nonEmpty,
+      "the string MoR delete committed no masks")
+    ManifestSource.rewriteDeletes(spark, root)
+    val mFin = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mFin).isEmpty,
+      "rewriteDeletes left string masks behind")
+    def aggAt(m: String, phase: String): DataFrame = spark.read
+      .format("graft-manifest").option("path", root).option("manifest", m).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .select(lit(phase).as("phase"), col("n_rows"), col("revenue_cents"),
+        col("qty_sum"), col("max_ok"))
+    aggAt(mMor, "mor").unionByName(aggAt(mFin, "final")).orderBy(col("phase"))
+  }
+
+  private val q304Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, qty,
+      |         CASE WHEN ok % 97 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, qty, price_cents FROM base WHERE ok % 997 = 0),
+      |kept AS (SELECT * FROM merged
+      |         WHERE NOT (ok % 131 = 0 AND ok < 10000000)),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |         CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |         CAST(MAX(ok) AS BIGINT) AS max_ok
+      |  FROM kept)
+      |SELECT 'final' AS phase, * FROM agg
+      |UNION ALL
+      |SELECT 'mor' AS phase, * FROM agg
+      |ORDER BY phase""".stripMargin
+
   /** q287 — WRITE–AUDIT–PUBLISH on the manifest store: q267's MERGE
     * staged as an UNPUBLISHED BRANCH
     * ([[graft.sources.ManifestSource.stageMerge]] — the full
@@ -3162,6 +3262,7 @@ object Layout {
     QuerySpec("q301_cdf_update_images", q301, Some(q301Sql)),
     QuerySpec("q302_stream_sink_cas", q302, Some(q302Sql)),
     QuerySpec("q303_auto_optimize", q303, Some(q284Sql)),
+    QuerySpec("q304_strkey_lifecycle", q304, Some(q304Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),

@@ -172,6 +172,52 @@ object ManifestSource {
     true
   }
 
+  /** TABLE KEY PROPERTY — which column carries row identity for DML
+    * (blooms, deletion-vector masks, MERGE matching). Absent = the
+    * legacy contract: the Long `ok` column. Present (`KEYCOL` file
+    * holding `flag`) = a STRING-KEYED store: blooms hash the string
+    * key through [[strKeyHash]], deletion-vector sidecars carry raw
+    * string keys behind a `#key:flag` header, and the `*Str` DML
+    * verbs apply. Declared once at table creation (the truncate
+    * write's `keycol` option), immutable for the table's life — key
+    * identity is not a per-commit choice. The mono-typed Long key was
+    * the round-12 tell (doc stores smuggled text keys through md5'd
+    * spare ints); this makes string identity first-class while every
+    * zone-map/stats structure stays on the clustering column.
+    */
+  def keyCol(dir: String): Option[String] = {
+    val f = new java.io.File(dir, "KEYCOL")
+    if (!f.exists()) None
+    else {
+      val s = scala.io.Source.fromFile(f)
+      try Some(s.getLines().next().trim) finally s.close()
+    }
+  }
+
+  private[sources] def strKeyed(dir: String): Boolean = keyCol(dir).isDefined
+
+  private[sources] def requireLongKeyed(dir: String, verb: String): Unit =
+    require(keyCol(dir).isEmpty,
+      s"$verb keys on the Long `ok` column, but this store is keyed on " +
+        s"`${keyCol(dir).get}` — use the *Str DML verbs")
+
+  private[sources] def requireStrKeyed(dir: String, verb: String): Unit =
+    require(keyCol(dir).contains("flag"),
+      s"$verb requires a string-keyed store (created with keycol=flag); " +
+        "this store keys on the Long `ok` column")
+
+  /** Stable 64-bit identity of a string key (first 8 bytes of md5,
+    * big-endian) — what a string-keyed store's blooms index and its
+    * conflict predicates compare. Collisions only widen bloom
+    * candidate sets (masks and rewrites always compare the RAW key),
+    * so they cost a false-positive rewrite, never correctness.
+    */
+  def strKeyHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   def bloomHex(bits: Array[Long]): String =
     bits.map(w => f"$w%016x").mkString
 
@@ -305,6 +351,40 @@ object ManifestSource {
       val src = scala.io.Source.fromFile(new java.io.File(dir, f))
       try src.getLines().map(_.trim.toLong).toList finally src.close()
     }.toSet
+
+  /** A file's combined deletion-vector mask, KEY-TYPE AWARE: a
+    * sidecar opening with `#key:flag` carries raw STRING keys (a row
+    * is masked when its `flag` field matches), a headerless sidecar
+    * carries the legacy Long `ok` keys. Both kinds may stack on one
+    * file (a legacy delete then a string delete); [[hitLine]] checks
+    * whichever sets are populated.
+    */
+  private[sources] final case class DvMask(longs: Set[Long], strs: Set[String])
+      extends Serializable {
+    def isEmpty: Boolean = longs.isEmpty && strs.isEmpty
+    def hitLine(a: Array[String]): Boolean =
+      (longs.nonEmpty && longs.contains(a(0).toLong)) ||
+        (strs.nonEmpty && strs.contains(a(2)))
+  }
+
+  private[sources] val StrKeyHeader = "#key:flag"
+
+  /** Load a file's sidecars (absolute or dir-relative paths) into one
+    * [[DvMask]]. Bounded: each sidecar is one delete batch.
+    */
+  private[sources] def readDvMask(paths: Seq[String]): DvMask = {
+    var lk = Set.empty[Long]
+    var sk = Set.empty[String]
+    paths.foreach { p =>
+      val src = scala.io.Source.fromFile(p)
+      try {
+        val lines = src.getLines().filter(_.nonEmpty).map(_.trim).toList
+        if (lines.headOption.contains(StrKeyHeader)) sk ++= lines.tail
+        else lk ++= lines.map(_.toLong)
+      } finally src.close()
+    }
+    DvMask(lk, sk)
+  }
 
   /** Serializes snapshot commits within this JVM — the FAST PATH in
     * front of the cross-process token below. Only the COMMIT (read
@@ -918,6 +998,7 @@ object ManifestSource {
     */
   def stageMerge(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: Seq[(Long, Long, String, Long, Long)]): (String, String, Int) = {
+    requireLongKeyed(dir, "stageMerge")
     val base = resolveManifest(dir, None)
     val entries = readManifest(dir, base)
     val keys = updates.map(_._1)
@@ -1151,6 +1232,7 @@ object ManifestSource {
     val nExtras = cols.size - BaseCols.size
     val totalRows = entries.map(_.rows).sum
     val nGroups = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    val keyed = strKeyed(dir) // re-clustered blooms keep the store's key type
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val rows = spark.read.format("graft-manifest")
@@ -1171,7 +1253,7 @@ object ManifestSource {
         if (us > mx) mx = us
         n += 1
         qs += r.getLong(3); ps += r.getLong(4)
-        bloomInsert(bloom, r.getLong(0))
+        bloomInsert(bloom, if (keyed) strKeyHash(r.getString(2)) else r.getLong(0))
         val sb = new StringBuilder(
           s"${r.getLong(0)},$us,${r.getString(2)},${r.getLong(3)},${r.getLong(4)}")
         var j = 0
@@ -1283,12 +1365,14 @@ object ManifestSource {
     val (below, rest) = entries.partition(_.max < cutoffUs)
     val (straddle, above) = rest.partition(_.min < cutoffUs)
     val dvm = readDvMap(dir, current)
-    val dvKeysLocal = straddle.flatMap(e =>
-      dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
+    val dvMaskLocal = straddle.flatMap(e =>
+      dvm.get(e.file).map(d =>
+        e.file -> readDvMask(d.map(new java.io.File(dir, _).getPath)))).toMap
+    val keyed = strKeyed(dir)
     val rewritten = spark.sparkContext
       .parallelize(straddle, straddle.size.max(1))
       .map { e =>
-        val masked = dvKeysLocal.getOrElse(e.file, Set.empty)
+        val masked = dvMaskLocal.getOrElse(e.file, DvMask(Set.empty, Set.empty))
         val out = s"part-d$ep-${baseName(e.file).stripPrefix("part-")}"
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
         val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
@@ -1301,11 +1385,13 @@ object ManifestSource {
           val us = a(1).toLong
           // masked rows are already deleted; the straddle rewrite
           // applies the mask physically alongside the range purge
-          if (us >= cutoffUs && !masked.contains(a(0).toLong)) {
+          if (us >= cutoffUs && !masked.hitLine(a)) {
             w.println(l); n += 1
             if (us < mn) mn = us
             if (us > mx) mx = us
-            bloomInsert(bloom, a(0).toLong) // rewrite reads every row anyway
+            // rewrite reads every row anyway; bloom keeps the store's
+            // key type
+            bloomInsert(bloom, if (keyed) strKeyHash(a(2)) else a(0).toLong)
             qs += a(3).toLong; ps += a(4).toLong
             ex.track(a)
           }
@@ -1360,6 +1446,7 @@ object ManifestSource {
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: Seq[(Long, Long, String, Long, Long)],
       base: Option[String] = None): (Int, Int, Int, String) = {
+    requireLongKeyed(dir, "merge")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val keys = updates.map(_._1)
@@ -1530,6 +1617,7 @@ object ManifestSource {
     require(source.columns.toSeq == BaseCols,
       s"mergeDF source must carry exactly $BaseCols, got ${source.columns.toSeq} — " +
         "extension columns are target-carried")
+    requireLongKeyed(dir, "mergeDF")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
@@ -1606,6 +1694,7 @@ object ManifestSource {
     import org.apache.spark.sql.functions._
     require(keys.columns.toSeq == Seq("ok"),
       s"deleteKeysDF keys must be a single `ok` column, got ${keys.columns.toSeq}")
+    requireLongKeyed(dir, "deleteKeysDF")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
@@ -1657,6 +1746,7 @@ object ManifestSource {
     import org.apache.spark.sql.functions.col
     require(keys.columns.toSeq == Seq("ok"),
       s"deleteKeysMoRDF keys must be a single `ok` column, got ${keys.columns.toSeq}")
+    requireLongKeyed(dir, "deleteKeysMoRDF")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val (_, srcBloom) = probeCandidates(spark, keys, "ok", entries)
@@ -1751,6 +1841,7 @@ object ManifestSource {
     */
   def deleteKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
       keys: Seq[Long], base: Option[String] = None): (Int, Int, Long, String) = {
+    requireLongKeyed(dir, "deleteKeys")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val keySet = keys.toSet
@@ -1851,6 +1942,7 @@ object ManifestSource {
     // bloom-less legacy entries), attaching spurious zero-key masks —
     // and an empty DELETE has nothing to commit anyway
     require(keys.nonEmpty, "deleteKeysMoR: empty key batch")
+    requireLongKeyed(dir, "deleteKeysMoR")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val keySet = keys.toSet
@@ -1867,6 +1959,147 @@ object ManifestSource {
     val manifest = commitSnapshot(dir, current, Set.empty, Nil,
       e =>
         if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
+          Some(s"${e.file} may contain delete keys")
+        else None,
+      dvAttach = dvFile
+        .map(d => candidates.map(_.file -> Seq(d)).toMap)
+        .getOrElse(Map.empty), op = "delete-mor")
+    (candidates.size, entries.size, dvFile, manifest)
+  }
+
+  /** COPY-ON-WRITE MERGE FOR STRING-KEYED STORES ([[keyCol]] =
+    * `flag`): [[merge]]'s upsert with row identity carried by the
+    * string column instead of the Long `ok` — the first-class form of
+    * what the round-12 doc stores smuggled through md5'd spare ints.
+    * `updates` = (key, ok, ship_us, qty, price_cents): a target row
+    * whose `flag` matches a key is REPLACED (source values, key
+    * unchanged, extension columns carried), an unmatched key INSERTS.
+    * Candidates come from the per-file blooms, which a keyed store
+    * builds over [[strKeyHash]] of the key — a hash collision only
+    * widens the candidate set (the rewrite compares RAW keys), the
+    * same false-positive class blooms already carry. Everything else
+    * is the [[merge]] protocol verbatim: executor-side rewrites,
+    * keep-by-reference on zero matches, masked rows fall through to
+    * the insert arm, one insert file, CAS commit with the hashed-key
+    * bloom conflict predicate. Returns (files rewritten, kept, rows
+    * inserted, manifest).
+    */
+  def mergeStr(spark: org.apache.spark.sql.SparkSession, dir: String,
+      updates: Seq[(String, Long, Long, Long, Long)],
+      base: Option[String] = None): (Int, Int, Int, String) = {
+    requireStrKeyed(dir, "mergeStr")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val keys = updates.map(_._1)
+    require(keys.distinct.size == keys.size,
+      "MERGE source has duplicate keys — multi-match is an error, like SQL MERGE")
+    val upMap = updates.map(u => u._1 -> (u._2, u._3, u._4, u._5)).toMap
+    val hashes = keys.map(strKeyHash).toSet
+    val candidates = entries.filter(e =>
+      e.bloom.forall(b => hashes.exists(bloomMightContain(b, _))))
+    val dvm = readDvMap(dir, current)
+    val dvLocal = candidates.flatMap(e =>
+      dvm.get(e.file).map(d =>
+        e.file -> readDvMask(d.map(new java.io.File(dir, _).getPath)))).toMap
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val rewritten = spark.sparkContext
+      .parallelize(candidates, candidates.size.max(1))
+      .map { e =>
+        val masked = dvLocal.getOrElse(e.file, DvMask(Set.empty, Set.empty))
+        val out = s"part-ms$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
+        val outF = new java.io.File(dir, out)
+        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
+        val w = new java.io.PrintWriter(outF, "UTF-8")
+        var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+        var qs = 0L; var ps = 0L
+        val bloom = new Array[Long](BloomWords)
+        val ex = new ExtrasTracker
+        var matchedHere = List.empty[String]
+        try src.getLines().foreach { l =>
+          val a = l.split(",", -1)
+          if (!masked.hitLine(a)) {
+            val (row, us, q, pc) = upMap.get(a(2)) match {
+              case Some((uok, uus, uq, upc)) =>
+                matchedHere ::= a(2)
+                val tail = if (a.length > 5) "," + a.drop(5).mkString(",") else ""
+                (s"$uok,$uus,${a(2)},$uq,$upc$tail", uus, uq, upc)
+              case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
+            }
+            w.println(row); n += 1
+            if (us < mn) mn = us
+            if (us > mx) mx = us
+            qs += q; ps += pc
+            bloomInsert(bloom, strKeyHash(a(2)))
+            ex.track(a)
+          }
+        } finally { src.close(); w.close() }
+        if (matchedHere.isEmpty) {
+          // bloom false positive — keep the original file by reference
+          outF.delete()
+          (e.file, e, matchedHere)
+        } else (e.file,
+          FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result),
+          matchedHere)
+      }.collect()
+    val matched = rewritten.flatMap(_._3).toSet
+    val inserts = updates.filterNot(u => matched(u._1))
+    val insertEntry =
+      if (inserts.isEmpty) None
+      else {
+        val out = s"part-ms$gen-e$ep-insert.csv"
+        val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+        val bloom = new Array[Long](BloomWords)
+        try inserts.foreach { case (k, ok, us, q, pc) =>
+          w.println(s"$ok,$us,$k,$q,$pc")
+          bloomInsert(bloom, strKeyHash(k))
+        } finally w.close()
+        Some(FileEntry(out, inserts.map(_._3).min, inserts.map(_._3).max,
+          inserts.size.toLong, Some(bloom),
+          Some((inserts.map(_._4).sum, inserts.map(_._5).sum))))
+      }
+    val real = rewritten.filter(_._3.nonEmpty)
+    val name = commitSnapshot(dir, current, real.map(_._1).toSet,
+      real.map(_._2).toSeq ++ insertEntry, e =>
+        if (e.bloom.forall(b => hashes.exists(bloomMightContain(b, _))))
+          Some(s"${e.file} may contain merge keys")
+        else None, op = "merge")
+    (real.length, entries.size - real.length, inserts.size, name)
+  }
+
+  /** MERGE-ON-READ KEYED DELETE FOR STRING-KEYED STORES —
+    * [[deleteKeysMoR]] with string identity: the sidecar opens with
+    * the `#key:flag` header and carries RAW keys (readers and
+    * [[rewriteDeletes]] match on the `flag` field — exact, collision-
+    * free), while candidate selection and the concurrent-append
+    * conflict predicate run on the [[strKeyHash]] blooms. Same
+    * metadata-only commit: no data file opens, masks stack, two MoR
+    * deletes commute. Returns (files masked, files total, sidecar,
+    * manifest).
+    */
+  def deleteKeysStrMoR(dir: String, keys: Seq[String],
+      base: Option[String] = None): (Int, Int, Option[String], String) = {
+    require(keys.nonEmpty, "deleteKeysStrMoR: empty key batch")
+    requireStrKeyed(dir, "deleteKeysStrMoR")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val hashes = keys.map(strKeyHash).toSet
+    val candidates = entries.filter(e =>
+      e.bloom.forall(b => hashes.exists(bloomMightContain(b, _))))
+    val dvFile =
+      if (candidates.isEmpty) None // provably no row matches
+      else {
+        val name = s"part-dv${nextGeneration(dir)}-e${nextEpoch()}.csv"
+        val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+        try {
+          w.println(StrKeyHeader)
+          keys.sorted.foreach(w.println)
+        } finally w.close()
+        Some(name)
+      }
+    val manifest = commitSnapshot(dir, current, Set.empty, Nil,
+      e =>
+        if (e.bloom.forall(b => hashes.exists(bloomMightContain(b, _))))
           Some(s"${e.file} may contain delete keys")
         else None,
       dvAttach = dvFile
@@ -1898,13 +2131,15 @@ object ManifestSource {
     val entries = readManifest(dir, current)
     val dvm = readDvMap(dir, current)
     val targets = entries.filter(e => dvm.contains(e.file))
-    val dvKeysLocal = targets.map(e => e.file -> readDvKeys(dir, dvm(e.file))).toMap
+    val dvMaskLocal = targets.map(e =>
+      e.file -> readDvMask(dvm(e.file).map(new java.io.File(dir, _).getPath))).toMap
+    val keyed = strKeyed(dir)
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val rewritten = spark.sparkContext
       .parallelize(targets, targets.size.max(1))
       .map { e =>
-        val masked = dvKeysLocal(e.file)
+        val masked = dvMaskLocal(e.file)
         val out = s"part-r$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
         val outF = new java.io.File(dir, out)
         val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
@@ -1915,15 +2150,14 @@ object ManifestSource {
         val ex = new ExtrasTracker
         try src.getLines().foreach { l =>
           val a = l.split(",", -1)
-          val ok = a(0).toLong
-          if (masked.contains(ok)) dropped += 1
+          if (masked.hitLine(a)) dropped += 1
           else {
             w.println(l); n += 1
             val us = a(1).toLong
             if (us < mn) mn = us
             if (us > mx) mx = us
             qs += a(3).toLong; ps += a(4).toLong
-            bloomInsert(bloom, ok)
+            bloomInsert(bloom, if (keyed) strKeyHash(a(2)) else a(0).toLong)
             ex.track(a)
           }
         } finally { src.close(); w.close() }
@@ -1986,6 +2220,12 @@ object ManifestSource {
     writeManifestFile(dstDir, "manifest.csv", manifestSchema(srcDir, m),
       entries.map(e => e.copy(file = reref(e.file))),
       dv.map { case (f, ds) => reref(f) -> ds.map(reref) })
+    // key identity is a table property — the clone inherits it (its
+    // blooms were built under the source's key type)
+    keyCol(srcDir).foreach { k =>
+      val kw = new java.io.PrintWriter(new java.io.File(dstDir, "KEYCOL"), "UTF-8")
+      try kw.println(k) finally kw.close()
+    }
     val lw = new java.io.PrintWriter(new java.io.File(dstDir, "commits.log"), "UTF-8")
     try lw.println(s"manifest.csv,${System.currentTimeMillis()},clone," +
       encodeDiff(CommitDiff(entries.map(e =>
@@ -2231,9 +2471,20 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
   }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
+    override def toBatch: BatchWrite = {
+      val declared = Option(info.options.get("keycol"))
+      declared.foreach(k => require(k == "flag",
+        s"keycol must be `flag` (the string base column), got $k"))
+      require(declared.isEmpty || doTruncate,
+        "keycol is declared at table CREATION (truncate write) — " +
+          "key identity is not a per-append choice")
+      // appends inherit the store's declared key for their blooms
+      val keyed = if (doTruncate) declared.isDefined
+        else ManifestSource.strKeyed(dir)
       new ManifestBatchWrite(dir, doTruncate, info.queryId(),
-        Option(info.options.get("batchtag")), validated())
+        Option(info.options.get("batchtag")), validated(),
+        strKeyed = keyed, declareKey = declared)
+    }
     override def toStreaming: StreamingWrite = {
       require(!doTruncate,
         "graft-manifest streaming write is APPEND-ONLY — complete/truncate " +
@@ -2255,7 +2506,9 @@ final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Lon
 }
 
 final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
-    batchTag: Option[String], cols: Seq[String]) extends BatchWrite {
+    batchTag: Option[String], cols: Seq[String],
+    strKeyed: Boolean = false,
+    declareKey: Option[String] = None) extends BatchWrite {
   // append-mode files carry the write's queryId — or, for streaming
   // ingestion, the caller's batch tag, which makes replayed batches
   // DETECTABLE at commit — so generations never collide; overwrite
@@ -2264,7 +2517,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     batchTag.map(b => s"-bt$b").getOrElse(if (truncate) "" else s"-${queryId.take(8)}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir, suffix, cols.size)
+    new ManifestWriterFactory(dir, suffix, cols.size, strKeyed)
 
   private def line(m: FileCommitMessage): String = m.entryLine
 
@@ -2284,6 +2537,16 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // a fresh base write invalidates any derived snapshot chain
       val vf = new java.io.File(dir, "VERSION")
       if (vf.exists()) vf.delete()
+      // ... and (re)declares the table's KEY identity: keycol=flag
+      // creates a string-keyed store, absence resets to the Long `ok`
+      // contract (a truncate IS a new table)
+      val kf = new java.io.File(dir, "KEYCOL")
+      declareKey match {
+        case Some(k) =>
+          val kw = new java.io.PrintWriter(kf, "UTF-8")
+          try kw.println(k) finally kw.close()
+        case None => if (kf.exists()) kf.delete()
+      }
       // ... and restarts the commit log (a NEW table's history); the
       // create line carries the initial file set as its diff
       val lw = new java.io.PrintWriter(new java.io.File(dir, "commits.log"), "UTF-8")
@@ -2339,7 +2602,8 @@ final class ManifestStreamingWrite(dir: String, queryId: String,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(dir, queryId.take(8), cols.size)
+    new ManifestStreamingWriterFactory(dir, queryId.take(8), cols.size,
+      ManifestSource.strKeyed(dir))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
@@ -2360,22 +2624,25 @@ final class ManifestStreamingWrite(dir: String, queryId: String,
 }
 
 final class ManifestStreamingWriterFactory(dir: String, qtag: String,
-    nCols: Int) extends StreamingDataWriterFactory {
+    nCols: Int, strKeyed: Boolean = false) extends StreamingDataWriterFactory {
   // epoch in the name keeps two epochs' task attempts distinct; the
   // qtag keeps two concurrent streams' files distinct
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partitionId, taskId, s"-sq$qtag-ep$epochId", nCols)
+    new ManifestDataWriter(dir, partitionId, taskId, s"-sq$qtag-ep$epochId",
+      nCols, strKeyed)
 }
 
-final class ManifestWriterFactory(dir: String, suffix: String, nCols: Int)
+final class ManifestWriterFactory(dir: String, suffix: String, nCols: Int,
+    strKeyed: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partitionId, taskId, suffix, nCols)
+    new ManifestDataWriter(dir, partitionId, taskId, suffix, nCols, strKeyed)
 }
 
 final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
-    suffix: String, nCols: Int) extends DataWriter[InternalRow] {
+    suffix: String, nCols: Int,
+    strKeyed: Boolean = false) extends DataWriter[InternalRow] {
   // taskId in the name makes every ATTEMPT its own file: a retried or
   // speculated attempt's abort() deletes only its own output, never
   // the file a winning attempt already committed into the manifest
@@ -2404,7 +2671,11 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
     rows += 1
     qtySum += r.getLong(3)
     priceSum += r.getLong(4)
-    ManifestSource.bloomInsert(bloom, r.getLong(0))
+    // the bloom indexes ROW IDENTITY: the Long `ok` key, or — in a
+    // string-keyed store — the hashed `flag` key
+    ManifestSource.bloomInsert(bloom,
+      if (strKeyed) ManifestSource.strKeyHash(r.getUTF8String(2).toString)
+      else r.getLong(0))
     val baseLine =
       s"${r.getLong(0)},$us,${r.getUTF8String(2)},${r.getLong(3)},${r.getLong(4)}"
     val lineOut = if (nExtras <= 0) baseLine else {
@@ -2693,11 +2964,9 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
   private val it = src.getLines()
   private var row: InternalRow = _
 
-  private val masked: Set[Long] =
-    dvPaths.flatMap { p =>
-      val s = scala.io.Source.fromFile(p)
-      try s.getLines().map(_.trim.toLong).toList finally s.close()
-    }.toSet
+  // key-type-aware mask: Long `ok` keys from headerless sidecars,
+  // raw string `flag` keys from `#key:flag` sidecars — both bounded
+  private val masked: ManifestSource.DvMask = ManifestSource.readDvMask(dvPaths)
 
   // UPDATE-IMAGE SPLIT: a MERGE commit's rewritten file carries an
   // `updk-` sidecar of its matched keys (bounded: one file's matched
@@ -2726,7 +2995,7 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
   override def next(): Boolean = {
     while (it.hasNext) {
       val a = it.next().split(",", -1)
-      if (masked.isEmpty || !masked.contains(a(0).toLong)) {
+      if (masked.isEmpty || !masked.hitLine(a)) {
         val vals: Array[Any] = cells.map {
           case Right(v) => v
           case Left(2) => UTF8String.fromString(a(2))
