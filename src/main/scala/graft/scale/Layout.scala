@@ -2359,6 +2359,100 @@ object Layout {
       |SELECT 'mor' AS phase, * FROM agg
       |ORDER BY phase""".stripMargin
 
+  /** q305 — STRING-KEYED JOIN-STRATEGY DML
+    * ([[graft.sources.ManifestSource.mergeStrDF]] /
+    * [[deleteKeysStrDF]] / [[deleteKeysStrMoRDF]]): q299/q300's
+    * table-scale DataFrame DML on the STRING-keyed store — the shape
+    * a document- or URL-keyed corpus needs at 100 TB, where the
+    * upsert source and the purge blacklist are relations keyed by
+    * natural string identity. Chain on q304's keyed store (keys
+    * `k<ok>`): a join-strategy MERGE whose relational source updates
+    * every `k<ok>` with ok % 5 = 0 (price doubled) and inserts
+    * `n<ok>` re-keyed +10⁷ for ok % 25 = 0 — candidates via the
+    * distributed [[graft.sources.ManifestSource.strKeyHash]] bloom
+    * probe, one full-outer shuffle join on the RAW key, keyed-bloom
+    * tiled rewrite, CDF update-image sidecars in the string dialect;
+    * then a join-strategy CoW DELETE of every `k<ok>` with ok % 7 = 0
+    * (left-anti on the raw key); then a join-strategy MoR DELETE of
+    * every inserted `n<ok>` with ok % 50 = 0 — executor-built
+    * `#key:flag` sidecars, metadata-only commit. Phase `mor`
+    * aggregates THROUGH the string masks (REQUIREd present),
+    * [[graft.sources.ManifestSource.rewriteDeletes]] materializes
+    * (REQUIREd cleared), phase `final` re-aggregates — hash-green
+    * against the relational replay certifies the whole string-keyed
+    * DataFrame DML surface end to end, with nothing about any source
+    * ever materializing on the driver.
+    */
+  private def q305(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_skdf_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.select(col("ok"), col("ship_us"),
+        concat(lit("k"), col("ok")).as("flag"), col("qty"), col("price_cents"))
+      .repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root)
+      .option("keycol", "flag").mode("overwrite").save()
+    val source = base.filter(col("ok") % 5 === 0)
+      .select(col("ok"), col("ship_us"), concat(lit("k"), col("ok")).as("flag"),
+        col("qty"), (col("price_cents") * 2).as("price_cents"))
+      .unionByName(base.filter(col("ok") % 25 === 0)
+        .select((col("ok") + InsertOffset).as("ok"), col("ship_us"),
+          concat(lit("n"), col("ok")).as("flag"), col("qty"), col("price_cents")))
+    val (rewritten, _, nIns, _) = ManifestSource.mergeStrDF(spark, root, source)
+    require(rewritten > 0 && nIns > 0,
+      s"mergeStrDF must rewrite candidates and insert new keys ($rewritten, $nIns)")
+    ManifestSource.deleteKeysStrDF(spark, root,
+      base.filter(col("ok") % 7 === 0)
+        .select(concat(lit("k"), col("ok")).as("flag")))
+    ManifestSource.deleteKeysStrMoRDF(spark, root,
+      base.filter(col("ok") % 50 === 0)
+        .select(concat(lit("n"), col("ok")).as("flag")))
+    val mMor = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mMor).nonEmpty,
+      "the string MoR DF delete committed no masks")
+    ManifestSource.rewriteDeletes(spark, root)
+    val mFin = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mFin).isEmpty,
+      "rewriteDeletes left string masks behind")
+    def aggAt(m: String, phase: String): DataFrame = spark.read
+      .format("graft-manifest").option("path", root).option("manifest", m).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("ok")).as("max_ok"))
+      .select(lit(phase).as("phase"), col("n_rows"), col("revenue_cents"),
+        col("qty_sum"), col("max_ok"))
+    aggAt(mMor, "mor").unionByName(aggAt(mFin, "final")).orderBy(col("phase"))
+  }
+
+  private val q305Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, qty,
+      |         CASE WHEN ok % 5 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, qty, price_cents FROM base WHERE ok % 25 = 0),
+      |d1 AS (SELECT * FROM merged
+      |       WHERE NOT (ok < 10000000 AND ok % 7 = 0)),
+      |kept AS (SELECT * FROM d1
+      |         WHERE NOT (ok >= 10000000 AND (ok - 10000000) % 50 = 0)),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |         CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |         CAST(MAX(ok) AS BIGINT) AS max_ok
+      |  FROM kept)
+      |SELECT 'final' AS phase, * FROM agg
+      |UNION ALL
+      |SELECT 'mor' AS phase, * FROM agg
+      |ORDER BY phase""".stripMargin
+
   /** q287 — WRITE–AUDIT–PUBLISH on the manifest store: q267's MERGE
     * staged as an UNPUBLISHED BRANCH
     * ([[graft.sources.ManifestSource.stageMerge]] — the full
@@ -3263,6 +3357,7 @@ object Layout {
     QuerySpec("q302_stream_sink_cas", q302, Some(q302Sql)),
     QuerySpec("q303_auto_optimize", q303, Some(q284Sql)),
     QuerySpec("q304_strkey_lifecycle", q304, Some(q304Sql)),
+    QuerySpec("q305_strkey_join_dml", q305, Some(q305Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),

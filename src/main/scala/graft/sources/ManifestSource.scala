@@ -1143,9 +1143,16 @@ object ManifestSource {
     try keys.toSeq.sorted.foreach(w.println) finally w.close()
   }
 
-  private[sources] def readUpdKeys(path: String): Set[Long] = {
-    val s = scala.io.Source.fromFile(path)
-    try s.getLines().filter(_.nonEmpty).map(_.trim.toLong).toSet finally s.close()
+  /** [[writeUpdSidecar]] for a STRING-KEYED store: raw keys behind
+    * the `#key:flag` header, the [[DvMask]] sidecar dialect.
+    */
+  private[sources] def writeUpdSidecarStr(dir: String, name: String,
+      keys: Iterable[String]): Unit = {
+    val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+    try {
+      w.println(StrKeyHeader)
+      keys.toSeq.sorted.foreach(w.println)
+    } finally w.close()
   }
 
   /** DataFrame-path update-key sidecars ([[mergeDF]]): group the
@@ -1159,27 +1166,35 @@ object ManifestSource {
     */
   private def updSidecarsDF(spark: org.apache.spark.sql.SparkSession,
       dir: String, matched: org.apache.spark.sql.DataFrame,
-      entries: Seq[FileEntry], tag: String): Map[String, String] = {
+      entries: Seq[FileEntry], tag: String,
+      strKey: Boolean = false): Map[String, String] = {
     import org.apache.spark.sql.functions.col
     val n = entries.size
     if (n == 0) Map.empty
     else {
       val bc = spark.sparkContext.broadcast(entries.map(_.bloom).toArray)
       val dirB = dir
-      matched.select(col("ok")).distinct().rdd.map(_.getLong(0))
+      matched.select(col(if (strKey) "flag" else "ok")).distinct().rdd
         .mapPartitions { it =>
           val bs = bc.value
-          it.flatMap { k =>
+          it.flatMap { r =>
+            // blooms group by the 64-bit key identity; the sidecar
+            // line carries the RAW key (the split compares raw)
+            val raw = if (strKey) r.getString(0) else r.getLong(0).toString
+            val h = if (strKey) strKeyHash(r.getString(0)) else r.getLong(0)
             (0 until n).iterator
-              .filter(i => bs(i).forall(bloomMightContain(_, k)))
-              .map(i => (i, k))
+              .filter(i => bs(i).forall(bloomMightContain(_, h)))
+              .map(i => (i, raw))
           }
         }
         .groupByKey(math.max(1, math.min(n, 64)))
         .map { case (i, ks) =>
           val name = s"updk-$tag-f$i.keys"
           val w = new java.io.PrintWriter(new java.io.File(dirB, name), "UTF-8")
-          try ks.toSeq.sorted.foreach(w.println) finally w.close()
+          try {
+            if (strKey) w.println(StrKeyHeader)
+            ks.toSeq.sorted.foreach(w.println)
+          } finally w.close()
           (i, name)
         }.collect()
         .map { case (i, name) => entries(i).file -> name }.toMap
@@ -1521,13 +1536,14 @@ object ManifestSource {
     */
   private[sources] def probeCandidates(spark: org.apache.spark.sql.SparkSession,
       keys: org.apache.spark.sql.DataFrame, keyCol: String,
-      entries: Seq[FileEntry]): (Seq[String], Array[Long]) = {
+      entries: Seq[FileEntry], strKey: Boolean = false): (Seq[String], Array[Long]) = {
     import org.apache.spark.sql.functions.col
     val blooms = entries.map(_.bloom).toArray
     val n = entries.size
     val bc = spark.sparkContext.broadcast(blooms)
     val zero = (new Array[Boolean](math.max(n, 1)), new Array[Long](BloomWords))
-    val (cand, srcBloom) = keys.select(col(keyCol)).rdd.map(_.getLong(0))
+    val (cand, srcBloom) = keys.select(col(keyCol)).rdd
+      .map(r => if (strKey) strKeyHash(r.getString(0)) else r.getLong(0))
       .treeAggregate(zero)(
         { case ((c, b), k) =>
           bloomInsert(b, k)
@@ -1778,6 +1794,186 @@ object ManifestSource {
     (sidecars.length, entries.size, sidecars.map(_._2).toSeq, manifest)
   }
 
+  /** JOIN-STRATEGY MERGE FOR STRING-KEYED STORES — [[mergeDF]] with
+    * row identity on the `flag` column: the table-scale upsert for a
+    * string-keyed corpus (a CDC day-batch keyed by document id or URL
+    * IS a relation with a string key). Same five-step protocol as
+    * [[mergeDF]] — distributed [[strKeyHash]] bloom probe (the
+    * aggregated source-key bloom doubles as the commit's conflict
+    * predicate, executor-computed), temp-manifest pin of the
+    * candidate subset (masks apply: a key matching only masked rows
+    * resurrects through the insert arm), ONE full-outer shuffle join
+    * on the raw key, range-repartitioned tiled rewrite with KEYED
+    * blooms, CAS commit — plus the CDF update images: matched keys
+    * bloom-group into per-file `#key:flag` sidecars on both sides of
+    * the rewrite, so the change feed pairs preimage/postimage by raw
+    * string key. Nothing about the source ever materializes on the
+    * driver. Returns (files rewritten+written, kept, rows inserted,
+    * manifest).
+    */
+  def mergeStrDF(spark: org.apache.spark.sql.SparkSession, dir: String,
+      source: org.apache.spark.sql.DataFrame, base: Option[String] = None,
+      outFiles: Int = 0): (Int, Int, Long, String) = {
+    import org.apache.spark.sql.functions._
+    require(source.columns.toSeq == BaseCols,
+      s"mergeStrDF source must carry exactly $BaseCols, got ${source.columns.toSeq} — " +
+        "extension columns are target-carried")
+    requireStrKeyed(dir, "mergeStrDF")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val cols = manifestSchema(dir, current)
+    val nExtras = cols.size - BaseCols.size
+    val maxDup = source.groupBy(col("flag")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(maxDup <= 1L,
+      "MERGE source has duplicate keys — multi-match is an error, like SQL MERGE")
+    val (candNames, srcBloom) =
+      probeCandidates(spark, source, "flag", entries, strKey = true)
+    val candSet = candNames.toSet
+    val candidates = entries.filter(e => candSet.contains(e.file))
+    val dvm = readDvMap(dir, current)
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val tmp = s"manifest-tmp$gen-e$ep.csv"
+    writeManifestFile(dir, tmp, cols, candidates,
+      dvm.filter { case (f, _) => candSet.contains(f) })
+    try {
+      val target = spark.read.format("graft-manifest").option("path", dir)
+        .option("manifest", tmp).load()
+        .withColumn("_t", lit(1))
+      val s = source.select(col("flag"), col("ok").as("_s_ok"),
+        col("ship_us").as("_s_us"), col("qty").as("_s_qty"),
+        col("price_cents").as("_s_pc"), lit(1).as("_s"))
+      val sel: Seq[org.apache.spark.sql.Column] =
+        Seq(when(col("_s") === 1, col("_s_ok")).otherwise(col("ok")).as("ok"),
+          when(col("_s") === 1, col("_s_us")).otherwise(col("ship_us")).as("ship_us"),
+          col("flag"),
+          when(col("_s") === 1, col("_s_qty")).otherwise(col("qty")).as("qty"),
+          when(col("_s") === 1, col("_s_pc")).otherwise(col("price_cents")).as("price_cents")) ++
+          cols.drop(BaseCols.size).map(col) :+
+          (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
+      val merged = target.join(s, Seq("flag"), "full_outer").select(sel: _*)
+      val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
+      val shaped = merged.repartitionByRange(nOut, col("ship_us"))
+        .sortWithinPartitions(col("ship_us"))
+      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", nExtras,
+        insMarker = true, strKeyed = true)
+      lastDmlPlan = shaped.queryExecution.executedPlan.toString
+      val inserted = written.map(_._2).sum
+      val matchedKeys = target.select(col("flag"))
+        .join(source.select(col("flag")), Seq("flag"), "left_semi")
+      val updSc =
+        updSidecarsDF(spark, dir, matchedKeys, candidates, s"g$gen-e$ep-pre",
+          strKey = true) ++
+        updSidecarsDF(spark, dir, matchedKeys, written.map(_._1).toSeq,
+          s"g$gen-e$ep-post", strKey = true)
+      val name = commitSnapshot(dir, current, candSet,
+        written.map(_._1).toSeq.sortBy(_.min),
+        dfConflict(srcBloom, "merge"), op = "merge", updSidecars = updSc)
+      (candidates.size, entries.size - candidates.size, inserted, name)
+    } finally { new java.io.File(dir, tmp).delete(): Unit }
+  }
+
+  /** JOIN-STRATEGY KEYED DELETE FOR STRING-KEYED STORES —
+    * [[deleteKeysDF]] with the key set as a one-`flag`-column
+    * DataFrame: hashed bloom probe for candidates, LEFT ANTI shuffle
+    * join on the RAW key over the temp-pinned candidate subset
+    * (masked rows neither count as deleted nor survive), tiled
+    * rewrite with keyed blooms, CAS commit under the source-key-bloom
+    * conflict rule. Returns (files rewritten, kept, rows deleted,
+    * manifest).
+    */
+  def deleteKeysStrDF(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keys: org.apache.spark.sql.DataFrame, base: Option[String] = None,
+      outFiles: Int = 0): (Int, Int, Long, String) = {
+    import org.apache.spark.sql.functions._
+    require(keys.columns.toSeq == Seq("flag"),
+      s"deleteKeysStrDF keys must be a single `flag` column, got ${keys.columns.toSeq}")
+    requireStrKeyed(dir, "deleteKeysStrDF")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val cols = manifestSchema(dir, current)
+    val nExtras = cols.size - BaseCols.size
+    val (candNames, srcBloom) =
+      probeCandidates(spark, keys, "flag", entries, strKey = true)
+    val candSet = candNames.toSet
+    val candidates = entries.filter(e => candSet.contains(e.file))
+    val dvm = readDvMap(dir, current)
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val tmp = s"manifest-tmp$gen-e$ep.csv"
+    writeManifestFile(dir, tmp, cols, candidates,
+      dvm.filter { case (f, _) => candSet.contains(f) })
+    try {
+      val target = spark.read.format("graft-manifest").option("path", dir)
+        .option("manifest", tmp).load()
+      val deleted = target.join(keys, Seq("flag"), "left_semi").count()
+      val survivors = target.join(keys, Seq("flag"), "left_anti")
+        .select(cols.map(col): _*)
+      val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 1)
+      val shaped = survivors.repartitionByRange(nOut, col("ship_us"))
+        .sortWithinPartitions(col("ship_us"))
+      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", nExtras,
+        insMarker = false, strKeyed = true)
+      lastDmlPlan = shaped.queryExecution.executedPlan.toString
+      val name = commitSnapshot(dir, current, candSet,
+        written.map(_._1).toSeq.sortBy(_.min),
+        dfConflict(srcBloom, "delete"), op = "delete")
+      (candidates.size, entries.size - candidates.size, deleted, name)
+    } finally { new java.io.File(dir, tmp).delete(): Unit }
+  }
+
+  /** JOIN-STRATEGY MERGE-ON-READ DELETE FOR STRING-KEYED STORES —
+    * [[deleteKeysMoRDF]] with string identity: each key bloom-probes
+    * the broadcast per-file HASHED blooms, (file, raw key) pairs group
+    * by file, and each group's task writes that file's `#key:flag`
+    * sidecar executor-side — per-task mask loads stay bounded by the
+    * file's true candidate keys, and the raw-key comparison at read
+    * time keeps hash collisions harmless. Metadata-only CAS commit.
+    * Returns (files masked, files total, sidecars, manifest).
+    */
+  def deleteKeysStrMoRDF(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keys: org.apache.spark.sql.DataFrame,
+      base: Option[String] = None): (Int, Int, Seq[String], String) = {
+    import org.apache.spark.sql.functions.col
+    require(keys.columns.toSeq == Seq("flag"),
+      s"deleteKeysStrMoRDF keys must be a single `flag` column, got ${keys.columns.toSeq}")
+    requireStrKeyed(dir, "deleteKeysStrMoRDF")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val (_, srcBloom) = probeCandidates(spark, keys, "flag", entries, strKey = true)
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val n = entries.size
+    val bc = spark.sparkContext.broadcast(entries.map(_.bloom).toArray)
+    val dirB = dir
+    val sidecars = keys.select(col("flag")).distinct().rdd.map(_.getString(0))
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.flatMap { k =>
+          val h = strKeyHash(k)
+          (0 until n).iterator
+            .filter(i => bs(i).forall(bloomMightContain(_, h)))
+            .map(i => (i, k))
+        }
+      }
+      .groupByKey(math.max(1, math.min(n, 64)))
+      .map { case (i, ks) =>
+        val name = s"part-dv$gen-e$ep-f$i.csv"
+        val w = new java.io.PrintWriter(new java.io.File(dirB, name), "UTF-8")
+        try {
+          w.println(StrKeyHeader)
+          ks.toSeq.sorted.foreach(w.println)
+        } finally w.close()
+        (i, name)
+      }.collect()
+    val manifest = commitSnapshot(dir, current, Set.empty, Nil,
+      dfConflict(srcBloom, "delete"),
+      dvAttach = sidecars.map { case (i, s) => entries(i).file -> Seq(s) }.toMap,
+      op = "delete-mor")
+    (sidecars.length, entries.size, sidecars.map(_._2).toSeq, manifest)
+  }
+
   /** Executor-side tiled write shared by the DataFrame-source verbs:
     * each partition of `shaped` (already range-partitioned + sorted on
     * `ship_us`) streams to one data file, tracking zone map, bloom,
@@ -1788,7 +1984,7 @@ object ManifestSource {
     */
   private def writeShaped(spark: org.apache.spark.sql.SparkSession, dir: String,
       shaped: org.apache.spark.sql.DataFrame, prefix: String, nExtras: Int,
-      insMarker: Boolean): Array[(FileEntry, Long)] =
+      insMarker: Boolean, strKeyed: Boolean = false): Array[(FileEntry, Long)] =
     shaped.rdd.mapPartitionsWithIndex { (pid, it) =>
       val out = s"$prefix-$pid.csv"
       val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
@@ -1803,7 +1999,8 @@ object ManifestSource {
         if (us > mx) mx = us
         nRows += 1
         qs += r.getLong(3); ps += r.getLong(4)
-        bloomInsert(bloom, r.getLong(0))
+        bloomInsert(bloom,
+          if (strKeyed) strKeyHash(r.getString(2)) else r.getLong(0))
         if (insMarker && !r.isNullAt(5 + nExtras) && r.getLong(5 + nExtras) == 1L)
           ins += 1
         val sb = new StringBuilder(
@@ -2059,11 +2256,19 @@ object ManifestSource {
           Some((inserts.map(_._4).sum, inserts.map(_._5).sum))))
       }
     val real = rewritten.filter(_._3.nonEmpty)
+    // CDF update images, string dialect: per-file matched-key sidecars
+    // behind the #key:flag header — the change feed splits matched
+    // rows into update_preimage/update_postimage by RAW key
+    val updSidecars = real.zipWithIndex.flatMap { case ((orig, entry, ks), i) =>
+      val sc = s"updk-g$gen-e$ep-$i.keys"
+      writeUpdSidecarStr(dir, sc, ks)
+      Seq(orig -> sc, entry.file -> sc)
+    }.toMap
     val name = commitSnapshot(dir, current, real.map(_._1).toSet,
       real.map(_._2).toSeq ++ insertEntry, e =>
         if (e.bloom.forall(b => hashes.exists(bloomMightContain(b, _))))
           Some(s"${e.file} may contain merge keys")
-        else None, op = "merge")
+        else None, op = "merge", updSidecars = updSidecars)
     (real.length, entries.size - real.length, inserts.size, name)
   }
 
@@ -2970,12 +3175,15 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
 
   // UPDATE-IMAGE SPLIT: a MERGE commit's rewritten file carries an
   // `updk-` sidecar of its matched keys (bounded: one file's matched
-  // set); a row whose key is listed refines its partition-constant
-  // `_change_type` (delete/insert) into update_preimage /
-  // update_postimage. Keys that match no emitted row (bloom false
-  // positives on the DataFrame path, masked rows) never fire.
-  private val updKeys: Set[Long] =
-    upd.map(u => ManifestSource.readUpdKeys(u._1)).getOrElse(Set.empty)
+  // set — Long `ok` keys, or raw string `flag` keys behind the
+  // `#key:flag` header on a string-keyed store); a row whose key is
+  // listed refines its partition-constant `_change_type`
+  // (delete/insert) into update_preimage / update_postimage. Keys
+  // that match no emitted row (bloom false positives on the DataFrame
+  // path, masked rows) never fire.
+  private val updKeys: ManifestSource.DvMask =
+    upd.map(u => ManifestSource.readDvMask(Seq(u._1)))
+      .getOrElse(ManifestSource.DvMask(Set.empty, Set.empty))
   private val updCt: Any =
     upd.map(u => UTF8String.fromString(u._2)).orNull
   private val ctIdx: Int =
@@ -3003,7 +3211,7 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
             if (i >= a.length || a(i).isEmpty) null
             else a(i).toLong
         }
-        if (ctIdx >= 0 && updKeys.contains(a(0).toLong)) vals(ctIdx) = updCt
+        if (ctIdx >= 0 && updKeys.hitLine(a)) vals(ctIdx) = updCt
         row = InternalRow.fromSeq(vals.toIndexedSeq)
         return true
       }

@@ -89,6 +89,72 @@ class StrKeySpec extends SparkSpec {
     } finally cleanup(root)
   }
 
+  test("join-strategy string DML: mergeStrDF updates+inserts, deleteKeysStrDF and MoRDF delete by raw key") {
+    import spark.implicits._
+    val root = plant()
+    try {
+      val src = Seq(
+        ("d05", 5L, 5000L, 50L, 999L),   // matched: update
+        ("d06", 6L, 6000L, 60L, 888L),   // matched: update
+        ("x99", 100L, 50000L, 1L, 5L))   // unmatched: insert
+        .map { case (k, ok, us, q, pc) => (ok, us, k, q, pc) }
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      ManifestSource.mergeStrDF(spark, root, src)
+      val all = readAll(root)
+      assert(all.contains((5L, 5000L, "d05", 50L, 999L)))
+      assert(all.contains((6L, 6000L, "d06", 60L, 888L)))
+      assert(all.contains((100L, 50000L, "x99", 1L, 5L)))
+      assert(all.size == 13)
+      // CoW DF delete by raw key
+      ManifestSource.deleteKeysStrDF(spark, root, Seq("d01", "d05").toDF("flag"))
+      val afterCow = readAll(root)
+      assert(!afterCow.exists(r => r._3 == "d01" || r._3 == "d05"))
+      assert(afterCow.size == 11)
+      // MoR DF delete: executor-built #key:flag sidecars, masks at read
+      ManifestSource.deleteKeysStrMoRDF(spark, root, Seq("d02", "x99").toDF("flag"))
+      val afterMor = readAll(root)
+      assert(!afterMor.exists(r => r._3 == "d02" || r._3 == "x99"))
+      assert(afterMor.size == 9)
+      val (_, _, dropped, _) = ManifestSource.rewriteDeletes(spark, root)
+      assert(dropped == 2 && readAll(root) == afterMor)
+    } finally cleanup(root)
+  }
+
+  test("CDF update images on the string DF path: preimage/postimage pair by raw key") {
+    import spark.implicits._
+    val root = plant()
+    try {
+      val src = Seq((5L, 5000L, "d05", 50L, 999L), (100L, 50000L, "x99", 1L, 5L))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      ManifestSource.mergeStrDF(spark, root, src) // commit 2
+      val events = scala.collection.mutable.ArrayBuffer[(Long, String, Seq[Any])]()
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", root).option("readchangefeed", "true")
+        .option("startingcommit", 1)
+        .load().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getAs[Long]("_commit"),
+            r.getAs[String]("_change_type"),
+            Seq[Any](r.getAs[Long]("ok"), r.getAs[Long]("ship_us"),
+              r.getAs[String]("flag"), r.getAs[Long]("qty"),
+              r.getAs[Long]("price_cents"))))
+          events.synchronized { events ++= rows }
+          ()
+        }.start()
+      try { q.processAllAvailable(); q.stop() } finally scala.util.Try(q.stop())
+      val pre = events.filter(_._2 == "update_preimage").map(_._3).toSet
+      val post = events.filter(_._2 == "update_postimage").map(_._3).toSet
+      assert(pre == Set(Seq(5L, 5000L, "d05", 5L, 50L)),
+        s"the matched key's OLD image pairs as update_preimage, got $pre")
+      assert(post == Set(Seq(5L, 5000L, "d05", 50L, 999L)),
+        s"the matched key's NEW image pairs as update_postimage, got $post")
+      val delK = events.filter(_._2 == "delete").map(_._3(2)).toSet
+      val insK = events.filter(_._2 == "insert").map(_._3(2)).toSet
+      assert(insK -- delK == Set("x99"), "churn cancels; only the true insert survives")
+      assert(!delK.contains("d05") && !insK.contains("d05"))
+    } finally cleanup(root)
+  }
+
   test("key identity is enforced and inherited") {
     val root = plant()
     try {
