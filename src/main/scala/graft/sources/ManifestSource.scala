@@ -481,11 +481,114 @@ object ManifestSource {
     * wall-clock step backwards must not let an later commit
     * advertise an earlier time.
     */
+  /** Last line of `commits.log` via a BACKWARDS seek — O(line), not
+    * O(log). Every commit needs the previous timestamp (monotone
+    * clamp) and nothing else from history, so a million-commit table
+    * must not pay a million-line read per commit (the Delta-checkpoint
+    * class of problem, solved here at the read primitive).
+    */
+  private[sources] def lastLogLine(dir: String): Option[String] = {
+    val f = new java.io.File(dir, "commits.log")
+    if (!f.exists() || f.length() == 0) None
+    else {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        var pos = raf.length() - 1
+        // skip trailing newline(s)
+        while (pos >= 0 && { raf.seek(pos); raf.read() == '\n' }) pos -= 1
+        val end = pos
+        while (pos >= 0 && { raf.seek(pos); raf.read() != '\n' }) pos -= 1
+        if (end < 0) None
+        else {
+          val buf = new Array[Byte]((end - pos).toInt)
+          raf.seek(pos + 1)
+          raf.readFully(buf)
+          Some(new String(buf, "UTF-8").trim).filter(_.nonEmpty)
+        }
+      } finally raf.close()
+    }
+  }
+
+  /** The txn ledger (writer queryId → max committed epoch), served
+    * from the INCREMENTAL `txn-cache`: the cache records the log byte
+    * offset it reflects, so a read scans only the log tail PAST it —
+    * normally zero bytes, a few lines after a crash (the cache is
+    * derived state; the LOG stays the source of truth, and a deleted
+    * cache rebuilds from offset 0). This keeps the streaming sink's
+    * exactly-once dedup O(1) per epoch on a million-commit log — the
+    * Delta-checkpoint role for `txn` actions. Epochs are monotone per
+    * query, so "committed" ⇔ epoch ≤ ledger max.
+    */
+  private[sources] def txnLedger(dir: String): Map[String, Long] = {
+    val f = new java.io.File(dir, "txn-cache")
+    var offset = 0L
+    var m = Map.empty[String, Long]
+    if (f.exists()) {
+      val s = scala.io.Source.fromFile(f)
+      try s.getLines().filter(_.nonEmpty).foreach { l =>
+        if (l.startsWith("offset=")) offset = l.stripPrefix("offset=").toLong
+        else {
+          val i = l.lastIndexOf('=')
+          m += (l.take(i) -> l.drop(i + 1).toLong)
+        }
+      } finally s.close()
+    }
+    val log = new java.io.File(dir, "commits.log")
+    // a log SHORTER than the cache's offset means the log was reset
+    // (table truncate) under a cache the reset failed to remove —
+    // the cache reflects a dead history: rebuild from offset 0
+    if (!log.exists() || log.length() < offset) {
+      offset = 0L
+      m = Map.empty
+    }
+    if (log.exists() && log.length() > offset) {
+      val raf = new java.io.RandomAccessFile(log, "r")
+      try {
+        raf.seek(offset)
+        val buf = new Array[Byte]((log.length() - offset).toInt)
+        raf.readFully(buf)
+        new String(buf, "UTF-8").split('\n').map(_.trim).filter(_.nonEmpty)
+          .foreach { l =>
+            val a = l.split(",", -1)
+            if (a.length > 4 && a(4).nonEmpty) {
+              val i = a(4).lastIndexOf(':')
+              val q = a(4).take(i)
+              val e = a(4).drop(i + 1).toLong
+              if (m.get(q).forall(_ < e)) m += (q -> e)
+            }
+          }
+      } finally raf.close()
+    }
+    m
+  }
+
+  private def writeTxnCache(dir: String, m: Map[String, Long]): Unit = {
+    val log = new java.io.File(dir, "commits.log")
+    val tmp = new java.io.File(dir, s"txn-cache.tmp${nextEpoch()}")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try {
+      w.println(s"offset=${if (log.exists()) log.length() else 0L}")
+      m.toSeq.sortBy(_._1).foreach { case (q, e) => w.println(s"$q=$e") }
+    } finally w.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "txn-cache").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   private[sources] def appendCommitLog(dir: String, name: String,
       op: String = "commit", diff: String = "",
       txn: Option[(String, Long)] = None): Unit = {
-    val last = readCommitLogTimed(dir).lastOption.map(_._2).getOrElse(0L)
+    val last = lastLogLine(dir).map { l =>
+      val a = l.split(",", -1)
+      if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L
+    }.getOrElse(0L)
     val ts = math.max(System.currentTimeMillis(), last)
+    // maintained on EVERY commit (pre-append read scans only the tail
+    // the cache missed), so the dedup read stays O(1) even on tables
+    // whose traffic is mostly batch DML between stream epochs
+    val ledger = txnLedger(dir)
     val w = new java.io.FileWriter(new java.io.File(dir, "commits.log"), true)
     // field 5, when present, is the STREAMING TRANSACTION identity
     // (Delta's txn action): writer queryId + epoch, the ledger
@@ -494,6 +597,12 @@ object ManifestSource {
     val t = txn.map { case (q, b) => s",$q:$b" }.getOrElse("")
     try w.write(s"$name,$ts,$op,${if (diff.isEmpty) "=" else diff}$t\n")
     finally w.close()
+    // cache write AFTER the log append: a crash between the two leaves
+    // the cache offset short, so the next reader re-scans this line —
+    // the cache can never claim an epoch the log does not hold
+    writeTxnCache(dir, txn.foldLeft(ledger) { case (m, (q, e)) =>
+      if (m.get(q).forall(_ < e)) m.updated(q, e) else m
+    })
   }
 
   /** A trunk commit's file-set diff as recorded in its log line:
@@ -811,8 +920,10 @@ object ManifestSource {
       val current = resolveManifest(dir, None)
       val exists = new java.io.File(dir, current).exists()
       val existing = if (exists) readManifest(dir, current) else Nil
+      // epoch dedup through the O(1) incremental ledger — epochs are
+      // monotone per query, so committed ⇔ epoch ≤ the query's max
       if (skip(existing) ||
-          txn.exists(t => readCommitLogEntries(dir).exists(_.txn.contains(t)))) false
+          txn.exists(t => txnLedger(dir).get(t._1).exists(t._2 <= _))) false
       else {
         // the schema header carries the STORE's shape (the write's
         // columns were validated as a prefix of it)
@@ -2546,6 +2657,21 @@ object ManifestSource {
     // generation fails at the manifest, never mid-file-list
     deadManifests.foreach(n => new java.io.File(d, n).delete())
     deadData.foreach(n => new java.io.File(d, n).delete())
+    // update-image sidecars are log-owned metadata, but one whose
+    // EVERY referencing data file is now gone can never be planned
+    // again (CDF planning fails at the data file first) — without
+    // this sweep they accumulate forever on a DML-heavy table. A
+    // sidecar with a LIVE referencing file is kept (that file's CDF
+    // partition still loads it); an unreferenced one (aborted commit
+    // orphan) is dead by definition.
+    val updRefs = readCommitLogEntries(dir)
+      .flatMap(_.diff.toSeq.flatMap(_.updKeys))
+      .groupBy(_._2).map { case (sc, prs) => sc -> prs.map(_._1).toSet }
+    all.filter(_.startsWith("updk-")).foreach { sc =>
+      val anyRefLives =
+        updRefs.get(sc).exists(_.exists(f => new java.io.File(d, f).exists()))
+      if (!anyRefLives) new java.io.File(d, sc).delete()
+    }
     (deadManifests.length, deadData.length)
   } }
 
@@ -2739,9 +2865,12 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
         if (cols != ManifestSource.BaseCols) mw.println("#schema:" + cols.mkString(","))
         entries.foreach(m => mw.println(line(m)))
       } finally mw.close()
-      // a fresh base write invalidates any derived snapshot chain
+      // a fresh base write invalidates any derived snapshot chain —
+      // and the derived txn ledger (a NEW table has no epochs)
       val vf = new java.io.File(dir, "VERSION")
       if (vf.exists()) vf.delete()
+      val tc = new java.io.File(dir, "txn-cache")
+      if (tc.exists()) tc.delete()
       // ... and (re)declares the table's KEY identity: keycol=flag
       // creates a string-keyed store, absence resets to the Long `ok`
       // contract (a truncate IS a new table)
