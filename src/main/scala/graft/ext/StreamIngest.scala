@@ -540,31 +540,45 @@ object StreamIngest {
       *     deletion marker is suppressed (the overlay carries one row
       *     per doc per gen, the new assignment).
       */
-    def applyGeneration(del: DataFrame, ins: DataFrame): Unit = {
-      val d = del.select(col("doc_id")).distinct().localCheckpoint(false)
-      val bf = materialize(docFeatures(ins.select(col("doc_id"), col("text"))))
-      val hasDel = !d.isEmpty
-      val hasIns = !bf.isEmpty
+    /** Arm presence (`hasDel`/`hasIns`) arrives from the CALLER's
+      * bounded per-generation class counts — no isEmpty probe jobs —
+      * and an absent arm binds to canonical empty frames, so a
+      * delete-only generation (the q281 chain's gen 2) never plans
+      * the feature/band/verify pipeline and an insert-only one never
+      * probes the delete side.
+      */
+    def applyGeneration(del: DataFrame, ins: DataFrame,
+        hasDel: Boolean, hasIns: Boolean): Unit = {
       if (!hasDel && !hasIns) return
       val g = st.gen
+      val d =
+        if (hasDel) del.select(col("doc_id")).distinct().localCheckpoint(false)
+        else empty.select(col("id").as("doc_id"))
+      val bf =
+        if (hasIns) materialize(docFeatures(ins.select(col("doc_id"), col("text"))))
+        else emptyFeat
       // the corpus as the insert probe must see it: live index rows
       // minus this generation's deletes
-      val corpusBands = live(st.bands, "doc_id").join(d, Seq("doc_id"), "left_anti")
-      val corpusFeats = live(st.feats, "doc_id").join(d, Seq("doc_id"), "left_anti")
+      def minusD(df: DataFrame): DataFrame =
+        if (hasDel) df.join(d, Seq("doc_id"), "left_anti") else df
       val bb0 = bandRows(bf).localCheckpoint(false)
       val bb = bb0.as("x").join(bb0.as("y"),
           col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
             col("x.v2") === col("y.v2") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
         .distinct()
-      val bc = bb0.as("x").join(corpusBands.as("y"),
+      val bc = bb0.as("x").join(minusD(live(st.bands, "doc_id")).as("y"),
           col("x.band") === col("y.band") && col("x.v1") === col("y.v1") &&
             col("x.v2") === col("y.v2"))
         .select(col("x.doc_id").as("x_id"), col("y.doc_id").as("y_id"))
         .distinct()
-      val bbV = verified(bb, bf, bf, "a_id", "b_id").localCheckpoint(false)
-      val bcV = verified(bc, bf, corpusFeats, "batch_id", "corpus_id")
-        .localCheckpoint(false)
+      val bbV =
+        if (hasIns) verified(bb, bf, bf, "a_id", "b_id").localCheckpoint(false)
+        else empty.select(col("id").as("a_id"), col("id").as("b_id"))
+      val bcV =
+        if (hasIns) verified(bc, bf, minusD(live(st.feats, "doc_id")),
+          "batch_id", "corpus_id").localCheckpoint(false)
+        else empty.select(col("id").as("batch_id"), col("id").as("corpus_id"))
       // every component touched by a delete OR an insert-match, by its
       // pre-generation label — ONE resolution pass over the stack
       val touched = resolveIds(
@@ -627,7 +641,8 @@ object StreamIngest {
 
     // bootstrap = the base snapshot processed as the first insert
     // batch (order-invariant fold ⇒ identical to a scratch build)
-    applyGeneration(empty.select(col("id").as("doc_id")), bootstrap)
+    applyGeneration(empty.select(col("id").as("doc_id")), bootstrap,
+      hasDel = false, hasIns = !bootstrap.isEmpty)
     st = st.copy(nGens = 1)
     maybeCompact()
     st = st.copy(depths = st.depths :+ st.overlays.size)
@@ -646,15 +661,21 @@ object StreamIngest {
         val ev = batch.select(col("gen").as("fg"), col("change_type"),
           col("ok").as("doc_id"), col("flag").as("text")).localCheckpoint()
         // apply grouped by feed generation ascending — a trigger may
-        // carry several generations; log order decides, not arrival
-        val gens = ev.select(col("fg")).distinct()
-          .collect().map(_.getInt(0)).sorted // bounded: generations, not rows
-        gens.foreach { fg =>
+        // carry several generations; log order decides, not arrival.
+        // ONE bounded collect yields each generation's arm presence,
+        // so the fold never pays isEmpty probe jobs per phase.
+        val isDel = col("change_type").isin("delete", "update_preimage")
+        val isIns = col("change_type").isin("insert", "update_postimage")
+        val gens = ev.groupBy(col("fg"))
+          .agg(sum(isDel.cast("long")).as("nd"), sum(isIns.cast("long")).as("ni"))
+          .collect().map(r => (r.getInt(0), r.getLong(1) > 0, r.getLong(2) > 0))
+          .sortBy(_._1) // bounded: one row per generation, not per event
+        gens.foreach { case (fg, hasDel, hasIns) =>
           val e = ev.filter(col("fg") === fg)
           applyGeneration(
-            e.filter(col("change_type").isin("delete", "update_preimage")),
-            e.filter(col("change_type").isin("insert", "update_postimage"))
-              .select(col("doc_id"), col("text")))
+            e.filter(isDel),
+            e.filter(isIns).select(col("doc_id"), col("text")),
+            hasDel, hasIns)
           st = st.copy(nGens = st.nGens + 1)
           maybeCompact()
           st = st.copy(depths = st.depths :+ st.overlays.size)
@@ -707,17 +728,20 @@ object StreamIngest {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"), sidCol.as("sid"))
       .localCheckpoint(false)
-    // the encoding rides text in the manifest's CSV string column —
-    // guard the delimiter loudly rather than corrupting rows
-    require(docs.filter(col("text").contains(",")).isEmpty,
+    // all three corpus guards in ONE aggregate pass (this staging is
+    // shared by q281/q288/q292 — per-job fixed cost × 3 consumers):
+    // comma-free texts (the manifest CSV encoding), re-key headroom,
+    // and sid injectivity (md5-60bit collision would silently merge
+    // two signature groups)
+    val g = docs.agg(count(lit(1)),
+      sum(col("text").contains(",").cast("long")),
+      countDistinct(col("source")), countDistinct(col("sid"))).head()
+    val n = g.getLong(0)
+    require(g.getLong(1) == 0L,
       "document texts must be comma-free to ride the manifest row encoding")
-    val n = docs.count()
     require(n < DocInsertOffset,
       s"insert re-key offset $DocInsertOffset collides with doc_ids (n=$n)")
-    // sid must be injective over the corpus's sources (md5-60bit — a
-    // collision would silently merge two signature groups)
-    require(docs.select(col("source")).distinct().count() ==
-      docs.select(col("sid")).distinct().count(),
+    require(g.getLong(2) == g.getLong(3),
       "source-id hash collision — widen the sid derivation")
     docs.select(col("doc_id").as("ok"), col("doc_id").as("ship_us"),
         col("text").as("flag"), length(col("text")).cast("long").as("qty"),
