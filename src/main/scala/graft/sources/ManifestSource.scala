@@ -1416,11 +1416,17 @@ object ManifestSource {
   /** The advisor's readout: file count, worst stabbing depth (max
     * number of zone maps covering any single clustering-key point),
     * length-weighted mean depth over the covered axis, and the
-    * verdict. A perfectly tiled layout reads 1.0 mean depth; a MERGE's
-    * insert file spanning the whole axis reads ~2.0.
+    * verdicts. A perfectly tiled layout reads 1.0 mean depth; a
+    * MERGE's insert file spanning the whole axis reads ~2.0.
+    * `recommend` fires on CLUSTERING degradation (the re-sort verb);
+    * `recommendBinPack` on FILE-COUNT degradation — many under-sized
+    * files with fine tiling (the append-heavy disease: planning cost
+    * and per-file open overhead grow while pruning stays perfect) —
+    * which the cheaper bin-pack verb fixes without re-sorting.
     */
   final case class LayoutAdvice(nFiles: Int, maxDepth: Int,
-      avgDepth: Double, recommend: Boolean)
+      avgDepth: Double, recommend: Boolean,
+      smallFiles: Int = 0, recommendBinPack: Boolean = false)
 
   /** AUTO-OPTIMIZE ADVISOR — metadata-only: reads ONLY the manifest's
     * zone maps and measures clustering degradation on `ship_us` as
@@ -1437,12 +1443,17 @@ object ManifestSource {
     * daemon can poll it per table per commit.
     */
   def adviseOptimize(dir: String, threshold: Double = 1.5,
-      manifest: Option[String] = None): LayoutAdvice = {
+      manifest: Option[String] = None, targetRows: Long = 0L): LayoutAdvice = {
     val m = manifest.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, m).filter(_.rows > 0)
+    // small-file signal (Delta OPTIMIZE's other trigger): files under
+    // half the bin-pack target, recommended once at least two could
+    // coalesce — metadata-only like the depth sweep
+    val small =
+      if (targetRows <= 0) 0 else entries.count(_.rows < targetRows / 2)
     if (entries.size <= 1)
       return LayoutAdvice(entries.size, entries.size.min(1), entries.size.min(1).toDouble,
-        recommend = false)
+        recommend = false, smallFiles = small, recommendBinPack = false)
     // sweep: +1 at min, -1 at max+1 (inclusive ranges — files sharing
     // a boundary point DO overlap there)
     val events = entries.flatMap(e => Seq((e.min, 1), (e.max + 1, -1)))
@@ -1463,24 +1474,40 @@ object ManifestSource {
       prev = x
     }
     val avg = if (covered == 0) 1.0 else weighted / covered
-    LayoutAdvice(entries.size, maxDepth, avg, recommend = avg > threshold)
+    LayoutAdvice(entries.size, maxDepth, avg, recommend = avg > threshold,
+      smallFiles = small, recommendBinPack = small >= 2)
   }
 
   /** AUTO-OPTIMIZE — the advisor-gated maintenance verb: measure the
-    * layout from the manifest alone and run [[compactSorted]] only
-    * when degradation crossed the threshold. Idempotent by
-    * construction: the compaction re-tiles the axis, the advice drops
-    * back to ~1.0, and the next poll is a metadata-only no-op.
-    * Returns the advice and the new manifest when compaction ran.
+    * layout from the manifest alone, then pick the CHEAPEST verb that
+    * fixes what degraded — clustering degradation runs the full
+    * re-sort ([[compactSorted]], which also heals file counts);
+    * small-file accumulation with fine tiling runs the bin-pack
+    * ([[compact]], concatenation + mergeable stats, no shuffle) —
+    * unless unmaterialized deletion vectors force the re-sort path
+    * (bin-pack refuses under masks: carried stats would go stale).
+    * Idempotent by construction: each verb clears its own signal, and
+    * the next poll is a metadata-only no-op. Returns the advice and
+    * the new manifest when a compaction ran.
     */
   def autoOptimize(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetRows: Long, threshold: Double = 1.5): (LayoutAdvice, Option[String]) = {
-    val advice = adviseOptimize(dir, threshold)
-    if (!advice.recommend) (advice, None)
-    else {
+    val advice = adviseOptimize(dir, threshold, targetRows = targetRows)
+    if (advice.recommend) {
       val (_, _, name) = compactSorted(spark, dir, targetRows)
       (advice, Some(name))
-    }
+    } else if (advice.recommendBinPack) {
+      // bin-pack refuses masks (stats would go stale) and re-compaction
+      // of part-c inputs (its own contract) — both route to the re-sort
+      val current = resolveManifest(dir, None)
+      val binPackable = readDvMap(dir, current).isEmpty &&
+        readManifest(dir, current)
+          .forall(e => !baseName(e.file).startsWith("part-c"))
+      val (_, _, name) =
+        if (binPackable) compact(spark, dir, targetRows, from = current)
+        else compactSorted(spark, dir, targetRows)
+      (advice, Some(name))
+    } else (advice, None)
   }
 
   def deleteBelow(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -66,6 +66,63 @@ class AutoOptimizeSpec extends SparkSpec {
     } finally cleanup(root)
   }
 
+  test("small-file signal: fine tiling + tiny files recommends the bin-pack verb, not the re-sort") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_autoopt_sf").toString
+    try {
+      // 12 appends of one row each: perfect tiling (depth 1.0 — the
+      // overlap advisor must stay silent), pathological file count
+      (1L to 12L).foreach { i =>
+        Seq((i, i * 1000L, "A", i, i * 10L))
+          .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+          .coalesce(1)
+          .write.format("graft-manifest").option("path", root)
+          .mode(if (i == 1L) "overwrite" else "append").save()
+      }
+      val a = ManifestSource.adviseOptimize(root, targetRows = 4L)
+      assert(math.abs(a.avgDepth - 1.0) < 1e-9 && !a.recommend,
+        s"perfectly tiled appends must not trigger the re-sort, got $a")
+      assert(a.smallFiles == 12 && a.recommendBinPack,
+        s"12 one-row files under a 4-row target must recommend bin-pack, got $a")
+      val before = spark.read.format("graft-manifest").option("path", root)
+        .load().collect().map(_.toSeq).toSet
+      val (advice, ran) = ManifestSource.autoOptimize(spark, root, targetRows = 4L)
+      assert(!advice.recommend && advice.recommendBinPack && ran.isDefined)
+      val after = spark.read.format("graft-manifest").option("path", root)
+        .load().collect().map(_.toSeq).toSet
+      assert(after == before, "a bin-pack changes no rows")
+      val m = ManifestSource.resolveManifest(root, None)
+      assert(ManifestSource.readManifest(root, m).size <= 3,
+        "the bin-pack must coalesce the twelve files to the target bins")
+      val (a2, ran2) = ManifestSource.autoOptimize(spark, root, targetRows = 4L)
+      assert(ran2.isEmpty && !a2.recommendBinPack,
+        "the packed layout must be a metadata-only no-op on the next poll")
+    } finally cleanup(root)
+  }
+
+  test("small files under deletion-vector masks route to the re-sort verb (bin-pack refuses masks)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_autoopt_mor").toString
+    try {
+      (1L to 6L).foreach { i =>
+        Seq((i, i * 1000L, "A", i, i * 10L))
+          .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+          .coalesce(1)
+          .write.format("graft-manifest").option("path", root)
+          .mode(if (i == 1L) "overwrite" else "append").save()
+      }
+      ManifestSource.deleteKeysMoR(root, Seq(3L))
+      val (advice, ran) = ManifestSource.autoOptimize(spark, root, targetRows = 4L)
+      assert(advice.recommendBinPack && ran.isDefined)
+      val m = ManifestSource.resolveManifest(root, None)
+      assert(ManifestSource.readDvMap(root, m).isEmpty,
+        "the re-sort path reads through the source, so the masks materialize")
+      val live = spark.read.format("graft-manifest").option("path", root)
+        .load().collect().map(_.getLong(0)).toSet
+      assert(live == Set(1L, 2L, 4L, 5L, 6L), "the masked row stays deleted")
+    } finally cleanup(root)
+  }
+
   test("tiny and single-file stores never recommend") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_autoopt1").toString
