@@ -155,6 +155,41 @@ class StrKeySpec extends SparkSpec {
     } finally cleanup(root)
   }
 
+  test("the native streaming sink inherits the key type: streamed epochs build KEYED blooms") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_strkey_ssrc").toString
+    val dst = plant() // keyed store, 12 rows
+    val ck = java.nio.file.Files.createTempDirectory("graft_strkey_sck").toString
+    try {
+      // a plain source store feeds the keyed destination through the
+      // native sink; the epoch's task files must bloom on the KEY
+      Seq((200L, 60000L, "z01", 2L, 6L))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+        .coalesce(1)
+        .write.format("graft-manifest").option("path", src).mode("overwrite").save()
+      val q = spark.readStream.format("graft-manifest").option("path", src)
+        .load()
+        .writeStream.format("graft-manifest")
+        .option("path", dst).option("checkpointLocation", ck)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      assert(readAll(dst).size == 13)
+      val entries = ManifestSource.readCommitLogEntries(dst)
+      assert(entries.last.op == "stream-append" && entries.last.txn.isDefined)
+      // keyed-bloom proof: a one-key mergeStr on the streamed key must
+      // prune to exactly the streamed epoch's file
+      val (rewritten, _, _, _) = ManifestSource.mergeStr(spark, dst,
+        Seq(("z01", 200L, 60000L, 9L, 99L)))
+      assert(rewritten == 1,
+        "the streamed epoch's file must carry a string-keyed bloom")
+      assert(readAll(dst).contains((200L, 60000L, "z01", 9L, 99L)))
+    } finally {
+      cleanup(src); cleanup(dst)
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ck)))
+    }
+  }
+
   test("key identity is enforced and inherited") {
     val root = plant()
     try {
