@@ -1128,6 +1128,19 @@ object ManifestSource {
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry = writeInsertFile(dir, inserts, gen, ep)
+    // CDF update images travel WITH the branch: sidecars are written
+    // at stage time (the stage knows its matched keys; publish only
+    // diffs manifests) and a `wapupd-<staged>.map` records the
+    // file→sidecar pairs for [[publishBranch]] to thread into the
+    // publish commit's log line — so a published WAP merge pairs
+    // preimage/postimage exactly like a direct merge. An aborted
+    // branch's map and sidecars die with its manifest in [[vacuum]].
+    val updSidecars = rewritten.filter(_._3.nonEmpty).zipWithIndex.flatMap {
+      case ((orig, entry, ks), i) =>
+        val sc = s"updk-g$gen-e$ep-$i.keys"
+        writeUpdSidecar(dir, sc, ks)
+        Seq(orig -> sc, entry.file -> sc)
+    }.toMap
     // _2 is the rewrite for matched candidates and the ORIGINAL entry
     // for bloom false positives, so the staged snapshot is just
     // untouched ++ every candidate's resulting entry ++ the inserts
@@ -1142,6 +1155,13 @@ object ManifestSource {
       val stagedFiles = stagedEntries.map(_.file).toSet
       writeManifestFile(dir, name, manifestSchema(dir, base), stagedEntries,
         dvm.filter { case (f, _) => stagedFiles.contains(f) })
+      if (updSidecars.nonEmpty) {
+        val mw = new java.io.PrintWriter(
+          new java.io.File(dir, s"wapupd-$name.map"), "UTF-8")
+        try updSidecars.toSeq.sortBy(_._1)
+          .foreach { case (f, sc) => mw.println(s"$f,$sc") }
+        finally mw.close()
+      }
       (name, base, inserts.size)
     } }
   }
@@ -1163,7 +1183,19 @@ object ManifestSource {
     val stagedEntries = readManifest(dir, staged)
     val stagedFiles = stagedEntries.map(_.file).toSet
     val keySet = mergeKeys.toSet
-    commitSnapshot(dir, base, baseFiles -- stagedFiles,
+    // stage-time update-image sidecars ride into the publish commit's
+    // log line (the commit filters to its actual file diff)
+    val mapF = new java.io.File(dir, s"wapupd-$staged.map")
+    val updSidecars =
+      if (!mapF.exists()) Map.empty[String, String]
+      else {
+        val s = scala.io.Source.fromFile(mapF)
+        try s.getLines().filter(_.nonEmpty).map { l =>
+          val i = l.indexOf(',')
+          (l.take(i), l.drop(i + 1))
+        }.toMap finally s.close()
+      }
+    val name = commitSnapshot(dir, base, baseFiles -- stagedFiles,
       stagedEntries.filterNot(e => baseFiles.contains(e.file)),
       e =>
         // without the staged operation's key set we cannot prove a
@@ -1176,7 +1208,11 @@ object ManifestSource {
         else if (e.bloom.forall(b => keySet.exists(k => bloomMightContain(b, k))))
           Some(s"${e.file} may contain staged merge keys")
         else None,
-      schemaOverride = Some(manifestSchema(dir, staged)), op = "publish")
+      schemaOverride = Some(manifestSchema(dir, staged)), op = "publish",
+      updSidecars = updSidecars)
+    // the map is consumed: the log's U: section now owns the refs
+    if (mapF.exists()) mapF.delete()
+    name
   }
 
   /** The executor-side copy-on-write rewrite shared by [[merge]] and
@@ -2684,20 +2720,37 @@ object ManifestSource {
     // generation fails at the manifest, never mid-file-list
     deadManifests.foreach(n => new java.io.File(d, n).delete())
     deadData.foreach(n => new java.io.File(d, n).delete())
+    // staged-branch update-image maps (`wapupd-<manifest>.map`) die
+    // with their manifest (publish consumes them; vacuuming an
+    // unpublished branch IS the abort verb); a surviving map — a kept
+    // in-audit branch — protects its sidecars below
+    val wapKept = scala.collection.mutable.Set[String]()
+    all.filter(_.startsWith("wapupd-")).foreach { mf =>
+      val m = mf.stripPrefix("wapupd-").stripSuffix(".map")
+      val f = new java.io.File(d, mf)
+      if (!new java.io.File(d, m).exists()) { f.delete(); () }
+      else {
+        val s = scala.io.Source.fromFile(f)
+        try s.getLines().filter(_.nonEmpty)
+          .foreach(l => wapKept += l.drop(l.indexOf(',') + 1))
+        finally s.close()
+      }
+    }
     // update-image sidecars are log-owned metadata, but one whose
     // EVERY referencing data file is now gone can never be planned
     // again (CDF planning fails at the data file first) — without
     // this sweep they accumulate forever on a DML-heavy table. A
     // sidecar with a LIVE referencing file is kept (that file's CDF
-    // partition still loads it); an unreferenced one (aborted commit
-    // orphan) is dead by definition.
+    // partition still loads it), as is one a kept staged branch still
+    // references; an unreferenced one (aborted commit or vacuumed
+    // branch orphan) is dead by definition.
     val updRefs = readCommitLogEntries(dir)
       .flatMap(_.diff.toSeq.flatMap(_.updKeys))
       .groupBy(_._2).map { case (sc, prs) => sc -> prs.map(_._1).toSet }
     all.filter(_.startsWith("updk-")).foreach { sc =>
       val anyRefLives =
         updRefs.get(sc).exists(_.exists(f => new java.io.File(d, f).exists()))
-      if (!anyRefLives) new java.io.File(d, sc).delete()
+      if (!anyRefLives && !wapKept.contains(sc)) new java.io.File(d, sc).delete()
     }
     (deadManifests.length, deadData.length)
   } }

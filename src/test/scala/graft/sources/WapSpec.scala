@@ -55,6 +55,61 @@ class WapSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))))
   }
 
+  test("published WAP merge pairs CDF update images exactly like a direct merge") {
+    val root = freshStore(12L)
+    try {
+      val (staged, base, _) = ManifestSource.stageMerge(spark, root, batch)
+      assert(new java.io.File(root, s"wapupd-$staged.map").exists(),
+        "stage must record its file→sidecar map for publish")
+      // a kept (ref'd) in-audit branch survives vacuum WITH its
+      // update-image sidecars
+      ManifestSource.setRef(root, "audit", staged)
+      ManifestSource.vacuum(root)
+      assert(Option(new java.io.File(root).listFiles()).get
+        .exists(_.getName.startsWith("updk-")),
+        "a kept branch's sidecars must survive vacuum")
+      ManifestSource.publishBranch(root, staged, base, batch.map(_._1))
+      ManifestSource.dropRef(root, "audit")
+      assert(!new java.io.File(root, s"wapupd-$staged.map").exists(),
+        "publish consumes the map — the log's U: section owns the refs")
+      val events = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", root).option("readchangefeed", "true")
+        .option("startingcommit", 1)
+        .load().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rs = b.collect().map(r =>
+            (r.getAs[String]("_change_type"), r.getAs[Long]("ok")))
+          events.synchronized { events ++= rs }
+          ()
+        }.start()
+      try { q.processAllAvailable(); q.stop() } finally scala.util.Try(q.stop())
+      assert(events.filter(_._1 == "update_preimage").map(_._2).toSet == Set(5L),
+        "the published branch's matched key must pair as update_preimage")
+      assert(events.filter(_._1 == "update_postimage").map(_._2).toSet == Set(5L))
+      val del = events.filter(_._1 == "delete").map(_._2).toSet
+      val ins = events.filter(_._1 == "insert").map(_._2).toSet
+      assert(ins -- del == Set(100L), "churn cancels; the true insert survives")
+      assert(!del.contains(5L) && !ins.contains(5L))
+    } finally scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root)))
+  }
+
+  test("aborted branch: vacuum collects the update-image map and sidecars with the manifest") {
+    val root = freshStore(12L)
+    try {
+      val (staged, _, _) = ManifestSource.stageMerge(spark, root, batch)
+      assert(new java.io.File(root, s"wapupd-$staged.map").exists())
+      ManifestSource.vacuum(root) // no ref, no keep: the abort verb
+      val names = Option(new java.io.File(root).listFiles()).get.map(_.getName)
+      assert(!names.exists(_.startsWith("wapupd-")),
+        "the aborted branch's map must die with its manifest")
+      assert(!names.exists(_.startsWith("updk-")),
+        "the aborted branch's sidecars are unreferenced orphans")
+    } finally scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root)))
+  }
+
   test("abort: an unpublished branch vacuums away, store untouched") {
     val root = freshStore(20L)
     try {
