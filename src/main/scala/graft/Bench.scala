@@ -12,7 +12,32 @@ import org.apache.spark.sql.SparkSession
   * on (runtime shuffle-partition coalescing + skew handling — the
   * same settings the engine would ship with on a cluster).
   */
+/** Pure statistics/serialization helpers for [[Bench]], extracted so
+  * the failure-rep semantics are unit-testable: a failed rep is NaN,
+  * NaN never enters a median/min/spread/total, and NaN serializes as
+  * JSON null (never a fake fast timing).
+  */
+object BenchStats {
+  /** Drop the warm-up rep (index 0) and every failed (NaN) rep. */
+  def measured(v: Vector[Double]): Vector[Double] = v.drop(1).filterNot(_.isNaN)
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+  def minOr(v: Vector[Double], d: Double): Double = {
+    val m = measured(v); if (m.isEmpty) d else m.min
+  }
+  def jnum(v: Double): String = if (v.isNaN) "null" else v.toString
+  def jmap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+  def jstr(s: String): String =
+    "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                       case c if c < ' ' => " "; case c => c.toString } + "\""
+}
+
 object Bench {
+  import BenchStats._
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,30 +57,25 @@ object Bench {
       catch { case _: Throwable => () }
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
-    // 1 WARM-UP rep (discarded) + 3 measured reps / MEDIAN per query.
-    // The r8 postmortem: a first rep carries JIT + shuffle-service +
-    // codegen-cache warm-up that a 3-rep median does NOT shed (q255
-    // read 13.5s in the artifact vs 3.8s steady; q147 4.9 vs 2.0),
-    // misranking the worst queries and making round-over-round totals
-    // noise-dominated (218.1s vs 294.4s on identical code). Rep 0 is
-    // still RECORDED in the raw-reps artifact (visible, never folded
-    // into the median); medians/spreads form over the measured reps
-    // only. The earlier r5 lesson stands: median (not best-of) so
-    // run-wide GC/sandbox drift stays visible; the slowest 5 get a
-    // second 2-rep pass after the full sweep (fresh JIT/GC situation,
-    // separates sweep-order effects) and their median re-forms over
-    // all 5 measured reps.
+    // Per-query failure ledger (r13 postmortem): a rep that THROWS used
+    // to record its time-to-failure as a timing, and min-of-reps then
+    // reported a 21s query as "0.02s" (q281/q251/q65 in the driver
+    // sweep). A failed rep is now NaN — excluded from every statistic —
+    // and the artifact carries a `failures` field with counts + the
+    // last exception text so a timeout/kill is diagnosable post hoc.
+    val failCount = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val failMsg = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOnce(spec: QuerySpec): Double = {
       val t0 = System.nanoTime()
-      try spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+        failCount(spec.name) = failCount.getOrElse(spec.name, 0) + 1
+        failMsg(spec.name) = String.valueOf(e.getMessage).take(200)
+        Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // optional args: restrict to these query names (local iteration;
     // the driver passes none)
@@ -63,12 +83,27 @@ object Bench {
     val specs = SparkEntry.allSpecs
       .filter(s => only.isEmpty || only(s.name))
     val reps = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    // rep 0 = warm-up (recorded, excluded from the median)
-    def measured(v: Vector[Double]): Vector[Double] = v.drop(1)
-    specs.foreach { spec => reps(spec.name) = Vector.fill(4)(timeOnce(spec)) }
+    // rep 0 = warm-up (recorded, excluded from the median); failed reps
+    // (NaN) are excluded from every statistic — see BenchStats.measured.
+    // 1 WARM-UP rep (discarded) + measured reps / MEDIAN per query.
+    // The r8 postmortem: a first rep carries JIT + shuffle-service +
+    // codegen-cache warm-up that a 3-rep median does NOT shed, so rep 0
+    // is recorded but never folded into the median. Wall-clock cap
+    // (r13 postmortem — the driver bench hit rc=124 at 313 queries):
+    // a query whose WARM-UP rep exceeds SLOW_CUTOFF gets 2 measured
+    // reps instead of 3. The per-rep data across r12/r13 sweeps shows
+    // multi-second queries' spread is fixed overhead (commit chains,
+    // state build), not jitter — a third rep adds wall-clock, not
+    // information. Saves ~4-6 min over the full suite.
+    val SlowCutoff = 5.0
+    specs.foreach { spec =>
+      val warm = timeOnce(spec)
+      val nMeasured = if (!warm.isNaN && warm > SlowCutoff) 2 else 3
+      reps(spec.name) = warm +: Vector.fill(nMeasured)(timeOnce(spec))
+    }
     // second pass over the 5 slowest (by min — the robust rank): 2
-    // extra reps each
-    val worst5 = reps.toSeq.sortBy { case (_, v) => -measured(v).min }
+    // extra reps each. Queries with zero surviving reps sort last.
+    val worst5 = reps.toSeq.sortBy { case (_, v) => -minOr(v, Double.NegativeInfinity) }
       .take(5).map(_._1).toSet
     specs.filter(s => worst5(s.name)).foreach { spec =>
       reps(spec.name) = reps(spec.name) ++ Vector.fill(2)(timeOnce(spec))
@@ -80,23 +115,23 @@ object Bench {
     // measured reps is robust to that — co-tenancy only ever slows a
     // rep, never speeds it — so `best` is the regression-comparison
     // metric (the headline "value"); medians stay in the artifact for
-    // drift visibility.
+    // drift visibility. A query whose every measured rep failed
+    // reports NaN (serialized as null) and is excluded from totals.
     val results = reps.toSeq.map { case (k, v) => k -> median(measured(v)) }
-    val bests = reps.toSeq.map { case (k, v) => k -> measured(v).min }
-    def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val bests = reps.toSeq.map { case (k, v) => k -> minOr(v, Double.NaN) }
     val spreads = reps.toSeq.map { case (k, v) =>
-      k -> (measured(v).max - measured(v).min)
+      val m = measured(v)
+      k -> (if (m.isEmpty) Double.NaN else m.max - m.min)
     }
-    val total = bests.map(_._2).sum
-    val medianTotal = results.map(_._2).sum
+    val total = bests.map(_._2).filterNot(_.isNaN).sum
+    val medianTotal = results.map(_._2).filterNot(_.isNaN).sum
     // Full artifact → file (r6 postmortem: the driver captures only a
     // ~2KB stdout tail, so a 141-query line arrived decapitated and
     // 93 timings were invisible to the judge). BENCH_LOCAL.json in the
     // working directory carries every median, spread, and raw rep;
     // SPARK_GRAFT_BENCH_OUT overrides the path.
     val repsJson = reps.toSeq.map { case (k, v) =>
-      "\"" + k + "\":" + v.mkString("[", ",", "]")
+      "\"" + k + "\":" + v.map(jnum).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Metric provenance (round-11 advice): "value" changed meaning in
     // round 11 from median-total to min-of-reps total (the judge's
@@ -109,17 +144,36 @@ object Bench {
     val provenance = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROVENANCE", "unlabeled-driver-sweep")
       .flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => ""
                  case c => c.toString } // keep the artifact parseable JSON
+    val failuresJson = failCount.toSeq.map { case (k, n) =>
+      "\"" + k + "\":{\"count\":" + n + ",\"last_error\":" + jstr(failMsg.getOrElse(k, "")) + "}"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","metric_version":"min_of_reps_v2","provenance":"$provenance","value":$total,"unit":"sec","median_total":$medianTotal,"queries":${jmap(bests)},"medians":${jmap(results)},"spreads":${jmap(spreads)},"reps":$repsJson,"sf":"$sfDir","cpus":$cpus}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      s"""{"metric":"total","metric_version":"min_of_reps_v3","provenance":"$provenance","value":$total,"unit":"sec","median_total":$medianTotal,"n_failures":${failCount.values.sum},"failures":$failuresJson,"queries":${jmap(bests)},"medians":${jmap(results)},"spreads":${jmap(spreads)},"reps":$repsJson,"sf":"$sfDir","cpus":$cpus}"""
+    // Provenance guard (round-13 verdict #7): a driver (unlabeled)
+    // sweep must not overwrite a committed builder-quiet-sweep artifact
+    // in the work tree — it shadowed the quiet numbers every round.
+    // Redirect the unlabeled write to <path>.driver.json instead.
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val outPath = {
+      val p = java.nio.file.Paths.get(requested)
+      val existingIsQuiet =
+        try java.nio.file.Files.exists(p) &&
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .contains("\"provenance\":\"builder-quiet-sweep\"")
+        catch { case _: Throwable => false }
+      if (provenance == "unlabeled-driver-sweep" && existingIsQuiet)
+        requested.stripSuffix(".json") + ".driver.json"
+      else requested
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     // stdout line must FIT the tail window to stay parseable: report
     // the slowest 25 queries at ms resolution (the ones worth a
     // round-over-round diff) and point at the file for the rest.
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val slowest = bests.sortBy(-_._2).take(25).map { case (k, v) => k -> r3(v) }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","median_total":${r3(medianTotal)},"queries":${jmap(slowest)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}""")
+    val slowest = bests.filterNot(_._2.isNaN).sortBy(-_._2).take(25)
+      .map { case (k, v) => k -> r3(v) }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","median_total":${r3(medianTotal)},"n_failures":${failCount.values.sum},"queries":${jmap(slowest)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

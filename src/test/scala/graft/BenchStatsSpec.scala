@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-13 verdict's bench-integrity fix: a failed rep is
+  * recorded as NaN and NEVER enters a min/median/spread — the driver
+  * sweep must not again report a failed 21-second query as a 0.02s
+  * "best" (BENCH_LOCAL.json r13: q281 reps [34.9, 28.5, 21.4, 22.6,
+  * 0.097, 0.022] → reported best 0.0215s).
+  */
+class BenchStatsSpec extends AnyFunSuite {
+  import BenchStats._
+
+  test("measured drops the warm-up rep and every NaN (failed) rep") {
+    val v = Vector(13.5, 3.8, Double.NaN, 3.9)
+    assert(measured(v) == Vector(3.8, 3.9))
+  }
+
+  test("a failed rep never becomes the min: q281-shaped rep vector") {
+    // warm-up 34.9, then three good reps and two failures recorded as
+    // NaN (pre-fix these were 0.097 and 0.022 time-to-failure reps)
+    val v = Vector(34.9, 28.5, 21.4, 22.6, Double.NaN, Double.NaN)
+    assert(minOr(v, Double.NaN) == 21.4)
+    assert(median(measured(v)) == 22.6)
+  }
+
+  test("all-failed query reports NaN best / NaN median, serialized null") {
+    val v = Vector(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    assert(measured(v).isEmpty)
+    assert(minOr(v, Double.NaN).isNaN)
+    assert(median(measured(v)).isNaN)
+    assert(jnum(minOr(v, Double.NaN)) == "null")
+    assert(jmap(Seq("q" -> Double.NaN)) == "{\"q\":null}")
+  }
+
+  test("median over even/odd counts") {
+    assert(median(Seq(1.0, 3.0, 2.0)) == 2.0)
+    assert(median(Seq(1.0, 2.0, 3.0, 4.0)) == 2.5)
+    assert(median(Nil).isNaN)
+  }
+
+  test("jstr escapes quotes, backslashes, and control chars") {
+    assert(jstr("a\"b\\c\nd") == "\"a\\\"b\\\\c d\"")
+  }
+}
