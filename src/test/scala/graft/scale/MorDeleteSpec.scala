@@ -58,12 +58,13 @@ class MorDeleteSpec extends SparkSpec {
   private def keys(root: String, pin: Option[String] = None): Set[Long] =
     load(root, pin).select(col("ok")).collect().map(_.getLong(0)).toSet
 
-  private def dataFileBytes(root: String): Map[String, String] =
+  private def dataFileBytes(root: String): Map[String, Seq[Byte]] =
     new java.io.File(root).listFiles()
       .filter(f => f.getName.startsWith("part-") && !f.getName.startsWith("part-dv"))
       .map { f =>
-        val src = scala.io.Source.fromFile(f)
-        try f.getName -> src.mkString finally src.close()
+        // data files are binary parquet since the columnar data plane:
+        // compare raw bytes, not a UTF-8 decode
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
       }.toMap
 
   private def dvMap(root: String): Map[String, Seq[String]] =

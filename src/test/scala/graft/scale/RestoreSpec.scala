@@ -43,12 +43,13 @@ class RestoreSpec extends SparkSpec {
   private def rows(root: String, pin: Option[String] = None): Set[Seq[Any]] =
     load(root, pin).collect().map(_.toSeq).toSet
 
-  private def dataFileBytes(root: String): Map[String, String] =
+  private def dataFileBytes(root: String): Map[String, Seq[Byte]] =
     new java.io.File(root).listFiles()
       .filter(f => f.getName.startsWith("part-"))
       .map { f =>
-        val src = scala.io.Source.fromFile(f)
-        try f.getName -> src.mkString finally src.close()
+        // data files are binary parquet since the columnar data plane:
+        // compare raw bytes, not a UTF-8 decode
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
       }.toMap
 
   private def cleanup(root: String): Unit =
