@@ -2453,6 +2453,95 @@ object Layout {
       |SELECT 'mor' AS phase, * FROM agg
       |ORDER BY phase""".stripMargin
 
+  /** q306 — COMPOSITE-KEY LIFECYCLE
+    * ([[graft.sources.ManifestSource.mergeCompositeDF]] /
+    * [[deleteKeysCompositeDF]]): row identity on a DECLARED KEY TUPLE
+    * (`keycol=ok,price_cents`) where NEITHER column alone is unique —
+    * the (source, doc_id)-class identity a partitioned corpus
+    * actually carries, previously only expressible by smuggling the
+    * tuple through a 60-bit md5 hash. The store's rows derive from
+    * orders with `ok = o_orderkey mod 997` and `price_cents =
+    * o_orderkey div 997` (the tuple is bijective with the orderkey;
+    * each component repeats heavily), so a mono-column match would
+    * hit hundreds of wrong rows — hash-green is only reachable by
+    * true tuple semantics. Chain: a join-strategy MERGE updating
+    * every `okey % 5 = 0` tuple (flag→'U', qty doubled — non-key
+    * values move, the key tuple stays) and inserting a NEW tuple
+    * `(ok, div + 100000)` for every `okey % 25 = 0` row — an insert
+    * that SHARES its `ok` with live rows, the case a mono-key store
+    * cannot express; then a join-strategy DELETE of every
+    * `okey % 7 = 0` base tuple (the +100000 insert tuples survive —
+    * tuple equality, not component equality). Blooms hash the tuple
+    * ([[graft.sources.ManifestSource.compositeKeyHash]]) end to end:
+    * the probe, the rewrite blooms, and the commit's conflict
+    * predicate all speak the same 64-bit identity. The oracle replays
+    * the chain relationally in DuckDB.
+    */
+  private def q306(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_ck_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = Tables.orders(spark, dir).select(
+      (col("o_orderkey") % 997).as("ok"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ship_us"),
+      col("o_orderstatus").as("flag"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("qty"),
+      expr("o_orderkey div 997").as("price_cents"),
+      col("o_orderkey").as("okey"))
+    // the insert arm re-keys tuples by +100000 on the div component —
+    // assert the headroom LOUDLY (the InsertOffset discipline)
+    require(base.agg(max(col("price_cents"))).head.getLong(0) < 100000L,
+      "composite insert offset 100000 collides with base div-components")
+    base.select(col("ok"), col("ship_us"), col("flag"), col("qty"),
+        col("price_cents"))
+      .repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root)
+      .option("keycol", "ok,price_cents").mode("overwrite").save()
+    val source = base.filter(col("okey") % 5 === 0)
+      .select(col("ok"), col("ship_us"), lit("U").as("flag"),
+        (col("qty") * 2).as("qty"), col("price_cents"))
+      .unionByName(base.filter(col("okey") % 25 === 0)
+        .select(col("ok"), col("ship_us"), lit("N").as("flag"), col("qty"),
+          (col("price_cents") + 100000L).as("price_cents")))
+    val (rewritten, _, nIns, _) = ManifestSource.mergeCompositeDF(spark, root, source)
+    require(rewritten > 0 && nIns > 0,
+      s"mergeCompositeDF must rewrite candidates and insert new tuples ($rewritten, $nIns)")
+    ManifestSource.deleteKeysCompositeDF(spark, root,
+      base.filter(col("okey") % 7 === 0).select(col("ok"), col("price_cents")))
+    spark.read.format("graft-manifest").option("path", root).load()
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("qty_sum"),
+        max(col("ok")).as("max_k1"), max(col("price_cents")).as("max_k2"))
+      .orderBy(col("flag"))
+  }
+
+  private val q306Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey % 997 AS k1, o_orderkey // 997 AS k2,
+      |         o_orderstatus AS flag,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty,
+      |         o_orderkey AS okey
+      |  FROM orders),
+      |merged AS (
+      |  SELECT k1, k2,
+      |         CASE WHEN okey % 5 = 0 THEN 'U' ELSE flag END AS flag,
+      |         CASE WHEN okey % 5 = 0 THEN qty * 2 ELSE qty END AS qty
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k1, k2 + 100000, 'N', qty FROM base WHERE okey % 25 = 0),
+      |kept AS (
+      |  SELECT * FROM merged m WHERE NOT EXISTS (
+      |    SELECT 1 FROM base b
+      |    WHERE b.okey % 7 = 0 AND b.k1 = m.k1 AND b.k2 = m.k2))
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |       CAST(MAX(k1) AS BIGINT) AS max_k1,
+      |       CAST(MAX(k2) AS BIGINT) AS max_k2
+      |FROM kept GROUP BY flag ORDER BY flag""".stripMargin
+
   /** q287 — WRITE–AUDIT–PUBLISH on the manifest store: q267's MERGE
     * staged as an UNPUBLISHED BRANCH
     * ([[graft.sources.ManifestSource.stageMerge]] — the full
@@ -3372,6 +3461,7 @@ object Layout {
     QuerySpec("q303_auto_optimize", q303, Some(q284Sql)),
     QuerySpec("q304_strkey_lifecycle", q304, Some(q304Sql)),
     QuerySpec("q305_strkey_join_dml", q305, Some(q305Sql)),
+    QuerySpec("q306_composite_key_dml", q306, Some(q306Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),

@@ -196,15 +196,86 @@ object ManifestSource {
 
   private[sources] def strKeyed(dir: String): Boolean = keyCol(dir).isDefined
 
+  /** Declared key columns of the store: the KEYCOL file's
+    * comma-separated list — absent = the legacy Long `ok` contract.
+    * One entry: `flag` (string-keyed) or `ok`. Several entries: a
+    * COMPOSITE key over base columns (round-14; e.g. `ok,price_cents`
+    * — the (source, doc_id)-class identity the CDC document chains
+    * previously smuggled through a 60-bit md5 sid).
+    */
+  def keyCols(dir: String): Seq[String] = keyCol(dir) match {
+    case None => Seq("ok")
+    case Some(s) => s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   private[sources] def requireLongKeyed(dir: String, verb: String): Unit =
     require(keyCol(dir).isEmpty,
       s"$verb keys on the Long `ok` column, but this store is keyed on " +
-        s"`${keyCol(dir).get}` — use the *Str DML verbs")
+        s"`${keyCol(dir).get}` — use the *Str / *Composite DML verbs")
 
   private[sources] def requireStrKeyed(dir: String, verb: String): Unit =
     require(keyCol(dir).contains("flag"),
       s"$verb requires a string-keyed store (created with keycol=flag); " +
-        "this store keys on the Long `ok` column")
+        s"this store keys on `${keyCols(dir).mkString(",")}`")
+
+  private[sources] def requireCompositeKeyed(dir: String, verb: String): Unit =
+    require(keyCols(dir).size > 1,
+      s"$verb requires a composite-keyed store (created with " +
+        s"keycol=<col1>,<col2>,…); this store keys on `${keyCols(dir).mkString(",")}`")
+
+  /** 64-bit identity of a composite key tuple: each component's
+    * 64-bit form (raw Long, or [[strKeyHash]] for the string column)
+    * folded through the splitmix finalizer. Collisions only widen
+    * bloom candidate sets (rewrites and joins always compare the RAW
+    * tuple), the same false-positive class blooms already carry.
+    */
+  def compositeKeyHash(parts: Seq[Long]): Long =
+    parts.foldLeft(0x243f6a8885a308d3L)((h, p) => mix64(h ^ p))
+
+  /** Serializable row-key identity — which positional columns carry a
+    * row's DML identity and how they hash into the per-file bloom.
+    * `positions` Nil = the legacy Long `ok` raw-value contract
+    * (byte-compatible with every pre-keyed manifest), Seq(2) = the
+    * string `flag` key, longer = composite. Threaded through every
+    * write/rewrite site so blooms always match the store's declared
+    * key type.
+    */
+  final case class RowKey(positions: Seq[Int]) extends Serializable {
+    private def part(i: Int, v: Any): Long =
+      if (i == 2) strKeyHash(v.asInstanceOf[String])
+      else v.asInstanceOf[java.lang.Long].longValue()
+    /** Hash from a positional Array[Any] row (the rewrite verbs). */
+    def hashVals(a: Array[Any]): Long = positions match {
+      case Seq() => a(0).asInstanceOf[java.lang.Long].longValue()
+      case Seq(2) => strKeyHash(a(2).asInstanceOf[String])
+      case ps => compositeKeyHash(ps.map(i => part(i, a(i))))
+    }
+    /** Hash from an InternalRow (the V2 write path). */
+    def hashInternal(r: InternalRow): Long = positions match {
+      case Seq() => r.getLong(0)
+      case Seq(2) => strKeyHash(r.getUTF8String(2).toString)
+      case ps => compositeKeyHash(ps.map(i =>
+        if (i == 2) strKeyHash(r.getUTF8String(2).toString) else r.getLong(i)))
+    }
+    /** Hash from an external Row (the DataFrame writers). */
+    def hashRow(r: org.apache.spark.sql.Row): Long = positions match {
+      case Seq() => r.getLong(0)
+      case Seq(2) => strKeyHash(r.getString(2))
+      case ps => compositeKeyHash(ps.map(i =>
+        if (i == 2) strKeyHash(r.getString(i)) else r.getLong(i)))
+    }
+  }
+
+  /** The store's declared [[RowKey]]. */
+  def rowKeyOf(dir: String): RowKey = keyCols(dir) match {
+    case Seq("ok") => RowKey(Nil)
+    case Seq("flag") => RowKey(Seq(2))
+    case cols => RowKey(cols.map { c =>
+      val i = BaseCols.indexOf(c)
+      require(i >= 0, s"composite key column $c is not a base column ($BaseCols)")
+      i
+    })
+  }
 
   /** Stable 64-bit identity of a string key (first 8 bytes of md5,
     * big-endian) — what a string-keyed store's blooms index and its
@@ -1419,7 +1490,7 @@ object ManifestSource {
     val nExtras = cols.size - BaseCols.size
     val totalRows = entries.map(_.rows).sum
     val nGroups = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    val keyed = strKeyed(dir) // re-clustered blooms keep the store's key type
+    val rk = rowKeyOf(dir) // re-clustered blooms keep the store's key type
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val rows = spark.read.format("graft-manifest")
@@ -1428,7 +1499,7 @@ object ManifestSource {
       .repartitionByRange(nGroups, col("ship_us"))
       .sortWithinPartitions(col("ship_us"))
     val stats = writeShaped(spark, dir, rows, s"part-s$gen-e$ep", nExtras,
-      insMarker = false, strKeyed = keyed).map(_._1)
+      insMarker = false, key = rk).map(_._1)
     val name = commitSnapshot(dir, snap, entries.map(_.file).toSet,
       stats.toSeq.sortBy(_.min), _ => None, op = "compact-sorted")
     (entries.length, stats.length, name)
@@ -1553,7 +1624,7 @@ object ManifestSource {
     val dvMaskLocal = straddle.flatMap(e =>
       dvm.get(e.file).map(d =>
         e.file -> readDvMask(d.map(new java.io.File(dir, _).getPath)))).toMap
-    val keyed = strKeyed(dir)
+    val rk = rowKeyOf(dir)
     val arity = manifestSchema(dir, current).size
     val rewritten = spark.sparkContext
       .parallelize(straddle, straddle.size.max(1))
@@ -1578,8 +1649,7 @@ object ManifestSource {
             if (us > mx) mx = us
             // rewrite reads every row anyway; bloom keeps the store's
             // key type
-            bloomInsert(bloom, if (keyed) strKeyHash(a(2).asInstanceOf[String])
-              else a(0).asInstanceOf[java.lang.Long].longValue())
+            bloomInsert(bloom, rk.hashVals(a))
             qs += a(3).asInstanceOf[java.lang.Long].longValue()
             ps += a(4).asInstanceOf[java.lang.Long].longValue()
             ex.track(a)
@@ -1713,12 +1783,26 @@ object ManifestSource {
       keys: org.apache.spark.sql.DataFrame, keyCol: String,
       entries: Seq[FileEntry], strKey: Boolean = false): (Seq[String], Array[Long]) = {
     import org.apache.spark.sql.functions.col
+    probeCandidatesBy(spark, keys.select(col(keyCol)),
+      if (strKey) r => strKeyHash(r.getString(0)) else r => r.getLong(0),
+      entries)
+  }
+
+  /** [[probeCandidates]] generalized over an arbitrary key-hash of the
+    * key relation's rows — the composite-key probe shares the same
+    * treeAggregate shape (per-file candidate booleans + the OR-merged
+    * source-key bloom; nothing but metadata leaves the executors).
+    */
+  private[sources] def probeCandidatesBy(spark: org.apache.spark.sql.SparkSession,
+      keys: org.apache.spark.sql.DataFrame,
+      hash: org.apache.spark.sql.Row => Long,
+      entries: Seq[FileEntry]): (Seq[String], Array[Long]) = {
     val blooms = entries.map(_.bloom).toArray
     val n = entries.size
     val bc = spark.sparkContext.broadcast(blooms)
     val zero = (new Array[Boolean](math.max(n, 1)), new Array[Long](BloomWords))
-    val (cand, srcBloom) = keys.select(col(keyCol)).rdd
-      .map(r => if (strKey) strKeyHash(r.getString(0)) else r.getLong(0))
+    val (cand, srcBloom) = keys.rdd
+      .map(hash)
       .treeAggregate(zero)(
         { case ((c, b), k) =>
           bloomInsert(b, k)
@@ -2032,7 +2116,7 @@ object ManifestSource {
       val shaped = merged.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
       val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", nExtras,
-        insMarker = true, strKeyed = true)
+        insMarker = true, key = RowKey(Seq(2)))
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val inserted = written.map(_._2).sum
       val matchedKeys = target.select(col("flag"))
@@ -2089,7 +2173,7 @@ object ManifestSource {
       val shaped = survivors.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
       val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", nExtras,
-        insMarker = false, strKeyed = true)
+        insMarker = false, key = RowKey(Seq(2)))
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val name = commitSnapshot(dir, current, candSet,
         written.map(_._1).toSeq.sortBy(_.min),
@@ -2149,6 +2233,140 @@ object ManifestSource {
     (sidecars.length, entries.size, sidecars.map(_._2).toSeq, manifest)
   }
 
+  /** Hash closure over a key relation whose columns are exactly the
+    * store's declared key columns, in declared order — matches
+    * [[RowKey.hashVals]] bit-for-bit so the probe, the blooms, and the
+    * conflict predicate all speak the same 64-bit identity.
+    */
+  private def compositeHashOf(kcols: Seq[String]): org.apache.spark.sql.Row => Long = {
+    val isStr = kcols.map(_ == "flag").toArray
+    r => compositeKeyHash(kcols.indices.map(j =>
+      if (isStr(j)) strKeyHash(r.getString(j)) else r.getLong(j)))
+  }
+
+  /** JOIN-STRATEGY MERGE FOR COMPOSITE-KEYED STORES — [[mergeDF]]
+    * with row identity on the DECLARED KEY TUPLE (e.g. `keycol=
+    * ok,price_cents`): the first-class form of the (source, doc_id)
+    * identity the CDC document chains smuggled through a 60-bit md5
+    * sid. Same five-step protocol: distributed tuple-hash bloom probe
+    * (the aggregated source-key bloom doubles as the commit's conflict
+    * predicate), temp-manifest pin of the candidate subset, ONE
+    * full-outer shuffle join on the raw key columns (matched rows take
+    * the source's non-key base values and KEEP target extras; raw-
+    * tuple comparison keeps hash collisions harmless), range-
+    * repartitioned tiled rewrite with tuple-hashed blooms, CAS commit.
+    * CDF note (v1 scope): a composite merge's change feed emits the
+    * rewritten rows as delete+insert churn — the update-image sidecar
+    * dialect carries mono-typed keys only; carried rows still cancel.
+    * Returns (files rewritten+written, kept, rows inserted, manifest).
+    */
+  def mergeCompositeDF(spark: org.apache.spark.sql.SparkSession, dir: String,
+      source: org.apache.spark.sql.DataFrame, base: Option[String] = None,
+      outFiles: Int = 0): (Int, Int, Long, String) = {
+    import org.apache.spark.sql.functions._
+    require(source.columns.toSeq == BaseCols,
+      s"mergeCompositeDF source must carry exactly $BaseCols, got " +
+        s"${source.columns.toSeq} — extension columns are target-carried")
+    requireCompositeKeyed(dir, "mergeCompositeDF")
+    val kcols = keyCols(dir)
+    val rk = rowKeyOf(dir)
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val cols = manifestSchema(dir, current)
+    val nExtras = cols.size - BaseCols.size
+    val maxDup = source.groupBy(kcols.map(col): _*).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(maxDup <= 1L,
+      "MERGE source has duplicate keys — multi-match is an error, like SQL MERGE")
+    val (candNames, srcBloom) = probeCandidatesBy(spark,
+      source.select(kcols.map(col): _*), compositeHashOf(kcols), entries)
+    val candSet = candNames.toSet
+    val candidates = entries.filter(e => candSet.contains(e.file))
+    val dvm = readDvMap(dir, current)
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val tmp = s"manifest-tmp$gen-e$ep.csv"
+    writeManifestFile(dir, tmp, cols, candidates,
+      dvm.filter { case (f, _) => candSet.contains(f) })
+    try {
+      val target = spark.read.format("graft-manifest").option("path", dir)
+        .option("manifest", tmp).load()
+        .withColumn("_t", lit(1))
+      val nonKey = BaseCols.filterNot(kcols.contains)
+      val s = source.select(kcols.map(col) ++
+        nonKey.map(c => col(c).as(s"_s_$c")) :+ lit(1).as("_s"): _*)
+      val sel: Seq[org.apache.spark.sql.Column] = BaseCols.map { c =>
+        if (kcols.contains(c)) col(c)
+        else when(col("_s") === 1, col(s"_s_$c")).otherwise(col(c)).as(c)
+      } ++ cols.drop(BaseCols.size).map(col) :+
+        (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
+      val merged = target.join(s, kcols, "full_outer").select(sel: _*)
+      val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
+      val shaped = merged.repartitionByRange(nOut, col("ship_us"))
+        .sortWithinPartitions(col("ship_us"))
+      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", nExtras,
+        insMarker = true, key = rk)
+      lastDmlPlan = shaped.queryExecution.executedPlan.toString
+      val inserted = written.map(_._2).sum
+      val name = commitSnapshot(dir, current, candSet,
+        written.map(_._1).toSeq.sortBy(_.min),
+        dfConflict(srcBloom, "merge"), op = "merge")
+      (candidates.size, entries.size - candidates.size, inserted, name)
+    } finally { new java.io.File(dir, tmp).delete(): Unit }
+  }
+
+  /** JOIN-STRATEGY KEYED DELETE FOR COMPOSITE-KEYED STORES —
+    * [[deleteKeysDF]] with the key set as a DataFrame of exactly the
+    * declared key columns: tuple-hash bloom probe for candidates,
+    * LEFT ANTI shuffle join on the RAW key columns over the
+    * temp-pinned candidate subset (masked rows neither count as
+    * deleted nor survive), tiled rewrite with tuple-hashed blooms,
+    * CAS commit under the source-key-bloom conflict rule. Returns
+    * (files rewritten, kept, rows deleted, manifest).
+    */
+  def deleteKeysCompositeDF(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keys: org.apache.spark.sql.DataFrame, base: Option[String] = None,
+      outFiles: Int = 0): (Int, Int, Long, String) = {
+    import org.apache.spark.sql.functions._
+    requireCompositeKeyed(dir, "deleteKeysCompositeDF")
+    val kcols = keyCols(dir)
+    val rk = rowKeyOf(dir)
+    require(keys.columns.toSeq == kcols,
+      s"deleteKeysCompositeDF keys must carry exactly the declared key " +
+        s"columns $kcols, got ${keys.columns.toSeq}")
+    val current = base.getOrElse(resolveManifest(dir, None))
+    val entries = readManifest(dir, current)
+    val cols = manifestSchema(dir, current)
+    val nExtras = cols.size - BaseCols.size
+    val (candNames, srcBloom) =
+      probeCandidatesBy(spark, keys, compositeHashOf(kcols), entries)
+    val candSet = candNames.toSet
+    val candidates = entries.filter(e => candSet.contains(e.file))
+    val dvm = readDvMap(dir, current)
+    val gen = nextGeneration(dir)
+    val ep = nextEpoch()
+    val tmp = s"manifest-tmp$gen-e$ep.csv"
+    writeManifestFile(dir, tmp, cols, candidates,
+      dvm.filter { case (f, _) => candSet.contains(f) })
+    try {
+      val target = spark.read.format("graft-manifest").option("path", dir)
+        .option("manifest", tmp).load()
+      val deleted = target.join(keys, kcols, "left_semi").count()
+      val survivors = target.join(keys, kcols, "left_anti")
+        .select(cols.map(col): _*)
+      val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 1)
+      val shaped = survivors.repartitionByRange(nOut, col("ship_us"))
+        .sortWithinPartitions(col("ship_us"))
+      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", nExtras,
+        insMarker = false, key = rk)
+      lastDmlPlan = shaped.queryExecution.executedPlan.toString
+      val name = commitSnapshot(dir, current, candSet,
+        written.map(_._1).toSeq.sortBy(_.min),
+        dfConflict(srcBloom, "delete"), op = "delete")
+      (candidates.size, entries.size - candidates.size, deleted, name)
+    } finally { new java.io.File(dir, tmp).delete(): Unit }
+  }
+
   /** Executor-side tiled write shared by the DataFrame-source verbs:
     * each partition of `shaped` (already range-partitioned + sorted on
     * `ship_us`) streams to one data file, tracking zone map, bloom,
@@ -2159,7 +2377,7 @@ object ManifestSource {
     */
   private def writeShaped(spark: org.apache.spark.sql.SparkSession, dir: String,
       shaped: org.apache.spark.sql.DataFrame, prefix: String, nExtras: Int,
-      insMarker: Boolean, strKeyed: Boolean = false): Array[(FileEntry, Long)] =
+      insMarker: Boolean, key: RowKey = RowKey(Nil)): Array[(FileEntry, Long)] =
     shaped.rdd.mapPartitionsWithIndex { (pid, it) =>
       val out = s"$prefix-$pid.parquet"
       val arity = BaseCols.size + nExtras
@@ -2176,8 +2394,7 @@ object ManifestSource {
         if (us > mx) mx = us
         nRows += 1
         qs += r.getLong(3); ps += r.getLong(4)
-        bloomInsert(bloom,
-          if (strKeyed) strKeyHash(r.getString(2)) else r.getLong(0))
+        bloomInsert(bloom, key.hashRow(r))
         if (insMarker && !r.isNullAt(5 + nExtras) && r.getLong(5 + nExtras) == 1L)
           ins += 1
         row(0) = java.lang.Long.valueOf(r.getLong(0))
@@ -2526,7 +2743,7 @@ object ManifestSource {
     val targets = entries.filter(e => dvm.contains(e.file))
     val dvMaskLocal = targets.map(e =>
       e.file -> readDvMask(dvm(e.file).map(new java.io.File(dir, _).getPath))).toMap
-    val keyed = strKeyed(dir)
+    val rk = rowKeyOf(dir)
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val arity = manifestSchema(dir, current).size
@@ -2553,8 +2770,7 @@ object ManifestSource {
             if (us > mx) mx = us
             qs += a(3).asInstanceOf[java.lang.Long].longValue()
             ps += a(4).asInstanceOf[java.lang.Long].longValue()
-            bloomInsert(bloom, if (keyed) strKeyHash(a(2).asInstanceOf[String])
-              else a(0).asInstanceOf[java.lang.Long].longValue())
+            bloomInsert(bloom, rk.hashVals(a))
             ex.track(a)
           }
         } finally { src.close(); w.close() }
@@ -2902,17 +3118,29 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val declared = Option(info.options.get("keycol"))
-      declared.foreach(k => require(k == "flag",
-        s"keycol must be `flag` (the string base column), got $k"))
+      declared.foreach { k =>
+        val cols = k.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols == Seq("flag") ||
+          (cols.size > 1 && cols.distinct == cols &&
+            cols.forall(ManifestSource.BaseCols.contains)),
+          s"keycol must be `flag` (string-keyed) or a comma-list of two or " +
+            s"more distinct base columns (composite), got $k")
+      }
       require(declared.isEmpty || doTruncate,
         "keycol is declared at table CREATION (truncate write) — " +
           "key identity is not a per-append choice")
       // appends inherit the store's declared key for their blooms
-      val keyed = if (doTruncate) declared.isDefined
-        else ManifestSource.strKeyed(dir)
+      val key =
+        if (doTruncate) declared match {
+          case None => ManifestSource.RowKey(Nil)
+          case Some("flag") => ManifestSource.RowKey(Seq(2))
+          case Some(k) => ManifestSource.RowKey(
+            k.split(',').map(c => ManifestSource.BaseCols.indexOf(c.trim)).toSeq)
+        }
+        else ManifestSource.rowKeyOf(dir)
       new ManifestBatchWrite(dir, doTruncate, info.queryId(),
         Option(info.options.get("batchtag")), validated(),
-        strKeyed = keyed, declareKey = declared)
+        key = key, declareKey = declared)
     }
     override def toStreaming: StreamingWrite = {
       require(!doTruncate,
@@ -2936,7 +3164,7 @@ final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Lon
 
 final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     batchTag: Option[String], cols: Seq[String],
-    strKeyed: Boolean = false,
+    key: ManifestSource.RowKey = ManifestSource.RowKey(Nil),
     declareKey: Option[String] = None) extends BatchWrite {
   // append-mode files carry the write's queryId — or, for streaming
   // ingestion, the caller's batch tag, which makes replayed batches
@@ -2946,7 +3174,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     batchTag.map(b => s"-bt$b").getOrElse(if (truncate) "" else s"-${queryId.take(8)}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir, suffix, cols.size, strKeyed)
+    new ManifestWriterFactory(dir, suffix, cols.size, key)
 
   private def line(m: FileCommitMessage): String = m.entryLine
 
@@ -3035,7 +3263,7 @@ final class ManifestStreamingWrite(dir: String, queryId: String,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(dir, queryId.take(8), cols.size,
-      ManifestSource.strKeyed(dir))
+      ManifestSource.rowKeyOf(dir))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case m: FileCommitMessage if m.rows > 0 => m }
@@ -3056,25 +3284,27 @@ final class ManifestStreamingWrite(dir: String, queryId: String,
 }
 
 final class ManifestStreamingWriterFactory(dir: String, qtag: String,
-    nCols: Int, strKeyed: Boolean = false) extends StreamingDataWriterFactory {
+    nCols: Int, key: ManifestSource.RowKey = ManifestSource.RowKey(Nil))
+    extends StreamingDataWriterFactory {
   // epoch in the name keeps two epochs' task attempts distinct; the
   // qtag keeps two concurrent streams' files distinct
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(dir, partitionId, taskId, s"-sq$qtag-ep$epochId",
-      nCols, strKeyed)
+      nCols, key)
 }
 
 final class ManifestWriterFactory(dir: String, suffix: String, nCols: Int,
-    strKeyed: Boolean = false)
+    key: ManifestSource.RowKey = ManifestSource.RowKey(Nil))
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partitionId, taskId, suffix, nCols, strKeyed)
+    new ManifestDataWriter(dir, partitionId, taskId, suffix, nCols, key)
 }
 
 final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
     suffix: String, nCols: Int,
-    strKeyed: Boolean = false) extends DataWriter[InternalRow] {
+    key: ManifestSource.RowKey = ManifestSource.RowKey(Nil))
+    extends DataWriter[InternalRow] {
   // taskId in the name makes every ATTEMPT its own file: a retried or
   // speculated attempt's abort() deletes only its own output, never
   // the file a winning attempt already committed into the manifest
@@ -3104,11 +3334,9 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
     rows += 1
     qtySum += r.getLong(3)
     priceSum += r.getLong(4)
-    // the bloom indexes ROW IDENTITY: the Long `ok` key, or — in a
-    // string-keyed store — the hashed `flag` key
-    ManifestSource.bloomInsert(bloom,
-      if (strKeyed) ManifestSource.strKeyHash(r.getUTF8String(2).toString)
-      else r.getLong(0))
+    // the bloom indexes ROW IDENTITY: the Long `ok` key, the hashed
+    // `flag` key, or the composite tuple hash — the store's RowKey
+    ManifestSource.bloomInsert(bloom, key.hashInternal(r))
     row(0) = java.lang.Long.valueOf(r.getLong(0))
     row(1) = java.lang.Long.valueOf(us)
     row(2) = r.getUTF8String(2).toString
@@ -3349,11 +3577,11 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = ManifestSource.readManifest(dir, manifest)
     // blooms index the TABLE KEY: `ok` on a Long-keyed store, hashed
-    // `flag` on a string-keyed one — an equality on the OTHER column
-    // must not probe them (a string-keyed store's bloom knows nothing
-    // about `ok` values; probing would prune files that hold the row,
-    // the OkPruneReproSpec bug)
-    val keyed = ManifestSource.strKeyed(dir)
+    // `flag` on a string-keyed one, the tuple hash on a composite one
+    // — an equality on any OTHER column must not probe them (a keyed
+    // store's bloom knows nothing about `ok` values; probing would
+    // prune files that hold the row, the OkPruneReproSpec bug)
+    val kc = ManifestSource.keyCols(dir)
     val surviving = entries.filter { e =>
       pushed.forall {
         case GreaterThanOrEqual("ship_us", v: Long) => e.max >= v
@@ -3365,9 +3593,9 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
         // a manifest without a bloom (pre-index generations) never
         // prunes on it
         case EqualTo("ok", v: Long) =>
-          keyed || e.bloom.forall(ManifestSource.bloomMightContain(_, v))
+          kc != Seq("ok") || e.bloom.forall(ManifestSource.bloomMightContain(_, v))
         case EqualTo("flag", v: String) =>
-          !keyed || e.bloom.forall(
+          kc != Seq("flag") || e.bloom.forall(
             ManifestSource.bloomMightContain(_, ManifestSource.strKeyHash(v)))
         case _ => true
       }
