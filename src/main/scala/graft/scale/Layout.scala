@@ -3176,6 +3176,157 @@ object Layout {
       |  SELECT 4, 'retention', (SELECT COUNT(*) FROM retained))
       |ORDER BY commit_idx""".stripMargin
 
+  /** q308 — ROW-BASED STREAM ADMISSION (`maxRowsPerTrigger`): q293's
+    * table-tail with the batch budget in ROWS instead of commits —
+    * the admission unit a 100 TB ingest pipeline actually provisions
+    * for (executor memory and sink quotas are row/byte-shaped; a
+    * "commit" can be any size). Admission is METADATA-ONLY: each
+    * trunk commit's added-row count rides the commit-log line
+    * (`rows=` field), so the planner batches commits by cumulative
+    * row budget without opening a manifest or data file, always
+    * admitting at least one commit (an oversized commit batches
+    * alone, never stalls the stream — the Delta/Kafka convention).
+    * The chain writes the base snapshot plus three small appends; a
+    * tight row budget forces the snapshot to stream alone and the
+    * appends to coalesce, and the engine REQUIREs at least one
+    * multi-commit batch (the cap is observably row-driven, not
+    * per-commit). The folded rollup must equal q293's — admission
+    * batching is fold-invariant — so the ORACLE IS q293's relational
+    * replay. RowAdmissionSpec pins the batch boundaries exactly.
+    */
+  private def q308(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_adm_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    Seq((101, 10000000L), (103, 20000000L), (107, 30000000L)).foreach {
+      case (m, off) =>
+        base.filter(col("ok") % m === 0)
+          .select((col("ok") + off).as("ok"), col("ship_us"), col("flag"),
+            col("qty"), col("price_cents"))
+          .write.format("graft-manifest").option("path", root).mode("append").save()
+    }
+    // budget = the base snapshot's row count: commit 1 fills a batch
+    // alone; the three small appends coalesce into the next one
+    val budget = base.count()
+    val nBatches = scala.collection.mutable.ArrayBuffer[Long]()
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", root).option("maxrowspertrigger", budget.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        parts.synchronized {
+          val agg = b.groupBy(col("flag"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("pc"),
+              sum(col("qty")).as("q"), max(col("ok")).as("mo"))
+            .localCheckpoint()
+          nBatches += agg.agg(sum(col("n_rows"))).head().getLong(0)
+          parts += agg
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val real = nBatches.filter(_ > 0)
+    require(real.size >= 2 && real.size < 4,
+      s"row budget must batch the snapshot alone and coalesce the appends " +
+        s"(expected 2-3 batches over 4 commits), got ${real.size}: $real")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("flag"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("pc")).as("revenue_cents"),
+        sum(col("q")).as("qty_sum"), max(col("mo")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  /** q307 — COMMIT-LOG CHECKPOINT
+    * ([[graft.sources.ManifestSource.checkpointCommitLog]]): the
+    * Delta-checkpoint role for our log. `commits.log` grows one line
+    * per trunk commit forever; the checkpoint folds the current lines
+    * into one file (folded count, last folded commit's manifest +
+    * timestamp, txn-ledger snapshot) under the commit lock and
+    * truncates the log, bounding both the file and any from-scratch
+    * scan. Offsets and history indices stay GLOBAL — the chain here
+    * runs create/merge/delete (3 commits), CHECKPOINTS (log drops to
+    * zero lines, base = 3), then retention + a second merge, and the
+    * readout's history rows must surface as commits 4 and 5 with
+    * their post-commit physical row counts, plus the final table
+    * count — all replayed relationally by the oracle. The engine
+    * additionally REQUIREs the boundary behaviors: the log is empty
+    * right after the fold, `asof:` at the fold horizon still resolves
+    * to the last folded manifest, and timestamps stay monotone across
+    * the fold. CheckpointSpec pins the failure modes (pre-base stream
+    * offsets and pre-horizon asof fail loudly, epoch dedup survives
+    * the fold).
+    */
+  private def q307(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_ckpt_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    base.repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+    ManifestSource.merge(spark, root, mergeBatch97(base))
+    val keys = base.filter(col("ok") % 131 === 0)
+      .select(col("ok")).collect().map(_.getLong(0)).toSeq
+    ManifestSource.deleteKeys(spark, root, keys)
+    val cp = ManifestSource.checkpointCommitLog(root)
+    require(cp.baseCommits == 3L, s"three commits folded, got ${cp.baseCommits}")
+    require(ManifestSource.readCommitLogEntries(root).isEmpty,
+      "the log must hold zero lines right after the fold")
+    require(ManifestSource.resolveManifest(root, Some(s"asof:${cp.lastTs}"))
+      == cp.lastManifest,
+      "asof at the fold horizon must resolve to the last folded manifest")
+    ManifestSource.deleteBelow(spark, root, Q274CutoffUs)
+    val ins2 = base.filter(col("ok") % 103 === 0).collect().toSeq.map(r =>
+      (r.getLong(0) + 2 * InsertOffset, r.getLong(1), "M", r.getLong(3),
+        r.getLong(4)))
+    ManifestSource.merge(spark, root, ins2)
+    val h = ManifestSource.history(root)
+    require(h.map(_._1) == Seq(4L, 5L),
+      s"history must keep GLOBAL commit indices across the fold, got ${h.map(_._1)}")
+    require(h.map(_._3).forall(_ >= cp.lastTs),
+      "commit timestamps must stay monotone across the fold")
+    import spark.implicits._
+    val finalCount = spark.read.format("graft-manifest").option("path", root)
+      .load().count()
+    h.map(e => (e._1, e._2, e._6.getOrElse(-1L)))
+      .toDF("commit_idx", "op", "n_rows")
+      .unionByName(Seq((-1L, "table", finalCount)).toDF("commit_idx", "op", "n_rows"))
+      .orderBy(col("commit_idx"))
+  }
+
+  private val q307Sql =
+    s"""WITH base AS (
+      |  SELECT o_orderkey AS ok, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ship_us
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, ship_us FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, ship_us FROM base WHERE ok % 997 = 0),
+      |deleted AS (
+      |  SELECT * FROM merged WHERE NOT (ok % 131 = 0 AND ok < 10000000)),
+      |retained AS (SELECT * FROM deleted WHERE ship_us >= $Q274CutoffUs),
+      |fin AS (
+      |  SELECT * FROM retained
+      |  UNION ALL
+      |  SELECT ok + 20000000, ship_us FROM base WHERE ok % 103 = 0)
+      |SELECT * FROM (
+      |  SELECT CAST(-1 AS BIGINT) AS commit_idx, 'table' AS op,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS n_rows
+      |  UNION ALL
+      |  SELECT 4, 'retention', (SELECT COUNT(*) FROM retained)
+      |  UNION ALL
+      |  SELECT 5, 'merge', (SELECT COUNT(*) FROM fin))
+      |ORDER BY commit_idx""".stripMargin
+
   /** q294 — REPLICATION OFF THE LIVE CHANGE FEED: q278's
     * cross-region loop with ZERO staged files — the replica tails the
     * source store's own streaming CDF (`readChangeFeed = true`, the
@@ -3462,6 +3613,8 @@ object Layout {
     QuerySpec("q304_strkey_lifecycle", q304, Some(q304Sql)),
     QuerySpec("q305_strkey_join_dml", q305, Some(q305Sql)),
     QuerySpec("q306_composite_key_dml", q306, Some(q306Sql)),
+    QuerySpec("q307_commit_log_checkpoint", q307, Some(q307Sql)),
+    QuerySpec("q308_stream_row_admission", q308, Some(q293Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),
     QuerySpec("q293_stream_table_tail", q293, Some(q293Sql)),

@@ -325,12 +325,23 @@ object ManifestSource {
       case Some(p) if p.startsWith("asof:") =>
         // TIMESTAMP AS OF: the latest trunk commit at or before the
         // given epoch millis (Delta's timestamp pin on our commit
-        // log); a timestamp before the table existed fails loudly
+        // log); a timestamp before the table existed fails loudly.
+        // On a CHECKPOINTED log the folded horizon still resolves at
+        // its boundary (ts >= the last folded commit → that commit's
+        // manifest); a ts INSIDE the folded range fails loudly — the
+        // per-commit times are gone with the folded lines.
         val ts = p.stripPrefix("asof:").trim.toLong
         val hits = readCommitLogTimed(dir).filter(_._2 <= ts)
-        if (hits.isEmpty) throw new IllegalArgumentException(
-          s"no commit at or before epoch-ms $ts in $dir")
-        hits.last._1
+        if (hits.nonEmpty) hits.last._1
+        else readLogCheckpoint(dir) match {
+          case Some(cp) if cp.lastTs <= ts => cp.lastManifest
+          case Some(cp) => throw new IllegalArgumentException(
+            s"asof epoch-ms $ts predates the checkpoint horizon " +
+              s"(${cp.lastTs}) in $dir — the folded commits' timestamps " +
+              "are no longer replayable; pin a manifest directly")
+          case None => throw new IllegalArgumentException(
+            s"no commit at or before epoch-ms $ts in $dir")
+        }
       case Some(p) => p
       case None =>
         val vf = new java.io.File(dir, "VERSION")
@@ -598,7 +609,10 @@ object ManifestSource {
   private[sources] def txnLedger(dir: String): Map[String, Long] = {
     val f = new java.io.File(dir, "txn-cache")
     var offset = 0L
-    var m = Map.empty[String, Long]
+    // checkpointed epochs are the FLOOR: the fold snapshotted the
+    // ledger before truncating the log, so dedup holds across the
+    // table's whole history even though the folded txn lines are gone
+    var m = readLogCheckpoint(dir).map(_.ledger).getOrElse(Map.empty[String, Long])
     if (f.exists()) {
       val s = scala.io.Source.fromFile(f)
       try s.getLines().filter(_.nonEmpty).foreach { l =>
@@ -611,11 +625,13 @@ object ManifestSource {
     }
     val log = new java.io.File(dir, "commits.log")
     // a log SHORTER than the cache's offset means the log was reset
-    // (table truncate) under a cache the reset failed to remove —
-    // the cache reflects a dead history: rebuild from offset 0
+    // (table truncate, or a checkpoint fold) under a cache the reset
+    // failed to remove — the cache reflects a dead byte range:
+    // rebuild from offset 0 over the tail, back on the checkpoint
+    // floor (empty when no checkpoint exists)
     if (!log.exists() || log.length() < offset) {
       offset = 0L
-      m = Map.empty
+      m = readLogCheckpoint(dir).map(_.ledger).getOrElse(Map.empty[String, Long])
     }
     if (log.exists() && log.length() > offset) {
       val raf = new java.io.RandomAccessFile(log, "r")
@@ -626,12 +642,13 @@ object ManifestSource {
         new String(buf, "UTF-8").split('\n').map(_.trim).filter(_.nonEmpty)
           .foreach { l =>
             val a = l.split(",", -1)
-            if (a.length > 4 && a(4).nonEmpty) {
-              val i = a(4).lastIndexOf(':')
-              val q = a(4).take(i)
-              val e = a(4).drop(i + 1).toLong
-              if (m.get(q).forall(_ < e)) m += (q -> e)
-            }
+            a.drop(4).find(f => f.nonEmpty && !f.startsWith("rows="))
+              .foreach { f =>
+                val i = f.lastIndexOf(':')
+                val q = f.take(i)
+                val e = f.drop(i + 1).toLong
+                if (m.get(q).forall(_ < e)) m += (q -> e)
+              }
           }
       } finally raf.close()
     }
@@ -655,11 +672,12 @@ object ManifestSource {
 
   private[sources] def appendCommitLog(dir: String, name: String,
       op: String = "commit", diff: String = "",
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      rowsAdded: Long = 0L): Unit = {
     val last = lastLogLine(dir).map { l =>
       val a = l.split(",", -1)
       if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L
-    }.getOrElse(0L)
+    }.getOrElse(readLogCheckpoint(dir).map(_.lastTs).getOrElse(0L))
     val ts = math.max(System.currentTimeMillis(), last)
     // maintained on EVERY commit (pre-append read scans only the tail
     // the cache missed), so the dedup read stays O(1) even on tables
@@ -671,7 +689,10 @@ object ManifestSource {
     // [[ManifestStreamingWrite]] dedups re-delivered epochs against —
     // in the LOG, not in file names, so it survives compaction
     val t = txn.map { case (q, b) => s",$q:$b" }.getOrElse("")
-    try w.write(s"$name,$ts,$op,${if (diff.isEmpty) "=" else diff}$t\n")
+    // trailing rows= field (round 14): the commit's ADDED row count,
+    // read by the streaming source's row-based admission control —
+    // metadata-only rate limiting, no manifest or data file opens
+    try w.write(s"$name,$ts,$op,${if (diff.isEmpty) "=" else diff}$t,rows=$rowsAdded\n")
     finally w.close()
     // cache write AFTER the log append: a crash between the two leaves
     // the cache offset short, so the next reader re-scans this line —
@@ -751,6 +772,105 @@ object ManifestSource {
       CommitDiff(added, removed, moved, upd)
     }
 
+  /** COMMIT-LOG CHECKPOINT state — the Delta checkpoint role for OUR
+    * log: `commits.log` grows one line per trunk commit forever, and
+    * although metadata reads are O(1) (tail-seek + txn cache), the
+    * file itself and any from-scratch scan are unbounded.
+    * [[checkpointCommitLog]] folds the current log into a
+    * `checkpoint` file (folded-commit count, the last folded commit's
+    * manifest + timestamp, the txn ledger snapshot) under the commit
+    * lock and truncates the log — startup and stream planning read
+    * checkpoint + suffix. Offsets stay GLOBAL: post-checkpoint line i
+    * is commit `baseCommits + i + 1`, so a stream checkpointed at a
+    * live offset resumes exactly, while a pre-checkpoint offset fails
+    * LOUDLY with the remedy (the folded history is no longer
+    * replayable — protect tailed history with a named ref or
+    * checkpoint less aggressively).
+    *
+    * Crash window: the checkpoint file lands (ATOMIC_MOVE) before the
+    * log truncates, so a crash between the two leaves folded lines in
+    * the log; [[readCommitLogEntries]] self-heals by dropping
+    * everything up to and including the line whose manifest equals
+    * `lastManifest` (generation names are unique).
+    */
+  final case class LogCheckpoint(baseCommits: Long, lastManifest: String,
+      lastTs: Long, ledger: Map[String, Long])
+
+  def readLogCheckpoint(dir: String): Option[LogCheckpoint] = {
+    val f = new java.io.File(dir, "checkpoint")
+    if (!f.exists()) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try {
+        var base = 0L; var lastM = ""; var lastTs = 0L
+        var ledger = Map.empty[String, Long]
+        src.getLines().filter(_.nonEmpty).foreach { l =>
+          if (l.startsWith("base=")) base = l.stripPrefix("base=").toLong
+          else if (l.startsWith("last=")) {
+            val i = l.lastIndexOf(',')
+            lastM = l.stripPrefix("last=").take(i - 5)
+            lastTs = l.drop(i + 1).toLong
+          } else if (l.startsWith("txn:")) {
+            val b = l.stripPrefix("txn:")
+            val i = b.lastIndexOf('=')
+            ledger += (b.take(i) -> b.drop(i + 1).toLong)
+          }
+        }
+        Some(LogCheckpoint(base, lastM, lastTs, ledger))
+      } finally src.close()
+    }
+  }
+
+  /** Count of commits folded into the checkpoint (0 = none) — the
+    * GLOBAL index of the first line now in `commits.log`.
+    */
+  def commitLogBase(dir: String): Long =
+    readLogCheckpoint(dir).map(_.baseCommits).getOrElse(0L)
+
+  /** Fold the current commit log into the checkpoint file and
+    * truncate the log — see [[LogCheckpoint]]. Returns the new
+    * checkpoint. The CURRENT snapshot and all still-present manifests
+    * stay pinnable (checkpointing touches no manifest or data file);
+    * what is lost is REPLAYABILITY of the folded commits: stream
+    * offsets below the new base and `asof:` pins before the fold
+    * horizon fail loudly afterwards.
+    */
+  def checkpointCommitLog(dir: String): LogCheckpoint =
+    commitLock.synchronized { withCommitToken(dir) {
+      val prior = readLogCheckpoint(dir)
+      val entries = readCommitLogEntries(dir)
+      require(entries.nonEmpty, "checkpoint: no commits to fold")
+      val ledger = txnLedger(dir)
+      val cp = LogCheckpoint(
+        prior.map(_.baseCommits).getOrElse(0L) + entries.size,
+        entries.last.manifest, entries.last.ts, ledger)
+      val tmp = new java.io.File(dir, s"checkpoint.tmp${nextEpoch()}")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try {
+        w.println(s"base=${cp.baseCommits}")
+        w.println(s"last=${cp.lastManifest},${cp.lastTs}")
+        ledger.toSeq.sortBy(_._1).foreach { case (q, e) => w.println(s"txn:$q=$e") }
+      } finally w.close()
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, "checkpoint").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // checkpoint is authoritative from here; truncate the log (a
+      // crash before this line self-heals in readCommitLogEntries)
+      val lt = new java.io.File(dir, s"commits.log.tmp${nextEpoch()}")
+      java.nio.file.Files.writeString(lt.toPath, "")
+      java.nio.file.Files.move(lt.toPath,
+        new java.io.File(dir, "commits.log").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the byte-offset txn cache refers to the pre-truncation log;
+      // drop it — the ledger floor now lives in the checkpoint and
+      // the cache rebuilds over the (empty) tail
+      val tc = new java.io.File(dir, "txn-cache")
+      if (tc.exists()) tc.delete()
+      cp
+    } }
+
   def readCommitLog(dir: String): Seq[String] =
     readCommitLogTimed(dir).map(_._1)
 
@@ -773,24 +893,38 @@ object ManifestSource {
     * vacuumed.
     */
   final case class LogEntry(manifest: String, ts: Long, op: String,
-      diff: Option[CommitDiff], txn: Option[(String, Long)] = None)
+      diff: Option[CommitDiff], txn: Option[(String, Long)] = None,
+      rowsAdded: Option[Long] = None)
 
   def readCommitLogEntries(dir: String): Seq[LogEntry] = {
     val f = new java.io.File(dir, "commits.log")
-    if (!f.exists()) Nil
-    else {
-      val src = scala.io.Source.fromFile(f)
-      try src.getLines().map(_.trim).filter(_.nonEmpty).map { l =>
-        val a = l.split(",", -1)
-        LogEntry(a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L,
-          if (a.length > 2 && a(2).nonEmpty) a(2) else "commit",
-          if (a.length > 3 && a(3).nonEmpty) Some(parseDiff(a(3))) else None,
-          if (a.length > 4 && a(4).nonEmpty) {
-            val i = a(4).lastIndexOf(':')
-            Some((a(4).take(i), a(4).drop(i + 1).toLong))
-          } else None)
-      }.toList
-      finally src.close()
+    val parsed =
+      if (!f.exists()) Nil
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().map(_.trim).filter(_.nonEmpty).map { l =>
+          val a = l.split(",", -1)
+          val tail = a.drop(4).filter(_.nonEmpty)
+          LogEntry(a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L,
+            if (a.length > 2 && a(2).nonEmpty) a(2) else "commit",
+            if (a.length > 3 && a(3).nonEmpty) Some(parseDiff(a(3))) else None,
+            tail.find(!_.startsWith("rows=")).map { f =>
+              val i = f.lastIndexOf(':')
+              (f.take(i), f.drop(i + 1).toLong)
+            },
+            tail.find(_.startsWith("rows=")).map(_.stripPrefix("rows=").toLong))
+        }.toList
+        finally src.close()
+      }
+    // checkpoint crash-window self-heal: folded lines still in the log
+    // (the checkpoint landed but the truncation did not) are dropped —
+    // the checkpoint file is authoritative for everything up to and
+    // including its lastManifest line (generation names are unique)
+    readLogCheckpoint(dir) match {
+      case Some(cp) =>
+        val i = parsed.indexWhere(_.manifest == cp.lastManifest)
+        if (i >= 0) parsed.drop(i + 1) else parsed
+      case None => parsed
     }
   }
 
@@ -809,8 +943,12 @@ object ManifestSource {
     * exactness). Returns (commit index 1-based, op, epoch ms,
     * manifest, n_files, n_rows).
     */
-  def history(dir: String): Seq[(Long, String, Long, String, Option[Long], Option[Long])] =
-    readCommitLogFull(dir).zipWithIndex.map { case ((m, ts, op), i) =>
+  def history(dir: String): Seq[(Long, String, Long, String, Option[Long], Option[Long])] = {
+    // commit indices are GLOBAL across a checkpoint: the folded
+    // commits disappear from the view, the survivors keep their ids
+    val base = commitLogBase(dir)
+    readCommitLogFull(dir).zipWithIndex.map { case ((m, ts, op), i0) =>
+      val i = base + i0
       val stats =
         if (new java.io.File(dir, m).exists()) {
           val es = readManifest(dir, m)
@@ -818,6 +956,7 @@ object ManifestSource {
         } else None
       (i + 1L, op, ts, m, stats.map(_._1), stats.map(_._2))
     }
+  }
 
   /** Per-invocation writer epoch embedded in output data-file names:
     * two OPTIMISTIC writers that both resolved generation g would
@@ -970,7 +1109,8 @@ object ManifestSource {
         .filter { case (f, _) => diffFiles.contains(f) }.sortBy(_._1)
       appendCommitLog(dir, name, op,
         encodeDiff(CommitDiff(addedNames.map(_ -> Seq.empty[String]),
-          removedActual, movedMasks, updLogged)))
+          removedActual, movedMasks, updLogged)),
+        rowsAdded = added.map(_.rows).sum)
       name
     }
 
@@ -1019,7 +1159,8 @@ object ManifestSource {
           entryLines.foreach(mw.println)
         } finally mw.close()
         flipPointer(dir, name)
-        appendCommitLog(dir, name, op, encodeDiff(CommitDiff.plainAdd(files)), txn)
+        appendCommitLog(dir, name, op, encodeDiff(CommitDiff.plainAdd(files)), txn,
+          rowsAdded = entryLines.map(_.split(",", -1)(3).toLong).sum)
         true
       }
     } }
@@ -2842,7 +2983,8 @@ object ManifestSource {
     val lw = new java.io.PrintWriter(new java.io.File(dstDir, "commits.log"), "UTF-8")
     try lw.println(s"manifest.csv,${System.currentTimeMillis()},clone," +
       encodeDiff(CommitDiff(entries.map(e =>
-        reref(e.file) -> dv.getOrElse(e.file, Nil).map(reref)), Nil, Nil)))
+        reref(e.file) -> dv.getOrElse(e.file, Nil).map(reref)), Nil, Nil)) +
+      s",rows=${entries.map(_.rows).sum}")
     finally lw.close()
     "manifest.csv"
   }
@@ -2895,7 +3037,8 @@ object ManifestSource {
         .map(e => e.file -> curD.getOrElse(e.file, Nil)),
       entries.map(_.file).filter(f => curFiles.contains(f) &&
         dv.getOrElse(f, Nil) != curD.getOrElse(f, Nil))
-        .map(f => (f, curD.getOrElse(f, Nil), dv.getOrElse(f, Nil))))))
+        .map(f => (f, curD.getOrElse(f, Nil), dv.getOrElse(f, Nil))))),
+      rowsAdded = entries.filterNot(e => curFiles.contains(e.file)).map(_.rows).sum)
     name
   } }
 
@@ -3063,6 +3206,8 @@ final class ManifestTable(dir: String, pinned: Option[String],
       startingCommit = Option(options.get("startingcommit")).map(_.toLong).getOrElse(0L),
       maxCommitsPerTrigger =
         Option(options.get("maxcommitspertrigger")).map(_.toInt).getOrElse(Int.MaxValue),
+      maxRowsPerTrigger =
+        Option(options.get("maxrowspertrigger")).map(_.toLong).getOrElse(Long.MaxValue),
       ignoreChanges =
         Option(options.get("ignorechanges")).exists(_.toBoolean),
       cdf = cdf)
@@ -3192,11 +3337,14 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
         entries.foreach(m => mw.println(line(m)))
       } finally mw.close()
       // a fresh base write invalidates any derived snapshot chain —
-      // and the derived txn ledger (a NEW table has no epochs)
+      // and the derived txn ledger and commit-log checkpoint (a NEW
+      // table has no epochs and no folded history)
       val vf = new java.io.File(dir, "VERSION")
       if (vf.exists()) vf.delete()
       val tc = new java.io.File(dir, "txn-cache")
       if (tc.exists()) tc.delete()
+      val cpf = new java.io.File(dir, "checkpoint")
+      if (cpf.exists()) cpf.delete()
       // ... and (re)declares the table's KEY identity: keycol=flag
       // creates a string-keyed store, absence resets to the Long `ok`
       // contract (a truncate IS a new table)
@@ -3212,7 +3360,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       val lw = new java.io.PrintWriter(new java.io.File(dir, "commits.log"), "UTF-8")
       try lw.println(s"manifest.csv,${System.currentTimeMillis()},create," +
         ManifestSource.encodeDiff(ManifestSource.CommitDiff.plainAdd(
-          entries.map(_.file).toSeq)))
+          entries.map(_.file).toSeq)) + s",rows=${entries.map(_.rows).sum}")
       finally lw.close()
       }
     } else {
@@ -3374,6 +3522,7 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
 
 final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String],
     startingCommit: Long = 0L, maxCommitsPerTrigger: Int = Int.MaxValue,
+    maxRowsPerTrigger: Long = Long.MaxValue,
     ignoreChanges: Boolean = false, cdf: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
@@ -3470,7 +3619,7 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new ManifestStatsScan(dir, manifest, aggs)
     case None => new ManifestScan(dir, manifest, required, pushed, cols, dvMap,
-      startingCommit, maxCommitsPerTrigger, ignoreChanges, cdf)
+      startingCommit, maxCommitsPerTrigger, maxRowsPerTrigger, ignoreChanges, cdf)
   }
 }
 
@@ -3559,6 +3708,7 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
     pushed: Array[Filter], cols: Seq[String],
     dvMap: Map[String, Seq[String]] = Map.empty,
     startingCommit: Long = 0L, maxCommitsPerTrigger: Int = Int.MaxValue,
+    maxRowsPerTrigger: Long = Long.MaxValue,
     ignoreChanges: Boolean = false, cdf: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -3570,7 +3720,7 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ManifestMicroBatchStream(dir, required, cols,
-      startingCommit, maxCommitsPerTrigger, ignoreChanges, cdf)
+      startingCommit, maxCommitsPerTrigger, maxRowsPerTrigger, ignoreChanges, cdf)
   override def description(): String =
     s"graft-manifest $dir pushed=${pushed.mkString(",")}"
 
@@ -3746,10 +3896,16 @@ final case class ManifestOffset(idx: Long) extends Offset {
   */
 final class ManifestMicroBatchStream(dir: String, required: StructType,
     cols: Seq[String], startingCommit: Long, maxCommitsPerTrigger: Int,
-    ignoreChanges: Boolean, cdf: Boolean = false)
+    maxRowsPerTrigger: Long = Long.MaxValue,
+    ignoreChanges: Boolean = false, cdf: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def log: Seq[String] = ManifestSource.readCommitLog(dir)
+
+  /** Offsets are GLOBAL commit indices; on a checkpointed log the
+    * first `base` commits are folded away and not replayable.
+    */
+  private def base: Long = ManifestSource.commitLogBase(dir)
 
   override def initialOffset(): Offset = ManifestOffset(startingCommit)
 
@@ -3758,18 +3914,51 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(): Offset = ManifestOffset(log.size.toLong)
+  override def latestOffset(): Offset = ManifestOffset(base + log.size.toLong)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ManifestOffset].idx
-    ManifestOffset(math.min(log.size.toLong, s + maxCommitsPerTrigger))
+    if (maxRowsPerTrigger == Long.MaxValue)
+      ManifestOffset(math.min(base + log.size.toLong, s + maxCommitsPerTrigger))
+    else {
+      // ROW-BASED admission (maxRowsPerTrigger): walk commits from the
+      // start offset, admitting while the cumulative ADDED-row count
+      // (the log line's rows= field — metadata-only, no manifest or
+      // data file opens) fits the budget; always admit at least one
+      // commit so the stream can never stall on an oversized commit
+      // (the Delta/Kafka admission convention). A pre-rows-field
+      // legacy line counts 0 (unknown ⇒ admit; the commit cap still
+      // bounds the batch).
+      val cpBase = base
+      val entries = ManifestSource.readCommitLogEntries(dir)
+      var i = math.max(0L, s - cpBase).toInt
+      var acc = 0L
+      var n = 0
+      var stop = false
+      while (!stop && i < entries.size && n < maxCommitsPerTrigger) {
+        val r = entries(i).rowsAdded.getOrElse(0L)
+        if (n > 0 && acc + r > maxRowsPerTrigger) stop = true
+        else { acc += r; n += 1; i += 1 }
+      }
+      ManifestOffset(s + n)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[ManifestOffset].idx
     val b = end.asInstanceOf[ManifestOffset].idx
+    val cpBase = base
+    // a pre-checkpoint offset is unreplayable BY CONSTRUCTION (the
+    // folded lines and their file diffs are gone) — fail at planning
+    // with the remedy, never mid-task
+    if (a < cpBase && a < b) throw new IllegalStateException(
+      s"stream offset $a predates the commit-log checkpoint (base $cpBase) — " +
+        "the folded history is no longer replayable; restart the stream at " +
+        s"startingCommit >= $cpBase, or checkpoint the log less aggressively " +
+        "while streams need full-history replay")
     val lines = ManifestSource.readCommitLogEntries(dir)
-    require(b <= lines.size, s"offset $b beyond commit log (${lines.size})")
+    require(b <= cpBase + lines.size,
+      s"offset $b beyond commit log (${cpBase + lines.size})")
 
     // a planned data file or sidecar must still exist — a vacuumed
     // history fails HERE with the remedy, not mid-task with a bare
@@ -3789,11 +3978,14 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
         upd.map { case (sc, ct) => (checked(i, sc), ct) })
 
     (a until b).flatMap { i =>
-      val cur = lines(i.toInt)
+      // i is the GLOBAL commit index; the in-log position subtracts
+      // the checkpoint base
+      val li = (i - cpBase).toInt
+      val cur = lines(li)
       val diff = cur.diff.getOrElse {
         // pre-diff log line: reconstruct from the generation manifests
         // (the legacy path); a vacuumed manifest fails with the remedy
-        legacyDiff(i, if (i == 0) None else Some(lines((i - 1).toInt).manifest),
+        legacyDiff(i, if (li == 0) None else Some(lines(li - 1).manifest),
           cur.manifest)
       }
       if (cdf) {
