@@ -142,7 +142,7 @@ object DataFile {
   }
 
   def writer(dir: String, name: String, nCols: Int): Writer =
-    new Writer(new java.io.File(dir, name).getAbsolutePath, nCols)
+    new Writer(new Path(dir, name).toString, nCols)
 
   // ---------------------------------------------------------------
   // READ

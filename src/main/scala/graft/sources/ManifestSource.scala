@@ -62,7 +62,7 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
       if (dir == null) ManifestSource.Schema
       else {
         val m = ManifestSource.resolveManifest(dir, Option(options.get("manifest")))
-        if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
+        if (StoreFS.exists(dir, m)) ManifestSource.sparkSchema(dir, m)
         else
           // a FRESH store's truncate write may declare extension
           // columns up front (`extracols=c0,c1,…`) — the write schema
@@ -107,17 +107,12 @@ object ManifestSource {
     * are always nullable BIGINT — the one evolution shape this store
     * supports, documented rather than half-general.)
     */
-  def manifestSchema(dir: String, manifest: String): Seq[String] = {
-    val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
-    try {
-      val it = src.getLines()
-      if (it.hasNext) {
-        val l = it.next()
-        if (l.startsWith("#schema:")) l.stripPrefix("#schema:").split(',').toSeq
-        else BaseCols
-      } else BaseCols
-    } finally src.close()
-  }
+  def manifestSchema(dir: String, manifest: String): Seq[String] =
+    StoreFS.readLines(dir, manifest).headOption match {
+      case Some(l) if l.startsWith("#schema:") =>
+        l.stripPrefix("#schema:").split(',').toSeq
+      case _ => BaseCols
+    }
 
   /** Spark schema of a manifest generation (base + BIGINT extras). */
   def sparkSchema(dir: String, manifest: String): StructType =
@@ -185,14 +180,9 @@ object ManifestSource {
     * spare ints); this makes string identity first-class while every
     * zone-map/stats structure stays on the clustering column.
     */
-  def keyCol(dir: String): Option[String] = {
-    val f = new java.io.File(dir, "KEYCOL")
-    if (!f.exists()) None
-    else {
-      val s = scala.io.Source.fromFile(f)
-      try Some(s.getLines().next().trim) finally s.close()
-    }
-  }
+  def keyCol(dir: String): Option[String] =
+    if (!StoreFS.exists(dir, "KEYCOL")) None
+    else StoreFS.readLines(dir, "KEYCOL").headOption.map(_.trim)
 
   private[sources] def strKeyed(dir: String): Boolean = keyCol(dir).isDefined
 
@@ -344,11 +334,9 @@ object ManifestSource {
         }
       case Some(p) => p
       case None =>
-        val vf = new java.io.File(dir, "VERSION")
-        if (vf.exists()) {
-          val src = scala.io.Source.fromFile(vf)
-          try src.getLines().next().trim finally src.close()
-        } else "manifest.csv"
+        if (StoreFS.exists(dir, "VERSION"))
+          StoreFS.readLines(dir, "VERSION").head.trim
+        else "manifest.csv"
     }
 
   /** NAMED REFS — Iceberg tags/branches as first-class pointers: a
@@ -368,24 +356,20 @@ object ManifestSource {
       require(name.nonEmpty && name.forall(c =>
         c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
         s"invalid ref name: $name")
-      require(new java.io.File(dir, manifest).exists(),
+      require(StoreFS.exists(dir, manifest),
         s"ref target $manifest does not exist")
-      val w = new java.io.PrintWriter(new java.io.File(dir, s"ref-$name"), "UTF-8")
-      try w.println(manifest) finally w.close()
+      StoreFS.writeString(dir, s"ref-$name", manifest + "\n")
     }
 
   def dropRef(dir: String, name: String): Unit = commitLock.synchronized {
-    new java.io.File(dir, s"ref-$name").delete(): Unit
+    StoreFS.delete(dir, s"ref-$name"): Unit
   }
 
   def listRefs(dir: String): Map[String, String] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("ref-"))
-      .map { f =>
-        val src = scala.io.Source.fromFile(f)
-        try f.getName.stripPrefix("ref-") -> src.getLines().next().trim
-        finally src.close()
-      }.toMap
+    StoreFS.listNames(dir)
+      .filter(_.startsWith("ref-"))
+      .map(n => n.stripPrefix("ref-") -> StoreFS.readLines(dir, n).head.trim)
+      .toMap
 
   /** Thrown when an optimistic commit loses a race it cannot rebase
     * over (see [[commitSnapshot]]); the store is left exactly as the
@@ -414,14 +398,11 @@ object ManifestSource {
     * manifest line, so [[readManifest]]'s entry parse skips it and
     * pre-DV readers of a DV-free store are byte-compatible.
     */
-  def readDvMap(dir: String, manifest: String): Map[String, Seq[String]] = {
-    val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
-    try src.getLines().filter(_.startsWith("#dv:")).map { l =>
+  def readDvMap(dir: String, manifest: String): Map[String, Seq[String]] =
+    StoreFS.readLines(dir, manifest).filter(_.startsWith("#dv:")).map { l =>
       val a = l.stripPrefix("#dv:").split(",", -1)
       a(0) -> a.drop(1).toSeq
     }.toMap
-    finally src.close()
-  }
 
   /** Union key set of a file's deletion-vector sidecars — bounded:
     * each sidecar is one driver-held delete batch (the [[merge]]
@@ -429,10 +410,7 @@ object ManifestSource {
     * metadata-class IO, never data-class.
     */
   def readDvKeys(dir: String, dvFiles: Seq[String]): Set[Long] =
-    dvFiles.flatMap { f =>
-      val src = scala.io.Source.fromFile(new java.io.File(dir, f))
-      try src.getLines().map(_.trim.toLong).toList finally src.close()
-    }.toSet
+    dvFiles.flatMap(f => StoreFS.readLines(dir, f).map(_.trim.toLong)).toSet
 
   /** A file's combined deletion-vector mask, KEY-TYPE AWARE: a
     * sidecar opening with `#key:flag` carries raw STRING keys (a row
@@ -463,12 +441,9 @@ object ManifestSource {
     var lk = Set.empty[Long]
     var sk = Set.empty[String]
     paths.foreach { p =>
-      val src = scala.io.Source.fromFile(p)
-      try {
-        val lines = src.getLines().filter(_.nonEmpty).map(_.trim).toList
-        if (lines.headOption.contains(StrKeyHeader)) sk ++= lines.tail
-        else lk ++= lines.map(_.toLong)
-      } finally src.close()
+      val lines = StoreFS.readLinesAt(p).filter(_.nonEmpty).map(_.trim)
+      if (lines.headOption.contains(StrKeyHeader)) sk ++= lines.tail
+      else lk ++= lines.map(_.toLong)
     }
     DvMask(lk, sk)
   }
@@ -506,22 +481,18 @@ object ManifestSource {
   private[sources] val TokenStaleMs = 60000L
 
   private[sources] def withCommitToken[T](dir: String)(body: => T): T = {
-    new java.io.File(dir).mkdirs()
-    val token = new java.io.File(dir, "commit.lock")
+    StoreFS.mkdirs(dir)
     var claimed = false
     while (!claimed) {
-      try {
-        java.nio.file.Files.createFile(token.toPath)
-        claimed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val lm = token.lastModified()
-          if (lm > 0L && System.currentTimeMillis() - lm > TokenStaleMs)
-            token.delete(): Unit // stale steal: the holder died mid-commit
-          else Thread.sleep(5)
+      if (StoreFS.createExclusive(dir, "commit.lock")) claimed = true
+      else {
+        val lm = StoreFS.lastModified(dir, "commit.lock")
+        if (lm > 0L && System.currentTimeMillis() - lm > TokenStaleMs)
+          StoreFS.delete(dir, "commit.lock"): Unit // stale steal: holder died
+        else Thread.sleep(5)
       }
     }
-    try body finally { token.delete(): Unit }
+    try body finally { StoreFS.delete(dir, "commit.lock"): Unit }
   }
 
   /** Atomic VERSION flip: stage + ATOMIC_MOVE, so a reader in ANOTHER
@@ -530,13 +501,9 @@ object ManifestSource {
     * single-JVM monitor).
     */
   private[sources] def flipPointer(dir: String, name: String): Unit = {
-    val tmp = new java.io.File(dir, s"VERSION.tmp${nextEpoch()}")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try w.println(name) finally w.close()
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, "VERSION").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    val tmp = s"VERSION.tmp${nextEpoch()}"
+    StoreFS.writeString(dir, tmp, name + "\n")
+    StoreFS.atomicMove(dir, tmp, "VERSION")
   }
 
   /** COMMIT LOG — `commits.log`, one line per TRUNK pointer flip in
@@ -574,27 +541,8 @@ object ManifestSource {
     * must not pay a million-line read per commit (the Delta-checkpoint
     * class of problem, solved here at the read primitive).
     */
-  private[sources] def lastLogLine(dir: String): Option[String] = {
-    val f = new java.io.File(dir, "commits.log")
-    if (!f.exists() || f.length() == 0) None
-    else {
-      val raf = new java.io.RandomAccessFile(f, "r")
-      try {
-        var pos = raf.length() - 1
-        // skip trailing newline(s)
-        while (pos >= 0 && { raf.seek(pos); raf.read() == '\n' }) pos -= 1
-        val end = pos
-        while (pos >= 0 && { raf.seek(pos); raf.read() != '\n' }) pos -= 1
-        if (end < 0) None
-        else {
-          val buf = new Array[Byte]((end - pos).toInt)
-          raf.seek(pos + 1)
-          raf.readFully(buf)
-          Some(new String(buf, "UTF-8").trim).filter(_.nonEmpty)
-        }
-      } finally raf.close()
-    }
-  }
+  private[sources] def lastLogLine(dir: String): Option[String] =
+    StoreFS.lastLine(dir, "commits.log")
 
   /** The txn ledger (writer queryId → max committed epoch), served
     * from the INCREMENTAL `txn-cache`: the cache records the log byte
@@ -607,67 +555,56 @@ object ManifestSource {
     * query, so "committed" ⇔ epoch ≤ ledger max.
     */
   private[sources] def txnLedger(dir: String): Map[String, Long] = {
-    val f = new java.io.File(dir, "txn-cache")
     var offset = 0L
     // checkpointed epochs are the FLOOR: the fold snapshotted the
     // ledger before truncating the log, so dedup holds across the
     // table's whole history even though the folded txn lines are gone
     var m = readLogCheckpoint(dir).map(_.ledger).getOrElse(Map.empty[String, Long])
-    if (f.exists()) {
-      val s = scala.io.Source.fromFile(f)
-      try s.getLines().filter(_.nonEmpty).foreach { l =>
+    if (StoreFS.exists(dir, "txn-cache")) {
+      StoreFS.readLines(dir, "txn-cache").filter(_.nonEmpty).foreach { l =>
         if (l.startsWith("offset=")) offset = l.stripPrefix("offset=").toLong
         else {
           val i = l.lastIndexOf('=')
           m += (l.take(i) -> l.drop(i + 1).toLong)
         }
-      } finally s.close()
+      }
     }
-    val log = new java.io.File(dir, "commits.log")
     // a log SHORTER than the cache's offset means the log was reset
     // (table truncate, or a checkpoint fold) under a cache the reset
     // failed to remove — the cache reflects a dead byte range:
     // rebuild from offset 0 over the tail, back on the checkpoint
     // floor (empty when no checkpoint exists)
-    if (!log.exists() || log.length() < offset) {
+    val logExists = StoreFS.exists(dir, "commits.log")
+    val logLen = if (logExists) StoreFS.length(dir, "commits.log") else 0L
+    if (!logExists || logLen < offset) {
       offset = 0L
       m = readLogCheckpoint(dir).map(_.ledger).getOrElse(Map.empty[String, Long])
     }
-    if (log.exists() && log.length() > offset) {
-      val raf = new java.io.RandomAccessFile(log, "r")
-      try {
-        raf.seek(offset)
-        val buf = new Array[Byte]((log.length() - offset).toInt)
-        raf.readFully(buf)
-        new String(buf, "UTF-8").split('\n').map(_.trim).filter(_.nonEmpty)
-          .foreach { l =>
-            val a = l.split(",", -1)
-            a.drop(4).find(f => f.nonEmpty && !f.startsWith("rows="))
-              .foreach { f =>
-                val i = f.lastIndexOf(':')
-                val q = f.take(i)
-                val e = f.drop(i + 1).toLong
-                if (m.get(q).forall(_ < e)) m += (q -> e)
-              }
-          }
-      } finally raf.close()
+    if (logExists && logLen > offset) {
+      new String(StoreFS.readRange(dir, "commits.log", offset), "UTF-8")
+        .split('\n').map(_.trim).filter(_.nonEmpty)
+        .foreach { l =>
+          val a = l.split(",", -1)
+          a.drop(4).find(f => f.nonEmpty && !f.startsWith("rows="))
+            .foreach { f =>
+              val i = f.lastIndexOf(':')
+              val q = f.take(i)
+              val e = f.drop(i + 1).toLong
+              if (m.get(q).forall(_ < e)) m += (q -> e)
+            }
+        }
     }
     m
   }
 
   private def writeTxnCache(dir: String, m: Map[String, Long]): Unit = {
-    val log = new java.io.File(dir, "commits.log")
-    val tmp = new java.io.File(dir, s"txn-cache.tmp${nextEpoch()}")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try {
-      w.println(s"offset=${if (log.exists()) log.length() else 0L}")
-      m.toSeq.sortBy(_._1).foreach { case (q, e) => w.println(s"$q=$e") }
-    } finally w.close()
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, "txn-cache").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+    val logLen = if (StoreFS.exists(dir, "commits.log"))
+      StoreFS.length(dir, "commits.log") else 0L
+    val tmp = s"txn-cache.tmp${nextEpoch()}"
+    val sb = new StringBuilder(s"offset=$logLen\n")
+    m.toSeq.sortBy(_._1).foreach { case (q, e) => sb.append(s"$q=$e\n") }
+    StoreFS.writeString(dir, tmp, sb.toString)
+    StoreFS.atomicMove(dir, tmp, "txn-cache")
   }
 
   private[sources] def appendCommitLog(dir: String, name: String,
@@ -683,7 +620,6 @@ object ManifestSource {
     // the cache missed), so the dedup read stays O(1) even on tables
     // whose traffic is mostly batch DML between stream epochs
     val ledger = txnLedger(dir)
-    val w = new java.io.FileWriter(new java.io.File(dir, "commits.log"), true)
     // field 5, when present, is the STREAMING TRANSACTION identity
     // (Delta's txn action): writer queryId + epoch, the ledger
     // [[ManifestStreamingWrite]] dedups re-delivered epochs against —
@@ -692,8 +628,8 @@ object ManifestSource {
     // trailing rows= field (round 14): the commit's ADDED row count,
     // read by the streaming source's row-based admission control —
     // metadata-only rate limiting, no manifest or data file opens
-    try w.write(s"$name,$ts,$op,${if (diff.isEmpty) "=" else diff}$t,rows=$rowsAdded\n")
-    finally w.close()
+    StoreFS.appendString(dir, "commits.log",
+      s"$name,$ts,$op,${if (diff.isEmpty) "=" else diff}$t,rows=$rowsAdded\n")
     // cache write AFTER the log append: a crash between the two leaves
     // the cache offset short, so the next reader re-scans this line —
     // the cache can never claim an epoch the log does not hold
@@ -797,27 +733,23 @@ object ManifestSource {
       lastTs: Long, ledger: Map[String, Long])
 
   def readLogCheckpoint(dir: String): Option[LogCheckpoint] = {
-    val f = new java.io.File(dir, "checkpoint")
-    if (!f.exists()) None
+    if (!StoreFS.exists(dir, "checkpoint")) None
     else {
-      val src = scala.io.Source.fromFile(f)
-      try {
-        var base = 0L; var lastM = ""; var lastTs = 0L
-        var ledger = Map.empty[String, Long]
-        src.getLines().filter(_.nonEmpty).foreach { l =>
-          if (l.startsWith("base=")) base = l.stripPrefix("base=").toLong
-          else if (l.startsWith("last=")) {
-            val i = l.lastIndexOf(',')
-            lastM = l.stripPrefix("last=").take(i - 5)
-            lastTs = l.drop(i + 1).toLong
-          } else if (l.startsWith("txn:")) {
-            val b = l.stripPrefix("txn:")
-            val i = b.lastIndexOf('=')
-            ledger += (b.take(i) -> b.drop(i + 1).toLong)
-          }
+      var base = 0L; var lastM = ""; var lastTs = 0L
+      var ledger = Map.empty[String, Long]
+      StoreFS.readLines(dir, "checkpoint").filter(_.nonEmpty).foreach { l =>
+        if (l.startsWith("base=")) base = l.stripPrefix("base=").toLong
+        else if (l.startsWith("last=")) {
+          val i = l.lastIndexOf(',')
+          lastM = l.stripPrefix("last=").take(i - 5)
+          lastTs = l.drop(i + 1).toLong
+        } else if (l.startsWith("txn:")) {
+          val b = l.stripPrefix("txn:")
+          val i = b.lastIndexOf('=')
+          ledger += (b.take(i) -> b.drop(i + 1).toLong)
         }
-        Some(LogCheckpoint(base, lastM, lastTs, ledger))
-      } finally src.close()
+      }
+      Some(LogCheckpoint(base, lastM, lastTs, ledger))
     }
   }
 
@@ -844,30 +776,22 @@ object ManifestSource {
       val cp = LogCheckpoint(
         prior.map(_.baseCommits).getOrElse(0L) + entries.size,
         entries.last.manifest, entries.last.ts, ledger)
-      val tmp = new java.io.File(dir, s"checkpoint.tmp${nextEpoch()}")
-      val w = new java.io.PrintWriter(tmp, "UTF-8")
-      try {
-        w.println(s"base=${cp.baseCommits}")
-        w.println(s"last=${cp.lastManifest},${cp.lastTs}")
-        ledger.toSeq.sortBy(_._1).foreach { case (q, e) => w.println(s"txn:$q=$e") }
-      } finally w.close()
-      java.nio.file.Files.move(tmp.toPath,
-        new java.io.File(dir, "checkpoint").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val sb = new StringBuilder
+      sb.append(s"base=${cp.baseCommits}\n")
+      sb.append(s"last=${cp.lastManifest},${cp.lastTs}\n")
+      ledger.toSeq.sortBy(_._1).foreach { case (q, e) => sb.append(s"txn:$q=$e\n") }
+      val tmp = s"checkpoint.tmp${nextEpoch()}"
+      StoreFS.writeString(dir, tmp, sb.toString)
+      StoreFS.atomicMove(dir, tmp, "checkpoint")
       // checkpoint is authoritative from here; truncate the log (a
       // crash before this line self-heals in readCommitLogEntries)
-      val lt = new java.io.File(dir, s"commits.log.tmp${nextEpoch()}")
-      java.nio.file.Files.writeString(lt.toPath, "")
-      java.nio.file.Files.move(lt.toPath,
-        new java.io.File(dir, "commits.log").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val lt = s"commits.log.tmp${nextEpoch()}"
+      StoreFS.writeString(dir, lt, "")
+      StoreFS.atomicMove(dir, lt, "commits.log")
       // the byte-offset txn cache refers to the pre-truncation log;
       // drop it — the ledger floor now lives in the checkpoint and
       // the cache rebuilds over the (empty) tail
-      val tc = new java.io.File(dir, "txn-cache")
-      if (tc.exists()) tc.delete()
+      if (StoreFS.exists(dir, "txn-cache")) StoreFS.delete(dir, "txn-cache")
       cp
     } }
 
@@ -897,12 +821,10 @@ object ManifestSource {
       rowsAdded: Option[Long] = None)
 
   def readCommitLogEntries(dir: String): Seq[LogEntry] = {
-    val f = new java.io.File(dir, "commits.log")
     val parsed =
-      if (!f.exists()) Nil
+      if (!StoreFS.exists(dir, "commits.log")) Nil
       else {
-        val src = scala.io.Source.fromFile(f)
-        try src.getLines().map(_.trim).filter(_.nonEmpty).map { l =>
+        StoreFS.readLines(dir, "commits.log").map(_.trim).filter(_.nonEmpty).map { l =>
           val a = l.split(",", -1)
           val tail = a.drop(4).filter(_.nonEmpty)
           LogEntry(a(0), if (a.length > 1 && a(1).nonEmpty) a(1).toLong else 0L,
@@ -913,8 +835,7 @@ object ManifestSource {
               (f.take(i), f.drop(i + 1).toLong)
             },
             tail.find(_.startsWith("rows=")).map(_.stripPrefix("rows=").toLong))
-        }.toList
-        finally src.close()
+        }
       }
     // checkpoint crash-window self-heal: folded lines still in the log
     // (the checkpoint landed but the truncation did not) are dropped —
@@ -950,7 +871,7 @@ object ManifestSource {
     readCommitLogFull(dir).zipWithIndex.map { case ((m, ts, op), i0) =>
       val i = base + i0
       val stats =
-        if (new java.io.File(dir, m).exists()) {
+        if (StoreFS.exists(dir, m)) {
           val es = readManifest(dir, m)
           Some((es.size.toLong, es.map(_.rows).sum))
         } else None
@@ -1134,7 +1055,7 @@ object ManifestSource {
       skip: Seq[FileEntry] => Boolean = _ => false): Boolean =
     commitLock.synchronized { withCommitToken(dir) {
       val current = resolveManifest(dir, None)
-      val exists = new java.io.File(dir, current).exists()
+      val exists = StoreFS.exists(dir, current)
       val existing = if (exists) readManifest(dir, current) else Nil
       // epoch dedup through the O(1) incremental ledger — epochs are
       // monotone per query, so committed ⇔ epoch ≤ the query's max
@@ -1149,15 +1070,14 @@ object ManifestSource {
         val curDv = if (exists) readDvMap(dir, current)
           else Map.empty[String, Seq[String]]
         val name = s"manifest-gen${nextGeneration(dir)}.csv"
-        val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-        try {
-          if (curCols != BaseCols) mw.println("#schema:" + curCols.mkString(","))
-          curDv.toSeq.sortBy(_._1).foreach { case (f, dvs) =>
-            if (dvs.nonEmpty) mw.println("#dv:" + (f +: dvs).mkString(","))
-          }
-          existing.foreach(e => mw.println(entryLine(e)))
-          entryLines.foreach(mw.println)
-        } finally mw.close()
+        val sb = new StringBuilder
+        if (curCols != BaseCols) sb.append("#schema:" + curCols.mkString(",") + "\n")
+        curDv.toSeq.sortBy(_._1).foreach { case (f, dvs) =>
+          if (dvs.nonEmpty) sb.append("#dv:" + (f +: dvs).mkString(",") + "\n")
+        }
+        existing.foreach(e => sb.append(entryLine(e) + "\n"))
+        entryLines.foreach(l => sb.append(l + "\n"))
+        StoreFS.writeString(dir, name, sb.toString)
         flipPointer(dir, name)
         appendCommitLog(dir, name, op, encodeDiff(CommitDiff.plainAdd(files)), txn,
           rowsAdded = entryLines.map(_.split(",", -1)(3).toLong).sum)
@@ -1168,16 +1088,15 @@ object ManifestSource {
   private[sources] def writeManifestFile(dir: String, name: String,
       cols: Seq[String], entries: Seq[FileEntry],
       dv: Map[String, Seq[String]] = Map.empty): Unit = {
-    val mw = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-    try {
-      // `#schema:` must stay the FIRST line ([[manifestSchema]] reads
-      // only line one); `#dv:` lines follow, then the file entries
-      if (cols != BaseCols) mw.println("#schema:" + cols.mkString(","))
-      dv.toSeq.sortBy(_._1).foreach { case (f, dvs) =>
-        if (dvs.nonEmpty) mw.println("#dv:" + (f +: dvs).mkString(","))
-      }
-      entries.foreach(e => mw.println(entryLine(e)))
-    } finally mw.close()
+    val sb = new StringBuilder
+    // `#schema:` must stay the FIRST line ([[manifestSchema]] reads
+    // only line one); `#dv:` lines follow, then the file entries
+    if (cols != BaseCols) sb.append("#schema:" + cols.mkString(",") + "\n")
+    dv.toSeq.sortBy(_._1).foreach { case (f, dvs) =>
+      if (dvs.nonEmpty) sb.append("#dv:" + (f +: dvs).mkString(",") + "\n")
+    }
+    entries.foreach(e => sb.append(entryLine(e) + "\n"))
+    StoreFS.writeString(dir, name, sb.toString)
   }
 
   /** SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMN <name> BIGINT` as a
@@ -1252,7 +1171,7 @@ object ManifestSource {
         // concatenation): stats still MERGE below — nothing recomputes
         val w = DataFile.writer(dir, out, arity)
         try es.foreach { e =>
-          val c = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+          val c = DataFile.openRows(StoreFS.path(dir, e.file).toString,
             arity, DataFile.allCols(arity))
           try { while (c.next()) w.write(c.get()) } finally c.close()
         } finally w.close()
@@ -1388,13 +1307,10 @@ object ManifestSource {
       val stagedFiles = stagedEntries.map(_.file).toSet
       writeManifestFile(dir, name, manifestSchema(dir, base), stagedEntries,
         dvm.filter { case (f, _) => stagedFiles.contains(f) })
-      if (updSidecars.nonEmpty) {
-        val mw = new java.io.PrintWriter(
-          new java.io.File(dir, s"wapupd-$name.map"), "UTF-8")
-        try updSidecars.toSeq.sortBy(_._1)
-          .foreach { case (f, sc) => mw.println(s"$f,$sc") }
-        finally mw.close()
-      }
+      if (updSidecars.nonEmpty)
+        StoreFS.writeString(dir, s"wapupd-$name.map",
+          updSidecars.toSeq.sortBy(_._1)
+            .map { case (f, sc) => s"$f,$sc\n" }.mkString)
       (name, base, inserts.size)
     } }
   }
@@ -1418,16 +1334,13 @@ object ManifestSource {
     val keySet = mergeKeys.toSet
     // stage-time update-image sidecars ride into the publish commit's
     // log line (the commit filters to its actual file diff)
-    val mapF = new java.io.File(dir, s"wapupd-$staged.map")
+    val mapName = s"wapupd-$staged.map"
     val updSidecars =
-      if (!mapF.exists()) Map.empty[String, String]
-      else {
-        val s = scala.io.Source.fromFile(mapF)
-        try s.getLines().filter(_.nonEmpty).map { l =>
-          val i = l.indexOf(',')
-          (l.take(i), l.drop(i + 1))
-        }.toMap finally s.close()
-      }
+      if (!StoreFS.exists(dir, mapName)) Map.empty[String, String]
+      else StoreFS.readLines(dir, mapName).filter(_.nonEmpty).map { l =>
+        val i = l.indexOf(',')
+        (l.take(i), l.drop(i + 1))
+      }.toMap
     val name = commitSnapshot(dir, base, baseFiles -- stagedFiles,
       stagedEntries.filterNot(e => baseFiles.contains(e.file)),
       e =>
@@ -1444,7 +1357,7 @@ object ManifestSource {
       schemaOverride = Some(manifestSchema(dir, staged)), op = "publish",
       updSidecars = updSidecars)
     // the map is consumed: the log's U: section now owns the refs
-    if (mapF.exists()) mapF.delete()
+    if (StoreFS.exists(dir, mapName)) StoreFS.delete(dir, mapName)
     name
   }
 
@@ -1470,8 +1383,7 @@ object ManifestSource {
       .map { e =>
         val masked = dvKeys.getOrElse(e.file, Set.empty)
         val out = rewriteName(s"part-m$gen-e$ep", e.file)
-        val outF = new java.io.File(dir, out)
-        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+        val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
           arity, DataFile.allCols(arity))
         val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
@@ -1503,7 +1415,7 @@ object ManifestSource {
         } finally { src.close(); w.close() }
         if (matchedHere.isEmpty) {
           // bloom false positive — keep the original file by reference
-          outF.delete()
+          StoreFS.delete(dir, out): Unit
           (e.file, e, matchedHere)
         } else (e.file,
           FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result),
@@ -1522,22 +1434,17 @@ object ManifestSource {
     * harmless: the split only refines rows that actually emit.
     */
   private[sources] def writeUpdSidecar(dir: String, name: String,
-      keys: Iterable[Long]): Unit = {
-    val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-    try keys.toSeq.sorted.foreach(w.println) finally w.close()
-  }
+      keys: Iterable[Long]): Unit =
+    StoreFS.writeString(dir, name,
+      keys.toSeq.sorted.map(_.toString + "\n").mkString)
 
   /** [[writeUpdSidecar]] for a STRING-KEYED store: raw keys behind
     * the `#key:flag` header, the [[DvMask]] sidecar dialect.
     */
   private[sources] def writeUpdSidecarStr(dir: String, name: String,
-      keys: Iterable[String]): Unit = {
-    val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-    try {
-      w.println(StrKeyHeader)
-      keys.toSeq.sorted.foreach(w.println)
-    } finally w.close()
-  }
+      keys: Iterable[String]): Unit =
+    StoreFS.writeString(dir, name,
+      (StrKeyHeader +: keys.toSeq.sorted).map(_ + "\n").mkString)
 
   /** DataFrame-path update-key sidecars ([[mergeDF]]): group the
     * distributed matched-key relation by the files whose blooms might
@@ -1574,11 +1481,9 @@ object ManifestSource {
         .groupByKey(math.max(1, math.min(n, 64)))
         .map { case (i, ks) =>
           val name = s"updk-$tag-f$i.keys"
-          val w = new java.io.PrintWriter(new java.io.File(dirB, name), "UTF-8")
-          try {
-            if (strKey) w.println(StrKeyHeader)
-            ks.toSeq.sorted.foreach(w.println)
-          } finally w.close()
+          val hdr = if (strKey) Seq(StrKeyHeader) else Nil
+          StoreFS.writeString(dirB, name,
+            (hdr ++ ks.toSeq.sorted.map(_.toString)).map(_ + "\n").mkString)
           (i, name)
         }.collect()
         .map { case (i, name) => entries(i).file -> name }.toMap
@@ -1764,7 +1669,7 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val dvMaskLocal = straddle.flatMap(e =>
       dvm.get(e.file).map(d =>
-        e.file -> readDvMask(d.map(new java.io.File(dir, _).getPath)))).toMap
+        e.file -> readDvMask(d.map(StoreFS.path(dir, _).toString)))).toMap
     val rk = rowKeyOf(dir)
     val arity = manifestSchema(dir, current).size
     val rewritten = spark.sparkContext
@@ -1772,7 +1677,7 @@ object ManifestSource {
       .map { e =>
         val masked = dvMaskLocal.getOrElse(e.file, DvMask(Set.empty, Set.empty))
         val out = rewriteName(s"part-d$ep", e.file)
-        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+        val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
           arity, DataFile.allCols(arity))
         val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
@@ -2091,7 +1996,7 @@ object ManifestSource {
         written.map(_._1).toSeq.sortBy(_.min),
         dfConflict(srcBloom, "merge"), op = "merge", updSidecars = updSc)
       (candidates.size, entries.size - candidates.size, inserted, name)
-    } finally { new java.io.File(dir, tmp).delete(): Unit }
+    } finally { StoreFS.delete(dir, tmp): Unit }
   }
 
   /** JOIN-STRATEGY KEYED DELETE — [[deleteKeys]] with the key set as
@@ -2139,7 +2044,7 @@ object ManifestSource {
         written.map(_._1).toSeq.sortBy(_.min),
         dfConflict(srcBloom, "delete"), op = "delete")
       (candidates.size, entries.size - candidates.size, deleted, name)
-    } finally { new java.io.File(dir, tmp).delete(): Unit }
+    } finally { StoreFS.delete(dir, tmp): Unit }
   }
 
   /** JOIN-STRATEGY MERGE-ON-READ DELETE — [[deleteKeysMoR]] with the
@@ -2183,8 +2088,8 @@ object ManifestSource {
       .groupByKey(math.max(1, math.min(n, 64)))
       .map { case (i, ks) =>
         val name = s"part-dv$gen-e$ep-f$i.csv"
-        val w = new java.io.PrintWriter(new java.io.File(dirB, name), "UTF-8")
-        try ks.toSeq.sorted.foreach(w.println) finally w.close()
+        StoreFS.writeString(dirB, name,
+          ks.toSeq.sorted.map(_.toString + "\n").mkString)
         (i, name)
       }.collect()
     val manifest = commitSnapshot(dir, current, Set.empty, Nil,
@@ -2271,7 +2176,7 @@ object ManifestSource {
         written.map(_._1).toSeq.sortBy(_.min),
         dfConflict(srcBloom, "merge"), op = "merge", updSidecars = updSc)
       (candidates.size, entries.size - candidates.size, inserted, name)
-    } finally { new java.io.File(dir, tmp).delete(): Unit }
+    } finally { StoreFS.delete(dir, tmp): Unit }
   }
 
   /** JOIN-STRATEGY KEYED DELETE FOR STRING-KEYED STORES —
@@ -2320,7 +2225,7 @@ object ManifestSource {
         written.map(_._1).toSeq.sortBy(_.min),
         dfConflict(srcBloom, "delete"), op = "delete")
       (candidates.size, entries.size - candidates.size, deleted, name)
-    } finally { new java.io.File(dir, tmp).delete(): Unit }
+    } finally { StoreFS.delete(dir, tmp): Unit }
   }
 
   /** JOIN-STRATEGY MERGE-ON-READ DELETE FOR STRING-KEYED STORES —
@@ -2360,11 +2265,8 @@ object ManifestSource {
       .groupByKey(math.max(1, math.min(n, 64)))
       .map { case (i, ks) =>
         val name = s"part-dv$gen-e$ep-f$i.csv"
-        val w = new java.io.PrintWriter(new java.io.File(dirB, name), "UTF-8")
-        try {
-          w.println(StrKeyHeader)
-          ks.toSeq.sorted.foreach(w.println)
-        } finally w.close()
+        StoreFS.writeString(dirB, name,
+          (StrKeyHeader +: ks.toSeq.sorted).map(_ + "\n").mkString)
         (i, name)
       }.collect()
     val manifest = commitSnapshot(dir, current, Set.empty, Nil,
@@ -2453,7 +2355,7 @@ object ManifestSource {
         written.map(_._1).toSeq.sortBy(_.min),
         dfConflict(srcBloom, "merge"), op = "merge")
       (candidates.size, entries.size - candidates.size, inserted, name)
-    } finally { new java.io.File(dir, tmp).delete(): Unit }
+    } finally { StoreFS.delete(dir, tmp): Unit }
   }
 
   /** JOIN-STRATEGY KEYED DELETE FOR COMPOSITE-KEYED STORES —
@@ -2505,7 +2407,7 @@ object ManifestSource {
         written.map(_._1).toSeq.sortBy(_.min),
         dfConflict(srcBloom, "delete"), op = "delete")
       (candidates.size, entries.size - candidates.size, deleted, name)
-    } finally { new java.io.File(dir, tmp).delete(): Unit }
+    } finally { StoreFS.delete(dir, tmp): Unit }
   }
 
   /** Executor-side tiled write shared by the DataFrame-source verbs:
@@ -2553,7 +2455,7 @@ object ManifestSource {
         }
         w.write(row)
       } finally w.close()
-      if (nRows == 0) { new java.io.File(dir, out).delete(); Iterator.empty }
+      if (nRows == 0) { StoreFS.delete(dir, out); Iterator.empty }
       else Iterator.single((FileEntry(out, mn, mx, nRows, Some(bloom), Some((qs, ps)),
         (0 until nExtras).map(j => if (exHas(j)) Some(exSums(j)) else None)), ins))
     }.collect()
@@ -2592,8 +2494,7 @@ object ManifestSource {
       .map { e =>
         val masked = dvKeysLocal.getOrElse(e.file, Set.empty)
         val out = rewriteName(s"part-k$gen-e$ep", e.file)
-        val outF = new java.io.File(dir, out)
-        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+        val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
           arity, DataFile.allCols(arity))
         val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
@@ -2622,11 +2523,11 @@ object ManifestSource {
         } finally { src.close(); w.close() }
         if (dropped == 0) {
           // bloom false positive — keep the original file by reference
-          outF.delete()
+          StoreFS.delete(dir, out): Unit
           (e.file, None: Option[FileEntry], 0L)
         } else if (n == 0) {
           // fully emptied — the file leaves the manifest
-          outF.delete()
+          StoreFS.delete(dir, out): Unit
           (e.file, None: Option[FileEntry], dropped)
         } else (e.file,
           Some(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result)),
@@ -2689,8 +2590,8 @@ object ManifestSource {
       if (candidates.isEmpty) None // provably no row matches: empty-change commit
       else {
         val name = s"part-dv${nextGeneration(dir)}-e${nextEpoch()}.csv"
-        val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-        try keys.sorted.foreach(w.println) finally w.close()
+        StoreFS.writeString(dir, name,
+          keys.sorted.map(_.toString + "\n").mkString)
         Some(name)
       }
     val manifest = commitSnapshot(dir, current, Set.empty, Nil,
@@ -2737,7 +2638,7 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val dvLocal = candidates.flatMap(e =>
       dvm.get(e.file).map(d =>
-        e.file -> readDvMask(d.map(new java.io.File(dir, _).getPath)))).toMap
+        e.file -> readDvMask(d.map(StoreFS.path(dir, _).toString)))).toMap
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val arity = manifestSchema(dir, current).size
@@ -2746,8 +2647,7 @@ object ManifestSource {
       .map { e =>
         val masked = dvLocal.getOrElse(e.file, DvMask(Set.empty, Set.empty))
         val out = rewriteName(s"part-ms$gen-e$ep", e.file)
-        val outF = new java.io.File(dir, out)
-        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+        val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
           arity, DataFile.allCols(arity))
         val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
@@ -2779,7 +2679,7 @@ object ManifestSource {
         } finally { src.close(); w.close() }
         if (matchedHere.isEmpty) {
           // bloom false positive — keep the original file by reference
-          outF.delete()
+          StoreFS.delete(dir, out): Unit
           (e.file, e, matchedHere)
         } else (e.file,
           FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result),
@@ -2841,11 +2741,8 @@ object ManifestSource {
       if (candidates.isEmpty) None // provably no row matches
       else {
         val name = s"part-dv${nextGeneration(dir)}-e${nextEpoch()}.csv"
-        val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-        try {
-          w.println(StrKeyHeader)
-          keys.sorted.foreach(w.println)
-        } finally w.close()
+        StoreFS.writeString(dir, name,
+          (StrKeyHeader +: keys.sorted).map(_ + "\n").mkString)
         Some(name)
       }
     val manifest = commitSnapshot(dir, current, Set.empty, Nil,
@@ -2883,7 +2780,7 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val targets = entries.filter(e => dvm.contains(e.file))
     val dvMaskLocal = targets.map(e =>
-      e.file -> readDvMask(dvm(e.file).map(new java.io.File(dir, _).getPath))).toMap
+      e.file -> readDvMask(dvm(e.file).map(StoreFS.path(dir, _).toString))).toMap
     val rk = rowKeyOf(dir)
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
@@ -2893,8 +2790,7 @@ object ManifestSource {
       .map { e =>
         val masked = dvMaskLocal(e.file)
         val out = rewriteName(s"part-r$gen-e$ep", e.file)
-        val outF = new java.io.File(dir, out)
-        val src = DataFile.openRows(new java.io.File(dir, e.file).getPath,
+        val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
           arity, DataFile.allCols(arity))
         val w = DataFile.writer(dir, out, arity)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
@@ -2918,11 +2814,11 @@ object ManifestSource {
         if (dropped == 0) {
           // the mask was all bloom false positives for THIS file —
           // keep the original by reference, clear the refs
-          outF.delete()
+          StoreFS.delete(dir, out): Unit
           (e.file, None: Option[FileEntry], 0L)
         } else if (n == 0) {
           // fully masked — the file leaves the manifest
-          outF.delete()
+          StoreFS.delete(dir, out): Unit
           (e.file, None: Option[FileEntry], dropped)
         } else (e.file,
           Some(FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result)),
@@ -2964,11 +2860,13 @@ object ManifestSource {
     val m = resolveManifest(srcDir, pinned)
     val entries = readManifest(srcDir, m)
     val dv = readDvMap(srcDir, m)
-    val dst = new java.io.File(dstDir)
-    dst.mkdirs()
-    require(Option(dst.listFiles()).getOrElse(Array.empty).isEmpty,
+    StoreFS.mkdirs(dstDir)
+    require(StoreFS.listNames(dstDir).isEmpty,
       s"clone destination $dstDir is not empty")
-    val rel = dst.toPath.toAbsolutePath.normalize.relativize(
+    // relative re-referencing is SAME-FILESYSTEM by construction (the
+    // clone's entries point into the source directory) — the path
+    // arithmetic stays local-form; a cross-store clone would deep-copy
+    val rel = new java.io.File(dstDir).toPath.toAbsolutePath.normalize.relativize(
       new java.io.File(srcDir).toPath.toAbsolutePath.normalize).toString
     def reref(f: String) = s"$rel/$f"
     writeManifestFile(dstDir, "manifest.csv", manifestSchema(srcDir, m),
@@ -2976,16 +2874,12 @@ object ManifestSource {
       dv.map { case (f, ds) => reref(f) -> ds.map(reref) })
     // key identity is a table property — the clone inherits it (its
     // blooms were built under the source's key type)
-    keyCol(srcDir).foreach { k =>
-      val kw = new java.io.PrintWriter(new java.io.File(dstDir, "KEYCOL"), "UTF-8")
-      try kw.println(k) finally kw.close()
-    }
-    val lw = new java.io.PrintWriter(new java.io.File(dstDir, "commits.log"), "UTF-8")
-    try lw.println(s"manifest.csv,${System.currentTimeMillis()},clone," +
+    keyCol(srcDir).foreach(k => StoreFS.writeString(dstDir, "KEYCOL", k + "\n"))
+    StoreFS.writeString(dstDir, "commits.log",
+      s"manifest.csv,${System.currentTimeMillis()},clone," +
       encodeDiff(CommitDiff(entries.map(e =>
         reref(e.file) -> dv.getOrElse(e.file, Nil).map(reref)), Nil, Nil)) +
-      s",rows=${entries.map(_.rows).sum}")
-    finally lw.close()
+      s",rows=${entries.map(_.rows).sum}\n")
     "manifest.csv"
   }
 
@@ -3011,12 +2905,12 @@ object ManifestSource {
     */
   def restore(dir: String, toManifest: String): String =
     commitLock.synchronized { withCommitToken(dir) {
-    require(new java.io.File(dir, toManifest).exists(),
+    require(StoreFS.exists(dir, toManifest),
       s"restore target $toManifest does not exist (vacuumed?)")
     val entries = readManifest(dir, toManifest)
     val dv = readDvMap(dir, toManifest)
     val missing = (entries.map(_.file) ++ dv.values.flatten)
-      .filterNot(f => new java.io.File(dir, f).exists())
+      .filterNot(f => StoreFS.exists(dir, f))
     require(missing.isEmpty,
       s"restore target $toManifest references vacuumed files: " +
         missing.sorted.mkString(", "))
@@ -3084,8 +2978,7 @@ object ManifestSource {
     // a kept manifest's masks must survive (its reads depend on them)
     val referenced = keepSet.flatMap(m =>
       readManifest(dir, m).map(_.file) ++ readDvMap(dir, m).values.flatten).toSet
-    val d = new java.io.File(dir)
-    val all = Option(d.listFiles()).getOrElse(Array.empty).map(_.getName)
+    val all = StoreFS.listNames(dir)
     val GenName = """manifest-gen\d+\.csv""".r
     val deadManifests = all.filter {
       case "manifest.csv" | "manifest-v2.csv" => true
@@ -3095,8 +2988,8 @@ object ManifestSource {
     val deadData = all.filter(_.startsWith("part-")).filterNot(referenced)
     // manifests first: a concurrent un-pinned reader resolving a dead
     // generation fails at the manifest, never mid-file-list
-    deadManifests.foreach(n => new java.io.File(d, n).delete())
-    deadData.foreach(n => new java.io.File(d, n).delete())
+    deadManifests.foreach(n => StoreFS.delete(dir, n))
+    deadData.foreach(n => StoreFS.delete(dir, n))
     // staged-branch update-image maps (`wapupd-<manifest>.map`) die
     // with their manifest (publish consumes them; vacuuming an
     // unpublished branch IS the abort verb); a surviving map — a kept
@@ -3104,14 +2997,9 @@ object ManifestSource {
     val wapKept = scala.collection.mutable.Set[String]()
     all.filter(_.startsWith("wapupd-")).foreach { mf =>
       val m = mf.stripPrefix("wapupd-").stripSuffix(".map")
-      val f = new java.io.File(d, mf)
-      if (!new java.io.File(d, m).exists()) { f.delete(); () }
-      else {
-        val s = scala.io.Source.fromFile(f)
-        try s.getLines().filter(_.nonEmpty)
-          .foreach(l => wapKept += l.drop(l.indexOf(',') + 1))
-        finally s.close()
-      }
+      if (!StoreFS.exists(dir, m)) { StoreFS.delete(dir, mf); () }
+      else StoreFS.readLines(dir, mf).filter(_.nonEmpty)
+        .foreach(l => wapKept += l.drop(l.indexOf(',') + 1))
     }
     // update-image sidecars are log-owned metadata, but one whose
     // EVERY referencing data file is now gone can never be planned
@@ -3126,8 +3014,8 @@ object ManifestSource {
       .groupBy(_._2).map { case (sc, prs) => sc -> prs.map(_._1).toSet }
     all.filter(_.startsWith("updk-")).foreach { sc =>
       val anyRefLives =
-        updRefs.get(sc).exists(_.exists(f => new java.io.File(d, f).exists()))
-      if (!anyRefLives && !wapKept.contains(sc)) new java.io.File(d, sc).delete()
+        updRefs.get(sc).exists(_.exists(f => StoreFS.exists(dir, f)))
+      if (!anyRefLives && !wapKept.contains(sc)) StoreFS.delete(dir, sc)
     }
     (deadManifests.length, deadData.length)
   } }
@@ -3143,8 +3031,7 @@ object ManifestSource {
     */
   private[sources] def nextGeneration(dir: String): Long = {
     val GenName = """manifest-gen(\d+)\.csv""".r
-    val gens = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
+    val gens = StoreFS.listNames(dir)
       .collect {
         case "manifest.csv" => 1L
         case "manifest-v2.csv" => 2L
@@ -3154,8 +3041,7 @@ object ManifestSource {
   }
 
   def readManifest(dir: String, manifest: String): Seq[FileEntry] = {
-    val src = scala.io.Source.fromFile(new java.io.File(dir, manifest))
-    try src.getLines().filterNot(_.startsWith("#")).map { l =>
+    StoreFS.readLines(dir, manifest).filterNot(_.startsWith("#")).map { l =>
       val a = l.split(",", -1)
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong,
         if (a.length > 4 && a(4).nonEmpty) Some(bloomFromHex(a(4))) else None,
@@ -3167,8 +3053,7 @@ object ManifestSource {
         if (a.length > 7) a.drop(7).toSeq
           .map(s => if (s.isEmpty) None else Some(s.toLong))
         else Nil)
-    }.toList
-    finally src.close()
+    }
   }
 
   def entryLine(e: FileEntry): String =
@@ -3191,7 +3076,7 @@ final class ManifestTable(dir: String, pinned: Option[String],
   override def schema(): StructType = {
     val m = ManifestSource.resolveManifest(dir, pinned)
     val base =
-      if (new java.io.File(dir, m).exists()) ManifestSource.sparkSchema(dir, m)
+      if (StoreFS.exists(dir, m)) ManifestSource.sparkSchema(dir, m)
       else StructType(ManifestSource.Schema.fields ++
         extraColsHint.map(n => StructField(n, LongType)))
     if (cdf) ManifestSource.withCdfCols(base) else base
@@ -3250,7 +3135,7 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
       // a column the store lacks needs addColumn first — appending
       // cannot evolve the schema implicitly
       val current = ManifestSource.resolveManifest(dir, None)
-      if (new java.io.File(dir, current).exists()) {
+      if (StoreFS.exists(dir, current)) {
         val cur = ManifestSource.manifestSchema(dir, current)
         require(names == cur.take(names.size),
           s"append schema $names is not a prefix of the table schema $cur — " +
@@ -3330,38 +3215,32 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // under the same lock the DML verbs commit through: a racing
       // locked append must never read a half-written manifest.csv or
       // slip its log line around the reset
-      val mw = new java.io.PrintWriter(new java.io.File(dir, "manifest.csv"), "UTF-8")
-      try {
-        // a truncate's write schema BECOMES the table schema
-        if (cols != ManifestSource.BaseCols) mw.println("#schema:" + cols.mkString(","))
-        entries.foreach(m => mw.println(line(m)))
-      } finally mw.close()
+      val sb = new StringBuilder
+      // a truncate's write schema BECOMES the table schema
+      if (cols != ManifestSource.BaseCols)
+        sb.append("#schema:" + cols.mkString(",") + "\n")
+      entries.foreach(m => sb.append(line(m) + "\n"))
+      StoreFS.writeString(dir, "manifest.csv", sb.toString)
       // a fresh base write invalidates any derived snapshot chain —
       // and the derived txn ledger and commit-log checkpoint (a NEW
       // table has no epochs and no folded history)
-      val vf = new java.io.File(dir, "VERSION")
-      if (vf.exists()) vf.delete()
-      val tc = new java.io.File(dir, "txn-cache")
-      if (tc.exists()) tc.delete()
-      val cpf = new java.io.File(dir, "checkpoint")
-      if (cpf.exists()) cpf.delete()
+      Seq("VERSION", "txn-cache", "checkpoint").foreach { n =>
+        if (StoreFS.exists(dir, n)) StoreFS.delete(dir, n)
+      }
       // ... and (re)declares the table's KEY identity: keycol=flag
       // creates a string-keyed store, absence resets to the Long `ok`
       // contract (a truncate IS a new table)
-      val kf = new java.io.File(dir, "KEYCOL")
       declareKey match {
-        case Some(k) =>
-          val kw = new java.io.PrintWriter(kf, "UTF-8")
-          try kw.println(k) finally kw.close()
-        case None => if (kf.exists()) kf.delete()
+        case Some(k) => StoreFS.writeString(dir, "KEYCOL", k + "\n")
+        case None =>
+          if (StoreFS.exists(dir, "KEYCOL")) StoreFS.delete(dir, "KEYCOL")
       }
       // ... and restarts the commit log (a NEW table's history); the
       // create line carries the initial file set as its diff
-      val lw = new java.io.PrintWriter(new java.io.File(dir, "commits.log"), "UTF-8")
-      try lw.println(s"manifest.csv,${System.currentTimeMillis()},create," +
+      StoreFS.writeString(dir, "commits.log",
+        s"manifest.csv,${System.currentTimeMillis()},create," +
         ManifestSource.encodeDiff(ManifestSource.CommitDiff.plainAdd(
-          entries.map(_.file).toSeq)) + s",rows=${entries.map(_.rows).sum}")
-      finally lw.close()
+          entries.map(_.file).toSeq)) + s",rows=${entries.map(_.rows).sum}\n")
       }
     } else {
       // IDEMPOTENT REPLAY: a tagged batch that already committed must
@@ -3379,7 +3258,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: FileCommitMessage => new java.io.File(dir, m.file).delete()
+      case m: FileCommitMessage => StoreFS.delete(dir, m.file): Unit
       case _ => ()
     }
 }
@@ -3420,13 +3299,13 @@ final class ManifestStreamingWrite(dir: String, queryId: String,
         entries.map(_.entryLine).toSeq, entries.map(_.file).toSeq,
         "stream-append", txn = Some((queryId, epochId)))
       if (!committed)
-        entries.foreach(m => new java.io.File(dir, m.file).delete())
+        entries.foreach(m => StoreFS.delete(dir, m.file))
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: FileCommitMessage => new java.io.File(dir, m.file).delete()
+      case m: FileCommitMessage => StoreFS.delete(dir, m.file): Unit
       case _ => ()
     }
 }
@@ -3473,7 +3352,7 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
 
   override def write(r: InternalRow): Unit = {
     if (w == null) {
-      new java.io.File(dir).mkdirs()
+      StoreFS.mkdirs(dir)
       w = DataFile.writer(dir, file, nCols)
     }
     val us = r.getLong(1)
@@ -3514,7 +3393,7 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
 
   override def abort(): Unit = {
     if (w != null) w.close()
-    new java.io.File(dir, file).delete()
+    StoreFS.delete(dir, file): Unit
   }
 
   override def close(): Unit = if (w != null) { w.close(); w = null }
@@ -3755,8 +3634,8 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
     // (masks only remove rows); a pruned-in file ships its dv paths so
     // the reader masks at scan time
     surviving.map(e => ManifestInputPartition(
-      new java.io.File(dir, e.file).getPath,
-      dvMap.getOrElse(e.file, Nil).map(d => new java.io.File(dir, d).getPath))
+      StoreFS.path(dir, e.file).toString,
+      dvMap.getOrElse(e.file, Nil).map(d => StoreFS.path(dir, d).toString))
       : InputPartition).toArray
   }
 
@@ -3839,7 +3718,8 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
   locally {
     val names = wanted.toSeq.map(i => if (i < cols.size) cols(i) else s"c$i")
     ManifestScan.lastReadColumns = names
-    ManifestScan.readColumnsByDir.put(new java.io.File(path).getParent, names)
+    ManifestScan.readColumnsByDir.put(
+      path.substring(0, path.lastIndexOf('/')), names)
   }
   private val cursor = DataFile.openRows(path, cols.size, wanted)
 
@@ -3964,12 +3844,11 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
     // history fails HERE with the remedy, not mid-task with a bare
     // FileNotFoundException
     def checked(i: Long, f: String): String = {
-      val p = new java.io.File(dir, f)
-      if (!p.exists()) throw new IllegalStateException(
+      if (!StoreFS.exists(dir, f)) throw new IllegalStateException(
         s"commit ${i + 1}'s file $f was vacuumed — this stream needs " +
           "history the table no longer holds; protect tailed history " +
           "with a named ref (setRef) or restart at a later startingCommit")
-      p.getPath
+      StoreFS.path(dir, f).toString
     }
     def part(i: Long, f: String, dvs: Seq[String],
         tag: Option[(String, Long)],
@@ -4034,7 +3913,7 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
   private def legacyDiff(i: Long, prev: Option[String],
       cur: String): ManifestSource.CommitDiff = {
     def entriesOf(m: String): (Seq[ManifestSource.FileEntry], Map[String, Seq[String]]) = {
-      if (!new java.io.File(dir, m).exists()) throw new IllegalStateException(
+      if (!StoreFS.exists(dir, m)) throw new IllegalStateException(
         s"commit ${i + 1}: generation manifest $m was vacuumed and its log " +
           "line predates file-diff logging — restart the stream at a later " +
           "startingCommit or protect tailed history with a named ref (setRef)")

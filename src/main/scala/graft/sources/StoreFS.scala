@@ -1,0 +1,204 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** FILESYSTEM ABSTRACTION for the manifest store's metadata and
+  * sidecar IO — the 100× deployment enabler: every read/write the
+  * store protocol does (manifests, VERSION pointer, commit log,
+  * deletion-vector and update-key sidecars, refs, checkpoint, token)
+  * routes through `org.apache.hadoop.fs.FileSystem`, so the same
+  * verbs run against HDFS/S3A by giving the table directory a scheme
+  * (`hdfs://…/table`). Local paths (no scheme) resolve to the RAW
+  * local filesystem — no `.crc` checksum twins (invisible orphan
+  * state to vacuum's referenced-set sweep), byte-identical behavior
+  * to the previous java.io implementation.
+  *
+  * Two primitives keep SCHEME-AWARE dispatch, because their atomicity
+  * source differs by store:
+  *
+  *   - [[createExclusive]] (the cross-process commit token): local
+  *     uses NIO `Files.createFile` (atomic open-exclusive at the OS);
+  *     remote uses `FileSystem.create(path, overwrite=false)`, which
+  *     HDFS makes atomic at the NameNode. (An object store without
+  *     conditional put needs an external lock service here — the
+  *     documented Delta/S3 caveat.)
+  *   - [[atomicMove]] (pointer/cache/checkpoint flips): local uses
+  *     NIO ATOMIC_MOVE; remote uses `rename`, atomic on HDFS.
+  *
+  * Everything else (streams, listing, exists, delete, length, seek)
+  * is the plain FileSystem API on both.
+  */
+private[sources] object StoreFS {
+  private def conf(): Configuration = {
+    val c = new Configuration()
+    // raw local FS (no .crc twins; append supported), cache disabled
+    // so a checksummed LocalFileSystem instance cached by Spark under
+    // the `file` scheme can never shadow this choice
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  // scheme-present ⇒ Hadoop FS path (Path.toString normalizes
+  // `file:///x` to `file:/x`, so a bare "://" test misses it)
+  private def isLocal(dir: String): Boolean =
+    !dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
+  def fs(dir: String): FileSystem = new Path(dir).getFileSystem(conf())
+
+  def path(dir: String, name: String): Path = new Path(dir, name)
+
+  def exists(dir: String, name: String): Boolean =
+    if (isLocal(dir)) new java.io.File(dir, name).exists()
+    else fs(dir).exists(path(dir, name))
+
+  def delete(dir: String, name: String): Boolean =
+    if (isLocal(dir)) new java.io.File(dir, name).delete()
+    else fs(dir).delete(path(dir, name), false)
+
+  def mkdirs(dir: String): Unit =
+    if (isLocal(dir)) { new java.io.File(dir).mkdirs(); () }
+    else { fs(dir).mkdirs(new Path(dir)); () }
+
+  def length(dir: String, name: String): Long =
+    if (isLocal(dir)) new java.io.File(dir, name).length()
+    else fs(dir).getFileStatus(path(dir, name)).getLen
+
+  def listNames(dir: String): Seq[String] =
+    if (isLocal(dir))
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSeq
+    else {
+      val p = new Path(dir)
+      val f = fs(dir)
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).map(_.getPath.getName).toSeq
+    }
+
+  /** Read a whole (metadata-class) file as UTF-8 lines. */
+  def readLines(dir: String, name: String): Seq[String] =
+    readLinesAt(path(dir, name).toString, dir)
+
+  /** [[readLines]] for an absolute or dir-relative path string (the
+    * sidecar paths shipped into task closures).
+    */
+  def readLinesAt(p: String, hint: String = ""): Seq[String] = {
+    val base = if (hint.nonEmpty) hint else p
+    if (isLocal(base)) {
+      val src = scala.io.Source.fromFile(p)
+      try src.getLines().toList finally src.close()
+    } else {
+      val in = fs(base).open(new Path(p))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+  }
+
+  /** Write a small metadata file (manifest, sidecar, ref) in full. */
+  def writeString(dir: String, name: String, content: String): Unit =
+    if (isLocal(dir)) {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try w.print(content) finally w.close()
+    } else {
+      val out = fs(dir).create(path(dir, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** Append one record to a log file (the commit log). */
+  def appendString(dir: String, name: String, content: String): Unit =
+    if (isLocal(dir)) {
+      val w = new java.io.FileWriter(new java.io.File(dir, name), true)
+      try w.write(content) finally w.close()
+    } else {
+      val f = fs(dir)
+      val p = path(dir, name)
+      val out = if (f.exists(p)) f.append(p) else f.create(p, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** Atomic pointer flip: write-then-move so a concurrent reader can
+    * never observe a torn file.
+    */
+  def atomicMove(dir: String, from: String, to: String): Unit =
+    if (isLocal(dir)) {
+      java.nio.file.Files.move(
+        new java.io.File(dir, from).toPath,
+        new java.io.File(dir, to).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val f = fs(dir)
+      val dst = path(dir, to)
+      if (f.exists(dst)) f.delete(dst, false)
+      require(f.rename(path(dir, from), dst), s"rename $from -> $to failed")
+    }
+
+  /** Atomic open-exclusive of the commit token; false when it exists. */
+  def createExclusive(dir: String, name: String): Boolean =
+    if (isLocal(dir)) {
+      try {
+        java.nio.file.Files.createFile(new java.io.File(dir, name).toPath)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs(dir).create(path(dir, name), false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+  def lastModified(dir: String, name: String): Long =
+    if (isLocal(dir)) new java.io.File(dir, name).lastModified()
+    else {
+      val f = fs(dir)
+      val p = path(dir, name)
+      if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
+    }
+
+  /** Last nonempty line of a file in O(line) IO: growing backwards
+    * chunk reads from the tail (one seek per doubling, never a full
+    * scan) — the commit log's monotone-clamp read on a million-commit
+    * table.
+    */
+  def lastLine(dir: String, name: String): Option[String] = {
+    if (!exists(dir, name)) return None
+    val len = length(dir, name)
+    if (len == 0) return None
+    var chunk = 4096L
+    while (true) {
+      val from = math.max(0L, len - chunk)
+      val s = new String(readRange(dir, name, from), "UTF-8")
+      val trimmed = s.reverse.dropWhile(c => c == '\n' || c == '\r').reverse
+      val i = trimmed.lastIndexOf('\n')
+      if (i >= 0) return Some(trimmed.substring(i + 1).trim).filter(_.nonEmpty)
+      if (from == 0L) return Some(trimmed.trim).filter(_.nonEmpty)
+      chunk *= 4
+    }
+    None // unreachable
+  }
+
+  /** Read `[from, length)` of a file as UTF-8 (the txn-cache tail
+    * scan and the backwards last-line seek).
+    */
+  def readRange(dir: String, name: String, from: Long): Array[Byte] =
+    if (isLocal(dir)) {
+      val raf = new java.io.RandomAccessFile(new java.io.File(dir, name), "r")
+      try {
+        raf.seek(from)
+        val buf = new Array[Byte]((raf.length() - from).toInt)
+        raf.readFully(buf)
+        buf
+      } finally raf.close()
+    } else {
+      val f = fs(dir)
+      val p = path(dir, name)
+      val len = f.getFileStatus(p).getLen
+      val in = f.open(p)
+      try {
+        in.seek(from)
+        val buf = new Array[Byte]((len - from).toInt)
+        in.readFully(buf)
+        buf
+      } finally in.close()
+    }
+}

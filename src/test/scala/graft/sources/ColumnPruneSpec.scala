@@ -59,7 +59,15 @@ class ColumnPruneSpec extends SparkSpec {
   }
 
   test("a deletion-vector mask widens the projection by the key columns only") {
-    val root = freshStore("mask")
+    // ONE data file so every partition reader carries the mask — a
+    // multi-file store's unmasked partitions record the narrower
+    // projection and the per-dir hook keeps whichever landed last
+    val root = java.nio.file.Files.createTempDirectory("graft_prune_mask")
+      .toFile.getAbsolutePath
+    (1L to 100L).map(i => (i, i * 1000L, s"f$i", i % 7, i * 10L))
+      .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+      .coalesce(1)
+      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
     try {
       ManifestSource.deleteKeysMoR(root, Seq(5L, 6L))
       val df = spark.read.format("graft-manifest").option("path", root).load()
