@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends Serializable {
 
+  // ImageIO's default FILE cache creates (and deletes) one temp file
+  // in java.io.tmpdir PER encode/decode call — q50g's round-trip is
+  // ~30k calls per run, and a tmpdir bloated by hundreds of earlier
+  // queries' store directories turned the r14 full-sweep q50g from
+  // ~5s to ~29s (isolated runs were unaffected — classic
+  // state-dependent slowdown). Our frames are tiny; the MEMORY cache
+  // is strictly faster and immune to tmpdir state.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** q50 — binary ingestion + metadata projection (oracle-checked):
     * text bytes stand in for media payloads; octet length and digest
     * are the typed metadata a media pipeline carries alongside the
