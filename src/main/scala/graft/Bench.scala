@@ -18,8 +18,13 @@ import org.apache.spark.sql.SparkSession
   * JSON null (never a fake fast timing).
   */
 object BenchStats {
-  /** Drop the warm-up rep (index 0) and every failed (NaN) rep. */
-  def measured(v: Vector[Double]): Vector[Double] = v.drop(1).filterNot(_.isNaN)
+  /** Drop the warm-up rep (index 0) and every failed (NaN) rep.
+    * A SINGLE-element vector is a deadline-degraded single-run query
+    * (no separate warm-up was affordable): its one rep IS the
+    * measurement, so it is kept rather than dropped.
+    */
+  def measured(v: Vector[Double]): Vector[Double] =
+    (if (v.size <= 1) v else v.drop(1)).filterNot(_.isNaN)
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) Double.NaN
@@ -34,6 +39,23 @@ object BenchStats {
   def jstr(s: String): String =
     "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                        case c if c < ' ' => " "; case c => c.toString } + "\""
+
+  /** Rep plan under a wall-clock deadline (round-14 verdict #1: two
+    * consecutive driver sweeps died rc=124 with a null artifact).
+    * Phases by elapsed fraction of the budget:
+    *   < 60%          → full plan (warm-up + 2 or 3 measured reps)
+    *   60% .. 85%     → warm-up + 1 measured rep
+    *   ≥ 85%          → ONE run total (vector of size 1 — see measured)
+    * Returned as (nMeasuredReps, singleRunOnly).
+    */
+  def repPlan(elapsedS: Double, deadlineS: Double,
+              warm: Double, slowCutoff: Double): (Int, Boolean) = {
+    val frac = if (deadlineS <= 0) 0.0 else elapsedS / deadlineS
+    if (frac >= 0.85) (0, true)
+    else if (frac >= 0.60) (1, false)
+    else if (!warm.isNaN && warm > slowCutoff) (2, false)
+    else (3, false)
+  }
 }
 
 object Bench {
@@ -41,6 +63,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Wall-clock budget in seconds. The driver's round budget is ~60
+    // min shared with its own work; default to 45 min so a co-tenanted
+    // sweep degrades (fewer reps per query) instead of being killed at
+    // the budget with NO artifact (r13+r14 both ended rc=124/null).
+    val deadlineS = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2700.0)
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,56 +113,6 @@ object Bench {
     val specs = SparkEntry.allSpecs
       .filter(s => only.isEmpty || only(s.name))
     val reps = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    // rep 0 = warm-up (recorded, excluded from the median); failed reps
-    // (NaN) are excluded from every statistic — see BenchStats.measured.
-    // 1 WARM-UP rep (discarded) + measured reps / MEDIAN per query.
-    // The r8 postmortem: a first rep carries JIT + shuffle-service +
-    // codegen-cache warm-up that a 3-rep median does NOT shed, so rep 0
-    // is recorded but never folded into the median. Wall-clock cap
-    // (r13 postmortem — the driver bench hit rc=124 at 313 queries):
-    // a query whose WARM-UP rep exceeds SLOW_CUTOFF gets 2 measured
-    // reps instead of 3. The per-rep data across r12/r13 sweeps shows
-    // multi-second queries' spread is fixed overhead (commit chains,
-    // state build), not jitter — a third rep adds wall-clock, not
-    // information. Saves ~4-6 min over the full suite.
-    val SlowCutoff = 5.0
-    specs.foreach { spec =>
-      val warm = timeOnce(spec)
-      val nMeasured = if (!warm.isNaN && warm > SlowCutoff) 2 else 3
-      reps(spec.name) = warm +: Vector.fill(nMeasured)(timeOnce(spec))
-    }
-    // second pass over the 5 slowest (by min — the robust rank): 2
-    // extra reps each. Queries with zero surviving reps sort last.
-    val worst5 = reps.toSeq.sortBy { case (_, v) => -minOr(v, Double.NegativeInfinity) }
-      .take(5).map(_._1).toSet
-    specs.filter(s => worst5(s.name)).foreach { spec =>
-      reps(spec.name) = reps(spec.name) ++ Vector.fill(2)(timeOnce(spec))
-    }
-    // TWO summary statistics per query (r10 postmortem): the MEDIAN
-    // keeps run-wide drift visible, but one co-tenant-loaded rep
-    // mid-sequence still drags it (r9→r10 totals differed 15% on
-    // identical code; q213 read 15.4s vs 3.4s steady). The MIN of the
-    // measured reps is robust to that — co-tenancy only ever slows a
-    // rep, never speeds it — so `best` is the regression-comparison
-    // metric (the headline "value"); medians stay in the artifact for
-    // drift visibility. A query whose every measured rep failed
-    // reports NaN (serialized as null) and is excluded from totals.
-    val results = reps.toSeq.map { case (k, v) => k -> median(measured(v)) }
-    val bests = reps.toSeq.map { case (k, v) => k -> minOr(v, Double.NaN) }
-    val spreads = reps.toSeq.map { case (k, v) =>
-      val m = measured(v)
-      k -> (if (m.isEmpty) Double.NaN else m.max - m.min)
-    }
-    val total = bests.map(_._2).filterNot(_.isNaN).sum
-    val medianTotal = results.map(_._2).filterNot(_.isNaN).sum
-    // Full artifact → file (r6 postmortem: the driver captures only a
-    // ~2KB stdout tail, so a 141-query line arrived decapitated and
-    // 93 timings were invisible to the judge). BENCH_LOCAL.json in the
-    // working directory carries every median, spread, and raw rep;
-    // SPARK_GRAFT_BENCH_OUT overrides the path.
-    val repsJson = reps.toSeq.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(jnum).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
     // Metric provenance (round-11 advice): "value" changed meaning in
     // round 11 from median-total to min-of-reps total (the judge's
     // prescribed co-tenancy-robust headline). Name the metric version
@@ -144,15 +124,12 @@ object Bench {
     val provenance = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROVENANCE", "unlabeled-driver-sweep")
       .flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => ""
                  case c => c.toString } // keep the artifact parseable JSON
-    val failuresJson = failCount.toSeq.map { case (k, n) =>
-      "\"" + k + "\":{\"count\":" + n + ",\"last_error\":" + jstr(failMsg.getOrElse(k, "")) + "}"
-    }.mkString("{", ",", "}")
-    val fullJson =
-      s"""{"metric":"total","metric_version":"min_of_reps_v3","provenance":"$provenance","value":$total,"unit":"sec","median_total":$medianTotal,"n_failures":${failCount.values.sum},"failures":$failuresJson,"queries":${jmap(bests)},"medians":${jmap(results)},"spreads":${jmap(spreads)},"reps":$repsJson,"sf":"$sfDir","cpus":$cpus}"""
     // Provenance guard (round-13 verdict #7): a driver (unlabeled)
     // sweep must not overwrite a committed builder-quiet-sweep artifact
     // in the work tree — it shadowed the quiet numbers every round.
     // Redirect the unlabeled write to <path>.driver.json instead.
+    // Resolved ONCE, before the sweep, because the artifact is now
+    // flushed incrementally (see writeArtifact).
     val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val outPath = {
       val p = java.nio.file.Paths.get(requested)
@@ -165,15 +142,125 @@ object Bench {
         requested.stripSuffix(".json") + ".driver.json"
       else requested
     }
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // Degradation markers: the first query run under each reduced plan
+    // (null while the full plan held all the way through).
+    var degradedWarm1At: Option[String] = None
+    var degradedSingleAt: Option[String] = None
+    // Serialize CURRENT state into the full artifact JSON. `partial`
+    // is true for every mid-sweep flush, false only for the final
+    // write — so a killed sweep leaves a parseable artifact that says
+    // so (round-14 verdict #1a: r13+r14 driver sweeps both ended
+    // rc=124 with `parsed: null`; an artifact flushed after every
+    // query makes that outcome impossible).
+    def artifactJson(partial: Boolean): String = {
+      // TWO summary statistics per query (r10 postmortem): the MEDIAN
+      // keeps run-wide drift visible, but one co-tenant-loaded rep
+      // mid-sequence still drags it (r9→r10 totals differed 15% on
+      // identical code; q213 read 15.4s vs 3.4s steady). The MIN of
+      // the measured reps is robust to that — co-tenancy only ever
+      // slows a rep, never speeds it — so `best` is the regression
+      // metric (the headline "value"); medians stay for drift.
+      val results = reps.toSeq.map { case (k, v) => k -> median(measured(v)) }
+      val bests = reps.toSeq.map { case (k, v) => k -> minOr(v, Double.NaN) }
+      val spreads = reps.toSeq.map { case (k, v) =>
+        val m = measured(v)
+        k -> (if (m.isEmpty) Double.NaN else m.max - m.min)
+      }
+      val total = bests.map(_._2).filterNot(_.isNaN).sum
+      val medianTotal = results.map(_._2).filterNot(_.isNaN).sum
+      val repsJson = reps.toSeq.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(jnum).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val failuresJson = failCount.toSeq.map { case (k, n) =>
+        "\"" + k + "\":{\"count\":" + n + ",\"last_error\":" + jstr(failMsg.getOrElse(k, "")) + "}"
+      }.mkString("{", ",", "}")
+      val degradeJson = "{\"warm1_at\":" +
+        degradedWarm1At.map(jstr).getOrElse("null") +
+        ",\"single_at\":" + degradedSingleAt.map(jstr).getOrElse("null") + "}"
+      s"""{"metric":"total","metric_version":"min_of_reps_v3","provenance":"$provenance","partial":$partial,"value":$total,"unit":"sec","median_total":$medianTotal,"n_done":${reps.size},"n_planned":${specs.size},"elapsed_s":${math.rint(elapsedS * 10) / 10},"deadline_s":$deadlineS,"degraded":$degradeJson,"n_failures":${failCount.values.sum},"failures":$failuresJson,"queries":${jmap(bests)},"medians":${jmap(results)},"spreads":${jmap(spreads)},"reps":$repsJson,"sf":"$sfDir","cpus":$cpus}"""
+    }
+    def writeArtifact(partial: Boolean): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), artifactJson(partial) + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // rep 0 = warm-up (recorded, excluded from the median); failed reps
+    // (NaN) are excluded from every statistic — see BenchStats.measured.
+    // 1 WARM-UP rep (discarded) + measured reps / MEDIAN per query.
+    // The r8 postmortem: a first rep carries JIT + shuffle-service +
+    // codegen-cache warm-up that a 3-rep median does NOT shed, so rep 0
+    // is recorded but never folded into the median. Wall-clock cap
+    // (r13 postmortem — the driver bench hit rc=124 at 313 queries):
+    // a query whose WARM-UP rep exceeds SLOW_CUTOFF gets 2 measured
+    // reps instead of 3. The per-rep data across r12/r13 sweeps shows
+    // multi-second queries' spread is fixed overhead (commit chains,
+    // state build), not jitter — a third rep adds wall-clock, not
+    // information. On top of that, the DEADLINE phases (repPlan)
+    // shrink the plan as the wall-clock budget burns down.
+    val SlowCutoff = 5.0
+    specs.foreach { spec =>
+      // Probe the phase BEFORE spending the warm-up: in the ≥85% phase
+      // a query gets exactly one execution, recorded as its own
+      // measurement (vector of size 1 — BenchStats.measured keeps it).
+      val (_, singleOnlyPre) = repPlan(elapsedS, deadlineS, 0.0, SlowCutoff)
+      if (singleOnlyPre) {
+        if (degradedSingleAt.isEmpty) {
+          degradedSingleAt = Some(spec.name)
+          System.err.println(s"[bench] deadline ${deadlineS}s ${math.rint(elapsedS)}s elapsed: single-run mode from ${spec.name}")
+        }
+        reps(spec.name) = Vector(timeOnce(spec))
+      } else {
+        val warm = timeOnce(spec)
+        val (nMeasured, singleOnly) = repPlan(elapsedS, deadlineS, warm, SlowCutoff)
+        if (singleOnly) {
+          // crossed 85% during the warm-up: keep the warm-up as the
+          // single measurement rather than spending another run
+          if (degradedSingleAt.isEmpty) degradedSingleAt = Some(spec.name)
+          reps(spec.name) = Vector(warm)
+        } else {
+          if (nMeasured == 1 && degradedWarm1At.isEmpty) {
+            degradedWarm1At = Some(spec.name)
+            System.err.println(s"[bench] deadline ${deadlineS}s ${math.rint(elapsedS)}s elapsed: warm+1 mode from ${spec.name}")
+          }
+          reps(spec.name) = warm +: Vector.fill(nMeasured)(timeOnce(spec))
+        }
+      }
+      writeArtifact(partial = true)
+    }
+    // second pass over the 5 slowest (by min — the robust rank): 2
+    // extra reps each. Skipped entirely once the deadline is past 60%
+    // — extra reps on the slowest queries are the most expensive
+    // statistics in the sweep.
+    if (elapsedS < 0.60 * deadlineS) {
+      val worst5 = reps.toSeq.sortBy { case (_, v) => -minOr(v, Double.NegativeInfinity) }
+        .take(5).map(_._1).toSet
+      specs.filter(s => worst5(s.name)).foreach { spec =>
+        reps(spec.name) = reps(spec.name) ++ Vector.fill(2)(timeOnce(spec))
+        writeArtifact(partial = true)
+      }
+    }
+    writeArtifact(partial = false)
+    // Gate-record summary (round-14 verdict #8: NOTES.md's gate record
+    // shipped as BENCH_TOTAL_PLACEHOLDER because filling it was a
+    // hand-edit). One splice-ready line, written by the sweep itself.
+    val bests = reps.toSeq.map { case (k, v) => k -> minOr(v, Double.NaN) }
+    val total = bests.map(_._2).filterNot(_.isNaN).sum
+    val medianTotal = reps.toSeq.map { case (k, v) => median(measured(v)) }
+      .filterNot(_.isNaN).sum
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val gatePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE", "BENCH_GATE.txt")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(gatePath),
+      s"bench gate: total(best)=${r3(total)}s median_total=${r3(medianTotal)}s " +
+      s"n_queries=${reps.size}/${specs.size} n_failures=${failCount.values.sum} " +
+      s"elapsed=${math.rint(elapsedS)}s deadline=${deadlineS}s " +
+      s"degraded_warm1=${degradedWarm1At.getOrElse("-")} degraded_single=${degradedSingleAt.getOrElse("-")} " +
+      s"provenance=$provenance sf=$sfDir cpus=$cpus\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $gatePath failed: $e") }
     // stdout line must FIT the tail window to stay parseable: report
     // the slowest 25 queries at ms resolution (the ones worth a
     // round-over-round diff) and point at the file for the rest.
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val slowest = bests.filterNot(_._2.isNaN).sortBy(-_._2).take(25)
       .map { case (k, v) => k -> r3(v) }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","median_total":${r3(medianTotal)},"n_failures":${failCount.values.sum},"queries":${jmap(slowest)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","median_total":${r3(medianTotal)},"n_failures":${failCount.values.sum},"queries":${jmap(slowest)},"n_queries":${reps.size},"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,4 +42,26 @@ class BenchStatsSpec extends AnyFunSuite {
   test("jstr escapes quotes, backslashes, and control chars") {
     assert(jstr("a\"b\\c\nd") == "\"a\\\"b\\\\c d\"")
   }
+
+  test("single-element vector is a degraded single-run measurement, kept") {
+    // round-14 verdict #1b: past 85% of the deadline a query gets ONE
+    // execution that IS its measurement — not a discarded warm-up
+    assert(measured(Vector(4.2)) == Vector(4.2))
+    assert(minOr(Vector(4.2), Double.NaN) == 4.2)
+    assert(measured(Vector(Double.NaN)).isEmpty) // failed single run
+  }
+
+  test("repPlan phases by elapsed fraction of the deadline") {
+    // < 60%: full plan — 3 reps fast, 2 reps past SlowCutoff
+    assert(repPlan(100.0, 2700.0, 1.0, 5.0) == ((3, false)))
+    assert(repPlan(100.0, 2700.0, 9.0, 5.0) == ((2, false)))
+    assert(repPlan(100.0, 2700.0, Double.NaN, 5.0) == ((3, false)))
+    // 60%..85%: warm + 1 regardless of speed
+    assert(repPlan(1700.0, 2700.0, 1.0, 5.0) == ((1, false)))
+    assert(repPlan(1700.0, 2700.0, 20.0, 5.0) == ((1, false)))
+    // ≥ 85%: single run only
+    assert(repPlan(2300.0, 2700.0, 1.0, 5.0) == ((0, true)))
+    // non-positive deadline never degrades
+    assert(repPlan(99999.0, 0.0, 1.0, 5.0) == ((3, false)))
+  }
 }
