@@ -223,7 +223,15 @@ object DataFile {
 
   private final class CsvCursor(path: String, arity: Int, wanted: Array[Int])
       extends RowCursor {
-    private val src = scala.io.Source.fromFile(path)
+    // Hadoop FS open (not Source.fromFile, which treats a scheme'd
+    // path like `file:/x/part-1.csv` as a literal filename) — keeps
+    // the legacy-CSV read path format-dual for remote-scheme stores,
+    // same as ParquetCursor.
+    private val src = {
+      val p = new Path(path)
+      scala.io.Source.fromInputStream(
+        p.getFileSystem(ioConf()).open(p), "UTF-8")
+    }
     private val it = src.getLines()
     private val row = new Array[Any](arity)
     private val want = wanted.toSet

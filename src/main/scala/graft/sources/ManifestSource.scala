@@ -3017,6 +3017,21 @@ object ManifestSource {
         updRefs.get(sc).exists(_.exists(f => StoreFS.exists(dir, f)))
       if (!anyRefLives && !wapKept.contains(sc)) StoreFS.delete(dir, sc)
     }
+    // orphaned write-then-move staging files (VERSION.tmp*,
+    // txn-cache.tmp*, checkpoint.tmp*, commits.log.tmp*): a crash
+    // between writeString and atomicMove leaves them behind, and no
+    // other sweep collects them. Age-gate on the token-stale threshold
+    // so an IN-FLIGHT flip on another process is never torn — under
+    // the commit lock + token any tmp older than a stale token cannot
+    // belong to a live writer.
+    val TmpName = """(?:VERSION|txn-cache|checkpoint|commits\.log)\.tmp\d+""".r
+    all.foreach {
+      case n @ TmpName() =>
+        val lm = StoreFS.lastModified(dir, n)
+        if (lm > 0L && System.currentTimeMillis() - lm > TokenStaleMs)
+          StoreFS.delete(dir, n): Unit
+      case _ => ()
+    }
     (deadManifests.length, deadData.length)
   } }
 
@@ -3581,6 +3596,18 @@ object ManifestScan {
     * own store's entry. One small Seq per table dir ever opened.
     */
   val readColumnsByDir = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Bounded put for [[readColumnsByDir]]: the hook exists for specs,
+    * but the put sits on the production scan path — a long-lived JVM
+    * scanning many table directories must not accumulate entries
+    * forever. Beyond the cap the map resets (specs read their own
+    * entry immediately after a scan, so a reset between unrelated
+    * tables is invisible to them).
+    */
+  private[sources] def recordReadColumns(d: String, names: Seq[String]): Unit = {
+    if (readColumnsByDir.size > 512) readColumnsByDir.clear()
+    readColumnsByDir.put(d, names): Unit
+  }
 }
 
 final class ManifestScan(dir: String, manifest: String, required: StructType,
@@ -3718,7 +3745,7 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
   locally {
     val names = wanted.toSeq.map(i => if (i < cols.size) cols(i) else s"c$i")
     ManifestScan.lastReadColumns = names
-    ManifestScan.readColumnsByDir.put(
+    ManifestScan.recordReadColumns(
       path.substring(0, path.lastIndexOf('/')), names)
   }
   private val cursor = DataFile.openRows(path, cols.size, wanted)

@@ -105,10 +105,16 @@ private[sources] object StoreFS {
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
 
-  /** Append one record to a log file (the commit log). */
+  /** Append one record to a log file (the commit log). UTF-8 on both
+    * branches — FileWriter would use the platform default charset,
+    * which the UTF-8 readers (readLines/readRange/lastLine) would then
+    * mis-decode on a non-UTF-8-default JVM.
+    */
   def appendString(dir: String, name: String, content: String): Unit =
     if (isLocal(dir)) {
-      val w = new java.io.FileWriter(new java.io.File(dir, name), true)
+      val w = new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(new java.io.File(dir, name), true),
+        java.nio.charset.StandardCharsets.UTF_8)
       try w.write(content) finally w.close()
     } else {
       val f = fs(dir)
@@ -135,7 +141,14 @@ private[sources] object StoreFS {
       require(f.rename(path(dir, from), dst), s"rename $from -> $to failed")
     }
 
-  /** Atomic open-exclusive of the commit token; false when it exists. */
+  /** Atomic open-exclusive of the commit token; false ONLY when the
+    * token already exists (contention). Any other IOException
+    * (permissions, connectivity) is rethrown — mapping it to false
+    * would make the caller's token spin-wait retry forever against a
+    * failure that no amount of waiting clears, with no stale-steal
+    * escape (a never-created token has lastModified 0, below the
+    * steal guard's lm > 0 gate).
+    */
   def createExclusive(dir: String, name: String): Boolean =
     if (isLocal(dir)) {
       try {
@@ -144,7 +157,12 @@ private[sources] object StoreFS {
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
       try { fs(dir).create(path(dir, name), false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if String.valueOf(e.getMessage).toLowerCase.contains("already exists") => false
+      }
     }
 
   def lastModified(dir: String, name: String): Long =

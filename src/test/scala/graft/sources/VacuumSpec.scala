@@ -90,4 +90,23 @@ class VacuumSpec extends SparkSpec {
     assert(chain(e).exists(_.isInstanceOf[java.io.FileNotFoundException]),
       s"dead pin must fail on the missing manifest, got $e")
   }
+
+  test("vacuum sweeps stale write-then-move staging orphans, keeps fresh ones") {
+    val d = freshStore("tmp")
+    // a crash between writeString and atomicMove leaves these behind
+    Seq("VERSION.tmp17", "checkpoint.tmp3", "commits.log.tmp3", "txn-cache.tmp9")
+      .foreach(n => StoreFS.writeString(d, n, "orphan"))
+    // age them past the token-stale threshold
+    val old = System.currentTimeMillis() - ManifestSource.TokenStaleMs - 5000
+    Seq("VERSION.tmp17", "checkpoint.tmp3", "commits.log.tmp3")
+      .foreach(n => new java.io.File(d, n).setLastModified(old))
+    // txn-cache.tmp9 stays FRESH — an in-flight flip must not be torn
+    ManifestSource.vacuum(d)
+    assert(!StoreFS.exists(d, "VERSION.tmp17"), "stale VERSION.tmp must be swept")
+    assert(!StoreFS.exists(d, "checkpoint.tmp3"), "stale checkpoint.tmp must be swept")
+    assert(!StoreFS.exists(d, "commits.log.tmp3"), "stale commits.log.tmp must be swept")
+    assert(StoreFS.exists(d, "txn-cache.tmp9"), "fresh staging file must survive")
+    // the table itself is untouched
+    assert(snap(d, ManifestSource.resolveManifest(d, None)).count() > 0)
+  }
 }
