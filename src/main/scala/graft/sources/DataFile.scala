@@ -10,7 +10,7 @@ import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader, ParquetWrite
 import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordConsumer, RecordMaterializer}
 import org.apache.parquet.schema.{MessageType, Types}
 import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
-import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT64}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, INT64}
 
 /** COLUMNAR DATA PLANE for the manifest store — every data file the
   * store writes is PARQUET (Snappy-compressed, dictionary-encoded,
@@ -23,13 +23,23 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT64}
   * every DML verb's semantics are unchanged; only the bytes inside
   * `part-*` data files moved to a real format.
   *
-  * Layout: positional column names `c0..cN` (c0=ok, c1=ship_us,
-  * c2=flag, c3=qty, c4=price_cents, c5+=extension columns), all
-  * OPTIONAL — a file written before an addColumn evolution simply
+  * Layout (round 15, the TYPED NAMED schema): each data file's parquet
+  * schema carries the table's REAL column names and a declared type
+  * per position — LONG (INT64), DOUBLE, or STRING (BINARY/UTF8) — all
+  * OPTIONAL. The type vector is table metadata
+  * ([[ManifestSource.tableTypes]]); positions are immutable once
+  * created, so a file written before an addColumn evolution simply
   * lacks the trailing columns and readers surface NULL, the same
-  * arity-padding contract the CSV dialect had. Rows travel as
-  * `Array[Any]` (java.lang.Long / String / null) indexed by schema
-  * position.
+  * arity-padding contract the positional dialect had. Rows travel as
+  * `Array[Any]` (java.lang.Long / java.lang.Double / String / null)
+  * indexed by schema position.
+  *
+  * Files written by earlier rounds use positional names `c0..cN`
+  * (INT64 everywhere except c2 STRING); the read side resolves a
+  * wanted position by its REAL name first and falls back to `c<i>`,
+  * and picks converters off the FILE's own parquet types — so mixed
+  * generations (old positional + new named files in one snapshot)
+  * scan seamlessly.
   *
   * The writer/reader pair below is parquet-mr's low-level
   * WriteSupport/ReadSupport API rather than the example Group API:
@@ -47,6 +57,9 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT64}
 object DataFile {
   private[sources] def colName(i: Int): String = "c" + i
 
+  // Declared column types are one char per position:
+  // 'L' = BIGINT, 'D' = DOUBLE, 'S' = STRING (see ManifestSource.tableTypes)
+
   /** Hadoop conf for the store's data files: the RAW local filesystem
     * (no `.crc` checksum twins — parquet carries its own page/footer
     * checksums, and a crc sidecar would be invisible orphan state to
@@ -61,11 +74,14 @@ object DataFile {
     c
   }
 
-  private def schemaFor(nCols: Int): MessageType = {
+  private def schemaFor(names: Seq[String], types: Seq[Char]): MessageType = {
     val b = Types.buildMessage()
-    (0 until nCols).foreach { i =>
-      if (i == 2) b.addField(Types.optional(BINARY).as(stringType).named(colName(i)))
-      else b.addField(Types.optional(INT64).named(colName(i)))
+    names.indices.foreach { i =>
+      types(i) match {
+        case 'S' => b.addField(Types.optional(BINARY).as(stringType).named(names(i)))
+        case 'D' => b.addField(Types.optional(DOUBLE).named(names(i)))
+        case _ => b.addField(Types.optional(INT64).named(names(i)))
+      }
     }
     b.named("row")
   }
@@ -77,10 +93,11 @@ object DataFile {
   // WRITE
   // ---------------------------------------------------------------
 
-  private final class RowWriteSupport(nCols: Int) extends WriteSupport[Array[Any]] {
+  private final class RowWriteSupport(names: Seq[String], types: Seq[Char])
+      extends WriteSupport[Array[Any]] {
     private var rc: RecordConsumer = _
     override def init(conf: Configuration): WriteContext =
-      new WriteContext(schemaFor(nCols),
+      new WriteContext(schemaFor(names, types),
         java.util.Collections.emptyMap[String, String]())
     override def prepareForWrite(r: RecordConsumer): Unit = rc = r
     override def write(a: Array[Any]): Unit = {
@@ -89,10 +106,13 @@ object DataFile {
       while (i < a.length) {
         val v = a(i)
         if (v != null) {
-          val n = colName(i)
+          val n = names(i)
           rc.startField(n, i)
-          if (i == 2) rc.addBinary(Binary.fromString(v.asInstanceOf[String]))
-          else rc.addLong(v.asInstanceOf[java.lang.Long].longValue())
+          types(i) match {
+            case 'S' => rc.addBinary(Binary.fromString(v.asInstanceOf[String]))
+            case 'D' => rc.addDouble(v.asInstanceOf[java.lang.Double].doubleValue())
+            case _ => rc.addLong(v.asInstanceOf[java.lang.Long].longValue())
+          }
           rc.endField(n, i)
         }
         i += 1
@@ -101,20 +121,24 @@ object DataFile {
     }
   }
 
-  private final class WriterBuilder(path: Path, nCols: Int)
+  private final class WriterBuilder(path: Path, names: Seq[String], types: Seq[Char])
       extends ParquetWriter.Builder[Array[Any], WriterBuilder](path) {
     override def self(): WriterBuilder = this
     override def getWriteSupport(conf: Configuration): WriteSupport[Array[Any]] =
-      new RowWriteSupport(nCols)
+      new RowWriteSupport(names, types)
   }
 
-  /** Streaming row writer for one data file of `nCols` columns.
-    * Values: java.lang.Long (or null) everywhere except position 2
-    * (String). Rows shorter than nCols are padded with trailing nulls.
+  /** Streaming row writer for one data file shaped (names, types).
+    * Values: java.lang.Long / java.lang.Double / String (or null) by
+    * declared position type. Rows shorter than the arity are padded
+    * with trailing nulls.
     */
-  final class Writer(pathStr: String, nCols: Int) extends AutoCloseable {
+  final class Writer(pathStr: String, names: Seq[String], types: Seq[Char])
+      extends AutoCloseable {
+    private val nCols = names.size
+    require(types.size == nCols, s"types ${types.size} != names $nCols")
     private val w: ParquetWriter[Array[Any]] =
-      new WriterBuilder(new Path(pathStr), nCols)
+      new WriterBuilder(new Path(pathStr), names, types)
         .withConf(ioConf())
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
@@ -141,24 +165,33 @@ object DataFile {
     override def close(): Unit = w.close()
   }
 
-  def writer(dir: String, name: String, nCols: Int): Writer =
-    new Writer(new Path(dir, name).toString, nCols)
+  def writer(dir: String, name: String, names: Seq[String],
+      types: Seq[Char]): Writer =
+    new Writer(new Path(dir, name).toString, names, types)
 
   // ---------------------------------------------------------------
   // READ
   // ---------------------------------------------------------------
 
-  private final class RowMaterializer(requested: MessageType, arity: Int)
-      extends RecordMaterializer[Array[Any]] {
+  private final class RowMaterializer(requested: MessageType, arity: Int,
+      idxOf: String => Int) extends RecordMaterializer[Array[Any]] {
     private val row = new Array[Any](arity)
     private val root: GroupConverter = new GroupConverter {
       private val convs: Array[Converter] =
         (0 until requested.getFieldCount).map { j =>
-          val idx = requested.getFieldName(j).stripPrefix("c").toInt
-          if (idx == 2) new PrimitiveConverter {
-            override def addBinary(b: Binary): Unit = row(idx) = b.toStringUsingUTF8
-          } else new PrimitiveConverter {
-            override def addLong(v: Long): Unit = row(idx) = java.lang.Long.valueOf(v)
+          val idx = idxOf(requested.getFieldName(j))
+          // converter by the FILE's own column type — self-describing,
+          // so positional legacy files and typed named files mix freely
+          requested.getType(j).asPrimitiveType().getPrimitiveTypeName match {
+            case BINARY => new PrimitiveConverter {
+              override def addBinary(b: Binary): Unit = row(idx) = b.toStringUsingUTF8
+            }
+            case DOUBLE => new PrimitiveConverter {
+              override def addDouble(v: Double): Unit = row(idx) = java.lang.Double.valueOf(v)
+            }
+            case _ => new PrimitiveConverter {
+              override def addLong(v: Long): Unit = row(idx) = java.lang.Long.valueOf(v)
+            }
           }
         }.toArray
       override def getConverter(j: Int): Converter = convs(j)
@@ -170,15 +203,23 @@ object DataFile {
     override def getRootConverter: GroupConverter = root
   }
 
-  private final class RowReadSupport(wanted: Array[Int], arity: Int)
-      extends ReadSupport[Array[Any]] {
+  private final class RowReadSupport(wanted: Array[Int], arity: Int,
+      names: Seq[String]) extends ReadSupport[Array[Any]] {
+    // requested-field-name → row position, covering both dialects
+    private def idxOf(n: String): Int = {
+      val i = names.indexOf(n)
+      if (i >= 0) i else n.stripPrefix("c").toInt
+    }
     override def init(ctx: InitContext): ReadContext = {
       val file = ctx.getFileSchema
       val b = Types.buildMessage()
-      // projection = wanted ∩ file columns; a wanted column the file
-      // predates surfaces null from the materializer's cleared slots
+      // projection = wanted ∩ file columns, resolved by the position's
+      // REAL name first, the legacy positional `c<i>` second; a wanted
+      // column the file predates surfaces null from the materializer's
+      // cleared slots
       wanted.sorted.foreach { i =>
-        val n = colName(i)
+        val n = if (i < names.size && file.containsField(names(i))) names(i)
+          else colName(i)
         if (file.containsField(n))
           b.addField(file.getType(file.getFieldIndex(n)))
       }
@@ -187,20 +228,23 @@ object DataFile {
     override def prepareForRead(conf: Configuration,
         meta: java.util.Map[String, String], fileSchema: MessageType,
         ctx: ReadContext): RecordMaterializer[Array[Any]] =
-      new RowMaterializer(ctx.getRequestedSchema, arity)
+      new RowMaterializer(ctx.getRequestedSchema, arity, idxOf)
   }
 
   /** Iterator over one data file's rows as positional `Array[Any]` of
     * length `arity` (the SNAPSHOT schema arity — files written before
     * an evolution pad with nulls). Only `wanted` positions are
     * populated; for a parquet file only those columns are decoded
-    * (true columnar pruning). The returned array is REUSED between
-    * rows — consume or copy before advancing. Dispatches on extension:
-    * `.csv` files read through the legacy line-split dialect.
+    * (true columnar pruning). `names` are the snapshot's column names
+    * (positional-name fallback covers legacy files). The returned
+    * array is REUSED between rows — consume or copy before advancing.
+    * Dispatches on extension: `.csv` files read through the legacy
+    * line-split dialect.
     */
-  def openRows(path: String, arity: Int, wanted: Array[Int]): RowCursor =
+  def openRows(path: String, arity: Int, wanted: Array[Int],
+      names: Seq[String]): RowCursor =
     if (isCsv(path)) new CsvCursor(path, arity, wanted)
-    else new ParquetCursor(path, arity, wanted)
+    else new ParquetCursor(path, arity, wanted, names)
 
   sealed trait RowCursor extends AutoCloseable {
     /** Advance; false at EOF. */
@@ -209,10 +253,10 @@ object DataFile {
     def get(): Array[Any]
   }
 
-  private final class ParquetCursor(path: String, arity: Int, wanted: Array[Int])
-      extends RowCursor {
+  private final class ParquetCursor(path: String, arity: Int, wanted: Array[Int],
+      names: Seq[String]) extends RowCursor {
     private val r: ParquetReader[Array[Any]] =
-      ParquetReader.builder(new RowReadSupport(wanted, arity), new Path(path))
+      ParquetReader.builder(new RowReadSupport(wanted, arity, names), new Path(path))
         .withConf(ioConf())
         .build()
     private var cur: Array[Any] = _
@@ -226,7 +270,8 @@ object DataFile {
     // Hadoop FS open (not Source.fromFile, which treats a scheme'd
     // path like `file:/x/part-1.csv` as a literal filename) — keeps
     // the legacy-CSV read path format-dual for remote-scheme stores,
-    // same as ParquetCursor.
+    // same as ParquetCursor. Legacy dialect predates typed schemas:
+    // position 2 is the string column, everything else BIGINT.
     private val src = {
       val p = new Path(path)
       scala.io.Source.fromInputStream(

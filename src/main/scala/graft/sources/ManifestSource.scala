@@ -65,13 +65,14 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
         if (StoreFS.exists(dir, m)) ManifestSource.sparkSchema(dir, m)
         else
           // a FRESH store's truncate write may declare extension
-          // columns up front (`extracols=c0,c1,…`) — the write schema
+          // columns up front (`extracols=c0,c1:d,c2:s,…` — optional
+          // `:l|:d|:s` type suffix, BIGINT default) — the write schema
           // becomes the table schema, but Spark validates arity
           // against inferSchema BEFORE the write builds, so the hint
           // has to surface here
           StructType(ManifestSource.Schema.fields ++
-            Option(options.get("extracols")).toSeq.flatMap(_.split(','))
-              .filter(_.nonEmpty).map(n => StructField(n, LongType)))
+            ManifestSource.parseExtraHint(
+              Option(options.get("extracols")).getOrElse("")))
       }
     if (cdf) ManifestSource.withCdfCols(base) else base
   }
@@ -114,10 +115,86 @@ object ManifestSource {
       case _ => BaseCols
     }
 
-  /** Spark schema of a manifest generation (base + BIGINT extras). */
-  def sparkSchema(dir: String, manifest: String): StructType =
-    StructType(Schema.fields ++ manifestSchema(dir, manifest)
-      .drop(BaseCols.size).map(n => StructField(n, LongType)))
+  /** Default declared type of a position when the table carries no
+    * SCHEMA_TYPES record — the legacy shape: BIGINT everywhere except
+    * the string column at position 2.
+    */
+  def defaultType(pos: Int): Char = if (pos == 2) 'S' else 'L'
+
+  private[sources] val BaseTypes: Seq[Char] = BaseCols.indices.map(defaultType)
+
+  /** DECLARED COLUMN TYPES — one char per position: 'L' BIGINT,
+    * 'D' DOUBLE, 'S' STRING. Table-level metadata (the `SCHEMA_TYPES`
+    * file, like `KEYCOL`), NOT per-manifest, because a position's type
+    * is immutable once created: schema evolution only appends columns,
+    * so a pinned pre-evolution manifest reads a PREFIX of the vector
+    * and time travel/restore stay exact without per-generation copies.
+    * Absent file (every store created before round 15, and every
+    * all-default store) → positional defaults. The vector is padded
+    * with defaults to `nCols`, so a type registered by a racing
+    * addColumn beyond this snapshot's arity is simply ignored.
+    */
+  def tableTypes(dir: String, nCols: Int): Seq[Char] = {
+    val declared =
+      if (!StoreFS.exists(dir, "SCHEMA_TYPES")) ""
+      else StoreFS.readLines(dir, "SCHEMA_TYPES").headOption.getOrElse("").trim
+    (0 until nCols).map(i => if (i < declared.length) declared(i) else defaultType(i))
+  }
+
+  private[sources] def writeTableTypes(dir: String, types: Seq[Char]): Unit = {
+    require(types.forall(c => c == 'L' || c == 'D' || c == 'S'),
+      s"column types must be L/D/S, got ${types.mkString}")
+    if (types == types.indices.map(defaultType)) {
+      // all-default: no record needed (and truncate back to the legacy
+      // shape must not leave a stale longer vector behind)
+      if (StoreFS.exists(dir, "SCHEMA_TYPES")) StoreFS.delete(dir, "SCHEMA_TYPES"): Unit
+    } else StoreFS.writeString(dir, "SCHEMA_TYPES", types.mkString + "\n")
+  }
+
+  /** Spark type of a declared column-type char. */
+  def sparkTypeOf(c: Char): org.apache.spark.sql.types.DataType = c match {
+    case 'S' => StringType
+    case 'D' => org.apache.spark.sql.types.DoubleType
+    case _ => LongType
+  }
+
+  /** Parse an `extracols` hint — comma list of `name[:l|:d|:s]`
+    * entries (BIGINT default) — into extension StructFields.
+    */
+  private[sources] def parseExtraHint(spec: String): Seq[StructField] =
+    spec.split(',').filter(_.nonEmpty).toSeq.map { e =>
+      e.split(':') match {
+        case Array(n) => StructField(n, LongType)
+        case Array(n, t) if t.length == 1 =>
+          StructField(n, sparkTypeOf(t.head.toUpper))
+        case _ => throw new IllegalArgumentException(
+          s"bad extracols entry `$e` — expected name[:l|:d|:s]")
+      }
+    }
+
+  private[sources] def typeCharOf(dt: org.apache.spark.sql.types.DataType): Char =
+    dt match {
+      case StringType => 'S'
+      case org.apache.spark.sql.types.DoubleType => 'D'
+      case _ => 'L'
+    }
+
+  /** (column names, declared types) of a snapshot — the shape every
+    * rewrite verb reads and writes data files in.
+    */
+  private[sources] def tableShape(dir: String,
+      manifest: String): (Seq[String], Seq[Char]) = {
+    val names = manifestSchema(dir, manifest)
+    (names, tableTypes(dir, names.size))
+  }
+
+  /** Spark schema of a manifest generation (base + declared-type extras). */
+  def sparkSchema(dir: String, manifest: String): StructType = {
+    val names = manifestSchema(dir, manifest)
+    val types = tableTypes(dir, names.size)
+    StructType(Schema.fields ++ names.zipWithIndex.drop(BaseCols.size)
+      .map { case (n, i) => StructField(n, sparkTypeOf(types(i))) })
+  }
 
   /** The change-feed read shape: table columns plus the event class
     * and the commit-log index it came from (Delta CDF's
@@ -419,9 +496,10 @@ object ManifestSource {
     * file (a legacy delete then a string delete); [[hitLine]] checks
     * whichever sets are populated.
     */
-  private[sources] final case class DvMask(longs: Set[Long], strs: Set[String])
+  private[sources] final case class DvMask(longs: Set[Long], strs: Set[String],
+      tuples: Set[Seq[String]] = Set.empty, tupleIdx: Seq[Int] = Nil)
       extends Serializable {
-    def isEmpty: Boolean = longs.isEmpty && strs.isEmpty
+    def isEmpty: Boolean = longs.isEmpty && strs.isEmpty && tuples.isEmpty
     /** Row-level mask test on the positional row values (`ok`, `flag`)
       * of the columnar data plane — null-safe because a masked key is
       * by definition a concrete key.
@@ -430,22 +508,73 @@ object ManifestSource {
       (longs.nonEmpty && ok != null &&
         longs.contains(ok.asInstanceOf[java.lang.Long].longValue())) ||
         (strs.nonEmpty && flag != null && strs.contains(flag.asInstanceOf[String]))
+    /** [[hit]] over the FULL positional row — required for COMPOSITE
+      * keys, whose tuple may reach any base column; raw-value compare
+      * (stringified per component), so hash collisions cannot
+      * misclassify a row.
+      */
+    def hitVals(a: Array[Any]): Boolean =
+      hit(a(0), a(2)) ||
+        (tuples.nonEmpty && tupleIdx.forall(i => a(i) != null) &&
+          tuples.contains(tupleIdx.map(i => String.valueOf(a(i)))))
   }
 
   private[sources] val StrKeyHeader = "#key:flag"
 
+  /** Escape one raw tuple component for a one-line-per-key sidecar:
+    * '%', ',' and newlines percent-encode, everything else raw.
+    * (Mono-key sidecars carry single raw values per line and need no
+    * escaping — this is only the tuple dialect.)
+    */
+  private[sources] def escKeyPart(v: String): String =
+    v.flatMap {
+      case '%' => "%25"
+      case ',' => "%2C"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c => c.toString
+    }
+
+  private[sources] def unescKeyPart(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '%' && i + 2 < v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(v(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Load a file's sidecars (absolute or dir-relative paths) into one
-    * [[DvMask]]. Bounded: each sidecar is one delete batch.
+    * [[DvMask]]. Bounded: each sidecar is one delete batch. Dialects
+    * by header: none = legacy Long `ok` keys; `#key:flag` = raw
+    * string keys; `#key:<c1>,<c2>,…` = COMPOSITE raw tuples (one
+    * %-escaped CSV line per key; all tuple sidecars of one store
+    * share the declared key columns).
     */
   private[sources] def readDvMask(paths: Seq[String]): DvMask = {
     var lk = Set.empty[Long]
     var sk = Set.empty[String]
+    var tk = Set.empty[Seq[String]]
+    var ti = Seq.empty[Int]
     paths.foreach { p =>
       val lines = StoreFS.readLinesAt(p).filter(_.nonEmpty).map(_.trim)
-      if (lines.headOption.contains(StrKeyHeader)) sk ++= lines.tail
-      else lk ++= lines.map(_.toLong)
+      lines.headOption match {
+        case Some(StrKeyHeader) => sk ++= lines.tail
+        case Some(h) if h.startsWith("#key:") =>
+          val kcols = h.stripPrefix("#key:").split(',').toSeq
+          val idx = kcols.map(BaseCols.indexOf)
+          require(idx.forall(_ >= 0), s"unknown key columns in sidecar header $h")
+          require(ti.isEmpty || ti == idx,
+            s"conflicting tuple key columns across sidecars: $ti vs $idx")
+          ti = idx
+          tk ++= lines.tail.map(_.split(",", -1).toSeq.map(unescKeyPart))
+        case _ => lk ++= lines.map(_.toLong)
+      }
     }
-    DvMask(lk, sk)
+    DvMask(lk, sk, tk, ti)
   }
 
   /** Serializes snapshot commits within this JVM — the FAST PATH in
@@ -636,6 +765,12 @@ object ManifestSource {
     writeTxnCache(dir, txn.foldLeft(ledger) { case (m, (q, e)) =>
       if (m.get(q).forall(_ < e)) m.updated(q, e) else m
     })
+    // auto-checkpoint cadence: every appendCommitLog caller holds the
+    // commit lock + token, so the fold runs inline; O(N) log read only
+    // on tables that DECLARED a cadence
+    checkpointCadence(dir).foreach { n =>
+      if (readCommitLogEntries(dir).size >= n) { checkpointLocked(dir); () }
+    }
   }
 
   /** A trunk commit's file-set diff as recorded in its log line:
@@ -769,6 +904,32 @@ object ManifestSource {
     */
   def checkpointCommitLog(dir: String): LogCheckpoint =
     commitLock.synchronized { withCommitToken(dir) {
+      checkpointLocked(dir)
+    } }
+
+  /** AUTO-CHECKPOINT CADENCE — Delta's checkpoint-every-N-commits as
+    * a TABLE PROPERTY (`CHECKPOINT_EVERY`, an integer): every commit
+    * that leaves the log at ≥ N lines folds it from the commit path
+    * itself, under the already-held lock + token, so the log (and any
+    * from-scratch scan of it) stays bounded on tables nobody
+    * remembers to checkpoint by hand. Absent property = manual-only
+    * (the q307 verb), exactly the previous behavior.
+    */
+  def setCheckpointCadence(dir: String, every: Int): Unit = {
+    require(every > 0, s"checkpoint cadence must be positive, got $every")
+    StoreFS.writeString(dir, "CHECKPOINT_EVERY", every.toString + "\n")
+  }
+
+  private[sources] def checkpointCadence(dir: String): Option[Int] =
+    if (!StoreFS.exists(dir, "CHECKPOINT_EVERY")) None
+    else StoreFS.readLines(dir, "CHECKPOINT_EVERY").headOption
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt)
+
+  /** [[checkpointCommitLog]]'s body, callable where the commit lock +
+    * cross-process token are ALREADY held (the auto-cadence hook fires
+    * inside a commit; re-acquiring the token file would self-deadlock).
+    */
+  private def checkpointLocked(dir: String): LogCheckpoint = {
       val prior = readLogCheckpoint(dir)
       val entries = readCommitLogEntries(dir)
       require(entries.nonEmpty, "checkpoint: no commits to fold")
@@ -793,7 +954,7 @@ object ManifestSource {
       // the cache rebuilds over the (empty) tail
       if (StoreFS.exists(dir, "txn-cache")) StoreFS.delete(dir, "txn-cache")
       cp
-    } }
+  }
 
   def readCommitLog(dir: String): Seq[String] =
     readCommitLogTimed(dir).map(_._1)
@@ -1052,10 +1213,15 @@ object ManifestSource {
   private[sources] def commitAppend(dir: String, writeCols: Seq[String],
       entryLines: Seq[String], files: Seq[String], op: String,
       txn: Option[(String, Long)] = None,
-      skip: Seq[FileEntry] => Boolean = _ => false): Boolean =
+      skip: Seq[FileEntry] => Boolean = _ => false,
+      writeTypes: Seq[Char] = Nil): Boolean =
     commitLock.synchronized { withCommitToken(dir) {
       val current = resolveManifest(dir, None)
       val exists = StoreFS.exists(dir, current)
+      // a table-CREATING append (e.g. a stream's first epoch) declares
+      // the write's column types; on an existing table validated()
+      // already proved them equal to the declared vector
+      if (!exists && writeTypes.nonEmpty) writeTableTypes(dir, writeTypes)
       val existing = if (exists) readManifest(dir, current) else Nil
       // epoch dedup through the O(1) incremental ledger — epochs are
       // monotone per query, so committed ⇔ epoch ≤ the query's max
@@ -1110,14 +1276,28 @@ object ManifestSource {
     * answered SUM pushdown exact across mixed generations (old-only
     * scans answer NULL straight from the manifest).
     */
-  def addColumn(dir: String, colName: String): String = {
-    val current = resolveManifest(dir, None)
-    val cols = manifestSchema(dir, current)
-    require(!cols.contains(colName), s"column $colName already exists")
-    require(colName.nonEmpty && !colName.contains(",") && !colName.contains("#"),
-      s"invalid column name: $colName")
-    commitSnapshot(dir, current, Set.empty, Nil, _ => None,
-      schemaOverride = Some(cols :+ colName), op = "add-column")
+  def addColumn(dir: String, colName: String, tpe: Char = 'L'): String = {
+    require(tpe == 'L' || tpe == 'D' || tpe == 'S',
+      s"column type must be 'L' (BIGINT), 'D' (DOUBLE) or 'S' (STRING), got $tpe")
+    commitLock.synchronized {
+      val current = resolveManifest(dir, None)
+      val cols = manifestSchema(dir, current)
+      require(!cols.contains(colName), s"column $colName already exists")
+      require(colName.nonEmpty && !colName.contains(",") && !colName.contains("#"),
+        s"invalid column name: $colName")
+      // register the new position's type BEFORE the schema commit (a
+      // concurrent reader seeing a vector longer than its snapshot's
+      // arity truncates it — harmless; the reverse order would let a
+      // reader briefly default a DOUBLE column to BIGINT). Rolled back
+      // if the commit conflicts, under the same JVM lock the racing
+      // addColumn serializes through.
+      val prevTypes = tableTypes(dir, cols.size)
+      if (tpe != defaultType(cols.size))
+        writeTableTypes(dir, prevTypes :+ tpe)
+      try commitSnapshot(dir, current, Set.empty, Nil, _ => None,
+        schemaOverride = Some(cols :+ colName), op = "add-column")
+      catch { case e: Throwable => writeTableTypes(dir, prevTypes); throw e }
+    }
   }
 
   /** COMPACTION + snapshot commit: capacity-chunk the current
@@ -1159,7 +1339,8 @@ object ManifestSource {
     var cum = 0L
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
-    val arity = manifestSchema(dir, from).size
+    val (shpNames, shpTypes) = tableShape(dir, from)
+    val arity = shpNames.size
     val grouped = entries.map { e =>
       val g = cum / targetRows; cum += e.rows; (g, e)
     }.groupBy(_._1).toSeq.sortBy(_._1)
@@ -1169,10 +1350,10 @@ object ManifestSource {
         val out = s"part-c$gen-e$ep-$g.parquet"
         // row copy in input order (the parquet analogue of the line
         // concatenation): stats still MERGE below — nothing recomputes
-        val w = DataFile.writer(dir, out, arity)
+        val w = DataFile.writer(dir, out, shpNames, shpTypes)
         try es.foreach { e =>
           val c = DataFile.openRows(StoreFS.path(dir, e.file).toString,
-            arity, DataFile.allCols(arity))
+            arity, DataFile.allCols(arity), shpNames)
           try { while (c.next()) w.write(c.get()) } finally c.close()
         } finally w.close()
         // bloom union = bitwise OR, sums = addition (both mergeable,
@@ -1222,9 +1403,13 @@ object ManifestSource {
       while (i < a.length) {
         val j = i - 5
         while (sums.size <= j) { sums += 0L; has += false }
-        if (a(i) != null) {
-          sums(j) += a(i).asInstanceOf[java.lang.Long].longValue()
-          has(j) = true
+        // per-file SUM stats exist only for BIGINT extras; DOUBLE and
+        // STRING extras carry none (their values pass through the
+        // rewrite untouched) — the stats-answered aggregate path gates
+        // xsum pushdown to 'L'-typed columns to match
+        a(i) match {
+          case l: java.lang.Long => sums(j) += l.longValue(); has(j) = true
+          case _ => ()
         }
         i += 1
       }
@@ -1276,7 +1461,7 @@ object ManifestSource {
     val dvKeys = candidates.flatMap(e =>
       dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
     val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep, dvKeys,
-      manifestSchema(dir, base).size)
+      tableShape(dir, base))
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry = writeInsertFile(dir, inserts, gen, ep)
@@ -1377,15 +1562,18 @@ object ManifestSource {
       dir: String, candidates: Seq[FileEntry],
       upMap: Map[Long, (Long, Long, String, Long, Long)],
       gen: Long, ep: Long,
-      dvKeys: Map[String, Set[Long]], arity: Int): Array[(String, FileEntry, List[Long])] =
+      dvKeys: Map[String, Set[Long]],
+      shape: (Seq[String], Seq[Char])): Array[(String, FileEntry, List[Long])] = {
+    val (shpNames, shpTypes) = shape
+    val arity = shpNames.size
     spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
         val masked = dvKeys.getOrElse(e.file, Set.empty)
         val out = rewriteName(s"part-m$gen-e$ep", e.file)
         val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
-          arity, DataFile.allCols(arity))
-        val w = DataFile.writer(dir, out, arity)
+          arity, DataFile.allCols(arity), shpNames)
+        val w = DataFile.writer(dir, out, shpNames, shpTypes)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
@@ -1421,6 +1609,7 @@ object ManifestSource {
           FileEntry(out, mn, mx, n, Some(bloom), Some((qs, ps)), ex.result),
           matchedHere)
       }.collect()
+  }
 
   /** One update-key sidecar: the matched (updated) keys of a MERGE
     * commit, one per line — CDF metadata referenced from the commit
@@ -1458,30 +1647,59 @@ object ManifestSource {
   private def updSidecarsDF(spark: org.apache.spark.sql.SparkSession,
       dir: String, matched: org.apache.spark.sql.DataFrame,
       entries: Seq[FileEntry], tag: String,
-      strKey: Boolean = false): Map[String, String] = {
+      strKey: Boolean = false): Map[String, String] =
+    updSidecarsBy(spark, dir,
+      matched.selectExpr(if (strKey) "flag" else "ok").distinct(),
+      entries, tag,
+      if (strKey) Seq(StrKeyHeader) else Nil,
+      raw = r => if (strKey) r.getString(0) else r.getLong(0).toString,
+      hash = r => if (strKey) strKeyHash(r.getString(0)) else r.getLong(0))
+
+  /** [[updSidecarsDF]] for COMPOSITE keys: one `#key:<c1>,<c2>,…`
+    * sidecar per touched file, raw %-escaped tuple lines, blooms
+    * grouped by the tuple hash ([[compositeKeyHash]]).
+    */
+  private def updSidecarsCompositeDF(spark: org.apache.spark.sql.SparkSession,
+      dir: String, matched: org.apache.spark.sql.DataFrame,
+      entries: Seq[FileEntry], tag: String,
+      kcols: Seq[String]): Map[String, String] = {
     import org.apache.spark.sql.functions.col
+    val isStr = kcols.map(_ == "flag")
+    val h = compositeHashOf(kcols)
+    updSidecarsBy(spark, dir, matched.select(kcols.map(col): _*).distinct(),
+      entries, tag, Seq("#key:" + kcols.mkString(",")),
+      raw = r => kcols.indices.map(j => escKeyPart(
+        if (isStr(j)) r.getString(j) else r.getLong(j).toString))
+        .mkString(","),
+      hash = h)
+  }
+
+  private def updSidecarsBy(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keys: org.apache.spark.sql.DataFrame,
+      entries: Seq[FileEntry], tag: String, hdr: Seq[String],
+      raw: org.apache.spark.sql.Row => String,
+      hash: org.apache.spark.sql.Row => Long): Map[String, String] = {
     val n = entries.size
     if (n == 0) Map.empty
     else {
       val bc = spark.sparkContext.broadcast(entries.map(_.bloom).toArray)
       val dirB = dir
-      matched.select(col(if (strKey) "flag" else "ok")).distinct().rdd
+      keys.rdd
         .mapPartitions { it =>
           val bs = bc.value
           it.flatMap { r =>
             // blooms group by the 64-bit key identity; the sidecar
             // line carries the RAW key (the split compares raw)
-            val raw = if (strKey) r.getString(0) else r.getLong(0).toString
-            val h = if (strKey) strKeyHash(r.getString(0)) else r.getLong(0)
+            val rw = raw(r)
+            val hh = hash(r)
             (0 until n).iterator
-              .filter(i => bs(i).forall(bloomMightContain(_, h)))
-              .map(i => (i, raw))
+              .filter(i => bs(i).forall(bloomMightContain(_, hh)))
+              .map(i => (i, rw))
           }
         }
         .groupByKey(math.max(1, math.min(n, 64)))
         .map { case (i, ks) =>
           val name = s"updk-$tag-f$i.keys"
-          val hdr = if (strKey) Seq(StrKeyHeader) else Nil
           StoreFS.writeString(dirB, name,
             (hdr ++ ks.toSeq.sorted.map(_.toString)).map(_ + "\n").mkString)
           (i, name)
@@ -1499,7 +1717,7 @@ object ManifestSource {
     if (inserts.isEmpty) None
     else {
       val out = s"part-m$gen-e$ep-insert.parquet"
-      val w = DataFile.writer(dir, out, BaseCols.size)
+      val w = DataFile.writer(dir, out, BaseCols, BaseTypes)
       val bloom = new Array[Long](BloomWords)
       try inserts.foreach { case (ok, us, fl, q, pc) =>
         w.writeBase(ok, us, fl, q, pc)
@@ -1533,7 +1751,7 @@ object ManifestSource {
     val snap = from.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, snap)
     val cols = manifestSchema(dir, snap)
-    val nExtras = cols.size - BaseCols.size
+    val shape = (cols, tableTypes(dir, cols.size))
     val totalRows = entries.map(_.rows).sum
     val nGroups = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
     val rk = rowKeyOf(dir) // re-clustered blooms keep the store's key type
@@ -1544,7 +1762,7 @@ object ManifestSource {
       .select(cols.map(col): _*)
       .repartitionByRange(nGroups, col("ship_us"))
       .sortWithinPartitions(col("ship_us"))
-    val stats = writeShaped(spark, dir, rows, s"part-s$gen-e$ep", nExtras,
+    val stats = writeShaped(spark, dir, rows, s"part-s$gen-e$ep", shape,
       insMarker = false, key = rk).map(_._1)
     val name = commitSnapshot(dir, snap, entries.map(_.file).toSet,
       stats.toSeq.sortBy(_.min), _ => None, op = "compact-sorted")
@@ -1671,15 +1889,16 @@ object ManifestSource {
       dvm.get(e.file).map(d =>
         e.file -> readDvMask(d.map(StoreFS.path(dir, _).toString)))).toMap
     val rk = rowKeyOf(dir)
-    val arity = manifestSchema(dir, current).size
+    val (shpNames, shpTypes) = tableShape(dir, current)
+    val arity = shpNames.size
     val rewritten = spark.sparkContext
       .parallelize(straddle, straddle.size.max(1))
       .map { e =>
         val masked = dvMaskLocal.getOrElse(e.file, DvMask(Set.empty, Set.empty))
         val out = rewriteName(s"part-d$ep", e.file)
         val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
-          arity, DataFile.allCols(arity))
-        val w = DataFile.writer(dir, out, arity)
+          arity, DataFile.allCols(arity), shpNames)
+        val w = DataFile.writer(dir, out, shpNames, shpTypes)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
@@ -1689,7 +1908,7 @@ object ManifestSource {
           val us = a(1).asInstanceOf[java.lang.Long].longValue()
           // masked rows are already deleted; the straddle rewrite
           // applies the mask physically alongside the range purge
-          if (us >= cutoffUs && !masked.hit(a(0), a(2))) {
+          if (us >= cutoffUs && !masked.hitVals(a)) {
             w.write(a); n += 1
             if (us < mn) mn = us
             if (us > mx) mx = us
@@ -1767,7 +1986,7 @@ object ManifestSource {
     val dvKeys = candidates.flatMap(e =>
       dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
     val rewritten = rewriteForMerge(spark, dir, candidates, upMap, gen, ep, dvKeys,
-      manifestSchema(dir, current).size)
+      tableShape(dir, current))
     val matched = rewritten.flatMap(_._3).toSet
     val inserts = updates.filterNot(u => matched(u._1))
     val insertEntry = writeInsertFile(dir, inserts, gen, ep)
@@ -1942,7 +2161,7 @@ object ManifestSource {
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
-    val nExtras = cols.size - BaseCols.size
+    val shape = (cols, tableTypes(dir, cols.size))
     // multi-match is an error, like SQL MERGE — checked distributed
     val maxDup = source.groupBy(col("ok")).count()
       .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
@@ -1976,7 +2195,7 @@ object ManifestSource {
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
       val shaped = merged.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
-      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", nExtras,
+      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", shape,
         insMarker = true)
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val inserted = written.map(_._2).sum
@@ -2019,7 +2238,7 @@ object ManifestSource {
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
-    val nExtras = cols.size - BaseCols.size
+    val shape = (cols, tableTypes(dir, cols.size))
     val (candNames, srcBloom) = probeCandidates(spark, keys, "ok", entries)
     val candSet = candNames.toSet
     val candidates = entries.filter(e => candSet.contains(e.file))
@@ -2037,7 +2256,7 @@ object ManifestSource {
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 1)
       val shaped = survivors.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
-      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", nExtras,
+      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", shape,
         insMarker = false)
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val name = commitSnapshot(dir, current, candSet,
@@ -2127,7 +2346,7 @@ object ManifestSource {
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
-    val nExtras = cols.size - BaseCols.size
+    val shape = (cols, tableTypes(dir, cols.size))
     val maxDup = source.groupBy(col("flag")).count()
       .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     require(maxDup <= 1L,
@@ -2161,7 +2380,7 @@ object ManifestSource {
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
       val shaped = merged.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
-      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", nExtras,
+      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", shape,
         insMarker = true, key = RowKey(Seq(2)))
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val inserted = written.map(_._2).sum
@@ -2198,7 +2417,7 @@ object ManifestSource {
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
-    val nExtras = cols.size - BaseCols.size
+    val shape = (cols, tableTypes(dir, cols.size))
     val (candNames, srcBloom) =
       probeCandidates(spark, keys, "flag", entries, strKey = true)
     val candSet = candNames.toSet
@@ -2218,7 +2437,7 @@ object ManifestSource {
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 1)
       val shaped = survivors.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
-      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", nExtras,
+      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", shape,
         insMarker = false, key = RowKey(Seq(2)))
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val name = commitSnapshot(dir, current, candSet,
@@ -2298,9 +2517,11 @@ object ManifestSource {
     * the source's non-key base values and KEEP target extras; raw-
     * tuple comparison keeps hash collisions harmless), range-
     * repartitioned tiled rewrite with tuple-hashed blooms, CAS commit.
-    * CDF note (v1 scope): a composite merge's change feed emits the
-    * rewritten rows as delete+insert churn — the update-image sidecar
-    * dialect carries mono-typed keys only; carried rows still cancel.
+    * CDF: matched tuples write `#key:<c1>,<c2>,…` update-image
+    * sidecars on both sides of the rewrite (the composite dialect of
+    * [[updSidecarsDF]]), so the change feed splits them into
+    * update_preimage/update_postimage exactly like Long/String
+    * stores — closing round 14's "CDF v1 scope" caveat.
     * Returns (files rewritten+written, kept, rows inserted, manifest).
     */
   def mergeCompositeDF(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -2316,7 +2537,7 @@ object ManifestSource {
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
-    val nExtras = cols.size - BaseCols.size
+    val shape = (cols, tableTypes(dir, cols.size))
     val maxDup = source.groupBy(kcols.map(col): _*).count()
       .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     require(maxDup <= 1L,
@@ -2347,13 +2568,23 @@ object ManifestSource {
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
       val shaped = merged.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
-      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", nExtras,
+      val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", shape,
         insMarker = true, key = rk)
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val inserted = written.map(_._2).sum
+      // CDF update images, composite dialect: matched tuples (source
+      // keys present in the live target subset) sidecar BOTH sides of
+      // the rewrite, exactly the mono-key protocol
+      val matchedKeys = target.select(kcols.map(col): _*)
+        .join(source.select(kcols.map(col): _*), kcols, "left_semi")
+      val updSc =
+        updSidecarsCompositeDF(spark, dir, matchedKeys, candidates,
+          s"g$gen-e$ep-pre", kcols) ++
+        updSidecarsCompositeDF(spark, dir, matchedKeys, written.map(_._1).toSeq,
+          s"g$gen-e$ep-post", kcols)
       val name = commitSnapshot(dir, current, candSet,
         written.map(_._1).toSeq.sortBy(_.min),
-        dfConflict(srcBloom, "merge"), op = "merge")
+        dfConflict(srcBloom, "merge"), op = "merge", updSidecars = updSc)
       (candidates.size, entries.size - candidates.size, inserted, name)
     } finally { StoreFS.delete(dir, tmp): Unit }
   }
@@ -2380,7 +2611,7 @@ object ManifestSource {
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
-    val nExtras = cols.size - BaseCols.size
+    val shape = (cols, tableTypes(dir, cols.size))
     val (candNames, srcBloom) =
       probeCandidatesBy(spark, keys, compositeHashOf(kcols), entries)
     val candSet = candNames.toSet
@@ -2400,7 +2631,7 @@ object ManifestSource {
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 1)
       val shaped = survivors.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
-      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", nExtras,
+      val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", shape,
         insMarker = false, key = rk)
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val name = commitSnapshot(dir, current, candSet,
@@ -2419,12 +2650,15 @@ object ManifestSource {
     * double-count on task retries). Returns (entry, inserts) pairs.
     */
   private def writeShaped(spark: org.apache.spark.sql.SparkSession, dir: String,
-      shaped: org.apache.spark.sql.DataFrame, prefix: String, nExtras: Int,
-      insMarker: Boolean, key: RowKey = RowKey(Nil)): Array[(FileEntry, Long)] =
+      shaped: org.apache.spark.sql.DataFrame, prefix: String,
+      shape: (Seq[String], Seq[Char]),
+      insMarker: Boolean, key: RowKey = RowKey(Nil)): Array[(FileEntry, Long)] = {
+    val (shpNames, shpTypes) = shape
+    val nExtras = shpNames.size - BaseCols.size
     shaped.rdd.mapPartitionsWithIndex { (pid, it) =>
       val out = s"$prefix-$pid.parquet"
       val arity = BaseCols.size + nExtras
-      val w = DataFile.writer(dir, out, arity)
+      val w = DataFile.writer(dir, out, shpNames, shpTypes)
       val row = new Array[Any](arity)
       var mn = Long.MaxValue; var mx = Long.MinValue; var nRows = 0L
       var qs = 0L; var ps = 0L; var ins = 0L
@@ -2447,9 +2681,13 @@ object ManifestSource {
         row(4) = java.lang.Long.valueOf(r.getLong(4))
         var j = 0
         while (j < nExtras) {
-          if (!r.isNullAt(5 + j)) {
-            val v = r.getLong(5 + j)
-            row(5 + j) = java.lang.Long.valueOf(v); exSums(j) += v; exHas(j) = true
+          // extras by declared type; SUM stats only for BIGINT extras
+          if (!r.isNullAt(5 + j)) shpTypes(5 + j) match {
+            case 'S' => row(5 + j) = r.getString(5 + j)
+            case 'D' => row(5 + j) = java.lang.Double.valueOf(r.getDouble(5 + j))
+            case _ =>
+              val v = r.getLong(5 + j)
+              row(5 + j) = java.lang.Long.valueOf(v); exSums(j) += v; exHas(j) = true
           } else row(5 + j) = null
           j += 1
         }
@@ -2459,6 +2697,7 @@ object ManifestSource {
       else Iterator.single((FileEntry(out, mn, mx, nRows, Some(bloom), Some((qs, ps)),
         (0 until nExtras).map(j => if (exHas(j)) Some(exSums(j)) else None)), ins))
     }.collect()
+  }
 
   /** KEYED DELETE — `DELETE WHERE ok IN (keys)`, the DML verb between
     * MERGE (upsert, [[merge]]) and range retention ([[deleteBelow]]):
@@ -2488,15 +2727,16 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val dvKeysLocal = candidates.flatMap(e =>
       dvm.get(e.file).map(d => e.file -> readDvKeys(dir, d))).toMap
-    val arity = manifestSchema(dir, current).size
+    val (shpNames, shpTypes) = tableShape(dir, current)
+    val arity = shpNames.size
     val rewritten = spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
         val masked = dvKeysLocal.getOrElse(e.file, Set.empty)
         val out = rewriteName(s"part-k$gen-e$ep", e.file)
         val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
-          arity, DataFile.allCols(arity))
-        val w = DataFile.writer(dir, out, arity)
+          arity, DataFile.allCols(arity), shpNames)
+        val w = DataFile.writer(dir, out, shpNames, shpTypes)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L; var dropped = 0L
         val bloom = new Array[Long](BloomWords)
@@ -2641,15 +2881,16 @@ object ManifestSource {
         e.file -> readDvMask(d.map(StoreFS.path(dir, _).toString)))).toMap
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
-    val arity = manifestSchema(dir, current).size
+    val (shpNames, shpTypes) = tableShape(dir, current)
+    val arity = shpNames.size
     val rewritten = spark.sparkContext
       .parallelize(candidates, candidates.size.max(1))
       .map { e =>
         val masked = dvLocal.getOrElse(e.file, DvMask(Set.empty, Set.empty))
         val out = rewriteName(s"part-ms$gen-e$ep", e.file)
         val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
-          arity, DataFile.allCols(arity))
-        val w = DataFile.writer(dir, out, arity)
+          arity, DataFile.allCols(arity), shpNames)
+        val w = DataFile.writer(dir, out, shpNames, shpTypes)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L
         val bloom = new Array[Long](BloomWords)
@@ -2657,7 +2898,7 @@ object ManifestSource {
         var matchedHere = List.empty[String]
         try while (src.next()) {
           val a = src.get()
-          if (!masked.hit(a(0), a(2))) {
+          if (!masked.hitVals(a)) {
             val key = a(2).asInstanceOf[String]
             upMap.get(key) match {
               case Some((uok, uus, uq, upc)) =>
@@ -2691,7 +2932,7 @@ object ManifestSource {
       if (inserts.isEmpty) None
       else {
         val out = s"part-ms$gen-e$ep-insert.parquet"
-        val w = DataFile.writer(dir, out, BaseCols.size)
+        val w = DataFile.writer(dir, out, BaseCols, BaseTypes)
         val bloom = new Array[Long](BloomWords)
         try inserts.foreach { case (k, ok, us, q, pc) =>
           w.writeBase(ok, us, k, q, pc)
@@ -2784,22 +3025,23 @@ object ManifestSource {
     val rk = rowKeyOf(dir)
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
-    val arity = manifestSchema(dir, current).size
+    val (shpNames, shpTypes) = tableShape(dir, current)
+    val arity = shpNames.size
     val rewritten = spark.sparkContext
       .parallelize(targets, targets.size.max(1))
       .map { e =>
         val masked = dvMaskLocal(e.file)
         val out = rewriteName(s"part-r$gen-e$ep", e.file)
         val src = DataFile.openRows(StoreFS.path(dir, e.file).toString,
-          arity, DataFile.allCols(arity))
-        val w = DataFile.writer(dir, out, arity)
+          arity, DataFile.allCols(arity), shpNames)
+        val w = DataFile.writer(dir, out, shpNames, shpTypes)
         var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
         var qs = 0L; var ps = 0L; var dropped = 0L
         val bloom = new Array[Long](BloomWords)
         val ex = new ExtrasTracker
         try while (src.next()) {
           val a = src.get()
-          if (masked.hit(a(0), a(2))) dropped += 1
+          if (masked.hitVals(a)) dropped += 1
           else {
             w.write(a); n += 1
             val us = a(1).asInstanceOf[java.lang.Long].longValue()
@@ -2875,6 +3117,13 @@ object ManifestSource {
     // key identity is a table property — the clone inherits it (its
     // blooms were built under the source's key type)
     keyCol(srcDir).foreach(k => StoreFS.writeString(dstDir, "KEYCOL", k + "\n"))
+    // declared column types and checkpoint cadence are table-level
+    // metadata like the key
+    Seq("SCHEMA_TYPES", "CHECKPOINT_EVERY").foreach { f =>
+      if (StoreFS.exists(srcDir, f))
+        StoreFS.writeString(dstDir, f,
+          StoreFS.readLines(srcDir, f).mkString("\n") + "\n")
+    }
     StoreFS.writeString(dstDir, "commits.log",
       s"manifest.csv,${System.currentTimeMillis()},clone," +
       encodeDiff(CommitDiff(entries.map(e =>
@@ -3093,7 +3342,7 @@ final class ManifestTable(dir: String, pinned: Option[String],
     val base =
       if (StoreFS.exists(dir, m)) ManifestSource.sparkSchema(dir, m)
       else StructType(ManifestSource.Schema.fields ++
-        extraColsHint.map(n => StructField(n, LongType)))
+        ManifestSource.parseExtraHint(extraColsHint.mkString(",")))
     if (cdf) ManifestSource.withCdfCols(base) else base
   }
   override def capabilities(): java.util.Set[TableCapability] =
@@ -3142,23 +3391,35 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
     require(names.take(base.size) == base,
       s"graft-manifest write schema must start with $base, got $names")
     info.schema().fields.drop(base.size).foreach(f =>
-      require(f.dataType == LongType,
-        s"extension column ${f.name} must be BIGINT, got ${f.dataType}"))
+      require(f.dataType == LongType || f.dataType == StringType ||
+          f.dataType == org.apache.spark.sql.types.DoubleType,
+        s"extension column ${f.name} must be BIGINT, DOUBLE or STRING, " +
+          s"got ${f.dataType}"))
     if (!doTruncate) {
       // APPEND must fit the store's CURRENT schema: the write's
-      // columns are a prefix of it (missing extras surface NULL);
-      // a column the store lacks needs addColumn first — appending
-      // cannot evolve the schema implicitly
+      // columns are a prefix of it (missing extras surface NULL) AND
+      // its declared types match position-for-position; a column the
+      // store lacks needs addColumn first — appending cannot evolve
+      // the schema implicitly
       val current = ManifestSource.resolveManifest(dir, None)
       if (StoreFS.exists(dir, current)) {
         val cur = ManifestSource.manifestSchema(dir, current)
         require(names == cur.take(names.size),
           s"append schema $names is not a prefix of the table schema $cur — " +
             "run addColumn to evolve first")
+        val curTypes = ManifestSource.tableTypes(dir, cur.size)
+        val wTypes = writeTypes()
+        require(wTypes == curTypes.take(wTypes.size),
+          s"append column types ${wTypes.mkString} do not match the table's " +
+            s"declared types ${curTypes.mkString}")
       }
     }
     names
   }
+
+  /** Declared type chars of the write's columns (L/D/S by position). */
+  private def writeTypes(): Seq[Char] =
+    info.schema().fields.toSeq.map(f => ManifestSource.typeCharOf(f.dataType))
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
@@ -3184,14 +3445,14 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
         }
         else ManifestSource.rowKeyOf(dir)
       new ManifestBatchWrite(dir, doTruncate, info.queryId(),
-        Option(info.options.get("batchtag")), validated(),
+        Option(info.options.get("batchtag")), validated(), writeTypes(),
         key = key, declareKey = declared)
     }
     override def toStreaming: StreamingWrite = {
       require(!doTruncate,
         "graft-manifest streaming write is APPEND-ONLY — complete/truncate " +
           "output modes would rewrite history the commit log already serves")
-      new ManifestStreamingWrite(dir, info.queryId(), validated())
+      new ManifestStreamingWrite(dir, info.queryId(), validated(), writeTypes())
     }
   }
 }
@@ -3208,7 +3469,7 @@ final case class FileCommitMessage(file: String, min: Long, max: Long, rows: Lon
 }
 
 final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
-    batchTag: Option[String], cols: Seq[String],
+    batchTag: Option[String], cols: Seq[String], types: Seq[Char],
     key: ManifestSource.RowKey = ManifestSource.RowKey(Nil),
     declareKey: Option[String] = None) extends BatchWrite {
   // append-mode files carry the write's queryId — or, for streaming
@@ -3219,7 +3480,7 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
     batchTag.map(b => s"-bt$b").getOrElse(if (truncate) "" else s"-${queryId.take(8)}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir, suffix, cols.size, key)
+    new ManifestWriterFactory(dir, suffix, cols, types, key)
 
   private def line(m: FileCommitMessage): String = m.entryLine
 
@@ -3231,7 +3492,9 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // locked append must never read a half-written manifest.csv or
       // slip its log line around the reset
       val sb = new StringBuilder
-      // a truncate's write schema BECOMES the table schema
+      // a truncate's write schema BECOMES the table schema — names in
+      // the manifest header, declared types in the table-level record
+      ManifestSource.writeTableTypes(dir, types)
       if (cols != ManifestSource.BaseCols)
         sb.append("#schema:" + cols.mkString(",") + "\n")
       entries.foreach(m => sb.append(line(m) + "\n"))
@@ -3300,11 +3563,11 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
   * one shared gate.
   */
 final class ManifestStreamingWrite(dir: String, queryId: String,
-    cols: Seq[String]) extends StreamingWrite {
+    cols: Seq[String], types: Seq[Char]) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(dir, queryId.take(8), cols.size,
+    new ManifestStreamingWriterFactory(dir, queryId.take(8), cols, types,
       ManifestSource.rowKeyOf(dir))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3312,7 +3575,7 @@ final class ManifestStreamingWrite(dir: String, queryId: String,
     if (entries.nonEmpty) {
       val committed = ManifestSource.commitAppend(dir, cols,
         entries.map(_.entryLine).toSeq, entries.map(_.file).toSeq,
-        "stream-append", txn = Some((queryId, epochId)))
+        "stream-append", txn = Some((queryId, epochId)), writeTypes = types)
       if (!committed)
         entries.foreach(m => StoreFS.delete(dir, m.file))
     }
@@ -3326,25 +3589,27 @@ final class ManifestStreamingWrite(dir: String, queryId: String,
 }
 
 final class ManifestStreamingWriterFactory(dir: String, qtag: String,
-    nCols: Int, key: ManifestSource.RowKey = ManifestSource.RowKey(Nil))
+    names: Seq[String], types: Seq[Char],
+    key: ManifestSource.RowKey = ManifestSource.RowKey(Nil))
     extends StreamingDataWriterFactory {
   // epoch in the name keeps two epochs' task attempts distinct; the
   // qtag keeps two concurrent streams' files distinct
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(dir, partitionId, taskId, s"-sq$qtag-ep$epochId",
-      nCols, key)
+      names, types, key)
 }
 
-final class ManifestWriterFactory(dir: String, suffix: String, nCols: Int,
+final class ManifestWriterFactory(dir: String, suffix: String,
+    names: Seq[String], types: Seq[Char],
     key: ManifestSource.RowKey = ManifestSource.RowKey(Nil))
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partitionId, taskId, suffix, nCols, key)
+    new ManifestDataWriter(dir, partitionId, taskId, suffix, names, types, key)
 }
 
 final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
-    suffix: String, nCols: Int,
+    suffix: String, names: Seq[String], types: Seq[Char],
     key: ManifestSource.RowKey = ManifestSource.RowKey(Nil))
     extends DataWriter[InternalRow] {
   // taskId in the name makes every ATTEMPT its own file: a retried or
@@ -3353,6 +3618,7 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
   // (same-name files would let a losing abort clobber a committed
   // entry — the manifest would then point at a deleted file)
   private val file = s"part-w$partitionId-t$taskId$suffix.parquet"
+  private val nCols = names.size
   private var w: DataFile.Writer = _
   private val row = new Array[Any](nCols)
   private var min = Long.MaxValue
@@ -3368,7 +3634,7 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
   override def write(r: InternalRow): Unit = {
     if (w == null) {
       StoreFS.mkdirs(dir)
-      w = DataFile.writer(dir, file, nCols)
+      w = DataFile.writer(dir, file, names, types)
     }
     val us = r.getLong(1)
     if (us < min) min = us
@@ -3386,13 +3652,17 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
     row(4) = java.lang.Long.valueOf(r.getLong(4))
     var j = 0
     while (j < nExtras) {
-      // nullable extension columns: null stays null in the column
-      // chunk; non-null values feed the per-file SUM stat
-      if (!r.isNullAt(5 + j)) {
-        val v = r.getLong(5 + j)
-        row(5 + j) = java.lang.Long.valueOf(v)
-        exSums(j) += v
-        exHas(j) = true
+      // nullable extension columns by declared type: null stays null
+      // in the column chunk; non-null BIGINT values feed the per-file
+      // SUM stat (DOUBLE/STRING extras carry none)
+      if (!r.isNullAt(5 + j)) types(5 + j) match {
+        case 'S' => row(5 + j) = r.getUTF8String(5 + j).toString
+        case 'D' => row(5 + j) = java.lang.Double.valueOf(r.getDouble(5 + j))
+        case _ =>
+          val v = r.getLong(5 + j)
+          row(5 + j) = java.lang.Long.valueOf(v)
+          exSums(j) += v
+          exHas(j) = true
       } else row(5 + j) = null
       j += 1
     }
@@ -3474,9 +3744,13 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
       // extension-column SUM answers from the per-file extras stats —
       // exact across MIXED generations: a pre-evolution file holds no
       // value for the column, its entry has no stat, and its true SUM
-      // contribution is null — the same null the stats path skips
+      // contribution is null — the same null the stats path skips.
+      // Stats exist ONLY for BIGINT extras: a DOUBLE/STRING column's
+      // entries carry no sum, so pushing it would answer NULL for a
+      // column with real values — refuse and scan instead.
       case s: Sum if !s.isDistinct &&
-          named(s.column).exists(extraCols.contains) =>
+          named(s.column).exists(n => extraCols.contains(n) &&
+            ManifestSource.tableTypes(dir, cols.size)(cols.indexOf(n)) == 'L') =>
         Some(s"xsum:${extraCols.indexOf(named(s.column).get)}")
       case _ => None
     }
@@ -3667,7 +3941,8 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required.fieldNames, cols)
+    new ManifestReaderFactory(required.fieldNames, cols,
+      ManifestSource.tableTypes(dir, cols.size))
 }
 
 final case class ManifestInputPartition(path: String,
@@ -3675,11 +3950,11 @@ final case class ManifestInputPartition(path: String,
     cdf: Option[(String, Long)] = None,
     upd: Option[(String, String)] = None) extends InputPartition
 
-final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
-    extends PartitionReaderFactory {
+final class ManifestReaderFactory(fields: Array[String], cols: Seq[String],
+    types: Seq[Char]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[ManifestInputPartition]
-    new ManifestPartitionReader(mp.path, mp.dvPaths, fields, cols,
+    new ManifestPartitionReader(mp.path, mp.dvPaths, fields, cols, types,
       mp.cdf.map { case (ct, ci) => Map[String, Any](
         "_change_type" -> UTF8String.fromString(ct), "_commit" -> ci)
       }.getOrElse(Map.empty), mp.upd)
@@ -3699,7 +3974,7 @@ final class ManifestReaderFactory(fields: Array[String], cols: Seq[String])
   * Legacy `.csv`-dialect files read through the same cursor.
   */
 final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
-    fields: Array[String], cols: Seq[String],
+    fields: Array[String], cols: Seq[String], types: Seq[Char],
     constants: Map[String, Any] = Map.empty,
     upd: Option[(String, String)] = None) extends PartitionReader[InternalRow] {
   private var row: InternalRow = _
@@ -3739,7 +4014,8 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
   // columns (`ok`, `flag`) when a mask or update split must test them
   private val wanted: Array[Int] = {
     val need = cells.collect { case Left(i) => i } ++
-      (if (!masked.isEmpty || upd.isDefined) Seq(0, 2) else Nil)
+      (if (!masked.isEmpty || upd.isDefined) Seq(0, 2) else Nil) ++
+      masked.tupleIdx ++ updKeys.tupleIdx
     need.distinct.sorted.toArray
   }
   locally {
@@ -3748,20 +4024,20 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
     ManifestScan.recordReadColumns(
       path.substring(0, path.lastIndexOf('/')), names)
   }
-  private val cursor = DataFile.openRows(path, cols.size, wanted)
+  private val cursor = DataFile.openRows(path, cols.size, wanted, cols)
 
   override def next(): Boolean = {
     while (cursor.next()) {
       val a = cursor.get()
-      if (masked.isEmpty || !masked.hit(a(0), a(2))) {
+      if (masked.isEmpty || !masked.hitVals(a)) {
         val vals: Array[Any] = cells.map {
           case Right(v) => v
-          case Left(2) =>
-            if (a(2) == null) null
-            else UTF8String.fromString(a(2).asInstanceOf[String])
+          case Left(i) if types(i) == 'S' =>
+            if (a(i) == null) null
+            else UTF8String.fromString(a(i).asInstanceOf[String])
           case Left(i) => a(i)
         }
-        if (ctIdx >= 0 && updKeys.hit(a(0), a(2))) vals(ctIdx) = updCt
+        if (ctIdx >= 0 && updKeys.hitVals(a)) vals(ctIdx) = updCt
         row = InternalRow.fromSeq(vals.toIndexedSeq)
         return true
       }
@@ -3962,7 +4238,8 @@ final class ManifestMicroBatchStream(dir: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required.fieldNames, cols)
+    new ManifestReaderFactory(required.fieldNames, cols,
+      ManifestSource.tableTypes(dir, cols.size))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

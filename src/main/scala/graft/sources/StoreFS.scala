@@ -20,9 +20,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   - [[createExclusive]] (the cross-process commit token): local
   *     uses NIO `Files.createFile` (atomic open-exclusive at the OS);
   *     remote uses `FileSystem.create(path, overwrite=false)`, which
-  *     HDFS makes atomic at the NameNode. (An object store without
-  *     conditional put needs an external lock service here — the
-  *     documented Delta/S3 caveat.)
+  *     HDFS makes atomic at the NameNode. An object store without
+  *     conditional put cannot provide mutual exclusion this way — the
+  *     Delta/S3 caveat — and that contract is now ENFORCED: the first
+  *     token acquisition per filesystem probes exclusive-create and
+  *     REFUSES to commit (loudly, naming the lock-service remedy)
+  *     on a filesystem that lets a second create win
+  *     ([[verifyConditionalCreate]], ObjectStoreContractSpec).
   *   - [[atomicMove]] (pointer/cache/checkpoint flips): local uses
   *     NIO ATOMIC_MOVE; remote uses `rename`, atomic on HDFS.
   *
@@ -37,6 +41,12 @@ private[sources] object StoreFS {
     // the `file` scheme can never shadow this choice
     c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     c.setBoolean("fs.file.impl.disable.cache", true)
+    // deployment/test hook: `-Dgraft.hadoop.fs.xyz.impl=...` injects
+    // extra FileSystem bindings (e.g. a custom object-store client)
+    // without touching core-site.xml
+    sys.props.foreach { case (k, v) =>
+      if (k.startsWith("graft.hadoop.")) c.set(k.stripPrefix("graft.hadoop."), v)
+    }
     c
   }
 
@@ -156,6 +166,7 @@ private[sources] object StoreFS {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
+      verifyConditionalCreate(dir)
       try { fs(dir).create(path(dir, name), false).close(); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -164,6 +175,40 @@ private[sources] object StoreFS {
           if String.valueOf(e.getMessage).toLowerCase.contains("already exists") => false
       }
     }
+
+  private val casVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.URI]()
+
+  /** ENFORCED OBJECT-STORE CONTRACT: the commit token's mutual
+    * exclusion rests entirely on `create(path, overwrite=false)` being
+    * ATOMIC and REJECTING an existing file (HDFS does at the NameNode;
+    * S3 without conditional PUT silently overwrites — the documented
+    * Delta/S3 caveat). A store on such a filesystem would hand two
+    * writers the same token and corrupt the log, so the FIRST token
+    * acquisition per filesystem PROBES: create a marker, then attempt
+    * a second exclusive create of the same marker — if the second one
+    * succeeds, the store REFUSES to commit, loudly naming the remedy
+    * (an external lock service). One-time, two metadata ops, cached
+    * per FS URI.
+    */
+  private def verifyConditionalCreate(dir: String): Unit = {
+    val f = fs(dir)
+    if (casVerified.contains(f.getUri)) return
+    mkdirs(dir)
+    val probe = path(dir, s".cas-probe-${java.util.UUID.randomUUID()}")
+    try {
+      f.create(probe, false).close()
+      val second =
+        try { f.create(probe, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (second) throw new IllegalStateException(
+        s"filesystem ${f.getUri} does not enforce exclusive create " +
+          "(no conditional PUT): the commit token cannot provide mutual " +
+          "exclusion here — refusing to commit. Use a store on HDFS-class " +
+          "storage, or front commits with an external lock service.")
+      casVerified.add(f.getUri): Unit
+    } finally { try f.delete(probe, false) catch { case _: Throwable => () } }
+  }
 
   def lastModified(dir: String, name: String): Long =
     if (isLocal(dir)) new java.io.File(dir, name).lastModified()

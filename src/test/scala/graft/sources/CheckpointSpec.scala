@@ -92,7 +92,8 @@ class CheckpointSpec extends SparkSpec {
   test("txn ledger survives the fold: a re-delivered epoch still dedups") {
     val root = freshStore("t")
     try {
-      val w = new ManifestStreamingWrite(root, "ckptQ", ManifestSource.BaseCols)
+      val w = new ManifestStreamingWrite(root, "ckptQ", ManifestSource.BaseCols,
+        Seq('L', 'L', 'S', 'L', 'L'))
       def epochFile(n: String, k: Long): FileCommitMessage = {
         val pw = new java.io.PrintWriter(new java.io.File(root, n), "UTF-8")
         try pw.println(s"$k,${k * 1000},N,1,5") finally pw.close()
@@ -135,6 +136,36 @@ class CheckpointSpec extends SparkSpec {
       ManifestSource.merge(spark, root, Seq((3L, 888L, "V", 8L, 8L)))
       assert(ManifestSource.history(root).map(_._1) == Seq(3L),
         "the healed tail indexes after the folded base")
+    } finally cleanup(root)
+  }
+
+  test("auto-checkpoint cadence: the log never grows past the declared N") {
+    val root = freshStore("auto")
+    try {
+      ManifestSource.setCheckpointCadence(root, 5)
+      var totalCommits = 1L // the create line
+      (1 to 23).foreach { i =>
+        ManifestSource.merge(spark, root, Seq((i.toLong, i * 7777L, "U", 1L, 1L)))
+        totalCommits += 1
+        // observed after EVERY commit: the in-log tail is bounded by N
+        // (the fold fires inside the commit that reaches N)
+        val tail = ManifestSource.readCommitLogEntries(root).size
+        assert(tail < 5, s"after commit $i the log holds $tail lines (cadence 5)")
+        assert(ManifestSource.commitLogBase(root) +
+          tail == totalCommits, "base + tail must index every commit")
+      }
+      // history still globally indexed, table unchanged by the folds
+      assert(spark.read.format("graft-manifest").option("path", root)
+        .load().count() == 40L)
+      // manual q307 verb still composes on top of the cadence (guard:
+      // the cadence may have just emptied the tail — fold only a
+      // nonempty one, the verb's own contract)
+      ManifestSource.merge(spark, root, Seq((999L, 999999L, "Z", 1L, 1L)))
+      totalCommits += 1
+      if (ManifestSource.readCommitLogEntries(root).nonEmpty) {
+        val cp = ManifestSource.checkpointCommitLog(root)
+        assert(cp.baseCommits == totalCommits)
+      } else assert(ManifestSource.commitLogBase(root) == totalCommits)
     } finally cleanup(root)
   }
 }

@@ -80,4 +80,29 @@ class ColumnPruneSpec extends SparkSpec {
           s"read ${ManifestScan.readColumnsByDir.get(root)}")
     } finally cleanup(root)
   }
+
+  test("typed named shape: a DOUBLE-extra scan prunes to that one storage column") {
+    val root = java.nio.file.Files.createTempDirectory("graft_prune_typed")
+      .toFile.getAbsolutePath
+    (1L to 100L).map(i => (i, i * 1000L, s"f$i", i % 7, i * 10L, i * 0.25, s"g$i"))
+      .toDF("ok", "ship_us", "flag", "qty", "price_cents", "score", "tag")
+      .repartitionByRange(4, col("ship_us"))
+      .write.format("graft-manifest").option("path", root)
+      .option("extracols", "score:d,tag:s")
+      .mode("overwrite").save()
+    try {
+      val df = spark.read.format("graft-manifest").option("path", root).load()
+        .select(col("score"))
+      val got = df.collect().map(_.getDouble(0)).sum
+      assert(math.abs(got - (1L to 100L).map(_ * 0.25).sum) < 1e-9)
+      assert(ManifestScan.readColumnsByDir.get(root) == Seq("score"),
+        s"typed single-column scan must decode one storage column, " +
+          s"read ${ManifestScan.readColumnsByDir.get(root)}")
+      // the string extra prunes independently
+      val tags = spark.read.format("graft-manifest").option("path", root).load()
+        .select(col("tag")).collect().map(_.getString(0)).toSet
+      assert(tags == (1L to 100L).map(i => s"g$i").toSet)
+      assert(ManifestScan.readColumnsByDir.get(root) == Seq("tag"))
+    } finally cleanup(root)
+  }
 }

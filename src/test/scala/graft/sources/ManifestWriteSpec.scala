@@ -42,7 +42,8 @@ class ManifestWriteSpec extends SparkSpec {
     // each attempt owns its own file, so the abort deletes only the
     // loser's output.
     val dir = freshDir("spec")
-    val factory = new ManifestWriterFactory(dir, "", ManifestSource.BaseCols.size)
+    val factory = new ManifestWriterFactory(dir, "", ManifestSource.BaseCols,
+      Seq('L', 'L', 'S', 'L', 'L'))
     val winner = factory.createWriter(0, taskId = 7L)
     val loser = factory.createWriter(0, taskId = 8L)
     val row = org.apache.spark.sql.catalyst.InternalRow(

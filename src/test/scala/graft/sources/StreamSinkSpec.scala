@@ -105,7 +105,8 @@ class StreamSinkSpec extends SparkSpec {
       (1L to 4L).map(i => (i, i * 1000L, "A", i, i * 10L))
         .toDF("ok", "ship_us", "flag", "qty", "price_cents")
         .write.format("graft-manifest").option("path", dst).mode("overwrite").save()
-      val w = new ManifestStreamingWrite(dst, "test-query-1", ManifestSource.BaseCols)
+      val w = new ManifestStreamingWrite(dst, "test-query-1", ManifestSource.BaseCols,
+        Seq('L', 'L', 'S', 'L', 'L'))
       def fakeEpochFile(n: String, k: Long = 50L): FileCommitMessage = {
         val pw = new java.io.PrintWriter(new java.io.File(dst, n), "UTF-8")
         try pw.println(s"$k,${k * 1000},N,1,5") finally pw.close()
@@ -127,7 +128,8 @@ class StreamSinkSpec extends SparkSpec {
       assert(!new java.io.File(dst, dup).exists(),
         "the duplicate epoch's orphan file must be deleted")
       // a different query's epoch 7 is a DIFFERENT transaction
-      val w2 = new ManifestStreamingWrite(dst, "test-query-2", ManifestSource.BaseCols)
+      val w2 = new ManifestStreamingWrite(dst, "test-query-2", ManifestSource.BaseCols,
+        Seq('L', 'L', 'S', 'L', 'L'))
       w2.commit(7L, Array(fakeEpochFile("part-w0-t1-sqother-ep7.csv", k = 60L)))
       assert(readAll(dst).size == 6, "another query's epoch is independent")
     } finally cleanup(dst)

@@ -48,7 +48,8 @@ class TxnLedgerSpec extends SparkSpec {
   test("txn ledger: cache tracks epochs incrementally; deletion and staleness both recover from the log") {
     val root = plant()
     try {
-      val w = new ManifestStreamingWrite(root, "qA", ManifestSource.BaseCols)
+      val w = new ManifestStreamingWrite(root, "qA", ManifestSource.BaseCols,
+        Seq('L', 'L', 'S', 'L', 'L'))
       def epochFile(n: String, k: Long): FileCommitMessage = {
         val pw = new java.io.PrintWriter(new java.io.File(root, n), "UTF-8")
         try pw.println(s"$k,${k * 1000},N,1,5") finally pw.close()
