@@ -97,15 +97,29 @@ object Bench {
     val failMsg = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOnce(spec: QuerySpec): Double = {
       val t0 = System.nanoTime()
-      try {
-        spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
-        failCount(spec.name) = failCount.getOrElse(spec.name, 0) + 1
-        failMsg(spec.name) = String.valueOf(e.getMessage).take(200)
-        Double.NaN
-      }
+      val t =
+        try {
+          spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+          failCount(spec.name) = failCount.getOrElse(spec.name, 0) + 1
+          failMsg(spec.name) = String.valueOf(e.getMessage).take(200)
+          Double.NaN
+        }
+      // Inter-run hygiene, OUTSIDE the timed window (round-15
+      // decomposition of the q288/q292 "+60%, monotone-climbing reps"
+      // regression): localCheckpoint() pins block-manager storage
+      // until the checkpointed RDD is GC'd, and on a large mostly-idle
+      // heap GC never runs, so ContextCleaner never fires — hundreds
+      // of dead checkpoint blocks accumulate across the sweep and the
+      // CDC-fold queries crawl (a 6.9s q292 rep degraded to 83.7s by
+      // session end in the slice repro). A completed run's persisted
+      // RDDs are dead state — drop them eagerly. This mirrors real
+      // deployments, where each query starts on a fresh driver.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      t
     }
     // optional args: restrict to these query names (local iteration;
     // the driver passes none)

@@ -65,18 +65,35 @@ object DupGraph {
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // one propagation step as a PLAN (no action): labels -> labels
+    def step(l: DataFrame): DataFrame = {
+      val nm = sym.join(l, sym("u") === l("id"))
+        .groupBy(col("v").as("sid")).agg(min("comp").as("nmin"))
+      l.join(nm, l("id") === nm("sid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+    }
     var round = 0
     var converged = false
     while (!converged && round < MaxRounds) {
-      val neighborMin = sym.join(labels, sym("u") === labels("id"))
+      // TWO propagation steps per job (round-15 fixed-cost shave: the
+      // per-round checkpoint job dominates at bounded graph sizes —
+      // the CDC folds run this over touched neighborhoods of a few
+      // hundred edges, where scheduling, not data, is the cost). The
+      // convergence count observes the SECOND step: labels are
+      // monotone non-increasing, so a no-change second step means a
+      // fixed point whether or not the first step moved; the extra
+      // half-step past convergence is idempotent.
+      val mid = step(labels)
+      val neighborMin = sym.join(mid, sym("u") === mid("id"))
         .groupBy(col("v").as("id")).agg(min("comp").as("nmin"))
         .withColumnRenamed("id", "nid")
       // the convergence count rides the checkpoint job itself
       // (CollectMetrics above the localCheckpoint): one job per round
       // instead of checkpoint + a separate filter/isEmpty probe
       val obs = org.apache.spark.sql.Observation()
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+      val next = mid
+        .join(neighborMin, mid("id") === neighborMin("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           (coalesce(col("nmin"), col("comp")) < col("comp")).as("changed"))

@@ -550,6 +550,15 @@ object StreamIngest {
     def applyGeneration(del: DataFrame, ins: DataFrame,
         hasDel: Boolean, hasIns: Boolean): Unit = {
       if (!hasDel && !hasIns) return
+      // COLD START (the bootstrap insert batch): every state frame is
+      // the canonical empty, so the corpus-probe arms — cross-band
+      // candidates, corpus verify, touched-set resolution, membership,
+      // survivor edges — are joins against empty relations. Binding
+      // them to empty frames directly skips ~half the pass's fixed
+      // per-job cost (measured ~2s of the bootstrap's 4.5s at sf0.1).
+      // (insert-only guard: a first generation carrying deletes takes
+      // the general path, so deletion markers/tombstones never skip)
+      val coldStart = st.overlays.isEmpty && !hasDel
       val g = st.gen
       val d =
         if (hasDel) del.select(col("doc_id")).distinct().localCheckpoint(false)
@@ -576,15 +585,19 @@ object StreamIngest {
         if (hasIns) verified(bb, bf, bf, "a_id", "b_id").localCheckpoint(false)
         else empty.select(col("id").as("a_id"), col("id").as("b_id"))
       val bcV =
-        if (hasIns) verified(bc, bf, minusD(live(st.feats, "doc_id")),
+        if (hasIns && !coldStart) verified(bc, bf, minusD(live(st.feats, "doc_id")),
           "batch_id", "corpus_id").localCheckpoint(false)
         else empty.select(col("id").as("batch_id"), col("id").as("corpus_id"))
       // every component touched by a delete OR an insert-match, by its
       // pre-generation label — ONE resolution pass over the stack
-      val touched = resolveIds(
-          d.unionByName(bcV.select(col("corpus_id").as("doc_id"))))
-        .select(col("comp_id").as("lbl")).distinct()
-      val members = membersOf(touched).select(col("doc_id"))
+      val touched =
+        if (coldStart) empty.select(col("id").as("lbl"))
+        else resolveIds(
+            d.unionByName(bcV.select(col("corpus_id").as("doc_id"))))
+          .select(col("comp_id").as("lbl")).distinct()
+      val members =
+        if (coldStart) empty.select(col("id").as("doc_id"))
+        else membersOf(touched).select(col("doc_id"))
       val surv = members.join(d, Seq("doc_id"), "left_anti")
         .localCheckpoint(false)
       // edges among survivors of the touched components (accepted
@@ -595,10 +608,12 @@ object StreamIngest {
         .join(surv.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
         .join(surv.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
         .select(col("a_id"), col("b_id"))
-      val cc = DupGraph.connectedComponents(survEdges
-        .unionAll(bbV.select(col("a_id"), col("b_id")))
-        .unionAll(bcV.select(col("batch_id").as("a_id"),
-          col("corpus_id").as("b_id"))))
+      val cc = DupGraph.connectedComponents(
+        (if (coldStart) bbV.select(col("a_id"), col("b_id"))
+         else survEdges
+           .unionAll(bbV.select(col("a_id"), col("b_id")))
+           .unionAll(bcV.select(col("batch_id").as("a_id"),
+             col("corpus_id").as("b_id")))))
       val assignees = surv.unionByName(bf.select(col("doc_id"))).distinct()
       val relabeled = assignees.join(cc, col("doc_id") === col("id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
@@ -660,6 +675,7 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ev = batch.select(col("gen").as("fg"), col("change_type"),
           col("ok").as("doc_id"), col("flag").as("text")).localCheckpoint()
+
         // apply grouped by feed generation ascending — a trigger may
         // carry several generations; log order decides, not arrival.
         // ONE bounded collect yields each generation's arm presence,
@@ -931,6 +947,7 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ev = batch.select(col("gen").as("fg"), col("change_type"),
           col("ok").as("doc_id"), col("flag").as("text")).localCheckpoint()
+
         val gens = ev.select(col("fg")).distinct()
           .collect().map(_.getInt(0)).sorted // bounded: generations, not rows
         gens.foreach { fg =>
