@@ -107,20 +107,34 @@ object Bench {
           failMsg(spec.name) = String.valueOf(e.getMessage).take(200)
           Double.NaN
         }
-      // Inter-run hygiene, OUTSIDE the timed window (round-15
-      // decomposition of the q288/q292 "+60%, monotone-climbing reps"
-      // regression): localCheckpoint() pins block-manager storage
-      // until the checkpointed RDD is GC'd, and on a large mostly-idle
-      // heap GC never runs, so ContextCleaner never fires — hundreds
-      // of dead checkpoint blocks accumulate across the sweep and the
-      // CDC-fold queries crawl (a 6.9s q292 rep degraded to 83.7s by
-      // session end in the slice repro). A completed run's persisted
-      // RDDs are dead state — drop them eagerly. This mirrors real
-      // deployments, where each query starts on a fresh driver.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
       t
     }
+    // Inter-QUERY hygiene, OUTSIDE any timed window (round-15
+    // decomposition of the q288/q292 "+60%, monotone-climbing reps"
+    // regression): localCheckpoint() pins block-manager storage until
+    // the checkpointed RDD is GC'd, and on a large mostly-idle heap GC
+    // never runs, so ContextCleaner never fires — hundreds of dead
+    // checkpoint blocks accumulate across the sweep and the CDC-fold
+    // queries crawl (a 6.9s q292 rep degraded to 83.7s by session end
+    // in the slice repro; stable ~9-11s with cleanup). The cleanup is
+    // GC-DRIVEN on purpose: an explicit getPersistentRDDs.unpersist
+    // sweep was tried first and (a) poisons session-lifetime memoized
+    // checkpoints (28 CC-family queries failed with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND once the sweep crossed
+    // Dedup.materializedPairs) and (b) the removal storm itself
+    // destabilized later reps of candidate-heavy queries; ContextCleaner
+    // only ever removes UNREACHABLE RDDs, so shared memos survive by
+    // construction. Every 8th query amortizes the full-GC pause.
+    var sinceGc = 0
+    def dropDeadBlocks(): Unit =
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_UNPERSIST")) {
+        sinceGc += 1
+        if (sinceGc >= 8) {
+          sinceGc = 0
+          System.gc() // drives ContextCleaner's weak references
+          Thread.sleep(200) // let the async removal queue start draining
+        }
+      }
     // optional args: restrict to these query names (local iteration;
     // the driver passes none)
     val only = args.toSet
@@ -238,6 +252,7 @@ object Bench {
           reps(spec.name) = warm +: Vector.fill(nMeasured)(timeOnce(spec))
         }
       }
+      dropDeadBlocks()
       writeArtifact(partial = true)
     }
     // second pass over the 5 slowest (by min — the robust rank): 2
@@ -249,6 +264,7 @@ object Bench {
         .take(5).map(_._1).toSet
       specs.filter(s => worst5(s.name)).foreach { spec =>
         reps(spec.name) = reps(spec.name) ++ Vector.fill(2)(timeOnce(spec))
+        dropDeadBlocks()
         writeArtifact(partial = true)
       }
     }
