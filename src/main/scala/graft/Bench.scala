@@ -109,31 +109,58 @@ object Bench {
         }
       t
     }
-    // Inter-QUERY hygiene, OUTSIDE any timed window (round-15
-    // decomposition of the q288/q292 "+60%, monotone-climbing reps"
-    // regression): localCheckpoint() pins block-manager storage until
-    // the checkpointed RDD is GC'd, and on a large mostly-idle heap GC
-    // never runs, so ContextCleaner never fires — hundreds of dead
-    // checkpoint blocks accumulate across the sweep and the CDC-fold
-    // queries crawl (a 6.9s q292 rep degraded to 83.7s by session end
-    // in the slice repro; stable ~9-11s with cleanup). The cleanup is
-    // GC-DRIVEN on purpose: an explicit getPersistentRDDs.unpersist
-    // sweep was tried first and (a) poisons session-lifetime memoized
-    // checkpoints (28 CC-family queries failed with
-    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND once the sweep crossed
-    // Dedup.materializedPairs) and (b) the removal storm itself
-    // destabilized later reps of candidate-heavy queries; ContextCleaner
-    // only ever removes UNREACHABLE RDDs, so shared memos survive by
-    // construction. Every 8th query amortizes the full-GC pause.
+    // Hygiene v3 — STORAGE-PRESSURE-TRIGGERED, between REPS as well as
+    // queries, always OUTSIDE timed windows. History: localCheckpoint()
+    // pins block-manager storage until the checkpointed RDD is GC'd
+    // (r15 decomposition: dead checkpoint blocks accumulating across
+    // the sweep degraded a 6.9s q292 rep to 83.7s). The cleanup stays
+    // GC-DRIVEN (an explicit getPersistentRDDs.unpersist sweep poisons
+    // the session-lifetime memoized checkpoints — 28 CC-family queries
+    // died CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — while ContextCleaner
+    // only ever removes UNREACHABLE RDDs), but r15's fixed every-8th-
+    // QUERY cadence was the wrong trigger: a multi-second CDC query
+    // creates dead blocks EVERY REP, so its own reps climbed
+    // monotonically (q288 10.4 → 17.3 → 26.0s in the r15 quiet sweep)
+    // and the whole block of consecutive store-DML queries ran in
+    // permanent storage-eviction churn, 2× slower than the same
+    // queries at sweep end after a cleanup had landed. v3 checks the
+    // block manager's actual storage occupancy after every rep and
+    // GCs only past a pressure threshold (default 45% of storage max —
+    // eviction churn begins near full, the session-lifetime memo floor
+    // is tens of MB): cheap queries never pay a GC pause, accumulating
+    // queries get cleaned between reps instead of degrading, and the
+    // wall-clock cost is bounded by actual pressure, not cadence.
+    val gcFrac = sys.env.get("SPARK_GRAFT_BENCH_GC_FRAC")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.45)
+    val gcLog = sys.env.contains("SPARK_GRAFT_BENCH_GC_LOG")
+    def storagePair(): (Long, Long) = {
+      val s = spark.sparkContext.getExecutorMemoryStatus.values
+      (s.map(_._1).sum, s.map(p => p._1 - p._2).sum) // (max, used)
+    }
     var sinceGc = 0
+    def gcNow(tag: String): Unit = {
+      sinceGc = 0
+      System.gc() // drives ContextCleaner's weak references
+      Thread.sleep(200) // let the async removal queue start draining
+      if (gcLog) {
+        val (mx, used) = storagePair()
+        System.err.println(f"[bench] gc($tag): storage ${used / 1e6}%.0f MB / ${mx / 1e6}%.0f MB")
+      }
+    }
+    def repHygiene(tag: String): Unit =
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_UNPERSIST")) {
+        val (mx, used) = storagePair()
+        if (gcLog)
+          System.err.println(f"[bench] $tag: storage ${used / 1e6}%.0f MB / ${mx / 1e6}%.0f MB")
+        if (used > gcFrac * mx) gcNow(tag)
+      }
+    // between queries: the pressure check plus a slow every-32nd-query
+    // floor (weak-reference hygiene for off-heap/non-storage state the
+    // occupancy metric can't see — cheap at 1/4 the r15 cadence)
     def dropDeadBlocks(): Unit =
       if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_UNPERSIST")) {
         sinceGc += 1
-        if (sinceGc >= 8) {
-          sinceGc = 0
-          System.gc() // drives ContextCleaner's weak references
-          Thread.sleep(200) // let the async removal queue start draining
-        }
+        if (sinceGc >= 32) gcNow("cadence") else repHygiene("interquery")
       }
     // optional args: restrict to these query names (local iteration;
     // the driver passes none)
@@ -249,7 +276,13 @@ object Bench {
             degradedWarm1At = Some(spec.name)
             System.err.println(s"[bench] deadline ${deadlineS}s ${math.rint(elapsedS)}s elapsed: warm+1 mode from ${spec.name}")
           }
-          reps(spec.name) = warm +: Vector.fill(nMeasured)(timeOnce(spec))
+          // inter-REP hygiene: clean the previous rep's dead blocks
+          // BEFORE the next timed window, so an accumulating query's
+          // reps measure the query, not its own garbage (hygiene v3)
+          repHygiene(spec.name)
+          reps(spec.name) = warm +: Vector.fill(nMeasured) {
+            val t = timeOnce(spec); repHygiene(spec.name); t
+          }
         }
       }
       dropDeadBlocks()
@@ -263,8 +296,9 @@ object Bench {
       val worst5 = reps.toSeq.sortBy { case (_, v) => -minOr(v, Double.NegativeInfinity) }
         .take(5).map(_._1).toSet
       specs.filter(s => worst5(s.name)).foreach { spec =>
-        reps(spec.name) = reps(spec.name) ++ Vector.fill(2)(timeOnce(spec))
-        dropDeadBlocks()
+        reps(spec.name) = reps(spec.name) ++ Vector.fill(2) {
+          val t = timeOnce(spec); repHygiene(spec.name); t
+        }
         writeArtifact(partial = true)
       }
     }

@@ -2643,6 +2643,156 @@ object Layout {
       |FROM base WHERE okey % 5 = 0
       |ORDER BY change_type""".stripMargin
 
+  /** q311 — NAMED TYPED-KEY LIFECYCLE (round 16): row identity carried
+    * by a DECLARED STRING EXTENSION COLUMN — `keycol=doc_key` where
+    * `doc_key` is a `:s`-typed extra, not the base `flag` — closing
+    * the round-15 "typed key columns" gap: a declared typed column can
+    * now BE the key, so a document/URL-keyed corpus store no longer
+    * has to route its natural key through the base string slot. The
+    * chain is q305's join-strategy surface plus q301's CDF tail, all
+    * on the named key: [[graft.sources.ManifestSource.mergeStrDF]]
+    * (source carries base + the key column; every `k<ok>` with
+    * ok % 5 = 0 updates in place — price doubled — and every
+    * ok % 25 = 0 re-keys as a fresh `n<ok>` insert), whose update
+    * images land in `#key:doc_key` ARITY-1 TUPLE sidecars (%-escaped,
+    * self-describing header resolved against the table schema at read
+    * time) and pair preimage/postimage in the streamed change feed;
+    * then a join-strategy CoW DELETE of every `k<ok>` with ok % 7 = 0
+    * and a MoR DELETE of every inserted `n<ok>` with ok % 50 = 0
+    * (named-key masks ride the same tuple dialect — the reader
+    * compares the RAW key string, so hash collisions never
+    * misclassify); phase `mor` aggregates through the masks,
+    * [[graft.sources.ManifestSource.rewriteDeletes]] materializes
+    * them, phase `final` re-aggregates. Every readout row carries
+    * `max_key` — the lexicographic MAX of the key column itself — so
+    * a key string corrupted anywhere in the rewrite pipeline shifts
+    * the hash. Blooms index strKeyHash(doc_key); NamedKeySpec pins
+    * key-type-exact pruning (ok/flag equality must NOT prune on this
+    * store) and the tuple-mask raw comparison.
+    */
+  private def q311(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestSource
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_nkey_$tag")
+    if (rootF.exists()) rootF.listFiles().foreach(_.delete())
+    val root = rootF.getAbsolutePath
+    val base = ordersBase(spark, dir)
+    requireInsertOffsetSafe(base)
+    base.select(col("ok"), col("ship_us"), col("flag"), col("qty"),
+        col("price_cents"), concat(lit("k"), col("ok")).as("doc_key"))
+      .repartitionByRange(8, col("ship_us"))
+      .write.format("graft-manifest").option("path", root)
+      .option("extracols", "doc_key:s")
+      .option("keycol", "doc_key").mode("overwrite").save()
+    val source = base.filter(col("ok") % 5 === 0)
+      .select(col("ok"), col("ship_us"), col("flag"), col("qty"),
+        (col("price_cents") * 2).as("price_cents"),
+        concat(lit("k"), col("ok")).as("doc_key"))
+      .unionByName(base.filter(col("ok") % 25 === 0)
+        .select((col("ok") + InsertOffset).as("ok"), col("ship_us"), col("flag"),
+          col("qty"), col("price_cents"),
+          concat(lit("n"), col("ok")).as("doc_key")))
+    val (rewritten, _, nIns, _) = ManifestSource.mergeStrDF(spark, root, source)
+    require(rewritten > 0 && nIns > 0,
+      s"named-key mergeStrDF must rewrite candidates and insert new keys " +
+        s"($rewritten, $nIns)")
+    // CDF tail from the merge commit: update images pair through the
+    // named-key tuple sidecars
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", root).option("readchangefeed", "true")
+      .option("startingcommit", 1).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        parts.synchronized { parts += b.localCheckpoint() }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val ev = parts.toSeq.reduce(_.unionByName(_))
+    def classAgg(d: DataFrame, name: org.apache.spark.sql.Column): DataFrame =
+      d.groupBy(name.as("phase"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+          sum(col("qty")).as("qty_sum"), max(col("doc_key")).as("max_key"))
+    val updates = classAgg(
+      ev.filter(col("_change_type").isin("update_preimage", "update_postimage")),
+      col("_change_type"))
+    val img = Seq("ok", "ship_us", "flag", "qty", "price_cents", "doc_key")
+    val net = ev.filter(col("_change_type").isin("insert", "delete"))
+      .groupBy(img.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("net"))
+    require(net.filter(col("net") < 0).isEmpty,
+      "a named-key MERGE's change feed must never net a pure delete")
+    val inserts = classAgg(net.filter(col("net") > 0), lit("insert_net"))
+    // join-strategy deletes on the named key: CoW then MoR masks
+    ManifestSource.deleteKeysStrDF(spark, root,
+      base.filter(col("ok") % 7 === 0)
+        .select(concat(lit("k"), col("ok")).as("doc_key")))
+    ManifestSource.deleteKeysStrMoRDF(spark, root,
+      base.filter(col("ok") % 50 === 0)
+        .select(concat(lit("n"), col("ok")).as("doc_key")))
+    val mMor = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mMor).nonEmpty,
+      "the named-key MoR delete committed no masks")
+    ManifestSource.rewriteDeletes(spark, root)
+    val mFin = ManifestSource.resolveManifest(root, None)
+    require(ManifestSource.readDvMap(root, mFin).isEmpty,
+      "rewriteDeletes left named-key masks behind")
+    def aggAt(m: String, phase: String): DataFrame = spark.read
+      .format("graft-manifest").option("path", root).option("manifest", m).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("revenue_cents"),
+        sum(col("qty")).as("qty_sum"), max(col("doc_key")).as("max_key"))
+      .select(lit(phase).as("phase"), col("n_rows"), col("revenue_cents"),
+        col("qty_sum"), col("max_key"))
+    updates.unionByName(inserts)
+      .unionByName(aggAt(mMor, "mor")).unionByName(aggAt(mFin, "final"))
+      .orderBy(col("phase"))
+  }
+
+  private val q311Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS ok, CAST(o_custkey AS BIGINT) AS qty,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT ok, qty,
+      |         CASE WHEN ok % 5 = 0 THEN price_cents * 2 ELSE price_cents END AS price_cents,
+      |         'k' || CAST(ok AS VARCHAR) AS doc_key
+      |  FROM base
+      |  UNION ALL
+      |  SELECT ok + 10000000, qty, price_cents, 'n' || CAST(ok AS VARCHAR)
+      |  FROM base WHERE ok % 25 = 0),
+      |d1 AS (SELECT * FROM merged
+      |       WHERE NOT (ok < 10000000 AND ok % 7 = 0)),
+      |kept AS (SELECT * FROM d1
+      |         WHERE NOT (ok >= 10000000 AND (ok - 10000000) % 50 = 0)),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(price_cents) AS BIGINT) AS revenue_cents,
+      |         CAST(SUM(qty) AS BIGINT) AS qty_sum,
+      |         MAX(doc_key) AS max_key
+      |  FROM kept)
+      |SELECT 'final' AS phase, * FROM agg
+      |UNION ALL
+      |SELECT 'insert_net', CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(price_cents) AS BIGINT), CAST(SUM(qty) AS BIGINT),
+      |       MAX('n' || CAST(ok AS VARCHAR))
+      |FROM base WHERE ok % 25 = 0
+      |UNION ALL
+      |SELECT 'mor' AS phase, * FROM agg
+      |UNION ALL
+      |SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(price_cents) AS BIGINT), CAST(SUM(qty) AS BIGINT),
+      |       MAX('k' || CAST(ok AS VARCHAR))
+      |FROM base WHERE ok % 5 = 0
+      |UNION ALL
+      |SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(price_cents * 2) AS BIGINT), CAST(SUM(qty) AS BIGINT),
+      |       MAX('k' || CAST(ok AS VARCHAR))
+      |FROM base WHERE ok % 5 = 0
+      |ORDER BY phase""".stripMargin
+
   /** q309 — TYPED NAMED SCHEMA LIFECYCLE: a store whose extension
     * columns declare real types — `score` DOUBLE and `tag` STRING via
     * the `extracols=score:d,tag:s` creation hint, plus a
@@ -2853,13 +3003,20 @@ object Layout {
         val (csvs, pqs) = fs.keys.toSeq.sorted
           .map(f => new java.io.File(root, f).getAbsolutePath)
           .partition(_.endsWith(".csv"))
-        val parts = Seq(
-          if (pqs.isEmpty) None
-          else Some(spark.read.parquet(pqs: _*)
-            .toDF("ok", "ship_us", "flag", "qty", "price_cents")),
-          if (csvs.isEmpty) None
-          else Some(spark.read.schema(manifestRowSchema).csv(csvs: _*))
-        ).flatten
+        // one parquet read resolves columns BY NAME against a single
+        // inferred footer, so a store mixing legacy c0..c4 files with
+        // real-name files would silently surface NULLs for one
+        // dialect's rows — group by the footer's field names (one
+        // driver-side footer probe per changed file, bounded by the
+        // k-file diff) and rename each dialect group positionally
+        val pqParts = pqs.groupBy(f => spark.read.parquet(f).schema.fieldNames.toSeq)
+          .toSeq.sortBy(_._2.min).map { case (_, group) =>
+            spark.read.parquet(group: _*)
+              .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+          }
+        val parts = pqParts ++
+          (if (csvs.isEmpty) None
+           else Some(spark.read.schema(manifestRowSchema).csv(csvs: _*)))
         val df = parts.reduce(_.unionByName(_))
         val keys = ManifestSource.readDvKeys(root, dvs)
         if (keys.isEmpty) df else df.filter(!col("ok").isInCollection(keys))
@@ -3822,6 +3979,7 @@ object Layout {
     QuerySpec("q307_commit_log_checkpoint", q307, Some(q307Sql)),
     QuerySpec("q309_typed_schema_dml", q309, Some(q309Sql)),
     QuerySpec("q310_composite_cdf_images", q310, Some(q310Sql)),
+    QuerySpec("q311_named_key_dml", q311, Some(q311Sql)),
     QuerySpec("q308_stream_row_admission", q308, Some(q293Sql)),
     QuerySpec("q290_restore", q290, Some(q290Sql)),
     QuerySpec("q291_snapshot_tag", q291, Some(q267Sql)),

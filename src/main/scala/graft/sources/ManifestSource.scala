@@ -165,7 +165,10 @@ object ManifestSource {
     spec.split(',').filter(_.nonEmpty).toSeq.map { e =>
       e.split(':') match {
         case Array(n) => StructField(n, LongType)
-        case Array(n, t) if t.length == 1 =>
+        case Array(n, t) if t.length == 1 && "LDS".contains(t.head.toUpper) =>
+          // the suffix set is CLOSED: sparkTypeOf's default arm maps
+          // unknown chars to BIGINT, so an unvalidated typo like `:f`
+          // would silently create a BIGINT column instead of failing
           StructField(n, sparkTypeOf(t.head.toUpper))
         case _ => throw new IllegalArgumentException(
           s"bad extracols entry `$e` — expected name[:l|:d|:s]")
@@ -261,8 +264,6 @@ object ManifestSource {
     if (!StoreFS.exists(dir, "KEYCOL")) None
     else StoreFS.readLines(dir, "KEYCOL").headOption.map(_.trim)
 
-  private[sources] def strKeyed(dir: String): Boolean = keyCol(dir).isDefined
-
   /** Declared key columns of the store: the KEYCOL file's
     * comma-separated list — absent = the legacy Long `ok` contract.
     * One entry: `flag` (string-keyed) or `ok`. Several entries: a
@@ -280,10 +281,39 @@ object ManifestSource {
       s"$verb keys on the Long `ok` column, but this store is keyed on " +
         s"`${keyCol(dir).get}` — use the *Str / *Composite DML verbs")
 
-  private[sources] def requireStrKeyed(dir: String, verb: String): Unit =
+  /** The store's mono STRING key column, when it has one: `flag`, or a
+    * declared 'S'-typed extension column named as the single KEYCOL
+    * entry (round 16 — a typed extra can BE the key). None for
+    * Long-keyed and composite stores.
+    */
+  private[sources] def strKeyColOf(dir: String): Option[String] =
+    keyCols(dir) match {
+      case Seq("flag") => Some("flag")
+      case Seq("ok") => None
+      case Seq(c) =>
+        val m = resolveManifest(dir, None)
+        val names = manifestSchema(dir, m)
+        val i = names.indexOf(c)
+        if (i >= 0 && tableTypes(dir, names.size)(i) == 'S') Some(c) else None
+      case _ => None
+    }
+
+  private[sources] def requireStrKeyed(dir: String, verb: String): String =
+    strKeyColOf(dir).getOrElse(throw new IllegalArgumentException(
+      s"$verb requires a string-keyed store (created with keycol=flag or " +
+        s"keycol=<declared 'S' column>); this store keys on " +
+        s"`${keyCols(dir).mkString(",")}`"))
+
+  /** The flag-hardwired driver-batch verbs ([[mergeStr]],
+    * [[deleteKeysStrMoR]]) speak `(ok, ship_us, flag, qty, price_cents)`
+    * tuples — they stay flag-only; named-string-key stores use the
+    * DataFrame verbs.
+    */
+  private[sources] def requireFlagKeyed(dir: String, verb: String): Unit =
     require(keyCol(dir).contains("flag"),
-      s"$verb requires a string-keyed store (created with keycol=flag); " +
-        s"this store keys on `${keyCols(dir).mkString(",")}`")
+      s"$verb requires a flag-keyed store (created with keycol=flag); " +
+        s"this store keys on `${keyCols(dir).mkString(",")}` — use the " +
+        "DataFrame verbs for named-key stores")
 
   private[sources] def requireCompositeKeyed(dir: String, verb: String): Unit =
     require(keyCols(dir).size > 1,
@@ -307,41 +337,72 @@ object ManifestSource {
     * write/rewrite site so blooms always match the store's declared
     * key type.
     */
-  final case class RowKey(positions: Seq[Int]) extends Serializable {
-    private def part(i: Int, v: Any): Long =
-      if (i == 2) strKeyHash(v.asInstanceOf[String])
-      else v.asInstanceOf[java.lang.Long].longValue()
+  final case class RowKey(positions: Seq[Int],
+      kinds: Seq[Char] = Nil) extends Serializable {
+    /** Component type at positions(j): explicit `kinds` when declared
+      * (round 16 — typed extras can be key columns), else the legacy
+      * convention (position 2 = the string `flag`, everything else
+      * Long) — so every pre-existing RowKey(...) literal keeps its
+      * exact hash semantics.
+      */
+    private def kind(j: Int): Char =
+      if (kinds.nonEmpty) kinds(j) else if (positions(j) == 2) 'S' else 'L'
+    private def isStrMono: Boolean = positions.size == 1 && kind(0) == 'S'
     /** Hash from a positional Array[Any] row (the rewrite verbs). */
     def hashVals(a: Array[Any]): Long = positions match {
       case Seq() => a(0).asInstanceOf[java.lang.Long].longValue()
-      case Seq(2) => strKeyHash(a(2).asInstanceOf[String])
-      case ps => compositeKeyHash(ps.map(i => part(i, a(i))))
+      case Seq(p) if isStrMono => strKeyHash(a(p).asInstanceOf[String])
+      case ps => compositeKeyHash(ps.zipWithIndex.map { case (i, j) =>
+        if (kind(j) == 'S') strKeyHash(a(i).asInstanceOf[String])
+        else a(i).asInstanceOf[java.lang.Long].longValue()
+      })
     }
     /** Hash from an InternalRow (the V2 write path). */
     def hashInternal(r: InternalRow): Long = positions match {
       case Seq() => r.getLong(0)
-      case Seq(2) => strKeyHash(r.getUTF8String(2).toString)
-      case ps => compositeKeyHash(ps.map(i =>
-        if (i == 2) strKeyHash(r.getUTF8String(2).toString) else r.getLong(i)))
+      case Seq(p) if isStrMono => strKeyHash(r.getUTF8String(p).toString)
+      case ps => compositeKeyHash(ps.zipWithIndex.map { case (i, j) =>
+        if (kind(j) == 'S') strKeyHash(r.getUTF8String(i).toString)
+        else r.getLong(i)
+      })
     }
     /** Hash from an external Row (the DataFrame writers). */
     def hashRow(r: org.apache.spark.sql.Row): Long = positions match {
       case Seq() => r.getLong(0)
-      case Seq(2) => strKeyHash(r.getString(2))
-      case ps => compositeKeyHash(ps.map(i =>
-        if (i == 2) strKeyHash(r.getString(i)) else r.getLong(i)))
+      case Seq(p) if isStrMono => strKeyHash(r.getString(p))
+      case ps => compositeKeyHash(ps.zipWithIndex.map { case (i, j) =>
+        if (kind(j) == 'S') strKeyHash(r.getString(i)) else r.getLong(i)
+      })
     }
+  }
+
+  /** Resolve declared key column NAMES against a write/table shape
+    * into a [[RowKey]]: positions from the schema, kinds from the
+    * declared type vector. Key components must be BIGINT or STRING —
+    * DOUBLE row identity is refused (binary-representation equality is
+    * a correctness trap).
+    */
+  private[sources] def rowKeyFor(cols: Seq[String], names: Seq[String],
+      types: Seq[Char]): RowKey = {
+    val pos = cols.map { c =>
+      val i = names.indexOf(c)
+      require(i >= 0, s"key column $c is not a table column ($names)")
+      i
+    }
+    pos.foreach(i => require(types(i) == 'L' || types(i) == 'S',
+      s"key column ${names(i)} is ${types(i)}-typed — row identity must " +
+        "be BIGINT or STRING"))
+    RowKey(pos, pos.map(types))
   }
 
   /** The store's declared [[RowKey]]. */
   def rowKeyOf(dir: String): RowKey = keyCols(dir) match {
     case Seq("ok") => RowKey(Nil)
     case Seq("flag") => RowKey(Seq(2))
-    case cols => RowKey(cols.map { c =>
-      val i = BaseCols.indexOf(c)
-      require(i >= 0, s"composite key column $c is not a base column ($BaseCols)")
-      i
-    })
+    case cols =>
+      val m = resolveManifest(dir, None)
+      val names = manifestSchema(dir, m)
+      rowKeyFor(cols, names, tableTypes(dir, names.size))
   }
 
   /** Stable 64-bit identity of a string key (first 8 bytes of md5,
@@ -386,9 +447,9 @@ object ManifestSource {
     pinned match {
       case Some(p) if p.startsWith("ref:") =>
         val name = p.stripPrefix("ref:")
-        listRefs(dir).getOrElse(name,
+        preTruncateGuard(dir, listRefs(dir).getOrElse(name,
           throw new IllegalArgumentException(
-            s"named ref '$name' does not exist in $dir"))
+            s"named ref '$name' does not exist in $dir")))
       case Some(p) if p.startsWith("asof:") =>
         // TIMESTAMP AS OF: the latest trunk commit at or before the
         // given epoch millis (Delta's timestamp pin on our commit
@@ -409,12 +470,44 @@ object ManifestSource {
           case None => throw new IllegalArgumentException(
             s"no commit at or before epoch-ms $ts in $dir")
         }
-      case Some(p) => p
+      case Some(p) => preTruncateGuard(dir, p)
       case None =>
         if (StoreFS.exists(dir, "VERSION"))
           StoreFS.readLines(dir, "VERSION").head.trim
         else "manifest.csv"
     }
+
+  /** A truncate is a NEW TABLE: it restarts the commit log, resets the
+    * key identity, and rewrites the declared type vector — but the
+    * previous incarnation's generation manifests remain on disk (and
+    * generation numbering continues past them, so the number alone
+    * cannot tell the incarnations apart). A pin into that range would
+    * decode the OLD table's files under the NEW table's type vector
+    * and key identity — `TRUNCATED_AT` (the max pre-existing
+    * generation, recorded by the truncate commit) fences it loudly
+    * instead. `manifest.csv` itself is always the CURRENT incarnation
+    * (the truncate rewrites it), so only generation names ≥ 2 are in
+    * scope.
+    */
+  private def preTruncateGuard(dir: String, name: String): String = {
+    if (StoreFS.exists(dir, "TRUNCATED_AT")) {
+      val horizon = StoreFS.readLines(dir, "TRUNCATED_AT").head.trim.toLong
+      val GenName = """manifest-gen(\d+)\.csv""".r
+      val gen = name match {
+        case "manifest-v2.csv" => 2L
+        case GenName(n) => n.toLong
+        case _ => 0L
+      }
+      if (gen >= 2L && gen <= horizon)
+        throw new IllegalArgumentException(
+          s"manifest pin $name predates the table's last truncate in $dir " +
+            s"(pre-truncate horizon: generation $horizon) — that snapshot " +
+            "belongs to the previous table incarnation and would decode " +
+            "under the wrong declared schema/key; clone it before truncating " +
+            "if the history must stay readable")
+    }
+    name
+  }
 
   /** NAMED REFS — Iceberg tags/branches as first-class pointers: a
     * `ref-<name>` file naming a manifest generation. A TAG pins an
@@ -554,7 +647,8 @@ object ManifestSource {
     * %-escaped CSV line per key; all tuple sidecars of one store
     * share the declared key columns).
     */
-  private[sources] def readDvMask(paths: Seq[String]): DvMask = {
+  private[sources] def readDvMask(paths: Seq[String],
+      colIndex: String => Int = BaseCols.indexOf(_)): DvMask = {
     var lk = Set.empty[Long]
     var sk = Set.empty[String]
     var tk = Set.empty[Seq[String]]
@@ -564,8 +658,11 @@ object ManifestSource {
       lines.headOption match {
         case Some(StrKeyHeader) => sk ++= lines.tail
         case Some(h) if h.startsWith("#key:") =>
+          // header columns resolve through the CALLER's schema (named
+          // typed extras can be key columns — round 16); the BaseCols
+          // default serves sites without extras in play
           val kcols = h.stripPrefix("#key:").split(',').toSeq
-          val idx = kcols.map(BaseCols.indexOf)
+          val idx = kcols.map(colIndex)
           require(idx.forall(_ >= 0), s"unknown key columns in sidecar header $h")
           require(ti.isEmpty || ti == idx,
             s"conflicting tuple key columns across sidecars: $ti vs $idx")
@@ -1655,17 +1752,33 @@ object ManifestSource {
       raw = r => if (strKey) r.getString(0) else r.getLong(0).toString,
       hash = r => if (strKey) strKeyHash(r.getString(0)) else r.getLong(0))
 
+  /** [[updSidecarsDF]] keyed on the store's declared mono STRING key
+    * column: `flag` keeps the legacy raw-line `#key:flag` dialect; a
+    * NAMED key column (round 16) writes the %-escaped arity-1 tuple
+    * dialect, whose header names the column for position resolution.
+    */
+  private def updSidecarsStrDF(spark: org.apache.spark.sql.SparkSession,
+      dir: String, matched: org.apache.spark.sql.DataFrame,
+      entries: Seq[FileEntry], tag: String, kc: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    if (kc == "flag") updSidecarsDF(spark, dir, matched, entries, tag, strKey = true)
+    else updSidecarsBy(spark, dir, matched.select(col(kc)).distinct(),
+      entries, tag, Seq("#key:" + kc),
+      raw = r => escKeyPart(r.getString(0)),
+      hash = r => strKeyHash(r.getString(0)))
+  }
+
   /** [[updSidecarsDF]] for COMPOSITE keys: one `#key:<c1>,<c2>,…`
     * sidecar per touched file, raw %-escaped tuple lines, blooms
     * grouped by the tuple hash ([[compositeKeyHash]]).
     */
   private def updSidecarsCompositeDF(spark: org.apache.spark.sql.SparkSession,
       dir: String, matched: org.apache.spark.sql.DataFrame,
-      entries: Seq[FileEntry], tag: String,
-      kcols: Seq[String]): Map[String, String] = {
+      entries: Seq[FileEntry], tag: String, kcols: Seq[String],
+      names: Seq[String], types: Seq[Char]): Map[String, String] = {
     import org.apache.spark.sql.functions.col
-    val isStr = kcols.map(_ == "flag")
-    val h = compositeHashOf(kcols)
+    val isStr = kcols.map(c => types(names.indexOf(c)) == 'S')
+    val h = compositeHashOf(kcols, names, types)
     updSidecarsBy(spark, dir, matched.select(kcols.map(col): _*).distinct(),
       entries, tag, Seq("#key:" + kcols.mkString(",")),
       raw = r => kcols.indices.map(j => escKeyPart(
@@ -1887,7 +2000,8 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val dvMaskLocal = straddle.flatMap(e =>
       dvm.get(e.file).map(d =>
-        e.file -> readDvMask(d.map(StoreFS.path(dir, _).toString)))).toMap
+        e.file -> readDvMask(d.map(StoreFS.path(dir, _).toString),
+          manifestSchema(dir, current).indexOf(_)))).toMap
     val rk = rowKeyOf(dir)
     val (shpNames, shpTypes) = tableShape(dir, current)
     val arity = shpNames.size
@@ -2339,20 +2453,26 @@ object ManifestSource {
       source: org.apache.spark.sql.DataFrame, base: Option[String] = None,
       outFiles: Int = 0): (Int, Int, Long, String) = {
     import org.apache.spark.sql.functions._
-    require(source.columns.toSeq == BaseCols,
-      s"mergeStrDF source must carry exactly $BaseCols, got ${source.columns.toSeq} — " +
-        "extension columns are target-carried")
-    requireStrKeyed(dir, "mergeStrDF")
+    val kc = requireStrKeyed(dir, "mergeStrDF")
+    // flag-keyed: the source speaks exactly the base shape (extras are
+    // target-carried). NAMED-key (round 16): the key is itself a typed
+    // extra, so the source carries base + the key column; the other
+    // extras stay target-carried.
+    val wantCols = if (kc == "flag") BaseCols else BaseCols :+ kc
+    require(source.columns.toSeq == wantCols,
+      s"mergeStrDF source must carry exactly $wantCols, got " +
+        s"${source.columns.toSeq} — non-key extension columns are " +
+        "target-carried")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
     val shape = (cols, tableTypes(dir, cols.size))
-    val maxDup = source.groupBy(col("flag")).count()
+    val maxDup = source.groupBy(col(kc)).count()
       .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     require(maxDup <= 1L,
       "MERGE source has duplicate keys — multi-match is an error, like SQL MERGE")
     val (candNames, srcBloom) =
-      probeCandidates(spark, source, "flag", entries, strKey = true)
+      probeCandidates(spark, source, kc, entries, strKey = true)
     val candSet = candNames.toSet
     val candidates = entries.filter(e => candSet.contains(e.file))
     val dvm = readDvMap(dir, current)
@@ -2365,32 +2485,31 @@ object ManifestSource {
       val target = spark.read.format("graft-manifest").option("path", dir)
         .option("manifest", tmp).load()
         .withColumn("_t", lit(1))
-      val s = source.select(col("flag"), col("ok").as("_s_ok"),
-        col("ship_us").as("_s_us"), col("qty").as("_s_qty"),
-        col("price_cents").as("_s_pc"), lit(1).as("_s"))
+      val s = source.select(col(kc) +:
+        (BaseCols.filterNot(_ == kc).map(c => col(c).as(s"_s_$c")) :+
+          lit(1).as("_s")): _*)
       val sel: Seq[org.apache.spark.sql.Column] =
-        Seq(when(col("_s") === 1, col("_s_ok")).otherwise(col("ok")).as("ok"),
-          when(col("_s") === 1, col("_s_us")).otherwise(col("ship_us")).as("ship_us"),
-          col("flag"),
-          when(col("_s") === 1, col("_s_qty")).otherwise(col("qty")).as("qty"),
-          when(col("_s") === 1, col("_s_pc")).otherwise(col("price_cents")).as("price_cents")) ++
-          cols.drop(BaseCols.size).map(col) :+
-          (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
-      val merged = target.join(s, Seq("flag"), "full_outer").select(sel: _*)
+        cols.map { c =>
+          if (c == kc) col(kc)
+          else if (BaseCols.contains(c))
+            when(col("_s") === 1, col(s"_s_$c")).otherwise(col(c)).as(c)
+          else col(c) // non-key extras are target-carried
+        } :+ (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
+      val merged = target.join(s, Seq(kc), "full_outer").select(sel: _*)
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
       val shaped = merged.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
       val written = writeShaped(spark, dir, shaped, s"part-j$gen-e$ep", shape,
-        insMarker = true, key = RowKey(Seq(2)))
+        insMarker = true, key = rowKeyOf(dir))
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val inserted = written.map(_._2).sum
-      val matchedKeys = target.select(col("flag"))
-        .join(source.select(col("flag")), Seq("flag"), "left_semi")
+      val matchedKeys = target.select(col(kc))
+        .join(source.select(col(kc)), Seq(kc), "left_semi")
       val updSc =
-        updSidecarsDF(spark, dir, matchedKeys, candidates, s"g$gen-e$ep-pre",
-          strKey = true) ++
-        updSidecarsDF(spark, dir, matchedKeys, written.map(_._1).toSeq,
-          s"g$gen-e$ep-post", strKey = true)
+        updSidecarsStrDF(spark, dir, matchedKeys, candidates,
+          s"g$gen-e$ep-pre", kc) ++
+        updSidecarsStrDF(spark, dir, matchedKeys, written.map(_._1).toSeq,
+          s"g$gen-e$ep-post", kc)
       val name = commitSnapshot(dir, current, candSet,
         written.map(_._1).toSeq.sortBy(_.min),
         dfConflict(srcBloom, "merge"), op = "merge", updSidecars = updSc)
@@ -2411,15 +2530,16 @@ object ManifestSource {
       keys: org.apache.spark.sql.DataFrame, base: Option[String] = None,
       outFiles: Int = 0): (Int, Int, Long, String) = {
     import org.apache.spark.sql.functions._
-    require(keys.columns.toSeq == Seq("flag"),
-      s"deleteKeysStrDF keys must be a single `flag` column, got ${keys.columns.toSeq}")
-    requireStrKeyed(dir, "deleteKeysStrDF")
+    val kc = requireStrKeyed(dir, "deleteKeysStrDF")
+    require(keys.columns.toSeq == Seq(kc),
+      s"deleteKeysStrDF keys must be a single `$kc` column (the store's " +
+        s"declared key), got ${keys.columns.toSeq}")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
     val shape = (cols, tableTypes(dir, cols.size))
     val (candNames, srcBloom) =
-      probeCandidates(spark, keys, "flag", entries, strKey = true)
+      probeCandidates(spark, keys, kc, entries, strKey = true)
     val candSet = candNames.toSet
     val candidates = entries.filter(e => candSet.contains(e.file))
     val dvm = readDvMap(dir, current)
@@ -2431,14 +2551,14 @@ object ManifestSource {
     try {
       val target = spark.read.format("graft-manifest").option("path", dir)
         .option("manifest", tmp).load()
-      val deleted = target.join(keys, Seq("flag"), "left_semi").count()
-      val survivors = target.join(keys, Seq("flag"), "left_anti")
+      val deleted = target.join(keys, Seq(kc), "left_semi").count()
+      val survivors = target.join(keys, Seq(kc), "left_anti")
         .select(cols.map(col): _*)
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 1)
       val shaped = survivors.repartitionByRange(nOut, col("ship_us"))
         .sortWithinPartitions(col("ship_us"))
       val written = writeShaped(spark, dir, shaped, s"part-k$gen-e$ep", shape,
-        insMarker = false, key = RowKey(Seq(2)))
+        insMarker = false, key = rowKeyOf(dir))
       lastDmlPlan = shaped.queryExecution.executedPlan.toString
       val name = commitSnapshot(dir, current, candSet,
         written.map(_._1).toSeq.sortBy(_.min),
@@ -2460,32 +2580,38 @@ object ManifestSource {
       keys: org.apache.spark.sql.DataFrame,
       base: Option[String] = None): (Int, Int, Seq[String], String) = {
     import org.apache.spark.sql.functions.col
-    require(keys.columns.toSeq == Seq("flag"),
-      s"deleteKeysStrMoRDF keys must be a single `flag` column, got ${keys.columns.toSeq}")
-    requireStrKeyed(dir, "deleteKeysStrMoRDF")
+    val kc = requireStrKeyed(dir, "deleteKeysStrMoRDF")
+    require(keys.columns.toSeq == Seq(kc),
+      s"deleteKeysStrMoRDF keys must be a single `$kc` column (the store's " +
+        s"declared key), got ${keys.columns.toSeq}")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
-    val (_, srcBloom) = probeCandidates(spark, keys, "flag", entries, strKey = true)
+    val (_, srcBloom) = probeCandidates(spark, keys, kc, entries, strKey = true)
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val n = entries.size
     val bc = spark.sparkContext.broadcast(entries.map(_.bloom).toArray)
     val dirB = dir
-    val sidecars = keys.select(col("flag")).distinct().rdd.map(_.getString(0))
+    // flag keys ride the legacy raw-line `#key:flag` dialect; a NAMED
+    // key column uses the %-escaped arity-1 tuple dialect, whose header
+    // names the column for position resolution at read time
+    val hdr = if (kc == "flag") StrKeyHeader else "#key:" + kc
+    val esc = kc != "flag"
+    val sidecars = keys.select(col(kc)).distinct().rdd.map(_.getString(0))
       .mapPartitions { it =>
         val bs = bc.value
         it.flatMap { k =>
           val h = strKeyHash(k)
           (0 until n).iterator
             .filter(i => bs(i).forall(bloomMightContain(_, h)))
-            .map(i => (i, k))
+            .map(i => (i, if (esc) escKeyPart(k) else k))
         }
       }
       .groupByKey(math.max(1, math.min(n, 64)))
       .map { case (i, ks) =>
         val name = s"part-dv$gen-e$ep-f$i.csv"
         StoreFS.writeString(dirB, name,
-          (StrKeyHeader +: ks.toSeq.sorted).map(_ + "\n").mkString)
+          (hdr +: ks.toSeq.sorted).map(_ + "\n").mkString)
         (i, name)
       }.collect()
     val manifest = commitSnapshot(dir, current, Set.empty, Nil,
@@ -2500,8 +2626,11 @@ object ManifestSource {
     * [[RowKey.hashVals]] bit-for-bit so the probe, the blooms, and the
     * conflict predicate all speak the same 64-bit identity.
     */
-  private def compositeHashOf(kcols: Seq[String]): org.apache.spark.sql.Row => Long = {
-    val isStr = kcols.map(_ == "flag").toArray
+  private def compositeHashOf(kcols: Seq[String], names: Seq[String],
+      types: Seq[Char]): org.apache.spark.sql.Row => Long = {
+    // component string-ness comes from the DECLARED type vector, so
+    // typed-extra key members (round 16) hash exactly like RowKey
+    val isStr = kcols.map(c => types(names.indexOf(c)) == 'S').toArray
     r => compositeKeyHash(kcols.indices.map(j =>
       if (isStr(j)) strKeyHash(r.getString(j)) else r.getLong(j)))
   }
@@ -2528,12 +2657,17 @@ object ManifestSource {
       source: org.apache.spark.sql.DataFrame, base: Option[String] = None,
       outFiles: Int = 0): (Int, Int, Long, String) = {
     import org.apache.spark.sql.functions._
-    require(source.columns.toSeq == BaseCols,
-      s"mergeCompositeDF source must carry exactly $BaseCols, got " +
-        s"${source.columns.toSeq} — extension columns are target-carried")
     requireCompositeKeyed(dir, "mergeCompositeDF")
     val kcols = keyCols(dir)
     val rk = rowKeyOf(dir)
+    // typed-extra key members (round 16) must arrive from the source
+    // (they are the join key); all other extension columns stay
+    // target-carried
+    val wantCols = BaseCols ++ kcols.filterNot(BaseCols.contains)
+    require(source.columns.toSeq == wantCols,
+      s"mergeCompositeDF source must carry exactly $wantCols, got " +
+        s"${source.columns.toSeq} — non-key extension columns are " +
+        "target-carried")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
@@ -2543,7 +2677,8 @@ object ManifestSource {
     require(maxDup <= 1L,
       "MERGE source has duplicate keys — multi-match is an error, like SQL MERGE")
     val (candNames, srcBloom) = probeCandidatesBy(spark,
-      source.select(kcols.map(col): _*), compositeHashOf(kcols), entries)
+      source.select(kcols.map(col): _*),
+      compositeHashOf(kcols, cols, shape._2), entries)
     val candSet = candNames.toSet
     val candidates = entries.filter(e => candSet.contains(e.file))
     val dvm = readDvMap(dir, current)
@@ -2559,11 +2694,12 @@ object ManifestSource {
       val nonKey = BaseCols.filterNot(kcols.contains)
       val s = source.select(kcols.map(col) ++
         nonKey.map(c => col(c).as(s"_s_$c")) :+ lit(1).as("_s"): _*)
-      val sel: Seq[org.apache.spark.sql.Column] = BaseCols.map { c =>
+      val sel: Seq[org.apache.spark.sql.Column] = cols.map { c =>
         if (kcols.contains(c)) col(c)
-        else when(col("_s") === 1, col(s"_s_$c")).otherwise(col(c)).as(c)
-      } ++ cols.drop(BaseCols.size).map(col) :+
-        (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
+        else if (BaseCols.contains(c))
+          when(col("_s") === 1, col(s"_s_$c")).otherwise(col(c)).as(c)
+        else col(c) // non-key extras are target-carried
+      } :+ (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
       val merged = target.join(s, kcols, "full_outer").select(sel: _*)
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
       val shaped = merged.repartitionByRange(nOut, col("ship_us"))
@@ -2579,9 +2715,9 @@ object ManifestSource {
         .join(source.select(kcols.map(col): _*), kcols, "left_semi")
       val updSc =
         updSidecarsCompositeDF(spark, dir, matchedKeys, candidates,
-          s"g$gen-e$ep-pre", kcols) ++
+          s"g$gen-e$ep-pre", kcols, cols, shape._2) ++
         updSidecarsCompositeDF(spark, dir, matchedKeys, written.map(_._1).toSeq,
-          s"g$gen-e$ep-post", kcols)
+          s"g$gen-e$ep-post", kcols, cols, shape._2)
       val name = commitSnapshot(dir, current, candSet,
         written.map(_._1).toSeq.sortBy(_.min),
         dfConflict(srcBloom, "merge"), op = "merge", updSidecars = updSc)
@@ -2613,7 +2749,7 @@ object ManifestSource {
     val cols = manifestSchema(dir, current)
     val shape = (cols, tableTypes(dir, cols.size))
     val (candNames, srcBloom) =
-      probeCandidatesBy(spark, keys, compositeHashOf(kcols), entries)
+      probeCandidatesBy(spark, keys, compositeHashOf(kcols, cols, shape._2), entries)
     val candSet = candNames.toSet
     val candidates = entries.filter(e => candSet.contains(e.file))
     val dvm = readDvMap(dir, current)
@@ -2865,7 +3001,7 @@ object ManifestSource {
   def mergeStr(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: Seq[(String, Long, Long, Long, Long)],
       base: Option[String] = None): (Int, Int, Int, String) = {
-    requireStrKeyed(dir, "mergeStr")
+    requireFlagKeyed(dir, "mergeStr")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val keys = updates.map(_._1)
@@ -2878,7 +3014,8 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val dvLocal = candidates.flatMap(e =>
       dvm.get(e.file).map(d =>
-        e.file -> readDvMask(d.map(StoreFS.path(dir, _).toString)))).toMap
+        e.file -> readDvMask(d.map(StoreFS.path(dir, _).toString),
+          manifestSchema(dir, current).indexOf(_)))).toMap
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
     val (shpNames, shpTypes) = tableShape(dir, current)
@@ -2972,7 +3109,7 @@ object ManifestSource {
   def deleteKeysStrMoR(dir: String, keys: Seq[String],
       base: Option[String] = None): (Int, Int, Option[String], String) = {
     require(keys.nonEmpty, "deleteKeysStrMoR: empty key batch")
-    requireStrKeyed(dir, "deleteKeysStrMoR")
+    requireFlagKeyed(dir, "deleteKeysStrMoR")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val hashes = keys.map(strKeyHash).toSet
@@ -3021,7 +3158,8 @@ object ManifestSource {
     val dvm = readDvMap(dir, current)
     val targets = entries.filter(e => dvm.contains(e.file))
     val dvMaskLocal = targets.map(e =>
-      e.file -> readDvMask(dvm(e.file).map(StoreFS.path(dir, _).toString))).toMap
+      e.file -> readDvMask(dvm(e.file).map(StoreFS.path(dir, _).toString),
+        manifestSchema(dir, current).indexOf(_))).toMap
     val rk = rowKeyOf(dir)
     val gen = nextGeneration(dir)
     val ep = nextEpoch()
@@ -3154,6 +3292,7 @@ object ManifestSource {
     */
   def restore(dir: String, toManifest: String): String =
     commitLock.synchronized { withCommitToken(dir) {
+    preTruncateGuard(dir, toManifest)
     require(StoreFS.exists(dir, toManifest),
       s"restore target $toManifest does not exist (vacuumed?)")
     val entries = readManifest(dir, toManifest)
@@ -3424,13 +3563,21 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val declared = Option(info.options.get("keycol"))
+      val wNames = validated()
+      val wTypes = writeTypes()
       declared.foreach { k =>
         val cols = k.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        require(cols == Seq("flag") ||
-          (cols.size > 1 && cols.distinct == cols &&
-            cols.forall(ManifestSource.BaseCols.contains)),
-          s"keycol must be `flag` (string-keyed) or a comma-list of two or " +
-            s"more distinct base columns (composite), got $k")
+        require(cols.nonEmpty && cols.distinct == cols &&
+          cols.forall(wNames.contains),
+          s"keycol columns must be distinct table columns ($wNames), got $k")
+        // mono key: `flag` or a declared STRING column (a Long mono key
+        // IS the default `ok` contract — omit keycol); composite: any
+        // mix of BIGINT/STRING columns (rowKeyFor refuses DOUBLE)
+        if (cols.size == 1)
+          require(wTypes(wNames.indexOf(cols.head)) == 'S',
+            s"mono keycol must be a STRING column (`flag` or a declared " +
+              s":s extra); Long row identity is the default `ok` contract " +
+              s"— got $k")
       }
       require(declared.isEmpty || doTruncate,
         "keycol is declared at table CREATION (truncate write) — " +
@@ -3440,12 +3587,12 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
         if (doTruncate) declared match {
           case None => ManifestSource.RowKey(Nil)
           case Some("flag") => ManifestSource.RowKey(Seq(2))
-          case Some(k) => ManifestSource.RowKey(
-            k.split(',').map(c => ManifestSource.BaseCols.indexOf(c.trim)).toSeq)
+          case Some(k) => ManifestSource.rowKeyFor(
+            k.split(',').map(_.trim).filter(_.nonEmpty).toSeq, wNames, wTypes)
         }
         else ManifestSource.rowKeyOf(dir)
       new ManifestBatchWrite(dir, doTruncate, info.queryId(),
-        Option(info.options.get("batchtag")), validated(), writeTypes(),
+        Option(info.options.get("batchtag")), wNames, wTypes,
         key = key, declareKey = declared)
     }
     override def toStreaming: StreamingWrite = {
@@ -3505,6 +3652,19 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       Seq("VERSION", "txn-cache", "checkpoint").foreach { n =>
         if (StoreFS.exists(dir, n)) StoreFS.delete(dir, n)
       }
+      // ... and FENCES the previous incarnation's generation manifests
+      // (they stay on disk and numbering continues past them, but a pin
+      // into that range would decode under this truncate's schema/key —
+      // see resolveManifest's preTruncateGuard)
+      val GenName = """manifest-gen(\d+)\.csv""".r
+      val oldGens = StoreFS.listNames(dir).collect {
+        case "manifest-v2.csv" => 2L
+        case GenName(n) => n.toLong
+      }
+      if (oldGens.nonEmpty)
+        StoreFS.writeString(dir, "TRUNCATED_AT", oldGens.max.toString + "\n")
+      else if (StoreFS.exists(dir, "TRUNCATED_AT"))
+        StoreFS.delete(dir, "TRUNCATED_AT"): Unit
       // ... and (re)declares the table's KEY identity: keycol=flag
       // creates a string-keyed store, absence resets to the Long `ok`
       // contract (a truncate IS a new table)
@@ -3526,10 +3686,15 @@ final class ManifestBatchWrite(dir: String, truncate: Boolean, queryId: String,
       // contract (q135's batch-id overwrite trick, expressed in the
       // V2 commit protocol). The re-written data files are orphans
       // the manifest never references.
+      // writeTypes: a table-CREATING batch append (mode("append") to a
+      // fresh path with typed extracols) must record SCHEMA_TYPES just
+      // like the streaming first-epoch path — otherwise readers default
+      // the extras to BIGINT while the files carry doubles/strings
       ManifestSource.commitAppend(dir, cols, entries.map(line).toSeq,
         entries.map(_.file).toSeq, "append",
         skip = existing =>
-          batchTag.exists(b => existing.exists(_.file.contains(s"-bt$b."))))
+          batchTag.exists(b => existing.exists(_.file.contains(s"-bt$b."))),
+        writeTypes = types)
       ()
     }
   }
@@ -3774,7 +3939,9 @@ final class ManifestScanBuilder(dir: String, manifest: String, cols: Seq[String]
            LessThanOrEqual("ship_us", _) | LessThan("ship_us", _) |
            EqualTo("ship_us", _) => true
       case EqualTo("ok", _) => true
-      case EqualTo("flag", _) => true
+      // any STRING equality may be the declared key (flag, or a named
+      // typed extra — round 16); planInputPartitions key-type-checks
+      case EqualTo(_, _: String) => true
       case _ => false
     }
     filters
@@ -3924,8 +4091,11 @@ final class ManifestScan(dir: String, manifest: String, required: StructType,
         // prunes on it
         case EqualTo("ok", v: Long) =>
           kc != Seq("ok") || e.bloom.forall(ManifestSource.bloomMightContain(_, v))
-        case EqualTo("flag", v: String) =>
-          kc != Seq("flag") || e.bloom.forall(
+        // the bloom prunes a string equality ONLY when that column IS
+        // the store's declared mono key (flag or a named 'S' extra) —
+        // key-type-exactness, the OkPruneReproSpec rule
+        case EqualTo(c, v: String) =>
+          kc != Seq(c) || e.bloom.forall(
             ManifestSource.bloomMightContain(_, ManifestSource.strKeyHash(v)))
         case _ => true
       }
@@ -3981,7 +4151,8 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
 
   // key-type-aware mask: Long `ok` keys from headerless sidecars,
   // raw string `flag` keys from `#key:flag` sidecars — both bounded
-  private val masked: ManifestSource.DvMask = ManifestSource.readDvMask(dvPaths)
+  private val masked: ManifestSource.DvMask =
+    ManifestSource.readDvMask(dvPaths, cols.indexOf(_))
 
   // UPDATE-IMAGE SPLIT: a MERGE commit's rewritten file carries an
   // `updk-` sidecar of its matched keys (bounded: one file's matched
@@ -3992,7 +4163,7 @@ final class ManifestPartitionReader(path: String, dvPaths: Seq[String],
   // that match no emitted row (bloom false positives on the DataFrame
   // path, masked rows) never fire.
   private val updKeys: ManifestSource.DvMask =
-    upd.map(u => ManifestSource.readDvMask(Seq(u._1)))
+    upd.map(u => ManifestSource.readDvMask(Seq(u._1), cols.indexOf(_)))
       .getOrElse(ManifestSource.DvMask(Set.empty, Set.empty))
   private val updCt: Any =
     upd.map(u => UTF8String.fromString(u._2)).orNull

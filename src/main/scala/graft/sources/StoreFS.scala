@@ -134,7 +134,11 @@ private[sources] object StoreFS {
     }
 
   /** Atomic pointer flip: write-then-move so a concurrent reader can
-    * never observe a torn file.
+    * never observe a torn file. The remote branch leans on `rename`
+    * being ATOMIC (HDFS guarantees it at the NameNode); object stores
+    * whose rename is client-side copy+delete (S3-class) cannot host
+    * the pointer flip — [[verifyAtomicRename]] refuses them loudly
+    * instead of letting a reader observe a torn/absent pointer.
     */
   def atomicMove(dir: String, from: String, to: String): Unit =
     if (isLocal(dir)) {
@@ -145,6 +149,7 @@ private[sources] object StoreFS {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     } else {
+      verifyAtomicRename(dir)
       val f = fs(dir)
       val dst = path(dir, to)
       if (f.exists(dst)) f.delete(dst, false)
@@ -178,22 +183,60 @@ private[sources] object StoreFS {
 
   private val casVerified =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.URI]()
+  private val renameVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.URI]()
 
-  /** ENFORCED OBJECT-STORE CONTRACT: the commit token's mutual
-    * exclusion rests entirely on `create(path, overwrite=false)` being
-    * ATOMIC and REJECTING an existing file (HDFS does at the NameNode;
-    * S3 without conditional PUT silently overwrites — the documented
-    * Delta/S3 caveat). A store on such a filesystem would hand two
-    * writers the same token and corrupt the log, so the FIRST token
-    * acquisition per filesystem PROBES: create a marker, then attempt
-    * a second exclusive create of the same marker — if the second one
-    * succeeds, the store REFUSES to commit, loudly naming the remedy
-    * (an external lock service). One-time, two metadata ops, cached
-    * per FS URI.
+  /** Schemes whose stock Hadoop clients are KNOWN to lack one or both
+    * of the store protocol's two atomicity primitives: S3-class
+    * clients rename by copy+delete (never atomic) and classically
+    * implement exclusive create as HEAD-then-PUT (a race no behavioral
+    * probe can observe from one process). Deployments that front these
+    * with a consistency layer opt in per capability:
+    * `-Dgraft.store.assumeConditionalCreate=s3a` /
+    * `-Dgraft.store.assumeAtomicRename=s3a` (comma lists).
+    */
+  private val KnownNonAtomicSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb")
+
+  private def schemeTrusted(f: FileSystem, prop: String): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("")
+    sys.props.get(prop).exists(_.split(',').map(_.trim).contains(scheme))
+  }
+
+  private def refuseKnownNonAtomic(f: FileSystem, prop: String,
+      capability: String): Unit = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("")
+    if (KnownNonAtomicSchemes(scheme) && !schemeTrusted(f, prop))
+      throw new IllegalStateException(
+        s"filesystem scheme '$scheme' (${f.getUri}) is known to lack " +
+          s"$capability — refusing to commit. Front the store with a " +
+          "consistency/lock service, then opt in explicitly with " +
+          s"-D$prop=$scheme.")
+  }
+
+  /** ENFORCED OBJECT-STORE CONTRACT (best-effort): the commit token's
+    * mutual exclusion rests entirely on `create(path, overwrite=false)`
+    * being ATOMIC and REJECTING an existing file (HDFS does at the
+    * NameNode; S3 without conditional PUT silently overwrites — the
+    * documented Delta/S3 caveat). A store on such a filesystem would
+    * hand two writers the same token and corrupt the log. Two gates:
+    * (1) KNOWN non-atomic schemes are refused outright absent the
+    * explicit `-Dgraft.store.assumeConditionalCreate=<scheme>` opt-in —
+    * necessary because a client doing non-atomic HEAD-then-PUT PASSES
+    * the behavioral probe single-process yet still races two writers;
+    * (2) the first token acquisition per filesystem PROBES: create a
+    * marker, then attempt a second exclusive create of the same marker
+    * — if the second one succeeds (overwrite-silently semantics), the
+    * store REFUSES to commit, loudly naming the remedy (an external
+    * lock service). The probe therefore catches overwrite-silently
+    * stores ONLY; the scheme gate covers the check-then-write class.
+    * One-time, two metadata ops, cached per FS URI.
     */
   private def verifyConditionalCreate(dir: String): Unit = {
     val f = fs(dir)
     if (casVerified.contains(f.getUri)) return
+    refuseKnownNonAtomic(f, "graft.store.assumeConditionalCreate",
+      "atomic exclusive create (conditional PUT)")
     mkdirs(dir)
     val probe = path(dir, s".cas-probe-${java.util.UUID.randomUUID()}")
     try {
@@ -208,6 +251,27 @@ private[sources] object StoreFS {
           "storage, or front commits with an external lock service.")
       casVerified.add(f.getUri): Unit
     } finally { try f.delete(probe, false) catch { case _: Throwable => () } }
+  }
+
+  /** RENAME half of the contract: pointer flips assume `rename` is
+    * ATOMIC (HDFS guarantees it at the NameNode; S3-class clients
+    * implement it as copy+delete). Unlike the create half there is NO
+    * behavioral probe that can tell the two apart from one process — a
+    * POSIX atomic-replace and an S3 unconditional-copy produce
+    * identical observable results — and Hadoop publishes no
+    * atomic-rename path capability, so this gate is DECLARATIVE:
+    * known copy-rename schemes are refused outright absent the
+    * explicit `-Dgraft.store.assumeAtomicRename=<scheme>` opt-in (for
+    * deployments fronting the store with a consistency layer). Cached
+    * per FS URI like the create probe.
+    */
+  private def verifyAtomicRename(dir: String): Unit = {
+    val f = fs(dir)
+    if (renameVerified.contains(f.getUri)) return
+    refuseKnownNonAtomic(f, "graft.store.assumeAtomicRename",
+      "atomic rename (its rename is client-side copy+delete, so the " +
+        "VERSION pointer flip could tear under a concurrent reader)")
+    renameVerified.add(f.getUri): Unit
   }
 
   def lastModified(dir: String, name: String): Long =

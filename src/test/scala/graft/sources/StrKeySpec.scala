@@ -211,7 +211,7 @@ class StrKeySpec extends SparkSpec {
         val e2 = intercept[IllegalArgumentException] {
           ManifestSource.deleteKeysStrMoR(plain, Seq("A"))
         }
-        assert(e2.getMessage.contains("string-keyed"))
+        assert(e2.getMessage.contains("flag-keyed"))
       } finally cleanup(plain)
       // appends inherit the keyed blooms: a fresh key's merge still
       // prunes to the appended file alone

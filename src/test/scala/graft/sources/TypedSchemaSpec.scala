@@ -177,6 +177,85 @@ class TypedSchemaSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(root)))
   }
 
+  test("a table-CREATING batch append records the declared types") {
+    import spark.implicits._
+    // mode("append") to a FRESH path: the r15 round only wired
+    // writeTypes through the truncate and streaming-first-epoch paths —
+    // the batch-append path silently created the table with default
+    // (BIGINT) metadata while the files carried doubles/strings, so a
+    // reader declaring the extras BIGINT mis-decoded them
+    val root = java.nio.file.Files.createTempDirectory("graft_typed_ap").toString
+    try {
+      (1L to 10L).map(i => (i, i * 1000L, "A", i, i * 10L, i * 0.25, s"t$i"))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents", "score", "tag")
+        .coalesce(1)
+        .write.format("graft-manifest").option("path", root)
+        .option("extracols", "score:d,tag:s")
+        .mode("append").save()
+      assert(StoreFS.exists(root, "SCHEMA_TYPES"),
+        "a table-creating append must record the write's type vector")
+      assert(tableTypes(root, 7) == Seq('L', 'L', 'S', 'L', 'L', 'D', 'S'))
+      val df = load(root)
+      assert(df.schema("score").dataType == DoubleType)
+      assert(df.schema("tag").dataType == StringType)
+      val got = scoreTag(root)
+      assert((1L to 10L).forall(i => got(i) == ((Some(i * 0.25), Some(s"t$i")))))
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
+  test("an unknown extracols type suffix fails loudly, never defaults to BIGINT") {
+    val e = intercept[IllegalArgumentException] {
+      parseExtraHint("score:f")
+    }
+    assert(e.getMessage.contains("score:f"))
+    // the valid suffixes still parse, either case
+    assert(parseExtraHint("a:l,b:D,c:s").map(_.dataType.simpleString) ==
+      Seq("bigint", "double", "string"))
+  }
+
+  test("a manifest pin into a pre-truncate incarnation is refused loudly") {
+    import spark.implicits._
+    val root = typedStore()
+    try {
+      // grow a second generation so a gen-numbered manifest exists
+      Seq((100L, 50000L, "B", 1L, 10L, 9.25, "hot"))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents", "score", "tag")
+        .coalesce(1)
+        .write.format("graft-manifest").option("path", root).mode("append").save()
+      val preTruncGen = resolveManifest(root, None)
+      assert(preTruncGen != "manifest.csv")
+      // truncate into a RETYPED table (no extras — all-default types)
+      (1L to 5L).map(i => (i, i * 1000L, "A", i, i * 10L))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+        .coalesce(1)
+        .write.format("graft-manifest").option("path", root)
+        .mode("overwrite").save()
+      // the old generation file is still on disk, but pinning it would
+      // decode the OLD table's typed files under the NEW type vector
+      val e = intercept[IllegalArgumentException] {
+        load(root, Some(preTruncGen)).collect()
+      }
+      assert(e.getMessage.contains("predates") &&
+        e.getMessage.contains("truncate"), s"got: ${e.getMessage}")
+      // restore across the truncate refuses identically
+      val e2 = intercept[IllegalArgumentException] {
+        restore(root, preTruncGen)
+      }
+      assert(e2.getMessage.contains("predates"))
+      // the current incarnation reads normally, and new generations pin
+      assert(load(root).count() == 5L)
+      Seq((6L, 6000L, "B", 6L, 60L))
+        .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+        .coalesce(1)
+        .write.format("graft-manifest").option("path", root).mode("append").save()
+      val postGen = resolveManifest(root, None)
+      assert(load(root, Some(postGen)).count() == 6L,
+        "post-truncate generations must stay pinnable")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root)))
+  }
+
   test("a shallow clone carries the declared types") {
     val root = typedStore()
     val dst = java.nio.file.Files.createTempDirectory("graft_typed_clone").toString
