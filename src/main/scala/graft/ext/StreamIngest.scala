@@ -465,7 +465,8 @@ object StreamIngest {
       assign: DataFrame, nGens: Int, depths: Seq[Int], nCompactions: Int)
 
   /** Fold a staged change feed (parquet files of
-    * (gen, change_type, ok=doc_id, ship_us, flag=text, qty, price_cents),
+    * (gen, change_type, ok=doc_id, ship_us, flag=source, qty, price_cents,
+    * text), round 16's typed shape —
     * the q274/q278 event shape carrying documents) into a maintained
     * dup-cluster state, bootstrapping from `bootstrap` (doc_id, text)
     * processed as the first insert batch — the q278 replica-bootstrap
@@ -666,7 +667,7 @@ object StreamIngest {
       StructField("gen", IntegerType), StructField("change_type", StringType),
       StructField("ok", LongType), StructField("ship_us", LongType),
       StructField("flag", StringType), StructField("qty", LongType),
-      StructField("price_cents", LongType)))
+      StructField("price_cents", LongType), StructField("text", StringType)))
     val q = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(stagedGlob)
@@ -674,7 +675,7 @@ object StreamIngest {
       .option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ev = batch.select(col("gen").as("fg"), col("change_type"),
-          col("ok").as("doc_id"), col("flag").as("text")).localCheckpoint()
+          col("ok").as("doc_id"), col("text")).localCheckpoint()
 
         // apply grouped by feed generation ascending — a trigger may
         // carry several generations; log order decides, not arrival.
@@ -753,14 +754,17 @@ object StreamIngest {
     * (clusters), q288 (BM25), and q292 (MinHash): build the manifest
     * store carrying the documents corpus, run the three DML
     * generations, compute each generation's file-set-diff change
-    * feed, and stage it as ordered parquet. The doc's SOURCE rides
-    * the store's spare integer column as a 60-bit md5 id
-    * (`price_cents = sid`) — a document's source is part of its row,
-    * so feed events carry it and a per-source consumer (q292) never
-    * has to guess group membership; updates keep the doc's own sid
-    * and re-keyed inserts carry their origin's (the q286 convention).
-    * Returns (staged feed glob, staging dir to clean, bootstrap docs
-    * with `doc_id, text, source, sid`).
+    * feed, and stage it as ordered parquet. Round 16 DOG-FOODS the
+    * typed schema: the document text lives in a declared `text STRING`
+    * extension column (no more flag-smuggling), the doc's SOURCE is
+    * the base string column `flag` directly (no more 60-bit md5 sid
+    * riding a spare integer), row identity stays the Long `ok`
+    * (= doc_id), and the DML generations run through the
+    * join-strategy DataFrame verbs — the update merges supply `text`
+    * from the source (the extras-updating MERGE arm). Feed events
+    * carry the full typed row, so a per-source consumer (q292) reads
+    * the source NAME off the event. Returns (staged feed glob,
+    * staging dir, bootstrap docs with `doc_id, text, source`).
     */
   private[ext] def stageDocChain(spark: SparkSession, dir: String,
       kind: String): (String, String, DataFrame) = {
@@ -769,64 +773,50 @@ object StreamIngest {
     val rootF = new java.io.File(sys.props("java.io.tmpdir"), s"graft_manifest_$kind$tag")
     if (rootF.exists()) rootF.listFiles().foreach(_.delete())
     val root = rootF.getAbsolutePath
-    val sidCol = conv(substring(md5(to_binary(col("source"), lit("utf-8"))), 1, 15),
-      16, 10).cast("long")
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("source"), sidCol.as("sid"))
+      .select(col("doc_id"), col("text"), col("source"))
       .localCheckpoint(false)
-    // all three corpus guards in ONE aggregate pass (this staging is
-    // shared by q281/q288/q292 — per-job fixed cost × 3 consumers):
-    // comma-free texts (the manifest CSV encoding), re-key headroom,
-    // and sid injectivity (md5-60bit collision would silently merge
-    // two signature groups)
-    val g = docs.agg(count(lit(1)),
-      sum(col("text").contains(",").cast("long")),
-      countDistinct(col("source")), countDistinct(col("sid"))).head()
-    val n = g.getLong(0)
-    require(g.getLong(1) == 0L,
-      "document texts must be comma-free to ride the manifest row encoding")
+    val n = docs.count()
     require(n < DocInsertOffset,
       s"insert re-key offset $DocInsertOffset collides with doc_ids (n=$n)")
-    require(g.getLong(2) == g.getLong(3),
-      "source-id hash collision — widen the sid derivation")
     docs.select(col("doc_id").as("ok"), col("doc_id").as("ship_us"),
-        col("text").as("flag"), length(col("text")).cast("long").as("qty"),
-        col("sid").as("price_cents"))
+        col("source").as("flag"), length(col("text")).cast("long").as("qty"),
+        lit(0L).as("price_cents"), col("text"))
       .repartitionByRange(8, col("ship_us"))
-      .write.format("graft-manifest").option("path", root).mode("overwrite").save()
+      .write.format("graft-manifest").option("path", root)
+      .option("extracols", "text:s")
+      .mode("overwrite").save()
     val m0 = ManifestSource.resolveManifest(root, None)
     def asRow(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
-        sid: org.apache.spark.sql.Column) =
-      Seq(id.as("ok"), id.as("ship_us"), text.as("flag"),
-        length(text).cast("long").as("qty"), sid.as("price_cents"))
-    def collectBatch(df: DataFrame): Seq[(Long, Long, String, Long, Long)] =
-      df.collect().toSeq.map(r => // bounded DML batches (the q267 contract)
-        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        src: org.apache.spark.sql.Column) =
+      Seq(id.as("ok"), id.as("ship_us"), src.as("flag"),
+        length(text).cast("long").as("qty"), lit(0L).as("price_cents"),
+        text.as("text"))
     val donor = docs.select(col("doc_id").as("d_id"), col("text").as("d_text"))
     val upd1 = docs.filter(col("doc_id") % 17 === 0)
       .join(donor, (col("doc_id") + 1) % n === col("d_id"))
-      .select(asRow(col("doc_id"), col("d_text"), col("sid")): _*)
+      .select(asRow(col("doc_id"), col("d_text"), col("source")): _*)
     val ins1 = docs.filter(col("doc_id") % 29 === 0)
-      .select(asRow(col("doc_id") + DocInsertOffset, col("text"), col("sid")): _*)
-    ManifestSource.merge(spark, root, collectBatch(upd1.unionByName(ins1)))
+      .select(asRow(col("doc_id") + DocInsertOffset, col("text"), col("source")): _*)
+    ManifestSource.mergeDF(spark, root, upd1.unionByName(ins1))
     val m1 = ManifestSource.resolveManifest(root, None)
-    val delKeys = docs.filter(col("doc_id") % 13 === 0)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-    ManifestSource.deleteKeys(spark, root, delKeys)
+    ManifestSource.deleteKeysDF(spark, root,
+      docs.filter(col("doc_id") % 13 === 0).select(col("doc_id").as("ok")))
     val m2 = ManifestSource.resolveManifest(root, None)
     val upd2 = docs.filter(col("doc_id") % 58 === 0)
       .join(donor, (col("doc_id") + 3) % n === col("d_id"))
-      .select(asRow(col("doc_id") + DocInsertOffset, col("d_text"), col("sid")): _*)
-    ManifestSource.merge(spark, root, collectBatch(upd2))
+      .select(asRow(col("doc_id") + DocInsertOffset, col("d_text"), col("source")): _*)
+    ManifestSource.mergeDF(spark, root, upd2)
     val m3 = ManifestSource.resolveManifest(root, None)
     // stage the per-generation feeds in feed order (ascending mtimes,
-    // checked — the q278 ordering contract)
+    // checked — the q278 ordering contract); the feed carries the
+    // typed row including `text`
     val stage = java.nio.file.Files.createTempDirectory("graft_q281_stage").toString
     Seq((1, m0, m1), (2, m1, m2), (3, m2, m3)).foreach { case (g, a, b) =>
       val sub = s"$stage/b$g"
       graft.scale.Layout.manifestChangeFeed(spark, root, a, b)
         .select(lit(g).as("gen"), col("change_type"), col("ok"), col("ship_us"),
-          col("flag"), col("qty"), col("price_cents"))
+          col("flag"), col("qty"), col("price_cents"), col("text"))
         .coalesce(1).write.mode("overwrite").parquet(sub)
       new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
         .foreach(f => graft.scale.Layout.setMtimeOrFail(f, 1000000L * g))
@@ -872,7 +862,8 @@ object StreamIngest {
 
   /** q281 — THE CDC→INDEX LOOP CLOSED: a manifest store holds the
     * documents corpus (doc payload riding the string column:
-    * ok = ship_us = doc_id, flag = text, qty = n_chars), a real DML
+    * ok = ship_us = doc_id, flag = source, qty = n_chars, and a typed
+    * `text STRING` extension column carrying the document), a real DML
     * chain runs against it —
     *
     *   gen 1  MERGE: every doc_id % 17 = 0 is REWRITTEN to the text
@@ -972,7 +963,7 @@ object StreamIngest {
       StructField("gen", IntegerType), StructField("change_type", StringType),
       StructField("ok", LongType), StructField("ship_us", LongType),
       StructField("flag", StringType), StructField("qty", LongType),
-      StructField("price_cents", LongType)))
+      StructField("price_cents", LongType), StructField("text", StringType)))
     val q = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(stagedGlob)
@@ -980,7 +971,7 @@ object StreamIngest {
       .option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ev = batch.select(col("gen").as("fg"), col("change_type"),
-          col("ok").as("doc_id"), col("flag").as("text")).localCheckpoint()
+          col("ok").as("doc_id"), col("text")).localCheckpoint()
 
         val gens = ev.select(col("fg")).distinct()
           .collect().map(_.getInt(0)).sorted // bounded: generations, not rows
@@ -1030,7 +1021,7 @@ object StreamIngest {
 
   /** [[docChainCorpusSql]] with each doc's SOURCE carried through the
     * replay (updates keep the doc's source, re-keyed inserts carry
-    * their origin's — exactly the sid rules the staged store encodes),
+    * their origin's — exactly the source rules the staged store encodes),
     * as a WITH-prefix ending in `corpus(doc_id, source, text)` — the
     * oracle corpus for per-source feed consumers (q292).
     */
@@ -1063,9 +1054,9 @@ object StreamIngest {
     *   1. outgoing doc_ids (deletes + update preimages) DROP their
     *      index rows; incoming docs (inserts + update postimages)
     *      shingle ONCE into new rows — update = row replacement;
-    *   2. touched sources = the outgoing rows' sids ∪ the incoming
-    *      sids (events carry the sid — the store encodes it, the
-    *      consumer never guesses group membership);
+    *   2. touched sources = the outgoing rows' sources ∪ the incoming
+    *      ones (events carry the source NAME as the store's base string
+    *      column — the consumer never guesses group membership);
     *   3. untouched sources' signatures carry BY REFERENCE; touched
     *      sources refold from their survivors' 8-long sketch rows —
     *      no re-shingling anywhere, O(batch + touched groups).
@@ -1084,17 +1075,17 @@ object StreamIngest {
       rows.groupBy(col("source"))
         .agg(min(col("mh0")).as("mh0"),
           (1 until SqlMinHashK).map(k => min(col(s"mh$k")).as(s"mh$k")): _*)
-    // maintained state, both keyed by sid (riding the `source` column
-    // name so Dedup's sketch builders apply unchanged)
+    // maintained state, both keyed by the source name (the `source`
+    // column so Dedup's sketch builders apply unchanged)
     var docSigs = materialize(spark, docSignature(
-      bootstrap.select(col("sid").as("source"), col("doc_id"), col("text"))))
+      bootstrap.select(col("source"), col("doc_id"), col("text"))))
     var srcSig = materialize(spark, refold(docSigs))
     var nGens = 1
     val sch = StructType(Seq(
       StructField("gen", IntegerType), StructField("change_type", StringType),
       StructField("ok", LongType), StructField("ship_us", LongType),
       StructField("flag", StringType), StructField("qty", LongType),
-      StructField("price_cents", LongType)))
+      StructField("price_cents", LongType), StructField("text", StringType)))
     val q = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(stagedGlob)
@@ -1102,8 +1093,8 @@ object StreamIngest {
       .option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ev = batch.select(col("gen").as("fg"), col("change_type"),
-          col("ok").as("doc_id"), col("flag").as("text"),
-          col("price_cents").as("source")).localCheckpoint()
+          col("ok").as("doc_id"), col("text"),
+          col("flag").as("source")).localCheckpoint()
         val gens = ev.select(col("fg")).distinct()
           .collect().map(_.getInt(0)).sorted // bounded: generations, not rows
         gens.foreach { fg =>
@@ -1133,12 +1124,10 @@ object StreamIngest {
       .start()
     q.processAllAvailable()
     q.stop()
-    // the readout speaks source NAMES: join the sid dictionary from
-    // the bootstrap (the chain never mints a new source)
-    val dict = bootstrap.select(col("sid"), col("source").as("src")).distinct()
-    val out = srcSig.join(dict, srcSig("source") === dict("sid"))
-      .select(col("src").as("source") +:
-        (0 until SqlMinHashK).map(k => col(s"mh$k")): _*)
+    // the readout speaks source NAMES directly — events carry the
+    // source as the store's base string column, no sid dictionary
+    val out = srcSig
+      .select(col("source") +: (0 until SqlMinHashK).map(k => col(s"mh$k")): _*)
       .orderBy("source")
       .localCheckpoint()
     scala.util.Try(org.apache.commons.io.FileUtils

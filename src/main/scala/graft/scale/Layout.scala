@@ -2944,13 +2944,13 @@ object Layout {
       .orderBy(col("flag"))
   }
 
-  /** Row schema of the manifest store's data files. */
-  private val manifestRowSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("ship_us", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("price_cents", org.apache.spark.sql.types.LongType)))
+  /** Row schema of a manifest store's data files — the declared names
+    * and L/D/S types of the given snapshot (base-only stores read the
+    * legacy five-column shape; typed stores carry their extras).
+    */
+  private def manifestRowSchema(root: String,
+      manifest: String): org.apache.spark.sql.types.StructType =
+    graft.sources.ManifestSource.sparkSchema(root, manifest)
 
   /** MANIFEST CHANGE FEED — the READ side of CDC (q270 applies CDC;
     * this EMITS it): row-level changes between two pinned manifest
@@ -2989,11 +2989,17 @@ object Layout {
     }
     val a = sig(fromManifest)
     val b = sig(toManifest)
+    // the feed speaks the snapshot's DECLARED schema — base-only
+    // stores keep the legacy five-column shape, typed stores (the
+    // round-16 document chain: `text STRING`) carry their extras
+    // through the diff, the comparison, and both image classes
+    val rowSchema = manifestRowSchema(root, toManifest)
+    val names = rowSchema.fieldNames.toSeq
     def load(side: Map[String, Seq[String]], other: Map[String, Seq[String]]): DataFrame = {
       val changed = side.filter { case (f, d) => !other.get(f).contains(d) }
       if (changed.isEmpty)
-        spark.range(0).select(col("id").as("ok"), col("id").as("ship_us"),
-          lit("x").as("flag"), col("id").as("qty"), col("id").as("price_cents"))
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], rowSchema)
       else changed.groupBy(_._2).toSeq.sortBy(_._2.keys.min).map { case (dvs, fs) =>
         // data files are parquet since the columnar data plane —
         // positionally ordered columns under either name dialect
@@ -3008,34 +3014,39 @@ object Layout {
         // real-name files would silently surface NULLs for one
         // dialect's rows — group by the footer's field names (one
         // driver-side footer probe per changed file, bounded by the
-        // k-file diff) and rename each dialect group positionally
+        // k-file diff) and rename each dialect group positionally;
+        // a pre-evolution file's shorter arity pads NULL for the
+        // trailing extras, the manifest-level mergeSchema contract
         val pqParts = pqs.groupBy(f => spark.read.parquet(f).schema.fieldNames.toSeq)
-          .toSeq.sortBy(_._2.min).map { case (_, group) =>
-            spark.read.parquet(group: _*)
-              .toDF("ok", "ship_us", "flag", "qty", "price_cents")
+          .toSeq.sortBy(_._2.min).map { case (fieldNames, group) =>
+            val arity = fieldNames.size
+            val renamed = spark.read.parquet(group: _*).toDF(names.take(arity): _*)
+            rowSchema.fields.drop(arity).foldLeft(renamed)((d, f) =>
+              d.withColumn(f.name, lit(null).cast(f.dataType)))
           }
         val parts = pqParts ++
           (if (csvs.isEmpty) None
-           else Some(spark.read.schema(manifestRowSchema).csv(csvs: _*)))
+           else Some(spark.read.schema(rowSchema).csv(csvs: _*)))
         val df = parts.reduce(_.unionByName(_))
         val keys = ManifestSource.readDvKeys(root, dvs)
         if (keys.isEmpty) df else df.filter(!col("ok").isInCollection(keys))
       }.reduce(_.unionByName(_))
     }
-    val o = load(a, b).select(col("ok"), col("ship_us").as("o_us"),
-      col("flag").as("o_fl"), col("qty").as("o_q"), col("price_cents").as("o_pc"))
-    val n = load(b, a).select(col("ok").as("ok_n"), col("ship_us").as("n_us"),
-      col("flag").as("n_fl"), col("qty").as("n_q"), col("price_cents").as("n_pc"))
+    val nonKey = names.filterNot(_ == "ok")
+    val o = load(a, b).select(col("ok") +:
+      nonKey.map(c => col(c).as(s"o_$c")): _*)
+    val n = load(b, a).select(col("ok").as("ok_n") +:
+      nonKey.map(c => col(c).as(s"n_$c")): _*)
     val j = o.join(n, col("ok") === col("ok_n"), "full_outer")
       .localCheckpoint(false) // three classification branches below
-    val sameRow = col("o_us") === col("n_us") && col("o_fl") === col("n_fl") &&
-      col("o_q") === col("n_q") && col("o_pc") === col("n_pc")
-    def oldImage(ct: String) = Seq(lit(ct).as("change_type"), col("ok"),
-      col("o_us").as("ship_us"), col("o_fl").as("flag"),
-      col("o_q").as("qty"), col("o_pc").as("price_cents"))
-    def newImage(ct: String) = Seq(lit(ct).as("change_type"), col("ok_n").as("ok"),
-      col("n_us").as("ship_us"), col("n_fl").as("flag"),
-      col("n_q").as("qty"), col("n_pc").as("price_cents"))
+    // null-safe compare: an extra that is NULL on both sides is "no
+    // change"; NULL vs value is a change (plain === would drop it)
+    val sameRow = nonKey.map(c => col(s"o_$c") <=> col(s"n_$c"))
+      .reduce(_ && _)
+    def oldImage(ct: String) = lit(ct).as("change_type") +: col("ok") +:
+      nonKey.map(c => col(s"o_$c").as(c))
+    def newImage(ct: String) = lit(ct).as("change_type") +:
+      col("ok_n").as("ok") +: nonKey.map(c => col(s"n_$c").as(c))
     val ins = j.filter(col("ok").isNull).select(newImage("insert"): _*)
     val del = j.filter(col("ok_n").isNull).select(oldImage("delete"): _*)
     val upd = j.filter(col("ok").isNotNull && col("ok_n").isNotNull && !sameRow)

@@ -2258,9 +2258,11 @@ object ManifestSource {
     * (their rows ride the join) instead of kept by reference — the
     * Delta copy-on-write trade; the per-file matched check that
     * enables keep-by-reference is exactly the driver-side state this
-    * variant exists to avoid. The source must carry exactly the five
-    * base columns with unique keys (multi-match errors, like SQL
-    * MERGE — checked DISTRIBUTED, one aggregate over the source).
+    * variant exists to avoid. The source carries the five base columns
+    * (plus any subset of the table's extension columns, which then
+    * update from the source — the `UPDATE SET extra = src.extra` arm)
+    * with unique keys (multi-match errors, like SQL MERGE — checked
+    * DISTRIBUTED, one aggregate over the source).
     * Returns (files rewritten+written, kept untouched, rows inserted,
     * manifest).
     */
@@ -2268,14 +2270,24 @@ object ManifestSource {
       source: org.apache.spark.sql.DataFrame, base: Option[String] = None,
       outFiles: Int = 0): (Int, Int, Long, String) = {
     import org.apache.spark.sql.functions._
-    require(source.columns.toSeq == BaseCols,
-      s"mergeDF source must carry exactly $BaseCols, got ${source.columns.toSeq} — " +
-        "extension columns are target-carried")
     requireLongKeyed(dir, "mergeDF")
     val current = base.getOrElse(resolveManifest(dir, None))
     val entries = readManifest(dir, current)
     val cols = manifestSchema(dir, current)
     val shape = (cols, tableTypes(dir, cols.size))
+    // the source carries the base columns plus ANY SUBSET of the
+    // table's extension columns (in schema order): supplied extras
+    // UPDATE from the source on match and land on inserts — the SQL
+    // MERGE `UPDATE SET extra = src.extra` arm, which typed stores
+    // need (round 16: the CDC document chain updates its `text`
+    // column through this path); absent extras stay target-carried
+    val extras = cols.drop(BaseCols.size)
+    val srcCols = source.columns.toSeq
+    val srcExtras = srcCols.drop(BaseCols.size)
+    require(srcCols.take(BaseCols.size) == BaseCols &&
+      srcExtras == extras.filter(srcExtras.contains),
+      s"mergeDF source must carry $BaseCols plus any subset of the " +
+        s"table's extension columns in schema order ($extras), got $srcCols")
     // multi-match is an error, like SQL MERGE — checked distributed
     val maxDup = source.groupBy(col("ok")).count()
       .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
@@ -2294,17 +2306,16 @@ object ManifestSource {
       val target = spark.read.format("graft-manifest").option("path", dir)
         .option("manifest", tmp).load()
         .withColumn("_t", lit(1))
-      val s = source.select(col("ok"), col("ship_us").as("_s_us"),
-        col("flag").as("_s_flag"), col("qty").as("_s_qty"),
-        col("price_cents").as("_s_pc"), lit(1).as("_s"))
+      val fromSrc = (BaseCols.drop(1) ++ srcExtras)
+      val s = source.select(col("ok") +:
+        (fromSrc.map(c => col(c).as(s"_s_$c")) :+ lit(1).as("_s")): _*)
       val sel: Seq[org.apache.spark.sql.Column] =
-        Seq(col("ok"),
-          when(col("_s") === 1, col("_s_us")).otherwise(col("ship_us")).as("ship_us"),
-          when(col("_s") === 1, col("_s_flag")).otherwise(col("flag")).as("flag"),
-          when(col("_s") === 1, col("_s_qty")).otherwise(col("qty")).as("qty"),
-          when(col("_s") === 1, col("_s_pc")).otherwise(col("price_cents")).as("price_cents")) ++
-          cols.drop(BaseCols.size).map(col) :+
-          (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
+        cols.map { c =>
+          if (c == "ok") col("ok")
+          else if (fromSrc.contains(c))
+            when(col("_s") === 1, col(s"_s_$c")).otherwise(col(c)).as(c)
+          else col(c) // extras the source did not supply: target-carried
+        } :+ (col("_s") === 1 && col("_t").isNull).cast("long").as("_ins")
       val merged = target.join(s, Seq("ok"), "full_outer").select(sel: _*)
       val nOut = if (outFiles > 0) outFiles else math.max(candidates.size, 8)
       val shaped = merged.repartitionByRange(nOut, col("ship_us"))

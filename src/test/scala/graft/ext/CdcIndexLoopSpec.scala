@@ -44,13 +44,17 @@ class CdcIndexLoopSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
-  /** (gen, change_type, doc_id, text) rows in the staged-feed shape. */
+  /** (gen, change_type, doc_id, text) rows in the staged-feed shape
+    * (round 16: the text rides its own typed column; `flag` carries
+    * the source name).
+    */
   private def events(rows: (Int, String, Long, String)*): DataFrame = {
     import spark.implicits._
-    rows.toDF("gen", "change_type", "ok", "flag")
+    rows.toDF("gen", "change_type", "ok", "text")
       .select(col("gen"), col("change_type"), col("ok"),
-        col("ok").as("ship_us"), col("flag"),
-        length(col("flag")).cast("long").as("qty"), lit(0L).as("price_cents"))
+        col("ok").as("ship_us"), lit("spec").as("flag"),
+        length(col("text")).cast("long").as("qty"), lit(0L).as("price_cents"),
+        col("text"))
   }
 
   /** Stage one parquet file per feed generation, mtimes ascending. */
