@@ -57,8 +57,9 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE
 object DataFile {
   private[sources] def colName(i: Int): String = "c" + i
 
-  // Declared column types are one char per position:
-  // 'L' = BIGINT, 'D' = DOUBLE, 'S' = STRING (see ManifestSource.tableTypes)
+  // Declared column types are one char per position: 'L' = BIGINT,
+  // 'D' = DOUBLE, 'S' = STRING, 'B' = BINARY (opaque bytes — round 16,
+  // the multimodal-payload column; see ManifestSource.tableTypes)
 
   /** Hadoop conf for the store's data files: the RAW local filesystem
     * (no `.crc` checksum twins — parquet carries its own page/footer
@@ -79,6 +80,7 @@ object DataFile {
     names.indices.foreach { i =>
       types(i) match {
         case 'S' => b.addField(Types.optional(BINARY).as(stringType).named(names(i)))
+        case 'B' => b.addField(Types.optional(BINARY).named(names(i)))
         case 'D' => b.addField(Types.optional(DOUBLE).named(names(i)))
         case _ => b.addField(Types.optional(INT64).named(names(i)))
       }
@@ -110,6 +112,8 @@ object DataFile {
           rc.startField(n, i)
           types(i) match {
             case 'S' => rc.addBinary(Binary.fromString(v.asInstanceOf[String]))
+            case 'B' => rc.addBinary(
+              Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
             case 'D' => rc.addDouble(v.asInstanceOf[java.lang.Double].doubleValue())
             case _ => rc.addLong(v.asInstanceOf[java.lang.Long].longValue())
           }
@@ -182,9 +186,16 @@ object DataFile {
           val idx = idxOf(requested.getFieldName(j))
           // converter by the FILE's own column type — self-describing,
           // so positional legacy files and typed named files mix freely
+          // BINARY splits on the logical annotation: UTF8-annotated is
+          // the string column, bare BINARY is opaque bytes ('B')
           requested.getType(j).asPrimitiveType().getPrimitiveTypeName match {
+            case BINARY
+              if requested.getType(j).getLogicalTypeAnnotation == stringType() =>
+              new PrimitiveConverter {
+                override def addBinary(b: Binary): Unit = row(idx) = b.toStringUsingUTF8
+              }
             case BINARY => new PrimitiveConverter {
-              override def addBinary(b: Binary): Unit = row(idx) = b.toStringUsingUTF8
+              override def addBinary(b: Binary): Unit = row(idx) = b.getBytes
             }
             case DOUBLE => new PrimitiveConverter {
               override def addDouble(v: Double): Unit = row(idx) = java.lang.Double.valueOf(v)

@@ -142,8 +142,8 @@ object ManifestSource {
   }
 
   private[sources] def writeTableTypes(dir: String, types: Seq[Char]): Unit = {
-    require(types.forall(c => c == 'L' || c == 'D' || c == 'S'),
-      s"column types must be L/D/S, got ${types.mkString}")
+    require(types.forall(c => c == 'L' || c == 'D' || c == 'S' || c == 'B'),
+      s"column types must be L/D/S/B, got ${types.mkString}")
     if (types == types.indices.map(defaultType)) {
       // all-default: no record needed (and truncate back to the legacy
       // shape must not leave a stale longer vector behind)
@@ -155,6 +155,7 @@ object ManifestSource {
   def sparkTypeOf(c: Char): org.apache.spark.sql.types.DataType = c match {
     case 'S' => StringType
     case 'D' => org.apache.spark.sql.types.DoubleType
+    case 'B' => org.apache.spark.sql.types.BinaryType
     case _ => LongType
   }
 
@@ -165,13 +166,13 @@ object ManifestSource {
     spec.split(',').filter(_.nonEmpty).toSeq.map { e =>
       e.split(':') match {
         case Array(n) => StructField(n, LongType)
-        case Array(n, t) if t.length == 1 && "LDS".contains(t.head.toUpper) =>
+        case Array(n, t) if t.length == 1 && "LDSB".contains(t.head.toUpper) =>
           // the suffix set is CLOSED: sparkTypeOf's default arm maps
           // unknown chars to BIGINT, so an unvalidated typo like `:f`
           // would silently create a BIGINT column instead of failing
           StructField(n, sparkTypeOf(t.head.toUpper))
         case _ => throw new IllegalArgumentException(
-          s"bad extracols entry `$e` — expected name[:l|:d|:s]")
+          s"bad extracols entry `$e` — expected name[:l|:d|:s|:b]")
       }
     }
 
@@ -179,6 +180,7 @@ object ManifestSource {
     dt match {
       case StringType => 'S'
       case org.apache.spark.sql.types.DoubleType => 'D'
+      case org.apache.spark.sql.types.BinaryType => 'B'
       case _ => 'L'
     }
 
@@ -1374,8 +1376,9 @@ object ManifestSource {
     * scans answer NULL straight from the manifest).
     */
   def addColumn(dir: String, colName: String, tpe: Char = 'L'): String = {
-    require(tpe == 'L' || tpe == 'D' || tpe == 'S',
-      s"column type must be 'L' (BIGINT), 'D' (DOUBLE) or 'S' (STRING), got $tpe")
+    require(tpe == 'L' || tpe == 'D' || tpe == 'S' || tpe == 'B',
+      s"column type must be 'L' (BIGINT), 'D' (DOUBLE), 'S' (STRING) " +
+        s"or 'B' (BINARY), got $tpe")
     commitLock.synchronized {
       val current = resolveManifest(dir, None)
       val cols = manifestSchema(dir, current)
@@ -2831,6 +2834,7 @@ object ManifestSource {
           // extras by declared type; SUM stats only for BIGINT extras
           if (!r.isNullAt(5 + j)) shpTypes(5 + j) match {
             case 'S' => row(5 + j) = r.getString(5 + j)
+            case 'B' => row(5 + j) = r.getAs[Array[Byte]](5 + j)
             case 'D' => row(5 + j) = java.lang.Double.valueOf(r.getDouble(5 + j))
             case _ =>
               val v = r.getLong(5 + j)
@@ -3542,9 +3546,10 @@ final class ManifestWriteBuilder(dir: String, info: LogicalWriteInfo)
       s"graft-manifest write schema must start with $base, got $names")
     info.schema().fields.drop(base.size).foreach(f =>
       require(f.dataType == LongType || f.dataType == StringType ||
-          f.dataType == org.apache.spark.sql.types.DoubleType,
-        s"extension column ${f.name} must be BIGINT, DOUBLE or STRING, " +
-          s"got ${f.dataType}"))
+          f.dataType == org.apache.spark.sql.types.DoubleType ||
+          f.dataType == org.apache.spark.sql.types.BinaryType,
+        s"extension column ${f.name} must be BIGINT, DOUBLE, STRING or " +
+          s"BINARY, got ${f.dataType}"))
     if (!doTruncate) {
       // APPEND must fit the store's CURRENT schema: the write's
       // columns are a prefix of it (missing extras surface NULL) AND
@@ -3833,6 +3838,7 @@ final class ManifestDataWriter(dir: String, partitionId: Int, taskId: Long,
       // SUM stat (DOUBLE/STRING extras carry none)
       if (!r.isNullAt(5 + j)) types(5 + j) match {
         case 'S' => row(5 + j) = r.getUTF8String(5 + j).toString
+        case 'B' => row(5 + j) = r.getBinary(5 + j)
         case 'D' => row(5 + j) = java.lang.Double.valueOf(r.getDouble(5 + j))
         case _ =>
           val v = r.getLong(5 + j)
