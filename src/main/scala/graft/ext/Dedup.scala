@@ -704,17 +704,28 @@ object Dedup {
       .join(d.select(col("doc_id"), size(col("sh")).as("nsh")), "doc_id")
       .filter(col("rn") <= expr("nsh - ((nsh + 1) div 2) + 1"))
       .select(col("doc_id"), col("s"))
-    val cand = pref.select(col("s"), col("doc_id").as("a_id"))
-      .join(pref.select(col("s"), col("doc_id").as("b_id")), "s")
+    // r16: the self-join key is xxhash64(shingle), not the ~25-byte
+    // shingle string — the exchange carries (8B hash, 8B id) rows
+    // (guide §2.3 narrower shuffle keys). A hash collision can only
+    // ADD a candidate pair, and every candidate passes the exact
+    // Jaccard verify below, so the result set is invariant.
+    val prefH = pref.select(xxhash64(col("s")).as("hs"), col("doc_id"))
+    val cand = prefH.select(col("hs"), col("doc_id").as("a_id"))
+      .join(prefH.select(col("hs"), col("doc_id").as("b_id")), "hs")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-      .distinct()
-      // the candidate list is only a few MB, so AQE coalesces the
-      // dedup shuffle to 1-2 partitions and the array_intersect
-      // verify below runs near-single-threaded (the q180/q56 shape;
-      // at sf0.1 the 31-word vocab makes candidates near-quadratic,
-      // so the verify IS the cost). Re-spread before it.
-      .repartition(32)
+      // dedup and re-spread in ONE keyed exchange (r16, guide §2.4 —
+      // previously distinct() + repartition(32) paid two): the
+      // explicit 32-partition hash repartition both provides the
+      // dedup's required partitioning (dropDuplicates adds no second
+      // exchange) and keeps the array_intersect verify below spread
+      // across cores — AQE would otherwise coalesce the few-MB
+      // candidate list to 1-2 partitions and run the verify
+      // near-single-threaded (the q180/q56 shape; at sf0.1 the
+      // 31-word vocab makes candidates near-quadratic, so the verify
+      // IS the cost).
+      .repartition(32, col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
     val da = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val db = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     cand.join(da, "a_id").join(db, "b_id")

@@ -3087,11 +3087,14 @@ object Layout {
         // inferred footer, so a store mixing legacy c0..c4 files with
         // real-name files would silently surface NULLs for one
         // dialect's rows — group by the footer's field names (one
-        // driver-side footer probe per changed file, bounded by the
-        // k-file diff) and rename each dialect group positionally;
-        // a pre-evolution file's shorter arity pads NULL for the
-        // trailing extras, the manifest-level mergeSchema contract
-        val pqParts = pqs.groupBy(f => spark.read.parquet(f).schema.fieldNames.toSeq)
+        // low-level parquet-mr footer read per changed file, ~1 ms;
+        // the r16 baseline measured the previous spark.read.parquet
+        // probe at ~100 ms/file of driver-side DataSource resolution,
+        // doubling the feed computation) and rename each dialect
+        // group positionally; a pre-evolution file's shorter arity
+        // pads NULL for the trailing extras, the manifest-level
+        // mergeSchema contract
+        val pqParts = pqs.groupBy(f => graft.sources.DataFile.footerFieldNames(f))
           .toSeq.sortBy(_._2.min).map { case (fieldNames, group) =>
             val arity = fieldNames.size
             val renamed = spark.read.parquet(group: _*).toDF(names.take(arity): _*)

@@ -52,16 +52,18 @@ class BenchStatsSpec extends AnyFunSuite {
   }
 
   test("repPlan phases by elapsed fraction of the deadline") {
-    // < 60%: full plan — 3 reps fast, 2 reps past SlowCutoff
-    assert(repPlan(100.0, 2700.0, 1.0, 5.0) == ((3, false)))
-    assert(repPlan(100.0, 2700.0, 9.0, 5.0) == ((2, false)))
-    assert(repPlan(100.0, 2700.0, Double.NaN, 5.0) == ((3, false)))
+    // < 60%: full plan — warm+2 for sub-cutoff queries, warm+1 past
+    // it (round-15 verdict #5: rebuild driver-sweep headroom; slow
+    // queries' spread is fixed overhead, not jitter)
+    assert(repPlan(100.0, 2700.0, 0.4, 1.0) == ((2, false)))
+    assert(repPlan(100.0, 2700.0, 9.0, 1.0) == ((1, false)))
+    assert(repPlan(100.0, 2700.0, Double.NaN, 1.0) == ((2, false)))
     // 60%..85%: warm + 1 regardless of speed
-    assert(repPlan(1700.0, 2700.0, 1.0, 5.0) == ((1, false)))
-    assert(repPlan(1700.0, 2700.0, 20.0, 5.0) == ((1, false)))
+    assert(repPlan(1700.0, 2700.0, 0.4, 1.0) == ((1, false)))
+    assert(repPlan(1700.0, 2700.0, 20.0, 1.0) == ((1, false)))
     // ≥ 85%: single run only
-    assert(repPlan(2300.0, 2700.0, 1.0, 5.0) == ((0, true)))
+    assert(repPlan(2300.0, 2700.0, 0.4, 1.0) == ((0, true)))
     // non-positive deadline never degrades
-    assert(repPlan(99999.0, 0.0, 1.0, 5.0) == ((3, false)))
+    assert(repPlan(99999.0, 0.0, 0.4, 1.0) == ((2, false)))
   }
 }
