@@ -342,7 +342,21 @@ object Bench {
     val medianTotal = reps.toSeq.map { case (k, v) => median(measured(v)) }
       .filterNot(_.isNaN).sum
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val gatePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE", "BENCH_GATE.txt")
+    // same provenance guard as the artifact (r15: the committed quiet
+    // gate record was silently overwritten by the driver sweep and had
+    // to be retro-filled from BENCH_LOCAL.json)
+    val gatePath = {
+      val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE", "BENCH_GATE.txt")
+      val p = java.nio.file.Paths.get(requested)
+      val existingIsQuiet =
+        try java.nio.file.Files.exists(p) &&
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .contains("provenance=builder-quiet-sweep")
+        catch { case _: Throwable => false }
+      if (provenance == "unlabeled-driver-sweep" && existingIsQuiet)
+        requested.stripSuffix(".txt") + ".driver.txt"
+      else requested
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(gatePath),
       s"bench gate: total(best)=${r3(total)}s median_total=${r3(medianTotal)}s " +
       s"n_queries=${reps.size}/${specs.size} n_failures=${failCount.values.sum} " +
