@@ -6,10 +6,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`/root/testdata/sf*`, see TESTDATA.md). One function per table so
   * query code reads declaratively; all reads are lazy scans — Catalyst
   * pushes filters/projections down into the parquet reader.
+  *
+  * RESOLVED-RELATION MEMO (round 17, guide §5/§7.3): every
+  * `spark.read.parquet(path)` call pays ~100 ms of DRIVER-side
+  * DataSource resolution — file listing (InMemoryFileIndex) plus
+  * footer schema inference — before any task runs. The base tables
+  * are immutable test fixtures read by every query, so that cost was
+  * repeated per query PER REP (~1,900 resolutions in a full sweep).
+  * The memo holds ONE resolved relation per (SparkSession, path):
+  * pure METADATA reuse, the same thing Spark's session catalog does
+  * for `spark.table(...)` and `filesourcePartitionFileCacheSize` does
+  * for listings. No rows are cached — the DataFrame is a lazy plan
+  * and every action recomputes from the parquet files.
   */
 object Tables {
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private def perSession(spark: SparkSession) = relCache.synchronized {
+    var m = relCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      relCache.put(spark, m)
+    }
+    m
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    perSession(spark).computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
@@ -31,20 +56,24 @@ object Tables {
     *    TIMESTAMP_NTZ; cast to the session type (LTZ) — value-
     *    preserving under the UTC session every entry point pins —
     *    so every downstream query keeps seeing plain TimestampType.
+    *
+    * The adapted frame is memoized like the raw tables (the conf is
+    * consulted at RELATION-CREATION time, which happens once).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // No-op on builds whose reader handles NANOS natively; required
-    // on builds where NANOS parquet is otherwise unreadable.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    import org.apache.spark.sql.functions.{col, expr}
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    perSession(spark).computeIfAbsent(s"$dir/events.parquet#adapted", { _ =>
+      // No-op on builds whose reader handles NANOS natively; required
+      // on builds where NANOS parquet is otherwise unreadable.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
+    })
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -36,7 +36,9 @@ object StreamingQueries {
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // memoized resolved relation (round 17): the schema probe used to
+    // pay a full ~100 ms DataSource resolution per streaming query
+    val tsType = graft.Tables.table(spark, dir, "events").schema("ts").dataType
     // The file-stream source requires a directory path; events.parquet
     // is a single file, so stream the directory with a name filter.
     val raw = spark.readStream

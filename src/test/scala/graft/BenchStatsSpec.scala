@@ -66,4 +66,28 @@ class BenchStatsSpec extends AnyFunSuite {
     // non-positive deadline never degrades
     assert(repPlan(99999.0, 0.0, 0.4, 1.0) == ((2, false)))
   }
+
+  test("spikeSuspect flags the synthetic GC-flood spike, not jitter") {
+    // round-17 verdict #2: the documented q233 case — warm 4.9s, one
+    // measured rep at 17.7s — must earn a confirm rep
+    assert(spikeSuspect(4.9, 17.7))
+    // sub-second jitter never triggers (3× of 10ms is noise)
+    assert(!spikeSuspect(0.01, 0.04))
+    assert(!spikeSuspect(0.2, 0.65)) // 3.25× but only +0.45s absolute
+    // a normal rep near its warm-up never triggers
+    assert(!spikeSuspect(5.0, 6.0))
+    // failed reps (NaN) never trigger
+    assert(!spikeSuspect(Double.NaN, 17.7))
+    assert(!spikeSuspect(4.9, Double.NaN))
+    // a zero warm-up can't establish a ratio
+    assert(!spikeSuspect(0.0, 9.0))
+  }
+
+  test("provenanceOf parses JSON artifacts and gate-record lines") {
+    assert(provenanceOf("""{"provenance":"builder-quiet-sweep","x":1}""")
+      .contains("builder-quiet-sweep"))
+    assert(provenanceOf("bench gate: total=1s provenance=my-labeled-run sf=x")
+      .contains("my-labeled-run"))
+    assert(provenanceOf("no label here").isEmpty)
+  }
 }
